@@ -1,0 +1,87 @@
+"""Point-in-time (as-of range) join — the engine's core operator (J1).
+
+Reference semantics (``features/features_comprehensive.sql:40-50``
+``tx_with_cutoff``): every event row is replicated once per qualifying
+cutoff of the same entity, with the temporal leak guard
+``event_date <= cutoff AND event_date > cutoff - lookback`` applied in
+the join condition so no future row ever reaches an aggregate
+("CRITICAL: No future data", ``features/features.sqlx:81-82``).
+
+This engine defaults to the STRICT variant ``ts < cutoff_ts``
+("using only strictly-prior turns" per the north star; the reference
+itself uses ``<`` in labels, ``src/labels.py:96,105``, and ``<=`` in
+features — the boundary is a parameter because the reference mixes
+both, see SURVEY §7.6).
+
+Physical strategy at 100 TB:
+
+- The cutoff set per run is a handful of fold boundaries → broadcast
+  the *cutoff list* (not the entity grid) and replicate turns via a
+  broadcast nested-loop on the pure range predicate. No shuffle to
+  produce the joined stream; the single shuffle is the groupBy
+  (conv_id, cutoff_ts) partial+final hash aggregate that follows.
+- If cutoffs are per-entity (arbitrary grid), fall back to an equi
+  join on conv_id with the range predicate in the join condition —
+  Catalyst runs it as sort-merge; co-locate with
+  ``repartitionByRange(conv_id)`` + ``sortWithinPartitions(conv_id,
+  ts)`` (see ``plans.backfill``) so repeated operators reuse the
+  layout. AQE skew-join splits mega-conversation partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def leak_guard(
+    ts: Column, cutoff: Column, lookback_days: int | None, *, inclusive: bool = False
+) -> Column:
+    """The temporal cutoff predicate P3 (the leak guard).
+
+    ``inclusive=False`` → strictly-prior (``ts < cutoff``);
+    ``inclusive=True``  → reference feature-path ``ts <= cutoff``
+    (``features/features_comprehensive.sql:48``).
+    """
+    upper = ts <= cutoff if inclusive else ts < cutoff
+    if lookback_days is None:
+        return upper
+    lower = ts >= cutoff - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+    return upper & lower
+
+
+def asof_join_broadcast_cutoffs(
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    lookback_days: int | None,
+    *,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Replicate each turn per qualifying GLOBAL cutoff (tiny cutoff list).
+
+    Produces the reference's ``*_with_cutoff`` stream
+    (``features/features_comprehensive.sql:40-50``) without shuffling
+    the fact side: broadcast nested-loop join on the range predicate.
+    """
+    cond = leak_guard(turns["ts"], cutoffs["cutoff_ts"], lookback_days, inclusive=inclusive)
+    return turns.join(F.broadcast(cutoffs), cond, "inner")
+
+
+def asof_join_entity_cutoffs(
+    turns: DataFrame,
+    grid: DataFrame,
+    lookback_days: int | None,
+    *,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Per-entity cutoff grid variant: equi join on conv_id + range
+    predicate (reference per-entity variant ``src/make_dataset.py:57-67``).
+
+    Catalyst plans sort-merge on conv_id; the range predicate rides
+    along as a join condition (filtered during merge, not post-hoc).
+    """
+    g = grid.select(F.col("conv_id").alias("_g_conv_id"), "cutoff_ts")
+    cond = (turns["conv_id"] == g["_g_conv_id"]) & leak_guard(
+        turns["ts"], g["cutoff_ts"], lookback_days, inclusive=inclusive
+    )
+    return turns.join(g, cond, "inner").drop("_g_conv_id")

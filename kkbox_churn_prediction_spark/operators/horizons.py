@@ -1,0 +1,126 @@
+"""Multi-horizon windowed aggregation (A1/A2/A6/A8), single pass.
+
+The reference recomputes the same aggregates once per lookback window
+(90/60/30/14/7d) as five separate GROUP BY CTEs over five filtered
+scans (``features/features_comprehensive.sql:97-144`` tx,
+``:225-296`` logs). That is 5× the scan + 5× the shuffle. Here the
+as-of-joined stream is aggregated ONCE with conditional aggregates —
+``sum(when(days_ago <= K, x))`` per horizon K — so Catalyst emits one
+partial+final hash aggregate regardless of horizon count (SURVEY §4
+"scan sharing" restructure).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    """One feature family, expanded per horizon.
+
+    Declarative registry pattern after the reference's
+    ``features.yaml:1-157`` (name, source expr, aggregation,
+    null_policy/fill_value) — but compiled to Column expressions
+    instead of templated SQL.
+    """
+
+    name: str  # final name gets `_{K}d` suffix
+    agg: str  # count | sum | avg | min | max | countDistinct
+    expr: str | None = None  # input expression (SQL string); None → lit(1) for count
+    fill: float | int | None = 0  # COALESCE default (reference ~110 uses)
+    round_to: int | None = None  # round doubles for cross-engine stability
+
+
+DEFAULT_SPECS: tuple[FeatureSpec, ...] = (
+    FeatureSpec("turn_cnt", "count"),
+    FeatureSpec("user_turn_cnt", "count", "CASE WHEN role = 'user' THEN 1 END"),
+    FeatureSpec("tool_call_cnt", "count", "tool"),
+    FeatureSpec("distinct_tool_cnt", "countDistinct", "tool"),
+    # BIGINT cast keeps the output schema identical to the DuckDB
+    # oracle (duckdb length() returns BIGINT, Spark returns INT)
+    FeatureSpec("text_len_sum", "sum", "CAST(length(text) AS BIGINT)"),
+    FeatureSpec("text_len_max", "max", "CAST(length(text) AS BIGINT)"),
+    FeatureSpec("text_len_avg", "avg", "CAST(length(text) AS BIGINT)", fill=0.0, round_to=4),
+)
+
+
+def _window_flag(horizon_days: int) -> Column:
+    # sub-window predicate P4, as a conditional instead of a re-scan
+    return F.col("ts") >= F.col("cutoff_ts") - F.expr(f"INTERVAL {horizon_days} DAYS")
+
+
+def _agg_for(spec: FeatureSpec, horizon_days: int) -> Column:
+    inside = _window_flag(horizon_days)
+    x = F.expr(spec.expr) if spec.expr is not None else F.lit(1)
+    guarded = F.when(inside, x)
+    name = f"{spec.name}_{horizon_days}d"
+    if spec.agg == "count":
+        col = F.count(guarded)
+    elif spec.agg == "sum":
+        col = F.sum(guarded)
+    elif spec.agg == "avg":
+        col = F.avg(guarded)
+    elif spec.agg == "min":
+        col = F.min(guarded)
+    elif spec.agg == "max":
+        col = F.max(guarded)
+    elif spec.agg == "countDistinct":
+        col = F.countDistinct(guarded)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown agg {spec.agg}")
+    if spec.round_to is not None:
+        col = F.round(col, spec.round_to)
+    if spec.fill is not None:
+        col = F.coalesce(col, F.lit(spec.fill))
+    return col.alias(name)
+
+
+def multi_horizon_aggregate(
+    joined: DataFrame,
+    horizons_days: tuple[int, ...] = (1, 3, 7),
+    specs: tuple[FeatureSpec, ...] = DEFAULT_SPECS,
+    *,
+    recency: bool = True,
+) -> DataFrame:
+    """Aggregate the as-of-joined turn stream per (conv_id, cutoff_ts).
+
+    ``joined`` must carry the superset window (max horizon) already —
+    the per-horizon predicates only narrow it. Emits one column per
+    (spec × horizon), plus recency aggregates (A8):
+    ``micros_since_last_turn`` (exact integer — avoids float-epoch
+    drift between engines) and ``last_ts``.
+    """
+    aggs: list[Column] = []
+    for spec in specs:
+        for k in horizons_days:
+            aggs.append(_agg_for(spec, k))
+    if recency:
+        aggs.append(
+            F.coalesce(
+                F.unix_micros(F.col("cutoff_ts")) - F.max(F.unix_micros(F.col("ts"))),
+                F.lit(-1),
+            ).alias("micros_since_last_turn")
+        )
+    return joined.groupBy("conv_id", "cutoff_ts").agg(*aggs)
+
+
+def attach_grid_defaults(
+    features: DataFrame, grid: DataFrame, specs: tuple[FeatureSpec, ...], horizons_days: tuple[int, ...]
+) -> DataFrame:
+    """Left-join features onto the full entity×cutoff grid so entities
+    with zero in-window turns keep default rows (J2/J6 + COALESCE
+    defaults, ``features/features_comprehensive.sql:351-635``)."""
+    out = grid.join(features, ["conv_id", "cutoff_ts"], "left")
+    fills = {}
+    for spec in specs:
+        for k in horizons_days:
+            if spec.fill is not None:
+                fills[f"{spec.name}_{k}d"] = spec.fill
+    out = out.fillna(fills)
+    if "micros_since_last_turn" in out.columns:
+        out = out.fillna({"micros_since_last_turn": -1})
+    return out

@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, compares row count, schema (column
+names), and an order-insensitive value hash (columns sorted by name,
+rows sorted, doubles rounded).
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.round(6)
+        elif s.dtype == object:
+            s = s.astype(str)
+        out[c] = s
+    nd = pd.DataFrame(out)
+    return nd.sort_values(list(nd.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from kkbox_churn_prediction_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name}: rows={len(sdf)} (no oracle — rows-only check)")
+            if len(sdf) == 0:
+                failed.append(name)
+            continue
+        odf = con.execute(oracles[name]).fetchdf()
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        else:
+            a, b = normalize(sdf), normalize(odf)
+            if not a.equals(b):
+                neq = [c for c in a.columns if not a[c].equals(b[c])]
+                problems.append(f"values differ in {neq}")
+                for c in neq[:3]:
+                    mask = a[c] != b[c]
+                    print(f"  sample diff {c}:\n{pd.concat([a[mask][c].head(3), b[mask][c].head(3)], axis=1)}")
+                    print(a[mask].head(2).to_string(), "\n---\n", b[mask].head(2).to_string())
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{name}: rows={len(sdf)} {status}")
+        if problems:
+            failed.append(name)
+    print("\nRESULT:", "ALL OK" if not failed else f"FAILED: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
