@@ -128,7 +128,24 @@ def leak_trap_fixture() -> tuple[pd.DataFrame, datetime]:
     return df, cutoff
 
 
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# raw ingest schema: everything nullable, so dirty fixture rows load;
+# the engine's P2 filter (clean_turns) drops them, mirroring the
+# reference's silent malformed-row drops (features/features.sqlx:28-33)
+RAW_TRANSCRIPT_SCHEMA = T.StructType(
+    [T.StructField(f.name, f.dataType, True) for f in TRANSCRIPT_SCHEMA.fields]
+)
+
+
 def to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     pdf = pdf.copy()
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    return spark.createDataFrame(pdf, schema=RAW_TRANSCRIPT_SCHEMA)
+
+
+def clean_turns(turns: DataFrame) -> DataFrame:
+    """P2 null/validity filter (src/labels.py:82-88): drop rows with
+    NULL entity or NULL event time — silently, like the reference."""
+    return turns.where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())

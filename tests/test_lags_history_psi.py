@@ -1,0 +1,124 @@
+"""Goldens for lag/lead, history panel, and PSI (vs numpy oracle)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.operators.history import history_lag_features
+from kkbox_churn_prediction_spark.operators.lags import lag_lead_features, stable_row_number
+from kkbox_churn_prediction_spark.operators.psi import (
+    bucketize_by_edges,
+    fixed_width_bins,
+    psi_from_bins,
+    quantile_edges,
+)
+from kkbox_churn_prediction_spark.sources.synth import generate_transcripts, to_spark
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_lag_lead_golden(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", "assistant", "user"],
+            "text": ["a", "bb", "ccc"],
+            "tool": [None] * 3,
+            "ts": [T0, T0 + timedelta(seconds=5), T0 + timedelta(seconds=9)],
+        }
+    )
+    out = {r["turn_idx"]: r.asDict() for r in lag_lead_features(to_spark(spark, pdf)).collect()}
+    assert out[0]["prev_text_len_1"] == -1 and out[0]["next_text_len_1"] == 2
+    assert out[1]["prev_text_len_1"] == 1 and out[1]["next_text_len_1"] == 3
+    assert out[1]["gap_micros_prev"] == 5_000_000
+    assert out[2]["gap_micros_prev"] == 4_000_000
+    assert out[0]["same_role_as_prev"] == -1
+    assert out[1]["same_role_as_prev"] == 0
+    assert out[2]["same_role_as_prev"] == 0
+
+
+def test_stable_ordering_invariant(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    (input_hint invariant): row_number over (ts, turn_idx) must equal
+    the producer's turn_idx on the synthetic table."""
+    from kkbox_churn_prediction_spark.sources.synth import clean_turns
+
+    raw = to_spark(spark, generate_transcripts(n_convs=8, mean_turns=20, mega_conv=False))
+    turns = clean_turns(raw)
+    # dirty rows (null conv_id / ts) silently dropped, clean rows kept
+    assert raw.count() - turns.count() == 2
+    bad = stable_row_number(turns).where(F.col("rn") != F.col("turn_idx")).count()
+    assert bad == 0
+
+
+def test_history_lags_golden(spark):
+    # conv active week0 (2 turns), silent week1, active week2 (1 turn)
+    w0, w2 = datetime(2024, 1, 1), datetime(2024, 1, 15)
+    other = datetime(2024, 1, 8)  # second entity creates the week-1 column
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "turn_idx": [0, 1, 2, 0],
+            "role": ["user"] * 4,
+            "text": ["xx", "y", "zzz", "q"],
+            "tool": [None] * 4,
+            "ts": [w0, w0 + timedelta(hours=1), w2, other],
+        }
+    )
+    out = history_lag_features(to_spark(spark, pdf), n_lags=2)
+    a = {r["week_start"]: r.asDict() for r in out.where(F.col("conv_id") == "a").collect()}
+    assert a[w0]["turn_cnt"] == 2 and a[w0]["turn_cnt_w1"] == -1
+    assert a[other]["turn_cnt"] == 0 and a[other]["turn_cnt_w1"] == 2
+    assert a[w2]["turn_cnt"] == 1 and a[w2]["turn_cnt_w1"] == 0 and a[w2]["turn_cnt_w2"] == 2
+    assert a[w0]["weeks_since_last_active"] == 0
+    assert a[other]["weeks_since_last_active"] == 1
+    assert a[w2]["weeks_since_last_active"] == 0
+
+
+def _psi_numpy(cur: np.ndarray, ref: np.ndarray, bins: int, width: float) -> float:
+    """Reference formula (src/psi.py:18-34) on fixed-width bins."""
+    def hist(x):
+        b = np.clip(np.floor(x / width).astype(int), 0, bins - 1)
+        c = np.bincount(b, minlength=bins).astype(float)
+        return c / c.sum()
+
+    a, e = hist(cur), hist(ref)
+    # dense-grid semantics: only bins observed in either fold matter,
+    # unobserved-in-both bins contribute 0
+    a, e = np.clip(a, 1e-6, None), np.clip(e, 1e-6, None)
+    mask = (a > 1e-6) | (e > 1e-6)
+    return float(np.sum(((a - e) * np.log(a / e))[mask]))
+
+
+def test_psi_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    ref = rng.normal(50, 10, 4000).clip(0)
+    cur = rng.normal(60, 15, 3000).clip(0)  # drifted
+    pdf = pd.DataFrame(
+        {
+            "fold": ["even"] * len(ref) + ["odd"] * len(cur),
+            "v": np.concatenate([ref, cur]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    binned = df.select("fold", fixed_width_bins(F.col("v"), 10.0, 10).alias("bin"))
+    got = psi_from_bins(binned, "fold", "bin", "even").collect()[0]["psi"]
+    want = _psi_numpy(cur, ref, 10, 10.0)
+    assert got == pytest.approx(want, abs=2e-6)
+    assert got > 0.1  # the drift is detectable
+
+
+def test_quantile_edge_bucketizer(spark):
+    pdf = pd.DataFrame({"v": np.arange(100, dtype=float)})
+    df = spark.createDataFrame(pdf)
+    edges = quantile_edges(df, "v", n_bins=4)
+    assert edges == pytest.approx([24.75, 49.5, 74.25])
+    out = df.select(bucketize_by_edges(F.col("v"), edges).alias("b"))
+    counts = {r["b"]: r["c"] for r in out.groupBy("b").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == 100 and set(counts) == {0, 1, 2, 3}
