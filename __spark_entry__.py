@@ -142,8 +142,98 @@ def _q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_audit(joined)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+    from kkbox_churn_prediction_spark.operators.dedup import exact_dedup
+
+    # key = first-5-word prefix of the normalized text (prefix
+    # fingerprint — groups docs sharing an opening)
+    key = F.array_join(F.slice(tokens(normalize_text(F.col("text"))), 1, 5), " ")
+    return exact_dedup(_docs(spark, sf_dir), key)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n=3, k=8)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    return brute_force_topk(embs, embs.where(F.col("vec_id") < 10), k=5)
+
+
+def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import lsh_bucketed_topk
+
+    embs = _embs(spark, sf_dir)
+    return lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < 10), k=5, bits=4)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish_tokens"),
+    )
+
+
+def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # point-in-time transcript engine
         "asof_features": _q_asof_features,
         "sessionize": _q_sessionize,
         "lag_lead": _q_lag_lead,
@@ -152,6 +242,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_lags": _q_history_lags,
         "psi_text_len": _q_psi_text_len,
         "leakage_audit": _q_leakage_audit,
+        # training-data pipeline: dedup / similarity / text analysis
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "token_stats": _q_token_stats,
+        "fingerprint_docs": _q_fingerprint_docs,
     }
 
 
@@ -360,6 +461,206 @@ FROM joined GROUP BY cutoff_ts
 """
 
 
+# --- documents/embeddings oracles ------------------------------------------
+# normalized text + whitespace tokens (lock-step with functions/text.py)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_H48 = "CAST(concat('0x', substr(md5({x}),1,12)) AS BIGINT)"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({toks}) - {nm1}, 0)), "
+    "i -> array_to_string(({toks})[i:i+{nm1}], ' ')))"
+)
+
+
+def _shingle_cte(n: int) -> str:
+    sh = _SHINGLES.format(toks=_TOKS, nm1=n - 1)
+    return f"""
+sh AS (
+    SELECT doc_id, unnest({sh}) AS shingle FROM documents
+)"""
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, array_to_string(({_TOKS})[1:5], ' ') AS k FROM documents
+),
+groups AS (
+    SELECT k, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+    FROM keyed GROUP BY k
+)
+SELECT d.doc_id, g.canonical_id, g.group_size,
+       CAST(d.doc_id = g.canonical_id AS INTEGER) AS is_canonical
+FROM keyed d JOIN groups g USING (k)
+"""
+
+_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_shingle_cte(3)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+"""
+
+_MINHASH_SQL = f"""
+WITH {_shingle_cte(3)},
+h AS (
+    SELECT doc_id, CAST(i.i AS INTEGER) AS i, {_H48.format(x='shingle')} AS h48
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+)
+SELECT doc_id, i,
+       MIN((CAST(2*i+3 AS BIGINT) * h48 + CAST(5*i+7 AS BIGINT)) % 2305843009213693951) AS mh
+FROM h GROUP BY doc_id, i
+"""
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, CAST(b.b AS INTEGER) AS b,
+           (({_H48.format(x='tok')} >> CAST(b.b AS INTEGER)) & 1) * 2 - 1 AS vote
+    FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+    WHERE tok <> ''
+),
+bits AS (SELECT doc_id, b, SUM(vote) AS s FROM votes GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+_COS = (
+    "list_dot_product(CAST(qe AS DOUBLE[]), CAST(ne AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(ne AS DOUBLE[]), CAST(ne AS DOUBLE[]))))"
+)
+
+_EMB_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+_BUCKET = (
+    "(CASE WHEN {e}[1] > 0 THEN 1 ELSE 0 END + CASE WHEN {e}[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN {e}[3] > 0 THEN 4 ELSE 0 END + CASE WHEN {e}[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+_EMB_TOPK_LSH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_BUCKET.format(e='embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+             {_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q JOIN v USING (bucket) WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+_PROFILES = {
+    "en": "['the','a','of','and','to','in','is']",
+    "de": "['der','die','das','und','ist','ein']",
+    "es": "['el','la','de','que','y','es','un']",
+    "fr": "['le','la','de','et','est','un','une']",
+}
+# regex split (duckdb string_split is literal; string_split_regex matches
+# Spark's F.split regex semantics)
+_NTOK_RAW = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+def _lang_id_oracle() -> str:
+    scores = ",\n       ".join(
+        f"ROUND(len(list_filter({_TOKS}, t -> list_contains({lst}, t))) * 1.0 / "
+        f"greatest({_NTOK_RAW}, 1), 6) AS score_{lang}"
+        for lang, lst in _PROFILES.items()
+    )
+    # argmax with sorted-name tiebreak (lock-step with textstats.lang_id)
+    langs = sorted(_PROFILES)
+    best = f"'{langs[0]}'"
+    seen = [f"score_{langs[0]}"]
+    for lang in langs[1:]:
+        prev_max = "greatest(" + ", ".join(seen) + ")" if len(seen) > 1 else seen[0]
+        best = f"CASE WHEN score_{lang} > {prev_max} THEN '{lang}' ELSE {best} END"
+        seen.append(f"score_{lang}")
+    all_max = "greatest(" + ", ".join(seen) + ")"
+    cols = ", ".join(f"score_{lang}" for lang in _PROFILES)
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+       {scores}
+    FROM documents
+)
+SELECT doc_id, {cols},
+       CASE WHEN {all_max} > 0 THEN {best} ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+           ROUND(length(replace({_NORM}, ' ', '')) * 1.0
+                 / greatest({_NTOK_RAW}, 1), 6) AS mean_word_len,
+           ROUND(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter({_TOKS}, t -> list_contains({_PROFILES['en']}, t))) * 1.0
+                 / greatest({_NTOK_RAW}, 1), 6) AS stopword_ratio
+    FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+       ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 3.0,
+             6) AS quality_score
+FROM base
+"""
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           AS n_bpe_ish_tokens
+FROM documents
+"""
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {_H48.format(x=_NORM)} AS doc_hash48,
+       COALESCE(list_min(list_transform(
+           {_SHINGLES.format(toks=_TOKS, nm1=4)},
+           s -> {_H48.format(x='s')})), -1) AS min_shingle_hash48
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -370,4 +671,14 @@ def oracle_sql() -> dict[str, str]:
         "history_lags": _HISTORY_LAGS_SQL,
         "psi_text_len": _PSI_TEXT_LEN_SQL,
         "leakage_audit": _LEAKAGE_AUDIT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
+        "minhash_signatures": _MINHASH_SQL,
+        "simhash": _SIMHASH_SQL,
+        "embedding_topk": _EMB_TOPK_SQL,
+        "embedding_topk_lsh": _EMB_TOPK_LSH_SQL,
+        "lang_id": _lang_id_oracle(),
+        "text_quality": _TEXT_QUALITY_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
+        "fingerprint_docs": _FINGERPRINT_SQL,
     }

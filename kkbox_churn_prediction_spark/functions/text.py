@@ -1,0 +1,70 @@
+"""Text expression helpers (all JVM-side column expressions).
+
+``stable_hash48`` is the engine's cross-engine-reproducible hash:
+first 48 bits of md5 as a BIGINT. Spark's ``hash()``/``xxhash64()``
+are not reproducible in DuckDB, so every hashed operator that needs
+an oracle (MinHash, SimHash, fingerprints) builds on this. 48 bits
+keeps arithmetic inside BIGINT for the universal-hash family
+``(a*h + b) mod p``.
+
+DuckDB equivalent: ``CAST(concat('0x', substr(md5(x),1,12)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal-hash modulus; a_i/b_i derived
+# deterministically from the hash index so Spark and the SQL oracle
+# generate identical families with no RNG.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def stable_hash48(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def minhash_value(h: Column, i: Column) -> Column:
+    """i-th universal hash of a 48-bit token hash:
+    ``(a_i * h + b_i) mod M61`` with a_i = 2i+3, b_i = 5i+7.
+    BIGINT-safe: a_i stays tiny, h < 2^48, product < 2^53 range
+    for i < ~15; callers keep the family small (k ≤ 16)."""
+    a = i * F.lit(2) + F.lit(3)
+    b = i * F.lit(5) + F.lit(7)
+    return F.pmod(a.cast("bigint") * h + b.cast("bigint"), F.lit(MERSENNE_61))
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + collapse whitespace (canonical form for dedup)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokenization → array<string> (empty array for
+    empty/blank text, not [''])."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """distinct word n-grams as array<string> (space-joined).
+
+    Built with zip_with over sliding offsets — pure SQL, no UDF:
+    shingle i = tokens[i..i+n-1] for i in 0..len-n.
+    """
+    toks = tokens(col)
+    # guard: Spark sequence(0, -1) DESCENDS ([0,-1]) rather than being
+    # empty, so short texts must short-circuit to an empty index list
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)

@@ -1,0 +1,208 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard. All built on
+``functions.text.stable_hash48`` so each variant has a DuckDB oracle.
+The reference's only dedup is ``SELECT DISTINCT``
+(``src/backtest.py:140-147``) / ``MAX() GROUP BY`` upsert
+(``sql/02_create_core_tables.sql:107-117``) — exact_dedup generalizes
+those; the near-dup family is the web-scale extension.
+
+Scale notes:
+- exact: one shuffle on the key hash; at 100 TB dedup on a 48-bit
+  content hash first (collision-check only within equal hashes).
+- MinHash/LSH: signatures are per-doc aggregates (shuffle on doc_id,
+  map-side partials); candidate generation shuffles on (band,
+  band_hash) — bounded by bucket sizes, and a hot bucket means the
+  band is too coarse (raise rows-per-band).
+- pairwise n-gram Jaccard joins on the shingle — only viable with a
+  frequency cap on shingles (stop-shingle removal), exposed as
+  ``max_shingle_freq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.functions.text import (
+    minhash_value,
+    normalize_text,
+    stable_hash48,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by the exact key expression, keep the smallest id as the
+    canonical representative; emit group size + is_canonical."""
+    keyed = df.withColumn("_k", key)
+    groups = keyed.groupBy("_k").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "_k")
+        .select(
+            id_col,
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) == F.col("canonical_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def shingle_stream(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return df.select(
+        id_col, F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    shingle-join: |A∩B| via groupBy(pair).count over the shingle
+    equi-join; |A∪B| = |A|+|B|−|A∩B|. Output (doc_a < doc_b, jaccard
+    rounded 6).
+    """
+    sh = shingle_stream(df, text_col, n, id_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-wide MinHash signature per doc: min over shingles of the i-th
+    universal hash of stable_hash48(shingle). One row per (doc, i)."""
+    sh = shingle_stream(df, text_col, n, id_col)
+    hashed = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        stable_hash48(F.col("shingle")).alias("h48"),
+    )
+    return (
+        hashed.groupBy(id_col, "i")
+        .agg(F.min(minhash_value(F.col("h48"), F.col("i"))).alias("mh"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing ALL rows of any band become a
+    candidate pair. Signature width k = bands*rows_per_band; band key
+    = concat of the band's minhash values (exact, not re-hashed, so
+    the oracle matches bit-for-bit)."""
+    k = bands * rows_per_band
+    sig = minhash_signatures(df, text_col, n, k, id_col)
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    keys = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("i"), F.col("mh"))))).alias(
+            "band_key"
+        )
+    )
+    l = keys.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    r = keys.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        l.join(r, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint over word tokens: bit b of the 48-bit token
+    hash votes ±1; fingerprint bit b = 1 iff the vote sum > 0."""
+    tok = df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.split(normalize_text(F.col(text_col)), " ")
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = stable_hash48(F.col("tok"))
+    # Spark's shiftright/shiftleft take a literal shift amount, not a
+    # Column — use 2^b arithmetic instead (exact: h48 < 2^48 < 2^53)
+    pow2b = F.pow(F.lit(2.0), F.col("b")).cast("bigint")
+    votes = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        h.alias("h48"),
+    ).select(
+        id_col,
+        "b",
+        (F.pmod(F.floor(F.col("h48") / pow2b).cast("bigint"), F.lit(2)) * 2 - 1).alias("vote"),
+    )
+    bitcols = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("s"))
+    return bitcols.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold (exact,
+    all-pairs — the LSH-bucketed scale path is
+    ``similarity.lsh_bucketed_topk``)."""
+    from kkbox_churn_prediction_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("do_b_tmp").alias("doc_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

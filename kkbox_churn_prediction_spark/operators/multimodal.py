@@ -1,0 +1,120 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video are ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow
+batch shapes, deterministic output schema) is real and tested. The
+actual codec work is STUBBED — the decode libraries (PIL/ffmpeg/…)
+are not in this container — behind ``decode_fn`` hooks:
+
+- default hook = deterministic fake decoder (hash-derived
+  "dimensions", so tests have goldens);
+- ``strict=True`` raises NotImplementedError, marking exactly where a
+  real codec plugs in.
+
+Pattern: ``mapInPandas`` over an iterator of Arrow batches — per
+BATCH vectorized work (never per row), output schema declared up
+front so Catalyst can prune through it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque bytes
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_doc_id", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_frames int, fingerprint long"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: derives (width, height,
+    n_frames) from the payload bytes. Replace with PIL/ffmpeg."""
+    if payload is None:
+        return (0, 0, 0)
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
+    return (64 + h % 1024, 64 + (h >> 10) % 1024, 1 + (h >> 20) % 300)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test harness: synthesize a binary payload column from text
+    (UTF-8 bytes) so the plumbing runs on the existing documents
+    table without external data."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col(id_col).alias("source_doc_id"),
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] | None = None,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Batch feature extraction over binary payloads.
+
+    Arrow batches flow through ``mapInPandas``; each batch is handled
+    with pandas/numpy vector ops + one tight loop over the payload
+    objects (unavoidable: codecs take one buffer at a time — the loop
+    is per batch element over already-materialized bytes, not a
+    row-at-a-time UDF round trip).
+    """
+    if strict:
+        raise NotImplementedError(
+            "real media decode requires codec libraries not present in "
+            "this environment; pass decode_fn or use the deterministic fake"
+        )
+    decode = decode_fn or _fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "fingerprint": [
+                        int.from_bytes(p[:6].ljust(6, b"\0"), "big") if p else 0
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: expand (media_id, frame_no)
+    rows for frames 0, n, 2n, … of each video's n_frames — the
+    decode of each sampled frame is the stubbed step. Pure explode,
+    no Python."""
+    feats = extract_media_features(media)
+    return feats.where(F.col("kind").isin("video", "image")).select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_no"),
+    )

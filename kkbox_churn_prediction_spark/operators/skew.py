@@ -1,0 +1,88 @@
+"""Skew handling for mega-conversations (SURVEY §4 custom #2).
+
+At 10^12 turns a single hot ``conv_id`` (an agent transcript with
+millions of turns) can dwarf the median conversation by 10^4×. What
+breaks, and the mitigation used here:
+
+- **Algebraic aggregates** (count/sum/min/max/avg): Spark's
+  partial+final hash aggregation already collapses each mapper's
+  slice of a hot key before the shuffle — no salting needed; this is
+  why ``plans.backfill`` aggregates in one pass.
+- **COUNT(DISTINCT)**: planned via Expand (row × #distinct-aggs) and
+  the full value set of a hot key lands in ONE reducer.
+  :func:`two_phase_count_distinct` rewrites it as a salted pre-dedup
+  → exact count, fully parallel.
+- **Joins**: AQE skew-join splits oversized partitions
+  (``spark.sql.adaptive.skewJoin.enabled``, on in ``session.py``).
+- **Windows over (conv_id ORDER BY ts)**: inherently sequential per
+  key; cannot salt without breaking running order. Mitigation is
+  layout — ``repartitionByRange(conv_id)`` balances ranges so a hot
+  key shares its task with fewer siblings — plus chunked session-ID
+  stitching if a single conversation exceeds one task's memory
+  (future work; documented, not yet needed at bench scale).
+
+:func:`detect_heavy_hitters` finds hot keys via sampled counts
+(driver gets only the top-k list — tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_heavy_hitters(
+    df: DataFrame, key: str = "conv_id", threshold_ratio: float = 100.0, sample: float = 0.01
+) -> list[str]:
+    """Keys whose sampled row count exceeds ``threshold_ratio`` × the
+    sampled median. Sampling keeps the scan cheap; the returned list
+    is small by construction (heavy hitters are rare)."""
+    counts = (
+        df.sample(fraction=sample, seed=42)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = counts.select(F.expr("percentile_approx(n, 0.5)").alias("m")).first()["m"] or 1
+    hot = counts.where(F.col("n") > F.lit(float(threshold_ratio) * med))
+    return [r[key] for r in hot.select(key).collect()]
+
+
+def add_salt(df: DataFrame, salt_buckets: int, *, cols: tuple[str, ...] = ("turn_idx",)) -> DataFrame:
+    """Deterministic salt column ``pmod(hash(cols), S)`` (north-star:
+    'salted repartitioning'). Deterministic in the row, NOT in rand(),
+    so retries/resume stay idempotent."""
+    return df.withColumn("_salt", F.pmod(F.hash(*cols), F.lit(int(salt_buckets))))
+
+
+def two_phase_count_distinct(
+    df: DataFrame, keys: list[str], value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per keys without the Expand hotspot.
+
+    Phase 1: dedup (keys, value) with the salt in the shuffle key —
+    map-side partial dedup, hot key spread over ``salt_buckets``
+    reducers. Phase 2: count per keys (small: one row per distinct
+    value). Replaces A3 for skewed inputs.
+    """
+    salted = add_salt(df.select(*keys, value), salt_buckets, cols=(value,))
+    dedup = salted.groupBy(*keys, "_salt", value).agg(F.lit(1).alias("_one"))
+    return dedup.groupBy(*keys).agg(
+        F.count(F.when(F.col(value).isNotNull(), 1)).alias(f"distinct_{value}_cnt")
+    )
+
+
+def salted_two_phase_sum(
+    df: DataFrame, keys: list[str], exprs: dict[str, str], salt_buckets: int = 16
+) -> DataFrame:
+    """Explicit two-phase SUM/COUNT for pipelines that need a custom
+    partial stage (e.g. before an applyInPandas that would otherwise
+    receive one giant group): partial per (keys, salt) → final per
+    keys. For plain aggs prefer a single groupBy — Catalyst already
+    does this internally."""
+    salted = add_salt(df, salt_buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(F.expr(e)).alias(f"_p_{name}") for name, e in exprs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.coalesce(F.sum(f"_p_{name}"), F.lit(0)).alias(name) for name in exprs]
+    )

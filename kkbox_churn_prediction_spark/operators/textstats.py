@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (the north-star bans per-row Python);
+each has a DuckDB oracle in ``__spark_entry__``. The reference's
+closest analog is its derived-measure projections
+(``features/features_comprehensive.sql:182-223`` listening-ratio
+stats); the operators here are their text-corpus counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.functions.text import (
+    normalize_text,
+    stable_hash48,
+    tokens,
+    word_shingles,
+)
+
+# tiny per-language stopword profiles for the n-gram/stopword-ratio
+# heuristic (language ID by evidence ratio, argmax with name tiebreak)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "y", "es", "un"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """whitespace token count (0 for blank)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count of word-piece units — alpha runs split
+    every 4 chars + digit runs + punctuation singletons. A regex
+    count, not a real BPE, but monotone with subword vocab size."""
+    pieces = F.regexp_extract_all(
+        normalize_text(col), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(normalize_text(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def lang_scores(col: Column) -> list[Column]:
+    total = F.greatest(token_count(col), F.lit(1))
+    return [
+        F.round(stopword_hits(col, ws) / total, 6).alias(f"score_{lang}")
+        for lang, ws in LANG_PROFILES.items()
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax stopword-evidence ratio (ties →
+    lexicographically first language; 'und' = undetermined when no
+    evidence)."""
+    scored = df.select(id_col, F.col(text_col).alias("_t"), *lang_scores(F.col(text_col)))
+    best = None
+    for lang in sorted(LANG_PROFILES):
+        s = F.col(f"score_{lang}")
+        if best is None:
+            best_score, best = s, F.lit(lang)
+        else:
+            best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+            best_score = F.greatest(best_score, s)
+    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in LANG_PROFILES], pred.alias("pred_lang")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality signals +
+    a composite [0,1] score (each signal clamped then averaged)."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = token_count(t)
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(norm, " ", "")) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(
+        stopword_hits(t, LANG_PROFILES["en"]) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 2) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    quality = F.round((length_ok + punct_ok + word_len_ok) / 3.0, 6)
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: min 48-bit hash over word n-grams (the
+    winnowing/rolling-hash idea reduced to its min-sketch: equal for
+    near-identical texts, cheap to compare). Whole-doc hash included
+    for exact-dup detection."""
+    sh = word_shingles(normalize_text(F.col(text_col)), n)
+    min_sh = F.array_min(F.transform(sh, lambda s: stable_hash48(s)))
+    return df.select(
+        id_col,
+        stable_hash48(normalize_text(F.col(text_col))).alias("doc_hash48"),
+        F.coalesce(min_sh, F.lit(-1)).alias("min_shingle_hash48"),
+    )

@@ -1,0 +1,118 @@
+"""Checkpoint manifest + idempotent resumable backfill (SURVEY §4 #3).
+
+Extends the reference's run manifest (``src/runlog.py:17-26`` —
+run.json with ts/seed/params/metrics per run) to PARTITION
+granularity, in the mold of Structured Streaming's idempotent-sink
+discipline: the backfill is split into ``n_buckets`` entity buckets
+(``pmod(hash(conv_id), n)``); each bucket job writes its slice of the
+feature matrix to ``out/bucket=K/`` and then appends a manifest row
+``(run_id, partition_key, row_count, status, completed_at)``. The
+write-then-commit order makes the manifest the source of truth:
+
+- a bucket with a manifest row is DONE (its output is complete);
+- on restart, done buckets are skipped (anti-join on the manifest)
+  and partial orphan output of unfinished buckets is overwritten —
+  resume is idempotent and produces byte-identical results
+  (kill/restart test in ``tests/test_manifest.py``).
+
+With Iceberg this becomes ``MERGE INTO`` + snapshot ids (the
+``input_fingerprint`` column is reserved for the source snapshot);
+locally it is parquet per bucket, which has the same atomicity
+granularity (directory replace).
+
+At scale each bucket is one Spark job over a pruned scan (bucket
+predicate pushes into the partition layout when the table is
+bucketed by conv_id), so a killed 100 TB backfill loses at most one
+bucket of work.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ManifestStore:
+    """JSON-lines manifest (one file per bucket commit — atomic via
+    rename-free single-writer appends at driver granularity)."""
+
+    path: Path
+
+    def done_buckets(self, run_id: str) -> set[int]:
+        if not self.path.exists():
+            return set()
+        done = set()
+        for line in self.path.read_text().splitlines():
+            row = json.loads(line)
+            if row["run_id"] == run_id and row["status"] == "done":
+                done.add(int(row["partition_key"]))
+        return done
+
+    def commit(self, run_id: str, bucket: int, row_count: int) -> None:
+        row = {
+            "run_id": run_id,
+            "partition_key": str(bucket),
+            "row_count": int(row_count),
+            "input_fingerprint": None,
+            "status": "done",
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with self.path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+def resumable_backfill(
+    spark: SparkSession,
+    build: "callable",
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+) -> dict:
+    """Run ``build(spark) -> DataFrame`` bucket-by-bucket with
+    checkpointing.
+
+    ``build`` must return the FULL feature DataFrame including a
+    ``conv_id`` column; bucketing is derived, so the split is stable
+    across restarts. ``fail_after`` injects a crash after N bucket
+    commits (kill/restart test hook).
+
+    Returns {"buckets_run": int, "buckets_skipped": int, "rows": int}.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = ManifestStore(out / "_manifest.jsonl")
+    done = manifest.done_buckets(run_id)
+
+    full = build(spark).withColumn(
+        "_bucket", F.pmod(F.hash(F.col("conv_id")), F.lit(int(n_buckets)))
+    )
+
+    ran = skipped = total_rows = 0
+    for b in range(n_buckets):
+        if b in done:
+            skipped += 1
+            continue
+        bucket_dir = out / f"bucket={b}"
+        if bucket_dir.exists():
+            shutil.rmtree(bucket_dir)  # orphan partial output → overwrite
+        part = full.where(F.col("_bucket") == b).drop("_bucket")
+        part.write.mode("overwrite").parquet(str(bucket_dir))
+        n = spark.read.parquet(str(bucket_dir)).count()
+        manifest.commit(run_id, b, n)
+        ran += 1
+        total_rows += n
+        if fail_after is not None and ran >= fail_after:
+            raise RuntimeError(f"injected failure after {ran} buckets")
+    return {"buckets_run": ran, "buckets_skipped": skipped, "rows": total_rows}
+
+
+def read_backfill_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/bucket=*")

@@ -1,0 +1,150 @@
+"""Dedup family semantics + ANN recall + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kkbox_churn_prediction_spark.operators.multimodal import (
+    attach_media,
+    extract_media_features,
+    frame_sample_plan,
+)
+from kkbox_churn_prediction_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_topk_pandas,
+    hyperplane_bucket,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """4 near-dup pairs + unrelated docs (deterministic)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(4):
+        words = base.split()
+        words[2 + i] = f"ALT{i}"  # one-word perturbation → high jaccard
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, " ".join(words)))
+    for i in range(8, 16):
+        rows.append((i + 10, " ".join(f"tok{i}_{j}" for j in range(14))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = exact_dedup(corpus, F.col("text")).toPandas()
+    # the 4 copies of `base` form one group of 4
+    g = out[out.group_size == 4]
+    assert set(g.doc_id) == {0, 2, 4, 6} and set(g.canonical_id) == {0}
+    assert g[g.doc_id == 0].is_canonical.iloc[0] == 1
+    assert (out[out.group_size == 1].is_canonical == 1).all()
+
+
+def test_ngram_jaccard_finds_perturbed_pairs(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.4).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    # identical copies pair with jaccard 1.0
+    assert (0, 2) in got and (0, 4) in got
+    # perturbed docs pair with their source
+    assert (0, 1) in got or (2, 1) in got
+    assert pairs.jaccard.max() == 1.0
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, corpus):
+    cands = set(
+        map(tuple, minhash_lsh_candidates(corpus, n=3, bands=4, rows_per_band=2)
+            .toPandas()[["doc_a", "doc_b"]].to_numpy())
+    )
+    # exact duplicates share every band → always candidates
+    assert {(0, 2), (0, 4), (0, 6), (2, 4), (2, 6), (4, 6)} <= cands
+    # unrelated docs should mostly not collide
+    unrelated = {(a, b) for (a, b) in cands if a >= 18 and b >= 18}
+    assert len(unrelated) == 0
+
+
+def test_simhash_near_for_near_dups(spark, corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(corpus, bits=16).collect()}
+    ham = bin(fps[0] ^ fps[1]).count("1")  # one-word perturbation
+    ham_far = bin(fps[0] ^ fps[18]).count("1")  # unrelated
+    assert fps[0] == fps[2]  # identical text → identical fingerprint
+    assert ham <= 4 < ham_far
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(200, 16))
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [r.astype("float32").tolist() for r in m]})
+    return spark.createDataFrame(pdf)
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    out = brute_force_topk(vectors, vectors.where("vec_id < 3"), k=5).toPandas()
+    pdf = vectors.toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        cos = mn @ mn[q]
+        cos[q] = -2
+        want = np.argsort(np.round(-cos, 6), kind="stable")[:5]
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.to_numpy()
+        assert list(got) == list(want)
+
+
+def test_lsh_topk_recall_and_pandas_variant(spark, vectors):
+    exact = brute_force_topk(vectors, vectors.where("vec_id < 10"), k=5).toPandas()
+    approx = lsh_bucketed_topk(vectors, vectors.where("vec_id < 10"), k=5, bits=2).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 2-bit buckets: coarse but must catch same-quadrant hits
+
+    qpd = vectors.where("vec_id < 3").toPandas()
+    pud = cosine_topk_pandas(vectors, qpd, k=5).toPandas()
+    bf = brute_force_topk(vectors, vectors.where("vec_id < 3"), k=5).toPandas()
+    mism = (
+        pud.sort_values(["query_id", "rank"]).reset_index(drop=True)[["query_id", "neighbor_id"]]
+        .compare(bf.sort_values(["query_id", "rank"]).reset_index(drop=True)[["query_id", "neighbor_id"]])
+    )
+    assert mism.empty
+
+
+def test_hyperplane_bucket_deterministic(spark, vectors):
+    rng = np.random.default_rng(42)
+    planes = rng.normal(size=(6, 16))
+    b1 = hyperplane_bucket(vectors, planes).select("vec_id", "bucket").toPandas()
+    b2 = hyperplane_bucket(vectors.repartition(7), planes).select("vec_id", "bucket").toPandas()
+    assert b1.sort_values("vec_id").bucket.tolist() == b2.sort_values("vec_id").bucket.tolist()
+    assert b1.bucket.nunique() > 8
+
+
+def test_multimodal_plumbing(spark, corpus):
+    media = attach_media(corpus)
+    feats = extract_media_features(media).toPandas()
+    assert len(feats) == corpus.count()
+    assert (feats.n_bytes > 0).all()
+    assert set(feats.columns) == {
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "fingerprint",
+    }
+    # deterministic fake decode: same payload → same dims
+    f2 = extract_media_features(media.repartition(5)).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        f2.sort_values("media_id").reset_index(drop=True),
+    )
+    with pytest.raises(NotImplementedError):
+        extract_media_features(media, strict=True)
+
+    frames = frame_sample_plan(media, every_n=30).toPandas()
+    assert (frames.frame_no % 30 == 0).all()
+    assert frames.groupby("media_id").size().min() >= 1

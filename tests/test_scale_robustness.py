@@ -1,0 +1,109 @@
+"""Skew handling, checkpoint/resume, backtest folds."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.operators.skew import (
+    detect_heavy_hitters,
+    salted_two_phase_sum,
+    two_phase_count_distinct,
+)
+from kkbox_churn_prediction_spark.plans.folds import backtest, make_folds
+from kkbox_churn_prediction_spark.plans.manifest import (
+    read_backfill_output,
+    resumable_backfill,
+)
+from kkbox_churn_prediction_spark.sources.synth import (
+    clean_turns,
+    generate_transcripts,
+    to_spark,
+)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return clean_turns(
+        to_spark(spark, generate_transcripts(n_convs=30, mean_turns=15, seed=3))
+    ).cache()
+
+
+def test_detect_heavy_hitters_finds_mega_conversation(spark, turns):
+    hot = detect_heavy_hitters(turns, threshold_ratio=10.0, sample=1.0)
+    assert hot == ["conv00000"]  # the generator's deliberate mega-conv
+
+
+def test_two_phase_count_distinct_exact(spark, turns):
+    got = {
+        r["conv_id"]: r["distinct_tool_cnt"]
+        for r in two_phase_count_distinct(turns, ["conv_id"], "tool").collect()
+    }
+    want = {
+        r["conv_id"]: r["w"]
+        for r in turns.groupBy("conv_id").agg(F.countDistinct("tool").alias("w")).collect()
+    }
+    assert got == want
+
+
+def test_salted_two_phase_sum_matches_plain(spark, turns):
+    got = {
+        r["conv_id"]: (r["n"], r["s"])
+        for r in salted_two_phase_sum(
+            turns, ["conv_id"], {"n": "1", "s": "length(text)"}
+        ).collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["s"])
+        for r in turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_resumable_backfill_kill_restart(spark, turns, tmp_path):
+    """Kill after 2 buckets → resume → output identical to one-shot
+    (north_rule: 'resumable from checkpoint ... idempotently')."""
+    from kkbox_churn_prediction_spark.plans.backfill import backfill_features
+
+    cutoffs = spark.createDataFrame(
+        pd.DataFrame({"cutoff_ts": [datetime(2024, 1, 10), datetime(2024, 1, 20)]})
+    )
+
+    def build(s):
+        return backfill_features(turns, cutoffs)
+
+    oneshot = backfill_features(turns, cutoffs).orderBy("conv_id", "cutoff_ts").toPandas()
+
+    out = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_backfill(spark, build, out, run_id="r1", n_buckets=4, fail_after=2)
+    st = resumable_backfill(spark, build, out, run_id="r1", n_buckets=4)
+    assert st["buckets_skipped"] == 2 and st["buckets_run"] == 2
+
+    resumed = (
+        read_backfill_output(spark, out).orderBy("conv_id", "cutoff_ts").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        oneshot.reset_index(drop=True),
+        resumed[oneshot.columns].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # re-running a completed backfill is a no-op (idempotent)
+    st2 = resumable_backfill(spark, build, out, run_id="r1", n_buckets=4)
+    assert st2["buckets_run"] == 0 and st2["buckets_skipped"] == 4
+
+
+def test_backtest_folds_single_plan(spark, turns):
+    folds = make_folds(spark, datetime(2024, 1, 8), n_folds=3, step_days=7)
+    out = backtest(turns, folds)
+    assert out.select("fold").distinct().count() == 3
+    # every (entity, fold) appears exactly once
+    n_entities = turns.select("conv_id").distinct().count()
+    assert out.count() == 3 * n_entities
+    assert {"is_churn", "turn_cnt_7d", "fold"} <= set(out.columns)

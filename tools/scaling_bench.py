@@ -1,0 +1,114 @@
+"""Scaling-efficiency evidence: same backfill at N and 4N cores.
+
+BASELINE.json's north rule requires ≥0.8 throughput-scaling
+efficiency from N to 4N executors. No real cluster exists in this
+sandbox, so (per BASELINE.md) we run the IDENTICAL job at local[8]
+and local[32] on the SAME input and report throughput at both plus
+efficiency = (thr_4N / thr_N) / 4.
+
+The input must be compute-bound, not overhead-bound (at sf0.1's 100k
+rows both configs finish in scheduler-overhead time and efficiency is
+meaningless), so the job runs over a deterministically generated
+transcript table (default 4M turns, seeded hash-based — see
+``sources.genbench``) written once to a shared parquet dir.
+
+Each measurement runs in a fresh subprocess (fresh JVM) so the two
+configurations don't share executor state. Writes BENCH.md.
+
+Usage: python tools/scaling_bench.py [n_turns_millions] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from kkbox_churn_prediction_spark.session import get_spark
+from kkbox_churn_prediction_spark.sources.genbench import generate_transcripts_distributed
+
+spark = get_spark(app_name="genbench", master="local[32]")
+n_convs = int(sys.argv[1])
+df = generate_transcripts_distributed(spark, n_convs=n_convs, avg_turns=50, partitions=64)
+df.write.mode("overwrite").parquet(sys.argv[2])
+print(spark.read.parquet(sys.argv[2]).count())
+"""
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from kkbox_churn_prediction_spark.session import get_spark
+from kkbox_churn_prediction_spark.plans.backfill import backfill_features
+from kkbox_churn_prediction_spark.sources.genbench import weekly_cutoffs
+
+cores = int(sys.argv[1]); data = sys.argv[2]; reps = int(sys.argv[3])
+spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores * 2)
+turns_df = spark.read.parquet(data)
+turns = turns_df.count()
+cutoffs = weekly_cutoffs(turns_df)
+
+def job():
+    backfill_features(turns_df, cutoffs).write.format("noop").mode("overwrite").save()
+
+job()  # warm-up: JVM JIT + codegen cache
+best = None
+for _ in range(reps):
+    t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cores": cores, "sec": best, "turns": turns,
+                   "turns_per_sec": turns / best}}))
+"""
+
+
+def run_child(template: str, args: list[str], timeout: int = 3600) -> str:
+    script = template.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, *args],
+        capture_output=True, text=True, timeout=timeout, check=True,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def main() -> None:
+    millions = float(sys.argv[1]) if len(sys.argv) > 1 else 16.0
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_convs = int(millions * 1_000_000 / 50)  # avg 50 turns/conv
+    DATA = Path(f"/tmp/bench_transcripts_{millions:g}m")
+
+    if not (DATA / "_SUCCESS").exists():
+        n = run_child(GEN, [str(n_convs), str(DATA)])
+        print(f"generated {n} turns at {DATA}")
+
+    lo = json.loads(run_child(CHILD, ["8", str(DATA), str(reps)]))
+    hi = json.loads(run_child(CHILD, ["32", str(DATA), str(reps)]))
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (32 / 8)
+    print(json.dumps({"n": lo, "four_n": hi, "scaling_efficiency": round(eff, 3)}, indent=2))
+
+    (REPO / "BENCH.md").write_text(
+        "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
+        "Identical flagship backfill (`backfill_features`: as-of join + "
+        "multi-horizon aggregate + grid join, noop sink, best of "
+        f"{reps} reps after a warm-up rep) on the same deterministic "
+        f"{lo['turns']:,}-turn transcript table "
+        "(`sources/genbench.py`, seeded hash-based, one mega-conversation "
+        "for skew). Per BASELINE.md, local[8] vs local[32] stands in for "
+        "N vs 4N executors in this sandbox; fresh JVM per configuration.\n\n"
+        "| config | wall sec | turns/sec |\n|---|---|---|\n"
+        f"| local[8], shuffle=16 | {lo['sec']:.2f} | {lo['turns_per_sec']:,.0f} |\n"
+        f"| local[32], shuffle=64 | {hi['sec']:.2f} | {hi['turns_per_sec']:,.0f} |\n\n"
+        f"**Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8 per "
+        "BASELINE.json; 1.0 = perfect linear)\n\n"
+        "Reference single-node baseline (BASELINE.md): ≈230k–680k input "
+        "rows/sec for the 135-column DuckDB feature build.\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
