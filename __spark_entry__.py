@@ -231,6 +231,99 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir), n=5)
 
 
+def _conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.sources.events import conversations_from_events
+
+    return conversations_from_events(spark, sf_dir)
+
+
+def _q_mode_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import mode_per_group
+
+    return mode_per_group(_conv(spark, sf_dir), "conv_id", "tool")
+
+
+def _q_last_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import last_value_before_cutoff
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return last_value_before_cutoff(
+        _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), "role"
+    )
+
+
+def _q_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import daily_engagement
+
+    return daily_engagement(_conv(spark, sf_dir))
+
+
+def _q_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import (
+        session_length_percentiles,
+    )
+    from kkbox_churn_prediction_spark.operators.sessionize import session_aggregates
+
+    return session_length_percentiles(session_aggregates(_conv(spark, sf_dir)))
+
+
+def _q_topk_busiest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import topk_busiest
+
+    return topk_busiest(_conv(spark, sf_dir), k=10)
+
+
+def _q_semi_join_tool_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import semi_join_tool_users
+
+    return semi_join_tool_users(_conv(spark, sf_dir))
+
+
+def _q_pivot_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import pivot_role_counts
+
+    return pivot_role_counts(_conv(spark, sf_dir))
+
+
+def _q_union_dedup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import union_dedup_activity
+
+    return union_dedup_activity(_conv(spark, sf_dir))
+
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-stat agg (A1/A6) over lineitem.
+
+    Money sums are DECIMAL-exact before the final double cast so the
+    result is identical under any row order / partitioning (double
+    summation order would differ between engines)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    tax = F.col("l_tax").cast("decimal(5,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(5,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(5,2)") - disc)
+                * (F.lit(1).cast("decimal(5,2)") + tax)
+            ).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # point-in-time transcript engine
@@ -253,6 +346,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_stats": _q_token_stats,
         "fingerprint_docs": _q_fingerprint_docs,
+        # relational operator inventory (SURVEY §2.4-2.7)
+        "mode_tool": _q_mode_tool,
+        "last_role": _q_last_role,
+        "daily_engagement": _q_daily_engagement,
+        "session_percentiles": _q_session_percentiles,
+        "topk_busiest": _q_topk_busiest,
+        "semi_join_tool_users": _q_semi_join_tool_users,
+        "pivot_role_counts": _q_pivot_role_counts,
+        "union_dedup_activity": _q_union_dedup_activity,
+        "q1_pricing_summary": _q_q1_pricing_summary,
     }
 
 
@@ -661,6 +764,121 @@ FROM documents
 """
 
 
+_MODE_TOOL_SQL = f"""
+WITH {_CONV_CTE},
+counts AS (
+    SELECT conv_id, tool, COUNT(*) AS cnt
+    FROM conversations WHERE tool IS NOT NULL
+    GROUP BY conv_id, tool
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+              ORDER BY cnt DESC, tool ASC) AS rn
+    FROM counts
+)
+SELECT conv_id, tool AS mode_tool, cnt AS mode_tool_cnt
+FROM ranked WHERE rn = 1
+"""
+
+_LAST_ROLE_SQL = f"""
+WITH {_CONV_CTE},
+joined AS (
+    SELECT c.conv_id, c.role, c.ts, c.turn_idx, k.cutoff_ts
+    FROM conversations c JOIN cutoffs k ON c.ts < k.cutoff_ts
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, cutoff_ts
+              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM joined
+)
+SELECT conv_id, cutoff_ts, role AS last_role FROM ranked WHERE rn = 1
+"""
+
+_DAILY_ENGAGEMENT_SQL = f"""
+WITH {_CONV_CTE}
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_turns,
+       COUNT(DISTINCT conv_id) AS n_active_convs,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM conversations GROUP BY 1
+"""
+
+_SESSION_PERCENTILES_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, ts, turn_idx,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT conv_id, SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+aggs AS (SELECT conv_id, session_id, COUNT(*) AS n_turns FROM sess GROUP BY 1, 2)
+SELECT ROUND(quantile_cont(n_turns, 0.5), 6) AS median_session_turns,
+       ROUND(quantile_cont(n_turns, 0.9), 6) AS p90_session_turns,
+       COUNT(*) AS n_sessions
+FROM aggs
+"""
+
+_TOPK_BUSIEST_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id, COUNT(*) AS n_turns
+FROM conversations GROUP BY conv_id
+ORDER BY n_turns DESC, conv_id ASC LIMIT 10
+"""
+
+_SEMI_JOIN_SQL = f"""
+WITH {_CONV_CTE}
+SELECT DISTINCT conv_id FROM conversations
+WHERE conv_id IN (SELECT conv_id FROM conversations WHERE tool IS NOT NULL)
+"""
+
+_PIVOT_ROLE_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id,
+       CAST(COUNT(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+       CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS n_assistant,
+       CAST(COUNT(CASE WHEN role = 'system' THEN 1 END) AS BIGINT) AS n_system,
+       CAST(COUNT(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS n_tool
+FROM conversations GROUP BY conv_id
+"""
+
+_UNION_DEDUP_SQL = f"""
+WITH {_CONV_CTE},
+u AS (
+    SELECT conv_id, turn_idx FROM conversations WHERE role = 'user'
+    UNION ALL
+    SELECT conv_id, turn_idx FROM conversations WHERE tool IS NOT NULL
+),
+d AS (SELECT DISTINCT conv_id, turn_idx FROM u)
+SELECT conv_id, COUNT(*) AS n_activity FROM d GROUP BY conv_id
+"""
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+                * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
+           AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -681,4 +899,13 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "token_stats": _TOKEN_STATS_SQL,
         "fingerprint_docs": _FINGERPRINT_SQL,
+        "mode_tool": _MODE_TOOL_SQL,
+        "last_role": _LAST_ROLE_SQL,
+        "daily_engagement": _DAILY_ENGAGEMENT_SQL,
+        "session_percentiles": _SESSION_PERCENTILES_SQL,
+        "topk_busiest": _TOPK_BUSIEST_SQL,
+        "semi_join_tool_users": _SEMI_JOIN_SQL,
+        "pivot_role_counts": _PIVOT_ROLE_SQL,
+        "union_dedup_activity": _UNION_DEDUP_SQL,
+        "q1_pricing_summary": _Q1_SQL,
     }

@@ -35,16 +35,17 @@ class FeatureSpec:
     round_to: int | None = None  # round doubles for cross-engine stability
 
 
+# specs consume the narrow pre-join projection (text_len/is_user
+# computed BEFORE the as-of replication — see plans.backfill); BIGINT
+# text_len keeps the output schema identical to the DuckDB oracle
 DEFAULT_SPECS: tuple[FeatureSpec, ...] = (
     FeatureSpec("turn_cnt", "count"),
-    FeatureSpec("user_turn_cnt", "count", "CASE WHEN role = 'user' THEN 1 END"),
+    FeatureSpec("user_turn_cnt", "count", "is_user"),
     FeatureSpec("tool_call_cnt", "count", "tool"),
     FeatureSpec("distinct_tool_cnt", "countDistinct", "tool"),
-    # BIGINT cast keeps the output schema identical to the DuckDB
-    # oracle (duckdb length() returns BIGINT, Spark returns INT)
-    FeatureSpec("text_len_sum", "sum", "CAST(length(text) AS BIGINT)"),
-    FeatureSpec("text_len_max", "max", "CAST(length(text) AS BIGINT)"),
-    FeatureSpec("text_len_avg", "avg", "CAST(length(text) AS BIGINT)", fill=0.0, round_to=4),
+    FeatureSpec("text_len_sum", "sum", "text_len"),
+    FeatureSpec("text_len_max", "max", "text_len"),
+    FeatureSpec("text_len_avg", "avg", "text_len", fill=0.0, round_to=4),
 )
 
 
@@ -92,10 +93,22 @@ def multi_horizon_aggregate(
     the per-horizon predicates only narrow it. Emits one column per
     (spec × horizon), plus recency aggregates (A8):
     ``micros_since_last_turn`` (exact integer — avoids float-epoch
-    drift between engines) and ``last_ts``.
+    drift between engines).
+
+    COUNT(DISTINCT) is NOT planned as Catalyst's Expand (which
+    multiplies every input row by the number of distinct-aggs — a 4×
+    stream amplification with 3 horizons): it is restructured as a
+    dedup aggregate per (keys, value) keeping max(ts), from which
+    per-horizon presence (max ts ≥ cutoff−K, since every ts < cutoff)
+    gives exact distinct counts — two slim hash aggs + a co-partitioned
+    join instead of one fat Expand (skew-safe for the same reason as
+    ``operators.skew.two_phase_count_distinct``).
     """
+    plain = [s for s in specs if s.agg != "countDistinct"]
+    distinct = [s for s in specs if s.agg == "countDistinct"]
+
     aggs: list[Column] = []
-    for spec in specs:
+    for spec in plain:
         for k in horizons_days:
             aggs.append(_agg_for(spec, k))
     if recency:
@@ -105,7 +118,37 @@ def multi_horizon_aggregate(
                 F.lit(-1),
             ).alias("micros_since_last_turn")
         )
-    return joined.groupBy("conv_id", "cutoff_ts").agg(*aggs)
+    out = joined.groupBy("conv_id", "cutoff_ts").agg(*aggs)
+
+    for spec in distinct:
+        val = F.expr(spec.expr) if spec.expr is not None else F.lit(1)
+        dedup = (
+            joined.where(val.isNotNull())
+            .groupBy("conv_id", "cutoff_ts", val.alias("_v"))
+            .agg(F.max(F.unix_micros(F.col("ts"))).alias("_max_us"))
+        )
+        horizon_us = {
+            k: F.unix_micros(F.col("cutoff_ts")) - F.lit(int(k) * 86400 * 1_000_000)
+            for k in horizons_days
+        }
+        cnt_aggs = [
+            F.coalesce(
+                F.count(F.when(F.col("_max_us") >= horizon_us[k], 1)),
+                F.lit(spec.fill if spec.fill is not None else 0),
+            ).alias(f"{spec.name}_{k}d")
+            for k in horizons_days
+        ]
+        cnts = dedup.groupBy("conv_id", "cutoff_ts").agg(*cnt_aggs)
+        out = out.join(cnts, ["conv_id", "cutoff_ts"], "left")
+        if spec.fill is not None:
+            out = out.fillna({f"{spec.name}_{k}d": spec.fill for k in horizons_days})
+    # restore the declared spec×horizon column order
+    ordered = ["conv_id", "cutoff_ts"]
+    for spec in specs:
+        ordered += [f"{spec.name}_{k}d" for k in horizons_days]
+    if recency:
+        ordered.append("micros_since_last_turn")
+    return out.select(*ordered)
 
 
 def attach_grid_defaults(

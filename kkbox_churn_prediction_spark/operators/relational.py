@@ -1,0 +1,135 @@
+"""Remaining relational operator inventory from SURVEY §2.
+
+Each function covers a reference operator family not already embodied
+in the core pipeline: MODE (A4), ordered last-value (A5), calendar
+tumbling buckets (A9), exact percentiles (A10), top-k (O2), semi
+joins (J7), pivot (A13), union+dedup (U1/U3). All deterministic
+under ties (explicit tiebreaks) so DuckDB oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mode_per_group(
+    df: DataFrame, key: str, value: str, out_name: str | None = None
+) -> DataFrame:
+    """A4 MODE(value) per key (reference:
+    ``features/features_comprehensive.sql:83`` MODE(payment_method_id);
+    registry ``features.yaml:52-58``). Built as count + row_number
+    instead of ``mode()`` because engines break frequency ties
+    differently; here ties break on the smallest value."""
+    out = out_name or f"mode_{value}"
+    counts = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(key, value)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("_cnt").desc(), F.col(value).asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key, F.col(value).alias(out), F.col("_cnt").alias(f"{out}_cnt"))
+    )
+
+
+def last_value_before_cutoff(
+    turns: DataFrame, cutoffs: DataFrame, value: str
+) -> DataFrame:
+    """A5 ordered last-value: latest ``value`` strictly before each
+    cutoff (reference ``LAST(x ORDER BY tx_date)``,
+    ``features/features_comprehensive.sql:90-91``). row_number DESC
+    over (ts, turn_idx) — the deterministic argmax W2 rewrite."""
+    joined = turns.join(F.broadcast(cutoffs), turns["ts"] < cutoffs["cutoff_ts"], "inner")
+    w = Window.partitionBy("conv_id", "cutoff_ts").orderBy(
+        F.col("ts").desc(), F.col("turn_idx").desc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "cutoff_ts", F.col(value).alias(f"last_{value}"))
+    )
+
+
+def daily_engagement(turns: DataFrame) -> DataFrame:
+    """A9 calendar tumbling bucket (reference ``DATE_TRUNC('month')``
+    KPIs, ``sql/04_kpi_metrics.sql:13,55``; here day-grain since the
+    testdata spans one month)."""
+    return (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_active_convs"),
+            F.coalesce(F.sum(F.expr("CAST(length(text) AS BIGINT)")), F.lit(0)).alias(
+                "text_len_sum"
+            ),
+        )
+    )
+
+
+def session_length_percentiles(session_aggs: DataFrame) -> DataFrame:
+    """A10 exact percentiles (reference ``PERCENTILE_CONT(0.5) WITHIN
+    GROUP``, ``sql/04_kpi_metrics.sql:44-46``): median/p90 of session
+    turn counts — exact (``percentile``), not approx, matching the
+    reference's exactness."""
+    return session_aggs.agg(
+        F.round(F.expr("percentile(n_turns, 0.5)"), 6).alias("median_session_turns"),
+        F.round(F.expr("percentile(n_turns, 0.9)"), 6).alias("p90_session_turns"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )
+
+
+def topk_busiest(turns: DataFrame, k: int = 10) -> DataFrame:
+    """O2 top-k (reference ``ORDER BY churn_rate DESC LIMIT 3``,
+    ``sql/05_analysis_queries.sql:10-12``) — TakeOrderedAndProject;
+    conv_id tiebreak keeps it deterministic."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.col("n_turns").desc(), F.col("conv_id").asc())
+        .limit(k)
+    )
+
+
+def semi_join_tool_users(turns: DataFrame) -> DataFrame:
+    """J7 semi join (reference ``WHERE msno IN (SELECT ...)``,
+    ``src/labels.py:157``): entities having at least one tool turn."""
+    tool_turns = turns.where(F.col("tool").isNotNull()).select("conv_id")
+    return (
+        turns.select("conv_id")
+        .distinct()
+        .join(tool_turns, "conv_id", "left_semi")
+    )
+
+
+def pivot_role_counts(turns: DataFrame) -> DataFrame:
+    """A13 pivot with an explicit (bounded) value list — explicit
+    values keep the plan a single pass (no value-discovery job) and
+    fix the output schema (reference pandas pivot_table,
+    ``src/historical_features.py:155-163``)."""
+    roles = ["user", "assistant", "system", "tool"]
+    out = (
+        turns.groupBy("conv_id")
+        .pivot("role", roles)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=roles)
+    )
+    return out.select(
+        "conv_id", *[F.col(r).cast("bigint").alias(f"n_{r}") for r in roles]
+    )
+
+
+def union_dedup_activity(turns: DataFrame) -> DataFrame:
+    """U1 UNION ALL of two event streams + U3 SELECT DISTINCT
+    (reference ``src/backtest.py:127-147``): user turns ∪ tool calls,
+    de-duplicated on the row key, counted per entity."""
+    a = turns.where(F.col("role") == "user").select("conv_id", "turn_idx")
+    b = turns.where(F.col("tool").isNotNull()).select("conv_id", "turn_idx")
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_activity"))
+    )

@@ -57,11 +57,26 @@ def backfill_features(
     aggregates (single pass, see ``operators.horizons``).
     """
     max_h = max(horizons_days)
+    # project-before-replicate: the as-of join multiplies every turn by
+    # its qualifying cutoffs (and countDistinct adds an Expand on top),
+    # so each byte carried into the join is amplified ~#cutoffs×#aggs.
+    # Reduce text to its length and role to a flag BEFORE the join —
+    # at bench scale this cut allocation pressure enough to restore
+    # 8→32-core scaling (strings were ~10× the replicated volume).
+    from pyspark.sql import functions as F
+
+    narrow = conversations.select(
+        "conv_id",
+        "ts",
+        F.expr("CAST(length(text) AS BIGINT)").alias("text_len"),
+        F.expr("CASE WHEN role = 'user' THEN 1 END").alias("is_user"),
+        "tool",
+    )
     joined = asof_join_broadcast_cutoffs(
-        conversations, cutoffs, lookback_days=max_h, inclusive=inclusive
+        narrow, cutoffs, lookback_days=max_h, inclusive=inclusive
     )
     feats = multi_horizon_aggregate(joined, horizons_days, specs)
-    grid = cutoff_grid(conversations, cutoffs)
+    grid = cutoff_grid(conversations.select("conv_id"), cutoffs)
     return attach_grid_defaults(feats, grid, specs, horizons_days)
 
 
