@@ -52,19 +52,22 @@ def tokens(col: Column) -> Column:
 def word_shingles(col: Column, n: int) -> Column:
     """distinct word n-grams as array<string> (space-joined).
 
-    Built with zip_with over sliding offsets — pure SQL, no UDF:
-    shingle i = tokens[i..i+n-1] for i in 0..len-n.
+    Higher-order-function lambdas are INTERPRETED (no codegen) and
+    re-evaluate every embedded subtree per element — inlining the
+    tokenization would re-split the text once per shingle per word.
+    Binding the token array as a lambda variable (``transform(array(
+    toks), t -> ...)``) evaluates it exactly once per row (measured
+    ~10× on the sf0.1 documents).
+
+    Guard: Spark ``sequence(0, -1)`` DESCENDS rather than returning
+    empty, so short texts short-circuit to an empty shingle list.
     """
     toks = tokens(col)
-    # guard: Spark sequence(0, -1) DESCENDS ([0,-1]) rather than being
-    # empty, so short texts must short-circuit to an empty index list
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    per_t = lambda t: F.when(  # noqa: E731
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
-    )
-    return F.array_distinct(sh)
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.flatten(F.transform(F.array(toks), per_t)))

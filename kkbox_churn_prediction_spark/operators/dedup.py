@@ -112,10 +112,12 @@ def minhash_signatures(
     """k-wide MinHash signature per doc: min over shingles of the i-th
     universal hash of stable_hash48(shingle). One row per (doc, i)."""
     sh = shingle_stream(df, text_col, n, id_col)
-    hashed = sh.select(
+    # hash BEFORE exploding the k hash indices — md5 once per shingle,
+    # not once per (shingle × i)
+    hashed = sh.select(id_col, stable_hash48(F.col("shingle")).alias("h48")).select(
         id_col,
+        "h48",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        stable_hash48(F.col("shingle")).alias("h48"),
     )
     return (
         hashed.groupBy(id_col, "i")
