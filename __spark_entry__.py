@@ -324,6 +324,81 @@ def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.sessionize import sessionize
+
+    return sessionize(_conv(spark, sf_dir)).select("conv_id", "turn_idx", "session_id")
+
+
+def _q_rolling_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.windows import rolling_interval_stats
+
+    return rolling_interval_stats(_conv(spark, sf_dir), window_seconds=1800)
+
+
+def _q_tumbling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.windows import tumbling_window_counts
+
+    return tumbling_window_counts(_conv(spark, sf_dir), width_seconds=21600)
+
+
+def _q_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.horizons import trend_features
+    from kkbox_churn_prediction_spark.plans.backfill import backfill_from_events
+
+    return trend_features(backfill_from_events(spark, sf_dir))
+
+
+def _q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.plans.folds import backtest
+    from kkbox_churn_prediction_spark.sources.events import (
+        conversations_from_events,
+        cutoffs_from_events,
+    )
+
+    conv = conversations_from_events(spark, sf_dir)
+    cutoffs = cutoffs_from_events(spark, sf_dir)
+    folds = cutoffs.select(
+        F.concat(F.lit("fold_"), F.date_format("cutoff_ts", "yyyyMMdd")).alias("fold"),
+        "cutoff_ts",
+    )
+    return backtest(conv, folds, (1, 3, 7), label_horizon_days=3)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), n=3, bands=4, rows_per_band=2)
+
+
+def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _embs(spark, sf_dir), threshold=0.35, bucket_bits=4
+    )
+
+
+def _q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivf_topk(embs, embs.where(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        extract_media_features,
+    )
+
+    return extract_media_features(attach_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # point-in-time transcript engine
@@ -356,6 +431,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_role_counts": _q_pivot_role_counts,
         "union_dedup_activity": _q_union_dedup_activity,
         "q1_pricing_summary": _q_q1_pricing_summary,
+        # event-time windows + trend algebra + fold driver
+        "session_assignment": _q_session_assignment,
+        "rolling_turn_stats": _q_rolling_turn_stats,
+        "tumbling_activity": _q_tumbling_activity,
+        "trend_features": _q_trend_features,
+        "backtest_folds": _q_backtest_folds,
+        # near-dup / ANN / multimodal extensions
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "neardup_embedding": _q_neardup_embedding,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -879,6 +965,187 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- windows / trend / folds oracles ---------------------------------------
+
+_SESSION_ASSIGN_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_id
+FROM flagged
+"""
+
+_ROLLING_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id, turn_idx,
+       COUNT(*) OVER w AS n_turns_trailing,
+       CAST(SUM(length(text)) OVER w AS BIGINT) AS text_len_trailing,
+       COUNT(CASE WHEN role = 'user' THEN 1 END) OVER w AS n_user_turns_trailing
+FROM conversations
+WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+"""
+
+_TUMBLING_SQL = f"""
+WITH {_CONV_CTE}
+SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+       role,
+       COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM conversations
+GROUP BY 1, 2
+"""
+
+_TREND_SQL = f"""
+SELECT conv_id, cutoff_ts,
+       ROUND(turn_cnt_1d - turn_cnt_3d / 3.0, 6) AS turn_rate_accel,
+       ROUND(COALESCE((turn_cnt_1d * 3.0) / NULLIF(turn_cnt_3d, 0), 0.0) - 1.0, 6)
+           AS turn_trend_1v3,
+       ROUND(COALESCE((text_len_sum_3d * (7.0 / 3.0)) / NULLIF(text_len_sum_7d, 0), 0.0) - 1.0, 6)
+           AS text_trend_3v7,
+       ROUND(COALESCE((user_turn_cnt_7d * 1.0) / NULLIF(turn_cnt_7d, 0), 0.0), 6)
+           AS user_turn_share_7d,
+       ROUND(COALESCE((tool_call_cnt_7d * 1.0) / NULLIF(turn_cnt_7d, 0), 0.0), 6)
+           AS tool_call_share_7d
+FROM ({{asof}}) f
+"""
+
+_BACKTEST_FOLDS_SQL = """
+SELECT f.*, l.is_churn, l.micros_to_next_qualifying,
+       concat('fold_', strftime(f.cutoff_ts, '%Y%m%d')) AS fold
+FROM ({asof}) f
+JOIN ({labels}) l
+  ON f.conv_id = l.conv_id AND f.cutoff_ts = l.cutoff_ts
+"""
+
+# --- near-dup / ANN / multimodal oracles -----------------------------------
+
+_MINHASH_LSH_SQL = f"""
+WITH {_shingle_cte(3)},
+h AS (
+    SELECT doc_id, CAST(i.i AS INTEGER) AS i, {_H48.format(x='shingle')} AS h48
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+),
+sig AS (
+    SELECT doc_id, i,
+           MIN((CAST(2*i+3 AS BIGINT) * h48 + CAST(5*i+7 AS BIGINT)) % 2305843009213693951) AS mh
+    FROM h GROUP BY doc_id, i
+),
+keys AS (
+    SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+           array_to_string(list_sort(list(concat(i, ':', mh))), ',') AS band_key
+    FROM sig GROUP BY doc_id, CAST(i // 2 AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+_NEARDUP_EMB_SQL = f"""
+WITH q AS (SELECT vec_id AS doc_a, embedding AS qe,
+                  {_BUCKET.format(e='embedding')} AS bucket FROM embeddings),
+v AS (SELECT vec_id AS doc_b, embedding AS ne,
+             {_BUCKET.format(e='embedding')} AS bucket FROM embeddings),
+scored AS (
+    SELECT doc_a, doc_b, ROUND({_COS}, 6) AS cosine
+    FROM q JOIN v USING (bucket) WHERE doc_a < doc_b
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+# cosine over arbitrary operand aliases (the qe/ne-specific _COS above
+# predates this; kept for the existing oracles' stability)
+_COS2 = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+_IVF_SQL = f"""
+WITH seeds AS (
+    SELECT e.vec_id AS cell, e.embedding AS cv
+    FROM (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) m
+    JOIN embeddings e USING (vec_id)
+),
+massign AS (
+    SELECT v.vec_id AS neighbor_id, v.embedding AS ne, s.cell,
+           ROUND({_COS2.format(a='v.embedding', b='s.cv')}, 6) AS c
+    FROM embeddings v CROSS JOIN seeds s
+),
+members AS (
+    SELECT neighbor_id, ne, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                     ORDER BY c DESC, cell ASC) AS r
+        FROM massign
+    ) WHERE r = 1
+),
+qassign AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, s.cell,
+           ROUND({_COS2.format(a='q.embedding', b='s.cv')}, 6) AS c
+    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 10
+),
+probes AS (
+    SELECT query_id, qe, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, cell ASC) AS r
+        FROM qassign
+    ) WHERE r <= 2
+),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM members JOIN probes USING (cell)
+    WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _byte_int_expr(n_bytes: int) -> str:
+    """Big-endian integer of the first ``n_bytes`` UTF-8 bytes of
+    COALESCE(text, ''), zero-padded on the right (lock-step with
+    ``operators.multimodal._fake_decode``'s ``payload[:n].ljust``).
+    Valid because the documents text is pure printable ASCII (byte ==
+    codepoint, first byte < 0x80 keeps the value inside BIGINT)."""
+    t = "COALESCE(text, '')"
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, n_bytes + 1):
+        b = f"CASE WHEN length({t}) >= {i} THEN ascii(substr({t}, {i}, 1)) ELSE 0 END"
+        expr = f"(({expr}) * 256 + ({b}))"
+    return expr
+
+
+_MULTIMODAL_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+           {_byte_int_expr(8)} AS h,
+           {_byte_int_expr(6)} AS fp
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       n_bytes,
+       CAST(64 + h % 1024 AS INTEGER) AS width,
+       CAST(64 + (h // 1024) % 1024 AS INTEGER) AS height,
+       CAST(1 + (h // 1048576) % 300 AS INTEGER) AS n_frames,
+       fp AS fingerprint
+FROM b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -908,4 +1175,15 @@ def oracle_sql() -> dict[str, str]:
         "pivot_role_counts": _PIVOT_ROLE_SQL,
         "union_dedup_activity": _UNION_DEDUP_SQL,
         "q1_pricing_summary": _Q1_SQL,
+        "session_assignment": _SESSION_ASSIGN_SQL,
+        "rolling_turn_stats": _ROLLING_SQL,
+        "tumbling_activity": _TUMBLING_SQL,
+        "trend_features": _TREND_SQL.format(asof=_asof_oracle()),
+        "backtest_folds": _BACKTEST_FOLDS_SQL.format(
+            asof=_asof_oracle(), labels=_ENTITY_LABELS_SQL
+        ),
+        "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+        "neardup_embedding": _NEARDUP_EMB_SQL,
+        "embedding_topk_ivf": _IVF_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
     }

@@ -194,17 +194,38 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     id_col: str = "vec_id",
+    bucket_bits: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ threshold (exact,
-    all-pairs — the LSH-bucketed scale path is
-    ``similarity.lsh_bucketed_topk``)."""
-    from kkbox_churn_prediction_spark.operators.similarity import cosine_expr
+    """Embedding near-dup: pairs with cosine ≥ threshold.
 
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("do_b_tmp").alias("doc_b"), F.col(vec_col).alias("_vb"))
+    ``bucket_bits=None`` → exact all-pairs (O(N²), small N only).
+    ``bucket_bits=b`` → sign-LSH prefilter: only pairs in the same
+    b-bit sign bucket are compared — the scale path (O(N²/2^b)
+    expected; high-cosine pairs land in the same bucket with
+    probability (1−θ/π)^b, so recall degrades gracefully and is
+    measured in tests vs the exact variant)."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        cosine_expr,
+        sign_bucket,
+    )
+
+    cols = [F.col(id_col), F.col(vec_col)]
+    if bucket_bits is not None:
+        cols.append(sign_bucket(vec_col, bucket_bits).alias("_bkt"))
+    base = df.select(*cols)
+    a = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+        *([F.col("_bkt")] if bucket_bits is not None else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col("_bkt")] if bucket_bits is not None else []),
+    )
+    joined = a.join(b, "_bkt") if bucket_bits is not None else a.crossJoin(b)
     return (
-        a.crossJoin(b)
-        .where(F.col("doc_a") < F.col("doc_b"))
+        joined.where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

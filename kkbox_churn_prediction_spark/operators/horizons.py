@@ -151,6 +151,49 @@ def multi_horizon_aggregate(
     return out.select(*ordered)
 
 
+def trend_features(feats: DataFrame) -> DataFrame:
+    """Cross-horizon trend algebra (W4) over the feature matrix.
+
+    The reference derives trend/acceleration columns from its
+    multi-horizon aggregates with pure window-ratio arithmetic
+    (``features/features_comprehensive.sql:467-479,543-554,573-586``,
+    e.g. ``30d − 60d·0.5``, ``(14d·2.143)/30d − 1``) plus
+    ratio-of-sums with a zero guard (A7,
+    ``features/features_comprehensive.sql:210-215``). Same algebra
+    here over the (1, 3, 7)-day horizons — post-agg column
+    expressions only, zero additional shuffles.
+    """
+
+    def ratio(num, den):
+        # A7 zero-guard: COALESCE(n / NULLIF(d, 0), 0)
+        return F.coalesce(num / F.nullif(den, F.lit(0)), F.lit(0.0))
+
+    c = F.col
+    return feats.select(
+        "conv_id",
+        "cutoff_ts",
+        # recent daily rate minus 3-day average daily rate
+        F.round(c("turn_cnt_1d") - c("turn_cnt_3d") / F.lit(3.0), 6).alias(
+            "turn_rate_accel"
+        ),
+        # last-day activity vs its 3-day pro-rata share − 1
+        F.round(
+            ratio(c("turn_cnt_1d") * F.lit(3.0), c("turn_cnt_3d")) - F.lit(1.0), 6
+        ).alias("turn_trend_1v3"),
+        F.round(
+            ratio(c("text_len_sum_3d") * F.lit(7.0 / 3.0), c("text_len_sum_7d"))
+            - F.lit(1.0),
+            6,
+        ).alias("text_trend_3v7"),
+        F.round(ratio(c("user_turn_cnt_7d") * F.lit(1.0), c("turn_cnt_7d")), 6).alias(
+            "user_turn_share_7d"
+        ),
+        F.round(ratio(c("tool_call_cnt_7d") * F.lit(1.0), c("turn_cnt_7d")), 6).alias(
+            "tool_call_share_7d"
+        ),
+    )
+
+
 def attach_grid_defaults(
     features: DataFrame, grid: DataFrame, specs: tuple[FeatureSpec, ...], horizons_days: tuple[int, ...]
 ) -> DataFrame:

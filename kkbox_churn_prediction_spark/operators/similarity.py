@@ -128,6 +128,81 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_group_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer + probed cells.
+
+    Cells are seeded deterministically — the minimum-id vector of each
+    ``seed_group_col`` group acts as the cell centroid (a medoid
+    stand-in for k-means, chosen so the Spark plan and the SQL oracle
+    assign IDENTICAL cells with no float-sum order sensitivity; in
+    production the seeds come from an offline k-means and everything
+    downstream is unchanged). Every vector is assigned to its nearest
+    seed (rounded cosine, seed-id tiebreak); each query probes its
+    ``nprobe`` nearest cells and ranks only those cells' members —
+    the classic IVF recall/cost dial.
+
+    Scale: seeds are tiny (k cells) → both assignment joins broadcast
+    the seed list; the vector side never shuffles for assignment. The
+    candidate join shuffles on ``cell`` — bounded by cell sizes, and a
+    hot cell means the quantizer is too coarse (raise k), exactly the
+    IVF tuning story.
+    """
+    seeds = (
+        vectors.groupBy(seed_group_col)
+        .agg(F.min(id_col).alias(id_col))
+        .join(vectors.select(id_col, vec_col), id_col)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv"))
+    )
+
+    def assign(df: DataFrame, out_id: str, probes: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+            .crossJoin(F.broadcast(seeds))
+            .select(
+                out_id,
+                "_v",
+                "cell",
+                F.round(cosine_expr("_v", "_cv"), 6).alias("_c"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_c").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= probes)
+            .select(out_id, F.col("_v"), "cell")
+        )
+
+    members = assign(vectors, "neighbor_id", 1).withColumnRenamed("_v", "_nv")
+    probed = assign(queries, "query_id", nprobe).withColumnRenamed("_v", "_qv")
+    scored = (
+        members.join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("_qv", "_nv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_bucket(df: DataFrame, planes, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH with driver-seeded planes (numpy array
     [bits, dim]) — the production variant; planes ship as literals in

@@ -1,0 +1,92 @@
+"""Tumbling / rolling event-time window aggregates (north-star axis-A).
+
+The reference's only calendar windowing is tumbling-month GROUP BY
+(``sql/04_kpi_metrics.sql:13,55``; ``sql/monthly_user_engagement.sql:11-24``,
+A9 in SURVEY §2.4); its "rolling" windows are all cutoff-anchored
+lookbacks (A2). These two operators generalize both to arbitrary
+event-time grain:
+
+- :func:`tumbling_window_counts` — Spark's native ``F.window`` bucket
+  (epoch-aligned tumbling window of any width, not just calendar
+  units).
+- :func:`rolling_interval_stats` — per-TURN trailing window via a
+  RANGE frame over microsecond event time: for every turn, aggregates
+  over all turns of the same conversation within the preceding
+  interval (peer rows at the exact same timestamp included, matching
+  ANSI RANGE semantics in DuckDB/Postgres).
+
+Both are pure JVM window/agg compositions: one shuffle each, no
+Python. At 10^12 turns the RANGE frame rides the same
+``repartitionByRange(conv_id) + sortWithinPartitions(conv_id, ts)``
+layout as every other per-entity window operator (see
+``operators.sessionize`` scale note); the tumbling agg is a plain
+partial+final hash aggregate keyed by (bucket, group) — fully
+parallel, no per-entity ordering needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_interval_stats(
+    turns: DataFrame, window_seconds: int = 1800
+) -> DataFrame:
+    """Per-turn trailing-interval aggregates.
+
+    For each turn: how many turns (and how much text) this
+    conversation produced in the trailing ``window_seconds`` up to and
+    including now — the event-time generalization of the reference's
+    cutoff-anchored lookbacks (``features/features_comprehensive.sql:45``
+    ``days_ago`` carving), computed for EVERY turn instead of a fixed
+    cutoff grid.
+
+    RANGE frame over ``unix_micros(ts)`` so ties (equal timestamps)
+    are peer-inclusive — identical to ``RANGE BETWEEN ... PRECEDING
+    AND CURRENT ROW`` in the SQL oracle.
+    """
+    window_us = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-window_us, 0)
+    )
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("n_turns_trailing"),
+        F.sum(F.expr("CAST(length(text) AS BIGINT)")).over(w).alias(
+            "text_len_trailing"
+        ),
+        F.count(F.expr("CASE WHEN role = 'user' THEN 1 END")).over(w).alias(
+            "n_user_turns_trailing"
+        ),
+    )
+
+
+def tumbling_window_counts(
+    turns: DataFrame, width_seconds: int = 21600
+) -> DataFrame:
+    """Global tumbling-window activity by role.
+
+    ``F.window(ts, width)`` — Spark's epoch-aligned tumbling bucket
+    (generalizes the reference's ``DATE_TRUNC('month')`` tumbling agg,
+    ``sql/04_kpi_metrics.sql:13``). One hash aggregate; the bucket is
+    a pure projection so partial aggregation happens map-side.
+    """
+    bucketed = turns.groupBy(
+        F.window(F.col("ts"), f"{int(width_seconds)} seconds").alias("w"),
+        "role",
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(
+            F.sum(F.expr("CAST(length(text) AS BIGINT)")), F.lit(0)
+        ).alias("text_len_sum"),
+    )
+    return bucketed.select(
+        F.col("w.start").alias("window_start"),
+        "role",
+        "n_turns",
+        "text_len_sum",
+    )

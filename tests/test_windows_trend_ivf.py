@@ -1,0 +1,190 @@
+"""Goldens for rolling/tumbling event-time windows, trend algebra,
+IVF ANN, and multimodal plumbing (this round's operator additions)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+T0 = datetime(2024, 1, 1, 9, 0, 0)
+SF = "/root/testdata/sf0.001"
+
+
+def _turns(spark, offsets_seconds, text="ab"):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * len(offsets_seconds),
+            "turn_idx": range(len(offsets_seconds)),
+            "role": ["user"] * len(offsets_seconds),
+            "text": [text] * len(offsets_seconds),
+            "tool": [None] * len(offsets_seconds),
+            "ts": [T0 + timedelta(seconds=s) for s in offsets_seconds],
+        }
+    )
+    return to_spark(spark, pdf)
+
+
+# --- rolling interval window -----------------------------------------------
+
+
+def test_rolling_trailing_counts_with_boundary(spark):
+    from kkbox_churn_prediction_spark.operators.windows import rolling_interval_stats
+
+    # offsets 0, 600, 2100, 2400: the 30-min frame is inclusive at
+    # exactly -1800s (turn@2400 still sees turn@600)
+    out = (
+        rolling_interval_stats(_turns(spark, [0, 600, 2100, 2400]))
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r["n_turns_trailing"] for r in out] == [1, 2, 2, 3]
+    assert [r["text_len_trailing"] for r in out] == [2, 4, 4, 6]
+
+
+def test_rolling_equal_timestamps_are_peers(spark):
+    from kkbox_churn_prediction_spark.operators.windows import rolling_interval_stats
+
+    # two turns at the identical timestamp: RANGE frames include peer
+    # rows, so BOTH rows count both turns
+    out = rolling_interval_stats(_turns(spark, [0, 0])).collect()
+    assert sorted(r["n_turns_trailing"] for r in out) == [2, 2]
+
+
+# --- tumbling window -------------------------------------------------------
+
+
+def test_tumbling_epoch_aligned_buckets(spark):
+    from kkbox_churn_prediction_spark.operators.windows import tumbling_window_counts
+
+    # 1-hour buckets are epoch-aligned: 9:00 and 9:59 share a bucket,
+    # 10:01 starts the next
+    out = tumbling_window_counts(
+        _turns(spark, [0, 3540, 3660]), width_seconds=3600
+    ).collect()
+    by_start = {r["window_start"]: r["n_turns"] for r in out}
+    assert by_start[datetime(2024, 1, 1, 9, 0, 0)] == 2
+    assert by_start[datetime(2024, 1, 1, 10, 0, 0)] == 1
+
+
+# --- trend algebra ---------------------------------------------------------
+
+
+def test_trend_algebra_golden_and_zero_guard(spark):
+    from kkbox_churn_prediction_spark.operators.horizons import trend_features
+
+    feats = spark.createDataFrame(
+        [
+            ("c1", T0, 3, 6, 12, 90, 210, 4, 12, 2),
+            ("c2", T0, 0, 0, 0, 0, 0, 0, 0, 0),  # all-zero: guards fire
+        ],
+        "conv_id string, cutoff_ts timestamp, turn_cnt_1d long, "
+        "turn_cnt_3d long, turn_cnt_7d long, text_len_sum_3d long, "
+        "text_len_sum_7d long, user_turn_cnt_7d long, "
+        "user_turn_cnt_1d long, tool_call_cnt_7d long",
+    )
+    rows = {r["conv_id"]: r for r in trend_features(feats).collect()}
+    c1 = rows["c1"]
+    assert c1["turn_rate_accel"] == 1.0  # 3 - 6/3
+    assert c1["turn_trend_1v3"] == 0.5  # 3*3/6 - 1
+    assert c1["text_trend_3v7"] == 0.0  # 90*(7/3)/210 - 1
+    assert c1["user_turn_share_7d"] == round(4 / 12, 6)
+    c2 = rows["c2"]
+    assert c2["turn_rate_accel"] == 0.0
+    assert c2["turn_trend_1v3"] == -1.0  # zero-guarded ratio → 0 → -1
+    assert c2["user_turn_share_7d"] == 0.0
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = #cells ⇒ the candidate set is every vector, so IVF
+    must reproduce the exact brute-force ranking bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") < 5)
+    n_cells = embs.select("label").distinct().count()
+    exact = brute_force_topk(embs, queries, k=5).orderBy("query_id", "rank").collect()
+    ivf = (
+        ivf_topk(embs, queries, k=5, nprobe=n_cells)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_probe_subset_recall(spark):
+    """nprobe=2 candidates are a subset of vectors, so every returned
+    neighbor's cosine is ≤ the exact rank-1 cosine, and recall@5
+    against brute force is positive (sanity, not a tight bound)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(embs, queries, k=5, nprobe=2).collect()
+    }
+    assert len(approx & exact) > 0
+    assert len(approx) <= len(exact)
+
+
+# --- bucketed embedding near-dup ------------------------------------------
+
+
+def test_bucketed_neardup_is_subset_of_exact(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import embedding_cosine_pairs
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(embs, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(embs, threshold=0.3, bucket_bits=4).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
+
+
+# --- multimodal fake-decode golden ----------------------------------------
+
+
+def test_multimodal_features_golden(spark):
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame([(1, "AB"), (2, "")], "doc_id long, text string")
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(attach_media(docs)).collect()
+    }
+    h = int.from_bytes(b"AB".ljust(8, b"\0"), "big")
+    assert rows[1]["n_bytes"] == 2
+    assert rows[1]["width"] == 64 + h % 1024
+    assert rows[1]["height"] == 64 + (h >> 10) % 1024
+    assert rows[1]["n_frames"] == 1 + (h >> 20) % 300
+    assert rows[1]["fingerprint"] == int.from_bytes(b"AB".ljust(6, b"\0"), "big")
+    assert rows[2]["n_bytes"] == 0 and rows[2]["fingerprint"] == 0
