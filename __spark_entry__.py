@@ -399,6 +399,28 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_media(_docs(spark, sf_dir)))
 
 
+def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import quintile_bucket_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    return quintile_bucket_stats(ev, "value", "event_id", n_buckets=5)
+
+
+def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.relational import sales_by_region
+
+    return sales_by_region(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # point-in-time transcript engine
@@ -442,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding": _q_neardup_embedding,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "multimodal_features": _q_multimodal_features,
+        # remaining relational inventory
+        "quintile_stats": _q_quintile_stats,
+        "sales_by_region": _q_sales_by_region,
     }
 
 
@@ -1146,6 +1171,32 @@ FROM b
 """
 
 
+_QUINTILE_SQL = """
+WITH b AS (
+    SELECT event_id, CAST(value AS DOUBLE) AS value,
+           CAST(ntile(5) OVER (ORDER BY CAST(value AS DOUBLE) ASC, event_id ASC)
+                AS INTEGER) AS bucket
+    FROM events WHERE value IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM b GROUP BY bucket
+"""
+
+_SALES_BY_REGION_SQL = """
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -1186,4 +1237,6 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "embedding_topk_ivf": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "quintile_stats": _QUINTILE_SQL,
+        "sales_by_region": _SALES_BY_REGION_SQL,
     }

@@ -133,3 +133,76 @@ def union_dedup_activity(turns: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n_activity"))
     )
+
+
+def quintile_bucket_stats(
+    df: DataFrame, value: str, id_col: str, n_buckets: int = 5
+) -> DataFrame:
+    """A15 grouped error-analysis stats: cut ``value`` into
+    ``n_buckets`` equal-count buckets, report per-bucket count /
+    mean / min / max (reference ``src/error_analysis.py:192-243``
+    ``qcut`` into 5 bins + group stats; confidence deciles
+    ``:152-180``).
+
+    ``ntile`` over the total order (value, id) — exactly reproducible
+    across engines. The global window is a single-partition sort; at
+    10^12 rows swap in quantile EDGES (approx or exact percentile,
+    like ``operators.psi``) + a when-chain bucketizer — same output
+    contract, fully parallel. Kept as ntile here because the
+    reference's qcut is rank-based (equal count, not equal width) and
+    rank ties at bucket boundaries are only deterministic under a
+    total order.
+    """
+    w = Window.orderBy(F.col(value).asc(), F.col(id_col).asc())
+    b = (
+        df.where(F.col(value).isNotNull())
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+    # DECIMAL-exact sum before the double divide: the per-bucket mean
+    # is then independent of partial-agg order (cross-engine stable)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col(value).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    )
+
+
+def sales_by_region(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """J3/J8 broadcast dimension-chain join: facts joined through a
+    snowflake of small dims (reference: tiny city→region dimension
+    joined to facts, ``sql/04_kpi_metrics.sql:61-80``; LEFT dim join
+    ``features/features_comprehensive.sql:333-334``).
+
+    nation ⋈ region collapse to ONE tiny broadcast lookup (25×5
+    rows at any scale factor), attached to customer BEFORE the fact
+    join so the only real shuffle is orders⋈customer on the equi key
+    (both prunable to two columns). Money sums stay DECIMAL until the
+    end (row-order-independent, like q1_pricing_summary).
+    """
+    reg = region.select("r_regionkey", "r_name")
+    lookup = nation.select("n_nationkey", "n_regionkey").join(
+        F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"]
+    )
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(lookup), customer["c_nationkey"] == F.col("n_nationkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.select("o_custkey", "o_totalprice")
+        .join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

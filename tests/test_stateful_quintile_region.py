@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator + remaining relational ops."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+T0 = datetime(2024, 1, 1, 9, 0, 0)
+SF = "/root/testdata/sf0.001"
+
+
+def _turns(spark, offsets_by_conv):
+    rows = []
+    for conv, offsets in offsets_by_conv.items():
+        for i, s in enumerate(offsets):
+            rows.append((conv, i, "user", "ab", None, T0 + timedelta(seconds=s)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return to_spark(spark, pdf)
+
+
+def test_stateful_closed_sessions_match_batch(spark, tmp_path):
+    """Drive applyInPandasWithState over a file stream; the CLOSED
+    sessions it emits must equal the batch sessionizer's sessions
+    minus each conversation's final (still-open) session."""
+    from kkbox_churn_prediction_spark.operators.sessionize import session_aggregates
+    from kkbox_churn_prediction_spark.streaming.stateful import stateful_closed_sessions
+
+    turns = _turns(
+        spark,
+        {
+            "c1": [0, 60, 7200, 7230, 20000],  # 3 sessions → 2 closed
+            "c2": [0, 1800, 5400],  # boundary: exactly-1800s gap does NOT split
+            "c3": [0],  # single open session → nothing emitted
+        },
+    )
+    turns.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = spark.readStream.schema(turns.schema).parquet(f"{tmp_path}/in")
+    q = (
+        stateful_closed_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    q.stop()
+
+    batch = session_aggregates(turns).collect()
+    last_session = {}
+    for r in batch:
+        last_session[r["conv_id"]] = max(
+            last_session.get(r["conv_id"], -1), r["session_id"]
+        )
+    want = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in batch
+        if r["session_id"] != last_session[r["conv_id"]]
+    }
+    assert got == want
+    assert len(got) == 3  # c1: 2 closed, c2: 1 closed, c3: 0
+
+
+def test_stateful_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches: a session spanning the batch boundary must
+    close ONCE with turns from both batches (state continuity)."""
+    from kkbox_churn_prediction_spark.streaming.stateful import stateful_closed_sessions
+
+    b1 = _turns(spark, {"c1": [0, 60]})
+    b2 = _turns(spark, {"c1": [120, 9000]})  # 120 continues; 9000 closes it
+    b1.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{tmp_path}/in")
+    q = (
+        stateful_closed_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_2b")
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(f"{tmp_path}/in")
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM closed_2b").collect()
+    q.stop()
+    assert len(rows) == 1
+    assert rows[0]["n_turns"] == 3  # 0, 60 (batch 1) + 120 (batch 2)
+    assert rows[0]["session_start"] == T0
+    assert rows[0]["session_end"] == T0 + timedelta(seconds=120)
+
+
+def test_quintile_buckets_equal_count_and_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import quintile_bucket_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = quintile_bucket_stats(ev, "value", "event_id").orderBy("bucket").collect()
+    assert len(out) == 5
+    total = ev.where(F.col("value").isNotNull()).count()
+    assert sum(r["n"] for r in out) == total
+    assert max(r["n"] for r in out) - min(r["n"] for r in out) <= 1  # equal-count
+    # bucket value ranges are ordered and non-overlapping
+    for lo, hi in zip(out, out[1:]):
+        assert lo["max_value"] <= hi["min_value"]
+
+
+def test_sales_by_region_broadcasts_dims(spark):
+    from kkbox_churn_prediction_spark.operators.relational import sales_by_region
+
+    df = sales_by_region(
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+        spark.read.parquet(f"{SF}/region.parquet"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert all(r["n_orders"] > 0 for r in rows)
