@@ -710,10 +710,13 @@ FROM keyed d JOIN groups g USING (k)
 
 _DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH {_shingle_cte(3)},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (
+    SELECT doc_id, {_H48.format(x='shingle')} AS shingle FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b USING (shingle)
+    FROM shh a JOIN shh b USING (shingle)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -1074,13 +1077,20 @@ FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
 
+# unit vector per row (lock-step with similarity.unit_vector_expr:
+# normalize once, pairwise cosine = bare dot of unit vectors)
+_UNIT = (
+    "list_transform(CAST({e} AS DOUBLE[]), "
+    "x -> x / sqrt(list_dot_product(CAST({e} AS DOUBLE[]), CAST({e} AS DOUBLE[]))))"
+)
+
 _NEARDUP_EMB_SQL = f"""
-WITH q AS (SELECT vec_id AS doc_a, embedding AS qe,
+WITH q AS (SELECT vec_id AS doc_a, {_UNIT.format(e='embedding')} AS qe,
                   {_BUCKET.format(e='embedding')} AS bucket FROM embeddings),
-v AS (SELECT vec_id AS doc_b, embedding AS ne,
+v AS (SELECT vec_id AS doc_b, {_UNIT.format(e='embedding')} AS ne,
              {_BUCKET.format(e='embedding')} AS bucket FROM embeddings),
 scored AS (
-    SELECT doc_a, doc_b, ROUND({_COS}, 6) AS cosine
+    SELECT doc_a, doc_b, ROUND(list_dot_product(qe, ne), 6) AS cosine
     FROM q JOIN v USING (bucket) WHERE doc_a < doc_b
 )
 SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.35

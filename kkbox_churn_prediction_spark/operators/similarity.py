@@ -42,6 +42,27 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def unit_vector_expr(vec_col: str) -> Column:
+    """vec / ‖vec‖ with the norm evaluated ONCE per row.
+
+    Naively writing ``transform(v, x -> x / norm(v))`` re-evaluates
+    the whole norm subtree per element (interpreted HOF semantics —
+    same trap as ``functions.text.word_shingles``); binding the norm
+    as a lambda variable via a 1-element outer ``transform`` makes it
+    a per-row constant. Pre-normalizing turns every pairwise cosine
+    into a bare dot product — the win scales with how many pairs each
+    vector participates in."""
+    return F.element_at(
+        F.transform(
+            F.array(norm_expr(vec_col)),
+            lambda nrm: F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / nrm
+            ),
+        ),
+        1,
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,126 @@
+"""Property-based invariants (hypothesis) — beyond the reference's
+test strategy (SURVEY §5: it has only example-based goldens).
+
+Each property runs a small number of examples (a SparkSession
+round-trip per example is expensive); every example is a whole
+randomized table, so coverage per example is high. Deadlines are
+disabled — Spark latency is not the property under test.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+gap_lists = st.lists(
+    st.integers(min_value=0, max_value=7200), min_size=1, max_size=30
+)
+
+
+def _turns_pdf(gaps_by_conv: dict[str, list[int]]) -> pd.DataFrame:
+    rows = []
+    for conv, gaps in gaps_by_conv.items():
+        t = T0
+        for i, g in enumerate(gaps):
+            t = t + timedelta(seconds=g)
+            rows.append((conv, i, "user" if i % 2 else "assistant", "x" * (i % 7), None, t))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def _py_sessionize(gaps: list[int], gap_s: int = 1800) -> list[int]:
+    """Single-process reference: session id per turn."""
+    out, sid = [], 0
+    for i, g in enumerate(gaps):
+        if i > 0 and g > gap_s:
+            sid += 1
+        out.append(sid)
+    return out
+
+
+@given(gaps=st.lists(gap_lists, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, gaps):
+    from kkbox_churn_prediction_spark.operators.sessionize import sessionize
+
+    by_conv = {f"c{i}": g for i, g in enumerate(gaps)}
+    df = to_spark(spark, _turns_pdf(by_conv))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in sessionize(df).collect()
+    }
+    for conv, g in by_conv.items():
+        want = _py_sessionize(g)
+        for i, sid in enumerate(want):
+            assert got[(conv, i)] == sid
+
+
+@given(gaps=gap_lists, cutoff_offset=st.integers(min_value=0, max_value=100_000))
+@settings(**SETTINGS)
+def test_asof_join_never_leaks(spark, gaps, cutoff_offset):
+    """No row surviving the as-of join may carry ts >= cutoff —
+    for ANY turn layout and ANY cutoff position."""
+    from kkbox_churn_prediction_spark.operators.asof import (
+        asof_join_broadcast_cutoffs,
+    )
+
+    df = to_spark(spark, _turns_pdf({"c0": gaps}))
+    cutoffs = spark.createDataFrame(
+        [(T0 + timedelta(seconds=cutoff_offset),)], "cutoff_ts timestamp"
+    )
+    joined = asof_join_broadcast_cutoffs(df, cutoffs, lookback_days=None)
+    from pyspark.sql import functions as F
+
+    assert joined.where(F.col("ts") >= F.col("cutoff_ts")).count() == 0
+
+
+@given(gaps=st.lists(gap_lists, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_horizon_counts_monotone(spark, gaps):
+    """A wider lookback can never see FEWER turns: cnt_1d <= cnt_3d
+    <= cnt_7d at every (entity, cutoff)."""
+    from kkbox_churn_prediction_spark.plans.backfill import backfill_features
+
+    by_conv = {f"c{i}": g for i, g in enumerate(gaps)}
+    df = to_spark(spark, _turns_pdf(by_conv))
+    cutoffs = spark.createDataFrame(
+        [(T0 + timedelta(days=1),), (T0 + timedelta(days=8),)],
+        "cutoff_ts timestamp",
+    )
+    for r in backfill_features(df, cutoffs).collect():
+        assert r["turn_cnt_1d"] <= r["turn_cnt_3d"] <= r["turn_cnt_7d"]
+        assert r["user_turn_cnt_7d"] <= r["turn_cnt_7d"]
+        assert r["distinct_tool_cnt_7d"] <= r["tool_call_cnt_7d"]
+
+
+@given(gaps=gap_lists)
+@settings(**SETTINGS)
+def test_rolling_window_bounds(spark, gaps):
+    """Trailing count is ≥1 (self), ≤ total turns, and equals the
+    brute-force per-turn count."""
+    from kkbox_churn_prediction_spark.operators.windows import rolling_interval_stats
+
+    pdf = _turns_pdf({"c0": gaps})
+    df = to_spark(spark, pdf)
+    got = {
+        r["turn_idx"]: r["n_turns_trailing"]
+        for r in rolling_interval_stats(df, window_seconds=1800).collect()
+    }
+    ts = list(pdf["ts"])
+    for i, t in enumerate(ts):
+        want = sum(1 for u in ts if t - timedelta(seconds=1800) <= u <= t)
+        assert got[i] == want
