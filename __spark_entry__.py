@@ -399,6 +399,65 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_media(_docs(spark, sf_dir)))
 
 
+def _q_asof_entity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-entity-cutoff as-of variant (sort-merge path): each
+    conversation's personal cutoff is the week boundary after its own
+    last turn, so the cutoff grid is entity-specific and CANNOT ride
+    the broadcast-cutoff plan — this exercises
+    ``asof_join_entity_cutoffs`` (equi join on conv_id + range
+    predicate in the join condition)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.asof import asof_join_entity_cutoffs
+    from kkbox_churn_prediction_spark.operators.horizons import multi_horizon_aggregate
+
+    conv = _conv(spark, sf_dir)
+    grid = conv.groupBy("conv_id").agg(
+        (F.date_trunc("week", F.max("ts")) + F.expr("INTERVAL 7 DAYS")).alias(
+            "cutoff_ts"
+        )
+    )
+    narrow = conv.select(
+        "conv_id",
+        "ts",
+        F.expr("CAST(length(text) AS BIGINT)").alias("text_len"),
+        F.expr("CASE WHEN role = 'user' THEN 1 END").alias("is_user"),
+        "tool",
+    )
+    joined = asof_join_entity_cutoffs(narrow, grid, lookback_days=7)
+    return multi_horizon_aggregate(joined, (1, 3, 7))
+
+
+def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI with decile edges taken from the reference fold's own
+    distribution — the reference's actual method (``np.quantile`` on
+    the reference window, ``src/psi.py:27-34``), vs the fixed-width
+    variant in ``psi_text_len``. Edges are exact percentiles rounded
+    to 6 (both engines interpolate identically at that precision)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        bucketize_by_edges,
+        psi_from_bins,
+        quantile_edges,
+    )
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    folded = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("v"),
+    )
+    edges = [
+        round(e, 6)
+        for e in quantile_edges(folded.where(F.col("fold") == "even"), "v", 10)
+    ]
+    binned = folded.select("fold", bucketize_by_edges(F.col("v"), edges).alias("bin"))
+    return psi_from_bins(binned, "fold", "bin", ref_fold="even")
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -467,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining relational inventory
         "quintile_stats": _q_quintile_stats,
         "sales_by_region": _q_sales_by_region,
+        # second as-of strategy + reference-faithful PSI
+        "asof_entity_grid": _q_asof_entity_grid,
+        "psi_quantile": _q_psi_quantile,
     }
 
 
@@ -993,6 +1055,95 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _asof_entity_grid_oracle() -> str:
+    """Per-entity cutoff grid variant: same agg families as
+    ``_asof_oracle`` but the cutoff comes from each conversation's own
+    last-turn week, and COALESCE fills apply inline (no outer grid —
+    every entity matches its own cutoff by construction)."""
+    horizons = (1, 3, 7)
+    inside = "ts >= cutoff_ts - INTERVAL {k} DAY"
+    families = [
+        ("turn_cnt", "COUNT(CASE WHEN {inside} THEN 1 END)", None),
+        ("user_turn_cnt", "COUNT(CASE WHEN ({inside}) AND role = 'user' THEN 1 END)", None),
+        ("tool_call_cnt", "COUNT(CASE WHEN {inside} THEN tool END)", None),
+        ("distinct_tool_cnt", "COUNT(DISTINCT CASE WHEN {inside} THEN tool END)", None),
+        ("text_len_sum", "CAST(SUM(CASE WHEN {inside} THEN length(text) END) AS BIGINT)", "0"),
+        ("text_len_max", "CAST(MAX(CASE WHEN {inside} THEN length(text) END) AS BIGINT)", "0"),
+        ("text_len_avg", "ROUND(AVG(CASE WHEN {inside} THEN length(text) END), 4)", "0.0"),
+    ]
+    aggs = []
+    for name, tmpl, fill in families:
+        for k in horizons:
+            agg = tmpl.format(inside=inside.format(k=k))
+            if fill is not None:
+                agg = f"COALESCE({agg}, {fill})"
+            aggs.append(f"{agg} AS {name}_{k}d")
+    agg_sql = ",\n        ".join(aggs)
+    return f"""
+WITH {_CONV_CTE},
+grid AS (
+    SELECT conv_id,
+           CAST(date_trunc('week', MAX(ts)) AS TIMESTAMP) + INTERVAL 7 DAY AS cutoff_ts
+    FROM conversations GROUP BY conv_id
+),
+joined AS (
+    SELECT c.conv_id, c.role, c.text, c.tool, c.ts, g.cutoff_ts
+    FROM conversations c
+    JOIN grid g ON c.conv_id = g.conv_id
+     AND c.ts < g.cutoff_ts AND c.ts >= g.cutoff_ts - INTERVAL 7 DAY
+)
+SELECT conv_id, cutoff_ts,
+        {agg_sql},
+        epoch_us(cutoff_ts) - MAX(epoch_us(ts)) AS micros_since_last_turn
+FROM joined
+GROUP BY conv_id, cutoff_ts
+"""
+
+
+_PSI_DECILES = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+_PSI_QUANTILE_SQL = f"""
+WITH {_CONV_CTE},
+folded AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(length(text) AS BIGINT) AS v
+    FROM conversations
+),
+edges AS (
+    SELECT ROUND(unnest(quantile_cont(v, {_PSI_DECILES})), 6) AS e
+    FROM folded WHERE fold = 'even'
+),
+binned AS (
+    SELECT fold, CAST((SELECT COUNT(*) FROM edges WHERE e < v) AS INTEGER) AS bin
+    FROM folded
+),
+counts AS (SELECT fold, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+freqs AS (
+    SELECT fold, bin, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY fold) AS freq
+    FROM counts
+),
+grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN (SELECT DISTINCT bin FROM counts) b
+),
+terms AS (
+    SELECT g.fold,
+           GREATEST(COALESCE(c.freq, 0.0), 1e-6) AS a,
+           GREATEST(COALESCE(r.freq, 0.0), 1e-6) AS e
+    FROM grid g
+    LEFT JOIN (SELECT * FROM freqs WHERE fold <> 'even') c
+      ON g.fold = c.fold AND g.bin = c.bin
+    LEFT JOIN (SELECT bin, freq FROM freqs WHERE fold = 'even') r
+      ON g.bin = r.bin
+)
+SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
+FROM terms GROUP BY fold
+"""
+
+
 # --- windows / trend / folds oracles ---------------------------------------
 
 _SESSION_ASSIGN_SQL = f"""
@@ -1249,4 +1400,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "quintile_stats": _QUINTILE_SQL,
         "sales_by_region": _SALES_BY_REGION_SQL,
+        "asof_entity_grid": _asof_entity_grid_oracle(),
+        "psi_quantile": _PSI_QUANTILE_SQL,
     }
