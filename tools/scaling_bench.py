@@ -61,6 +61,10 @@ job()  # warm-up: JVM JIT + codegen cache
 best = None
 rep_times = []
 for _ in range(reps):
+    # settle GC debt from the previous rep before timing (same
+    # steady-state discipline as bench.py: occasional ~130s
+    # full-GC-thrash episodes otherwise dominate best-of-N)
+    spark._jvm.System.gc()
     t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
     rep_times.append(dt)
     best = dt if best is None else min(best, dt)
