@@ -73,6 +73,51 @@ print(json.dumps({{"cores": cores, "sec": best, "reps": rep_times, "turns": turn
 """
 
 
+EXEC_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from kkbox_churn_prediction_spark.plans.backfill import backfill_features
+from kkbox_churn_prediction_spark.sources.genbench import weekly_cutoffs
+
+n_exec = int(sys.argv[1]); data = sys.argv[2]; reps = int(sys.argv[3])
+cores_per = 4
+# REAL separate executor JVMs (the north rule's 'N and 4N executors'):
+# local-cluster launches one worker JVM per executor with its own
+# heap, so GC and memory pressure are per-executor — exactly the
+# multi-executor cluster shape, minus the network.
+spark = (
+    SparkSession.builder
+    .master(f"local-cluster[{{n_exec}},{{cores_per}},8192]")
+    .appName(f"execscale{{n_exec}}")
+    .config("spark.executor.memory", "8g")
+    .config("spark.sql.shuffle.partitions", str(n_exec * cores_per * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+turns_df = spark.read.parquet(data)
+turns = turns_df.count()
+cutoffs = weekly_cutoffs(turns_df)
+
+def job():
+    backfill_features(turns_df, cutoffs).write.format("noop").mode("overwrite").save()
+
+job()  # warm-up
+best = None
+rep_times = []
+for _ in range(reps):
+    t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
+    rep_times.append(dt)
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"executors": n_exec, "cores_per_executor": cores_per,
+                   "sec": best, "reps": rep_times, "turns": turns,
+                   "turns_per_sec": turns / best}}))
+"""
+
+
 def run_child(template: str, args: list[str], timeout: int = 3600) -> str:
     script = template.format(repo=str(REPO))
     out = subprocess.run(
@@ -90,16 +135,27 @@ def main() -> None:
     — see BENCH.md), so the ratio reflects the JOB's scalability, not
     the box's. Pass 8 32 to reproduce the saturated configuration.
     """
-    millions = float(sys.argv[1]) if len(sys.argv) > 1 else 64.0
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    n4 = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n
+    executors_mode = "--executors" in sys.argv
+    argv = [a for a in sys.argv if a != "--executors"]
+    millions = float(argv[1]) if len(argv) > 1 else 64.0
+    reps = int(argv[2]) if len(argv) > 2 else 3
+    n = int(argv[3]) if len(argv) > 3 else 4
+    n4 = int(argv[4]) if len(argv) > 4 else 4 * n
     n_convs = int(millions * 1_000_000 / 50)  # avg 50 turns/conv
     DATA = Path(f"/tmp/bench_transcripts_{millions:g}m")
 
     if not (DATA / "_SUCCESS").exists():
         count = run_child(GEN, [str(n_convs), str(DATA)])
         print(f"generated {count} turns at {DATA}")
+
+    if executors_mode:
+        # N=1 vs 4N=4 executor JVMs, 4 cores each (local-cluster)
+        lo = json.loads(run_child(EXEC_CHILD, ["1", str(DATA), str(reps)]))
+        hi = json.loads(run_child(EXEC_CHILD, ["4", str(DATA), str(reps)]))
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
+        print(json.dumps({"mode": "executors", "n": lo, "four_n": hi,
+                          "scaling_efficiency": round(eff, 3)}, indent=2))
+        return
 
     lo = json.loads(run_child(CHILD, [str(n), str(DATA), str(reps)]))
     hi = json.loads(run_child(CHILD, [str(n4), str(DATA), str(reps)]))
