@@ -1175,7 +1175,10 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
 
 _TUMBLING_SQL = f"""
 WITH {_CONV_CTE}
-SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+SELECT date_trunc('second', ts)
+         - CAST((CAST(hour(ts) AS BIGINT) * 3600 + minute(ts) * 60
+                 + CAST(floor(second(ts)) AS BIGINT)) % 21600 AS INTEGER)
+           * INTERVAL 1 SECOND AS window_start,
        role,
        COUNT(*) AS n_turns,
        CAST(SUM(length(text)) AS BIGINT) AS text_len_sum

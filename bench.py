@@ -42,13 +42,17 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed_best(spark, df, reps: int = 2) -> float:
-    materialize(df)  # warm
+def timed_best(spark, make_df, reps: int = 2) -> float:
+    """``make_df`` is a zero-arg factory: construction runs INSIDE the
+    timed region so queries that do driver-side work while building
+    the plan (e.g. psi_quantile's exact-percentile edge collect) are
+    charged for it rather than hiding it before the stopwatch."""
+    materialize(make_df())  # warm
     best = float("inf")
     for _ in range(reps):
         spark._jvm.System.gc()
         t0 = time.perf_counter()
-        materialize(df)
+        materialize(make_df())
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
@@ -114,12 +118,17 @@ def bulk_backfill_rate(spark) -> tuple[int, float, str]:
     try:
         # measure the in-process fallback FIRST (needs the live
         # session), then stop the session — a live parent JVM has
-        # been observed to stall local-cluster child startup
+        # been observed to stall local-cluster child startup. A
+        # failure here (e.g. OOM on a small host) must NOT abort the
+        # bench: the cluster child below may still succeed.
         turns = spark.read.parquet(BULK_DIR)
         n = turns.count()
-        job = backfill_features(turns, weekly_cutoffs(turns))
-        sec = timed_best(spark, job, reps=2)
+        sec = timed_best(
+            spark, lambda: backfill_features(turns, weekly_cutoffs(turns)), reps=2
+        )
         in_process = (n, round(n / sec, 1), "in-process")
+    except Exception:
+        in_process = None
     finally:
         spark.stop()
 
@@ -154,7 +163,9 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        timings[name] = timed_best(spark, fn(spark, sf_dir))
+        timings[name] = timed_best(
+            spark, lambda fn=fn: fn(spark, sf_dir)
+        )
 
     bulk_turns, bulk_rate, bulk_mode = bulk_backfill_rate(spark)
 

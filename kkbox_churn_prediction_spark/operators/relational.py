@@ -136,7 +136,11 @@ def union_dedup_activity(turns: DataFrame) -> DataFrame:
 
 
 def quintile_bucket_stats(
-    df: DataFrame, value: str, id_col: str, n_buckets: int = 5
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    n_buckets: int = 5,
+    exact_decimal: str | None = "decimal(18,2)",
 ) -> DataFrame:
     """A15 grouped error-analysis stats: cut ``value`` into
     ``n_buckets`` equal-count buckets, report per-bucket count /
@@ -158,15 +162,22 @@ def quintile_bucket_stats(
         df.where(F.col(value).isNotNull())
         .withColumn("bucket", F.ntile(n_buckets).over(w))
     )
-    # DECIMAL-exact sum before the double divide: the per-bucket mean
-    # is then independent of partial-agg order (cross-engine stable)
+    # exact_decimal: DECIMAL-exact sum before the double divide makes
+    # the per-bucket mean independent of partial-agg order
+    # (cross-engine stable) — but it quantizes each value to the
+    # decimal's scale first, so it is ONLY correct when the data
+    # already has that scale (the driver events.value is 2-decimal
+    # money). Pass None for arbitrary doubles: plain double mean,
+    # stability recovered by the round(6) at the output boundary.
+    if exact_decimal is not None:
+        mean = F.sum(F.col(value).cast(exact_decimal)).cast("double") / F.count(
+            F.lit(1)
+        )
+    else:
+        mean = F.avg(value)
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col(value).cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value"),
+        F.round(mean, 6).alias("avg_value"),
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
     )

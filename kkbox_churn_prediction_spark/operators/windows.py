@@ -68,25 +68,36 @@ def rolling_interval_stats(
 def tumbling_window_counts(
     turns: DataFrame, width_seconds: int = 21600
 ) -> DataFrame:
-    """Global tumbling-window activity by role.
-
-    ``F.window(ts, width)`` — Spark's epoch-aligned tumbling bucket
-    (generalizes the reference's ``DATE_TRUNC('month')`` tumbling agg,
+    """Global tumbling-window activity by role (generalizes the
+    reference's ``DATE_TRUNC('month')`` tumbling agg,
     ``sql/04_kpi_metrics.sql:13``). One hash aggregate; the bucket is
     a pure projection so partial aggregation happens map-side.
+
+    The bucket is computed from WALL-CLOCK components
+    (``date_trunc('second') - seconds_of_day % width``), not
+    ``F.window``: Spark's window() aligns buckets to the UTC epoch
+    while a SQL oracle over naive timestamps aligns to wall-clock
+    midnight, so F.window silently breaks cross-engine parity under
+    any non-UTC session timezone. Component arithmetic renders
+    identically in both engines regardless of session TZ (same
+    reason ``date_trunc('day')`` in daily_engagement is safe).
+    ``width_seconds`` must divide 86400 so buckets tile each day.
     """
-    bucketed = turns.groupBy(
-        F.window(F.col("ts"), f"{int(width_seconds)} seconds").alias("w"),
-        "role",
-    ).agg(
+    width = int(width_seconds)
+    if 86400 % width != 0:
+        raise ValueError(f"width_seconds must divide 86400, got {width}")
+    sod = (
+        F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts")
+    ).cast("bigint")
+    start = F.date_trunc("second", F.col("ts")) - (sod % F.lit(width)).cast(
+        "int"
+    ) * F.expr("INTERVAL 1 SECOND")
+    bucketed = turns.groupBy(start.alias("window_start"), "role").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.coalesce(
             F.sum(F.expr("CAST(length(text) AS BIGINT)")), F.lit(0)
         ).alias("text_len_sum"),
     )
-    return bucketed.select(
-        F.col("w.start").alias("window_start"),
-        "role",
-        "n_turns",
-        "text_len_sum",
-    )
+    return bucketed.select("window_start", "role", "n_turns", "text_len_sum")

@@ -49,13 +49,14 @@ def _close_sessions(
     gap_us: int,
 ) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
-    # gather this micro-batch's turns for the key, sorted by event time
+    # gather this micro-batch's turns for the key, sorted by event
+    # time; a timeout invocation delivers NO batches for the key
+    # (pd.concat would raise on an empty list)
+    parts = [pdf["ts"] for pdf in pdf_iter]
     ts_us = (
-        pd.concat([pdf["ts"] for pdf in pdf_iter])
-        .astype("datetime64[us]")
-        .astype("int64")
-        .sort_values()
-        .to_numpy()
+        pd.concat(parts).astype("datetime64[us]").astype("int64").sort_values().to_numpy()
+        if parts
+        else pd.Series([], dtype="int64").to_numpy()
     )
     if len(ts_us) == 0:
         yield pd.DataFrame(columns=["conv_id", "session_start", "session_end", "n_turns"])

@@ -128,3 +128,18 @@ def test_sales_by_region_broadcasts_dims(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+def test_stateful_empty_batch_iterator_is_safe():
+    """A GroupState timeout invocation delivers zero batches for the
+    key; the handler must not crash on the empty iterator."""
+    from kkbox_churn_prediction_spark.streaming.stateful import _close_sessions
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            raise AssertionError("must not update state on empty input")
+
+    out = list(_close_sessions(("c1",), iter([]), FakeState(), 1800 * 1_000_000))
+    assert len(out) == 1 and len(out[0]) == 0

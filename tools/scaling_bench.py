@@ -149,10 +149,13 @@ def main() -> None:
         print(f"generated {count} turns at {DATA}")
 
     if executors_mode:
-        # N=1 vs 4N=4 executor JVMs, 4 cores each (local-cluster)
-        lo = json.loads(run_child(EXEC_CHILD, ["1", str(DATA), str(reps)]))
-        hi = json.loads(run_child(EXEC_CHILD, ["4", str(DATA), str(reps)]))
-        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
+        # N vs 4N executor JVMs, 4 cores each (local-cluster); the
+        # positional n/n4 args are EXECUTOR counts here (default 1, 4)
+        n_exec = n if len(argv) > 3 else 1
+        n4_exec = n4 if len(argv) > 4 else 4 * n_exec
+        lo = json.loads(run_child(EXEC_CHILD, [str(n_exec), str(DATA), str(reps)]))
+        hi = json.loads(run_child(EXEC_CHILD, [str(n4_exec), str(DATA), str(reps)]))
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (n4_exec / n_exec)
         print(json.dumps({"mode": "executors", "n": lo, "four_n": hi,
                           "scaling_efficiency": round(eff, 3)}, indent=2))
         return
