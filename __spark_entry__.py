@@ -165,7 +165,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    # max_shingle_freq caps hot shingles: a stop-shingle shared by m
+    # docs contributes O(m²) rows to the pair join, so an uncapped run
+    # at 10^6+ docs is quadratic in the head of the shingle frequency
+    # distribution. The cap drops shingles appearing in >100 docs
+    # (mirrored in the DuckDB oracle); skew fixture in
+    # tests/test_dedup_similarity.py bounds the candidate row count.
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.3, max_shingle_freq=100
+    )
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +375,59 @@ def _q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backtest(conv, folds, (1, 3, 7), label_horizon_days=3)
 
 
+def _q_backtest_folds_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-lookback fold family (reference
+    ``src/temporal_cv.py:110-150`` ``TemporalSplit(expanding=True)``):
+    each fold's feature window reaches back to the first fold's window
+    start, and whole-window ``*_full`` aggregates ride along."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.plans.folds import backtest
+    from kkbox_churn_prediction_spark.sources.events import (
+        conversations_from_events,
+        cutoffs_from_events,
+    )
+
+    conv = conversations_from_events(spark, sf_dir)
+    cutoffs = cutoffs_from_events(spark, sf_dir)
+    folds = cutoffs.select(
+        F.concat(F.lit("fold_"), F.date_format("cutoff_ts", "yyyyMMdd")).alias("fold"),
+        "cutoff_ts",
+    )
+    return backtest(
+        conv, folds, (1, 3, 7), label_horizon_days=3, lookback_policy="expanding"
+    )
+
+
+def _q_cv_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TemporalSplit train/val row assignment, BOTH policies in one
+    pass (policy column): fold i validates on boundary i, trains on
+    all earlier boundaries (expanding) or boundary i-1 (sliding)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.plans.folds import assign_cv_folds
+    from kkbox_churn_prediction_spark.sources.events import (
+        conversations_from_events,
+        cutoff_grid,
+        cutoffs_from_events,
+    )
+
+    conv = conversations_from_events(spark, sf_dir)
+    cutoffs = cutoffs_from_events(spark, sf_dir)
+    grid = cutoff_grid(conv, cutoffs)
+    folds = cutoffs.select(
+        F.concat(F.lit("fold_"), F.date_format("cutoff_ts", "yyyyMMdd")).alias("fold"),
+        "cutoff_ts",
+    )
+    exp = assign_cv_folds(grid, folds, "expanding").withColumn(
+        "policy", F.lit("expanding")
+    )
+    sli = assign_cv_folds(grid, folds, "sliding").withColumn(
+        "policy", F.lit("sliding")
+    )
+    return exp.unionByName(sli)
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
 
@@ -458,6 +519,26 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bins(binned, "fold", "bin", ref_fold="even")
 
 
+def _q_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift PSI over role/tool distributions across the
+    even/odd-week folds (reference ``src/psi.py:96-102`` value_counts
+    reindexed to the category union)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import psi_categorical
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    folded = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        "role",
+        "tool",
+    )
+    return psi_categorical(folded, "fold", ["role", "tool"], ref_fold="even")
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -518,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_activity": _q_tumbling_activity,
         "trend_features": _q_trend_features,
         "backtest_folds": _q_backtest_folds,
+        "backtest_folds_expanding": _q_backtest_folds_expanding,
+        "cv_fold_assignment": _q_cv_fold_assignment,
         # near-dup / ANN / multimodal extensions
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "neardup_embedding": _q_neardup_embedding,
@@ -529,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second as-of strategy + reference-faithful PSI
         "asof_entity_grid": _q_asof_entity_grid,
         "psi_quantile": _q_psi_quantile,
+        "psi_categorical": _q_psi_categorical,
     }
 
 
@@ -772,8 +856,15 @@ FROM keyed d JOIN groups g USING (k)
 
 _DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH {_shingle_cte(3)},
-shh AS (
+shh0 AS (
     SELECT doc_id, {_H48.format(x='shingle')} AS shingle FROM sh
+),
+-- hot-shingle cap (lock-step with ngram_jaccard_pairs
+-- max_shingle_freq=100): sizes AND intersections both computed on the
+-- capped stream, so Jaccard stays a true ratio of the capped sets
+shh AS (
+    SELECT doc_id, shingle FROM shh0
+    WHERE shingle IN (SELECT shingle FROM shh0 GROUP BY shingle HAVING COUNT(*) <= 100)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
 common AS (
@@ -1208,6 +1299,102 @@ JOIN ({labels}) l
   ON f.conv_id = l.conv_id AND f.cutoff_ts = l.cutoff_ts
 """
 
+
+def _asof_expanding_oracle() -> str:
+    """Expanding-lookback as-of features (lock-step with
+    ``plans.folds.backtest(lookback_policy='expanding')``): each
+    cutoff's lower bound is its own ``lookback_days`` (reaching the
+    earliest cutoff − 7d), and whole-window ``turn_cnt_full`` /
+    ``text_len_sum_full`` aggregates ride along."""
+    horizons = (1, 3, 7)
+    inside = "ts >= cutoff_ts - INTERVAL {k} DAY"
+    families = [
+        ("turn_cnt", "COUNT(CASE WHEN {inside} THEN 1 END)", "0"),
+        ("user_turn_cnt", "COUNT(CASE WHEN ({inside}) AND role = 'user' THEN 1 END)", "0"),
+        ("tool_call_cnt", "COUNT(CASE WHEN {inside} THEN tool END)", "0"),
+        ("distinct_tool_cnt", "COUNT(DISTINCT CASE WHEN {inside} THEN tool END)", "0"),
+        ("text_len_sum", "CAST(SUM(CASE WHEN {inside} THEN length(text) END) AS BIGINT)", "0"),
+        ("text_len_max", "CAST(MAX(CASE WHEN {inside} THEN length(text) END) AS BIGINT)", "0"),
+        ("text_len_avg", "ROUND(AVG(CASE WHEN {inside} THEN length(text) END), 4)", "0.0"),
+    ]
+    aggs, finals = [], []
+    for name, tmpl, fill in families:
+        for k in horizons:
+            col = f"{name}_{k}d"
+            aggs.append(tmpl.format(inside=inside.format(k=k)) + f" AS {col}")
+            finals.append(f"COALESCE(f.{col}, {fill}) AS {col}")
+    aggs.append("COUNT(*) AS turn_cnt_full")
+    finals.append("COALESCE(f.turn_cnt_full, 0) AS turn_cnt_full")
+    aggs.append("CAST(SUM(length(text)) AS BIGINT) AS text_len_sum_full")
+    finals.append("COALESCE(f.text_len_sum_full, 0) AS text_len_sum_full")
+    agg_sql = ",\n        ".join(aggs)
+    final_sql = ",\n    ".join(finals)
+    return f"""
+WITH {_CONV_CTE},
+cutlb AS (
+    SELECT cutoff_ts,
+           CAST(date_diff('day', MIN(cutoff_ts) OVER (), cutoff_ts) + 7 AS INTEGER)
+               AS lookback_days
+    FROM cutoffs
+),
+joined AS (
+    SELECT c.conv_id, c.role, c.text, c.tool, c.ts, k.cutoff_ts
+    FROM conversations c
+    JOIN cutlb k
+      ON c.ts < k.cutoff_ts AND c.ts >= k.cutoff_ts - to_days(k.lookback_days)
+),
+feats AS (
+    SELECT conv_id, cutoff_ts,
+        {agg_sql},
+        epoch_us(cutoff_ts) - MAX(epoch_us(ts)) AS micros_since_last_turn
+    FROM joined
+    GROUP BY conv_id, cutoff_ts
+),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e
+    CROSS JOIN cutoffs k
+)
+SELECT g.conv_id, g.cutoff_ts,
+    {final_sql},
+    COALESCE(f.micros_since_last_turn, -1) AS micros_since_last_turn
+FROM grid g
+LEFT JOIN feats f ON g.conv_id = f.conv_id AND g.cutoff_ts = f.cutoff_ts
+"""
+
+
+_CV_FOLD_ASSIGNMENT_SQL = f"""
+WITH {_CONV_CTE},
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+),
+f AS (
+    SELECT * FROM (
+        SELECT concat('fold_', strftime(cutoff_ts, '%Y%m%d')) AS fold,
+               cutoff_ts,
+               lag(cutoff_ts) OVER (ORDER BY cutoff_ts) AS prev
+        FROM cutoffs
+    ) WHERE prev IS NOT NULL
+),
+val AS (
+    SELECT g.conv_id, g.cutoff_ts, f.fold, 'val' AS split
+    FROM grid g JOIN f ON g.cutoff_ts = f.cutoff_ts
+),
+exp_train AS (
+    SELECT g.conv_id, g.cutoff_ts, f.fold, 'train' AS split
+    FROM grid g JOIN f ON g.cutoff_ts < f.cutoff_ts
+),
+sli_train AS (
+    SELECT g.conv_id, g.cutoff_ts, f.fold, 'train' AS split
+    FROM grid g JOIN f ON g.cutoff_ts = f.prev
+)
+SELECT *, 'expanding' AS policy FROM val
+UNION ALL SELECT *, 'expanding' AS policy FROM exp_train
+UNION ALL SELECT *, 'sliding' AS policy FROM val
+UNION ALL SELECT *, 'sliding' AS policy FROM sli_train
+"""
+
 # --- near-dup / ANN / multimodal oracles -----------------------------------
 
 _MINHASH_LSH_SQL = f"""
@@ -1335,12 +1522,66 @@ FROM b
 """
 
 
+# categorical PSI (lock-step with psi.psi_categorical: frequency
+# denominator = TOTAL fold rows incl. null-valued, categories = union
+# of observed non-null values, clip 1e-6 — src/psi.py:96-102 analog)
+_PSI_CATEGORICAL_SQL = f"""
+WITH {_CONV_CTE},
+folded AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           role, tool
+    FROM conversations
+),
+melted AS (
+    SELECT fold, 'role' AS feature, role AS val FROM folded
+    UNION ALL
+    SELECT fold, 'tool' AS feature, tool AS val FROM folded
+),
+totals AS (SELECT fold, COUNT(*) AS tot FROM folded GROUP BY fold),
+counts AS (
+    SELECT fold, feature, val, COUNT(*) AS n
+    FROM melted WHERE val IS NOT NULL GROUP BY 1, 2, 3
+),
+freqs AS (
+    SELECT c.fold, c.feature, c.val, CAST(c.n AS DOUBLE) / t.tot AS freq
+    FROM counts c JOIN totals t USING (fold)
+),
+grid AS (
+    SELECT f.fold, c.feature, c.val
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN (SELECT DISTINCT feature, val FROM counts) c
+),
+terms AS (
+    SELECT g.fold, g.feature,
+           GREATEST(COALESCE(c.freq, 0.0), 1e-6) AS a,
+           GREATEST(COALESCE(r.freq, 0.0), 1e-6) AS e
+    FROM grid g
+    LEFT JOIN (SELECT * FROM freqs WHERE fold <> 'even') c
+      ON g.fold = c.fold AND g.feature = c.feature AND g.val = c.val
+    LEFT JOIN (SELECT feature, val, freq FROM freqs WHERE fold = 'even') r
+      ON g.feature = r.feature AND g.val = r.val
+)
+SELECT feature, fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
+FROM terms GROUP BY feature, fold
+"""
+
+# edge-bucketed quintiles (lock-step with relational.quintile_bucket_stats
+# method="edges": quantile edges rounded 6, bucket = 1 + #edges < value)
 _QUINTILE_SQL = """
-WITH b AS (
-    SELECT event_id, CAST(value AS DOUBLE) AS value,
-           CAST(ntile(5) OVER (ORDER BY CAST(value AS DOUBLE) ASC, event_id ASC)
-                AS INTEGER) AS bucket
+WITH v AS (
+    SELECT event_id, CAST(value AS DOUBLE) AS value
     FROM events WHERE value IS NOT NULL
+),
+e AS (
+    SELECT ROUND(unnest(quantile_cont(value, [0.2, 0.4, 0.6, 0.8])), 6) AS e
+    FROM v
+),
+b AS (
+    SELECT event_id, value,
+           CAST(1 + (SELECT COUNT(*) FROM e WHERE e.e < v.value) AS INTEGER) AS bucket
+    FROM v
 )
 SELECT bucket, COUNT(*) AS n,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
@@ -1397,6 +1638,10 @@ def oracle_sql() -> dict[str, str]:
         "backtest_folds": _BACKTEST_FOLDS_SQL.format(
             asof=_asof_oracle(), labels=_ENTITY_LABELS_SQL
         ),
+        "backtest_folds_expanding": _BACKTEST_FOLDS_SQL.format(
+            asof=_asof_expanding_oracle(), labels=_ENTITY_LABELS_SQL
+        ),
+        "cv_fold_assignment": _CV_FOLD_ASSIGNMENT_SQL,
         "dedup_minhash_lsh": _MINHASH_LSH_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "embedding_topk_ivf": _IVF_SQL,
@@ -1405,4 +1650,5 @@ def oracle_sql() -> dict[str, str]:
         "sales_by_region": _SALES_BY_REGION_SQL,
         "asof_entity_grid": _asof_entity_grid_oracle(),
         "psi_quantile": _PSI_QUANTILE_SQL,
+        "psi_categorical": _PSI_CATEGORICAL_SQL,
     }

@@ -35,25 +35,40 @@ from pyspark.sql import functions as F
 
 
 def leak_guard(
-    ts: Column, cutoff: Column, lookback_days: int | None, *, inclusive: bool = False
+    ts: Column,
+    cutoff: Column,
+    lookback_days: int | Column | None,
+    *,
+    inclusive: bool = False,
 ) -> Column:
     """The temporal cutoff predicate P3 (the leak guard).
 
     ``inclusive=False`` → strictly-prior (``ts < cutoff``);
     ``inclusive=True``  → reference feature-path ``ts <= cutoff``
     (``features/features_comprehensive.sql:48``).
+
+    ``lookback_days`` may be a **Column** carried on the cutoff side
+    (per-fold lookback — the expanding-window CV policy,
+    ``src/temporal_cv.py:110-150``: each fold's train window reaches
+    back a different distance). A column lower bound still rides in
+    the join condition, so the broadcast-cutoff plan is unchanged —
+    each turn is replicated only for folds whose (per-fold) window
+    contains it.
     """
     upper = ts <= cutoff if inclusive else ts < cutoff
     if lookback_days is None:
         return upper
-    lower = ts >= cutoff - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+    if isinstance(lookback_days, Column):
+        lower = ts >= cutoff - F.make_dt_interval(days=lookback_days)
+    else:
+        lower = ts >= cutoff - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
     return upper & lower
 
 
 def asof_join_broadcast_cutoffs(
     turns: DataFrame,
     cutoffs: DataFrame,
-    lookback_days: int | None,
+    lookback_days: int | Column | None,
     *,
     inclusive: bool = False,
 ) -> DataFrame:

@@ -86,6 +86,7 @@ def multi_horizon_aggregate(
     specs: tuple[FeatureSpec, ...] = DEFAULT_SPECS,
     *,
     recency: bool = True,
+    full_window: bool = False,
 ) -> DataFrame:
     """Aggregate the as-of-joined turn stream per (conv_id, cutoff_ts).
 
@@ -111,6 +112,16 @@ def multi_horizon_aggregate(
     for spec in plain:
         for k in horizons_days:
             aggs.append(_agg_for(spec, k))
+    if full_window:
+        # whole-superset-window aggregates — meaningful when the join
+        # bound is WIDER than max(horizons), e.g. the expanding-fold
+        # policy where each fold's lookback reaches to the data start
+        # (src/temporal_cv.py:110-150 "train on all prior"). Free:
+        # same single hash aggregate, two more columns.
+        aggs.append(F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("turn_cnt_full"))
+        aggs.append(
+            F.coalesce(F.sum(F.col("text_len")), F.lit(0)).alias("text_len_sum_full")
+        )
     if recency:
         aggs.append(
             F.coalesce(
@@ -146,6 +157,8 @@ def multi_horizon_aggregate(
     ordered = ["conv_id", "cutoff_ts"]
     for spec in specs:
         ordered += [f"{spec.name}_{k}d" for k in horizons_days]
+    if full_window:
+        ordered += ["turn_cnt_full", "text_len_sum_full"]
     if recency:
         ordered.append("micros_since_last_turn")
     return out.select(*ordered)
@@ -207,6 +220,9 @@ def attach_grid_defaults(
             if spec.fill is not None:
                 fills[f"{spec.name}_{k}d"] = spec.fill
     out = out.fillna(fills)
+    for c in ("turn_cnt_full", "text_len_sum_full"):
+        if c in out.columns:
+            out = out.fillna({c: 0})
     if "micros_since_last_turn" in out.columns:
         out = out.fillna({"micros_since_last_turn": -1})
     return out

@@ -34,16 +34,34 @@ def fixed_width_bins(value: Column, width: float, n_bins: int) -> Column:
     return F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1)).cast("int")
 
 
-def quantile_edges(df: DataFrame, value_col: str, n_bins: int = 10) -> list[float]:
-    """Exact decile edges on the reference fold (``np.quantile``
-    analog — exact, not approx, because the reference is exact).
-    Driver-side list of n_bins-1 interior edges."""
+def quantile_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> list[float]:
+    """Quantile edges on the reference fold. Driver-side list of
+    n_bins-1 interior edges.
+
+    ``exact=True`` (default) is the ``np.quantile`` analog — exact
+    linear-interpolated percentiles, matching the reference and the
+    DuckDB oracle bit-for-bit at round(6). The exact aggregate buffers
+    every value in one aggregation buffer, so at 10^12 rows it is an
+    executor OOM, not a slow query: pass ``exact=False`` there —
+    ``approx_percentile`` (GK sketch, bounded memory ~O(accuracy),
+    mergeable map-side partials). Edge error ≤ 1/accuracy of rank
+    moves only boundary values between adjacent bins, which PSI's
+    clipped log-ratio absorbs (tolerance-checked in tests)."""
     ps = [i / n_bins for i in range(1, n_bins)]
-    row = df.select(
-        F.expr(
-            f"percentile({value_col}, array({','.join(str(p) for p in ps)}))"
-        ).alias("e")
-    ).first()
+    arr = ",".join(str(p) for p in ps)
+    fn = (
+        f"percentile({value_col}, array({arr}))"
+        if exact
+        else f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
+    )
+    row = df.select(F.expr(fn).alias("e")).first()
     return [float(x) for x in row["e"]]
 
 
@@ -89,4 +107,78 @@ def psi_from_bins(binned: DataFrame, fold_col: str, bin_col: str, ref_fold: str)
     return (
         joined.groupBy(fold_col)
         .agg(F.round(F.sum((F.col("a") - F.col("e")) * F.log(F.col("a") / F.col("e"))), 6).alias("psi"))
+    )
+
+
+def psi_categorical(
+    df: DataFrame,
+    fold_col: str,
+    feature_cols: list[str],
+    ref_fold: str,
+) -> DataFrame:
+    """Categorical PSI of every fold vs ``ref_fold``, one row per
+    (feature, fold).
+
+    Reference semantics (``src/psi.py:96-102``): per feature,
+    frequency = value_counts (non-null values) / TOTAL fold row count
+    (nulls deflate every category's frequency rather than forming a
+    category — ``pd.value_counts`` drops NaN but the denominator is
+    ``len(cur)``), categories = union of observed values, both sides
+    clipped at 1e-6, Σ(a-e)·ln(a/e).
+
+    Distributed shape: all features melt into ONE (fold, feature,
+    value) stream (explode of a struct array — no per-feature job
+    loop, unlike the reference's Python feature loop), one
+    groupBy(fold, feature, value) count with map-side partials, tiny
+    fold-totals broadcast, dense grid join as in
+    :func:`psi_from_bins`. The grid uses the all-fold category union;
+    a category absent from both a fold and the reference contributes
+    a zero term, so this equals the reference's per-pair union.
+    """
+    melted = df.select(
+        F.col(fold_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("_fv"),
+    ).select(fold_col, F.col("_fv.feature").alias("feature"), F.col("_fv.val").alias("val"))
+    totals = df.groupBy(fold_col).agg(F.count(F.lit(1)).alias("_tot"))
+    counts = (
+        melted.where(F.col("val").isNotNull())
+        .groupBy(fold_col, "feature", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    freqs = counts.join(F.broadcast(totals), fold_col).withColumn(
+        "freq", F.col("n").cast("double") / F.col("_tot")
+    )
+    cats = counts.select("feature", "val").distinct()
+    cur_folds = counts.select(fold_col).where(F.col(fold_col) != ref_fold).distinct()
+    grid = cur_folds.crossJoin(F.broadcast(cats))
+    ref = freqs.where(F.col(fold_col) == ref_fold).select(
+        "feature", "val", F.col("freq").alias("ref_freq")
+    )
+    cur = freqs.where(F.col(fold_col) != ref_fold).select(
+        fold_col, "feature", "val", "freq"
+    )
+    joined = (
+        grid.join(cur, [fold_col, "feature", "val"], "left")
+        .join(F.broadcast(ref), ["feature", "val"], "left")
+        .select(
+            F.col(fold_col),
+            F.col("feature"),
+            F.greatest(F.coalesce(F.col("freq"), F.lit(0.0)), F.lit(CLIP)).alias("a"),
+            F.greatest(F.coalesce(F.col("ref_freq"), F.lit(0.0)), F.lit(CLIP)).alias("e"),
+        )
+    )
+    return joined.groupBy("feature", fold_col).agg(
+        F.round(
+            F.sum((F.col("a") - F.col("e")) * F.log(F.col("a") / F.col("e"))), 6
+        ).alias("psi")
     )

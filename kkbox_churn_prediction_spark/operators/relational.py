@@ -36,20 +36,35 @@ def mode_per_group(
 
 
 def last_value_before_cutoff(
-    turns: DataFrame, cutoffs: DataFrame, value: str
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    value: str,
+    lookback_days: int | None = None,
 ) -> DataFrame:
     """A5 ordered last-value: latest ``value`` strictly before each
     cutoff (reference ``LAST(x ORDER BY tx_date)``,
-    ``features/features_comprehensive.sql:90-91``). row_number DESC
-    over (ts, turn_idx) — the deterministic argmax W2 rewrite."""
-    joined = turns.join(F.broadcast(cutoffs), turns["ts"] < cutoffs["cutoff_ts"], "inner")
-    w = Window.partitionBy("conv_id", "cutoff_ts").orderBy(
-        F.col("ts").desc(), F.col("turn_idx").desc()
-    )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("conv_id", "cutoff_ts", F.col(value).alias(f"last_{value}"))
+    ``features/features_comprehensive.sql:90-91``).
+
+    Algebraic ``max_by(value, struct(ts, turn_idx))`` per (conv_id,
+    cutoff_ts) — a partial+final aggregate with map-side combine, so
+    the shuffle carries one row per group instead of every replicated
+    turn, and there is NO window sort of the replicated stream (the
+    previous row_number-over-window formulation shuffled + sorted all
+    of it). Spark plans SortAggregate rather than HashAggregate here
+    (struct-typed buffers aren't hash-aggregable) — the sort is
+    partition-local over already-collapsed rows, not the scale
+    killer the window was. Deterministic because (ts, turn_idx) is a
+    total order within a conversation.
+    ``lookback_days`` optionally bounds the replication the same way
+    the as-of join does — at 10^12 turns an unbounded lookback
+    replicates all history per cutoff, so bound it whenever the
+    consumer only needs recent state."""
+    from kkbox_churn_prediction_spark.operators.asof import leak_guard
+
+    cond = leak_guard(turns["ts"], cutoffs["cutoff_ts"], lookback_days)
+    joined = turns.join(F.broadcast(cutoffs), cond, "inner")
+    return joined.groupBy("conv_id", "cutoff_ts").agg(
+        F.expr(f"max_by({value}, struct(ts, turn_idx))").alias(f"last_{value}")
     )
 
 
@@ -69,14 +84,27 @@ def daily_engagement(turns: DataFrame) -> DataFrame:
     )
 
 
-def session_length_percentiles(session_aggs: DataFrame) -> DataFrame:
-    """A10 exact percentiles (reference ``PERCENTILE_CONT(0.5) WITHIN
+def session_length_percentiles(
+    session_aggs: DataFrame, *, exact: bool = True, accuracy: int = 10000
+) -> DataFrame:
+    """A10 percentiles (reference ``PERCENTILE_CONT(0.5) WITHIN
     GROUP``, ``sql/04_kpi_metrics.sql:44-46``): median/p90 of session
-    turn counts — exact (``percentile``), not approx, matching the
-    reference's exactness."""
+    turn counts.
+
+    ``exact=True`` matches the reference's exactness (and the DuckDB
+    oracle) but buffers every value in one aggregation buffer — at
+    10^12 sessions that is an executor OOM. ``exact=False`` switches
+    to ``approx_percentile`` (GK sketch: bounded memory, map-side
+    mergeable partials) — the scale default, tolerance-checked against
+    the exact path in tests."""
+    if exact:
+        med, p90 = "percentile(n_turns, 0.5)", "percentile(n_turns, 0.9)"
+    else:
+        med = f"approx_percentile(n_turns, 0.5, {int(accuracy)})"
+        p90 = f"approx_percentile(n_turns, 0.9, {int(accuracy)})"
     return session_aggs.agg(
-        F.round(F.expr("percentile(n_turns, 0.5)"), 6).alias("median_session_turns"),
-        F.round(F.expr("percentile(n_turns, 0.9)"), 6).alias("p90_session_turns"),
+        F.round(F.expr(med).cast("double"), 6).alias("median_session_turns"),
+        F.round(F.expr(p90).cast("double"), 6).alias("p90_session_turns"),
         F.count(F.lit(1)).alias("n_sessions"),
     )
 
@@ -141,6 +169,8 @@ def quintile_bucket_stats(
     id_col: str,
     n_buckets: int = 5,
     exact_decimal: str | None = "decimal(18,2)",
+    method: str = "edges",
+    exact_edges: bool = True,
 ) -> DataFrame:
     """A15 grouped error-analysis stats: cut ``value`` into
     ``n_buckets`` equal-count buckets, report per-bucket count /
@@ -148,20 +178,42 @@ def quintile_bucket_stats(
     ``qcut`` into 5 bins + group stats; confidence deciles
     ``:152-180``).
 
-    ``ntile`` over the total order (value, id) — exactly reproducible
-    across engines. The global window is a single-partition sort; at
-    10^12 rows swap in quantile EDGES (approx or exact percentile,
-    like ``operators.psi``) + a when-chain bucketizer — same output
-    contract, fully parallel. Kept as ntile here because the
-    reference's qcut is rank-based (equal count, not equal width) and
-    rank ties at bucket boundaries are only deterministic under a
-    total order.
+    ``method="edges"`` (default, the scale path): quantile EDGES
+    (one percentile aggregate, reusing ``psi.quantile_edges``) + a
+    when-chain bucketizer (``psi.bucketize_by_edges``) — bucket i =
+    1 + #edges strictly below the value. Fully parallel: one
+    partial+final aggregate to find edges, then a map-side projection
+    + hash agg; NO global sort anywhere in the plan. Matches pandas
+    ``qcut``'s edge semantics (values tied at an edge all land in the
+    lower bucket), so bucket sizes are equal up to edge ties.
+    ``exact_edges=False`` swaps the edge computation to
+    ``approx_percentile`` for 10^12-row inputs where even the exact
+    single-buffer percentile is an OOM.
+
+    ``method="ntile"`` is the rank-based small-data variant (exactly
+    equal counts, deterministic tie split under the (value, id) total
+    order) — it plans a single-partition global sort, so it is the
+    oracle/debug path, NOT the shipped default.
     """
-    w = Window.orderBy(F.col(value).asc(), F.col(id_col).asc())
-    b = (
-        df.where(F.col(value).isNotNull())
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
-    )
+    base = df.where(F.col(value).isNotNull())
+    if method == "edges":
+        from kkbox_churn_prediction_spark.operators.psi import (
+            bucketize_by_edges,
+            quantile_edges,
+        )
+
+        edges = [
+            round(e, 6)
+            for e in quantile_edges(base, value, n_buckets, exact=exact_edges)
+        ]
+        b = base.withColumn(
+            "bucket", (bucketize_by_edges(F.col(value), edges) + F.lit(1)).cast("int")
+        )
+    elif method == "ntile":
+        w = Window.orderBy(F.col(value).asc(), F.col(id_col).asc())
+        b = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+    else:
+        raise ValueError(f"unknown method {method!r} (edges|ntile)")
     # exact_decimal: DECIMAL-exact sum before the double divide makes
     # the per-bucket mean independent of partial-agg order
     # (cross-engine stable) — but it quantizes each value to the

@@ -14,9 +14,14 @@ this is the generalized event-time version:
 Pure window composition — one shuffle on conv_id, no Python.
 Mega-conversation skew: a window over (conv_id) cannot be salted
 without breaking running order; AQE cannot split a window partition
-either. The mitigation at 10^12 turns is layout (repartitionByRange
-on conv_id keeps one conversation per task but balances ranges) —
-see ``operators.skew`` for the agg-side salting that *does* apply.
+either. Two mitigations at 10^12 turns: layout (repartitionByRange
+on conv_id keeps one conversation per task but balances ranges — see
+``operators.skew`` for the agg-side salting that *does* apply), and
+:func:`sessionize_chunked` — two-phase chunk-and-stitch when even ONE
+conversation exceeds a task: local sessionization within
+(conv_id, time-chunk) windows, then a tiny per-chunk boundary table
+computes cross-chunk merge offsets, proven equal to the
+single-partition result in tests.
 """
 
 from __future__ import annotations
@@ -40,6 +45,83 @@ def sessionize(turns: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS) -> Data
     return turns.withColumn(
         "session_id", (F.sum(new_session).over(run) - F.lit(1)).cast("int")
     )
+
+
+def sessionize_chunked(
+    turns: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Gap sessionization for conversations too large for one task:
+    identical output to :func:`sessionize`, computed over
+    (conv_id, time-chunk) windows instead of whole conversations.
+
+    Phase 1 — local: chunk = floor(epoch/chunk_seconds) (a pure
+    projection — no data-dependent ranges, so no extra pass), then the
+    SAME lag/running-sum composition windowed by (conv_id, chunk). A
+    mega-conversation now splits into ``span/chunk_seconds`` window
+    partitions, restoring parallelism and bounding per-task state.
+
+    Phase 2 — stitch: one row per (conv_id, chunk) — min/max ts and
+    local session count — is orders of magnitude smaller than turns.
+    A window over conv_id ORDER BY chunk (tiny partitions: #chunks
+    per conversation) decides per boundary whether the first local
+    session of chunk c continues chunk c-1's last session
+    (boundary gap ≤ gap_seconds) and accumulates the global offset:
+    ``offset_c = Σ_{{d<c}} (k_d − merge_{{d+1}})``. Global session_id
+    = offset + local_id. Offsets broadcast back onto the turn stream.
+
+    Empty chunks simply don't exist as rows, so boundary gaps are
+    computed between successive PRESENT chunks — which is exactly the
+    gap the single-pass version sees.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    chunked = turns.withColumn(
+        "_chunk", F.floor(us / F.lit(int(chunk_seconds) * 1_000_000)).cast("bigint")
+    )
+    w = Window.partitionBy("conv_id", "_chunk").orderBy("ts", "turn_idx")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_local = F.when(gap.isNull() | (gap > F.lit(gap_us)), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = chunked.withColumn(
+        "_local_id", (F.sum(new_local).over(run) - F.lit(1)).cast("int")
+    )
+
+    bounds = local.groupBy("conv_id", "_chunk").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("_first_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("_last_us"),
+        (F.max("_local_id") + F.lit(1)).alias("_k"),
+    )
+    bw = Window.partitionBy("conv_id").orderBy("_chunk")
+    stitched = (
+        bounds.withColumn("_prev_last", F.lag("_last_us").over(bw))
+        .withColumn(
+            "_merge",
+            F.when(
+                F.col("_prev_last").isNotNull()
+                & (F.col("_first_us") - F.col("_prev_last") <= F.lit(gap_us)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            # offset_i = Σ_{d<i} k_d − Σ_{d≤i} merge_d : prior chunks'
+            # session counts, minus one per boundary that merged
+            # (including this chunk's own boundary — a merged first
+            # local session REUSES the previous chunk's last id)
+            "_offset",
+            F.coalesce(
+                F.sum("_k").over(bw.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("_merge").over(bw.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("conv_id", "_chunk", "_offset")
+    )
+    out = local.join(F.broadcast(stitched), ["conv_id", "_chunk"]).withColumn(
+        "session_id", (F.col("_offset") + F.col("_local_id")).cast("int")
+    )
+    return out.drop("_chunk", "_local_id", "_offset")
 
 
 def session_aggregates(turns: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS) -> DataFrame:

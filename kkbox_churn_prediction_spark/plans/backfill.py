@@ -48,15 +48,21 @@ def backfill_features(
     specs: tuple[FeatureSpec, ...] = DEFAULT_SPECS,
     *,
     inclusive: bool = False,
+    lookback_days=None,
+    full_window: bool = False,
 ) -> DataFrame:
     """Compute the entity×cutoff feature matrix.
 
     Leak-safe by construction: every turn reaching an aggregate passed
     the as-of range predicate (strictly-prior by default). The
-    superset window is max(horizons); sub-horizons are conditional
-    aggregates (single pass, see ``operators.horizons``).
+    superset window is max(horizons) unless ``lookback_days``
+    overrides it — pass a Column carried on ``cutoffs`` for PER-FOLD
+    lookbacks (expanding CV policy, see ``plans.folds``), with
+    ``full_window=True`` to also emit whole-window aggregates.
+    Sub-horizons are conditional aggregates (single pass, see
+    ``operators.horizons``).
     """
-    max_h = max(horizons_days)
+    max_h = lookback_days if lookback_days is not None else max(horizons_days)
     # project-before-replicate: the as-of join multiplies every turn by
     # its qualifying cutoffs (and countDistinct adds an Expand on top),
     # so each byte carried into the join is amplified ~#cutoffs×#aggs.
@@ -75,8 +81,12 @@ def backfill_features(
     joined = asof_join_broadcast_cutoffs(
         narrow, cutoffs, lookback_days=max_h, inclusive=inclusive
     )
-    feats = multi_horizon_aggregate(joined, horizons_days, specs)
-    grid = cutoff_grid(conversations.select("conv_id"), cutoffs)
+    feats = multi_horizon_aggregate(
+        joined, horizons_days, specs, full_window=full_window
+    )
+    grid = cutoff_grid(
+        conversations.select("conv_id"), cutoffs.select("cutoff_ts").distinct()
+    )
     return attach_grid_defaults(feats, grid, specs, horizons_days)
 
 

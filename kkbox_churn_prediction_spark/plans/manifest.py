@@ -16,9 +16,11 @@ write-then-commit order makes the manifest the source of truth:
   (kill/restart test in ``tests/test_manifest.py``).
 
 With Iceberg this becomes ``MERGE INTO`` + snapshot ids (the
-``input_fingerprint`` column is reserved for the source snapshot);
-locally it is parquet per bucket, which has the same atomicity
-granularity (directory replace).
+``input_fingerprint`` then carries the source snapshot id; locally
+:func:`fingerprint_parquet_dir` stands in); parquet-per-bucket has
+the same atomicity granularity (directory replace). A run header row
+records fingerprint + params + seed per run (``src/runlog.py:17-26``)
+and resume REFUSES to mix buckets across differing fingerprints.
 
 At scale each bucket is one Spark job over a pruned scan (bucket
 predicate pushes into the partition layout when the table is
@@ -41,9 +43,44 @@ from pyspark.sql import functions as F
 @dataclass
 class ManifestStore:
     """JSON-lines manifest (one file per bucket commit — atomic via
-    rename-free single-writer appends at driver granularity)."""
+    rename-free single-writer appends at driver granularity).
+
+    Two row kinds: a RUN HEADER per run (``kind="run"`` — seed /
+    params / input fingerprint, the reference's run.json fields,
+    ``src/runlog.py:17-26``) and one bucket-commit row per completed
+    partition. The header is written before any bucket work so a
+    resume can check the recorded fingerprint against the current
+    input BEFORE trusting any done-bucket row."""
 
     path: Path
+
+    def run_header(self, run_id: str) -> dict | None:
+        if not self.path.exists():
+            return None
+        hdr = None
+        for line in self.path.read_text().splitlines():
+            row = json.loads(line)
+            if row.get("kind") == "run" and row["run_id"] == run_id:
+                hdr = row  # last header wins
+        return hdr
+
+    def write_header(
+        self,
+        run_id: str,
+        input_fingerprint: str | None,
+        params: dict | None = None,
+        seed: int | None = None,
+    ) -> None:
+        row = {
+            "kind": "run",
+            "run_id": run_id,
+            "input_fingerprint": input_fingerprint,
+            "params": params or {},
+            "seed": seed,
+            "started_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with self.path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
 
     def done_buckets(self, run_id: str) -> set[int]:
         if not self.path.exists():
@@ -51,21 +88,51 @@ class ManifestStore:
         done = set()
         for line in self.path.read_text().splitlines():
             row = json.loads(line)
-            if row["run_id"] == run_id and row["status"] == "done":
+            if (
+                row.get("kind") != "run"
+                and row["run_id"] == run_id
+                and row["status"] == "done"
+            ):
                 done.add(int(row["partition_key"]))
         return done
 
-    def commit(self, run_id: str, bucket: int, row_count: int) -> None:
+    def commit(
+        self,
+        run_id: str,
+        bucket: int,
+        row_count: int,
+        input_fingerprint: str | None = None,
+    ) -> None:
         row = {
             "run_id": run_id,
             "partition_key": str(bucket),
             "row_count": int(row_count),
-            "input_fingerprint": None,
+            "input_fingerprint": input_fingerprint,
             "status": "done",
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         with self.path.open("a") as f:
             f.write(json.dumps(row) + "\n")
+
+
+def fingerprint_parquet_dir(path: str) -> str:
+    """Cheap content snapshot of a parquet directory: md5 over the
+    sorted (relative-name, size) listing. Catches appended / replaced
+    / removed files without reading data bytes — the local analog of
+    an Iceberg snapshot id (which replaces this wholesale when the
+    catalog is available, see ``sources.io``)."""
+    import hashlib
+
+    p = Path(path)
+    entries = sorted(
+        (str(f.relative_to(p)), f.stat().st_size)
+        for f in p.rglob("*")
+        if f.is_file() and not f.name.startswith(".")
+    )
+    h = hashlib.md5()
+    for name, size in entries:
+        h.update(f"{name}:{size}\n".encode())
+    return h.hexdigest()
 
 
 def resumable_backfill(
@@ -75,6 +142,9 @@ def resumable_backfill(
     run_id: str,
     n_buckets: int = 8,
     fail_after: int | None = None,
+    input_fingerprint: str | None = None,
+    params: dict | None = None,
+    seed: int | None = None,
 ) -> dict:
     """Run ``build(spark) -> DataFrame`` bucket-by-bucket with
     checkpointing.
@@ -84,11 +154,27 @@ def resumable_backfill(
     across restarts. ``fail_after`` injects a crash after N bucket
     commits (kill/restart test hook).
 
+    ``input_fingerprint`` (e.g. :func:`fingerprint_parquet_dir` of the
+    source dir, or an Iceberg snapshot id) guards resume across
+    CHANGED inputs: if a prior run header for ``run_id`` recorded a
+    different fingerprint, resuming would silently mix old-input
+    bucket output with new-input buckets — so it raises instead.
+    Start a new run_id (or clear the checkpoint dir) for new input.
+
     Returns {"buckets_run": int, "buckets_skipped": int, "rows": int}.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = ManifestStore(out / "_manifest.jsonl")
+    hdr = manifest.run_header(run_id)
+    if hdr is not None and hdr.get("input_fingerprint") != input_fingerprint:
+        raise RuntimeError(
+            f"refusing resume of run {run_id!r}: input fingerprint changed "
+            f"({hdr.get('input_fingerprint')!r} -> {input_fingerprint!r}); "
+            "done buckets were built from different input"
+        )
+    if hdr is None:
+        manifest.write_header(run_id, input_fingerprint, params, seed)
     done = manifest.done_buckets(run_id)
 
     full = build(spark).withColumn(
@@ -106,7 +192,7 @@ def resumable_backfill(
         part = full.where(F.col("_bucket") == b).drop("_bucket")
         part.write.mode("overwrite").parquet(str(bucket_dir))
         n = spark.read.parquet(str(bucket_dir)).count()
-        manifest.commit(run_id, b, n)
+        manifest.commit(run_id, b, n, input_fingerprint=input_fingerprint)
         ran += 1
         total_rows += n
         if fail_after is not None and ran >= fail_after:

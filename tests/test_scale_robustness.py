@@ -99,6 +99,53 @@ def test_resumable_backfill_kill_restart(spark, turns, tmp_path):
     assert st2["buckets_run"] == 0 and st2["buckets_skipped"] == 4
 
 
+def test_resume_refuses_changed_input_fingerprint(spark, turns, tmp_path):
+    """VERDICT #7: a resume against CHANGED input must not mix old
+    done-buckets with new-input buckets — it refuses outright."""
+    from kkbox_churn_prediction_spark.plans.backfill import backfill_features
+    from kkbox_churn_prediction_spark.plans.manifest import ManifestStore
+
+    cutoffs = spark.createDataFrame(
+        pd.DataFrame({"cutoff_ts": [datetime(2024, 1, 10)]})
+    )
+
+    def build(s):
+        return backfill_features(turns, cutoffs)
+
+    out = str(tmp_path / "ckpt_fp")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_backfill(
+            spark, build, out, run_id="r2", n_buckets=4, fail_after=1,
+            input_fingerprint="fp_a", params={"horizons": [1, 3, 7]}, seed=42,
+        )
+    # header recorded run-level metadata
+    hdr = ManifestStore(tmp_path / "ckpt_fp" / "_manifest.jsonl").run_header("r2")
+    assert hdr["input_fingerprint"] == "fp_a"
+    assert hdr["params"] == {"horizons": [1, 3, 7]}
+    assert hdr["seed"] == 42
+    # changed input → refuse resume
+    with pytest.raises(RuntimeError, match="fingerprint changed"):
+        resumable_backfill(
+            spark, build, out, run_id="r2", n_buckets=4, input_fingerprint="fp_b"
+        )
+    # same input → resume completes, skipping the committed bucket
+    st = resumable_backfill(
+        spark, build, out, run_id="r2", n_buckets=4, input_fingerprint="fp_a"
+    )
+    assert st["buckets_skipped"] == 1 and st["buckets_run"] == 3
+
+
+def test_fingerprint_parquet_dir_detects_change(spark, tmp_path):
+    from kkbox_churn_prediction_spark.plans.manifest import fingerprint_parquet_dir
+
+    src = str(tmp_path / "src")
+    spark.range(100).write.mode("overwrite").parquet(src)
+    fp1 = fingerprint_parquet_dir(src)
+    assert fp1 == fingerprint_parquet_dir(src)  # stable
+    spark.range(101).write.mode("overwrite").parquet(src)
+    assert fingerprint_parquet_dir(src) != fp1  # content change detected
+
+
 def test_backtest_folds_single_plan(spark, turns):
     folds = make_folds(spark, datetime(2024, 1, 8), n_folds=3, step_days=7)
     out = backtest(turns, folds)
