@@ -519,6 +519,25 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bins(binned, "fold", "bin", ref_fold="even")
 
 
+def _q_feature_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry validation report over the flagship feature matrix
+    (reference ``src/features_processor.py:71-95`` validate_features:
+    per-feature null counts + null-policy verdicts; dtype facts are
+    Spark-side metadata, excluded from the cross-engine compare)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.horizons import validate_features
+    from kkbox_churn_prediction_spark.plans.backfill import backfill_from_events
+
+    v = validate_features(backfill_from_events(spark, sf_dir))
+    return v.select(
+        "feature",
+        "n_rows",
+        "n_null",
+        F.col("null_policy_ok").cast("int").alias("null_policy_ok"),
+    )
+
+
 def _q_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift PSI over role/tool distributions across the
     even/odd-week folds (reference ``src/psi.py:96-102`` value_counts
@@ -613,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_entity_grid": _q_asof_entity_grid,
         "psi_quantile": _q_psi_quantile,
         "psi_categorical": _q_psi_categorical,
+        "feature_validation": _q_feature_validation,
     }
 
 
@@ -1522,6 +1542,30 @@ FROM b
 """
 
 
+def _feature_validation_oracle() -> str:
+    """Per-feature null-count report over the asof feature matrix
+    (every DEFAULT_SPECS fill is non-None, so null_policy_ok reduces
+    to n_null == 0 — lock-step with horizons.validate_features)."""
+    horizons = (1, 3, 7)
+    names = [
+        "turn_cnt", "user_turn_cnt", "tool_call_cnt", "distinct_tool_cnt",
+        "text_len_sum", "text_len_max", "text_len_avg",
+    ]
+    selects = []
+    for name in names:
+        for k in horizons:
+            c = f"{name}_{k}d"
+            selects.append(
+                f"SELECT '{c}' AS feature, COUNT(*) AS n_rows, "
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+                f"CAST(CASE WHEN SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0 "
+                f"THEN 1 ELSE 0 END AS INTEGER) AS null_policy_ok FROM featm"
+            )
+    body = "\nUNION ALL ".join(selects)
+    # "asof" is a DuckDB keyword (ASOF JOIN) — CTE named featm
+    return f"WITH featm AS ({_asof_oracle()})\n{body}"
+
+
 # categorical PSI (lock-step with psi.psi_categorical: frequency
 # denominator = TOTAL fold rows incl. null-valued, categories = union
 # of observed non-null values, clip 1e-6 — src/psi.py:96-102 analog)
@@ -1651,4 +1695,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_entity_grid": _asof_entity_grid_oracle(),
         "psi_quantile": _PSI_QUANTILE_SQL,
         "psi_categorical": _PSI_CATEGORICAL_SQL,
+        "feature_validation": _feature_validation_oracle(),
     }

@@ -149,6 +149,32 @@ def bulk_backfill_rate(spark) -> tuple[int, float, str]:
         raise
 
 
+def load_prev_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root — the previous round's
+    driver-recorded numbers, so this round's output can carry a
+    per-query regression diff."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not cands:
+        return None
+    path = cands[-1]
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        # the driver wraps the bench line under "parsed" alongside its
+        # own run metadata; unwrap to the actual metric record
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        return os.path.basename(path), data
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -185,6 +211,23 @@ def main() -> None:
         "bulk_mode": bulk_mode,
         "cpus": int(cpus),
     }
+    prev = load_prev_bench()
+    if prev is not None:
+        prev_name, prev_json = prev
+        prev_q = prev_json.get("queries", {})
+        # per-query sec delta vs the previous round (negative = faster
+        # now); only meaningful when sf matches — flagged otherwise
+        out["delta_vs_prev"] = {
+            "baseline": prev_name,
+            "comparable_sf": prev_json.get("sf") == sf,
+            "queries": {
+                q: round(t - prev_q[q], 3) for q, t in timings.items() if q in prev_q
+            },
+            "new_queries": sorted(set(timings) - set(prev_q)),
+            "total_delta": round(
+                total - prev_json.get("value", 0.0), 3
+            ),
+        }
     print(json.dumps(out))
 
 

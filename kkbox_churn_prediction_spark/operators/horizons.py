@@ -33,6 +33,8 @@ class FeatureSpec:
     expr: str | None = None  # input expression (SQL string); None → lit(1) for count
     fill: float | int | None = 0  # COALESCE default (reference ~110 uses)
     round_to: int | None = None  # round doubles for cross-engine stability
+    dtype: str | None = None  # declared output dtype (features.yaml:82-93
+    #   dtype check); None → derived from agg in validate_features
 
 
 # specs consume the narrow pre-join projection (text_len/is_user
@@ -162,6 +164,85 @@ def multi_horizon_aggregate(
     if recency:
         ordered.append("micros_since_last_turn")
     return out.select(*ordered)
+
+
+# expected Spark output dtype per aggregation kind (over the BIGINT /
+# flag inputs the narrow projection produces)
+_AGG_DTYPE = {
+    "count": "bigint",
+    "countDistinct": "bigint",
+    "sum": "bigint",
+    "min": "bigint",
+    "max": "bigint",
+    "avg": "double",
+}
+
+
+def validate_features(
+    features: DataFrame,
+    specs: tuple[FeatureSpec, ...] = DEFAULT_SPECS,
+    horizons_days: tuple[int, ...] = (1, 3, 7),
+) -> DataFrame:
+    """Feature-registry validation report (reference
+    ``src/features_processor.py:71-95`` ``validate_features()`` +
+    ``features.yaml:82-93`` per-feature dtype/null_policy contract).
+
+    One row per registered spec×horizon column: presence, declared vs
+    actual dtype, row/null counts, and whether the null policy holds
+    (a spec with a fill default must have ZERO nulls after
+    ``attach_grid_defaults``). One single-pass aggregate computes all
+    null counts (no per-feature jobs — the reference loops features in
+    Python); dtype facts are plan metadata, attached as literals.
+    """
+    dtypes = dict(features.dtypes)
+    checks = []  # (col, spec, expected_dtype)
+    for spec in specs:
+        expected = spec.dtype or _AGG_DTYPE.get(spec.agg)
+        for k in horizons_days:
+            checks.append((f"{spec.name}_{k}d", spec, expected))
+
+    null_aggs = [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(c)
+        for c, _, _ in checks
+        if c in dtypes
+    ]
+    agg = features.agg(F.count(F.lit(1)).alias("_n"), *null_aggs)
+
+    structs = []
+    for c, spec, expected in checks:
+        present = c in dtypes
+        actual = dtypes.get(c)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.lit(present).alias("present"),
+                F.lit(actual).alias("dtype"),
+                F.lit(expected).alias("expected_dtype"),
+                F.lit(bool(present and (expected is None or actual == expected))).alias(
+                    "dtype_ok"
+                ),
+                (F.col(c) if present else F.lit(None).cast("bigint")).alias("n_null"),
+                F.lit(spec.fill is not None).alias("requires_no_nulls"),
+            )
+        )
+    melted = agg.select(
+        F.col("_n").alias("n_rows"), F.explode(F.array(*structs)).alias("s")
+    ).select(
+        "s.feature",
+        "s.present",
+        "s.dtype",
+        "s.expected_dtype",
+        "s.dtype_ok",
+        "n_rows",
+        "s.n_null",
+        "s.requires_no_nulls",
+    )
+    return melted.withColumn(
+        "null_policy_ok",
+        F.when(~F.col("present"), F.lit(False)).otherwise(
+            ~F.col("requires_no_nulls") | (F.col("n_null") == 0)
+        ),
+    )
 
 
 def trend_features(feats: DataFrame) -> DataFrame:

@@ -53,11 +53,21 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test harness: synthesize a binary payload column from text
     (UTF-8 bytes) so the plumbing runs on the existing documents
-    table without external data."""
+    table without external data.
+
+    NULL text coalesces to ``''`` BEFORE encoding — matching the
+    DuckDB oracle's ``COALESCE(text, '')``, so a NULL-text document
+    yields an empty (not NULL) payload and the 64×64×1 fake-decode
+    dims on both engines. Gate precondition: the oracle derives byte
+    values via ``ascii(substr(...))``, which equals UTF-8 bytes only
+    for ASCII text — the synthetic documents are printable ASCII by
+    construction (non-ASCII payloads exercise the Spark side only)."""
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+        .cast("binary")
+        .alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.col(id_col).alias("source_doc_id"),
     )

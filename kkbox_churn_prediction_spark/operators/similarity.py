@@ -157,6 +157,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed_group_col: str = "label",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + probed cells.
 
@@ -171,10 +172,14 @@ def ivf_topk(
     the classic IVF recall/cost dial.
 
     Scale: seeds are tiny (k cells) → both assignment joins broadcast
-    the seed list; the vector side never shuffles for assignment. The
-    candidate join shuffles on ``cell`` — bounded by cell sizes, and a
-    hot cell means the quantizer is too coarse (raise k), exactly the
-    IVF tuning story.
+    the seed list; the vector side never shuffles for assignment.
+    ``broadcast_queries=True`` (default) additionally broadcasts the
+    PROBED-QUERY side of the candidate join — right when the query set
+    is small (the common lookup shape), wrong for a large query batch
+    (driver/executor OOM): pass ``False`` there and the candidate join
+    shuffles both sides on ``cell`` — bounded by cell sizes, and a hot
+    cell means the quantizer is too coarse (raise k), exactly the IVF
+    tuning story.
     """
     seeds = (
         vectors.groupBy(seed_group_col)
@@ -205,8 +210,9 @@ def ivf_topk(
 
     members = assign(vectors, "neighbor_id", 1).withColumnRenamed("_v", "_nv")
     probed = assign(queries, "query_id", nprobe).withColumnRenamed("_v", "_qv")
+    probed_side = F.broadcast(probed) if broadcast_queries else probed
     scored = (
-        members.join(F.broadcast(probed), "cell")
+        members.join(probed_side, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

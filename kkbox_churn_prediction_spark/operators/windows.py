@@ -6,9 +6,10 @@ A9 in SURVEY §2.4); its "rolling" windows are all cutoff-anchored
 lookbacks (A2). These two operators generalize both to arbitrary
 event-time grain:
 
-- :func:`tumbling_window_counts` — Spark's native ``F.window`` bucket
-  (epoch-aligned tumbling window of any width, not just calendar
-  units).
+- :func:`tumbling_window_counts` — wall-clock-aligned tumbling bucket
+  of any width that divides a day (TZ-safe; ``F.window`` was rejected
+  because its UTC-epoch alignment silently breaks cross-engine parity
+  under non-UTC session timezones — see the function docstring).
 - :func:`rolling_interval_stats` — per-TURN trailing window via a
   RANGE frame over microsecond event time: for every turn, aggregates
   over all turns of the same conversation within the preceding

@@ -16,12 +16,22 @@ before the watermark passes). State is a single fixed-width tuple per
 conversation, so the state store stays O(#live conversations)
 regardless of turn volume.
 
-Production notes: pair with an event-time watermark +
-``GroupStateTimeout.EventTimeTimeout`` so idle conversations flush
-and their state is reclaimed; here the test drives all data through
-one availableNow batch and checks closed sessions against the batch
-sessionizer (``operators.sessionize``), which is the engine's
-batch/stream equivalence contract.
+Robustness contract (the parts real streams need):
+
+- **Cross-batch out-of-order**: a row older than the carried
+  ``last_us`` merges into the OPEN session (``start = min``,
+  ``last`` never moves backward) instead of corrupting the state
+  clock — so an emitted session always has ``session_end >=
+  session_start`` regardless of arrival order. Rows older than the
+  watermark were already dropped upstream by ``withWatermark``.
+- **Idle-state reclamation**: the DEFAULT wiring applies
+  ``withWatermark(ts, watermark_delay)`` + ``EventTimeTimeout``; when
+  the watermark passes an open session's close boundary
+  (``last + gap``) the session flushes as closed and its state is
+  REMOVED — without this, one state entry per ever-seen conversation
+  lives forever. Pass ``watermark_delay=None`` only for bounded
+  replays/tests where the stream ends (batch/stream-equivalence tests
+  drive this mode and compare against ``operators.sessionize``).
 """
 
 from __future__ import annotations
@@ -42,13 +52,34 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "start_us long, last_us long, n_turns long"
 
 
+def _session_frame(rows: list[tuple[int, int, int]], conv_id: Any) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=["session_start", "session_end", "n_turns"])
+    out["conv_id"] = conv_id
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    return out[["conv_id", "session_start", "session_end", "n_turns"]]
+
+
 def _close_sessions(
     key: tuple[Any, ...],
     pdf_iter: Iterable[pd.DataFrame],
     state: "GroupState",
     gap_us: int,
+    use_timeout: bool = False,
 ) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
+
+    # EventTimeTimeout fired: the watermark passed this open session's
+    # close boundary — flush it as closed and reclaim the state entry
+    if getattr(state, "hasTimedOut", False):
+        if state.exists:
+            start_us, last_us, n_turns = state.get
+            state.remove()
+            yield _session_frame([(start_us, last_us, n_turns)], conv_id)
+        else:  # pragma: no cover — defensive
+            yield _session_frame([], conv_id)
+        return
+
     # gather this micro-batch's turns for the key, sorted by event
     # time; a timeout invocation delivers NO batches for the key
     # (pd.concat would raise on an empty list)
@@ -59,11 +90,20 @@ def _close_sessions(
         else pd.Series([], dtype="int64").to_numpy()
     )
     if len(ts_us) == 0:
-        yield pd.DataFrame(columns=["conv_id", "session_start", "session_end", "n_turns"])
+        yield _session_frame([], conv_id)
         return
 
     if state.exists:
         start_us, last_us, n_turns = state.get
+        # cross-batch stragglers (t <= carried last_us) merge into the
+        # open session: count them, widen the start if needed, never
+        # move last_us backward — otherwise a later turn could emit a
+        # session with end < start
+        stale = ts_us[ts_us <= last_us]
+        if len(stale):
+            n_turns += int(len(stale))
+            start_us = min(start_us, int(stale[0]))
+            ts_us = ts_us[ts_us > last_us]
     else:
         start_us, last_us, n_turns = int(ts_us[0]), int(ts_us[0]) - 1, 0
 
@@ -75,32 +115,52 @@ def _close_sessions(
             start_us, n_turns = t, 0
         last_us, n_turns = t, n_turns + 1
     state.update((start_us, last_us, n_turns))
+    if use_timeout:
+        # flush when the watermark passes last + gap; must stay ahead
+        # of the current watermark or Spark rejects the timestamp
+        timeout_ms = (last_us + gap_us) // 1000 + 1
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
-    out = pd.DataFrame(closed, columns=["session_start", "session_end", "n_turns"])
-    out["conv_id"] = conv_id
-    out["session_start"] = out["session_start"].astype("datetime64[us]")
-    out["session_end"] = out["session_end"].astype("datetime64[us]")
-    yield out[["conv_id", "session_start", "session_end", "n_turns"]]
+    yield _session_frame(closed, conv_id)
 
 
 def stateful_closed_sessions(
-    turns_stream: DataFrame, gap_seconds: int = 1800
+    turns_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str | None = "10 minutes",
 ) -> DataFrame:
     """Emit each closed session as soon as the closing turn arrives;
     hold the open session in per-key state. Gap boundary matches the
     batch sessionizer exactly (a gap of EXACTLY ``gap_seconds`` does
-    not split)."""
+    not split).
+
+    Default wiring is production-shaped: ``withWatermark(ts,
+    watermark_delay)`` bounds how late a turn may arrive AND drives
+    ``EventTimeTimeout`` — an open session whose close boundary
+    (``last + gap``) falls behind the watermark is flushed as closed
+    and its state entry reclaimed (idle conversations don't leak
+    state). ``watermark_delay=None`` disables both (NoTimeout):
+    closed sessions then come only from observed closing turns —
+    bounded-replay/test mode.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_seconds) * 1_000_000
+    use_timeout = watermark_delay is not None
 
     def fn(key, pdf_iter, state):
-        return _close_sessions(key, pdf_iter, state, gap_us)
+        return _close_sessions(key, pdf_iter, state, gap_us, use_timeout)
 
-    return turns_stream.groupBy("conv_id").applyInPandasWithState(
+    stream = turns_stream
+    timeout = GroupStateTimeout.NoTimeout
+    if use_timeout:
+        stream = stream.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return stream.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -211,6 +211,35 @@ def test_last_value_before_cutoff_plans_hash_agg(spark):
     assert ("c2", datetime(2024, 1, 4)) not in b  # older than 1 day
 
 
+def test_validate_features_report(spark):
+    """Registry validation (reference src/features_processor.py:71-95):
+    dtype mismatches, nulls violating a fill policy, and missing
+    registered columns must all surface in the report."""
+    from kkbox_churn_prediction_spark.operators.horizons import (
+        FeatureSpec,
+        validate_features,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 1, 0.5, None), ("c2", None, 1.0, 3)],
+        "conv_id string, turn_cnt_1d bigint, text_len_avg_1d double, wrong_type_1d bigint",
+    )
+    specs = (
+        FeatureSpec("turn_cnt", "count"),              # fill=0 → no nulls allowed
+        FeatureSpec("text_len_avg", "avg", fill=0.0),  # double, clean
+        FeatureSpec("wrong_type", "avg"),              # expects double, got bigint
+        FeatureSpec("absent", "count"),                # not in the frame
+    )
+    rep = {
+        r["feature"]: r for r in validate_features(df, specs, (1,)).collect()
+    }
+    assert rep["turn_cnt_1d"]["dtype_ok"] and rep["turn_cnt_1d"]["n_null"] == 1
+    assert not rep["turn_cnt_1d"]["null_policy_ok"]  # fill demands zero nulls
+    assert rep["text_len_avg_1d"]["dtype_ok"] and rep["text_len_avg_1d"]["null_policy_ok"]
+    assert not rep["wrong_type_1d"]["dtype_ok"]  # bigint where avg → double
+    assert not rep["absent_1d"]["present"] and not rep["absent_1d"]["null_policy_ok"]
+
+
 def test_psi_categorical_matches_reference_formula(spark):
     """Hand-computed golden for the categorical PSI semantics:
     denominator = total fold rows (nulls included), clip 1e-6."""

@@ -41,7 +41,10 @@ def test_stateful_closed_sessions_match_batch(spark, tmp_path):
     turns.write.mode("overwrite").parquet(f"{tmp_path}/in")
     stream = spark.readStream.schema(turns.schema).parquet(f"{tmp_path}/in")
     q = (
-        stateful_closed_sessions(stream)
+        # watermark_delay=None: bounded-replay mode — closed sessions
+        # come ONLY from observed closing turns (no idle-timeout
+        # flush), which is what the batch-equivalence compare expects
+        stateful_closed_sessions(stream, watermark_delay=None)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("closed_sessions")
@@ -79,7 +82,7 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     b1.write.mode("overwrite").parquet(f"{tmp_path}/in")
     stream = spark.readStream.schema(b1.schema).parquet(f"{tmp_path}/in")
     q = (
-        stateful_closed_sessions(stream)
+        stateful_closed_sessions(stream, watermark_delay=None)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("closed_2b")
@@ -94,6 +97,72 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     assert rows[0]["n_turns"] == 3  # 0, 60 (batch 1) + 120 (batch 2)
     assert rows[0]["session_start"] == T0
     assert rows[0]["session_end"] == T0 + timedelta(seconds=120)
+
+
+def test_stateful_out_of_order_cross_batch_clamps(spark, tmp_path):
+    """A batch-2 turn OLDER than the carried state clock must merge
+    into the open session (start widens, last never moves backward) —
+    the emitted session keeps session_end >= session_start and counts
+    the straggler."""
+    from kkbox_churn_prediction_spark.streaming.stateful import stateful_closed_sessions
+
+    b1 = _turns(spark, {"c1": [0, 60]})
+    # 30 arrives AFTER the state clock reached 60; 9000 closes the session
+    b2 = _turns(spark, {"c1": [30, 9000]})
+    b1.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{tmp_path}/in")
+    q = (
+        stateful_closed_sessions(stream)  # default watermark wiring
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_ooo")
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(f"{tmp_path}/in")
+    q.processAllAvailable()
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM closed_ooo").collect()
+        if r["session_end"] < T0 + timedelta(seconds=8999)
+    ]
+    q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"] == T0
+    assert r["session_end"] == T0 + timedelta(seconds=60)  # NOT dragged back to 30
+    assert r["session_end"] >= r["session_start"]
+    assert r["n_turns"] == 3  # straggler counted
+
+
+def test_stateful_idle_timeout_flushes_and_reclaims(spark, tmp_path):
+    """Default wiring: when the watermark passes an idle session's
+    close boundary, EventTimeTimeout flushes it as closed — idle
+    conversations don't hold state forever."""
+    from kkbox_churn_prediction_spark.streaming.stateful import stateful_closed_sessions
+
+    b1 = _turns(spark, {"c1": [0, 60]})
+    b2 = _turns(spark, {"c2": [20000]})  # advances watermark far past c1
+    b1.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{tmp_path}/in")
+    q = (
+        stateful_closed_sessions(stream, watermark_delay="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_timeout")
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(f"{tmp_path}/in")
+    q.processAllAvailable()
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM closed_timeout").collect()
+    }
+    q.stop()
+    # c1's open session flushed by timeout (watermark 20000-600s passed
+    # its close boundary 60+1800s); c2's session is still live
+    assert got == {("c1", T0, T0 + timedelta(seconds=60), 2)}
 
 
 def test_quintile_buckets_equal_count_and_ordering(spark):

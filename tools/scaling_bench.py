@@ -109,6 +109,11 @@ job()  # warm-up
 best = None
 rep_times = []
 for _ in range(reps):
+    # same GC-settle discipline as the thread-mode CHILD: per-executor
+    # JVMs make the settle cheaper, but the methodology must match so
+    # the two modes' floors are comparable (driver-side gc only — the
+    # executors GC independently under their own heaps)
+    spark._jvm.System.gc()
     t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
     rep_times.append(dt)
     best = dt if best is None else min(best, dt)
