@@ -85,8 +85,19 @@ def ngram_jaccard_pairs(
         id_col, stable_hash48(F.col("shingle")).alias("shingle")
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+        # window count over the shingle partition, NOT groupBy+join:
+        # the filter then lives INSIDE the one exchange-by-shingle
+        # subplan, which sizes/a/b all share (ReuseExchange) — the
+        # groupBy+join formulation re-exploded + re-hashed the corpus
+        # once per consumer (measured +4.7s at sf0.1)
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_f", F.count(F.lit(1)).over(wf))
+            .where(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -84,9 +84,13 @@ def backfill_features(
     feats = multi_horizon_aggregate(
         joined, horizons_days, specs, full_window=full_window
     )
-    grid = cutoff_grid(
-        conversations.select("conv_id"), cutoffs.select("cutoff_ts").distinct()
-    )
+    # grid wants bare cutoff timestamps; only de-dup when extra fold
+    # metadata (e.g. lookback_days) rides on the cutoff frame — the
+    # common path keeps the round-1 plan (no extra distinct stage)
+    grid_cutoffs = cutoffs
+    if set(cutoffs.columns) != {"cutoff_ts"}:
+        grid_cutoffs = cutoffs.select("cutoff_ts").distinct()
+    grid = cutoff_grid(conversations.select("conv_id"), grid_cutoffs)
     return attach_grid_defaults(feats, grid, specs, horizons_days)
 
 

@@ -190,6 +190,27 @@ def test_multimodal_features_golden(spark):
     assert rows[2]["n_bytes"] == 0 and rows[2]["fingerprint"] == 0
 
 
+def test_multimodal_null_text_matches_empty(spark):
+    """NULL text coalesces to '' before encode, so a NULL-text doc
+    gets the SAME features the oracle's COALESCE branch computes
+    (64×64×1, zero bytes/fingerprint) — not the (0,0,0) None branch."""
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(attach_media(docs)).collect()
+    }
+    for f in ("n_bytes", "width", "height", "n_frames", "fingerprint"):
+        assert rows[1][f] == rows[2][f], f
+    assert rows[1]["width"] == 64 and rows[1]["height"] == 64
+    assert rows[1]["n_frames"] == 1
+    assert rows[1]["n_bytes"] == 0 and rows[1]["fingerprint"] == 0
+
+
 def test_tumbling_parity_under_non_utc_session(spark):
     """The grading driver may run with a non-UTC session timezone;
     the wall-clock component bucket must match the DuckDB oracle
