@@ -217,16 +217,17 @@ def main() -> None:
         prev_q = prev_json.get("queries", {})
         # per-query sec delta vs the previous round (negative = faster
         # now); only meaningful when sf matches — flagged otherwise
+        shared = [q for q in timings if q in prev_q]
         out["delta_vs_prev"] = {
             "baseline": prev_name,
             "comparable_sf": prev_json.get("sf") == sf,
-            "queries": {
-                q: round(t - prev_q[q], 3) for q, t in timings.items() if q in prev_q
-            },
+            "queries": {q: round(timings[q] - prev_q[q], 3) for q in shared},
             "new_queries": sorted(set(timings) - set(prev_q)),
-            "total_delta": round(
-                total - prev_json.get("value", 0.0), 3
-            ),
+            # like-for-like: totals over the shared query set only —
+            # raw total_delta also counts queries added this round
+            "comparable_total": round(sum(timings[q] for q in shared), 3),
+            "prev_comparable_total": round(sum(prev_q[q] for q in shared), 3),
+            "total_delta": round(total - prev_json.get("value", 0.0), 3),
         }
     print(json.dumps(out))
 
