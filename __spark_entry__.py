@@ -519,6 +519,63 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bins(binned, "fold", "bin", ref_fold="even")
 
 
+def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate: drives the custom stateful
+    sessionizer (``applyInPandasWithState``) over a file-source stream
+    of the events table and returns the closed sessions it emitted —
+    hash-compared against a batch SQL oracle. Replay mode
+    (``watermark_delay=None``): the stream ends, so closed sessions =
+    every session except each conversation's final (still-open) one.
+
+    The transcript here is derived WITHOUT the row_number turn index
+    (window functions aren't stream-capable); the sessionizer needs
+    only (conv_id, ts), and session bounds are tie-order-invariant.
+    """
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.stateful import (
+        stateful_closed_sessions,
+    )
+
+    import hashlib
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY; the driver testdata
+    # ships single parquet files, so stage a link/copy under /tmp once
+    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"), "ts")
+    )
+    name = "eng_streaming_closed_sessions"
+    q = (
+        stateful_closed_sessions(stream, watermark_delay=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_feature_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry validation report over the flagship feature matrix
     (reference ``src/features_processor.py:71-95`` validate_features:
@@ -633,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_quantile": _q_psi_quantile,
         "psi_categorical": _q_psi_categorical,
         "feature_validation": _q_feature_validation,
+        "streaming_closed_sessions": _q_streaming_closed_sessions,
     }
 
 
@@ -1542,6 +1600,40 @@ FROM b
 """
 
 
+# streaming closed-sessions oracle: batch sessions over (conv_id, ts)
+# minus each conversation's final (still-open-at-end-of-stream) session
+_STREAMING_SESSIONS_SQL = """
+WITH base AS (
+    SELECT concat('c', user_id) AS conv_id, ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+    SELECT conv_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM base
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+sess AS (
+    SELECT conv_id, ts,
+           SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+aggs AS (
+    SELECT conv_id, sid,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_turns
+    FROM sess GROUP BY 1, 2
+)
+SELECT conv_id, session_start, session_end, n_turns
+FROM aggs a
+WHERE sid < (SELECT MAX(sid) FROM aggs b WHERE b.conv_id = a.conv_id)
+"""
+
+
 def _feature_validation_oracle() -> str:
     """Per-feature null-count report over the asof feature matrix
     (every DEFAULT_SPECS fill is non-None, so null_policy_ok reduces
@@ -1696,4 +1788,5 @@ def oracle_sql() -> dict[str, str]:
         "psi_quantile": _PSI_QUANTILE_SQL,
         "psi_categorical": _PSI_CATEGORICAL_SQL,
         "feature_validation": _feature_validation_oracle(),
+        "streaming_closed_sessions": _STREAMING_SESSIONS_SQL,
     }
