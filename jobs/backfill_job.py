@@ -45,7 +45,10 @@ def main(argv: list[str] | None = None) -> None:
     from kkbox_churn_prediction_spark.operators.asof import asof_join_broadcast_cutoffs
     from kkbox_churn_prediction_spark.operators.leakage import assert_no_leakage
     from kkbox_churn_prediction_spark.plans.backfill import backfill_features
-    from kkbox_churn_prediction_spark.plans.manifest import resumable_backfill
+    from kkbox_churn_prediction_spark.plans.manifest import (
+        fingerprint_parquet_dir,
+        resumable_backfill,
+    )
     from kkbox_churn_prediction_spark.sources.genbench import weekly_cutoffs
 
     spark = SparkSession.builder.appName("transcript-backfill").getOrCreate()
@@ -66,12 +69,21 @@ def main(argv: list[str] | None = None) -> None:
         # fresh runs clear nothing — the manifest keys on run_id
         pass
 
+    # content snapshot of the input: a resume against CHANGED input is
+    # refused (plans/manifest.py) instead of silently mixing buckets
+    try:
+        fp = fingerprint_parquet_dir(args.input)
+    except OSError:
+        fp = None  # e.g. non-local input path; Iceberg snapshot id instead
+
     stats = resumable_backfill(
         spark,
         lambda s: backfill_features(turns, cutoffs, horizons),
         args.output,
         run_id=args.run_id,
         n_buckets=args.buckets,
+        input_fingerprint=fp,
+        params={"horizons": list(horizons), "cutoffs": args.cutoffs},
     )
     # post-job invariant gates (reference pattern src/make_dataset.py:140-194)
     assert_no_leakage(

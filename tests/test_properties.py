@@ -124,3 +124,27 @@ def test_rolling_window_bounds(spark, gaps):
     for i, t in enumerate(ts):
         want = sum(1 for u in ts if t - timedelta(seconds=1800) <= u <= t)
         assert got[i] == want
+
+
+@given(gaps=gap_lists, chunk_seconds=st.sampled_from([600, 1800, 3600, 86400]))
+@settings(**SETTINGS)
+def test_chunked_sessionize_equals_single_pass(spark, gaps, chunk_seconds):
+    """Chunk-and-stitch sessionization is invariant to the chunk
+    width: for ANY gap sequence and chunk size, global session ids
+    equal the single-window result (boundary merges, exact-gap
+    boundaries, empty chunks all covered by the random gaps)."""
+    from kkbox_churn_prediction_spark.operators.sessionize import (
+        sessionize,
+        sessionize_chunked,
+    )
+
+    df = to_spark(spark, _turns_pdf({"c0": gaps, "c1": gaps[::-1]}))
+    single = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in sessionize(df).collect()
+    }
+    chunked = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in sessionize_chunked(df, chunk_seconds=chunk_seconds).collect()
+    }
+    assert chunked == single
