@@ -615,6 +615,100 @@ def _q_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_categorical(folded, "fold", ["role", "tool"], ref_fold="even")
 
 
+def _preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic prediction table (event_id, p, y, fold)
+    derived from events via ``stable_hash48`` — identical in both
+    engines (see ``_PRED_CTE``). p is a dyadic rational strictly
+    inside (0,1) and never on a bin edge for n_bins ∈ {10, 20}
+    ((10k+5)/2^21 is never a multiple of 2^-something·bin width), so
+    binning is float-exact cross-engine; y ~ Bernoulli(p) via an
+    integer hash compare (no float at all)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id").isNotNull())
+        .select(F.col("event_id").cast("string").alias("event_id"))
+    )
+
+    def h(tag: str) -> "F.Column":
+        return stable_hash48(F.concat(F.lit(tag), F.col("event_id")))
+
+    hp = F.pmod(h("p"), F.lit(2**20))
+    hy = F.pmod(h("y"), F.lit(2**20))
+    hf = F.pmod(h("f"), F.lit(2))
+    return ev.select(
+        "event_id",
+        ((hp.cast("double") + F.lit(0.5)) / F.lit(float(2**20))).alias("p"),
+        (hy < hp).cast("int").alias("y"),
+        F.when(hf == 0, F.lit("a")).otherwise(F.lit("b")).alias("fold"),
+    )
+
+
+def _q_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin reliability profile (reference
+    ``src/calibration.py:130-156`` reliability_diagram_data) as a
+    binned groupBy-agg."""
+    from kkbox_churn_prediction_spark.operators.calibration import reliability_table
+
+    return reliability_table(_preds(spark, sf_dir), "y", "p", n_bins=10)
+
+
+def _q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (``src/calibration.py:101-128``)
+    as a two-level distributed agg — one row."""
+    from kkbox_churn_prediction_spark.operators.calibration import ece
+
+    return ece(_preds(spark, sf_dir), "y", "p", n_bins=10)
+
+
+def _q_calibration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold Brier + log-loss (sklearn-clip semantics,
+    ``src/models.py`` metric block) as algebraic aggregates."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        brier_logloss_by_fold,
+    )
+
+    return brier_logloss_by_fold(_preds(spark, sf_dir), "fold", "y", "p")
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for Brier/log-loss
+    (``src/models.py:435-460`` BootstrapMetrics) — deterministic
+    hash-seeded replication weights, cross-engine identical."""
+    from kkbox_churn_prediction_spark.operators.calibration import bootstrap_metric_ci
+
+    return bootstrap_metric_ci(
+        _preds(spark, sf_dir), "event_id", "y", "p", n_replicates=64
+    )
+
+
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold isotonic calibration map fitted on binned aggregates
+    (PAV over the tiny per-fold profile via applyInPandas — the
+    distributed form of ``src/calibration.py`` method='isotonic')."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        isotonic_calibration,
+    )
+
+    return isotonic_calibration(_preds(spark, sf_dir), "fold", "y", "p", n_bins=20)
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH pair graph (min-label propagation, one join + one
+    min-agg per round)."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(_docs(spark, sf_dir), n=3, bands=4, rows_per_band=2)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -691,6 +785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_categorical": _q_psi_categorical,
         "feature_validation": _q_feature_validation,
         "streaming_closed_sessions": _q_streaming_closed_sessions,
+        # calibration / evaluation math in-engine (SURVEY §2.10 F3)
+        "reliability_diagram": _q_reliability_diagram,
+        "calibration_ece": _q_calibration_ece,
+        "calibration_metrics": _q_calibration_metrics,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "isotonic_calibration": _q_isotonic_calibration,
+        # transitive near-dup clustering
+        "dedup_components": _q_dedup_components,
     }
 
 
@@ -1737,6 +1839,163 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """
 
+# --- calibration / evaluation oracles --------------------------------------
+# deterministic synthetic predictions (lock-step with _preds): p is a
+# dyadic rational strictly inside (0,1), y an integer hash compare,
+# fold a hash parity — zero RNG, identical in both engines
+_PRED_CTE = f"""
+preds AS (
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           (({_H48.format(x="concat('p', CAST(event_id AS VARCHAR))")}) % 1048576 + 0.5) / 1048576.0 AS p,
+           CAST((({_H48.format(x="concat('y', CAST(event_id AS VARCHAR))")}) % 1048576)
+                < (({_H48.format(x="concat('p', CAST(event_id AS VARCHAR))")}) % 1048576) AS INTEGER) AS y,
+           CASE WHEN ({_H48.format(x="concat('f', CAST(event_id AS VARCHAR))")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS fold
+    FROM events WHERE event_id IS NOT NULL
+)
+"""
+
+# right-closed prob bins (src/calibration.py:115-117 semantics):
+# bin = ceil(p*n)-1; rows outside [0, n) are unbinned but stay in the
+# ECE denominator
+_BINNED_CTE = """
+binned AS (
+    SELECT CASE WHEN CEIL(p * {n}) - 1 >= 0 AND CEIL(p * {n}) - 1 < {n}
+                THEN CAST(CEIL(p * {n}) - 1 AS INTEGER) END AS bin,
+           CAST(y AS DOUBLE) AS y, p, fold
+    FROM preds
+)
+"""
+
+_RELIABILITY_SQL = f"""
+WITH {_PRED_CTE}, {_BINNED_CTE.format(n=10)},
+per_bin AS (
+    SELECT bin, COUNT(*) AS n, ROUND(AVG(p), 6) AS avg_conf,
+           ROUND(AVG(y), 6) AS frac_pos
+    FROM binned WHERE bin IS NOT NULL GROUP BY bin
+),
+total AS (SELECT COUNT(*) AS n_total FROM preds)
+SELECT bin, n, avg_conf, frac_pos,
+       ROUND(CAST(n AS DOUBLE) / n_total, 6) AS weight
+FROM per_bin CROSS JOIN total
+"""
+
+_ECE_SQL = f"""
+WITH {_PRED_CTE}, {_BINNED_CTE.format(n=10)},
+per_bin AS (
+    SELECT bin, COUNT(*) AS n, AVG(p) AS conf, AVG(y) AS acc
+    FROM binned WHERE bin IS NOT NULL GROUP BY bin
+),
+total AS (SELECT COUNT(*) AS n_total FROM preds)
+SELECT ROUND(SUM(CAST(n AS DOUBLE) / n_total * ABS(acc - conf)), 6) AS ece
+FROM per_bin CROSS JOIN total
+"""
+
+_CALIBRATION_METRICS_SQL = f"""
+WITH {_PRED_CTE},
+clipped AS (
+    SELECT fold, CAST(y AS DOUBLE) AS y, p,
+           LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15) AS pc
+    FROM preds
+)
+SELECT fold, COUNT(*) AS n,
+       ROUND(AVG((p - y) * (p - y)), 6) AS brier,
+       ROUND(AVG(-(y * LN(pc) + (1.0 - y) * LN(1.0 - pc))), 6) AS log_loss
+FROM clipped GROUP BY fold
+"""
+
+# Poisson(1) inverse-CDF thresholds — MUST stay lock-step with
+# operators/calibration.py _POISSON1_CDF (same literals → same doubles)
+_POISSON_CASE = """CASE
+    WHEN u < 0.36787944117144233 THEN 0
+    WHEN u < 0.7357588823428847 THEN 1
+    WHEN u < 0.9196986029286058 THEN 2
+    WHEN u < 0.9810118431238462 THEN 3
+    WHEN u < 0.9963401531726563 THEN 4
+    WHEN u < 0.9994058151824183 THEN 5
+    WHEN u < 0.9999167588507119 THEN 6
+    WHEN u < 0.9999897508033253 THEN 7
+    ELSE 8 END"""
+
+_BOOTSTRAP_CI_SQL = f"""
+WITH {_PRED_CTE},
+reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+expl AS (
+    SELECT b, CAST(y AS DOUBLE) AS y, p,
+           LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15) AS pc,
+           (({_H48.format(x="concat(event_id, ':', b)")}) % 1048576) / 1048576.0 AS u
+    FROM preds CROSS JOIN reps
+),
+weighted AS (SELECT b, y, p, pc, {_POISSON_CASE} AS w FROM expl),
+per_rep AS (
+    SELECT b,
+           SUM(w * (p - y) * (p - y)) / NULLIF(SUM(w), 0) AS brier,
+           SUM(w * -(y * LN(pc) + (1.0 - y) * LN(1.0 - pc))) / NULLIF(SUM(w), 0) AS log_loss
+    FROM weighted GROUP BY b
+),
+melted AS (
+    SELECT 'brier' AS metric, brier AS v FROM per_rep
+    UNION ALL
+    SELECT 'log_loss' AS metric, log_loss AS v FROM per_rep
+)
+SELECT metric, ROUND(AVG(v), 6) AS mean,
+       ROUND(quantile_cont(v, 0.025), 6) AS ci_lower,
+       ROUND(quantile_cont(v, 0.975), 6) AS ci_upper
+FROM melted WHERE v IS NOT NULL GROUP BY metric
+"""
+
+# isotonic fit via the minimax identity iso(i) = max_{j<=i} min_{k>=i}
+# wavg(y, bins j..k) — exactly the PAV pool value (ratio of the same
+# integers), O(n_bins^3) on a 20-row profile
+_ISOTONIC_SQL = f"""
+WITH {_PRED_CTE}, {_BINNED_CTE.format(n=20)},
+prof AS (
+    SELECT fold, bin, COUNT(*) AS n, ROUND(AVG(p), 6) AS avg_conf,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM binned WHERE bin IS NOT NULL GROUP BY fold, bin
+),
+cum AS (
+    SELECT fold, bin, n, sum_y,
+           SUM(sum_y) OVER (PARTITION BY fold ORDER BY bin) AS cy,
+           SUM(n) OVER (PARTITION BY fold ORDER BY bin) AS cn
+    FROM prof
+),
+pairs AS (
+    SELECT j.fold, j.bin AS jb, k.bin AS kb,
+           CAST(k.cy - j.cy + j.sum_y AS DOUBLE) / (k.cn - j.cn + j.n) AS avg_jk
+    FROM cum j JOIN cum k ON j.fold = k.fold AND j.bin <= k.bin
+),
+mins AS (
+    SELECT i.fold, i.bin, p.jb, MIN(p.avg_jk) AS m
+    FROM prof i JOIN pairs p ON p.fold = i.fold AND p.jb <= i.bin AND p.kb >= i.bin
+    GROUP BY i.fold, i.bin, p.jb
+),
+iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, bin)
+SELECT p.fold, p.bin, p.n, p.avg_conf,
+       ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
+FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# transitive closure of the LSH pair graph via recursive CTE
+# (lock-step with operators/components.py min-label fixpoint)
+_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_LSH_SQL}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+SELECT c.node, c.component, s.component_size
+FROM comp c JOIN sizes s USING (component)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1789,4 +2048,10 @@ def oracle_sql() -> dict[str, str]:
         "psi_categorical": _PSI_CATEGORICAL_SQL,
         "feature_validation": _feature_validation_oracle(),
         "streaming_closed_sessions": _STREAMING_SESSIONS_SQL,
+        "reliability_diagram": _RELIABILITY_SQL,
+        "calibration_ece": _ECE_SQL,
+        "calibration_metrics": _CALIBRATION_METRICS_SQL,
+        "bootstrap_ci": _BOOTSTRAP_CI_SQL,
+        "isotonic_calibration": _ISOTONIC_SQL,
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
     }

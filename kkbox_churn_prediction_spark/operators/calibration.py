@@ -1,0 +1,357 @@
+"""Calibration / evaluation math in-engine (SURVEY §2.10 F3).
+
+The reference computes ECE, Brier, log-loss, and bootstrap CIs
+driver-side in numpy over in-memory prediction arrays
+(``src/backtest.py:50-61`` digitize-binned ECE;
+``src/calibration.py:101-128`` right-closed-bin ECE + Brier;
+``src/models.py:435-460`` BootstrapMetrics with 500 resamples). That
+works at 10^5 predictions and dies at 10^12 — a prediction table at
+transcript scale never fits one driver.
+
+Re-expressed distributed, all JVM column expressions:
+
+- ECE is a two-level binned agg: bin each probability, groupBy(bin)
+  for per-bin confidence/accuracy, then one weighted reduce — the
+  same shape as PSI (``operators/psi.py``), one shuffle on a ≤n_bins
+  key space with map-side partials.
+- Brier / log-loss are plain algebraic aggregates (map-side partial
+  sums; no buffering).
+- Bootstrap CI uses the POISSON bootstrap (each row draws an
+  independent Poisson(1) replication weight per replicate) — the
+  scalable reformulation of sample-with-replacement: no global
+  resample pass, no driver materialization; rows replicate to
+  B lightweight (replicate, y, p, w) tuples and reduce per
+  replicate. Weights derive from the cross-engine ``stable_hash48``
+  so both engines draw identical "randomness" (deterministic,
+  oracle-checkable — seeds-as-hashes, not RNG state).
+- Isotonic calibration (``src/calibration.py`` CalibratedClassifierCV
+  analog) runs PAV over BINNED aggregates: groupBy(fold, bin) first
+  (one shuffle, n_bins rows per fold), then pool-adjacent-violators
+  on the tiny per-fold profile — numpy inside ``applyInPandas``,
+  never per-row Python. Binned-first is also the 10^12-row design:
+  PAV is inherently sequential, so the engine reduces to a bounded
+  profile (n_bins rows) and fits exactly on that.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sklearn's log_loss eps clip (reference uses sklearn defaults,
+# src/models.py metrics)
+LOGLOSS_EPS = 1e-15
+
+# Poisson(1) inverse-CDF thresholds: cumsum of e^-1 / k! for k=0..7;
+# a uniform u in [0,1) maps to the first k whose threshold exceeds it
+# (w capped at 8; P(w>8) < 1e-8 — the truncation is shared with the
+# oracle so both engines draw the identical capped distribution).
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def prob_bin(prob: Column, n_bins: int, *, closed: str = "right") -> Column:
+    """Probability-bin index in [0, n_bins-1], or NULL for rows no bin
+    accepts (the reference silently drops those while keeping them in
+    the ECE denominator).
+
+    ``closed="right"`` — (lo, hi] bins, p == 0 unbinned — matches
+    ``src/calibration.py:115-117`` ``(p > lower) & (p <= upper)``.
+    ``closed="left"`` — [lo, hi) bins, p == 1 unbinned — matches
+    ``src/backtest.py:51-52`` ``np.digitize(p, bins) - 1``.
+
+    Uses ceil/floor of ``p * n_bins`` — exact in doubles for the
+    gate's dyadic-rational probabilities, no edge-list needed.
+    """
+    n = F.lit(int(n_bins))
+    if closed == "right":
+        b = F.ceil(prob * n) - F.lit(1)
+    elif closed == "left":
+        b = F.floor(prob * n)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"closed must be 'right' or 'left', got {closed!r}")
+    return F.when((b >= 0) & (b < n), b.cast("int"))
+
+
+def reliability_table(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    *,
+    closed: str = "right",
+) -> DataFrame:
+    """Per-bin reliability profile: (bin, n, avg_conf, frac_pos,
+    weight) — the distributed form of
+    ``src/calibration.py:130-156`` reliability_diagram_data.
+
+    ``weight`` is n / N_total with N_total counting ALL rows
+    (including unbinned ones) — the reference's ``in_bin.mean()``
+    denominator. One groupBy on a ≤n_bins key; the total arrives via
+    a single-row cross join (broadcast, no second scan shuffle).
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        prob_bin(p, n_bins, closed=closed).alias("bin"), y.alias("y"), p.alias("p")
+    )
+    per_bin = (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_conf"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+    )
+    total = df.select(F.count(F.lit(1)).alias("_N"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            "avg_conf",
+            "frac_pos",
+            F.round(F.col("n").cast("double") / F.col("_N"), 6).alias("weight"),
+        )
+    )
+
+
+def ece(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    *,
+    closed: str = "right",
+) -> DataFrame:
+    """Expected Calibration Error as ONE row: Σ_bins weight·|acc-conf|
+    (``src/calibration.py:101-128``; ``closed="left"`` gives the
+    ``src/backtest.py:50-61`` digitize variant).
+
+    Unrounded per-bin averages feed the reduce; only the final scalar
+    rounds — mirroring the reference's single final float.
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        prob_bin(p, n_bins, closed=closed).alias("bin"), y.alias("y"), p.alias("p")
+    )
+    per_bin = (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("p").alias("conf"), F.avg("y").alias("acc"))
+    )
+    total = df.select(F.count(F.lit(1)).alias("_N"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n").cast("double")
+                    / F.col("_N")
+                    * F.abs(F.col("acc") - F.col("conf"))
+                ),
+                6,
+            ).alias("ece")
+        )
+    )
+
+
+def brier_logloss_by_fold(
+    df: DataFrame, fold_col: str, label_col: str, prob_col: str
+) -> DataFrame:
+    """(fold, n, brier, log_loss): purely algebraic aggregates —
+    map-side partial sums, one shuffle on the fold key
+    (``src/models.py`` sklearn brier_score_loss / log_loss with the
+    standard 1e-15 probability clip)."""
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
+    return df.groupBy(fold_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg((p - y) * (p - y)), 6).alias("brier"),
+        F.round(F.avg(-(y * F.log(pc) + (1.0 - y) * F.log(1.0 - pc))), 6).alias(
+            "log_loss"
+        ),
+    )
+
+
+def poisson_weight(u: Column) -> Column:
+    """Poisson(1) replication weight from a uniform in [0,1) via the
+    inverse CDF (when-chain over the shared threshold table)."""
+    w = F.lit(len(_POISSON1_CDF))
+    for k in reversed(range(len(_POISSON1_CDF))):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("int")
+
+
+def bootstrap_metric_ci(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    prob_col: str,
+    *,
+    n_replicates: int = 64,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap CI for Brier and log-loss: one row per metric
+    (metric, mean, ci_lower, ci_upper) — the distributed counterpart
+    of ``src/models.py:435-460`` BootstrapMetrics (mean + 2.5/97.5
+    percentile band).
+
+    Each (row, replicate) pair draws w ~ Poisson(1) from
+    ``stable_hash48(id || ':' || b)`` — deterministic, identical in
+    the DuckDB oracle. The explode emits only (b, y, p) plus one int,
+    not the source row; per-replicate metrics reduce with map-side
+    partials keyed by b (≤ n_replicates keys), and the final
+    percentile runs over n_replicates tiny rows. No global resample,
+    no driver collect. At 10^12 rows the B× tuple stream is the
+    bandwidth cost — B stays double-digit by design.
+    """
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias("b")
+    u = (
+        F.pmod(
+            stable_hash48(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("b"))
+            ),
+            F.lit(2**20),
+        ).cast("double")
+        / F.lit(float(2**20))
+    )
+    exploded = df.select(
+        F.col(id_col), y.alias("y"), pc.alias("pc"), p.alias("p"), b
+    ).withColumn("w", poisson_weight(u))
+    per_rep = exploded.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("brier"),
+        (
+            F.sum(
+                F.col("w")
+                * -(
+                    F.col("y") * F.log("pc")
+                    + (1.0 - F.col("y")) * F.log(1.0 - F.col("pc"))
+                )
+            )
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("log_loss"),
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    melted = per_rep.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("brier").alias("metric"), F.col("brier").alias("v")),
+                F.struct(F.lit("log_loss").alias("metric"), F.col("log_loss").alias("v")),
+            )
+        ).alias("mv")
+    ).select(F.col("mv.metric").alias("metric"), F.col("mv.v").alias("v"))
+    return (
+        melted.where(F.col("v").isNotNull())
+        .groupBy("metric")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.expr(f"percentile(v, {lo})"), 6).alias("ci_lower"),
+            F.round(F.expr(f"percentile(v, {hi})"), 6).alias("ci_upper"),
+        )
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 20,
+    *,
+    closed: str = "right",
+) -> DataFrame:
+    """Per-fold isotonic (monotone non-decreasing) calibration map
+    fitted on binned aggregates: (fold, bin, n, avg_conf, frac_pos,
+    iso_prob).
+
+    The reference calibrates via sklearn's isotonic
+    CalibratedClassifierCV on in-memory arrays (``src/calibration.py``
+    method="isotonic"). Exact PAV is sequential, so the scalable
+    reformulation bins first: groupBy(fold, bin) reduces 10^12 rows
+    to ≤ n_bins rows per fold (one shuffle, map-side partials), then
+    pool-adjacent-violators runs on that tiny profile inside
+    ``applyInPandas`` — numpy per fold-group, never per-row Python.
+    Pools track integer (Σy, n) so ``iso_prob`` is a ratio of exact
+    integers — bit-identical to the oracle's max-min formulation
+    (iso(i) = max_{j≤i} min_{k≥i} wavg(y, j..k))."""
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        F.col(fold_col),
+        prob_bin(p, n_bins, closed=closed).alias("bin"),
+        y.alias("y"),
+        p.alias("p"),
+    ).where(F.col("bin").isNotNull())
+    profile = binned.groupBy(fold_col, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("avg_conf"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    out_schema = (
+        f"{fold_col} string, bin int, n bigint, avg_conf double, "
+        "frac_pos double, iso_prob double"
+    )
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # pools as (sum_y, n) integer pairs; merge while decreasing
+        pools: list[list[int]] = []  # [sum_y, n, count_of_bins]
+        for sy, n in zip(pdf["sum_y"], pdf["n"]):
+            pools.append([int(sy), int(n), 1])
+            while len(pools) > 1 and (
+                pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]
+            ):
+                b2 = pools.pop()
+                pools[-1][0] += b2[0]
+                pools[-1][1] += b2[1]
+                pools[-1][2] += b2[2]
+        iso: list[float] = []
+        for sy, n, cnt in pools:
+            iso.extend([sy / n] * cnt)
+        # raw ratios out; rounding happens JVM-side below (F.round is
+        # HALF_UP like the oracle — pandas .round is banker's and
+        # diverges on exact ties like 146/256)
+        return pd.DataFrame(
+            {
+                fold_col: pdf[fold_col],
+                "bin": pdf["bin"],
+                "n": pdf["n"],
+                "avg_conf": pdf["avg_conf"],
+                "frac_pos": pdf["sum_y"] / pdf["n"],
+                "iso_prob": iso,
+            }
+        )
+
+    fitted = profile.groupBy(fold_col).applyInPandas(_pav, schema=out_schema)
+    return fitted.select(
+        fold_col,
+        "bin",
+        "n",
+        "avg_conf",
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("iso_prob", 6).alias("iso_prob"),
+    )

@@ -1,0 +1,178 @@
+"""Calibration math (ECE / Brier / log-loss / bootstrap / isotonic)
+and connected-components clustering."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _pred_df(spark, n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(0.001, 0.999, n)
+    y = (rng.uniform(0, 1, n) < p * 0.8 + 0.1).astype(int)
+    rows = [(f"id{i}", float(p[i]), int(y[i]), "a" if i % 2 == 0 else "b") for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "event_id string, p double, y int, fold string"),
+        p,
+        y,
+    )
+
+
+def _ref_ece(y, p, n_bins, closed):
+    """numpy transliteration of the reference semantics
+    (src/calibration.py right-closed; src/backtest.py digitize/left)."""
+    ece, N = 0.0, len(y)
+    edges = np.linspace(0, 1, n_bins + 1)
+    for b in range(n_bins):
+        if closed == "right":
+            mask = (p > edges[b]) & (p <= edges[b + 1])
+        else:
+            idx = np.digitize(p, edges) - 1
+            mask = idx == b
+        if not mask.any():
+            continue
+        ece += (mask.sum() / N) * abs(y[mask].mean() - p[mask].mean())
+    return ece
+
+
+@pytest.mark.parametrize("closed", ["right", "left"])
+def test_ece_matches_numpy_reference(spark, closed):
+    from kkbox_churn_prediction_spark.operators.calibration import ece
+
+    df, p, y = _pred_df(spark)
+    got = ece(df, "y", "p", n_bins=10, closed=closed).first()["ece"]
+    assert got == pytest.approx(_ref_ece(y, p, 10, closed), abs=2e-6)
+
+
+def test_prob_bin_edges(spark):
+    """p==0 unbinned right-closed; p==1 unbinned left-closed."""
+    from kkbox_churn_prediction_spark.operators.calibration import prob_bin
+
+    df = spark.createDataFrame([(0.0,), (1.0,), (0.05,), (0.95,)], "p double")
+    r = df.select("p", prob_bin(F.col("p"), 10, closed="right").alias("r"),
+                  prob_bin(F.col("p"), 10, closed="left").alias("l")).collect()
+    by_p = {row["p"]: row for row in r}
+    assert by_p[0.0]["r"] is None and by_p[0.0]["l"] == 0
+    assert by_p[1.0]["r"] == 9 and by_p[1.0]["l"] is None
+    assert by_p[0.05]["r"] == 0 and by_p[0.95]["l"] == 9
+
+
+def test_brier_logloss_matches_numpy(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        LOGLOSS_EPS,
+        brier_logloss_by_fold,
+    )
+
+    df, p, y = _pred_df(spark)
+    rows = {r["fold"]: r for r in brier_logloss_by_fold(df, "fold", "y", "p").collect()}
+    for fold, sel in (("a", slice(0, None, 2)), ("b", slice(1, None, 2))):
+        pf, yf = p[sel], y[sel]
+        pc = np.clip(pf, LOGLOSS_EPS, 1 - LOGLOSS_EPS)
+        assert rows[fold]["brier"] == pytest.approx(np.mean((pf - yf) ** 2), abs=2e-6)
+        ll = -np.mean(yf * np.log(pc) + (1 - yf) * np.log(1 - pc))
+        assert rows[fold]["log_loss"] == pytest.approx(ll, abs=2e-6)
+        assert rows[fold]["n"] == len(pf)
+
+
+def test_poisson_weights_deterministic_and_mean_one(spark):
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.calibration import poisson_weight
+
+    ids = spark.range(20000).select(F.col("id").cast("string").alias("id"))
+    u = (
+        F.pmod(stable_hash48(F.col("id")), F.lit(2**20)).cast("double")
+        / F.lit(float(2**20))
+    )
+    w = ids.select(poisson_weight(u).alias("w"))
+    stats = w.agg(F.avg("w").alias("m"), F.max("w").alias("mx"), F.min("w").alias("mn")).first()
+    assert stats["m"] == pytest.approx(1.0, abs=0.02)
+    assert stats["mn"] >= 0 and stats["mx"] <= 8
+    # deterministic: identical on recompute
+    assert w.groupBy("w").count().collect() == w.groupBy("w").count().collect()
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        bootstrap_metric_ci,
+        brier_logloss_by_fold,
+    )
+
+    df, p, y = _pred_df(spark, n=3000)
+    ci = {r["metric"]: r for r in bootstrap_metric_ci(
+        df, "event_id", "y", "p", n_replicates=32
+    ).collect()}
+    point = brier_logloss_by_fold(df.withColumn("g", F.lit("all")), "g", "y", "p").first()
+    for metric, pt in (("brier", point["brier"]), ("log_loss", point["log_loss"])):
+        r = ci[metric]
+        assert r["ci_lower"] <= r["mean"] <= r["ci_upper"]
+        # CI of the full-sample mean should bracket the point estimate
+        assert r["ci_lower"] <= pt <= r["ci_upper"]
+        # and be a nontrivial but tight band at n=3000
+        assert 0 < r["ci_upper"] - r["ci_lower"] < 0.2
+
+
+def _minimax_iso(sum_y, n):
+    """Brute-force max_{j<=i} min_{k>=i} wavg(j..k) — the PAV identity."""
+    m = len(n)
+    out = []
+    for i in range(m):
+        best = -math.inf
+        for j in range(i + 1):
+            worst = math.inf
+            for k in range(i, m):
+                worst = min(worst, sum(sum_y[j:k + 1]) / sum(n[j:k + 1]))
+            best = max(best, worst)
+        out.append(best)
+    return out
+
+
+def test_isotonic_matches_minimax_and_is_monotone(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import isotonic_calibration
+
+    df, _, _ = _pred_df(spark, n=4000, seed=11)
+    got = isotonic_calibration(df, "fold", "y", "p", n_bins=15).toPandas()
+    for fold, g in got.groupby("fold"):
+        g = g.sort_values("bin").reset_index(drop=True)
+        iso = g["iso_prob"].to_numpy()
+        assert (np.diff(iso) >= -1e-12).all(), f"non-monotone fit in fold {fold}"
+        sum_y = (g["frac_pos"] * g["n"]).round().astype(int).tolist()
+        ref = _minimax_iso(sum_y, g["n"].tolist())
+        np.testing.assert_allclose(iso, np.round(ref, 6), atol=2e-6)
+
+
+def test_connected_components_small_graph(spark):
+    from kkbox_churn_prediction_spark.operators.components import connected_components
+
+    # two clusters (chain a-b-c-d, triangle x-y-z) + isolated pair (m,n)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("x", "z"), ("m", "n")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["node"]: (r["component"], r["component_size"])
+           for r in connected_components(edges).collect()}
+    assert {got[k] for k in "abcd"} == {("a", 4)}
+    assert {got[k] for k in "xyz"} == {("x", 3)}
+    assert got["m"] == ("m", 2) and got["n"] == ("m", 2)
+    assert len(got) == 9
+
+
+def test_connected_components_partition_invariant(spark):
+    """Cluster assignment must not depend on input partitioning."""
+    from kkbox_churn_prediction_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(3)
+    # random graph: 60 nodes, ring edges in groups of 6 → 10 components
+    edges = [(f"n{g * 6 + i}", f"n{g * 6 + (i + 1) % 6}") for g in range(10) for i in range(6)]
+    rng.shuffle(edges)
+    df1 = spark.createDataFrame(edges, "doc_a string, doc_b string").coalesce(1)
+    df8 = spark.createDataFrame(edges, "doc_a string, doc_b string").repartition(8)
+    r1 = sorted(map(tuple, connected_components(df1).collect()))
+    r8 = sorted(map(tuple, connected_components(df8).collect()))
+    assert r1 == r8
+    assert len({c for _, c, _ in r1}) == 10
+    assert all(s == 6 for _, _, s in r1)
