@@ -685,6 +685,15 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC + KS per fold (sklearn
+    ``roc_auc_score`` semantics, ``src/models.py:118-158``) as a
+    distinct-score groupBy + per-fold cumulative window."""
+    from kkbox_churn_prediction_spark.operators.calibration import auc_ks_by_fold
+
+    return auc_ks_by_fold(_preds(spark, sf_dir), "fold", "y", "p")
+
+
 def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fold isotonic calibration map fitted on binned aggregates
     (PAV over the tiny per-fold profile via applyInPandas — the
@@ -790,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q_calibration_ece,
         "calibration_metrics": _q_calibration_metrics,
         "bootstrap_ci": _q_bootstrap_ci,
+        "auc_by_fold": _q_auc_by_fold,
         "isotonic_calibration": _q_isotonic_calibration,
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
@@ -1944,6 +1954,34 @@ SELECT metric, ROUND(AVG(v), 6) AS mean,
 FROM melted WHERE v IS NOT NULL GROUP BY metric
 """
 
+# exact tie-aware Mann-Whitney AUC + KS over per-distinct-score
+# cumulative counts (lock-step with calibration.auc_ks_by_fold)
+_AUC_SQL = f"""
+WITH {_PRED_CTE},
+per_score AS (
+    SELECT fold, p AS score,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(1 - y) AS BIGINT) AS neg
+    FROM preds GROUP BY fold, p
+),
+cum AS (
+    SELECT fold, pos, neg,
+           SUM(neg) OVER (PARTITION BY fold ORDER BY score) - neg AS cumneg_below,
+           SUM(pos) OVER (PARTITION BY fold ORDER BY score) AS cumpos,
+           SUM(neg) OVER (PARTITION BY fold ORDER BY score) AS cumneg,
+           SUM(pos) OVER (PARTITION BY fold) AS tp,
+           SUM(neg) OVER (PARTITION BY fold) AS tn
+    FROM per_score
+)
+SELECT fold,
+       CAST(MAX(tp) AS BIGINT) AS n_pos,
+       CAST(MAX(tn) AS BIGINT) AS n_neg,
+       ROUND(SUM(pos * (CAST(cumneg_below AS DOUBLE) + neg / 2.0))
+             / (CAST(MAX(tp) AS DOUBLE) * CAST(MAX(tn) AS DOUBLE)), 6) AS auc,
+       ROUND(MAX(ABS(CAST(cumpos AS DOUBLE) / tp - CAST(cumneg AS DOUBLE) / tn)), 6) AS ks
+FROM cum GROUP BY fold
+"""
+
 # isotonic fit via the minimax identity iso(i) = max_{j<=i} min_{k>=i}
 # wavg(y, bins j..k) — exactly the PAV pool value (ratio of the same
 # integers), O(n_bins^3) on a 20-row profile
@@ -2052,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_ece": _ECE_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
+        "auc_by_fold": _AUC_SQL,
         "isotonic_calibration": _ISOTONIC_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
     }

@@ -189,6 +189,97 @@ def brier_logloss_by_fold(
     )
 
 
+def auc_ks_by_fold(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    *,
+    bin_scores: int | None = None,
+) -> DataFrame:
+    """(fold, n_pos, n_neg, auc, ks): exact tie-aware ROC-AUC
+    (Mann-Whitney with average ranks — sklearn ``roc_auc_score``
+    semantics, the reference's headline metric in
+    ``src/models.py:118-158``) and the Kolmogorov-Smirnov statistic,
+    per fold.
+
+    Distributed shape: groupBy(fold, score) FIRST — 10^12 rows
+    collapse to one row per distinct score per fold with map-side
+    partial counts; the cumulative window then orders DISTINCT scores
+    within each fold, so the sort is bounded by score cardinality,
+    never row count. AUC = Σ_s pos_s·(cumneg_below_s + neg_s/2)/(P·N)
+    (ties contribute half, exactly average-rank); KS = max_s
+    |F1(s) - F0(s)| over the pooled support.
+
+    For continuous scores whose distinct cardinality approaches the
+    row count, pass ``bin_scores=K`` to quantize scores onto a
+    K-point dyadic grid first (AUC/KS error ≤ 1/K, cardinality
+    bounded by K) — the 10^12-row switch, same discipline as the
+    approx-percentile modes elsewhere.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    s: Column = F.col(prob_col).cast("double")
+    if bin_scores is not None:
+        # dyadic midpoint grid: exact in doubles, order-preserving
+        s = (F.floor(s * F.lit(int(bin_scores))) + F.lit(0.5)) / F.lit(
+            float(bin_scores)
+        )
+    per_score = (
+        df.select(F.col(fold_col), s.alias("score"), y.alias("y"))
+        .groupBy(fold_col, "score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    w = Window.partitionBy(fold_col).orderBy("score")
+    cum = per_score.select(
+        F.col(fold_col),
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("cumneg_below"),
+        F.sum("pos").over(w).alias("cumpos"),
+        F.sum("neg").over(w).alias("cumneg"),
+    )
+    totals = Window.partitionBy(fold_col)
+    scored = cum.select(
+        F.col(fold_col),
+        "pos",
+        "neg",
+        "cumneg_below",
+        "cumpos",
+        "cumneg",
+        F.sum("pos").over(totals).alias("P"),
+        F.sum("neg").over(totals).alias("N"),
+    )
+    return (
+        scored.groupBy(fold_col)
+        .agg(
+            F.max("P").alias("n_pos"),
+            F.max("N").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.col("pos")
+                    * (F.col("cumneg_below").cast("double") + F.col("neg") / 2.0)
+                )
+                / (F.max("P").cast("double") * F.max("N").cast("double")),
+                6,
+            ).alias("auc"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cumpos").cast("double") / F.col("P")
+                        - F.col("cumneg").cast("double") / F.col("N")
+                    )
+                ),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
 def poisson_weight(u: Column) -> Column:
     """Poisson(1) replication weight from a uniform in [0,1) via the
     inverse CDF (when-chain over the shared threshold table)."""

@@ -79,6 +79,48 @@ def test_brier_logloss_matches_numpy(spark):
         assert rows[fold]["n"] == len(pf)
 
 
+def _pairwise_auc(y, p):
+    """O(n^2) reference: P(score_pos > score_neg) + 0.5·ties."""
+    pos, neg = p[y == 1], p[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_reference_with_ties(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import auc_ks_by_fold
+
+    rng = np.random.default_rng(5)
+    # coarse grid forces heavy ties — exercises the average-rank path
+    p = rng.integers(0, 20, 1500) / 20.0 + 0.025
+    y = (rng.uniform(0, 1, 1500) < p).astype(int)
+    rows = [(float(p[i]), int(y[i]), "a") for i in range(1500)]
+    df = spark.createDataFrame(rows, "p double, y int, fold string")
+    r = auc_ks_by_fold(df, "fold", "y", "p").first()
+    assert r["n_pos"] == int(y.sum()) and r["n_neg"] == int((1 - y).sum())
+    assert r["auc"] == pytest.approx(_pairwise_auc(y, p), abs=2e-6)
+    # KS vs numpy empirical CDF max-gap over the pooled support
+    support = np.unique(p)
+    f1 = np.array([(p[y == 1] <= s).mean() for s in support])
+    f0 = np.array([(p[y == 0] <= s).mean() for s in support])
+    assert r["ks"] == pytest.approx(np.abs(f1 - f0).max(), abs=2e-6)
+
+
+def test_auc_binned_mode_bounds_error(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import auc_ks_by_fold
+
+    df, p, y = _pred_df(spark, n=3000, seed=13)
+    exact = auc_ks_by_fold(df, "fold", "y", "p").toPandas().set_index("fold")
+    binned = (
+        auc_ks_by_fold(df, "fold", "y", "p", bin_scores=256)
+        .toPandas()
+        .set_index("fold")
+    )
+    for fold in ("a", "b"):
+        assert abs(exact.loc[fold, "auc"] - binned.loc[fold, "auc"]) < 1 / 256
+        assert abs(exact.loc[fold, "ks"] - binned.loc[fold, "ks"]) < 2 / 256
+
+
 def test_poisson_weights_deterministic_and_mean_one(spark):
     from kkbox_churn_prediction_spark.functions.text import stable_hash48
     from kkbox_churn_prediction_spark.operators.calibration import poisson_weight
