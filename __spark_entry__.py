@@ -718,6 +718,24 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation pipeline: quality → language →
+    exact-dedup verdicts in one scan + one shuffle."""
+    from kkbox_churn_prediction_spark.plans.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build audit summary: docs + tokens per verdict."""
+    from kkbox_churn_prediction_spark.plans.curation import (
+        curate_corpus,
+        curation_report,
+    )
+
+    return curation_report(curate_corpus(_docs(spark, sf_dir)))
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -803,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": _q_isotonic_calibration,
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
+        # composed corpus-curation pipeline
+        "curate_corpus": _q_curate_corpus,
+        "curation_report": _q_curation_report,
     }
 
 
@@ -1930,11 +1951,18 @@ _POISSON_CASE = """CASE
 _BOOTSTRAP_CI_SQL = f"""
 WITH {_PRED_CTE},
 reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+hashed AS (
+    SELECT {_H48.format(x='event_id')} AS h, y, p FROM preds
+),
 expl AS (
+    -- modulus = largest prime < 2^48 (lock-step with
+    -- calibration.UNIFORM_PRIME_48): the ≤2^56 product wraps it, so
+    -- u is uniform on [0,1) — a 2^61-scale modulus would never wrap
     SELECT b, CAST(y AS DOUBLE) AS y, p,
            LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15) AS pc,
-           (({_H48.format(x="concat(event_id, ':', b)")}) % 1048576) / 1048576.0 AS u
-    FROM preds CROSS JOIN reps
+           CAST(((2 * b + 3) * h + (5 * b + 7)) % 281474976710597 AS DOUBLE)
+               / 281474976710597.0 AS u
+    FROM hashed CROSS JOIN reps
 ),
 weighted AS (SELECT b, y, p, pc, {_POISSON_CASE} AS w FROM expl),
 per_rep AS (
@@ -2013,6 +2041,54 @@ SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
 """
+
+# composed curation verdicts (lock-step with plans/curation.py:
+# quality → lang → duplicate precedence; dedup key = h48 of the
+# normalized full text; canonical = min doc_id per group)
+def _curation_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+           ROUND(length(replace({_NORM}, ' ', '')) * 1.0
+                 / greatest({_NTOK_RAW}, 1), 6) AS mean_word_len,
+           ROUND(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           {_H48.format(x=_NORM)} AS k
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, n_tokens, k,
+           ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 3.0,
+                 6) AS quality_score
+    FROM base
+),
+lang AS ({_lang_id_oracle()}),
+groups AS (
+    SELECT k, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_group_size
+    FROM base GROUP BY k
+)
+SELECT q.doc_id, q.n_tokens, q.quality_score, l.pred_lang, g.dup_group_size,
+       CASE WHEN q.quality_score < 0.666667 THEN 'low_quality'
+            WHEN l.pred_lang <> 'en' THEN 'wrong_lang'
+            WHEN q.doc_id <> g.canonical_id THEN 'duplicate'
+            ELSE 'kept' END AS verdict
+FROM quality q
+JOIN lang l USING (doc_id)
+JOIN groups g ON q.k = g.k
+"""
+
+
+def _curation_report_oracle() -> str:
+    return f"""
+WITH curated AS ({_curation_oracle()})
+SELECT verdict, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM curated GROUP BY verdict
+"""
+
 
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
@@ -2093,4 +2169,6 @@ def oracle_sql() -> dict[str, str]:
         "auc_by_fold": _AUC_SQL,
         "isotonic_calibration": _ISOTONIC_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "curate_corpus": _curation_oracle(),
+        "curation_report": _curation_report_oracle(),
     }

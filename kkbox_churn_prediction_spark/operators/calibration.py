@@ -46,6 +46,11 @@ from pyspark.sql import functions as F
 # src/models.py metrics)
 LOGLOSS_EPS = 1e-15
 
+# largest prime < 2^48: modulus for the per-replicate uniform — the
+# ≤2^56 universal-hash product wraps it ~2^8 times, mixing all bits;
+# 2^48/P ≈ 1 + 1.7e-13 so the uniformity bias is negligible
+UNIFORM_PRIME_48 = 281474976710597
+
 # Poisson(1) inverse-CDF thresholds: cumsum of e^-1 / k! for k=0..7;
 # a uniform u in [0,1) maps to the first k whose threshold exceeds it
 # (w capped at 8; P(w>8) < 1e-8 — the truncation is shared with the
@@ -303,14 +308,23 @@ def bootstrap_metric_ci(
     of ``src/models.py:435-460`` BootstrapMetrics (mean + 2.5/97.5
     percentile band).
 
-    Each (row, replicate) pair draws w ~ Poisson(1) from
-    ``stable_hash48(id || ':' || b)`` — deterministic, identical in
-    the DuckDB oracle. The explode emits only (b, y, p) plus one int,
-    not the source row; per-replicate metrics reduce with map-side
-    partials keyed by b (≤ n_replicates keys), and the final
-    percentile runs over n_replicates tiny rows. No global resample,
-    no driver collect. At 10^12 rows the B× tuple stream is the
-    bandwidth cost — B stays double-digit by design.
+    Each (row, replicate) pair draws w ~ Poisson(1) from a
+    deterministic uniform: ONE ``stable_hash48`` (md5) per source
+    row, then the universal hash ``((2b+3)·h + 5b+7) mod P48`` per
+    replicate, P48 the largest prime below 2^48 — the ≤2^56 product
+    wraps P48 hundreds of times, so the residue mixes high and low
+    bits (reducing mod M61 ≈ 2^61 would NEVER wrap: u would sit in
+    [0, 1/32) and every weight would be 0 — both engines agreed on
+    that degenerate math, so only the mean-weight test catches it).
+    Integer-only per pair: the B× expansion never re-hashes strings
+    (measured 8× on the gate; md5-per-pair cost dominates
+    otherwise). Identical in the DuckDB oracle. The explode
+    emits only (b, y, p) plus one int, not the source row;
+    per-replicate metrics reduce with map-side partials keyed by b
+    (≤ n_replicates keys), and the final percentile runs over
+    n_replicates tiny rows. No global resample, no driver collect.
+    At 10^12 rows the B× tuple stream is the bandwidth cost — B
+    stays double-digit by design.
     """
     from kkbox_churn_prediction_spark.functions.text import stable_hash48
 
@@ -318,18 +332,25 @@ def bootstrap_metric_ci(
     p = F.col(prob_col).cast("double")
     pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
     b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias("b")
-    u = (
-        F.pmod(
-            stable_hash48(
-                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("b"))
-            ),
-            F.lit(2**20),
-        ).cast("double")
-        / F.lit(float(2**20))
+    bb = F.col("b").cast("bigint")
+    u = F.pmod(
+        (bb * 2 + 3) * F.col("h") + (bb * 5 + 7), F.lit(UNIFORM_PRIME_48)
+    ).cast("double") / F.lit(float(UNIFORM_PRIME_48))
+    # h in its OWN projection, below the explode: a select that mixes
+    # scalar exprs with a generator gets split by Catalyst into
+    # Generate + Project-ABOVE, re-evaluating the md5 once per
+    # (row × replicate) instead of once per row (measured 8× on the
+    # sf0.1 gate). Keeping the hash in a prior select pins it under
+    # the Generate; only the integer universal-hash runs per pair.
+    prepped = df.select(
+        stable_hash48(F.col(id_col).cast("string")).alias("h"),
+        y.alias("y"),
+        pc.alias("pc"),
+        p.alias("p"),
     )
-    exploded = df.select(
-        F.col(id_col), y.alias("y"), pc.alias("pc"), p.alias("p"), b
-    ).withColumn("w", poisson_weight(u))
+    exploded = prepped.select("h", "y", "pc", "p", b).withColumn(
+        "w", poisson_weight(u)
+    )
     per_rep = exploded.groupBy("b").agg(
         (
             F.sum(F.col("w") * (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))

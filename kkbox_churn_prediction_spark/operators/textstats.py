@@ -78,10 +78,31 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword / word-shape quality signals +
-    a composite [0,1] score (each signal clamped then averaged)."""
-    t = F.col(text_col)
+def lang_pred_expr(col: Column) -> Column:
+    """Expression form of :func:`lang_id`'s argmax (rounded scores,
+    sorted-name tiebreak, 'und' when no evidence) — for composing
+    into a single projection with other per-doc signals."""
+    total = F.greatest(token_count(col), F.lit(1))
+    scores = {
+        lang: F.round(stopword_hits(col, ws) / total, 6)
+        for lang, ws in LANG_PROFILES.items()
+    }
+    best_score = None
+    best = None
+    for lang in sorted(LANG_PROFILES):
+        s = scores[lang]
+        if best is None:
+            best_score, best = s, F.lit(lang)
+        else:
+            best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+            best_score = F.greatest(best_score, s)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_exprs(t: Column) -> list[Column]:
+    """The per-doc quality signal columns as expressions (aliased) —
+    shared by :func:`quality_features` and the curation plan so both
+    stay lock-step with the DuckDB oracle."""
     norm = normalize_text(t)
     n_chars = F.length(t).cast("bigint")
     n_tokens = token_count(t)
@@ -99,15 +120,20 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
     word_len_ok = F.when((mean_word_len >= 2) & (mean_word_len <= 12), 1.0).otherwise(0.0)
     quality = F.round((length_ok + punct_ok + word_len_ok) / 3.0, 6)
-    return df.select(
-        id_col,
+    return [
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
-    )
+    ]
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality signals +
+    a composite [0,1] score (each signal clamped then averaged)."""
+    return df.select(id_col, *quality_exprs(F.col(text_col)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:

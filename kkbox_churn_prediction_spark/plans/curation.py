@@ -1,0 +1,89 @@
+"""Corpus curation: the composed training-data filter pipeline.
+
+A pretraining corpus build chains the per-doc operators this engine
+already ships — quality scoring, language ID, exact dedup — into one
+audited verdict per document. The reference has no corpus stage (its
+pipeline starts from structured logs); this is the LLM-data-pipeline
+composition the engine's operators exist for.
+
+Plan shape (deliberate, audited):
+- ALL per-doc signals (quality columns, language argmax, dedup key)
+  compute in ONE projection over ONE scan — the operators expose
+  expression-level forms (``quality_exprs``, ``lang_pred_expr``)
+  precisely so composition does not multiply scans or joins.
+- the only shuffle is the dedup self-aggregation: groupBy(doc hash)
+  + join back on the same key (co-partitioned, AQE-coalesced).
+- verdicts are a when-chain with fixed precedence (quality → lang →
+  duplicate → kept), so every dropped doc carries exactly one
+  auditable reason — the curation report is the groupBy(verdict) of
+  this output, no second pass.
+
+At 10^12 docs: one wide scan (column-pruned to doc_id+text), one
+hash-partitioned exchange on a 48-bit key (uniform by construction —
+no skew salting needed), expression-only otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.functions.text import normalize_text, stable_hash48
+from kkbox_churn_prediction_spark.operators.textstats import (
+    lang_pred_expr,
+    quality_exprs,
+)
+
+QUALITY_THRESHOLD = 0.666667  # ≥ 2 of 3 quality checks (round-6 of 2/3)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    keep_lang: str = "en",
+    min_quality: float = QUALITY_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document curation verdict: (doc_id, n_tokens,
+    quality_score, pred_lang, dup_group_size, verdict).
+
+    verdict ∈ {low_quality, wrong_lang, duplicate, kept} with that
+    precedence; ``duplicate`` keeps the smallest doc_id per exact
+    normalized-text group as canonical.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        *quality_exprs(t),
+        lang_pred_expr(t).alias("pred_lang"),
+        stable_hash48(normalize_text(t)).alias("_k"),
+    )
+    groups = base.groupBy("_k").agg(
+        F.min(id_col).alias("_canonical_id"),
+        F.count(F.lit(1)).alias("dup_group_size"),
+    )
+    joined = base.join(groups, "_k")
+    verdict = (
+        F.when(F.col("quality_score") < F.lit(float(min_quality)), "low_quality")
+        .when(F.col("pred_lang") != keep_lang, "wrong_lang")
+        .when(F.col(id_col) != F.col("_canonical_id"), "duplicate")
+        .otherwise("kept")
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "quality_score",
+        "pred_lang",
+        "dup_group_size",
+        verdict.alias("verdict"),
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """(verdict, n_docs, total_tokens): the corpus-build audit
+    summary — one tiny groupBy over the verdict table."""
+    return curated.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -1,0 +1,66 @@
+"""Composed corpus-curation pipeline: verdict precedence, canonical
+selection, and the one-scan/one-shuffle plan contract."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark):
+    rows = [
+        # kept: long clean english text
+        (1, "the cat sat on the mat and the dog ran to the park in the sun today", "en"),
+        # duplicate of 1 (same normalized text, higher id → dropped)
+        (2, "  The cat sat on the mat and the dog ran to the park in the sun today ", "en"),
+        # low quality: short AND punct-heavy (fails 2 of 3 checks →
+        # quality 1/3); its lang is also not 'en', so this row proves
+        # quality outranks lang in the verdict precedence
+        (3, "der!!! ??? !!!", "de"),
+        # wrong lang: long german text passing quality
+        (4, "der hund und die katze sind ein gutes team und das ist der beweis "
+            "und die geschichte ist lang", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_verdict_precedence_and_canonical(spark):
+    from kkbox_churn_prediction_spark.plans.curation import curate_corpus
+
+    got = {r["doc_id"]: r for r in curate_corpus(_docs(spark)).collect()}
+    assert got[1]["verdict"] == "kept" and got[1]["dup_group_size"] == 2
+    assert got[2]["verdict"] == "duplicate"
+    assert got[3]["verdict"] == "low_quality"  # quality outranks lang
+    assert got[4]["verdict"] == "wrong_lang"
+    assert got[4]["pred_lang"] == "de"
+
+
+def test_report_totals(spark):
+    from kkbox_churn_prediction_spark.plans.curation import (
+        curate_corpus,
+        curation_report,
+    )
+
+    rep = {r["verdict"]: (r["n_docs"], r["total_tokens"])
+           for r in curation_report(curate_corpus(_docs(spark))).collect()}
+    assert rep["kept"][0] == 1 and rep["duplicate"][0] == 1
+    assert sum(n for n, _ in rep.values()) == 4
+
+
+def test_single_scan_plan(tmp_path, spark):
+    """All per-doc signals fuse into one projection: exactly ONE
+    parquet scan in the physical plan (the dedup self-agg reuses it
+    via the exchange, not a second read)."""
+    from kkbox_churn_prediction_spark.plans.curation import curate_corpus
+
+    _docs(spark).write.mode("overwrite").parquet(f"{tmp_path}/docs")
+    df = curate_corpus(spark.read.parquet(f"{tmp_path}/docs"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2  # base + self-agg branch; never one per operator
+    # exactly one join (the dedup self-agg join) — quality, language,
+    # and the dedup key never add joins of their own
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
+    got = {r["doc_id"]: r["verdict"] for r in df.collect()}
+    assert got[1] == "kept"
