@@ -736,6 +736,21 @@ def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(curate_corpus(_docs(spark, sf_dir)))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling (hash-membership,
+    stable under partitioning/reruns — Spark's seeded sample() is
+    not). Pure scan-stage filter, zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+    return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -824,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
+        # deterministic training-data sampling
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -2090,6 +2107,24 @@ FROM curated GROUP BY verdict
 """
 
 
+# deterministic stratified sampling (lock-step with
+# operators/sampling.py: bucket = h48('sample:'||id) % 2^20,
+# keep iff bucket < round(rate·2^20) per stratum)
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           ({_H48.format(x="concat('sample:', CAST(doc_id AS VARCHAR))")}) % 1048576 AS bucket
+    FROM documents
+)
+SELECT doc_id, source FROM h
+WHERE bucket < CASE source
+    WHEN 'src0' THEN 1048576
+    WHEN 'src1' THEN 524288
+    WHEN 'src2' THEN 104858
+    WHEN 'src3' THEN 0
+    ELSE 262144 END
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2171,4 +2206,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     }

@@ -35,15 +35,26 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     *,
+    algorithm: str = "hashmin",
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, component, component_size) for every node that appears
     in ``edges``; ``component`` is the minimum node id reachable via
     undirected pair edges.
 
-    Raises after ``max_iter`` rounds without a fixpoint (graphs with
-    diameter > max_iter deserve the doubling algorithm, not silence).
+    ``algorithm="hashmin"`` (default): closed-neighborhood min per
+    round — O(diameter) rounds, cheapest per round, right for dup
+    clusters (dense blobs). ``algorithm="doubling"``: adds a
+    pointer-jump (label(v) ← label(label(v)), one self-join of the
+    label table) per round — O(log n) rounds, the scale path for
+    long-chain graphs where diameter rounds would dominate.
+
+    Raises after ``max_iter`` rounds without a fixpoint (a hash-min
+    run on a high-diameter graph should fail loudly and be rerun
+    with doubling, not silently truncate clusters).
     """
+    if algorithm not in ("hashmin", "doubling"):  # pragma: no cover
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -66,8 +77,30 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if algorithm == "doubling":
+            # pointer jump: chase one indirection — label(label(v)).
+            # Left join: a label that is itself a component min has no
+            # entry ≠ itself, coalesce keeps it. Halves chain depth
+            # each round → fixpoint in O(log n) rounds.
+            jumped = (
+                new_labels.alias("a")
+                .join(
+                    new_labels.select(
+                        F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                    ).alias("b"),
+                    F.col("a.label") == F.col("b._ln"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.least(
+                        F.col("a.label"), F.coalesce(F.col("b._ll"), F.col("a.label"))
+                    ).alias("label"),
+                )
+            )
+            new_labels = jumped
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old"))

@@ -1,0 +1,65 @@
+"""Deterministic sampling for training-data pipelines.
+
+Corpus builds downsample by stratum (cap a dominant web crawl, keep
+all books) and need the SAME sample on every rerun — Spark's
+``sample()``/``sampleBy()`` are seeded per-partition, so the kept set
+changes with partitioning, retries, and cluster size. Here membership
+is a pure function of the ROW (48-bit md5 of a salt + id, compared to
+rate·2^20), so the sample is stable under repartitioning, resumable
+backfills re-select identical rows, and the DuckDB oracle reproduces
+it exactly — the same seeds-as-hashes discipline as the bootstrap
+(``operators/calibration.py``).
+
+All membership tests are JVM column expressions — no shuffle at all
+for flat sampling; stratified rates ride a broadcast join when the
+rate table is a DataFrame, or a when-chain literal for small dicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+_BUCKETS = 2**20  # dyadic rate resolution: ~1e-6
+
+
+def sample_hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 2^20) from (salt, id) — the membership
+    coin. Changing the salt redraws the whole sample."""
+    return F.pmod(
+        stable_hash48(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))),
+        F.lit(_BUCKETS),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, *, salt: str = "sample"
+) -> DataFrame:
+    """Keep each row iff hash-bucket < rate·2^20 — exact-rate-in-
+    expectation Bernoulli sampling, stable across partitioning and
+    reruns. Pure filter: pushes into the scan stage, zero shuffles."""
+    thr = int(round(float(rate) * _BUCKETS))
+    return df.where(sample_hash_bucket(F.col(id_col), salt) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. cap web crawl at 10%, keep
+    books at 100%). Small dicts compile to a when-chain literal —
+    still a pure scan-stage filter, no join, no shuffle; strata
+    missing from ``rates`` get ``default_rate``."""
+    thr: Column = F.lit(int(round(float(default_rate) * _BUCKETS)))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(float(rate) * _BUCKETS)))
+        ).otherwise(thr)
+    return df.where(sample_hash_bucket(F.col(id_col), salt) < thr)

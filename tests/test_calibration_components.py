@@ -203,6 +203,36 @@ def test_connected_components_small_graph(spark):
     assert len(got) == 9
 
 
+def test_components_doubling_handles_long_chains(spark):
+    """A 60-node path has diameter 59: hash-min cannot close it in 12
+    rounds (loud failure), pointer-jumping closes it in O(log n)."""
+    from kkbox_churn_prediction_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(59)],
+        "doc_a string, doc_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=12)
+    got = connected_components(edges, algorithm="doubling", max_iter=12).collect()
+    assert len(got) == 60
+    assert {r["component"] for r in got} == {"n000"}
+    assert all(r["component_size"] == 60 for r in got)
+
+
+def test_components_algorithms_agree_on_random_graph(spark):
+    from kkbox_churn_prediction_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(17)
+    nodes = [f"v{i}" for i in range(80)]
+    edges = [(nodes[rng.integers(80)], nodes[rng.integers(80)]) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    r1 = sorted(map(tuple, connected_components(df).collect()))
+    r2 = sorted(map(tuple, connected_components(df, algorithm="doubling").collect()))
+    assert r1 == r2
+
+
 def test_connected_components_partition_invariant(spark):
     """Cluster assignment must not depend on input partitioning."""
     from kkbox_churn_prediction_spark.operators.components import connected_components
