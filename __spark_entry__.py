@@ -751,6 +751,20 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs → fixed-capacity context
+    bins via hash-shard + per-shard running token offset."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.packing import pack_documents
+    from kkbox_churn_prediction_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, "n_tokens", capacity=512, n_shards=8)
+
+
 def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -839,8 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
-        # deterministic training-data sampling
+        # deterministic training-data sampling + packing
         "stratified_sample": _q_stratified_sample,
+        "pack_documents": _q_pack_documents,
     }
 
 
@@ -2125,6 +2140,28 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# deterministic sequence packing (lock-step with operators/packing.py:
+# shard = h48(id) % 8, offset = running token sum before the doc in
+# doc_id order within shard, bin = floor(offset / 512))
+_PACK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+           ({_H48.format(x="CAST(doc_id AS VARCHAR)")}) % 8 AS shard
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                - n_tokens AS BIGINT) AS "offset"
+    FROM toks
+)
+SELECT doc_id, shard, "offset",
+       CAST(FLOOR("offset" / 512.0) AS BIGINT) AS pack_bin,
+       n_tokens,
+       CAST(n_tokens > 512 AS INTEGER) AS oversize
+FROM cum
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2207,4 +2244,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "pack_documents": _PACK_DOCUMENTS_SQL,
     }
