@@ -751,6 +751,17 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 10 docs per source, drawn uniformly via the hash
+    bucket (deterministic, not head-of-scan)."""
+    from kkbox_churn_prediction_spark.operators.sampling import capped_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return capped_per_group(docs, "source", 10, "doc_id")
+
+
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: docs → fixed-capacity context
     bins via hash-shard + per-shard running token offset."""
@@ -855,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": _q_curation_report,
         # deterministic training-data sampling + packing
         "stratified_sample": _q_stratified_sample,
+        "capped_per_source": _q_capped_per_source,
         "pack_documents": _q_pack_documents,
     }
 
@@ -2140,6 +2152,20 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# per-group cap (lock-step with sampling.capped_per_group: rank by
+# hash bucket with id tiebreak, keep rank <= k)
+_CAPPED_PER_SOURCE_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ({_H48.format(x="concat('cap:', CAST(doc_id AS VARCHAR))")}) % 1048576,
+                        doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 10
+"""
+
 # deterministic sequence packing (lock-step with operators/packing.py:
 # shard = h48(id) % 8, offset = running token sum before the doc in
 # doc_id order within shard, bin = floor(offset / 512))
@@ -2244,5 +2270,6 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
     }

@@ -17,7 +17,7 @@ rate table is a DataFrame, or a when-chain literal for small dicts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kkbox_churn_prediction_spark.functions.text import stable_hash48
@@ -63,3 +63,31 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(int(round(float(rate) * _BUCKETS)))
         ).otherwise(thr)
     return df.where(sample_hash_bucket(F.col(id_col), salt) < thr)
+
+
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    *,
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``k`` rows per group — a deterministic uniform draw,
+    not head-of-scan bias: rank by the hash bucket (id tiebreak)
+    within each group and keep rank ≤ k. The standard cap for
+    "no domain dominates the corpus".
+
+    One shuffle on the group key; the per-group sort is bounded by
+    group size — for pathological mega-groups, pre-thin with
+    :func:`deterministic_sample` at ~k/|group| first (the hash
+    membership composes: the cap's draw is uniform over the
+    survivors)."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

@@ -52,6 +52,24 @@ def test_stratified_rates(spark):
     assert abs(got["web"] / 10000 - 0.1) < 0.02
 
 
+def test_capped_per_group(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import capped_per_group
+
+    df = _ids(spark, n=1000)
+    out = capped_per_group(df, "source", 7, "doc_id")
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"web": 7, "books": 7}
+    # deterministic: same rows on rerun and under different partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in capped_per_group(_ids(spark, n=1000, parts=9), "source", 7, "doc_id").collect()
+    )
+    assert a == b
+    # uniform draw, not head-of-scan: kept ids are spread across range
+    assert max(a) > 500
+
+
 def test_subsample_nesting(spark):
     """A lower-rate sample with the same salt is a SUBSET of a
     higher-rate one (threshold monotonicity) — lets pipelines carve
