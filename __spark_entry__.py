@@ -751,6 +751,14 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smooth TF-IDF —
+    corpus-level df statistics broadcast back onto the tf stream."""
+    from kkbox_churn_prediction_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At most 10 docs per source, drawn uniformly via the hash
     bucket (deterministic, not head-of-scan)."""
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "capped_per_source": _q_capped_per_source,
         "pack_documents": _q_pack_documents,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -2152,6 +2161,28 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# smooth TF-IDF top terms (lock-step with textstats.tfidf_top_terms:
+# idf = ln((1+N)/(1+df)) + 1, tiebreak score desc then term asc)
+_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           ROUND(t.tf * (LN((1.0 + n_docs) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
 # per-group cap (lock-step with sampling.capped_per_group: rank by
 # hash bucket with id tiebreak, keep rank <= k)
 _CAPPED_PER_SOURCE_SQL = f"""
@@ -2272,4 +2303,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
     }

@@ -136,6 +136,57 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.select(id_col, *quality_exprs(F.col(text_col)))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    (doc_id, term, tf, df, tfidf, rank). Deterministic tiebreak
+    (score desc, term asc); idf = ln((1+N)/(1+df)) + 1 (the
+    smooth-idf convention, never negative/zero).
+
+    Corpus-statistics shape: term frequencies reduce on (doc, term)
+    with map-side partials; document frequencies reduce the SAME
+    stream again on term alone (algebraic count — hot stopwords are
+    heavy keys but never buffer); the per-term df table (vocab-sized,
+    ≪ corpus) broadcasts back onto the tf stream — no shuffle of the
+    big side for the join; the corpus doc count rides a one-row
+    broadcast cross join, not a driver collect. Final top-k is a
+    per-doc window bounded by document length. At 10^12 docs the only
+    exchanges are the two aggs; if the vocab outgrows the broadcast
+    threshold, AQE falls back to a shuffle join with skew splitting.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_N"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("_N")) / (F.lit(1.0) + F.col("df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min 48-bit hash over word n-grams (the
     winnowing/rolling-hash idea reduced to its min-sketch: equal for

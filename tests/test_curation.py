@@ -64,3 +64,26 @@ def test_single_scan_plan(tmp_path, spark):
     assert n_joins == 1
     got = {r["doc_id"]: r["verdict"] for r in df.collect()}
     assert got[1] == "kept"
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat zebra"),
+            (2, "the dog the dog"),
+            (3, "the bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # 'the' appears in every doc (df=3, lowest idf); distinctive terms win
+    assert sorted(by_doc[1])[0][1] == "cat"      # tf=2, df=1
+    assert sorted(by_doc[2])[0][1] == "dog"
+    assert sorted(by_doc[3])[0][1] == "bird"
+    # k bound respected and ranks dense from 1
+    assert all(len(v) <= 2 and min(r for r, _ in v) == 1 for v in by_doc.values())
