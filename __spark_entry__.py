@@ -751,6 +751,22 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the eval set;
+    corpus docs sharing ≥2 tri-gram shingles with an eval doc are
+    flagged (eval shingles broadcast — the corpus never shuffles)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, eval_set, n=3, min_common=2)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smooth TF-IDF —
     corpus-level df statistics broadcast back onto the tf stream."""
@@ -877,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_per_source": _q_capped_per_source,
         "pack_documents": _q_pack_documents,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -2161,6 +2178,26 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# benchmark decontamination (lock-step with dedup.decontaminate:
+# every 50th doc = eval set, flag corpus docs sharing >= 2 tri-gram
+# shingle hashes, eval_frac = n_common / |eval shingles|)
+_DECONTAMINATE_SQL = f"""
+WITH {_shingle_cte(3)},
+shh AS (SELECT doc_id, {_H48.format(x='shingle')} AS shingle FROM sh),
+c AS (SELECT doc_id, shingle FROM shh WHERE doc_id % 50 <> 0),
+e AS (SELECT doc_id AS eval_id, shingle FROM shh WHERE doc_id % 50 = 0),
+es AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM e GROUP BY eval_id),
+hits AS (
+    SELECT c.doc_id, e.eval_id, COUNT(*) AS n_common
+    FROM c JOIN e USING (shingle)
+    GROUP BY c.doc_id, e.eval_id
+    HAVING COUNT(*) >= 2
+)
+SELECT doc_id, eval_id, n_common,
+       ROUND(n_common * 1.0 / n_eval_sh, 6) AS eval_frac
+FROM hits JOIN es USING (eval_id)
+"""
+
 # smooth TF-IDF top terms (lock-step with textstats.tfidf_top_terms:
 # idf = ln((1+N)/(1+df)) + 1, tiebreak score desc then term asc)
 _TFIDF_SQL = f"""
@@ -2304,4 +2341,5 @@ def oracle_sql() -> dict[str, str]:
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
     }

@@ -125,6 +125,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n: int = 3,
+    min_common: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``min_common`` distinct word n-grams with ANY eval document —
+    (doc_id, eval_id, n_common, eval_frac) for each contaminated
+    (doc, eval) pair, where eval_frac = n_common / |eval shingles|
+    (how much of the eval doc leaks).
+
+    Scale shape: the EVAL side is small by definition (a benchmark),
+    so its distinct shingle-hash set broadcasts; the corpus shingle
+    stream joins it map-side — the 10^12-doc side never shuffles for
+    the probe. The only exchange is the (doc, eval) count agg, whose
+    stream is bounded by hits (rare by construction). Never an
+    all-pairs join; 48-bit hashed keys as in the near-dup family.
+    """
+    c = shingle_stream(corpus, text_col, n, id_col).select(
+        id_col, stable_hash48(F.col("shingle")).alias("shingle")
+    )
+    e = shingle_stream(eval_set, text_col, n, eval_id_col).select(
+        eval_id_col, stable_hash48(F.col("shingle")).alias("shingle")
+    )
+    e_sizes = e.groupBy(eval_id_col).agg(F.count(F.lit(1)).alias("n_eval_sh"))
+    hits = (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= int(min_common))
+    )
+    return hits.join(F.broadcast(e_sizes), eval_id_col).select(
+        id_col,
+        eval_id_col,
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_eval_sh"), 6).alias("eval_frac"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:

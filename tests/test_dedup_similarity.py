@@ -148,3 +148,23 @@ def test_multimodal_plumbing(spark, corpus):
     frames = frame_sample_plan(media, every_n=30).toPandas()
     assert (frames.frame_no % 30 == 0).all()
     assert frames.groupby("media_id").size().min() >= 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains eval trigrams
+            (2, "one two three four five six"),           # disjoint
+            (3, "alpha beta gamma something else here"),  # 1 shared trigram only
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "eval_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, ev, n=3, min_common=2).collect()}
+    # doc 1 shares 3 of the eval's 3 trigrams; doc 3 only 1 (below threshold)
+    assert set(got) == {1}
+    assert got[1]["n_common"] == 3 and got[1]["eval_frac"] == 1.0
