@@ -145,13 +145,15 @@ def resumable_backfill(
     input_fingerprint: str | None = None,
     params: dict | None = None,
     seed: int | None = None,
+    bucket_col: str = "conv_id",
 ) -> dict:
     """Run ``build(spark) -> DataFrame`` bucket-by-bucket with
     checkpointing.
 
-    ``build`` must return the FULL feature DataFrame including a
-    ``conv_id`` column; bucketing is derived, so the split is stable
-    across restarts. ``fail_after`` injects a crash after N bucket
+    ``build`` must return the FULL output DataFrame including the
+    ``bucket_col`` identity column (conv_id for feature backfills,
+    doc_id for corpus jobs); bucketing is derived, so the split is
+    stable across restarts. ``fail_after`` injects a crash after N bucket
     commits (kill/restart test hook).
 
     ``input_fingerprint`` (e.g. :func:`fingerprint_parquet_dir` of the
@@ -178,7 +180,7 @@ def resumable_backfill(
     done = manifest.done_buckets(run_id)
 
     full = build(spark).withColumn(
-        "_bucket", F.pmod(F.hash(F.col("conv_id")), F.lit(int(n_buckets)))
+        "_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(int(n_buckets)))
     )
 
     ran = skipped = total_rows = 0
