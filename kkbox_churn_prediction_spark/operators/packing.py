@@ -44,6 +44,12 @@ def pack_documents(
     length (one straddler), so capacity ≫ mean doc length keeps
     fill-rate high; shards pack independently (at most one
     underfilled tail bin per shard).
+
+    Sizing ``n_shards``: each shard is one window sort, so choose
+    n_shards ≈ corpus_rows / 10^7 to keep every per-task sort
+    RAM-sized (shards have no semantic meaning — more shards only
+    adds tail bins, one per shard). The default 16 suits test scale,
+    NOT 10^12 docs.
     """
     tok = F.col(token_col).cast("bigint")
     shard = F.pmod(stable_hash48(F.col(id_col).cast("string")), F.lit(int(n_shards)))

@@ -142,6 +142,7 @@ def tfidf_top_terms(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_df_table: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF:
     (doc_id, term, tf, df, tfidf, rank). Deterministic tiebreak
@@ -156,8 +157,11 @@ def tfidf_top_terms(
     big side for the join; the corpus doc count rides a one-row
     broadcast cross join, not a driver collect. Final top-k is a
     per-doc window bounded by document length. At 10^12 docs the only
-    exchanges are the two aggs; if the vocab outgrows the broadcast
-    threshold, AQE falls back to a shuffle join with skew splitting.
+    exchanges are the two aggs. ``broadcast_df_table=True`` (default)
+    FORCES the broadcast — right while the vocab is executor-memory
+    sized; pass False for open-vocabulary corpora where it isn't, and
+    the join shuffles on term with AQE skew splitting for hot
+    stopwords.
     """
     from pyspark.sql import Window
 
@@ -167,8 +171,9 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("_N"))
+    df_side = F.broadcast(dfreq) if broadcast_df_table else dfreq
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(df_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
