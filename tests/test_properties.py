@@ -148,3 +148,49 @@ def test_chunked_sessionize_equals_single_pass(spark, gaps, chunk_seconds):
         for r in sessionize_chunked(df, chunk_seconds=chunk_seconds).collect()
     }
     assert chunked == single
+
+
+rate_pairs = st.tuples(
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+).map(sorted)
+
+
+@given(rates=rate_pairs)
+@settings(**SETTINGS)
+def test_property_sample_nesting(spark, rates):
+    """For ANY r_lo <= r_hi with the same salt, the r_lo sample is a
+    subset of the r_hi sample, and rates stay within binomial bounds."""
+    from kkbox_churn_prediction_spark.operators.sampling import deterministic_sample
+
+    lo, hi = rates
+    from pyspark.sql import functions as F
+
+    ids = spark.range(3000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in deterministic_sample(ids, "doc_id", lo).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(ids, "doc_id", hi).collect()}
+    assert small <= big
+    assert abs(len(big) / 3000 - hi) < 0.05
+
+
+@given(toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+       cap=st.integers(min_value=50, max_value=500))
+@settings(**SETTINGS)
+def test_property_packing_offsets(spark, toks, cap):
+    """For ANY token lengths and capacity: offsets are the exact
+    prefix sums within each shard and bins are their capacity
+    buckets (no gaps, no overlaps)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents(df, "n_tokens", capacity=cap, n_shards=3).toPandas()
+    assert len(out) == len(toks)
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        expect = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert (g["offset"].to_numpy() == expect.to_numpy()).all()
+        assert (g["pack_bin"] == g["offset"] // cap).all()
