@@ -65,6 +65,49 @@ def stratified_sample(
     return df.where(sample_hash_bucket(F.col(id_col), salt) < thr)
 
 
+def mixture_rates(
+    stratum_rows: dict[str, int],
+    target_rows: int,
+    *,
+    temperature: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum Bernoulli rates realizing a temperature-scaled
+    mixture: stratum share ∝ |stratum|^(1/T), scaled so the expected
+    total is ``target_rows``, each rate clamped to ≤ 1 with the
+    shortfall redistributed over the still-unclamped strata (a
+    stratum cannot be sampled above 1.0 — upsampling is a separate
+    concern). T=1 reproduces natural proportions; T→∞ equalizes
+    strata — the standard multilingual/multi-source rebalancing
+    curve. Driver-side arithmetic on the (tiny) per-stratum counts;
+    feed the result to :func:`stratified_sample`.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    shares = {s: float(n) ** (1.0 / temperature) for s, n in stratum_rows.items()}
+    rates: dict[str, float] = {}
+    remaining = dict(shares)
+    budget = float(target_rows)
+    # iterate: clamp any stratum whose implied rate exceeds 1, take
+    # its full size out of the budget, re-split the rest
+    while remaining:
+        z = sum(remaining.values())
+        over = {
+            s
+            for s in remaining
+            if budget * remaining[s] / z > stratum_rows[s]
+        }
+        if not over:
+            for s in remaining:
+                rates[s] = min(budget * remaining[s] / z / stratum_rows[s], 1.0)
+            break
+        for s in over:
+            rates[s] = 1.0
+            budget -= stratum_rows[s]
+            del remaining[s]
+        budget = max(budget, 0.0)
+    return rates
+
+
 def capped_per_group(
     df: DataFrame,
     group_col: str,

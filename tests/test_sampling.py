@@ -80,3 +80,23 @@ def test_subsample_nesting(spark):
     small = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1).collect()}
     big = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.5).collect()}
     assert small <= big
+
+
+def test_mixture_rates_natural_and_equalized():
+    from kkbox_churn_prediction_spark.operators.sampling import mixture_rates
+
+    counts = {"web": 80000, "books": 15000, "code": 5000}
+    # T=1: natural proportions — every stratum sampled at the same rate
+    r1 = mixture_rates(counts, target_rows=10000, temperature=1.0)
+    assert abs(r1["web"] - r1["books"]) < 1e-9 and abs(r1["web"] - r1["code"]) < 1e-9
+    exp_total = sum(r1[s] * counts[s] for s in counts)
+    assert abs(exp_total - 10000) < 1.0
+    # high T: equalized shares — small strata sampled at higher rates
+    rT = mixture_rates(counts, target_rows=10000, temperature=100.0)
+    assert rT["code"] > rT["books"] > rT["web"]
+    assert abs(sum(rT[s] * counts[s] for s in counts) - 10000) < 1.0
+    # clamping: target above a small stratum's capacity caps at 1.0
+    rC = mixture_rates(counts, target_rows=90000, temperature=100.0)
+    assert rC["code"] == 1.0 and rC["books"] == 1.0
+    assert abs(sum(rC[s] * counts[s] for s in counts) - 90000) < 1.0
+    assert rC["web"] <= 1.0
