@@ -751,6 +751,22 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per sign-LSH bucket via the one-pass JVM vector
+    aggregate (Summarizer) — exploded to scalar rows for the gate."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        cluster_centroids,
+        sign_bucket,
+    )
+
+    embs = _embs(spark, sf_dir).withColumn(
+        "bucket", sign_bucket("embedding", 4).cast("int")
+    )
+    return cluster_centroids(embs, "bucket", "embedding")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the eval set;
     corpus docs sharing ≥2 tri-gram shingles with an eval doc are
@@ -894,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "decontaminate": _q_decontaminate,
+        "cluster_centroids": _q_cluster_centroids,
     }
 
 
@@ -2178,6 +2195,24 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# per-cluster mean embeddings (lock-step with
+# similarity.cluster_centroids; dims fixed at 64 by the testdata
+# schema — the engine side reads the width from the vector itself)
+_CLUSTER_CENTROIDS_SQL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+c AS (SELECT CAST({_BUCKET.format(e='embedding')} AS INTEGER) AS bucket, embedding
+      FROM embeddings),
+sizes AS (SELECT bucket, COUNT(*) AS n_members FROM c GROUP BY bucket),
+expl AS (
+    SELECT bucket, dim, CAST(embedding[dim] AS DOUBLE) AS v
+    FROM c CROSS JOIN dims
+)
+SELECT e.bucket, CAST(e.dim - 1 AS INTEGER) AS dim,
+       ROUND(AVG(v), 6) AS centroid, s.n_members
+FROM expl e JOIN sizes s USING (bucket)
+GROUP BY e.bucket, e.dim, s.n_members
+"""
+
 # benchmark decontamination (lock-step with dedup.decontaminate:
 # every 50th doc = eval set, flag corpus docs sharing >= 2 tri-gram
 # shingle hashes, eval_frac = n_common / |eval shingles|)
@@ -2342,4 +2377,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _PACK_DOCUMENTS_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
     }

@@ -289,3 +289,42 @@ def cosine_topk_pandas(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cluster_centroids(
+    df: DataFrame,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean embedding per cluster, exploded to (cluster, dim,
+    centroid, n_members) scalar rows — representative-vector
+    selection for dedup clusters / IVF refresh / diversity audits.
+
+    Plan: ``pyspark.ml.stat.Summarizer`` aggregates whole vectors
+    JVM-side in ONE partial+final pass keyed by cluster — the corpus
+    never explodes to (row × dim) tuples (the naive posexplode shape
+    multiplies the shuffle by the dimensionality; at 64-d that is a
+    64× stream for the identical answer). Only the tiny per-cluster
+    result (clusters × dims) explodes for the scalar output.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    v = df.select(
+        F.col(cluster_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    agg = v.groupBy(cluster_col).agg(
+        Summarizer.mean(F.col("_v")).alias("_m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        cluster_col,
+        "n_members",
+        F.posexplode(vector_to_array(F.col("_m"))).alias("dim", "_c"),
+    ).select(
+        cluster_col,
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("_c"), 6).alias("centroid"),
+        "n_members",
+    )

@@ -168,3 +168,20 @@ def test_decontaminate_flags_overlap(spark):
     # doc 1 shares 3 of the eval's 3 trigrams; doc 3 only 1 (below threshold)
     assert set(got) == {1}
     assert got[1]["n_common"] == 3 and got[1]["eval_frac"] == 1.0
+
+
+def test_cluster_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.similarity import cluster_centroids
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(30, 5)).round(3)
+    rows = [(i, int(i % 3), [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, bucket int, embedding array<double>")
+    got = cluster_centroids(df, "bucket", "embedding").toPandas()
+    for b in range(3):
+        expect = vecs[np.arange(30) % 3 == b].mean(axis=0)
+        g = got[got.bucket == b].sort_values("dim")
+        assert (g["n_members"] == 10).all()
+        np.testing.assert_allclose(g["centroid"].to_numpy(), np.round(expect, 6), atol=2e-6)
