@@ -751,6 +751,14 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation assistant response latency (join-free forward
+    window over the shared conv_id partitioning)."""
+    from kkbox_churn_prediction_spark.operators.lags import response_latency
+
+    return response_latency(_conv(spark, sf_dir))
+
+
 def _q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per sign-LSH bucket via the one-pass JVM vector
     aggregate (Summarizer) — exploded to scalar rows for the gate."""
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
+        "response_latency": _q_response_latency,
     }
 
 
@@ -2195,6 +2204,27 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# per-conv assistant response latency (lock-step with
+# lags.response_latency: earliest later assistant turn per user turn)
+_RESPONSE_LATENCY_SQL = f"""
+WITH {_CONV_CTE},
+lat AS (
+    SELECT conv_id,
+           MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END)
+               OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             - epoch_us(ts) AS l,
+           role
+    FROM conversations
+)
+SELECT conv_id,
+       COUNT(*) AS n_exchanges,
+       ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_latency_s,
+       CAST(MAX(l) AS BIGINT) AS max_latency_us
+FROM lat WHERE role = 'user' AND l IS NOT NULL
+GROUP BY conv_id
+"""
+
 # per-cluster mean embeddings (lock-step with
 # similarity.cluster_centroids; dims fixed at 64 by the testdata
 # schema — the engine side reads the width from the vector itself)
@@ -2378,4 +2408,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
+        "response_latency": _RESPONSE_LATENCY_SQL,
     }

@@ -54,3 +54,40 @@ def stable_row_number(turns: DataFrame) -> DataFrame:
     return turns.withColumn(
         "rn", (F.row_number().over(turn_order_window()) - F.lit(1)).cast("int")
     )
+
+
+def response_latency(turns: DataFrame) -> DataFrame:
+    """Per-conversation assistant responsiveness:
+    (conv_id, n_exchanges, avg_latency_s, max_latency_us).
+
+    An exchange is a 'user' turn followed (not necessarily
+    adjacently — tool turns intervene) by a later 'assistant' turn in
+    the same conversation; latency is the event-time gap to the
+    EARLIEST such assistant turn. Join-free: one forward window
+    (min of assistant timestamps over the following rows) on the
+    shared conv_id partitioning — the same shape as the J4 next-event
+    rewrite in ``operators/labels.py``, so it rides the one conv_id
+    shuffle every transcript operator shares.
+    """
+    w = turn_order_window().rowsBetween(1, Window.unboundedFollowing)
+    ts_us = F.unix_micros(F.col("ts"))
+    next_assistant = F.min(
+        F.when(F.col("role") == "assistant", ts_us)
+    ).over(w)
+    lat = (
+        turns.withColumn("_lat", next_assistant - ts_us)
+        .where((F.col("role") == "user") & F.col("_lat").isNotNull())
+    )
+    # avg as ONE division chain over the exact integer sum, reported
+    # in SECONDS: micro sums reach ~1e13 (exact in bigint/double),
+    # but ROUND-at-4-decimals on a 1e11-magnitude double differs
+    # between engines in the last bit (both multiply by 1e4 into the
+    # 2^53 neighborhood); seconds keep the magnitude where round(6)
+    # is bit-stable. max stays exact integer micros.
+    return lat.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_exchanges"),
+        F.round(
+            F.sum("_lat").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("avg_latency_s"),
+        F.max("_lat").alias("max_latency_us"),
+    )

@@ -122,3 +122,32 @@ def test_quantile_edge_bucketizer(spark):
     out = df.select(bucketize_by_edges(F.col("v"), edges).alias("b"))
     counts = {r["b"]: r["c"] for r in out.groupBy("b").agg(F.count("*").alias("c")).collect()}
     assert sum(counts.values()) == 100 and set(counts) == {0, 1, 2, 3}
+
+
+def test_response_latency_skips_tools_and_unanswered(spark):
+    from datetime import datetime
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.lags import response_latency
+    from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 3, 0, 1],
+            # user → tool → assistant (latency 20s, tool skipped);
+            # trailing user turn unanswered → excluded.
+            # c2: user → user, never answered → conv absent entirely
+            "role": ["user", "tool", "assistant", "user", "user", "user"],
+            "text": ["a"] * 6,
+            "tool": [None] * 6,
+            "ts": [t(0), t(10), t(20), t(30), t(0), t(5)],
+        }
+    )
+    got = {r["conv_id"]: r for r in response_latency(to_spark(spark, pdf)).collect()}
+    assert set(got) == {"c1"}
+    assert got["c1"]["n_exchanges"] == 1
+    assert got["c1"]["avg_latency_s"] == 20.0
+    assert got["c1"]["max_latency_us"] == 20_000_000
