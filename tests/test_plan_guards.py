@@ -1,0 +1,82 @@
+"""Physical-plan regression guards.
+
+Round 1 shipped three scale-killers that were invisible to
+correctness gates (global ntile sort, uncapped shingle join,
+Expand-based count-distinct). These tests pin the fixed plan shapes
+so a future edit can't silently reintroduce them: each guard asserts
+a property of the OPTIMIZED PLAN, not the output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_has_no_expand_and_no_global_sort(spark):
+    """asof_features: count-distinct stays Expand-free (A3 rewrite)
+    and nothing sorts a single partition."""
+    plan = _plan(spark, "asof_features")
+    assert "Expand" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quintile_stats_has_no_window_sort(spark):
+    """quintile_stats: quantile-edge bucketing, not a global ntile
+    window (the round-1 killer)."""
+    plan = _plan(spark, "quintile_stats")
+    assert "Window" not in plan
+
+
+def test_turn_labels_is_join_free(spark):
+    """turn_labels: forward-window rewrite — no join of any kind."""
+    plan = _plan(spark, "turn_labels")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_bootstrap_hash_stays_below_explode(spark):
+    """bootstrap_ci: the md5 must sit under the replicate Generate —
+    above it, the hash re-evaluates per (row × replicate)."""
+    plan = _plan(spark, "bootstrap_ci")
+    # find the replicate explode (the sequence-generator one)
+    lines = plan.split("\n")
+    gen_idx = [i for i, l in enumerate(lines)
+               if "Generate explode" in l and "UnsafeArrayData" in l]
+    assert gen_idx, "replicate Generate not found in plan"
+    above = "\n".join(lines[: gen_idx[0]])
+    assert "md5" not in above, "md5 hoisted above the replicate explode"
+
+
+def test_auc_window_is_per_fold(spark):
+    """auc_by_fold: the cumulative window partitions by fold — never
+    a single-partition global sort."""
+    plan = _plan(spark, "auc_by_fold")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ngram_jaccard_caps_hot_shingles(spark):
+    """dedup_ngram_jaccard: the shipped gate filters on the
+    window-counted shingle frequency (cap present in the plan)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "Window" in plan  # the count-over-shingle cap
+    assert "100" in plan  # the max_shingle_freq literal
+
+
+def test_curation_single_scan(spark):
+    """curate_corpus: at most two scans (base + self-agg branch) and
+    exactly one join."""
+    plan = _plan(spark, "curate_corpus")
+    assert plan.count("Scan parquet") <= 2
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
