@@ -119,3 +119,36 @@ def cutoff_grid(conversations: DataFrame, cutoffs: DataFrame) -> DataFrame:
     """
     entities = conversations.select("conv_id").distinct()
     return entities.crossJoin(F.broadcast(cutoffs))
+
+
+def read_with_schema_defaults(
+    spark: SparkSession, path: str, schema: "StructType"
+) -> DataFrame:
+    """Read parquet against an EXPECTED schema, tolerating evolution:
+
+    - columns missing from the files materialize as typed NULLs
+      (an old partition written before the column existed),
+    - present columns cast to the expected type (widened ints,
+      re-typed timestamps),
+    - extra columns are dropped (forward-compat: a newer writer's
+      additions don't break this reader).
+
+    The schema drives column pruning, so old-partition scans still
+    read only what exists. This is the poor-man's half of Iceberg
+    schema evolution for plain-parquet layouts (the Iceberg path in
+    ``sources/io.py`` gets it natively when the runtime has the jar).
+
+    ``mergeSchema`` makes mixed layouts visible (a bare read adopts
+    ONE random footer's schema, silently nulling a column that newer
+    partitions do have); its footer-union cost is per-file metadata,
+    not data.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    present = {f.name for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        if field.name in present:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

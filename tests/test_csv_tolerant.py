@@ -67,3 +67,36 @@ def test_bad_mode_rejected(spark, csv_path):
 
     with pytest.raises(ValueError):
         read_csv_tolerant(spark, csv_path, SCHEMA, mode="FAILFAST")
+
+
+def test_read_with_schema_defaults_tolerates_evolution(spark, tmp_path):
+    """Old partitions lacking a column read as typed NULLs; extra
+    columns drop; present columns cast to the expected type."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kkbox_churn_prediction_spark.sources.events import read_with_schema_defaults
+
+    old = spark.createDataFrame([(1, "a")], "id int, name string")   # no score yet
+    new = spark.createDataFrame(
+        [(2, "b", 9, "extra")], "id int, name string, score int, junk string"
+    )
+    old.write.mode("overwrite").parquet(f"{tmp_path}/p/part=0")
+    new.write.mode("overwrite").parquet(f"{tmp_path}/p/part=1")
+    expected = StructType(
+        [
+            StructField("id", LongType()),      # widened int -> long
+            StructField("name", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    got = read_with_schema_defaults(spark, f"{tmp_path}/p/part=*", expected)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "score"]
+    assert dict(got.dtypes) == {"id": "bigint", "name": "string", "score": "bigint"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9
+    assert "junk" not in got.columns
