@@ -83,3 +83,52 @@ def forget_entities(
         rewritten += 1
         deleted += before - after
     return {"buckets_rewritten": rewritten, "rows_deleted": deleted}
+
+
+def compact_buckets(
+    spark: SparkSession,
+    data_dir: str,
+    *,
+    run_id: str,
+    target_files_per_bucket: int = 1,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite any bucket whose parquet file
+    count exceeds ``min_files`` down to ``target_files_per_bucket``
+    files (coalesce — no shuffle, a pure file-merge read+write), with
+    the same tmp-rename swap and manifest recommit as deletion.
+    Incremental writers (the streaming sink, repeated small
+    backfills) accrete files that degrade scan planning at 100 TB;
+    compaction restores the layout without touching row content.
+    Returns {"buckets_compacted": int}.
+    """
+    out = Path(data_dir)
+    manifest = ManifestStore(out / "_manifest.jsonl")
+    manifest.write_header(run_id, None, params={"op": "compact"}, seed=None)
+    compacted = 0
+    for bucket_dir in sorted(out.glob("bucket=*")):
+        if bucket_dir.suffix == ".tmp":
+            continue
+        n_files = len(list(bucket_dir.glob("*.parquet")))
+        if n_files <= max(int(min_files) - 1, int(target_files_per_bucket)):
+            continue
+        cur = spark.read.parquet(str(bucket_dir))
+        before = cur.count()
+        tmp = Path(str(bucket_dir) + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        cur.coalesce(int(target_files_per_bucket)).write.mode("overwrite").parquet(
+            str(tmp)
+        )
+        after = spark.read.parquet(str(tmp)).count()
+        if after != before:  # pragma: no cover - safety net
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {bucket_dir}: {before} -> {after}"
+            )
+        shutil.rmtree(bucket_dir)
+        tmp.rename(bucket_dir)
+        b = int(bucket_dir.name.split("=")[1])
+        manifest.commit(run_id, b, after)
+        compacted += 1
+    return {"buckets_compacted": compacted}

@@ -46,3 +46,24 @@ def test_forget_rewrites_only_affected_buckets(spark, tmp_path):
     st2 = forget_entities(spark, out, targets, n_buckets=8, run_id="f2")
     assert st2["rows_deleted"] == 0
     assert spark.read.parquet(f"{out}/bucket=*").count() == 197
+
+
+def test_compaction_merges_files_preserving_rows(spark, tmp_path):
+    from kkbox_churn_prediction_spark.plans.forget import compact_buckets
+
+    out = f"{tmp_path}/data"
+    df = _layout(spark, out, n=100, n_buckets=2)
+    # accrete extra small files into bucket 0 (append writers)
+    extra = spark.range(100, 120).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") * 3).alias("feature"),
+    ).repartition(5)
+    extra.write.mode("append").parquet(f"{out}/bucket=0")
+    import glob
+    files_before = len(glob.glob(f"{out}/bucket=0/*.parquet"))
+    assert files_before >= 5
+    rows_before = spark.read.parquet(f"{out}/bucket=*").count()
+    st = compact_buckets(spark, out, run_id="cp1")
+    assert st["buckets_compacted"] >= 1
+    assert len(glob.glob(f"{out}/bucket=0/*.parquet")) == 1
+    assert spark.read.parquet(f"{out}/bucket=*").count() == rows_before
