@@ -576,6 +576,67 @@ def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #2: watermarked hourly role
+    distributions in append mode — the finalized (window, role)
+    counts the drift monitor consumes. Windows are keyed by epoch
+    MICROS (bigint) so the compare is session-TZ-free (the A9
+    lesson); closure under replay = window_end ≤ max(ts) − delay,
+    which the batch oracle reproduces exactly."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.drift import (
+        streaming_category_counts,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.when(F.col("event_type") == "signup", F.lit("system"))
+            .when(F.col("event_type") == "purchase", F.lit("assistant"))
+            .when(F.col("event_type") == "error", F.lit("tool"))
+            .otherwise(F.lit("user"))
+            .alias("role"),
+            "ts",
+        )
+    )
+    name = "eng_streaming_drift"
+    q = (
+        streaming_category_counts(stream, "role", window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "role",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def _q_feature_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry validation report over the flagship feature matrix
     (reference ``src/features_processor.py:71-95`` validate_features:
@@ -920,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
+        "streaming_drift_counts": _q_streaming_drift_counts,
     }
 
 
@@ -2204,6 +2266,30 @@ WHERE bucket < CASE source
     ELSE 262144 END
 """
 
+# streaming drift counts (lock-step with _q_streaming_drift_counts:
+# epoch-aligned hourly buckets keyed by epoch micros; append-mode
+# closure = window_end <= max(ts) - 1h watermark delay)
+_STREAMING_DRIFT_SQL = """
+WITH base AS (
+    SELECT CASE event_type WHEN 'signup' THEN 'system'
+                           WHEN 'purchase' THEN 'assistant'
+                           WHEN 'error' THEN 'tool'
+                           ELSE 'user' END AS role,
+           ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+maxts AS (SELECT MAX(epoch_us(ts)) AS m FROM base),
+counts AS (
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+               AS window_start_us,
+           role, COUNT(*) AS n
+    FROM base GROUP BY 1, 2
+)
+SELECT window_start_us, role, n
+FROM counts CROSS JOIN maxts
+WHERE window_start_us + 3600000000 <= m - 3600000000
+"""
+
 # per-conv assistant response latency (lock-step with
 # lags.response_latency: earliest later assistant turn per user turn)
 _RESPONSE_LATENCY_SQL = f"""
@@ -2409,4 +2495,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,
+        "streaming_drift_counts": _STREAMING_DRIFT_SQL,
     }
