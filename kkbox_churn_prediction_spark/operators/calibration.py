@@ -387,6 +387,78 @@ def bootstrap_metric_ci(
     )
 
 
+def platt_scaling(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    *,
+    n_iter: int = 8,
+    prior_smoothing: bool = True,
+) -> tuple[float, float]:
+    """Fit the sigmoid recalibration map p' = σ(a·logit(p) + b) —
+    the reference's CalibratedClassifierCV ``method='sigmoid'``
+    (Platt 1999) — by Newton's method with DISTRIBUTED sufficient
+    statistics: each iteration is ONE aggregate pass (gradient and
+    Hessian entries are plain sums with map-side partials, five
+    doubles total), and the 2×2 Newton solve runs driver-side on
+    those five numbers. No data leaves the cluster, no per-row
+    Python; iterations are deterministic from a fixed init, so the
+    fit is reproducible to float round-off.
+
+    ``prior_smoothing`` uses Platt's target smoothing
+    (t+ = (N+ + 1)/(N+ + 2), t− = 1/(N− + 2)) like sklearn's
+    ``_SigmoidCalibration``. Returns (a, b).
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
+    base = df.select(F.log(pc / (1.0 - pc)).alias("x"), y.alias("y"))
+    base = base.localCheckpoint(eager=True)  # logit once, reused per iter
+    n_pos, n_neg = (
+        base.agg(
+            F.sum("y").cast("double"), F.sum(1.0 - F.col("y")).cast("double")
+        ).first()
+    )
+    if prior_smoothing:
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        t = F.when(F.col("y") > 0.5, F.lit(t_pos)).otherwise(F.lit(t_neg))
+    else:
+        t = F.col("y")
+    a, b = 1.0, 0.0
+    for _ in range(int(n_iter)):
+        z = F.lit(float(a)) * F.col("x") + F.lit(float(b))
+        q = 1.0 / (1.0 + F.exp(-z))
+        r = q - t  # d(loss)/dz per row
+        w = q * (1.0 - q)  # Hessian weight per row
+        g_a, g_b, h_aa, h_ab, h_bb = base.agg(
+            F.sum(r * F.col("x")),
+            F.sum(r),
+            F.sum(w * F.col("x") * F.col("x")),
+            F.sum(w * F.col("x")),
+            F.sum(w),
+        ).first()
+        det = h_aa * h_bb - h_ab * h_ab
+        if abs(det) < 1e-12:
+            break
+        da = (h_bb * g_a - h_ab * g_b) / det
+        db = (h_aa * g_b - h_ab * g_a) / det
+        a, b = a - da, b - db
+        if abs(da) < 1e-10 and abs(db) < 1e-10:
+            break
+    return float(a), float(b)
+
+
+def apply_platt(
+    df: DataFrame, prob_col: str, a: float, b: float, out_col: str = "p_calibrated"
+) -> DataFrame:
+    """Apply a fitted sigmoid map as a pure column expression."""
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
+    z = F.lit(float(a)) * F.log(pc / (1.0 - pc)) + F.lit(float(b))
+    return df.withColumn(out_col, 1.0 / (1.0 + F.exp(-z)))
+
+
 def isotonic_calibration(
     df: DataFrame,
     fold_col: str,

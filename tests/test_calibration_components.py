@@ -158,6 +158,63 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
         assert 0 < r["ci_upper"] - r["ci_lower"] < 0.2
 
 
+def _numpy_platt(x, t, n_iter=8):
+    """Same Newton iteration on collected arrays — the ground truth
+    the distributed fit must match to float round-off."""
+    a, b = 1.0, 0.0
+    for _ in range(n_iter):
+        z = a * x + b
+        q = 1.0 / (1.0 + np.exp(-z))
+        r, w = q - t, q * (1.0 - q)
+        g_a, g_b = (r * x).sum(), r.sum()
+        h_aa, h_ab, h_bb = (w * x * x).sum(), (w * x).sum(), w.sum()
+        det = h_aa * h_bb - h_ab * h_ab
+        if abs(det) < 1e-12:
+            break
+        da = (h_bb * g_a - h_ab * g_b) / det
+        db = (h_aa * g_b - h_ab * g_a) / det
+        a, b = a - da, b - db
+        if abs(da) < 1e-10 and abs(db) < 1e-10:
+            break
+    return a, b
+
+
+def test_platt_scaling_matches_numpy_and_improves_calibration(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        LOGLOSS_EPS,
+        apply_platt,
+        brier_logloss_by_fold,
+        platt_scaling,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    # miscalibrated scores: true P(y=1) = sigmoid(2*logit(p)) != p
+    p = rng.uniform(0.02, 0.98, n)
+    logit = np.log(p / (1 - p))
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-2 * logit))).astype(int)
+    rows = [(float(p[i]), int(y[i]), "all") for i in range(n)]
+    df = spark.createDataFrame(rows, "p double, y int, fold string")
+    a, b = platt_scaling(df, "y", "p")
+    # ground truth: same algorithm on collected arrays
+    pc = np.clip(p, LOGLOSS_EPS, 1 - LOGLOSS_EPS)
+    x = np.log(pc / (1 - pc))
+    t_pos = (y.sum() + 1.0) / (y.sum() + 2.0)
+    t_neg = 1.0 / ((n - y.sum()) + 2.0)
+    t = np.where(y == 1, t_pos, t_neg)
+    a_ref, b_ref = _numpy_platt(x, t)
+    assert a == pytest.approx(a_ref, rel=1e-6)
+    assert b == pytest.approx(b_ref, rel=1e-6, abs=1e-6)
+    assert a == pytest.approx(2.0, abs=0.35)  # recovers the true slope
+    # calibrated probabilities beat raw on log-loss
+    cal = apply_platt(df, "p", a, b)
+    raw = brier_logloss_by_fold(df, "fold", "y", "p").first()
+    fixed = brier_logloss_by_fold(
+        cal.withColumnRenamed("p_calibrated", "pcal"), "fold", "y", "pcal"
+    ).first()
+    assert fixed["log_loss"] < raw["log_loss"]
+
+
 def _minimax_iso(sum_y, n):
     """Brute-force max_{j<=i} min_{k>=i} wavg(j..k) — the PAV identity."""
     m = len(n)
