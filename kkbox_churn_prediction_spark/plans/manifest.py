@@ -82,7 +82,9 @@ class ManifestStore:
         with self.path.open("a") as f:
             f.write(json.dumps(row) + "\n")
 
-    def done_buckets(self, run_id: str) -> set[int]:
+    def done_keys(self, run_id: str) -> set[str]:
+        """Committed partition keys as strings (buckets, cutoff
+        dates, batch ids — whatever the writer keyed on)."""
         if not self.path.exists():
             return set()
         done = set()
@@ -93,8 +95,11 @@ class ManifestStore:
                 and row["run_id"] == run_id
                 and row["status"] == "done"
             ):
-                done.add(int(row["partition_key"]))
+                done.add(str(row["partition_key"]))
         return done
+
+    def done_buckets(self, run_id: str) -> set[int]:
+        return {int(k) for k in self.done_keys(run_id)}
 
     def commit(
         self,
