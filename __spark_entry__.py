@@ -871,6 +871,19 @@ def _q_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_per_group(docs, "source", 10, "doc_id")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional 5-sample per source (exponential race,
+    hash-deterministic, weight = document length)."""
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_per_group(docs, "source", 5, "doc_id", "n_chars")
+
+
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: docs → fixed-capacity context
     bins via hash-shard + per-shard running token offset."""
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic training-data sampling + packing
         "stratified_sample": _q_stratified_sample,
         "capped_per_source": _q_capped_per_source,
+        "weighted_sample": _q_weighted_sample,
         "pack_documents": _q_pack_documents,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "decontaminate": _q_decontaminate,
@@ -2385,6 +2399,27 @@ WITH ranked AS (
 SELECT doc_id, source FROM ranked WHERE rk <= 10
 """
 
+# weighted k-sample per group (lock-step with
+# sampling.weighted_sample_per_group: u = (bucket+0.5)/2^20,
+# key = round(ln(u)/w, 9), top-k by key desc with id tiebreak)
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n_chars > 0 THEN
+             ROUND(LN(((({_H48.format(x="concat('wsample:', CAST(doc_id AS VARCHAR))")}) % 1048576)
+                       + 0.5) / 1048576.0) / n_chars, 9)
+           ELSE CAST('-inf' AS DOUBLE) END AS wkey
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY wkey DESC, doc_id) AS rk
+    FROM keyed
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 5
+"""
+
 # deterministic sequence packing (lock-step with operators/packing.py:
 # shard = h48(id) % 8, offset = running token sum before the doc in
 # doc_id order within shard, bin = floor(offset / 512))
@@ -2490,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": _curation_report_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

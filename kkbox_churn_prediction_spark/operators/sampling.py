@@ -65,6 +65,43 @@ def stratified_sample(
     return df.where(sample_hash_bucket(F.col(id_col), salt) < thr)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    *,
+    salt: str = "wsample",
+) -> DataFrame:
+    """k-sample WITHOUT replacement per group with inclusion
+    probability proportional to ``weight_col`` — importance sampling
+    of training data (e.g. favor high-quality docs) that stays
+    deterministic across reruns and partitionings.
+
+    Efraimidis-Spirakis exponential race: rank key = ln(u)/w with a
+    hash-derived uniform u; the k largest keys per group are exactly
+    a weight-proportional draw. The key rounds to 9 decimals with an
+    id tiebreak so the (libm-computed) logarithm can never flip the
+    cross-engine ordering on last-ulp differences. One shuffle on the
+    group key; non-positive weights never win (key -> -inf analog).
+    """
+    u = (
+        sample_hash_bucket(F.col(id_col), salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.round(F.log(u) / w, 9)).otherwise(F.lit(float("-inf")))
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("_wkey"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_wkey", key)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= int(k))
+        .drop("_wkey", "_rk")
+    )
+
+
 def mixture_rates(
     stratum_rows: dict[str, int],
     target_rows: int,

@@ -100,3 +100,38 @@ def test_mixture_rates_natural_and_equalized():
     assert rC["code"] == 1.0 and rC["books"] == 1.0
     assert abs(sum(rC[s] * counts[s] for s in counts) - 90000) < 1.0
     assert rC["web"] <= 1.0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    # 100 light rows (w=1) + 10 heavy rows (w=50) per group: a k=5
+    # weight-proportional draw should pick mostly heavy rows
+    rows = [(i, "g", 1) for i in range(100)] + [(100 + i, "g", 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    got = weighted_sample_per_group(df, "grp", 5, "doc_id", "w").collect()
+    assert len(got) == 5
+    heavy = sum(1 for r in got if r["doc_id"] >= 100)
+    assert heavy >= 3  # heavy mass ~83% of total weight
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in got)
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_per_group(
+            df.repartition(7), "grp", 5, "doc_id", "w"
+        ).collect()
+    )
+    assert a == b
+    # zero-weight rows never selected even at k >= group size
+    z = spark.createDataFrame(
+        [(1, "g", 0), (2, "g", 5), (3, "g", 5)], "doc_id long, grp string, w long"
+    )
+    picked = {r["doc_id"] for r in weighted_sample_per_group(z, "grp", 3, "doc_id", "w").collect()}
+    assert 1 in picked  # k covers the whole group; zero-weight ranks LAST
+    first_two = {
+        r["doc_id"]
+        for r in weighted_sample_per_group(z, "grp", 2, "doc_id", "w").collect()
+    }
+    assert first_two == {2, 3}
