@@ -812,6 +812,21 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization, exploded to scalar rows
+    for the cross-engine compare."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id", "scale", "offset", F.posexplode("qvec").alias("dim", "q")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "q", "scale", "offset")
+
+
 def _q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response latency (join-free forward
     window over the shared conv_id partitioning)."""
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
         "streaming_drift_counts": _q_streaming_drift_counts,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -2304,6 +2320,21 @@ FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
 """
 
+# int8 embedding quantization (lock-step with
+# similarity.quantize_embeddings: scale=(hi-lo)/255, q=round((x-lo)/scale))
+_QUANTIZE_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+mm AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM v)
+SELECT vec_id, CAST(dim - 1 AS INTEGER) AS dim,
+       CASE WHEN hi > lo
+            THEN CAST(ROUND((e[dim] - lo) / ((hi - lo) / 255.0)) AS INTEGER)
+            ELSE 0 END AS q,
+       ROUND((hi - lo) / 255.0, 9) AS scale,
+       ROUND(lo, 9) AS "offset"
+FROM mm CROSS JOIN dims
+"""
+
 # per-conv assistant response latency (lock-step with
 # lags.response_latency: earliest later assistant turn per user turn)
 _RESPONSE_LATENCY_SQL = f"""
@@ -2532,4 +2563,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,
         "streaming_drift_counts": _STREAMING_DRIFT_SQL,
+        "quantize_embeddings": _QUANTIZE_SQL,
     }

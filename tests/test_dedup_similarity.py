@@ -185,3 +185,34 @@ def test_cluster_centroids_matches_numpy(spark):
         g = got[got.bucket == b].sort_values("dim")
         assert (g["n_members"] == 10).all()
         np.testing.assert_allclose(g["centroid"].to_numpy(), np.round(expect, 6), atol=2e-6)
+
+
+def test_quantize_roundtrip_error_and_cosine(spark):
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(size=(50, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    deq = q.select(
+        "vec_id",
+        dequantize_expr(F.col("qvec"), F.col("scale"), F.col("offset")).alias("d"),
+    ).collect()
+    for r in deq:
+        orig = vecs[r["vec_id"]]
+        rec = np.array(r["d"])
+        # per-element error bounded by half a quantization step
+        step = (orig.max() - orig.min()) / 255
+        assert np.abs(rec - orig).max() <= step / 2 + 1e-9
+        cos = rec @ orig / (np.linalg.norm(rec) * np.linalg.norm(orig))
+        assert cos > 0.9999
+    # constant vector: q all zero, exact reconstruction
+    const = spark.createDataFrame([(0, [2.5] * 8)], "vec_id long, embedding array<double>")
+    row = quantize_embeddings(const).first()
+    assert set(row["qvec"]) == {0} and row["scale"] == 0.0
