@@ -812,6 +812,14 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → role-tagged training documents (sorted-aggregate
+    assembly, the axis-A→axis-B bridge)."""
+    from kkbox_churn_prediction_spark.operators.assemble import assemble_documents
+
+    return assemble_documents(_conv(spark, sf_dir))
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization, exploded to scalar rows
     for the cross-engine compare."""
@@ -1012,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": _q_response_latency,
         "streaming_drift_counts": _q_streaming_drift_counts,
         "quantize_embeddings": _q_quantize_embeddings,
+        "assemble_documents": _q_assemble_documents,
     }
 
 
@@ -2320,6 +2329,20 @@ FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
 """
 
+# transcript → document assembly (lock-step with
+# assemble.assemble_documents: role-tagged lines joined by \n in
+# (ts, turn_idx) order; t0/t1 as epoch micros — TZ-free)
+_ASSEMBLE_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id,
+       string_agg(concat(role, ': ', text), chr(10) ORDER BY ts, turn_idx) AS doc,
+       COUNT(*) AS n_turns,
+       MIN(epoch_us(ts)) AS t0_us,
+       MAX(epoch_us(ts)) AS t1_us
+FROM conversations
+GROUP BY conv_id
+"""
+
 # int8 embedding quantization (lock-step with
 # similarity.quantize_embeddings: scale=(hi-lo)/255, q=round((x-lo)/scale))
 _QUANTIZE_SQL = """
@@ -2564,4 +2587,5 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": _RESPONSE_LATENCY_SQL,
         "streaming_drift_counts": _STREAMING_DRIFT_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
+        "assemble_documents": _ASSEMBLE_SQL,
     }

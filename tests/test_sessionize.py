@@ -57,3 +57,37 @@ def test_session_aggregates_golden(spark):
 def test_custom_gap_threshold(spark):
     out = sessionize(_turns(spark, [0, 61, 59]), gap_seconds=60).orderBy("turn_idx").collect()
     assert [r["session_id"] for r in out] == [0, 1, 1]
+
+
+def test_assemble_documents_order_and_truncation(spark):
+    from datetime import datetime
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.assemble import assemble_documents
+    from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [2, 0, 1],  # shuffled input order
+            "role": ["assistant", "user", "tool"],
+            "text": ["three", "one", "two"],
+            "tool": [None] * 3,
+            "ts": [t(30), t(10), t(20)],
+        }
+    )
+    df = to_spark(spark, pdf).repartition(3)
+    r = assemble_documents(df).first()
+    assert r["doc"] == "user: one\ntool: two\nassistant: three"
+    assert r["n_turns"] == 3
+    assert r["t1_us"] - r["t0_us"] == 20_000_000
+    # deterministic truncation keeps the FIRST turns
+    r2 = assemble_documents(df, max_turns=2, role_tags=False).first()
+    assert r2["doc"] == "one\ntwo"
+    # ts tie broken by turn_idx
+    pdf2 = pdf.copy()
+    pdf2["ts"] = [t(10)] * 3
+    r3 = assemble_documents(to_spark(spark, pdf2)).first()
+    assert r3["doc"] == "user: one\ntool: two\nassistant: three"
