@@ -820,6 +820,27 @@ def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(_conv(spark, sf_dir))
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition across both engine halves: transcripts
+    assemble into role-tagged documents, then the full curation
+    pipeline (quality → language → exact-dedup verdicts) runs on the
+    assembled corpus — one lineage from raw turns to training-data
+    verdicts, cross-engine verified end-to-end."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.assemble import assemble_documents
+    from kkbox_churn_prediction_spark.plans.curation import curate_corpus
+
+    docs = assemble_documents(_conv(spark, sf_dir)).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")
+    )
+    # synthetic transcripts carry no natural-language stopwords, so
+    # 'und' is the expected language — accepting it exercises the
+    # quality/duplicate/kept branches rather than a wrong_lang
+    # monoculture
+    return curate_corpus(docs, keep_lang="und")
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization, exploded to scalar rows
     for the cross-engine compare."""
@@ -1021,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_counts": _q_streaming_drift_counts,
         "quantize_embeddings": _q_quantize_embeddings,
         "assemble_documents": _q_assemble_documents,
+        "corpus_pipeline": _q_corpus_pipeline,
     }
 
 
@@ -2242,7 +2264,7 @@ FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
 # composed curation verdicts (lock-step with plans/curation.py:
 # quality → lang → duplicate precedence; dedup key = h48 of the
 # normalized full text; canonical = min doc_id per group)
-def _curation_oracle() -> str:
+def _curation_oracle(keep_lang: str = 'en') -> str:
     return f"""
 WITH base AS (
     SELECT doc_id,
@@ -2269,7 +2291,7 @@ groups AS (
 )
 SELECT q.doc_id, q.n_tokens, q.quality_score, l.pred_lang, g.dup_group_size,
        CASE WHEN q.quality_score < 0.666667 THEN 'low_quality'
-            WHEN l.pred_lang <> 'en' THEN 'wrong_lang'
+            WHEN l.pred_lang <> '{keep_lang}' THEN 'wrong_lang'
             WHEN q.doc_id <> g.canonical_id THEN 'duplicate'
             ELSE 'kept' END AS verdict
 FROM quality q
@@ -2342,6 +2364,24 @@ SELECT conv_id,
 FROM conversations
 GROUP BY conv_id
 """
+
+# transcripts → assembly → curation, end to end: the inner curation
+# SQL references a table named `documents`; the CTE of that name here
+# SHADOWS the registered view, so the identical curation oracle runs
+# over the assembled corpus instead (DuckDB resolves CTEs first)
+def _corpus_pipeline_oracle() -> str:
+    return f"""
+WITH {_CONV_CTE},
+documents AS (
+    SELECT conv_id AS doc_id,
+           string_agg(concat(role, ': ', text), chr(10)
+                      ORDER BY ts, turn_idx) AS text
+    FROM conversations GROUP BY conv_id
+),
+curated AS ({_curation_oracle(keep_lang='und')})
+SELECT * FROM curated
+"""
+
 
 # int8 embedding quantization (lock-step with
 # similarity.quantize_embeddings: scale=(hi-lo)/255, q=round((x-lo)/scale))
@@ -2588,4 +2628,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_drift_counts": _STREAMING_DRIFT_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
         "assemble_documents": _ASSEMBLE_SQL,
+        "corpus_pipeline": _corpus_pipeline_oracle(),
     }
