@@ -194,3 +194,61 @@ def test_property_packing_offsets(spark, toks, cap):
         expect = g["n_tokens"].cumsum().shift(fill_value=0)
         assert (g["offset"].to_numpy() == expect.to_numpy()).all()
         assert (g["pack_bin"] == g["offset"] // cap).all()
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**SETTINGS)
+def test_property_ece_matches_numpy(spark, seed):
+    """ECE equals the reference numpy semantics for ANY prediction
+    table, both bin closures."""
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.calibration import ece
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    p = rng.uniform(0, 1, n)
+    y = (rng.uniform(0, 1, n) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(p[i]), int(y[i])) for i in range(n)], "p double, y int"
+    )
+    edges = np.linspace(0, 1, 11)
+    for closed in ("right", "left"):
+        got = ece(df, "y", "p", n_bins=10, closed=closed).first()["ece"]
+        ref, N = 0.0, n
+        for b in range(10):
+            if closed == "right":
+                mask = (p > edges[b]) & (p <= edges[b + 1])
+            else:
+                mask = (np.digitize(p, edges) - 1) == b
+            if mask.any():
+                ref += (mask.sum() / N) * abs(y[mask].mean() - p[mask].mean())
+        assert got == round(ref, 6) or abs(got - ref) < 2e-6
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**SETTINGS)
+def test_property_auc_matches_pairwise(spark, seed):
+    """Tie-aware AUC equals the O(n^2) pairwise probability for ANY
+    score distribution (coarse grid → heavy ties)."""
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.calibration import auc_ks_by_fold
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 250))
+    grid = int(rng.integers(3, 25))
+    p = rng.integers(0, grid, n) / grid + 1e-3
+    y = (rng.uniform(0, 1, n) < p).astype(int)
+    if y.sum() in (0, n):  # need both classes
+        y[0], y[-1] = 0, 1
+    df = spark.createDataFrame(
+        [(float(p[i]), int(y[i]), "f") for i in range(n)],
+        "p double, y int, fold string",
+    )
+    r = auc_ks_by_fold(df, "fold", "y", "p").first()
+    pos, neg = p[y == 1], p[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r["auc"] - ref) < 2e-6
