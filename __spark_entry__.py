@@ -2413,7 +2413,7 @@ lat AS (
 )
 SELECT conv_id,
        COUNT(*) AS n_exchanges,
-       ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_latency_s,
+       CAST(SUM(l) // COUNT(*) AS BIGINT) AS avg_latency_us,
        CAST(MAX(l) AS BIGINT) AS max_latency_us
 FROM lat WHERE role = 'user' AND l IS NOT NULL
 GROUP BY conv_id

@@ -58,7 +58,7 @@ def stable_row_number(turns: DataFrame) -> DataFrame:
 
 def response_latency(turns: DataFrame) -> DataFrame:
     """Per-conversation assistant responsiveness:
-    (conv_id, n_exchanges, avg_latency_s, max_latency_us).
+    (conv_id, n_exchanges, avg_latency_us, max_latency_us).
 
     An exchange is a 'user' turn followed (not necessarily
     adjacently — tool turns intervene) by a later 'assistant' turn in
@@ -78,16 +78,14 @@ def response_latency(turns: DataFrame) -> DataFrame:
         turns.withColumn("_lat", next_assistant - ts_us)
         .where((F.col("role") == "user") & F.col("_lat").isNotNull())
     )
-    # avg as ONE division chain over the exact integer sum, reported
-    # in SECONDS: micro sums reach ~1e13 (exact in bigint/double),
-    # but ROUND-at-4-decimals on a 1e11-magnitude double differs
-    # between engines in the last bit (both multiply by 1e4 into the
-    # 2^53 neighborhood); seconds keep the magnitude where round(6)
-    # is bit-stable. max stays exact integer micros.
+    # avg as INTEGER division of the exact micro sum: any float
+    # formulation eventually hits a ROUND half-boundary where the two
+    # engines' rounding implementations disagree in the last bit
+    # (first seen at sf0.1 after both a micros/round(4) and a
+    # seconds/round(6) variant passed sf0.01) — integer div of
+    # integer sums is bit-identical everywhere, at every scale.
     return lat.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_exchanges"),
-        F.round(
-            F.sum("_lat").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
-        ).alias("avg_latency_s"),
+        F.expr("sum(_lat) div count(1)").alias("avg_latency_us"),
         F.max("_lat").alias("max_latency_us"),
     )

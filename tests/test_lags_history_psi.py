@@ -149,5 +149,5 @@ def test_response_latency_skips_tools_and_unanswered(spark):
     got = {r["conv_id"]: r for r in response_latency(to_spark(spark, pdf)).collect()}
     assert set(got) == {"c1"}
     assert got["c1"]["n_exchanges"] == 1
-    assert got["c1"]["avg_latency_s"] == 20.0
+    assert got["c1"]["avg_latency_us"] == 20_000_000
     assert got["c1"]["max_latency_us"] == 20_000_000
