@@ -812,6 +812,16 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy: per-doc mean unigram log-probability
+    against the corpus's own token distribution."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        unigram_logprob_score,
+    )
+
+    return unigram_logprob_score(_docs(spark, sf_dir))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "assemble_documents": _q_assemble_documents,
         "corpus_pipeline": _q_corpus_pipeline,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -2351,6 +2362,24 @@ FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
 """
 
+# per-doc mean unigram log-probability (lock-step with
+# textstats.unigram_logprob_score: self-corpus distribution,
+# lp = ln(c_term / T))
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+total AS (SELECT SUM(c) AS t FROM vocab),
+scored AS (
+    SELECT doc_id, LN(CAST(c AS DOUBLE) / t) AS lp
+    FROM toks JOIN vocab USING (term) CROSS JOIN total
+)
+SELECT doc_id, COUNT(*) AS n_scored_tokens,
+       ROUND(AVG(lp), 6) AS avg_token_logprob
+FROM scored GROUP BY doc_id
+"""
+
 # transcript → document assembly (lock-step with
 # assemble.assemble_documents: role-tagged lines joined by \n in
 # (ts, turn_idx) order; t0/t1 as epoch micros — TZ-free)
@@ -2629,4 +2658,5 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _QUANTIZE_SQL,
         "assemble_documents": _ASSEMBLE_SQL,
         "corpus_pipeline": _corpus_pipeline_oracle(),
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     }

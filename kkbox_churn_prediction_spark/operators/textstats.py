@@ -244,3 +244,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str =
         stable_hash48(normalize_text(F.col(text_col))).alias("doc_hash48"),
         F.coalesce(min_sh, F.lit(-1)).alias("min_shingle_hash48"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-LM quality proxy: (doc_id, n_scored_tokens,
+    avg_token_logprob) where each token scores ln(count(token)/T)
+    against the corpus's own unigram distribution — the cheap stand-in
+    for perplexity filtering (gibberish and boilerplate-free text
+    scores low; natural high-frequency prose scores high).
+
+    Two passes, same shape as :func:`tfidf_top_terms`: the unigram
+    table reduces from one exploded token stream (map-side partials),
+    the corpus total rides a one-row broadcast, and the vocab-sized
+    frequency table broadcasts back onto the token stream
+    (``broadcast_vocab=False`` switches to a shuffle join for
+    open-vocabulary corpora). Per-doc reduce is algebraic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("_T"))
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = (
+        toks.join(vocab_side, "term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(F.col("c").cast("double") / F.col("_T")).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_token_logprob"),
+    )

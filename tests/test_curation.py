@@ -87,3 +87,21 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert sorted(by_doc[3])[0][1] == "bird"
     # k bound respected and ranks dense from 1
     assert all(len(v) <= 2 and min(r for r, _ in v) == 1 for v in by_doc.values())
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # all high-frequency tokens
+            (2, "the zzz qqq vvv"),          # mostly singletons
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    assert got[1]["avg_token_logprob"] > got[2]["avg_token_logprob"]
+    assert got[1]["n_scored_tokens"] == 4
+    # numpy cross-check: 'the' appears 5/8 times; doc1 = ln(5/8)
+    import math
+    assert got[1]["avg_token_logprob"] == round(math.log(5 / 8), 6)
