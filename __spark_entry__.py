@@ -822,6 +822,33 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(_docs(spark, sf_dir))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap: one 256-token chunk
+    every 64 tokens per doc (narrow sequence+explode, zero shuffle)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.chunking import chunk_documents
+    from kkbox_churn_prediction_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return chunk_documents(docs, "n_tokens", chunk_size=256, stride=64)
+
+
+def _q_rollup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(role, tool) turn counts + text volume in one Expand+agg
+    pass; grouping_id separates subtotals from genuine NULL tools."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import rollup_counts
+
+    conv = _conv(spark, sf_dir).select(
+        "role", "tool", F.length("text").cast("bigint").alias("text_chars")
+    )
+    return rollup_counts(conv, ["role", "tool"], "text_chars")
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1054,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "corpus_pipeline": _q_corpus_pipeline,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
+        "rollup_activity": _q_rollup_activity,
     }
 
 
@@ -2565,6 +2594,44 @@ SELECT doc_id, shard, "offset",
 FROM cum
 """
 
+# fixed-token-window chunking (lock-step with operators/chunking.py:
+# integer ceil-div chunk count, chunk every 64 tokens, 256-token
+# windows, tail truncated at n_tokens; generate_series is inclusive
+# on both ends, matching Spark F.sequence)
+_CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, CAST({_NTOK_RAW} AS BIGINT) AS n_tokens FROM documents
+),
+base AS (
+    SELECT doc_id, n_tokens,
+           1 + (greatest(n_tokens - 256, 0) + 63) // 64 AS n_chunks
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, n_tokens,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+    FROM base
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 64 AS BIGINT) AS chunk_start,
+       CAST(least(chunk_idx * 64 + 256, n_tokens) AS BIGINT) AS chunk_end,
+       CAST(least(chunk_idx * 64 + 256, n_tokens) - chunk_idx * 64 AS BIGINT)
+           AS chunk_tokens
+FROM exploded
+"""
+
+# ROLLUP(role, tool) hierarchy in one pass; GROUPING() bit order
+# (first key = most significant) matches Spark grouping_id()
+_ROLLUP_ACTIVITY_SQL = f"""
+WITH {_CONV_CTE}
+SELECT role, tool,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS measure_sum,
+       CAST(GROUPING(role, tool) AS BIGINT) AS gid
+FROM conversations
+GROUP BY ROLLUP(role, tool)
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2659,4 +2726,6 @@ def oracle_sql() -> dict[str, str]:
         "assemble_documents": _ASSEMBLE_SQL,
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "rollup_activity": _ROLLUP_ACTIVITY_SQL,
     }

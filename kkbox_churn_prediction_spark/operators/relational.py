@@ -269,3 +269,35 @@ def sales_by_region(
             .alias("total_price"),
         )
     )
+
+
+def rollup_counts(
+    df: DataFrame, keys: list[str], measure_col: str
+) -> DataFrame:
+    """Grouping-sets family: ``ROLLUP(keys)`` counts + sums with a
+    ``grouping_id`` disambiguator (detail rows = 0; each trailing key
+    rolled away sets its bit; grand total = 2^len(keys)-1).
+
+    The reference computes its subtotal hierarchies as separate
+    GROUP BY queries stitched in Python (per-month KPI rollups,
+    ``sql/04_kpi_metrics.sql:13-55``); ``rollup`` expresses the whole
+    hierarchy in ONE pass — Catalyst plans it as a single Expand +
+    hash aggregate, so the fact table is scanned once and partial
+    aggregation still combines map-side. ``grouping_id()`` (not NULL
+    probing) distinguishes subtotal rows from genuine NULL key values,
+    which the transcript data has (``tool`` is NULL on non-tool turns).
+
+    Scale: Expand multiplies rows by len(keys)+1 BEFORE the shuffle,
+    but each replica carries only (keys, measure) — with low-cardinality
+    keys the map-side combine collapses it to ~|distinct keys| rows per
+    task, so the exchange stays tiny at any input size.
+    """
+    m = F.col(measure_col)
+    return (
+        df.rollup(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(m).alias("measure_sum"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
