@@ -849,6 +849,37 @@ def _q_rollup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_counts(conv, ["role", "tool"], "text_chars")
 
 
+def _q_scd2_role_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 run compression: consecutive equal-role runs per
+    conversation become [valid_from, valid_to) intervals (gaps-and-
+    islands; one conv_id shuffle, second window over compressed runs)."""
+    from kkbox_churn_prediction_spark.operators.scd import scd2_intervals
+
+    return scd2_intervals(
+        _conv(spark, sf_dir), "conv_id", "turn_idx", "role", ts_col="ts"
+    )
+
+
+def _q_interval_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join, bucketized scale path: turns ⋈ their
+    own session spans on (conv_id, day-bucket) equi-keys + containment
+    filter — the standard range-join rewrite (no theta join)."""
+    from kkbox_churn_prediction_spark.operators.intervals import (
+        interval_join,
+        session_intervals,
+    )
+    from kkbox_churn_prediction_spark.operators.sessionize import sessionize
+
+    turns = _conv(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    sess = sessionize(turns)
+    spans = session_intervals(sess)
+    return interval_join(
+        turns, spans, key="conv_id", ts_col="ts",
+        start_col="s_start", end_col="s_end",
+        strategy="bucket", bucket_seconds=86400, closed=True,
+    ).select("conv_id", "turn_idx", "session_id", "s_start", "s_end", "s_turns")
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1083,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "rollup_activity": _q_rollup_activity,
+        "scd2_role_intervals": _q_scd2_role_intervals,
+        "interval_session_join": _q_interval_session_join,
     }
 
 
@@ -2632,6 +2665,69 @@ FROM conversations
 GROUP BY ROLLUP(role, tool)
 """
 
+# SCD2 gaps-and-islands: run_idx = running sum of null-safe change
+# flags (first row always flags); lead() over the COMPRESSED runs for
+# the half-open interval ends (lock-step with operators/scd.py)
+_SCD2_ROLE_INTERVALS_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, turn_idx, role, ts,
+           CASE WHEN row_number() OVER w = 1 THEN 1
+                WHEN role IS DISTINCT FROM lag(role) OVER w THEN 1
+                ELSE 0 END AS chg
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs AS (
+    SELECT *, SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS run_idx
+    FROM flagged
+),
+compressed AS (
+    SELECT conv_id, CAST(run_idx AS BIGINT) AS run_idx, role,
+           MIN(turn_idx) AS from_turn_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ts) AS valid_from
+    FROM runs GROUP BY conv_id, run_idx, role
+)
+SELECT conv_id, run_idx, role, from_turn_idx,
+       lead(from_turn_idx) OVER w2 AS to_turn_idx,
+       n_rows, valid_from,
+       lead(valid_from) OVER w2 AS valid_to
+FROM compressed
+WINDOW w2 AS (PARTITION BY conv_id ORDER BY run_idx)
+"""
+
+# turns ⋈ their own closed session spans (containment join); the
+# Spark side goes through the (conv_id, day-bucket) equi-join rewrite,
+# the oracle states the containment predicate directly — identical
+# results because sessions are disjoint per conversation
+_INTERVAL_SESSION_JOIN_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *, CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_id
+    FROM flagged
+),
+spans AS (
+    SELECT conv_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS s_turns
+    FROM sess GROUP BY conv_id, session_id
+)
+SELECT t.conv_id, t.turn_idx, s.session_id, s.s_start, s.s_end, s.s_turns
+FROM conversations t
+JOIN spans s ON t.conv_id = s.conv_id
+            AND t.ts >= s.s_start AND t.ts <= s.s_end
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2728,4 +2824,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,
+        "scd2_role_intervals": _SCD2_ROLE_INTERVALS_SQL,
+        "interval_session_join": _INTERVAL_SESSION_JOIN_SQL,
     }
