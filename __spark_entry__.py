@@ -880,6 +880,26 @@ def _q_interval_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "session_id", "s_start", "s_end", "s_turns")
 
 
+def _q_resample_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per conversation: gap days appear with
+    n_rows=0 and the last observed role carried forward (one stream
+    shuffle; the grid is generated, never scanned)."""
+    from kkbox_churn_prediction_spark.operators.resample import resample_ffill
+
+    return resample_ffill(
+        _conv(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts"),
+        "conv_id", "ts", "role", "turn_idx", step_seconds=86400,
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: dup-word/bigram fractions,
+    top-word dominance, unigram entropy (algebraic two-level aggs)."""
+    from kkbox_churn_prediction_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1116,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_activity": _q_rollup_activity,
         "scd2_role_intervals": _q_scd2_role_intervals,
         "interval_session_join": _q_interval_session_join,
+        "resample_daily_activity": _q_resample_daily_activity,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -2728,6 +2750,79 @@ JOIN spans s ON t.conv_id = s.conv_id
             AND t.ts >= s.s_start AND t.ts <= s.s_end
 """
 
+# dense daily resample with forward fill (lock-step with
+# operators/resample.py: wall-clock day buckets, last-of-day by
+# (ts, turn_idx), gap days n_rows=0, IGNORE NULLS carry)
+_RESAMPLE_DAILY_SQL = f"""
+WITH {_CONV_CTE},
+ranked AS (
+    SELECT conv_id, CAST(ts AS DATE) AS d, role,
+           row_number() OVER (PARTITION BY conv_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM conversations
+),
+counts AS (
+    SELECT conv_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM conversations GROUP BY conv_id, CAST(ts AS DATE)
+),
+lastv AS (SELECT conv_id, d, role AS last_role FROM ranked WHERE rn = 1),
+spans AS (SELECT conv_id, MIN(d) AS d0, MAX(d) AS d1 FROM counts GROUP BY conv_id),
+grid AS (
+    SELECT conv_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM spans
+)
+SELECT g.conv_id, CAST(g.d AS TIMESTAMP) AS bucket_ts,
+       CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows,
+       last_value(l.last_role IGNORE NULLS)
+           OVER (PARTITION BY g.conv_id ORDER BY g.d
+                 ROWS UNBOUNDED PRECEDING) AS role_ffill
+FROM grid g
+LEFT JOIN counts c ON g.conv_id = c.conv_id AND g.d = c.d
+LEFT JOIN lastv  l ON g.conv_id = l.conv_id AND g.d = l.d
+"""
+
+# repetition/boilerplate stats (lock-step with
+# operators/textstats.py::repetition_stats: whitespace words, ordered
+# bigrams with duplicates kept, entropy via log2 n − Σc·log2 c / n)
+_REPETITION_STATS_SQL = r"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+wstats AS (
+    SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS topc,
+           SUM(c * log2(c)) AS clog
+    FROM wc GROUP BY doc_id
+),
+tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE trim(text) <> ''
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM tok WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g),
+bstats AS (SELECT doc_id, SUM(c) AS bn, COUNT(*) AS bnd FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(w.n, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(CASE WHEN w.n > 0 THEN 1.0 - w.nd / w.n END, 0.0)
+            AS DOUBLE) AS dup_word_frac,
+       CAST(COALESCE(CASE WHEN w.n > 0 THEN topc / w.n END, 0.0)
+            AS DOUBLE) AS top_word_frac,
+       CAST(COALESCE(CASE WHEN w.n > 0 THEN log2(w.n) - clog / w.n END, 0.0)
+            AS DOUBLE) AS word_entropy,
+       CAST(COALESCE(b.bn, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(CASE WHEN b.bn > 0 THEN 1.0 - b.bnd / b.bn END, 0.0)
+            AS DOUBLE) AS dup_bigram_frac
+FROM documents d
+LEFT JOIN wstats w ON d.doc_id = w.doc_id
+LEFT JOIN bstats b ON d.doc_id = b.doc_id
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2826,4 +2921,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,
         "scd2_role_intervals": _SCD2_ROLE_INTERVALS_SQL,
         "interval_session_join": _INTERVAL_SESSION_JOIN_SQL,
+        "resample_daily_activity": _RESAMPLE_DAILY_SQL,
+        "repetition_stats": _REPETITION_STATS_SQL,
     }

@@ -71,3 +71,19 @@ def word_shingles(col: Column, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(F.flatten(F.transform(F.array(toks), per_t)))
+
+
+def all_word_ngrams(col: Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept) — the counting
+    variant of :func:`word_shingles` for repetition statistics, where
+    the multiplicity IS the signal. Same bind-once lambda discipline
+    and the same ``sequence(0, -1)``-descends guard."""
+    toks = tokens(col)
+    per_t = lambda t: F.when(  # noqa: E731
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.flatten(F.transform(F.array(toks), per_t))

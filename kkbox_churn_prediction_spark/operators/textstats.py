@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kkbox_churn_prediction_spark.functions.text import (
+    all_word_ngrams,
     normalize_text,
     stable_hash48,
     tokens,
@@ -280,4 +281,69 @@ def unigram_logprob_score(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored_tokens"),
         F.round(F.avg("_lp"), 6).alias("avg_token_logprob"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition / boilerplate curation signals per document — the
+    Gopher/C4 family of filters (duplicated-word fraction, top-word
+    dominance, unigram entropy, duplicated-bigram fraction). High
+    repetition marks templated or degenerate text that LLM curation
+    drops; the reference's nearest analog is its ratio-style quality
+    measures over listening logs (``features/features_comprehensive.sql:182-223``).
+
+    Output per doc (every input doc kept; empty text → zeros):
+    ``n_words``, ``dup_word_frac`` (1 − distinct/total),
+    ``top_word_frac`` (mode count / total), ``word_entropy``
+    (Shannon, bits), ``n_bigrams``, ``dup_bigram_frac``.
+
+    Distributed shape: two explode→two-level hash aggregations keyed
+    by (doc, gram) then (doc) — all algebraic (sum/count/max/sum of
+    c·log2 c), so map-side partials absorb the explode fan-out before
+    either shuffle; entropy comes from the identity
+    −Σp·log2 p = log2 n − (Σ c·log2 c)/n so no second pass over counts.
+    The final assembly is two doc-keyed joins on aggregation outputs
+    (co-partitioned, AQE-cheap). No UDF, no window, no driver loop.
+    """
+    t = F.col(text_col)
+    words = df.select(id_col, F.explode(tokens(t)).alias("_w"))
+    wc = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_nd"),
+        F.max("_c").alias("_top"),
+        F.sum(F.col("_c").cast("double") * F.log2(F.col("_c").cast("double"))).alias("_clog"),
+    )
+    bigrams = df.select(id_col, F.explode(all_word_ngrams(t, 2)).alias("_g"))
+    bc = bigrams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("_c").alias("_bn"), F.count(F.lit(1)).alias("_bnd")
+    )
+
+    n = F.col("_n").cast("double")
+    bn = F.col("_bn").cast("double")
+    zero = F.lit(0.0)
+    return (
+        df.select(id_col)
+        .join(wstats, on=id_col, how="left")
+        .join(bstats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce(
+                F.when(F.col("_n") > 0, F.lit(1.0) - F.col("_nd") / n), zero
+            ).alias("dup_word_frac"),
+            F.coalesce(
+                F.when(F.col("_n") > 0, F.col("_top") / n), zero
+            ).alias("top_word_frac"),
+            F.coalesce(
+                F.when(F.col("_n") > 0, F.log2(n) - F.col("_clog") / n), zero
+            ).alias("word_entropy"),
+            F.coalesce(F.col("_bn"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(
+                F.when(F.col("_bn") > 0, F.lit(1.0) - F.col("_bnd") / bn), zero
+            ).alias("dup_bigram_frac"),
+        )
     )
