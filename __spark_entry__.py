@@ -900,6 +900,40 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI for every bigram with corpus count ≥ 20
+    (integer-threshold selection — deterministic cross-engine; PMI is
+    an annotation, never the selection key)."""
+    from kkbox_churn_prediction_spark.operators.textstats import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=20)
+
+
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout keys over (entity bucket, day): the
+    interleaved sort key whose file min/max stats prune scans on BOTH
+    dimensions (pure shift/mask codegen arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.layout import zvalue16
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    day0 = F.to_date(F.lit("1970-01-01"))
+    x = F.pmod(F.col("user_id"), F.lit(65536)).cast("bigint")
+    y = F.pmod(
+        F.datediff(F.col("ts").cast("date"), day0).cast("bigint"), F.lit(65536)
+    )
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zvalue16(x, y).alias("zval"),
+    )
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1138,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_session_join": _q_interval_session_join,
         "resample_daily_activity": _q_resample_daily_activity,
         "repetition_stats": _q_repetition_stats,
+        "bigram_pmi": _q_bigram_pmi,
+        "zorder_keys": _q_zorder_keys,
     }
 
 
@@ -2823,6 +2859,68 @@ LEFT JOIN wstats w ON d.doc_id = w.doc_id
 LEFT JOIN bstats b ON d.doc_id = b.doc_id
 """
 
+# bigram PMI collocations (lock-step with
+# operators/textstats.py::bigram_pmi: occurrence-count probabilities,
+# integer min_count threshold, PMI annotation in log2)
+_BIGRAM_PMI_SQL = r"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (
+    SELECT string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE trim(text) <> ''
+),
+bigrams AS (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM tok WHERE len(ws) >= 2
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+bcnt AS (
+    SELECT g, COUNT(*) AS c12 FROM bigrams GROUP BY g
+    HAVING COUNT(*) >= 20
+),
+tots AS (
+    SELECT (SELECT COUNT(*) FROM words) AS nw,
+           (SELECT COUNT(*) FROM bigrams) AS nb
+)
+SELECT string_split(g, ' ')[1] AS w1,
+       string_split(g, ' ')[2] AS w2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(log2((c12 / CAST(nb AS DOUBLE))
+                 / ((c1.c / CAST(nw AS DOUBLE)) * (c2.c / CAST(nw AS DOUBLE))))
+            AS DOUBLE) AS pmi
+FROM bcnt, tots
+JOIN wc c1 ON c1.w = string_split(g, ' ')[1]
+JOIN wc c2 ON c2.w = string_split(g, ' ')[2]
+"""
+
+# Morton keys via the same spread-bits shift/mask chain as
+# operators/layout.py (staged CTEs instead of nested expressions)
+_ZORDER_KEYS_SQL = """
+WITH pts AS (
+    SELECT event_id,
+           CAST(user_id % 65536 AS BIGINT) AS x,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536
+                AS BIGINT) AS y
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+s1 AS (SELECT event_id, x, y,
+              ((x << 8) | x) & 16711935 AS sx, ((y << 8) | y) & 16711935 AS sy
+       FROM pts),
+s2 AS (SELECT event_id, x, y,
+              ((sx << 4) | sx) & 252645135 AS sx, ((sy << 4) | sy) & 252645135 AS sy
+       FROM s1),
+s3 AS (SELECT event_id, x, y,
+              ((sx << 2) | sx) & 858993459 AS sx, ((sy << 2) | sy) & 858993459 AS sy
+       FROM s2),
+s4 AS (SELECT event_id, x, y,
+              ((sx << 1) | sx) & 1431655765 AS sx, ((sy << 1) | sy) & 1431655765 AS sy
+       FROM s3)
+SELECT event_id, x, y, CAST((sy << 1) | sx AS BIGINT) AS zval FROM s4
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -2923,4 +3021,6 @@ def oracle_sql() -> dict[str, str]:
         "interval_session_join": _INTERVAL_SESSION_JOIN_SQL,
         "resample_daily_activity": _RESAMPLE_DAILY_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
+        "bigram_pmi": _BIGRAM_PMI_SQL,
+        "zorder_keys": _ZORDER_KEYS_SQL,
     }

@@ -1,0 +1,68 @@
+"""Z-order (Morton) data layout keys for multi-column data skipping.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet row-group and file min/max statistics prune scans, but they
+only help along the physical sort order. Sorting by a Z-value — the
+bitwise interleave of two (or more) key columns — gives every
+interleaved column locality at once, so a backfill that filters on
+``(entity_bucket, day)`` prunes on BOTH dimensions from one layout.
+This is the same technique lakehouse table formats expose as
+``OPTIMIZE ... ZORDER BY``; here it is expressed as pure Spark column
+arithmetic (shift/mask spread-bits), so it works on any writer path.
+
+The reference has no layout analog (single-node DuckDB reads local
+files); this operator is part of the engine's Iceberg-scale story
+alongside the bucketed writers in ``sources/io.py``.
+
+Everything is JVM bitwise arithmetic inside whole-stage codegen — no
+UDF, no shuffle beyond the final ``repartitionByRange`` that the
+layout itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# spread-bits constants for 16 -> 32 bit dilation (classic Morton)
+_SPREAD_STEPS_16 = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits16(col: Column) -> Column:
+    """Dilate the low 16 bits of ``col`` so bit i lands at bit 2i
+    (values clamped into [0, 65535] first). Pure shift/mask chain —
+    four codegen'd integer ops, no branching."""
+    x = F.greatest(F.lit(0), F.least(col.cast("bigint"), F.lit(65535)))
+    for shift, mask in _SPREAD_STEPS_16:
+        x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue16(x: Column, y: Column) -> Column:
+    """64-bit Morton key of two 16-bit keys: y's bits at odd
+    positions, x's at even — equal prefix ⇒ same 2-D box, so a range
+    of z-values covers an axis-aligned rectangle with bounded
+    overshoot."""
+    return F.shiftleft(spread_bits16(y), 1).bitwiseOR(spread_bits16(x))
+
+
+def zorder_layout(
+    df: DataFrame, x_col: str, y_col: str, *, partitions: int | None = None
+) -> DataFrame:
+    """Return ``df`` with a ``zval`` column, range-partitioned and
+    sorted by it — the shape to hand straight to a parquet/Iceberg
+    writer so file-level min/max stats prune on both key dimensions.
+    ``repartitionByRange`` samples the z distribution, so skewed keys
+    still yield balanced files."""
+    out = df.withColumn("zval", zvalue16(F.col(x_col), F.col(y_col)))
+    parted = (
+        out.repartitionByRange(partitions, "zval")
+        if partitions
+        else out.repartitionByRange("zval")
+    )
+    return parted.sortWithinPartitions("zval")

@@ -347,3 +347,69 @@ def repetition_stats(
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information for every word
+    bigram occurring at least ``min_count`` times in the corpus —
+    PMI(w1,w2) = log2(P(w1w2) / (P(w1)·P(w2))), unigram probabilities
+    over word occurrences, bigram probability over bigram occurrences.
+    The standard phrase-discovery signal for tokenizer/vocab curation.
+
+    Selection is by INTEGER count threshold, not float top-k: a PMI-
+    ordered top-k would make the selection boundary depend on
+    last-bit float differences and break cross-engine determinism;
+    thresholded output is a pure function of exact counts, with PMI as
+    an annotation column.
+
+    Distributed shape: two explode→groupBy count aggs (word, bigram) —
+    map-side partials absorb the fan-out; corpus totals are 1-row
+    aggregates broadcast via crossJoin (never collected to the
+    driver); the post-threshold bigram table is the SMALL side and is
+    broadcast onto the unigram counts twice (w1, w2 probes), so the
+    full word-count table never shuffles again. No UDF, no window.
+    """
+    t = F.col(text_col)
+    words = df.select(F.explode(tokens(t)).alias("_w"))
+    wc = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    bigr = df.select(F.explode(all_word_ngrams(t, 2)).alias("_g"))
+    bcnt = (
+        bigr.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= int(min_count))
+    )
+    tot_w = words.agg(F.count(F.lit(1)).alias("_nw"))
+    tot_b = bigr.agg(F.count(F.lit(1)).alias("_nb"))
+
+    pair = bcnt.select(
+        F.split("_g", " ")[0].alias("w1"),
+        F.split("_g", " ")[1].alias("w2"),
+        "c12",
+    )
+    c1 = wc.select(F.col("_w").alias("w1"), F.col("_c").alias("_c1"))
+    c2 = wc.select(F.col("_w").alias("w2"), F.col("_c").alias("_c2"))
+    # pair is the thresholded (small) side: broadcast it through both
+    # unigram probes so the word-count table streams without shuffling
+    with_c1 = c1.join(F.broadcast(pair), on="w1", how="inner")
+    joined = c2.join(F.broadcast(with_c1), on="w2", how="inner")
+    nw = F.col("_nw").cast("double")
+    nb = F.col("_nb").cast("double")
+    return (
+        joined.crossJoin(F.broadcast(tot_w))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.log2(
+                (F.col("c12") / nb)
+                / ((F.col("_c1") / nw) * (F.col("_c2") / nw))
+            ).alias("pmi"),
+        )
+    )
