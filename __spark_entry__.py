@@ -934,6 +934,31 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (IVF quantizer trainer): broadcast-
+    literal assignment + Summarizer mean per iteration. Iterative
+    fixpoint — not SQL-expressible, so no DuckDB oracle (rows-only
+    gate); exact numpy lock-step equality lives in tests/test_kmeans.py."""
+    from kkbox_churn_prediction_spark.operators.similarity import kmeans_fit
+
+    emb = _embs(spark, sf_dir)
+    assigned, _ = kmeans_fit(emb, k=8, iters=3)
+    return assigned.select("vec_id", "cell")
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table: per-column
+    null/distinct/min/max with NO Expand (melt + two-level agg for
+    exact distincts; wide agg for everything else)."""
+    from kkbox_churn_prediction_spark.operators.profile import profile_table
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    return profile_table(
+        read_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1174,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_pmi": _q_bigram_pmi,
         "zorder_keys": _q_zorder_keys,
+        "kmeans_cells": _q_kmeans_cells,
+        "profile_orders": _q_profile_orders,
     }
 
 
@@ -2921,6 +2948,37 @@ s4 AS (SELECT event_id, x, y,
 SELECT event_id, x, y, CAST((sy << 1) | sx AS BIGINT) AS zval FROM s4
 """
 
+# per-column profile; one small SELECT per column unioned (the oracle
+# states semantics — the Spark side is the one-pass/no-Expand plan)
+_PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3023,4 +3081,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,
         "zorder_keys": _ZORDER_KEYS_SQL,
+        "profile_orders": _PROFILE_ORDERS_SQL,
     }

@@ -1,0 +1,97 @@
+"""One-pass table profiling: per-column null/distinct/min/max stats.
+
+The data-quality sweep a 100 TB ingest runs before anything else —
+the engine-side generalization of the reference's defensive
+`validate_features` null/dtype report (``src/features_processor.py:71-95``),
+applied to RAW tables instead of the finished feature matrix.
+
+Distributed shape (two passes, NO Expand):
+
+- scalar stats: ONE wide hash aggregate computes row count and every
+  column's non-null count + min + max simultaneously — a single scan,
+  map-side partials, results rendered to strings AFTER aggregation so
+  numeric ordering is preserved.
+- distinct counts: Spark plans multiple ``COUNT(DISTINCT col)`` in one
+  aggregate via Expand — an (n_cols+1)× row multiplication BEFORE the
+  shuffle (the same trap the as-of feature family rewrites away,
+  ``operators/horizons.py:123-144``). Instead the table is melted to
+  (column, value-as-string) pairs — injective casts keep distinct
+  counts exact — and counted with a plain two-level aggregation: one
+  shuffle keyed by (column, value), no row explosion beyond ×n_cols
+  on the slim projection. ``approx=True`` swaps in
+  ``approx_count_distinct`` inside the SAME wide agg (one pass total)
+  for the 10^12-row profile where exactness is not worth the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str], *, approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
+    """Long-format profile: one row per column with ``n_rows``,
+    ``n_null``, ``n_distinct`` (nulls excluded, SQL convention),
+    ``min_str``/``max_str`` (post-aggregation string rendering)."""
+    wide_aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        wide_aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+        if approx:
+            wide_aggs.append(
+                F.approx_count_distinct(c, rsd).alias(f"_nd_{c}")
+            )
+    wide = df.agg(*wide_aggs)
+
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
+            *(
+                [F.col(f"_nd_{c}").cast("bigint").alias("n_distinct")]
+                if approx
+                else []
+            ),
+            F.col(f"_min_{c}").alias("min_str"),
+            F.col(f"_max_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    melted = wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    if approx:
+        return melted
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    nd = (
+        pairs.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
+    return melted.join(nd, on="column", how="left").select(
+        "column",
+        "n_rows",
+        "n_null",
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

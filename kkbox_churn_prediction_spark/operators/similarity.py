@@ -365,3 +365,94 @@ def quantize_embeddings(
 def dequantize_expr(qvec: Column, scale: Column, offset: Column) -> Column:
     """array<double> reconstruction: offset + q·scale."""
     return F.transform(qvec, lambda q: offset + q.cast("double") * scale)
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment against a driver-side centroid list
+    (k×dim — tiny by construction): squared-euclidean distance per
+    centroid as a ``zip_with``+``aggregate`` fold, argmin via
+    ``array_min`` over (dist, cell) structs so ties break to the
+    lower cell id. Pure column expressions — the vector side never
+    shuffles, k·dim multiply-adds per row inside codegen."""
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for j, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    best = F.array_min(F.array(*structs))
+    return vectors.select(
+        id_col,
+        F.col(vec_col),
+        best["j"].cast("int").alias("cell"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means — the trainer for the IVF coarse
+    quantizer (:func:`ivf_topk` consumes exactly these seeds at scale).
+
+    Init is deterministic with no RNG: the minimum-id vector of each
+    ``id pmod k`` residue class (spread across the id space,
+    reproducible across runs/partitionings). Each iteration is ONE
+    distributed pass: broadcast-literal centroid assignment
+    (:func:`assign_cells`, no shuffle) → per-cell mean via the ML
+    ``Summarizer`` one-pass vector aggregate (k·dim result). Only the
+    k centroid rows ever reach the driver — tiny by construction, the
+    same license as the heavy-hitter and PSI-edge collects. Empty
+    cells keep their previous centroid (no respawn heuristic — k is a
+    quality dial, not a guarantee).
+
+    Iterative fixpoints are not SQL-expressible — correctness is
+    gated by a lock-step numpy Lloyd reference in tests (exact
+    assignment equality on separated data) rather than a DuckDB
+    oracle; the driver records the weaker rows-only check.
+
+    Returns ``(assignments DataFrame, centroids list)``.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    seeds = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_cls", F.pmod(F.col(id_col), F.lit(int(k))))
+        .groupBy("_cls")
+        .agg(F.min(id_col).alias(id_col))
+        .join(vectors.select(id_col, vec_col), id_col)
+        .orderBy("_cls")
+    )
+    cents = [list(r[vec_col]) for r in seeds.collect()]
+    if len(cents) < k:
+        raise ValueError(f"only {len(cents)} of {k} residue classes populated")
+
+    for _ in range(int(iters)):
+        assigned = assign_cells(vectors, cents, vec_col, id_col)
+        means = (
+            assigned.select(
+                "cell",
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
+            )
+            .groupBy("cell")
+            .agg(Summarizer.mean(F.col("_v")).alias("_m"))
+            .select("cell", vector_to_array("_m").alias("_m"))
+        )
+        updated = {r["cell"]: list(r["_m"]) for r in means.collect()}
+        cents = [updated.get(j, cents[j]) for j in range(k)]
+
+    return assign_cells(vectors, cents, vec_col, id_col), cents
