@@ -959,6 +959,52 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_target_encode_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of role against tool-use labels:
+    fold f's encoding never sees fold f's labels (leave-one-fold-out
+    identity on a tiny stats table; stream never reshuffles)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.encoders import target_encode_oof
+
+    base = _conv(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("tool").isNotNull().cast("int").alias("label"),
+        F.pmod(stable_hash48(F.col("conv_id")), F.lit(3)).alias("fold"),
+    )
+    return target_encode_oof(base, "role", "label", "fold").select(
+        "conv_id", "turn_idx", "role", "fold", "role_te"
+    )
+
+
+def _q_standardize_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role z-score of turn text length (broadcast group stats;
+    degenerate groups fill 0.0)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import standardize_by_group
+
+    base = _conv(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role",
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+    return standardize_by_group(base, "text_len", "role", out_col="text_len_z")
+
+
+def _q_hashed_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (role × tool) cross: md5-prefix buckets identical
+    across engines; NULL tool gets a sentinel, not dropped."""
+    from kkbox_churn_prediction_spark.operators.encoders import hashed_cross
+
+    return _conv(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        hashed_cross(["role", "tool"], 1024).alias("bucket"),
+    )
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1201,6 +1247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _q_zorder_keys,
         "kmeans_cells": _q_kmeans_cells,
         "profile_orders": _q_profile_orders,
+        "target_encode_role": _q_target_encode_role,
+        "standardize_text_len": _q_standardize_text_len,
+        "hashed_cross_features": _q_hashed_cross_features,
     }
 
 
@@ -2979,6 +3028,73 @@ SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
 FROM orders
 """
 
+# out-of-fold target encoding (lock-step with
+# operators/encoders.py::target_encode_oof at smoothing=0: leave-one-
+# fold-out sums from category-window totals; absent-category fallback
+# to the out-of-fold global prior)
+_TARGET_ENCODE_ROLE_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT conv_id, turn_idx, role,
+           CAST(tool IS NOT NULL AS INT) AS label,
+           CAST({_H48.format(x='conv_id')} % 3 AS BIGINT) AS fold
+    FROM conversations
+),
+cf AS (
+    SELECT role, fold, SUM(CAST(label AS DOUBLE)) AS s, COUNT(*) AS c
+    FROM base GROUP BY role, fold
+),
+g AS (
+    SELECT role, fold, s, c,
+           SUM(s) OVER (PARTITION BY role) - s AS oof_s,
+           SUM(c) OVER (PARTITION BY role) - c AS oof_c
+    FROM cf
+),
+tot AS (SELECT fold, SUM(s) AS fs, SUM(c) AS fc FROM cf GROUP BY fold),
+grand AS (SELECT SUM(s) AS gs, SUM(c) AS gc FROM cf),
+prior AS (SELECT fold, (gs - fs) / (gc - fc) AS p FROM tot, grand),
+enc AS (
+    SELECT g.role, g.fold,
+           CASE WHEN oof_c > 0 THEN oof_s / oof_c ELSE p END AS role_te
+    FROM g JOIN prior ON g.fold = prior.fold
+)
+SELECT b.conv_id, b.turn_idx, b.role, b.fold,
+       CAST(e.role_te AS DOUBLE) AS role_te
+FROM base b LEFT JOIN enc e ON b.role = e.role AND b.fold = e.fold
+"""
+
+# per-role z-score (join form; stddev_samp matches Spark, constant /
+# singleton groups fill 0.0)
+_STANDARDIZE_TEXT_LEN_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT conv_id, turn_idx, role, CAST(length(text) AS BIGINT) AS text_len
+    FROM conversations
+),
+stats AS (
+    SELECT role, AVG(CAST(text_len AS DOUBLE)) AS mu,
+           STDDEV_SAMP(CAST(text_len AS DOUBLE)) AS sd
+    FROM base GROUP BY role
+)
+SELECT b.conv_id, b.turn_idx, b.role, b.text_len,
+       CAST(CASE WHEN s.sd IS NOT NULL AND s.sd > 0
+                 THEN (b.text_len - s.mu) / s.sd ELSE 0.0 END AS DOUBLE)
+           AS text_len_z
+FROM base b JOIN stats s ON b.role = s.role
+"""
+
+# hashing-trick cross: identical md5-prefix buckets (chr(31)
+# separator, chr(0)-framed NULL sentinel — lock-step with
+# operators/encoders.py::hashed_cross)
+_HASHED_CROSS_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id, turn_idx,
+       CAST({_H48.format(x=
+           "concat(role, chr(31), coalesce(tool, concat(chr(0), 'null', chr(0))))"
+       )} % 1024 AS BIGINT) AS bucket
+FROM conversations
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3082,4 +3198,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _BIGRAM_PMI_SQL,
         "zorder_keys": _ZORDER_KEYS_SQL,
         "profile_orders": _PROFILE_ORDERS_SQL,
+        "target_encode_role": _TARGET_ENCODE_ROLE_SQL,
+        "standardize_text_len": _STANDARDIZE_TEXT_LEN_SQL,
+        "hashed_cross_features": _HASHED_CROSS_SQL,
     }

@@ -1,0 +1,140 @@
+"""Leakage-aware feature encoders: out-of-fold target encoding,
+per-group standardization, hashed feature crosses.
+
+The reference's modeling stack consumes raw aggregates and leaves
+encoding to sklearn on the driver (``src/features_processor.py``);
+at 10^12 rows the encoders must run IN the engine, and the repo's
+temporal-leakage discipline (strictly-prior as-of features,
+``operators/asof.py``) extends to them: a target encoding computed
+over ALL rows leaks each row's own label into its feature — the
+out-of-fold construction here is the categorical analog of the
+as-of cutoff guard.
+
+All three encoders share one distributed shape: statistics tables are
+tiny by construction (|categories|×|folds|, |groups|, or nothing at
+all for the hash cross), so every encode is a broadcast join (or a
+pure projection) against the full-size stream — the stream itself
+NEVER shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    fold_col: str,
+    *,
+    smoothing: float = 0.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Out-of-fold mean-target encoding: the encoding applied to rows
+    of fold f is the label mean of their category computed over every
+    OTHER fold — a row's own label (and its fold's labels) can never
+    reach its feature. ``smoothing`` m shrinks sparse categories
+    toward the out-of-fold GLOBAL mean:
+    ``enc = (oof_sum + m·oof_prior) / (oof_count + m)``; a category
+    absent from the other folds falls back to the prior outright.
+
+    Shape: ONE groupBy (cat, fold) over the stream (the only
+    full-data exchange); out-of-fold sums come from window totals over
+    that tiny stats table (leave-one-out identity: total − own fold —
+    no per-fold rescan, no fold×fold join); the finished encoder
+    (cat, fold, enc) broadcasts back onto the stream.
+    """
+    out_col = out_col or f"{cat_col}_te"
+    lab = F.col(label_col).cast("double")
+    cf = df.groupBy(cat_col, fold_col).agg(
+        F.sum(lab).alias("_s"), F.count(lab).alias("_c")
+    )
+    w_cat = Window.partitionBy(cat_col)
+    # category totals replicated per row of the tiny stats table;
+    # the row's own fold subtracted = leave-one-fold-out sums
+    g = cf.select(
+        cat_col,
+        fold_col,
+        "_s",
+        "_c",
+        (F.sum("_s").over(w_cat) - F.col("_s")).alias("_oof_s"),
+        (F.sum("_c").over(w_cat) - F.col("_c")).alias("_oof_c"),
+    )
+    tot = cf.groupBy(fold_col).agg(
+        F.sum("_s").alias("_fs"), F.sum("_c").alias("_fc")
+    )
+    grand = cf.agg(
+        F.sum("_s").alias("_gs"), F.sum("_c").alias("_gc")
+    )
+    prior = (
+        tot.crossJoin(F.broadcast(grand))
+        .select(
+            fold_col,
+            ((F.col("_gs") - F.col("_fs")) / (F.col("_gc") - F.col("_fc"))).alias(
+                "_prior"
+            ),
+        )
+    )
+    m = float(smoothing)
+    enc = (
+        g.join(F.broadcast(prior), on=fold_col)
+        .select(
+            cat_col,
+            fold_col,
+            F.when(
+                F.col("_oof_c") + F.lit(m) > 0,
+                (F.col("_oof_s") + F.lit(m) * F.col("_prior"))
+                / (F.col("_oof_c") + F.lit(m)),
+            )
+            .otherwise(F.col("_prior"))
+            .alias(out_col),
+        )
+    )
+    return df.join(F.broadcast(enc), on=[cat_col, fold_col], how="left")
+
+
+def standardize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group z-score: (x − group mean) / group sample-stddev, 0.0
+    when the group is constant or a singleton (stddev 0/NULL — the
+    degenerate groups a fill of 0 represents correctly: every member
+    sits at the mean). Group stats are one hash agg broadcast back;
+    the stream never shuffles."""
+    out_col = out_col or f"{value_col}_z"
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd")
+    )
+    joined = df.join(F.broadcast(stats), on=group_col, how="left")
+    z = F.when(
+        F.col("_sd").isNotNull() & (F.col("_sd") > 0),
+        (v - F.col("_mu")) / F.col("_sd"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, z).drop("_mu", "_sd")
+
+
+def hashed_cross(
+    cols: list[str], buckets: int, *, sep: str = "\x1f"
+) -> Column:
+    """Hashing-trick feature cross: bucket id of the joined column
+    values in [0, buckets). NULLs are encoded as a sentinel (so
+    (NULL, x) ≠ ('', x)), the join uses an unprintable separator (so
+    ('a','b c') ≠ ('a b','c')), and the hash is the engine's
+    cross-engine ``stable_hash48`` (md5-prefix) — the SAME bucket ids
+    fall out of Spark and any SQL engine with md5, which makes
+    downstream embedding tables portable. Pure projection: no state,
+    no shuffle, no vocabulary build."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")) for c in cols
+    ]
+    joined = F.concat_ws(sep, *parts)
+    return F.pmod(stable_hash48(joined), F.lit(int(buckets)))
