@@ -1005,6 +1005,37 @@ def _q_hashed_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mi_role_tooluse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between role and tool-use (exact, computed
+    on the contingency table — only |X|×|Y| rows leave the agg)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import (
+        mutual_information,
+    )
+
+    base = _conv(spark, sf_dir).select(
+        F.col("role").alias("x"),
+        F.col("tool").isNotNull().cast("int").cast("string").alias("y"),
+    )
+    return mutual_information(base, "x", "y")
+
+
+def _q_chi2_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square + Cramér's V for role × tool (NULL tool folded to a
+    'none' category; sparse cells handled algebraically — no dense
+    |X|×|Y| grid)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import chi_square
+
+    base = _conv(spark, sf_dir).select(
+        F.col("role").alias("x"),
+        F.coalesce(F.col("tool"), F.lit("none")).alias("y"),
+    )
+    return chi_square(base, "x", "y")
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1250,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_role": _q_target_encode_role,
         "standardize_text_len": _q_standardize_text_len,
         "hashed_cross_features": _q_hashed_cross_features,
+        "mi_role_tooluse": _q_mi_role_tooluse,
+        "chi2_role_tool": _q_chi2_role_tool,
     }
 
 
@@ -3095,6 +3128,77 @@ SELECT conv_id, turn_idx,
 FROM conversations
 """
 
+# exact mutual information on the contingency table (lock-step with
+# operators/association.py::mutual_information)
+_MI_ROLE_TOOLUSE_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT role AS x, CAST(CAST(tool IS NOT NULL AS INT) AS VARCHAR) AS y
+    FROM conversations
+),
+joint AS (SELECT x, y, COUNT(*) AS nxy FROM base GROUP BY x, y),
+c AS (
+    SELECT x, y, nxy,
+           SUM(nxy) OVER (PARTITION BY x) AS nx,
+           SUM(nxy) OVER (PARTITION BY y) AS ny,
+           SUM(nxy) OVER () AS n
+    FROM joint
+),
+mi AS (
+    SELECT SUM((nxy / CAST(n AS DOUBLE))
+               * log2(nxy * CAST(n AS DOUBLE) / (nx * ny))) AS mi,
+           MAX(n) AS n
+    FROM c
+),
+hx AS (
+    SELECT SUM(-(nx / CAST(n AS DOUBLE)) * log2(nx / CAST(n AS DOUBLE))) AS h_x
+    FROM (SELECT DISTINCT x, nx, n FROM c)
+),
+hy AS (
+    SELECT SUM(-(ny / CAST(n AS DOUBLE)) * log2(ny / CAST(n AS DOUBLE))) AS h_y
+    FROM (SELECT DISTINCT y, ny, n FROM c)
+)
+SELECT CAST(mi AS DOUBLE) AS mi, CAST(h_x AS DOUBLE) AS h_x,
+       CAST(h_y AS DOUBLE) AS h_y,
+       CAST(CASE WHEN least(h_x, h_y) > 0 THEN mi / least(h_x, h_y)
+                 ELSE 0.0 END AS DOUBLE) AS nmi,
+       CAST(n AS BIGINT) AS n
+FROM mi, hx, hy
+"""
+
+# chi-square closed form n·(Σ n_xy²/(n_x·n_y) − 1): observed-zero
+# cells contribute algebraically, no dense grid (lock-step with
+# operators/association.py::chi_square)
+_CHI2_ROLE_TOOL_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT role AS x, COALESCE(tool, 'none') AS y FROM conversations
+),
+joint AS (SELECT x, y, COUNT(*) AS nxy FROM base GROUP BY x, y),
+c AS (
+    SELECT x, y, nxy,
+           SUM(nxy) OVER (PARTITION BY x) AS nx,
+           SUM(nxy) OVER (PARTITION BY y) AS ny,
+           SUM(nxy) OVER () AS n
+    FROM joint
+),
+stat AS (
+    SELECT MAX(CAST(n AS DOUBLE))
+               * (SUM(CAST(nxy AS DOUBLE) * nxy / (CAST(nx AS DOUBLE) * ny)) - 1)
+               AS chi2,
+           COUNT(DISTINCT x) AS kx, COUNT(DISTINCT y) AS ky,
+           MAX(n) AS n
+    FROM c
+)
+SELECT CAST(chi2 AS DOUBLE) AS chi2,
+       CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+       CAST(CASE WHEN least(kx, ky) > 1 AND n > 0
+                 THEN sqrt(chi2 / (n * (least(kx, ky) - 1)))
+                 ELSE 0.0 END AS DOUBLE) AS cramers_v,
+       CAST(n AS BIGINT) AS n
+FROM stat
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3201,4 +3305,6 @@ def oracle_sql() -> dict[str, str]:
         "target_encode_role": _TARGET_ENCODE_ROLE_SQL,
         "standardize_text_len": _STANDARDIZE_TEXT_LEN_SQL,
         "hashed_cross_features": _HASHED_CROSS_SQL,
+        "mi_role_tooluse": _MI_ROLE_TOOLUSE_SQL,
+        "chi2_role_tool": _CHI2_ROLE_TOOL_SQL,
     }

@@ -1,0 +1,108 @@
+"""Categorical association statistics: mutual information, chi-square.
+
+Feature-relevance screening for the encoded categoricals the engine
+produces (``operators/encoders.py``): MI(feature; label) ranks
+features before a training run, chi-square/Cramér's V flags
+degenerate or near-duplicate columns. The reference does its
+association eyeballing in pandas on the driver
+(``src/error_analysis.py`` groupbys); at 10^12 rows the counts must
+reduce in the engine — and only the O(|X|·|Y|) contingency table ever
+leaves the executors.
+
+Distributed shape: ONE groupBy (x, y) over the stream (the only
+full-data exchange, map-side combined). Marginals and totals are
+window sums over the contingency table itself — tiny by construction
+— and the statistics are closed-form column expressions over it.
+No second pass, no collect, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def contingency(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(x, y, n_xy, n_x, n_y, n) contingency rows with marginals
+    attached via windows over the counted table (NULL is a category —
+    filter upstream if not wanted)."""
+    joint = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("n_xy"))
+    wx = Window.partitionBy(x_col)
+    wy = Window.partitionBy(y_col)
+    # grand total as a broadcast 1-row agg, NOT a global window — even
+    # on a tiny table an empty-partition Window ships everything to one
+    # task and trips the single-partition lint this repo plan-guards
+    total = joint.agg(F.sum("n_xy").alias("n"))
+    return (
+        joint.select(
+            x_col,
+            y_col,
+            "n_xy",
+            F.sum("n_xy").over(wx).alias("n_x"),
+            F.sum("n_xy").over(wy).alias("n_y"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row: ``mi`` (bits), ``h_x``, ``h_y``, ``nmi``
+    (MI / min(H(x), H(y)); 0.0 when either variable is constant) and
+    ``n``. MI = Σ p(x,y)·log2(p(x,y)·n² / (n_x·n_y·n)) — computed on
+    the contingency table, exact, no sampling."""
+    c = contingency(df, x_col, y_col)
+    n = F.col("n").cast("double")
+    p_xy = F.col("n_xy") / n
+    terms = c.select(
+        "n",
+        (p_xy * F.log2(F.col("n_xy") * n / (F.col("n_x") * F.col("n_y")))).alias("_mi"),
+    )
+    mi = terms.agg(F.sum("_mi").alias("mi"), F.max("n").alias("n"))
+    hx = (
+        c.select(x_col, "n_x", "n").distinct()
+        .agg(F.sum(-(F.col("n_x") / F.col("n")) * F.log2(F.col("n_x") / F.col("n"))).alias("h_x"))
+    )
+    hy = (
+        c.select(y_col, "n_y", "n").distinct()
+        .agg(F.sum(-(F.col("n_y") / F.col("n")) * F.log2(F.col("n_y") / F.col("n"))).alias("h_y"))
+    )
+    out = mi.crossJoin(hx).crossJoin(hy)
+    return out.select(
+        F.col("mi").cast("double").alias("mi"),
+        F.col("h_x").cast("double").alias("h_x"),
+        F.col("h_y").cast("double").alias("h_y"),
+        F.when(
+            F.least("h_x", "h_y") > 0, F.col("mi") / F.least("h_x", "h_y")
+        ).otherwise(F.lit(0.0)).alias("nmi"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row: ``chi2`` statistic, ``dof``, ``cramers_v`` over the
+    OBSERVED contingency table (cells with zero observed count
+    contribute their expected mass via the closed form
+    χ² = n·(Σ n_xy²/(n_x·n_y) − 1), which needs no dense grid —
+    missing cells are handled algebraically, so sparse high-
+    cardinality pairs never materialize |X|×|Y| rows)."""
+    c = contingency(df, x_col, y_col)
+    n = F.col("n").cast("double")
+    stat = c.agg(
+        (
+            F.max(n)
+            * (F.sum(F.col("n_xy") * F.col("n_xy") / (F.col("n_x") * F.col("n_y"))) - 1)
+        ).alias("chi2"),
+        F.countDistinct(x_col).alias("_kx"),
+        F.countDistinct(y_col).alias("_ky"),
+        F.max("n").alias("n"),
+    )
+    k_min = F.least(F.col("_kx"), F.col("_ky")).cast("double")
+    return stat.select(
+        F.col("chi2").cast("double").alias("chi2"),
+        ((F.col("_kx") - 1) * (F.col("_ky") - 1)).cast("bigint").alias("dof"),
+        F.when(
+            (k_min > 1) & (F.col("n") > 0),
+            F.sqrt(F.col("chi2") / (F.col("n") * (k_min - 1))),
+        ).otherwise(F.lit(0.0)).alias("cramers_v"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -86,3 +86,39 @@ def salted_two_phase_sum(
     return partial.groupBy(*keys).agg(
         *[F.coalesce(F.sum(f"_p_{name}"), F.lit(0)).alias(name) for name in exprs]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    salt_cols: tuple[str, ...] = ("turn_idx",),
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: when ONE hot key would pin a whole shuffle
+    partition to a single task (the mega-conversation problem applied
+    to joins), spread the big side over ``salt_buckets`` sub-keys and
+    REPLICATE the small side into every bucket, joining on
+    (key, salt). Result is row-identical to the plain join — salting
+    only refines the partitioning, never the match predicate.
+
+    This is the manual fallback for the cases AQE's skew-join split
+    cannot reach (AQE only splits sort-merge partitions post-shuffle
+    and needs the stats to see the skew; a salted key fixes the
+    layout BEFORE the exchange). Small side grows ×salt_buckets — use
+    only when it is broadcast-small but the join must still shuffle
+    (e.g. the big side's partitioning is being reused downstream).
+
+    The big side's salt is deterministic in its own row
+    (``pmod(hash(salt_cols), S)`` — never ``rand()``: retries and
+    resumed stages must re-derive identical salts); the small side
+    gets all salts via a generated explode.
+    """
+    s = int(salt_buckets)
+    big_s = add_salt(big, s, cols=salt_cols)
+    small_s = small.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt")
+    )
+    return big_s.join(small_s, on=[on, "_salt"], how=how).drop("_salt")

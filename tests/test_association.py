@@ -1,0 +1,91 @@
+"""MI / chi-square association stats vs closed-form references."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_perfect_dependence(spark):
+    from kkbox_churn_prediction_spark.operators.association import (
+        chi_square,
+        mutual_information,
+    )
+
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, ["u", "v"])
+    mi = mutual_information(df, "u", "v").first()
+    assert abs(mi["mi"] - 1.0) < 1e-12  # H = 1 bit, fully shared
+    assert abs(mi["nmi"] - 1.0) < 1e-12
+    ch = chi_square(df, "u", "v").first()
+    assert abs(ch["chi2"] - 10.0) < 1e-9  # n * (2-1) for perfect 2x2
+    assert ch["dof"] == 1 and abs(ch["cramers_v"] - 1.0) < 1e-12
+
+
+def test_independence_is_zero(spark):
+    from kkbox_churn_prediction_spark.operators.association import (
+        chi_square,
+        mutual_information,
+    )
+
+    rows = [(u, v) for u in "ab" for v in "xy" for _ in range(3)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    mi = mutual_information(df, "u", "v").first()
+    assert abs(mi["mi"]) < 1e-12 and mi["nmi"] == 0.0 or abs(mi["nmi"]) < 1e-12
+    ch = chi_square(df, "u", "v").first()
+    assert abs(ch["chi2"]) < 1e-9 and abs(ch["cramers_v"]) < 1e-9
+
+
+def test_mi_matches_direct_formula(spark):
+    from kkbox_churn_prediction_spark.operators.association import mutual_information
+
+    counts = {("a", "x"): 4, ("a", "y"): 1, ("b", "x"): 2, ("b", "y"): 3}
+    rows = [kv for kv, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    got = mutual_information(df, "u", "v").first()
+
+    n = sum(counts.values())
+    px = {u: sum(c for (a, _), c in counts.items() if a == u) / n for u in "ab"}
+    py = {v: sum(c for (_, b), c in counts.items() if b == v) / n for v in "xy"}
+    want = sum(
+        (c / n) * math.log2((c / n) / (px[u] * py[v]))
+        for (u, v), c in counts.items()
+    )
+    assert abs(got["mi"] - want) < 1e-12
+    hx = -sum(p * math.log2(p) for p in px.values())
+    assert abs(got["h_x"] - hx) < 1e-12
+    assert abs(got["nmi"] - want / min(hx, got["h_y"])) < 1e-12
+
+
+def test_chi2_sparse_cells_algebraic(spark):
+    """Missing (observed-zero) cells are handled by the closed form —
+    compare against the dense-grid chi-square computed in Python."""
+    from kkbox_churn_prediction_spark.operators.association import chi_square
+
+    counts = {("a", "x"): 6, ("b", "y"): 2, ("b", "x"): 2}  # (a,y) empty
+    rows = [kv for kv, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    got = chi_square(df, "u", "v").first()
+
+    n = sum(counts.values())
+    nx = {"a": 6, "b": 4}
+    ny = {"x": 8, "y": 2}
+    want = 0.0
+    for u in "ab":
+        for v in "xy":
+            e = nx[u] * ny[v] / n
+            o = counts.get((u, v), 0)
+            want += (o - e) ** 2 / e
+    assert abs(got["chi2"] - want) < 1e-9
+
+
+def test_constant_column(spark):
+    from kkbox_churn_prediction_spark.operators.association import (
+        chi_square,
+        mutual_information,
+    )
+
+    df = spark.createDataFrame([("k", v) for v in "xyxy"], ["u", "v"])
+    mi = mutual_information(df, "u", "v").first()
+    assert abs(mi["mi"]) < 1e-12 and mi["nmi"] == 0.0
+    ch = chi_square(df, "u", "v").first()
+    assert ch["cramers_v"] == 0.0 and ch["dof"] == 0
