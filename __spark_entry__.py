@@ -1036,6 +1036,35 @@ def _q_chi2_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(base, "x", "y")
 
 
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov role-transition matrix with conditional
+    probabilities (one lag on the shared conv_id window + tiny agg)."""
+    from kkbox_churn_prediction_spark.operators.lags import role_transitions
+
+    return role_transitions(_conv(spark, sf_dir))
+
+
+def _q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: daily HLL sketches of active users MERGED to
+    weekly estimates, audited against exact distincts — the
+    pre-aggregation pattern exact COUNT(DISTINCT) can't scale to.
+    The within_tol boolean is deterministic (DataSketches is
+    content-deterministic), so the oracle asserts it's always true."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sketches import (
+        distinct_rollup_check,
+    )
+
+    conv = _conv(spark, sf_dir)
+    return distinct_rollup_check(
+        conv,
+        F.date_trunc("day", F.col("ts")),
+        F.date_trunc("week", F.col("ts")),
+        "conv_id",
+    )
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1283,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_cross_features": _q_hashed_cross_features,
         "mi_role_tooluse": _q_mi_role_tooluse,
         "chi2_role_tool": _q_chi2_role_tool,
+        "role_transitions": _q_role_transitions,
+        "hll_weekly_rollup": _q_hll_weekly_rollup,
     }
 
 
@@ -3199,6 +3230,40 @@ SELECT CAST(chi2 AS DOUBLE) AS chi2,
 FROM stat
 """
 
+# Markov role transitions (lock-step with
+# operators/lags.py::role_transitions: lag over (conv_id, ts,
+# turn_idx), conversation boundaries emit nothing)
+_ROLE_TRANSITIONS_SQL = f"""
+WITH {_CONV_CTE},
+pairs AS (
+    SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+               AS from_state,
+           role AS to_state
+    FROM conversations
+),
+counts AS (
+    SELECT from_state, to_state, COUNT(*) AS n
+    FROM pairs WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+       CAST(n / SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p_cond
+FROM counts
+"""
+
+# the HLL weekly rollup: DuckDB computes the EXACT side; the sketch
+# estimate lives only in the within_tol boolean, which the oracle
+# asserts TRUE (DataSketches HLL is content-deterministic — a
+# tolerance breach fails the gate loudly, by design)
+_HLL_WEEKLY_ROLLUP_SQL = f"""
+WITH {_CONV_CTE}
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM conversations
+GROUP BY date_trunc('week', ts)
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3307,4 +3372,6 @@ def oracle_sql() -> dict[str, str]:
         "hashed_cross_features": _HASHED_CROSS_SQL,
         "mi_role_tooluse": _MI_ROLE_TOOLUSE_SQL,
         "chi2_role_tool": _CHI2_ROLE_TOOL_SQL,
+        "role_transitions": _ROLE_TRANSITIONS_SQL,
+        "hll_weekly_rollup": _HLL_WEEKLY_ROLLUP_SQL,
     }

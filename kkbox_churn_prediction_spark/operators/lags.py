@@ -89,3 +89,34 @@ def response_latency(turns: DataFrame) -> DataFrame:
         F.expr("sum(_lat) div count(1)").alias("avg_latency_us"),
         F.max("_lat").alias("max_latency_us"),
     )
+
+
+def role_transitions(turns: DataFrame, state_col: str = "role") -> DataFrame:
+    """First-order Markov transition statistics over turn order: one
+    row per observed (from_state, to_state) with count and the
+    row-conditional probability P(to | from). The transcript-native
+    summary of dialogue structure (who follows whom; tool-call → 
+    assistant-response loops), and the denominator discipline matches
+    the reference's ratio-of-sums guard (A7).
+
+    Shape: ONE lag over the shared (conv_id, ts, turn_idx) window
+    (rides the same conv_id shuffle as every per-turn feature), then a
+    tiny (from,to) count agg; the conditional divides by a window sum
+    over that |states|² table. Conversation boundaries emit no
+    transition (lag is NULL on first turns — filtered, not fabricated).
+    """
+    w = turn_order_window()
+    pairs = turns.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).where(F.col("from_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") / F.sum("n").over(w_from)).alias("p_cond"),
+    )

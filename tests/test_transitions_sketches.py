@@ -1,0 +1,90 @@
+"""Role-transition matrix goldens + HLL sketch mergeability."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_role_transitions_golden(spark):
+    from kkbox_churn_prediction_spark.operators.lags import role_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "u", t0),
+        ("c1", 1, "a", t0 + dt.timedelta(minutes=1)),
+        ("c1", 2, "u", t0 + dt.timedelta(minutes=2)),
+        ("c1", 3, "a", t0 + dt.timedelta(minutes=3)),
+        # c2 starts with 'a' — no cross-conversation transition u->a
+        ("c2", 0, "a", t0),
+        ("c2", 1, "a", t0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p_cond"])
+        for r in role_transitions(df).collect()
+    }
+    # transitions: c1: u->a, a->u, u->a ; c2: a->a
+    assert out[("u", "a")][0] == 2 and out[("u", "a")][1] == 1.0
+    assert out[("a", "u")][0] == 1 and out[("a", "u")][1] == 0.5
+    assert out[("a", "a")][0] == 1 and out[("a", "a")][1] == 0.5
+    assert ("a", "u") in out and len(out) == 3  # no boundary fabrication
+    # conditional rows sum to 1 per from_state
+    assert abs(out[("a", "u")][1] + out[("a", "a")][1] - 1.0) < 1e-12
+
+
+def _events(spark, n=5000):
+    return spark.range(n).select(
+        (F.col("id") % 700).alias("user"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28) + 1, 2, "0"))
+        ).alias("ts"),
+    )
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Associativity: union of daily sketches == one sketch over the
+    whole window (same estimate), the property that makes the stored
+    base layer answer arbitrary windows."""
+    from kkbox_churn_prediction_spark.operators.sketches import (
+        bucket_sketches,
+        rollup_sketches,
+    )
+
+    ev = _events(spark)
+    base = bucket_sketches(
+        ev,
+        F.date_trunc("day", "ts"),
+        "user",
+        coarse_bucket=F.lit(1),
+    )
+    merged = rollup_sketches(base).first()["estimate"]
+    direct = (
+        ev.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user", F.lit(12))
+            ).cast("double").alias("e")
+        ).first()["e"]
+    )
+    # union-of-sketches and direct sketch agree to sketch accuracy
+    # (not bit-identical: the union path uses a different internal
+    # target type), and both sit near the exact 700
+    assert abs(merged - direct) / direct < 0.03
+    assert abs(merged - 700) / 700 < 0.05 and abs(direct - 700) / 700 < 0.05
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from kkbox_churn_prediction_spark.operators.sketches import (
+        distinct_rollup_check,
+    )
+
+    out = distinct_rollup_check(
+        _events(spark),
+        F.date_trunc("day", "ts"),
+        F.date_trunc("month", "ts"),
+        "user",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["exact_distinct"] == 700
+    assert out[0]["within_tol"] is True
