@@ -1065,6 +1065,15 @@ def _q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 3 per anchor, exactly
+    uniform over the other ids via the mod-(N−1) shift trick; pure
+    projection after a broadcast 1-row count."""
+    from kkbox_churn_prediction_spark.operators.indexing import negative_samples
+
+    return negative_samples(_docs(spark, sf_dir).select("doc_id"), "doc_id", 3)
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1314,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_role_tool": _q_chi2_role_tool,
         "role_transitions": _q_role_transitions,
         "hll_weekly_rollup": _q_hll_weekly_rollup,
+        "negative_samples": _q_negative_samples,
     }
 
 
@@ -3264,6 +3274,26 @@ FROM conversations
 GROUP BY date_trunc('week', ts)
 """
 
+# deterministic negative sampling (lock-step with
+# operators/indexing.py::negative_samples: md5-prefix hash mod (N−1)
+# with the ≥-anchor shift — uniform over ids ≠ anchor)
+_NEGATIVE_SAMPLES_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+exploded AS (
+    SELECT doc_id, unnest(generate_series(0, 2)) AS neg_idx
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, neg_idx,
+           {_H48.format(x="concat(CAST(doc_id AS VARCHAR), ':', CAST(neg_idx AS VARCHAR))")}
+               % (cnt - 1) AS c
+    FROM exploded, n
+)
+SELECT doc_id, CAST(neg_idx AS INT) AS neg_idx,
+       CAST(CASE WHEN c >= doc_id THEN c + 1 ELSE c END AS BIGINT) AS neg_id
+FROM hashed
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3374,4 +3404,5 @@ def oracle_sql() -> dict[str, str]:
         "chi2_role_tool": _CHI2_ROLE_TOOL_SQL,
         "role_transitions": _ROLE_TRANSITIONS_SQL,
         "hll_weekly_rollup": _HLL_WEEKLY_ROLLUP_SQL,
+        "negative_samples": _NEGATIVE_SAMPLES_SQL,
     }
