@@ -1074,6 +1074,25 @@ def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_docs(spark, sf_dir).select("doc_id"), "doc_id", 3)
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: typed field projected out of the props
+    payload (NULL-tolerant, codegen get_json_object — no UDF, no
+    validate pass), aggregated per event type."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.jsoncols import json_field
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    k = json_field(F.col("props"), "k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_valid_k"),
+        F.avg(k).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1324,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,
         "hll_weekly_rollup": _q_hll_weekly_rollup,
         "negative_samples": _q_negative_samples,
+        "json_props_stats": _q_json_props_stats,
     }
 
 
@@ -3294,6 +3314,24 @@ SELECT doc_id, CAST(neg_idx AS INT) AS neg_idx,
 FROM hashed
 """
 
+# schema-on-read JSON extraction (json_valid guard mirrors Spark's
+# NULL-on-malformed get_json_object; try_cast mirrors the TRY cast)
+_JSON_PROPS_STATS_SQL = """
+WITH ev AS (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN try_cast(json_extract_string(props, '$.k') AS INT)
+           END AS k
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_valid_k,
+       CAST(AVG(k) AS DOUBLE) AS avg_k,
+       CAST(MAX(k) AS INT) AS max_k
+FROM ev GROUP BY event_type
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3405,4 +3443,5 @@ def oracle_sql() -> dict[str, str]:
         "role_transitions": _ROLE_TRANSITIONS_SQL,
         "hll_weekly_rollup": _HLL_WEEKLY_ROLLUP_SQL,
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
+        "json_props_stats": _JSON_PROPS_STATS_SQL,
     }
