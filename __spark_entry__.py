@@ -1093,6 +1093,68 @@ def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity features (half-lives 1d and 7d)
+    per entity×cutoff — the soft-window companion to asof_features."""
+    from kkbox_churn_prediction_spark.operators.decay import decayed_counts
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return decayed_counts(
+        _conv(spark, sf_dir),
+        cutoffs_from_events(spark, sf_dir),
+        half_lives_days=(1.0, 7.0),
+        lookback_days=28,
+    )
+
+
+def _q_survival_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(duration, censored) survival pairs per entity×cutoff — the
+    time-to-event generalization of the binary churn label."""
+    from kkbox_churn_prediction_spark.operators.survival import survival_labels
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return survival_labels(
+        _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+    )
+
+
+def _q_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over the survival labels (two-level
+    agg; the product-limit window runs on a ≤horizon-row frame)."""
+    from kkbox_churn_prediction_spark.operators.survival import km_curve, survival_labels
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return km_curve(
+        survival_labels(
+            _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+        )
+    )
+
+
+def _q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn gap statistics + Goh-Barabási burstiness per
+    conversation (one lag window on the shared conv_id sort)."""
+    from kkbox_churn_prediction_spark.operators.rhythm import interarrival_stats
+
+    return interarrival_stats(_conv(spark, sf_dir))
+
+
+def _q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day entropy + weekend fraction per conversation
+    (two-level agg, ≤24 intermediate rows per entity)."""
+    from kkbox_churn_prediction_spark.operators.rhythm import activity_profile
+
+    return activity_profile(_conv(spark, sf_dir))
+
+
+def _q_daily_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count Fano factor per conversation (overdispersion of the
+    active-day load)."""
+    from kkbox_churn_prediction_spark.operators.rhythm import daily_regularity
+
+    return daily_regularity(_conv(spark, sf_dir))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1344,6 +1406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_weekly_rollup": _q_hll_weekly_rollup,
         "negative_samples": _q_negative_samples,
         "json_props_stats": _q_json_props_stats,
+        "decayed_features": _q_decayed_features,
+        "survival_labels": _q_survival_labels,
+        "km_curve": _q_km_curve,
+        "interarrival_stats": _q_interarrival_stats,
+        "activity_profile": _q_activity_profile,
+        "daily_regularity": _q_daily_regularity,
     }
 
 
@@ -3332,6 +3400,168 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """
 
+# exponential time-decay features (lock-step with operators/decay.py:
+# SUM(0.5 ^ (age_us/86400e6/half_life)) on the 28-day as-of stream,
+# grid left-join fills 0.0 — a decayed count of nothing IS zero)
+_DECAYED_FEATURES_SQL = f"""
+WITH {_CONV_CTE},
+joined AS (
+    SELECT c.conv_id, c.tool, c.ts, k.cutoff_ts
+    FROM conversations c
+    JOIN cutoffs k
+      ON c.ts < k.cutoff_ts AND c.ts >= k.cutoff_ts - INTERVAL 28 DAY
+),
+feats AS (
+    SELECT conv_id, cutoff_ts,
+        SUM(pow(0.5, (epoch_us(cutoff_ts) - epoch_us(ts)) / 86400000000.0 / 1.0)) AS decayed_turns_hl1d,
+        SUM(CASE WHEN tool IS NOT NULL
+                 THEN pow(0.5, (epoch_us(cutoff_ts) - epoch_us(ts)) / 86400000000.0 / 1.0)
+                 ELSE 0.0 END) AS decayed_tool_hl1d,
+        SUM(pow(0.5, (epoch_us(cutoff_ts) - epoch_us(ts)) / 86400000000.0 / 7.0)) AS decayed_turns_hl7d,
+        SUM(CASE WHEN tool IS NOT NULL
+                 THEN pow(0.5, (epoch_us(cutoff_ts) - epoch_us(ts)) / 86400000000.0 / 7.0)
+                 ELSE 0.0 END) AS decayed_tool_hl7d
+    FROM joined GROUP BY conv_id, cutoff_ts
+),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+)
+SELECT g.conv_id, g.cutoff_ts,
+       COALESCE(f.decayed_turns_hl1d, 0.0) AS decayed_turns_hl1d,
+       COALESCE(f.decayed_tool_hl1d, 0.0) AS decayed_tool_hl1d,
+       COALESCE(f.decayed_turns_hl7d, 0.0) AS decayed_turns_hl7d,
+       COALESCE(f.decayed_tool_hl7d, 0.0) AS decayed_tool_hl7d
+FROM grid g
+LEFT JOIN feats f ON g.conv_id = f.conv_id AND g.cutoff_ts = f.cutoff_ts
+"""
+
+# survival labels shared core: first qualifying (role='user') turn
+# strictly after the cutoff within a 14-day horizon; ceiling-days
+# duration capped at the horizon, censored flag when absent
+# (lock-step with operators/survival.py::survival_labels)
+_SURVIVAL_CORE = f"""
+{_CONV_CTE},
+future AS (
+    SELECT c.conv_id, k.cutoff_ts, MIN(epoch_us(c.ts)) AS next_us
+    FROM conversations c
+    JOIN cutoffs k
+      ON c.ts > k.cutoff_ts AND c.ts <= k.cutoff_ts + INTERVAL 14 DAY
+    WHERE c.role = 'user'
+    GROUP BY c.conv_id, k.cutoff_ts
+),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+),
+labels AS (
+    SELECT g.conv_id, g.cutoff_ts,
+           CAST(COALESCE(ceil((f.next_us - epoch_us(g.cutoff_ts)) / 86400000000.0), 14)
+                AS INTEGER) AS duration_days,
+           CAST(CASE WHEN f.next_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS observed
+    FROM grid g
+    LEFT JOIN future f ON g.conv_id = f.conv_id AND g.cutoff_ts = f.cutoff_ts
+)
+"""
+
+_SURVIVAL_LABELS_SQL = f"""
+WITH {_SURVIVAL_CORE}
+SELECT conv_id, cutoff_ts, duration_days, observed FROM labels
+"""
+
+# Kaplan-Meier product-limit over the survival labels; the product is
+# EXP(SUM(LN(factor))) with a MIN-guard for zero factors (lock-step
+# with operators/survival.py::km_curve, including the LN(1) shield)
+_KM_CURVE_SQL = f"""
+WITH {_SURVIVAL_CORE},
+per_t AS (
+    SELECT duration_days AS t, COUNT(*) AS n_leaving, SUM(observed) AS n_event
+    FROM labels GROUP BY duration_days
+),
+curve AS (
+    SELECT t, n_event,
+           SUM(n_leaving) OVER ()
+             - COALESCE(SUM(n_leaving) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM per_t
+)
+SELECT CAST(t AS INTEGER) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_event AS BIGINT) AS n_event,
+       CASE WHEN MIN(1.0 - n_event / n_risk) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.0
+            THEN 0.0
+            ELSE EXP(SUM(LN(CASE WHEN 1.0 - n_event / n_risk > 0.0
+                                 THEN 1.0 - n_event / n_risk ELSE 1.0 END)) OVER
+                     (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       END AS survival
+FROM curve
+"""
+
+# inter-arrival gap stats + burstiness (lock-step with
+# operators/rhythm.py::interarrival_stats; stddev is SAMPLE std and
+# conversations with < 2 gaps drop)
+_INTERARRIVAL_STATS_SQL = f"""
+WITH {_CONV_CTE},
+gaps AS (
+    SELECT conv_id,
+           (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) / 1000000.0 AS gap_s
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+per_conv AS (
+    SELECT conv_id,
+           COUNT(*) AS n_gaps,
+           AVG(gap_s) AS mean_gap_s,
+           STDDEV_SAMP(gap_s) AS sd_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY conv_id
+    HAVING COUNT(*) >= 2
+)
+SELECT conv_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_s, sd_gap_s,
+       COALESCE(CASE WHEN mean_gap_s > 0 THEN sd_gap_s / mean_gap_s END, 0.0) AS cv_gap,
+       COALESCE(CASE WHEN sd_gap_s + mean_gap_s > 0
+                     THEN (sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s) END,
+                0.0) AS burstiness
+FROM per_conv
+"""
+
+# hour-of-day entropy + weekend fraction (lock-step with
+# operators/rhythm.py::activity_profile: entropy in the stable
+# ln(N) - sum(c*ln(c))/N form; DuckDB dayofweek is 0=Sunday..6=Saturday
+# where Spark's is 1=Sunday..7=Saturday — both select Sat+Sun)
+_ACTIVITY_PROFILE_SQL = f"""
+WITH {_CONV_CTE},
+by_hour AS (
+    SELECT conv_id, hour(ts) AS hh, COUNT(*) AS c,
+           SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS wc
+    FROM conversations GROUP BY conv_id, hour(ts)
+)
+SELECT conv_id,
+       LN(CAST(SUM(c) AS DOUBLE))
+         - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c) AS hour_entropy,
+       CAST(COUNT(*) AS INTEGER) AS n_active_hours,
+       CAST(SUM(wc) AS DOUBLE) / SUM(c) AS weekend_frac
+FROM by_hour GROUP BY conv_id
+"""
+
+# daily-count Fano factor over ACTIVE days (lock-step with
+# operators/rhythm.py::daily_regularity; population variance)
+_DAILY_REGULARITY_SQL = f"""
+WITH {_CONV_CTE},
+by_day AS (
+    SELECT conv_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+    FROM conversations GROUP BY conv_id, CAST(ts AS DATE)
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS INTEGER) AS n_active_days,
+       AVG(c) AS mean_daily_turns,
+       VAR_POP(c) AS var_daily_turns,
+       COALESCE(CASE WHEN AVG(c) > 0 THEN VAR_POP(c) / AVG(c) END, 0.0) AS fano_factor
+FROM by_day GROUP BY conv_id
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3444,4 +3674,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_weekly_rollup": _HLL_WEEKLY_ROLLUP_SQL,
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
         "json_props_stats": _JSON_PROPS_STATS_SQL,
+        "decayed_features": _DECAYED_FEATURES_SQL,
+        "survival_labels": _SURVIVAL_LABELS_SQL,
+        "km_curve": _KM_CURVE_SQL,
+        "interarrival_stats": _INTERARRIVAL_STATS_SQL,
+        "activity_profile": _ACTIVITY_PROFILE_SQL,
+        "daily_regularity": _DAILY_REGULARITY_SQL,
     }

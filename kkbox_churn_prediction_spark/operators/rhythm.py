@@ -1,0 +1,114 @@
+"""Temporal-rhythm features: inter-arrival statistics, activity-clock
+entropy, daily regularity.
+
+The reference's temporal features are all magnitude (counts, sums) or
+recency (days-since) — ``features/features_comprehensive.sql:97-296``.
+Rhythm features capture the SHAPE of an entity's activity in time:
+how bursty the turn stream is, how concentrated on a few hours of the
+day, how erratic across days. They are strong churn signals (a user
+whose cadence collapses churns before their count does) and every one
+reduces to one or two algebraic hash aggregates — no per-row Python,
+at most one window pass for the lag.
+
+Scale notes: all three operators shuffle once on ``conv_id`` (the
+inter-arrival lag rides the same ``(conv_id, ts, turn_idx)`` sort the
+rest of the engine reuses); the two-level aggregates (hour-of-day,
+day) collapse to ≤24 / ≤#days rows per entity BEFORE the entity-level
+reduction, so partial aggregation does almost all the work map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US_PER_SEC = 1_000_000.0
+
+
+def interarrival_stats(turns: DataFrame, *, min_gaps: int = 2) -> DataFrame:
+    """Per conversation: mean / sample-std / coefficient-of-variation
+    of inter-turn gaps (seconds) plus the Goh-Barabási burstiness
+    coefficient ``B = (σ - μ) / (σ + μ)`` (−1 = perfectly periodic,
+    0 = Poisson, →1 = extreme bursts).
+
+    Conversations with fewer than ``min_gaps`` gaps are dropped —
+    sample std needs n ≥ 2 and a one-gap cadence is noise.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    ) / F.lit(_US_PER_SEC)
+    per_conv = (
+        turns.select("conv_id", gap_s.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap_s").alias("mean_gap_s"),
+            F.stddev_samp("gap_s").alias("sd_gap_s"),
+        )
+        .where(F.col("n_gaps") >= F.lit(min_gaps))
+    )
+    denom_cv = F.when(F.col("mean_gap_s") > 0, F.col("sd_gap_s") / F.col("mean_gap_s"))
+    denom_b = F.col("sd_gap_s") + F.col("mean_gap_s")
+    burst = F.when(denom_b > 0, (F.col("sd_gap_s") - F.col("mean_gap_s")) / denom_b)
+    return per_conv.select(
+        "conv_id",
+        "n_gaps",
+        "mean_gap_s",
+        "sd_gap_s",
+        F.coalesce(denom_cv, F.lit(0.0)).alias("cv_gap"),
+        F.coalesce(burst, F.lit(0.0)).alias("burstiness"),
+    )
+
+
+def activity_profile(turns: DataFrame) -> DataFrame:
+    """Per conversation: Shannon entropy (nats) of the hour-of-day
+    distribution of turns, number of distinct active hours, and the
+    weekend fraction of turns.
+
+    Two-level aggregate: (conv, hour) counts (≤24 rows per entity
+    survive the first shuffle), then entropy = ``ln(N) - Σ c·ln(c)/N``
+    — the algebraically-stable form that never materializes p=c/N per
+    row group in a separate pass."""
+    hour = F.hour(F.col("ts"))
+    # Spark dayofweek: 1=Sunday … 7=Saturday.
+    is_weekend = F.dayofweek(F.col("ts")).isin(1, 7).cast("long")
+    by_hour = (
+        turns.select("conv_id", hour.alias("hh"), is_weekend.alias("wknd"))
+        .groupBy("conv_id", "hh")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("wknd").alias("wc"))
+    )
+    n = F.sum("c")
+    ent = F.log(n.cast("double")) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+    return by_hour.groupBy("conv_id").agg(
+        ent.alias("hour_entropy"),
+        F.count(F.lit(1)).cast("int").alias("n_active_hours"),
+        (F.sum("wc") / n).alias("weekend_frac"),
+    )
+
+
+def daily_regularity(turns: DataFrame) -> DataFrame:
+    """Per conversation: active-day count, mean and population
+    variance of the daily turn count over ACTIVE days, and the Fano
+    factor (variance / mean; 1 = Poisson, >1 = overdispersed/bursty).
+
+    Gap days are intentionally excluded (this measures load given
+    activity); the dense-grid variant is :mod:`operators.resample`'s
+    job. Same two-level collapse as :func:`activity_profile`, keyed by
+    calendar day."""
+    by_day = (
+        turns.select("conv_id", F.to_date(F.col("ts")).alias("d"))
+        .groupBy("conv_id", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mean = F.avg("c")
+    var = F.var_pop("c")
+    return by_day.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_active_days"),
+        mean.alias("mean_daily_turns"),
+        var.alias("var_daily_turns"),
+        F.coalesce(
+            F.when(mean > 0, var / mean), F.lit(0.0)
+        ).alias("fano_factor"),
+    )

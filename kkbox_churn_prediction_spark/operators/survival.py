@@ -1,0 +1,102 @@
+"""Survival-analysis labels and the Kaplan-Meier product-limit curve.
+
+The reference's churn label is the degenerate survival case — a
+binary "no qualifying event within horizon" flag
+(``src/labels.py:111-146``). Time-to-event models (Cox, discrete
+hazard, KM retention curves — the standard churn-analysis toolkit)
+need the full ``(duration, observed)`` pair instead: how LONG until
+the entity came back, and whether the observation was censored at the
+horizon. This module generalizes ``operators/labels.py`` to that.
+
+Spark-first shape:
+
+- :func:`survival_labels` rides the same bounded broadcast-cutoff
+  join + min-aggregate as ``entity_labels`` (one shuffle, replication
+  capped by #cutoffs × horizon) and left-joins the entity×cutoff grid
+  so censored entities appear with ``observed = 0``.
+- :func:`km_curve` is a two-level aggregate: the raw labels collapse
+  to ≤``horizon_days`` rows (one per distinct duration) in a single
+  partial+final hash agg, and the product-limit recursion
+  ``S(t) = Π (1 - d_i/n_i)`` runs as ``EXP(SUM(LN(...)))`` window
+  algebra over that TINY post-agg frame — the same
+  "aggregate-then-window-on-the-profile" discipline as the
+  calibration operators. No step touches more than #distinct-duration
+  rows after the first shuffle, so the curve costs the same at 10^12
+  turns as at 10^4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000.0
+
+
+def survival_labels(
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    horizon_days: int = 14,
+    qualifying: Column | str = "role = 'user'",
+) -> DataFrame:
+    """Per (conv_id, cutoff_ts): ``duration_days`` = ceiling-days to
+    the first qualifying turn strictly after the cutoff, capped at the
+    horizon; ``observed`` = 1 iff the event happened inside the
+    horizon (0 = right-censored at ``horizon_days``)."""
+    q = F.expr(qualifying) if isinstance(qualifying, str) else qualifying
+    upper = F.col("cutoff_ts") + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    in_horizon = (F.col("ts") > F.col("cutoff_ts")) & (F.col("ts") <= upper)
+    future = (
+        turns.where(q)
+        .join(F.broadcast(cutoffs), in_horizon, "inner")
+        .groupBy("conv_id", "cutoff_ts")
+        .agg(F.min(F.unix_micros(F.col("ts"))).alias("_next_us"))
+    )
+    grid = turns.select("conv_id").distinct().crossJoin(F.broadcast(cutoffs))
+    delta_days = F.ceil(
+        (F.col("_next_us") - F.unix_micros(F.col("cutoff_ts"))) / F.lit(_US_PER_DAY)
+    )
+    return grid.join(future, ["conv_id", "cutoff_ts"], "left").select(
+        "conv_id",
+        "cutoff_ts",
+        F.coalesce(delta_days, F.lit(horizon_days)).cast("int").alias("duration_days"),
+        F.when(F.col("_next_us").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+    )
+
+
+def km_curve(labels: DataFrame) -> DataFrame:
+    """Kaplan-Meier product-limit estimate over ``(duration_days,
+    observed)`` labels.
+
+    Per distinct duration t (ascending): ``n_risk`` = subjects with
+    duration ≥ t, ``n_event`` = observed events at t, ``survival`` =
+    Π_{i≤t} (1 - d_i/n_i). The product is computed as
+    ``EXP(SUM(LN(factor)))`` — with an explicit zero-factor escape
+    (MIN over the same running window) because LN(0) would poison the
+    sum where the last at-risk subject dies.
+    """
+    per_t = labels.groupBy(F.col("duration_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("observed").alias("n_event"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    n_risk = (
+        F.sum("n_leaving").over(total) - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+    ).alias("n_risk")
+    curve = per_t.select("t", "n_event", n_risk)
+    factor = F.lit(1.0) - F.col("n_event") / F.col("n_risk")
+    # LN never sees a non-positive factor (Spark would NULL the term
+    # and silently drop it from the sum; DuckDB would hard-error):
+    # zero factors contribute LN(1)=0 and the MIN-guard pins the row
+    # (and everything after it) to survival = 0.
+    safe_factor = F.when(factor > F.lit(0.0), factor).otherwise(F.lit(1.0))
+    return curve.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.when(F.min(factor).over(w_run) <= F.lit(0.0), F.lit(0.0))
+        .otherwise(F.exp(F.sum(F.log(safe_factor)).over(w_run)))
+        .alias("survival"),
+    )

@@ -1,0 +1,207 @@
+"""Survival labels / KM curve / decay / rhythm operators.
+
+Golden values are hand-computed on tiny fixtures; the leak-trap cases
+mirror the as-of join's discipline (an event exactly AT the cutoff is
+the feature side's business, never the label side's).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from kkbox_churn_prediction_spark.operators.decay import decayed_counts
+from kkbox_churn_prediction_spark.operators.rhythm import (
+    activity_profile,
+    daily_regularity,
+    interarrival_stats,
+)
+from kkbox_churn_prediction_spark.operators.survival import km_curve, survival_labels
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _turns(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return spark.createDataFrame(pdf)
+
+
+def _cutoffs(spark, *ts):
+    return spark.createDataFrame(pd.DataFrame({"cutoff_ts": list(ts)}))
+
+
+class TestSurvivalLabels:
+    def test_duration_and_censoring(self, spark):
+        cutoff = T0
+        rows = [
+            # returns 36h after cutoff -> ceil(1.5d) = 2, observed
+            ("a", 0, "user", "x", None, cutoff + timedelta(hours=36)),
+            # returns exactly at the horizon boundary (inclusive) -> 14, observed
+            ("b", 0, "user", "x", None, cutoff + timedelta(days=14)),
+            # only activity BEFORE the cutoff -> censored at 14
+            ("c", 0, "user", "x", None, cutoff - timedelta(hours=1)),
+            # event exactly AT the cutoff must NOT count (strictly after)
+            ("d", 0, "user", "x", None, cutoff),
+            # non-qualifying role inside horizon -> censored
+            ("e", 0, "assistant", "x", None, cutoff + timedelta(days=1)),
+        ]
+        out = survival_labels(_turns(spark, rows), _cutoffs(spark, cutoff), 14)
+        got = {r["conv_id"]: (r["duration_days"], r["observed"]) for r in out.collect()}
+        assert got == {
+            "a": (2, 1),
+            "b": (14, 1),
+            "c": (14, 0),
+            "d": (14, 0),
+            "e": (14, 0),
+        }
+
+    def test_first_event_wins(self, spark):
+        cutoff = T0
+        rows = [
+            ("a", 0, "user", "x", None, cutoff + timedelta(days=5)),
+            ("a", 1, "user", "x", None, cutoff + timedelta(days=2)),
+        ]
+        out = survival_labels(_turns(spark, rows), _cutoffs(spark, cutoff), 14).collect()
+        assert out[0]["duration_days"] == 2 and out[0]["observed"] == 1
+
+
+class TestKMCurve:
+    def test_textbook_values(self, spark):
+        # classic product-limit worked example:
+        # durations (observed): 1(1), 2(1), 3(0 censored), 4(1), 5(0)
+        pdf = pd.DataFrame(
+            {
+                "conv_id": list("abcde"),
+                "cutoff_ts": [T0] * 5,
+                "duration_days": [1, 2, 3, 4, 5],
+                "observed": [1, 1, 0, 1, 0],
+            }
+        )
+        out = km_curve(spark.createDataFrame(pdf)).orderBy("t").collect()
+        s = {r["t"]: (r["n_risk"], r["n_event"], r["survival"]) for r in out}
+        assert s[1][:2] == (5, 1) and abs(s[1][2] - 4 / 5) < 1e-12
+        assert s[2][:2] == (4, 1) and abs(s[2][2] - 4 / 5 * 3 / 4) < 1e-12
+        # censoring at 3 leaves survival flat
+        assert s[3][:2] == (3, 0) and abs(s[3][2] - 0.6) < 1e-12
+        # event at 4 among 2 at risk: 0.6 * 1/2
+        assert s[4][:2] == (2, 1) and abs(s[4][2] - 0.3) < 1e-12
+        assert s[5][:2] == (1, 0) and abs(s[5][2] - 0.3) < 1e-12
+
+    def test_monotone_nonincreasing(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in range(20)],
+                "cutoff_ts": [T0] * 20,
+                "duration_days": [1 + i % 7 for i in range(20)],
+                "observed": [i % 3 != 0 for i in range(20)],
+            }
+        )
+        pdf["observed"] = pdf["observed"].astype(int)
+        vals = [
+            r["survival"]
+            for r in km_curve(spark.createDataFrame(pdf)).orderBy("t").collect()
+        ]
+        assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+    def test_all_events_reach_zero(self, spark):
+        # every subject observed at the same t: factor hits 0 exactly;
+        # the LN(1)-shield + MIN-guard must pin survival to 0, not NaN
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["a", "b"],
+                "cutoff_ts": [T0] * 2,
+                "duration_days": [3, 3],
+                "observed": [1, 1],
+            }
+        )
+        out = km_curve(spark.createDataFrame(pdf)).collect()
+        assert out[0]["survival"] == 0.0
+
+
+class TestDecay:
+    def test_known_weights(self, spark):
+        cutoff = T0
+        rows = [
+            # one day old: weight 0.5 under hl=1, 0.5^(1/7) under hl=7
+            ("a", 0, "user", "x", None, cutoff - timedelta(days=1)),
+            # two days old, tool call
+            ("a", 1, "tool", "x", "error", cutoff - timedelta(days=2)),
+        ]
+        out = decayed_counts(
+            _turns(spark, rows), _cutoffs(spark, cutoff), (1.0, 7.0), 28
+        ).collect()
+        r = out[0]
+        assert abs(r["decayed_turns_hl1d"] - (0.5 + 0.25)) < 1e-12
+        assert abs(r["decayed_tool_hl1d"] - 0.25) < 1e-12
+        assert abs(r["decayed_turns_hl7d"] - (0.5 ** (1 / 7) + 0.5 ** (2 / 7))) < 1e-12
+
+    def test_leak_guard_and_zero_fill(self, spark):
+        cutoff = T0
+        rows = [
+            # future turn: excluded entirely from the decayed sums
+            ("a", 0, "user", "x", None, cutoff + timedelta(hours=1)),
+            # beyond the 28-day lookback: also excluded
+            ("a", 1, "user", "x", None, cutoff - timedelta(days=40)),
+        ]
+        out = decayed_counts(_turns(spark, rows), _cutoffs(spark, cutoff)).collect()
+        r = out[0]
+        assert r["decayed_turns_hl1d"] == 0.0 and r["decayed_turns_hl7d"] == 0.0
+
+
+class TestRhythm:
+    def test_periodic_is_antibursty(self, spark):
+        rows = [
+            ("a", i, "user", "x", None, T0 + timedelta(minutes=10 * i)) for i in range(5)
+        ]
+        r = interarrival_stats(_turns(spark, rows)).collect()[0]
+        assert r["n_gaps"] == 4
+        assert abs(r["mean_gap_s"] - 600.0) < 1e-9
+        assert r["sd_gap_s"] == 0.0
+        assert r["cv_gap"] == 0.0 and r["burstiness"] == -1.0
+
+    def test_min_gaps_filter(self, spark):
+        rows = [
+            ("a", 0, "user", "x", None, T0),
+            ("a", 1, "user", "x", None, T0 + timedelta(minutes=1)),
+        ]
+        # one gap only -> dropped
+        assert interarrival_stats(_turns(spark, rows)).count() == 0
+
+    def test_entropy_extremes(self, spark):
+        # conv a: all 8 turns in one hour -> entropy 0
+        rows = [("a", i, "user", "x", None, T0 + timedelta(minutes=i)) for i in range(8)]
+        # conv b: uniform over 4 distinct hours -> entropy ln(4)
+        rows += [
+            ("b", i, "user", "x", None, T0 + timedelta(hours=i % 4, minutes=i))
+            for i in range(8)
+        ]
+        got = {r["conv_id"]: r for r in activity_profile(_turns(spark, rows)).collect()}
+        assert abs(got["a"]["hour_entropy"]) < 1e-12 and got["a"]["n_active_hours"] == 1
+        assert abs(got["b"]["hour_entropy"] - math.log(4)) < 1e-12
+        assert got["b"]["n_active_hours"] == 4
+
+    def test_weekend_frac(self, spark):
+        sat = datetime(2024, 1, 6, 10, 0, 0)  # Saturday
+        mon = datetime(2024, 1, 8, 10, 0, 0)  # Monday
+        rows = [
+            ("a", 0, "user", "x", None, sat),
+            ("a", 1, "user", "x", None, mon),
+            ("a", 2, "user", "x", None, mon + timedelta(hours=1)),
+        ]
+        r = activity_profile(_turns(spark, rows)).collect()[0]
+        assert abs(r["weekend_frac"] - 1 / 3) < 1e-12
+
+    def test_fano(self, spark):
+        # constant 2 turns/day over 3 days -> var 0, fano 0
+        rows = [
+            ("a", 2 * d + j, "user", "x", None, T0 + timedelta(days=d, minutes=j))
+            for d in range(3)
+            for j in range(2)
+        ]
+        r = daily_regularity(_turns(spark, rows)).collect()[0]
+        assert r["n_active_days"] == 3
+        assert r["mean_daily_turns"] == 2.0
+        assert r["var_daily_turns"] == 0.0 and r["fano_factor"] == 0.0
