@@ -1155,6 +1155,83 @@ def _q_daily_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_regularity(_conv(spark, sf_dir))
 
 
+def _q_shard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way output sharding of the document corpus:
+    per-shard doc/token/byte manifest (stable md5-prefix hash)."""
+    from kkbox_churn_prediction_spark.operators.sharding import shard_profile
+
+    return shard_profile(_docs(spark, sf_dir), n_shards=8)
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over transcript text: emails/IPs/digit runs →
+    typed placeholders + per-pattern counts (pure JVM regex)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.redact import redact_pii
+
+    keyed = _conv(spark, sf_dir).select(
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("turn_key"),
+        "text",
+    )
+    return redact_pii(keyed, id_col="turn_key", text_col="text")
+
+
+def _q_cms_weekly_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch family: daily tool-usage sketches
+    merged to weekly, point estimates audited against exact counts
+    (the oracle asserts the never-underestimates invariant)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    tools = (
+        _conv(spark, sf_dir)
+        .where(F.col("tool").isNotNull())
+        .select("tool", F.to_date(F.col("ts")).alias("day"))
+    )
+    daily = cms_build(tools, key_col="tool", bucket_col="day", depth=4, width=32)
+    weekly = cms_merge(daily, regroup=F.date_trunc("week", F.col("bucket")).cast("date"))
+    probes = tools.select(F.col("tool").alias("k")).distinct()
+    est = cms_estimate(weekly, probes, width=32, depth=4)
+    exact = (
+        tools.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+            F.col("tool").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return exact.join(
+        est.withColumnRenamed("bucket", "week"), ["week", "k"], "inner"
+    ).select(
+        F.col("week").cast("timestamp").alias("week_start"),
+        F.col("k").alias("tool"),
+        F.col("exact_cnt"),
+        F.col("cms_count"),
+        (F.col("cms_count") >= F.col("exact_cnt")).alias("never_underestimates"),
+    )
+
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered system→user→assistant funnel per conversation: reach
+    flags + hop latencies (chained unordered-frame window MINs)."""
+    from kkbox_churn_prediction_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_conv(spark, sf_dir))
+
+
+def _q_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level funnel conversion rates (tiny single-row rollup
+    over the per-entity flags)."""
+    from kkbox_churn_prediction_spark.operators.funnel import funnel_rollup, funnel_steps
+
+    return funnel_rollup(funnel_steps(_conv(spark, sf_dir)))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1412,6 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": _q_interarrival_stats,
         "activity_profile": _q_activity_profile,
         "daily_regularity": _q_daily_regularity,
+        "shard_profile": _q_shard_profile,
+        "redact_pii": _q_redact_pii,
+        "cms_weekly_tools": _q_cms_weekly_tools,
+        "funnel_steps": _q_funnel_steps,
+        "funnel_rollup": _q_funnel_rollup,
     }
 
 
@@ -3562,6 +3644,153 @@ SELECT conv_id,
 FROM by_day GROUP BY conv_id
 """
 
+# deterministic 8-way sharding manifest (lock-step with
+# operators/sharding.py: stable md5-prefix hash of the STRING id)
+_SHARD_PROFILE_SQL = f"""
+WITH sharded AS (
+    SELECT CAST({_H48.format(x="CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard_id,
+           {_NTOK_RAW} AS n_tokens,
+           strlen(COALESCE(text, '')) AS n_bytes
+    FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+FROM sharded GROUP BY shard_id
+"""
+
+# PII scrubbing (lock-step with operators/redact.py: counts on the
+# ORIGINAL text, replacement order email → IP → digit-run; DuckDB
+# regexp_replace needs the explicit 'g' flag to match Spark's global)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}"
+_PII_IPV4 = "[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}"
+_PII_NUM = "[0-9]{{2,}}"
+_REDACT_PII_SQL = f"""
+WITH {{conv}},
+keyed AS (
+    SELECT concat(conv_id, '#', turn_idx) AS turn_key,
+           COALESCE(text, '') AS t
+    FROM conversations
+)
+SELECT turn_key,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_NUM}', '<NUM>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INTEGER) AS n_ip,
+       CAST(len(regexp_extract_all(t, '{_PII_NUM}')) AS INTEGER) AS n_digit_run,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(t, '{_PII_IPV4}'))
+            + len(regexp_extract_all(t, '{_PII_NUM}')) AS INTEGER) AS n_pii_total
+FROM keyed
+""".format(conv=_CONV_CTE)
+
+# Count-Min sketch weekly rollup (lock-step with operators/cms.py:
+# depth=4 width=32, salted stable-hash slots, MIN-over-depth estimate
+# with the n_depth_hit zero guard; building weekly counters directly
+# equals merging daily ones because merge is SUM)
+_CMS_WEEKLY_TOOLS_SQL = f"""
+WITH {_CONV_CTE},
+tools AS (
+    SELECT tool, CAST(ts AS DATE) AS day
+    FROM conversations WHERE tool IS NOT NULL
+),
+depths AS (SELECT unnest([0, 1, 2, 3]) AS row_d),
+cells AS (
+    SELECT CAST(date_trunc('week', day) AS DATE) AS week, d.row_d,
+           CAST({_H48.format(x="concat(tool, '#', row_d)")} % 32 AS INTEGER) AS slot
+    FROM tools CROSS JOIN depths d
+),
+weekly AS (
+    SELECT week, row_d, slot, COUNT(*) AS cnt
+    FROM cells GROUP BY week, row_d, slot
+),
+probes AS (SELECT DISTINCT tool AS k FROM tools),
+probe_slots AS (
+    SELECT k, d.row_d,
+           CAST({_H48.format(x="concat(k, '#', row_d)")} % 32 AS INTEGER) AS slot
+    FROM probes CROSS JOIN depths d
+),
+est AS (
+    SELECT w.week, p.k, MIN(w.cnt) AS est_from_hits, COUNT(*) AS n_depth_hit
+    FROM weekly w JOIN probe_slots p ON w.row_d = p.row_d AND w.slot = p.slot
+    GROUP BY w.week, p.k
+),
+exact AS (
+    SELECT CAST(date_trunc('week', day) AS DATE) AS week, tool AS k,
+           COUNT(*) AS exact_cnt
+    FROM tools GROUP BY 1, 2
+)
+SELECT CAST(e.week AS TIMESTAMP) AS week_start, e.k AS tool,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(CASE WHEN s.n_depth_hit < 4 THEN 0 ELSE s.est_from_hits END AS BIGINT) AS cms_count,
+       CASE WHEN s.n_depth_hit < 4 THEN 0 ELSE s.est_from_hits END >= e.exact_cnt
+         AS never_underestimates
+FROM exact e JOIN est s ON e.week = s.week AND e.k = s.k
+"""
+
+# ordered funnel (lock-step with operators/funnel.py: step i+1 only
+# counts strictly AFTER step i's first occurrence; unordered window
+# frames, no sort)
+_FUNNEL_PER_ENTITY = """
+s1 AS (
+    SELECT conv_id, role, ts,
+           MIN(CASE WHEN role = 'system' THEN ts END)
+             OVER (PARTITION BY conv_id) AS step1_ts
+    FROM conversations
+),
+s2 AS (
+    SELECT *, MIN(CASE WHEN role = 'user' AND step1_ts IS NOT NULL
+                        AND ts > step1_ts THEN ts END)
+                OVER (PARTITION BY conv_id) AS step2_ts
+    FROM s1
+),
+s3 AS (
+    SELECT *, MIN(CASE WHEN role = 'assistant' AND step2_ts IS NOT NULL
+                        AND ts > step2_ts THEN ts END)
+                OVER (PARTITION BY conv_id) AS step3_ts
+    FROM s2
+),
+per_entity AS (
+    SELECT DISTINCT conv_id,
+           CAST(step1_ts IS NOT NULL AS INTEGER) AS reached_step1,
+           CAST(step2_ts IS NOT NULL AS INTEGER) AS reached_step2,
+           CAST(step3_ts IS NOT NULL AS INTEGER) AS reached_step3,
+           COALESCE((epoch_us(step2_ts) - epoch_us(step1_ts)) / 1000000.0, -1.0)
+             AS hop1_seconds,
+           COALESCE((epoch_us(step3_ts) - epoch_us(step2_ts)) / 1000000.0, -1.0)
+             AS hop2_seconds
+    FROM s3
+)
+"""
+
+_FUNNEL_STEPS_SQL = f"""
+WITH {_CONV_CTE},
+{_FUNNEL_PER_ENTITY}
+SELECT conv_id, reached_step1, reached_step2, reached_step3,
+       hop1_seconds, hop2_seconds
+FROM per_entity
+"""
+
+_FUNNEL_ROLLUP_SQL = f"""
+WITH {_CONV_CTE},
+{_FUNNEL_PER_ENTITY}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(reached_step1) AS BIGINT) AS n_step1,
+       CAST(SUM(reached_step2) AS BIGINT) AS n_step2,
+       CAST(SUM(reached_step3) AS BIGINT) AS n_step3,
+       COALESCE(CASE WHEN SUM(reached_step1) > 0
+                     THEN SUM(reached_step2) * 1.0 / SUM(reached_step1) END, 0.0)
+         AS conv_step2,
+       COALESCE(CASE WHEN SUM(reached_step2) > 0
+                     THEN SUM(reached_step3) * 1.0 / SUM(reached_step2) END, 0.0)
+         AS conv_step3
+FROM per_entity
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3680,4 +3909,9 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_stats": _INTERARRIVAL_STATS_SQL,
         "activity_profile": _ACTIVITY_PROFILE_SQL,
         "daily_regularity": _DAILY_REGULARITY_SQL,
+        "shard_profile": _SHARD_PROFILE_SQL,
+        "redact_pii": _REDACT_PII_SQL,
+        "cms_weekly_tools": _CMS_WEEKLY_TOOLS_SQL,
+        "funnel_steps": _FUNNEL_STEPS_SQL,
+        "funnel_rollup": _FUNNEL_ROLLUP_SQL,
     }

@@ -1,0 +1,160 @@
+"""Sharding, PII redaction, Count-Min sketch, ordered funnel."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from kkbox_churn_prediction_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from kkbox_churn_prediction_spark.operators.funnel import funnel_rollup, funnel_steps
+from kkbox_churn_prediction_spark.operators.redact import redact_pii
+from kkbox_churn_prediction_spark.operators.sharding import assign_shards, shard_profile
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+class TestSharding:
+    def test_deterministic_and_in_range(self, spark):
+        docs = _docs(spark, [f"doc {i}" for i in range(200)])
+        a = {r["doc_id"]: r["shard_id"] for r in assign_shards(docs, 8).collect()}
+        b = {r["doc_id"]: r["shard_id"] for r in assign_shards(docs, 8).collect()}
+        assert a == b
+        assert all(0 <= s < 8 for s in a.values())
+        assert len(set(a.values())) > 1  # actually spreads
+
+    def test_profile_conserves_totals(self, spark):
+        texts = ["one two three", "four five", "six"]
+        prof = shard_profile(_docs(spark, texts), n_shards=4).collect()
+        assert sum(r["n_docs"] for r in prof) == 3
+        assert sum(r["n_tokens"] for r in prof) == 6
+        assert sum(r["n_bytes"] for r in prof) == sum(len(t) for t in texts)
+
+
+class TestRedact:
+    def test_patterns_and_order(self, spark):
+        df = _docs(
+            spark,
+            [
+                "contact bob@example.com or 10.0.0.1 ref 123456 ok",
+                "no pii here",
+                "digits 42 and 7",
+            ],
+        )
+        out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        r0 = out[0]
+        # email swallowed whole (its digits must NOT leak into <NUM>),
+        # IP replaced before bare digit runs
+        assert r0["redacted_text"] == "contact <EMAIL> or <IP> ref <NUM> ok"
+        assert (r0["n_email"], r0["n_ip"]) == (1, 1)
+        assert out[1]["n_pii_total"] == 0
+        assert out[1]["redacted_text"] == "no pii here"
+        # 42 matches the >=2-digit run, single 7 does not
+        assert out[2]["redacted_text"] == "digits <NUM> and 7"
+        assert out[2]["n_digit_run"] == 1
+
+    def test_null_text(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": [None]}).astype({"text": "object"})
+        )
+        r = redact_pii(df).collect()[0]
+        assert r["redacted_text"] == "" and r["n_pii_total"] == 0
+
+
+class TestCMS:
+    def _events(self, spark):
+        rows = []
+        # skewed: key 'a' 50x, 'b' 10x, 'c' 3x across two days
+        for i in range(50):
+            rows.append(("a", T0 + timedelta(days=i % 2)))
+        for i in range(10):
+            rows.append(("b", T0 + timedelta(days=i % 2)))
+        for i in range(3):
+            rows.append(("c", T0))
+        pdf = pd.DataFrame(rows, columns=["k", "ts"])
+        pdf["day"] = pdf["ts"].dt.date
+        return spark.createDataFrame(pdf[["k", "day"]])
+
+    def test_never_underestimates(self, spark):
+        ev = self._events(spark)
+        daily = cms_build(ev, "k", "day", depth=4, width=8)
+        probes = ev.select("k").distinct().withColumnRenamed("k", "k")
+        est = {
+            (r["bucket"], r["k"]): r["cms_count"]
+            for r in cms_estimate(daily, probes, width=8, depth=4).collect()
+        }
+        exact = {
+            (r["day"], r["k"]): r["c"]
+            for r in ev.groupBy("day", "k").count().withColumnRenamed("count", "c").collect()
+        }
+        for key, true_cnt in exact.items():
+            assert est[key] >= true_cnt
+
+    def test_merge_equals_direct_build(self, spark):
+        from pyspark.sql import functions as F
+
+        ev = self._events(spark)
+        daily = cms_build(ev, "k", "day", depth=4, width=8)
+        merged = cms_merge(daily, regroup=F.lit("all"))
+        direct = cms_build(ev.withColumn("day", F.lit("all")), "k", "day", depth=4, width=8)
+        m = {(r["row_d"], r["slot"]): r["cnt"] for r in merged.collect()}
+        d = {(r["row_d"], r["slot"]): r["cnt"] for r in direct.collect()}
+        assert m == d
+
+    def test_absent_key_estimates_small(self, spark):
+        ev = self._events(spark)
+        daily = cms_build(ev, "k", "day", depth=4, width=64)
+        probes = spark.createDataFrame(pd.DataFrame({"k": ["zz_never_seen"]}))
+        for r in cms_estimate(daily, probes, width=64, depth=4).collect():
+            # wide sketch + 4 independent rows: the min over rows for an
+            # absent key is almost surely a zero slot
+            assert r["cms_count"] <= 3
+
+
+class TestFunnel:
+    def _turns(self, spark, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        return spark.createDataFrame(pdf)
+
+    def test_order_matters(self, spark):
+        rows = [
+            # conv a: full ordered funnel
+            ("a", 0, "system", "x", None, T0),
+            ("a", 1, "user", "x", None, T0 + timedelta(seconds=10)),
+            ("a", 2, "assistant", "x", None, T0 + timedelta(seconds=25)),
+            # conv b: user BEFORE system -> step2 not reached
+            ("b", 0, "user", "x", None, T0),
+            ("b", 1, "system", "x", None, T0 + timedelta(seconds=5)),
+            # conv c: no system at all
+            ("c", 0, "user", "x", None, T0),
+            ("c", 1, "assistant", "x", None, T0 + timedelta(seconds=1)),
+        ]
+        got = {r["conv_id"]: r for r in funnel_steps(self._turns(spark, rows)).collect()}
+        a = got["a"]
+        assert (a["reached_step1"], a["reached_step2"], a["reached_step3"]) == (1, 1, 1)
+        assert abs(a["hop1_seconds"] - 10.0) < 1e-9
+        assert abs(a["hop2_seconds"] - 15.0) < 1e-9
+        b = got["b"]
+        assert (b["reached_step1"], b["reached_step2"]) == (1, 0)
+        assert b["hop1_seconds"] == -1.0
+        c = got["c"]
+        assert (c["reached_step1"], c["reached_step2"], c["reached_step3"]) == (0, 0, 0)
+
+    def test_rollup_rates(self, spark):
+        rows = [
+            ("a", 0, "system", "x", None, T0),
+            ("a", 1, "user", "x", None, T0 + timedelta(seconds=1)),
+            ("b", 0, "system", "x", None, T0),
+        ]
+        r = funnel_rollup(funnel_steps(self._turns(spark, rows))).collect()[0]
+        assert r["n_entities"] == 2 and r["n_step1"] == 2 and r["n_step2"] == 1
+        assert abs(r["conv_step2"] - 0.5) < 1e-12
+        assert r["conv_step3"] == 0.0
