@@ -1232,6 +1232,23 @@ def _q_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_rollup(funnel_steps(_conv(spark, sf_dir)))
 
 
+def _q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scoring per user at the data-derived cutoff
+    (edge-bucketized, no global sort; decimal-exact money sums)."""
+    from kkbox_churn_prediction_spark.operators.rfm import rfm_scores, rfm_table
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    return rfm_scores(rfm_table(read_table(spark, sf_dir, "events"), lookback_days=28))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-week cohort × age-week retention matrix (window MIN
+    cohort assignment, one distinct + one agg, broadcast size join)."""
+    from kkbox_churn_prediction_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(_conv(spark, sf_dir))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1494,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weekly_tools": _q_cms_weekly_tools,
         "funnel_steps": _q_funnel_steps,
         "funnel_rollup": _q_funnel_rollup,
+        "rfm_scores": _q_rfm_scores,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -3791,6 +3810,73 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
 FROM per_entity
 """
 
+# RFM quintile scoring (lock-step with operators/rfm.py: strict
+# e < value edge bucketing on ROUND(quantile_cont, 6) edges, recency
+# inverted, DECIMAL-exact money sums, data-derived Monday cutoff)
+_RFM_SCORES_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cut AS (
+    SELECT CAST(date_trunc('week', MAX(ts)) AS TIMESTAMP) + INTERVAL 7 DAY AS cutoff_ts
+    FROM ev
+),
+rfm AS (
+    SELECT user_id,
+           (MAX(epoch_us(cutoff_ts)) - MAX(epoch_us(ts))) / 86400000000.0 AS recency_days,
+           COUNT(*) AS frequency,
+           COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS monetary
+    FROM ev CROSS JOIN cut
+    WHERE ts < cutoff_ts AND ts >= cutoff_ts - INTERVAL 28 DAY
+    GROUP BY user_id
+),
+er AS (SELECT ROUND(unnest(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8])), 6) AS e FROM rfm),
+ef AS (SELECT ROUND(unnest(quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])), 6) AS e FROM rfm),
+em AS (SELECT ROUND(unnest(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8])), 6) AS e FROM rfm),
+scored AS (
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(5 - (SELECT COUNT(*) FROM er WHERE er.e < rfm.recency_days) AS INTEGER) AS r_score,
+           CAST(1 + (SELECT COUNT(*) FROM ef WHERE ef.e < rfm.frequency) AS INTEGER) AS f_score,
+           CAST(1 + (SELECT COUNT(*) FROM em WHERE em.e < rfm.monetary) AS INTEGER) AS m_score
+    FROM rfm
+)
+SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_segment
+FROM scored
+"""
+
+# cohort retention matrix (lock-step with operators/cohort.py:
+# integer epoch-week keys, cohort = MIN week per entity)
+_COHORT_RETENTION_SQL = f"""
+WITH {_CONV_CTE},
+weeks AS (
+    SELECT conv_id,
+           CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                / {7 * 86400 * 1_000_000}) AS BIGINT) AS week_no
+    FROM conversations
+),
+tagged AS (
+    SELECT conv_id, week_no,
+           MIN(week_no) OVER (PARTITION BY conv_id) AS cohort_week
+    FROM weeks
+),
+active AS (
+    SELECT cohort_week, CAST(week_no - cohort_week AS INTEGER) AS age_weeks,
+           COUNT(DISTINCT conv_id) AS n_active
+    FROM tagged GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_week, n_active AS cohort_size FROM active WHERE age_weeks = 0
+)
+SELECT a.cohort_week, a.age_weeks,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       a.n_active * 1.0 / s.cohort_size AS retention
+FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -3914,4 +4000,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_weekly_tools": _CMS_WEEKLY_TOOLS_SQL,
         "funnel_steps": _FUNNEL_STEPS_SQL,
         "funnel_rollup": _FUNNEL_ROLLUP_SQL,
+        "rfm_scores": _RFM_SCORES_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
     }
