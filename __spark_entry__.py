@@ -1249,6 +1249,38 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_conv(spark, sf_dir))
 
 
+def _q_hopping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2h/1h hopping windows (sequence-explode replication,
+    Expand-free distinct; epoch-us BIGINT keys — TZ-free)."""
+    from kkbox_churn_prediction_spark.operators.windows import hopping_window_counts
+
+    return hopping_window_counts(_conv(spark, sf_dir), width_seconds=7200, slide_seconds=3600)
+
+
+def _q_ab_test_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between two deterministic hash-parity cohorts on
+    text length (one algebraic agg + scalar algebra)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import welch_t_stats
+
+    conv = _conv(spark, sf_dir)
+    grp = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return welch_t_stats(conv, F.length("text").cast("double"), grp)
+
+
+def _q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-structure stats: role-mix fractions + alternation rate
+    per conversation (one lag window + one agg)."""
+    from kkbox_churn_prediction_spark.operators.rhythm import turn_taking
+
+    return turn_taking(_conv(spark, sf_dir))
+
+
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → role-tagged training documents (sorted-aggregate
     assembly, the axis-A→axis-B bridge)."""
@@ -1513,6 +1545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_rollup": _q_funnel_rollup,
         "rfm_scores": _q_rfm_scores,
         "cohort_retention": _q_cohort_retention,
+        "hopping_activity": _q_hopping_activity,
+        "ab_test_text_len": _q_ab_test_text_len,
+        "turn_taking": _q_turn_taking,
     }
 
 
@@ -3877,6 +3912,85 @@ SELECT a.cohort_week, a.age_weeks,
 FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
 
+# hopping windows (lock-step with windows.hopping_window_counts:
+# epoch-us bucket arithmetic, ratio=2 replication, Expand-free
+# two-level distinct)
+_HOPPING_ACTIVITY_SQL = f"""
+WITH {_CONV_CTE},
+expl AS (
+    SELECT conv_id,
+           unnest(generate_series(
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) - 1,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT))) AS win_bucket
+    FROM conversations
+),
+per_conv AS (
+    SELECT win_bucket, conv_id, COUNT(*) AS c FROM expl GROUP BY 1, 2
+)
+SELECT CAST(win_bucket * 3600000000 AS BIGINT) AS window_start_us,
+       CAST(SUM(c) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM per_conv GROUP BY win_bucket
+"""
+
+# Welch's t on hash-parity cohorts (lock-step with operators/abtest.py;
+# cohort = stable_hash48('ab' || conv_id) parity, sample variance)
+_AB_TEST_TEXT_LEN_SQL = f"""
+WITH {_CONV_CTE},
+tagged AS (
+    SELECT CAST(length(text) AS DOUBLE) AS m,
+           CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g
+    FROM conversations
+),
+per_group AS (
+    SELECT g, COUNT(*) AS n, AVG(m) AS mean, VAR_SAMP(m) AS var
+    FROM tagged GROUP BY g
+),
+one AS (
+    SELECT CAST(SUM(CASE WHEN g = 'a' THEN n END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN g = 'b' THEN n END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN g = 'a' THEN mean END) AS mean_a,
+           SUM(CASE WHEN g = 'b' THEN mean END) AS mean_b,
+           SUM(CASE WHEN g = 'a' THEN var END) AS var_a,
+           SUM(CASE WHEN g = 'b' THEN var END) AS var_b
+    FROM per_group
+)
+SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+       COALESCE(CASE WHEN var_a / n_a + var_b / n_b > 0
+                     THEN (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) END,
+                0.0) AS t_stat,
+       COALESCE(CASE WHEN var_a / n_a + var_b / n_b > 0 AND n_a > 1 AND n_b > 1
+                     THEN pow(var_a / n_a + var_b / n_b, 2)
+                          / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                             + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) END,
+                0.0) AS welch_df,
+       COALESCE(CASE WHEN ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) > 0
+                     THEN (mean_a - mean_b)
+                          / sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2)) END,
+                0.0) AS cohens_d
+FROM one
+"""
+
+# dialogue turn-taking (lock-step with rhythm.turn_taking: lag over
+# the stable (ts, turn_idx) order, first turn excluded from the rate)
+_TURN_TAKING_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, role,
+           CASE WHEN lag(role) OVER w IS NULL THEN NULL
+                WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS switched
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS user_frac,
+       SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS assistant_frac,
+       COALESCE(AVG(switched), 0.0) AS alternation_rate
+FROM flagged GROUP BY conv_id
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -4002,4 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_rollup": _FUNNEL_ROLLUP_SQL,
         "rfm_scores": _RFM_SCORES_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "hopping_activity": _HOPPING_ACTIVITY_SQL,
+        "ab_test_text_len": _AB_TEST_TEXT_LEN_SQL,
+        "turn_taking": _TURN_TAKING_SQL,
     }

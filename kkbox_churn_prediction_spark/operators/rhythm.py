@@ -112,3 +112,28 @@ def daily_regularity(turns: DataFrame) -> DataFrame:
             F.when(mean > 0, var / mean), F.lit(0.0)
         ).alias("fano_factor"),
     )
+
+
+def turn_taking(turns: DataFrame) -> DataFrame:
+    """Per conversation: role-mix fractions and the alternation rate
+    (share of turns whose role differs from the previous turn's under
+    the stable (ts, turn_idx) order) — dialogue-structure signals:
+    a monologuing conversation (alternation → 0) behaves differently
+    from a ping-pong one (→ 1). One lag on the shared conv_id sort +
+    one hash agg."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    prev_role = F.lag("role", 1).over(w)
+    flagged = turns.select(
+        "conv_id",
+        "role",
+        F.when(prev_role.isNull(), F.lit(None))
+        .otherwise((F.col("role") != prev_role).cast("int"))
+        .alias("switched"),
+    )
+    n = F.count(F.lit(1))
+    return flagged.groupBy("conv_id").agg(
+        n.cast("long").alias("n_turns"),
+        (F.sum((F.col("role") == "user").cast("int")) / n).alias("user_frac"),
+        (F.sum((F.col("role") == "assistant").cast("int")) / n).alias("assistant_frac"),
+        F.coalesce(F.avg("switched"), F.lit(0.0)).alias("alternation_rate"),
+    )

@@ -102,3 +102,46 @@ def tumbling_window_counts(
         ).alias("text_len_sum"),
     )
     return bucketed.select("window_start", "role", "n_turns", "text_len_sum")
+
+
+def hopping_window_counts(
+    turns: DataFrame, width_seconds: int = 7200, slide_seconds: int = 3600
+) -> DataFrame:
+    """Overlapping (hopping) event-time windows: every turn lands in
+    ``width/slide`` consecutive windows. Completes the window family
+    (tumbling = hopping with slide == width; trailing RANGE frames
+    are the per-row variant).
+
+    Spark-first: the window-start replication is a tiny ``sequence``
+    + ``explode`` projection (ratio is a small constant — 2-4 in any
+    sane config), then ONE partial+final hash agg — NOT ``F.window``
+    (whose UTC-epoch alignment breaks oracle parity under non-UTC
+    session TZ, same trap as tumbling_window_counts) and NOT a
+    self-join. Window keys are epoch-microsecond BIGINTs: TZ-free in
+    both engines by construction.
+
+    Per-window distinct conversations are counted Expand-free with
+    the same two-level (pre-distinct, then agg) restructure the
+    daily_engagement operator uses.
+    """
+    width_us = int(width_seconds) * 1_000_000
+    slide_us = int(slide_seconds) * 1_000_000
+    if width_us % slide_us != 0:
+        raise ValueError("width must be a multiple of slide")
+    ratio = width_us // slide_us
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(slide_us))
+    starts = F.explode(
+        F.sequence(bucket - F.lit(ratio - 1), bucket)
+    ).alias("win_bucket")
+    exploded = turns.select("conv_id", starts)
+    per_conv = exploded.groupBy("win_bucket", "conv_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_conv.groupBy("win_bucket").agg(
+        F.sum("c").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_convs"),
+    ).select(
+        (F.col("win_bucket") * F.lit(slide_us)).cast("bigint").alias("window_start_us"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.col("n_convs").cast("bigint").alias("n_convs"),
+    )
