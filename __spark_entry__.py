@@ -576,6 +576,77 @@ def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #3: at-least-once ingest dedup.
+    The staged stream re-delivers every 10th event (a second parquet
+    file holding the duplicate subset — deterministic, same rows
+    byte-for-byte); ``dropDuplicatesWithinWatermark`` on the
+    transcript identity (conv_id, event_id) must collapse them, so
+    the per-conversation counts equal the duplicate-free batch
+    oracle's. Watermark delay 1h ≫ 0 (duplicates carry identical
+    event time), state bounded by the retry horizon.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.dedup import streaming_dedup_turns
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/eng_stream_dup_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    dup = os.path.join(stage, "dups.parquet")
+    if not os.path.exists(dup):
+        # write via Spark so the parquet physical types (NTZ ts) match
+        # the primary file byte-for-byte, then flatten the part file
+        # into the staging dir (file stream sources don't recurse)
+        tmp_dir = stage + "_build"
+        spark.read.parquet(src).where(F.col("event_id") % 10 == 0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            p for p in os.listdir(tmp_dir) if p.endswith(".parquet") and not p.startswith(".")
+        )
+        shutil.move(os.path.join(tmp_dir, part), dup)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"), "event_id", "ts"
+        )
+    )
+    deduped = streaming_dedup_turns(stream, key_cols=["conv_id", "event_id"])
+    name = "eng_streaming_dedup"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
 def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #2: watermarked hourly role
     distributions in append mode — the finalized (window, role)
@@ -1548,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_activity": _q_hopping_activity,
         "ab_test_text_len": _q_ab_test_text_len,
         "turn_taking": _q_turn_taking,
+        "streaming_dedup_counts": _q_streaming_dedup_counts,
     }
 
 
@@ -3991,6 +4063,15 @@ SELECT conv_id,
 FROM flagged GROUP BY conv_id
 """
 
+# streaming dedup oracle: duplicate-free per-conv counts — the stream
+# saw every 10th event twice; dropDuplicatesWithinWatermark must make
+# the counts equal to the clean batch's
+_STREAMING_DEDUP_SQL = f"""
+WITH {_CONV_CTE}
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM conversations GROUP BY conv_id
+"""
+
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
 _DEDUP_COMPONENTS_SQL = f"""
@@ -4119,4 +4200,5 @@ def oracle_sql() -> dict[str, str]:
         "hopping_activity": _HOPPING_ACTIVITY_SQL,
         "ab_test_text_len": _AB_TEST_TEXT_LEN_SQL,
         "turn_taking": _TURN_TAKING_SQL,
+        "streaming_dedup_counts": _STREAMING_DEDUP_SQL,
     }
