@@ -1344,6 +1344,14 @@ def _q_ab_test_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_stats(conv, F.length("text").cast("double"), grp)
 
 
+def _q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on the daily turn count
+    (tiny post-agg window; no unbounded sort)."""
+    from kkbox_churn_prediction_spark.operators.windows import daily_anomalies
+
+    return daily_anomalies(_conv(spark, sf_dir))
+
+
 def _q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-structure stats: role-mix fractions + alternation rate
     per conversation (one lag window + one agg)."""
@@ -1620,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_text_len": _q_ab_test_text_len,
         "turn_taking": _q_turn_taking,
         "streaming_dedup_counts": _q_streaming_dedup_counts,
+        "daily_anomalies": _q_daily_anomalies,
     }
 
 
@@ -4063,6 +4072,32 @@ SELECT conv_id,
 FROM flagged GROUP BY conv_id
 """
 
+# trailing z-score anomalies (lock-step with windows.daily_anomalies:
+# 7-day ROWS frame excluding the current day, sample std, <2 prior
+# days → z=0)
+_DAILY_ANOMALIES_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n_turns
+    FROM conversations GROUP BY 1
+),
+scored AS (
+    SELECT d, n_turns,
+           AVG(n_turns) OVER w AS mu,
+           STDDEV_SAMP(n_turns) OVER w AS sd,
+           COUNT(n_turns) OVER w AS n_prior
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, CAST(n_turns AS BIGINT) AS n_turns,
+       COALESCE(ROUND(mu, 6), -1.0) AS trailing_mean,
+       COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                     THEN (n_turns - mu) / sd END, 0.0) AS z_score,
+       ABS(COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                         THEN (n_turns - mu) / sd END, 0.0)) > 3.0 AS is_anomaly
+FROM scored
+"""
+
 # streaming dedup oracle: duplicate-free per-conv counts — the stream
 # saw every 10th event twice; dropDuplicatesWithinWatermark must make
 # the counts equal to the clean batch's
@@ -4201,4 +4236,5 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_text_len": _AB_TEST_TEXT_LEN_SQL,
         "turn_taking": _TURN_TAKING_SQL,
         "streaming_dedup_counts": _STREAMING_DEDUP_SQL,
+        "daily_anomalies": _DAILY_ANOMALIES_SQL,
     }

@@ -145,3 +145,36 @@ def hopping_window_counts(
         F.col("n_turns").cast("bigint").alias("n_turns"),
         F.col("n_convs").cast("bigint").alias("n_convs"),
     )
+
+
+def daily_anomalies(
+    turns: DataFrame, trailing_days: int = 7, z_threshold: float = 3.0
+) -> DataFrame:
+    """Ops-monitoring anomaly flags: per calendar day, the global turn
+    count vs the trailing ``trailing_days``-day mean/std (current day
+    excluded), with a z-score and a |z| > threshold flag.
+
+    Two-level shape: the raw stream collapses to ONE row per day in a
+    single partial+final hash agg; the trailing window then runs over
+    that tiny daily series (≤ a few thousand rows for a decade), so
+    the single-partition window sort is on provably bounded data —
+    the same tiny-profile discipline as km_curve. Days with fewer
+    than 2 trailing observations emit z = 0 (no basis for a flag).
+    """
+    # day key kept as midnight TIMESTAMP, not DATE — the cross-engine
+    # compare normalizes timestamps but not python date objects
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+    w = Window.orderBy("d").rowsBetween(-int(trailing_days), -1)
+    mu = F.avg("n_turns").over(w)
+    sd = F.stddev_samp("n_turns").over(w)
+    n_prior = F.count("n_turns").over(w)
+    z = F.when((n_prior >= 2) & (sd > 0), (F.col("n_turns") - mu) / sd)
+    return daily.select(
+        "d",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.coalesce(F.round(mu, 6), F.lit(-1.0)).alias("trailing_mean"),
+        F.coalesce(z, F.lit(0.0)).alias("z_score"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(float(z_threshold))).alias("is_anomaly"),
+    )
