@@ -1352,6 +1352,31 @@ def _q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_anomalies(_conv(spark, sf_dir))
 
 
+def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI stat-aggregate family: per-conversation engagement pairs
+    (n_turns, mean text length) reduced to Pearson r, sample
+    covariance, and the OLS slope/intercept — all algebraic aggregates
+    (one partial+final reduce at any scale; two-level: conv rollup
+    first, then the 4-stat global reduce)."""
+    from pyspark.sql import functions as F
+
+    per_conv = (
+        _conv(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.avg(F.length("text").cast("double")).alias("y"),
+        )
+    )
+    return per_conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("x", "y").alias("pearson_r"),
+        F.covar_samp("x", "y").alias("covar"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("intercept"),
+    )
+
+
 def _q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-structure stats: role-mix fractions + alternation rate
     per conversation (one lag window + one agg)."""
@@ -1629,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_taking": _q_turn_taking,
         "streaming_dedup_counts": _q_streaming_dedup_counts,
         "daily_anomalies": _q_daily_anomalies,
+        "engagement_regression": _q_engagement_regression,
     }
 
 
@@ -4098,6 +4124,24 @@ SELECT d, CAST(n_turns AS BIGINT) AS n_turns,
 FROM scored
 """
 
+# ANSI stat aggregates (lock-step with _q_engagement_regression;
+# DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+_ENGAGEMENT_REGRESSION_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS DOUBLE) AS x,
+           AVG(CAST(length(text) AS DOUBLE)) AS y
+    FROM conversations GROUP BY conv_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       corr(x, y) AS pearson_r,
+       covar_samp(x, y) AS covar,
+       regr_slope(y, x) AS slope,
+       regr_intercept(y, x) AS intercept
+FROM per_conv
+"""
+
 # streaming dedup oracle: duplicate-free per-conv counts — the stream
 # saw every 10th event twice; dropDuplicatesWithinWatermark must make
 # the counts equal to the clean batch's
@@ -4237,4 +4281,5 @@ def oracle_sql() -> dict[str, str]:
         "turn_taking": _TURN_TAKING_SQL,
         "streaming_dedup_counts": _STREAMING_DEDUP_SQL,
         "daily_anomalies": _DAILY_ANOMALIES_SQL,
+        "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
     }
