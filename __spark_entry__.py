@@ -1377,6 +1377,27 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit: per (role, tool, day) quasi-identifier
+    combo, distinct entities + at-risk flag under k=5 (Expand-free
+    two-level distinct)."""
+    from kkbox_churn_prediction_spark.operators.privacy import k_anonymity_audit
+
+    return k_anonymity_audit(_conv(spark, sf_dir), ("role", "tool"), "conv_id", k=5)
+
+
+def _q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row k-anonymity verdict (dataset k, rows at risk)."""
+    from kkbox_churn_prediction_spark.operators.privacy import (
+        k_anonymity_audit,
+        k_anonymity_summary,
+    )
+
+    return k_anonymity_summary(
+        k_anonymity_audit(_conv(spark, sf_dir), ("role", "tool"), "conv_id", k=5)
+    )
+
+
 def _q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-structure stats: role-mix fractions + alternation rate
     per conversation (one lag window + one agg)."""
@@ -1655,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": _q_streaming_dedup_counts,
         "daily_anomalies": _q_daily_anomalies,
         "engagement_regression": _q_engagement_regression,
+        "k_anonymity": _q_k_anonymity,
+        "k_anonymity_summary": _q_k_anonymity_summary,
     }
 
 
@@ -4142,6 +4165,38 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
 FROM per_conv
 """
 
+# k-anonymity audit (lock-step with operators/privacy.py: NULL QI
+# values are their own class; day kept as midnight TIMESTAMP)
+_K_ANON_CORE = f"""
+{_CONV_CTE},
+pre AS (
+    SELECT role, tool, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           conv_id, COUNT(*) AS _rows
+    FROM conversations GROUP BY 1, 2, 3, 4
+),
+per_combo AS (
+    SELECT role, tool, day,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(_rows) AS BIGINT) AS n_rows
+    FROM pre GROUP BY 1, 2, 3
+)
+"""
+
+_K_ANONYMITY_SQL = f"""
+WITH {_K_ANON_CORE}
+SELECT role, tool, day, n_entities, n_rows, n_entities < 5 AS at_risk
+FROM per_combo
+"""
+
+_K_ANONYMITY_SUMMARY_SQL = f"""
+WITH {_K_ANON_CORE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
+       CAST(SUM(CASE WHEN n_entities < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_combos,
+       CAST(SUM(CASE WHEN n_entities < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n_entities) AS BIGINT) AS dataset_k
+FROM per_combo
+"""
+
 # streaming dedup oracle: duplicate-free per-conv counts — the stream
 # saw every 10th event twice; dropDuplicatesWithinWatermark must make
 # the counts equal to the clean batch's
@@ -4282,4 +4337,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_counts": _STREAMING_DEDUP_SQL,
         "daily_anomalies": _DAILY_ANOMALIES_SQL,
         "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
+        "k_anonymity": _K_ANONYMITY_SQL,
+        "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
     }

@@ -158,3 +158,53 @@ class TestFunnel:
         assert r["n_entities"] == 2 and r["n_step1"] == 2 and r["n_step2"] == 1
         assert abs(r["conv_step2"] - 0.5) < 1e-12
         assert r["conv_step3"] == 0.0
+
+
+class TestKAnonymity:
+    def test_small_cell_flagged(self, spark):
+        rows = []
+        # combo (user, None): 6 entities -> safe at k=5
+        for i in range(6):
+            rows.append((f"u{i}", 0, "user", "x", None, T0))
+        # combo (tool, error): 2 entities -> at risk
+        rows.append(("r1", 0, "tool", "x", "error", T0))
+        rows.append(("r2", 0, "tool", "x", "error", T0))
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import (
+            k_anonymity_audit,
+            k_anonymity_summary,
+        )
+
+        audit = {
+            (r["role"], r["tool"]): r
+            for r in k_anonymity_audit(
+                spark.createDataFrame(pdf), ("role", "tool"), "conv_id", k=5
+            ).collect()
+        }
+        assert not audit[("user", None)]["at_risk"]
+        assert audit[("user", None)]["n_entities"] == 6
+        assert audit[("tool", "error")]["at_risk"]
+        s = k_anonymity_summary(
+            k_anonymity_audit(
+                spark.createDataFrame(pdf), ("role", "tool"), "conv_id", k=5
+            )
+        ).collect()[0]
+        assert s["n_combos"] == 2 and s["n_risky_combos"] == 1
+        assert s["rows_at_risk"] == 2 and s["dataset_k"] == 2
+
+    def test_entity_counted_once_per_combo(self, spark):
+        rows = [
+            ("a", 0, "user", "x", None, T0),
+            ("a", 1, "user", "y", None, T0 + timedelta(hours=1)),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import k_anonymity_audit
+
+        r = k_anonymity_audit(
+            spark.createDataFrame(pdf), ("role", "tool"), "conv_id", k=5
+        ).collect()[0]
+        assert r["n_entities"] == 1 and r["n_rows"] == 2
