@@ -1398,6 +1398,34 @@ def _q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (p01/p99) of the events value column +
+    clip flags (one tiny percentile agg, then pure projection)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.winsorize import winsorize
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_id", F.col("value").cast("double").alias("value"))
+    return winsorize(ev, "value", 0.01, 0.99)
+
+
+def _q_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row clip report for the winsorization (fractions + mean
+    shift)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.winsorize import winsorize, winsorize_audit
+    from kkbox_churn_prediction_spark.sources.events import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_id", F.col("value").cast("double").alias("value"))
+    return winsorize_audit(winsorize(ev, "value", 0.01, 0.99), "value")
+
+
 def _q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-structure stats: role-mix fractions + alternation rate
     per conversation (one lag window + one agg)."""
@@ -1678,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_regression": _q_engagement_regression,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
+        "winsorize_value": _q_winsorize_value,
+        "winsorize_audit": _q_winsorize_audit,
     }
 
 
@@ -4197,6 +4227,42 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
 FROM per_combo
 """
 
+# winsorization (lock-step with operators/winsorize.py: exact
+# interpolated percentiles rounded to 6 dp, greatest/least clip,
+# strict-inequality clip flags)
+_WINSORIZE_CORE = """
+ev AS (
+    SELECT event_id, CAST(value AS DOUBLE) AS value
+    FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+edges AS (
+    SELECT ROUND(quantile_cont(value, 0.01), 6) AS lo,
+           ROUND(quantile_cont(value, 0.99), 6) AS hi
+    FROM ev
+),
+clipped AS (
+    SELECT event_id, value,
+           greatest(least(value, hi), lo) AS value_w,
+           value < lo AS clipped_low,
+           value > hi AS clipped_high
+    FROM ev CROSS JOIN edges
+)
+"""
+
+_WINSORIZE_VALUE_SQL = f"""
+WITH {_WINSORIZE_CORE}
+SELECT event_id, value, value_w, clipped_low, clipped_high FROM clipped
+"""
+
+_WINSORIZE_AUDIT_SQL = f"""
+WITH {_WINSORIZE_CORE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CASE WHEN clipped_low THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS frac_clipped_low,
+       SUM(CASE WHEN clipped_high THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS frac_clipped_high,
+       AVG(value) - AVG(value_w) AS mean_shift
+FROM clipped
+"""
+
 # streaming dedup oracle: duplicate-free per-conv counts — the stream
 # saw every 10th event twice; dropDuplicatesWithinWatermark must make
 # the counts equal to the clean batch's
@@ -4339,4 +4405,6 @@ def oracle_sql() -> dict[str, str]:
         "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
+        "winsorize_value": _WINSORIZE_VALUE_SQL,
+        "winsorize_audit": _WINSORIZE_AUDIT_SQL,
     }

@@ -99,3 +99,38 @@ class TestCohort:
         )
         out = cohort_retention(spark.createDataFrame(pdf)).collect()
         assert len(out) == 1 and out[0]["n_active"] == 1
+
+
+class TestWinsorize:
+    def test_clip_bounds_and_flags(self, spark):
+        from kkbox_churn_prediction_spark.operators.winsorize import (
+            winsorize,
+            winsorize_audit,
+        )
+
+        vals = list(range(1, 101))  # 1..100
+        df = spark.createDataFrame(
+            pd.DataFrame({"event_id": range(100), "value": [float(v) for v in vals]})
+        )
+        out = winsorize(df, "value", 0.01, 0.99).collect()
+        # exact interpolated p01/p99 of 1..100 are 1.99 and 99.01
+        w = {r["event_id"]: r for r in out}
+        assert w[0]["value_w"] == 1.99 and w[0]["clipped_low"]
+        assert w[99]["value_w"] == 99.01 and w[99]["clipped_high"]
+        mid = w[49]
+        assert mid["value_w"] == mid["value"] and not mid["clipped_low"]
+        audit = winsorize_audit(winsorize(df, "value", 0.01, 0.99), "value").collect()[0]
+        assert audit["n"] == 100
+        assert abs(audit["frac_clipped_low"] - 0.01) < 1e-12
+        assert abs(audit["frac_clipped_high"] - 0.01) < 1e-12
+        assert audit["mean_shift"] > 0 - 1e-12  # symmetric here, tiny
+
+    def test_idempotent_on_clean_data(self, spark):
+        from kkbox_churn_prediction_spark.operators.winsorize import winsorize
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"event_id": range(10), "value": [5.0] * 10})
+        )
+        out = winsorize(df, "value").collect()
+        assert all(r["value_w"] == 5.0 for r in out)
+        assert not any(r["clipped_low"] or r["clipped_high"] for r in out)
