@@ -460,6 +460,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_media(_docs(spark, sf_dir)))
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox resize geometry for every media payload (non-square
+    256x144 target so BOTH branches of the aspect comparison fire)."""
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        resize_plan,
+    )
+
+    return resize_plan(attach_media(_docs(spark, sf_dir)), target_w=256, target_h=144)
+
+
 def _q_asof_entity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-entity-cutoff as-of variant (sort-merge path): each
     conversation's personal cutoff is the week boundary after its own
@@ -1631,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding": _q_neardup_embedding,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "multimodal_features": _q_multimodal_features,
+        "media_resize": _q_media_resize,
         # remaining relational inventory
         "quintile_stats": _q_quintile_stats,
         "sales_by_region": _q_sales_by_region,
@@ -2614,6 +2626,42 @@ SELECT doc_id AS media_id,
        CAST(1 + (h // 1048576) % 300 AS INTEGER) AS n_frames,
        fp AS fingerprint
 FROM b
+"""
+
+# resize oracle: same fake-decode dims, then integer-exact letterbox
+# into 256x144 (width binds when width*144 >= height*256). Integer //
+# in DuckDB == Spark's `div` on BIGINT for the non-negative values here.
+_MEDIA_RESIZE_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           {_byte_int_expr(8)} AS h
+    FROM documents
+),
+dims AS (
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(64 + h % 1024 AS INTEGER) AS src_w,
+           CAST(64 + (h // 1024) % 1024 AS INTEGER) AS src_h
+    FROM b
+),
+geo AS (
+    SELECT media_id, kind, src_w, src_h,
+           CASE WHEN src_w <= 0 OR src_h <= 0 THEN 0
+                WHEN src_w * 144 >= src_h * 256 THEN 256
+                ELSE GREATEST(1, (CAST(src_w AS BIGINT) * 144) // src_h)
+           END AS out_w,
+           CASE WHEN src_w <= 0 OR src_h <= 0 THEN 0
+                WHEN src_w * 144 >= src_h * 256
+                THEN GREATEST(1, (CAST(src_h AS BIGINT) * 256) // src_w)
+                ELSE 144
+           END AS out_h
+    FROM dims
+)
+SELECT media_id, kind, src_w, src_h,
+       CAST(out_w AS INTEGER) AS out_w,
+       CAST(out_h AS INTEGER) AS out_h,
+       CAST(CASE WHEN out_w <= 0 THEN 0 ELSE (256 - out_w) // 2 END AS INTEGER) AS pad_x,
+       CAST(CASE WHEN out_h <= 0 THEN 0 ELSE (144 - out_h) // 2 END AS INTEGER) AS pad_y
+FROM geo
 """
 
 
@@ -4337,6 +4385,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "embedding_topk_ivf": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "media_resize": _MEDIA_RESIZE_SQL,
         "quintile_stats": _QUINTILE_SQL,
         "sales_by_region": _SALES_BY_REGION_SQL,
         "asof_entity_grid": _asof_entity_grid_oracle(),

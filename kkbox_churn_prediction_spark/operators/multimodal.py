@@ -116,6 +116,72 @@ def extract_media_features(
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame,
+    target_w: int = 256,
+    target_h: int = 144,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Image/video resize plumbing: letterbox geometry on top of the
+    (stubbed) decode.
+
+    Fit each source inside ``(target_w, target_h)`` preserving aspect
+    ratio, with centered padding. The geometry is INTEGER-exact (no
+    float scale factors), so it cross-checks bit-for-bit against any
+    engine, and it runs JVM-side — the only Python step is the Arrow
+    decode batch. The pixel resample itself is the stubbed codec
+    step: a real implementation consumes ``(payload, out_w, out_h)``
+    in the same ``mapInPandas`` pass as decode, one buffer per batch
+    element.
+
+    Degenerate media (zero-dim decode, i.e. NULL payload) emits all
+    zeros rather than a full-pad frame.
+    """
+    tw, th = int(target_w), int(target_h)
+    feats = extract_media_features(media, decode_fn)
+    ok = (F.col("width") > 0) & (F.col("height") > 0)
+    # source aspect at least as wide as the target's -> width binds
+    wide = F.col("width") * th >= F.col("height") * tw
+    out_w = (
+        F.when(~ok, F.lit(0))
+        .when(wide, F.lit(tw))
+        .otherwise(
+            F.greatest(F.lit(1), F.expr(f"CAST(width AS BIGINT) * {th} div height"))
+        )
+        .cast("int")
+    )
+    out_h = (
+        F.when(~ok, F.lit(0))
+        .when(wide, F.greatest(F.lit(1), F.expr(f"CAST(height AS BIGINT) * {tw} div width")))
+        .otherwise(F.lit(th))
+        .cast("int")
+    )
+    geo = feats.select(
+        "media_id",
+        "kind",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+    )
+    pad_x = F.when(F.col("out_w") <= 0, F.lit(0)).otherwise(
+        F.expr(f"({tw} - out_w) div 2")
+    )
+    pad_y = F.when(F.col("out_h") <= 0, F.lit(0)).otherwise(
+        F.expr(f"({th} - out_h) div 2")
+    )
+    return geo.select(
+        "media_id",
+        "kind",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        pad_x.cast("int").alias("pad_x"),
+        pad_y.cast("int").alias("pad_y"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: expand (media_id, frame_no)
     rows for frames 0, n, 2n, … of each video's n_frames — the

@@ -150,6 +150,41 @@ def test_multimodal_plumbing(spark, corpus):
     assert frames.groupby("media_id").size().min() >= 1
 
 
+def test_resize_plan_letterbox_geometry(spark, corpus):
+    from kkbox_churn_prediction_spark.operators.multimodal import resize_plan
+
+    media = attach_media(corpus)
+    tw, th = 256, 144
+    geo = resize_plan(media, target_w=tw, target_h=th).toPandas()
+    assert len(geo) == corpus.count()
+    # output fits the target box and preserves padding centering
+    assert (geo.out_w <= tw).all() and (geo.out_h <= th).all()
+    assert (geo.out_w > 0).all() and (geo.out_h > 0).all()
+    # at least one dimension binds exactly (letterbox, not squash)
+    assert ((geo.out_w == tw) | (geo.out_h == th)).all()
+    assert (geo.pad_x == (tw - geo.out_w) // 2).all()
+    assert (geo.pad_y == (th - geo.out_h) // 2).all()
+    # integer aspect preservation: out_h == floor(src_h * out_w-side scale)
+    wide = geo.src_w * th >= geo.src_h * tw
+    exp_h = (geo.src_h.astype("int64") * tw) // geo.src_w
+    assert (geo.out_h[wide] == exp_h[wide].clip(lower=1)).all()
+    exp_w = (geo.src_w.astype("int64") * th) // geo.src_h
+    assert (geo.out_w[~wide] == exp_w[~wide].clip(lower=1)).all()
+
+    # degenerate zero-dim media (NULL payload) → all-zero geometry
+    null_media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": [None]})
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("doc_id").alias("source_doc_id"),
+    )
+    z = resize_plan(null_media, target_w=tw, target_h=th).toPandas()
+    assert (z[["out_w", "out_h", "pad_x", "pad_y"]].to_numpy() == 0).all()
+
+
 def test_decontaminate_flags_overlap(spark):
     from kkbox_churn_prediction_spark.operators.dedup import decontaminate
 
