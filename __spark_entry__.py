@@ -1529,6 +1529,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, eval_set, n=3, min_common=2)
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a 3-term query (join-free
+    conditional-agg retrieval — see textstats.bm25_scores)."""
+    from kkbox_churn_prediction_spark.operators.textstats import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smooth TF-IDF —
     corpus-level df statistics broadcast back onto the tf stream."""
@@ -1670,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "pack_documents": _q_pack_documents,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_search": _q_bm25_search,
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
@@ -3210,6 +3222,66 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
+def _bm25_oracle(
+    terms: tuple[str, ...], k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Okapi BM25 oracle, lock-step with ``textstats.bm25_scores``:
+    same conditional-agg shape, same expression order, and every float
+    literal emitted as a 17-significant-digit DOUBLE (``...e0``) so
+    DuckDB cannot parse it as DECIMAL and change the arithmetic."""
+
+    def d(v: float) -> str:
+        return f"{v:.17g}e0"
+
+    tf_cols = ",\n           ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    hit = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"LN((n_docs - df{i} + {d(0.5)}) / (df{i} + {d(0.5)}) + {d(1.0)}) * "
+        f"((tf{i} * {d(k1 + 1.0)}) / "
+        f"(tf{i} + {d(k1)} * ({d(1.0 - b)} + {d(b)} * (dl / avgdl)))) "
+        f"ELSE {d(0.0)} END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS dl,
+           {tf_cols}
+    FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+           {df_cols}
+    FROM per_doc
+),
+scored AS (
+    SELECT doc_id,
+           CAST({hit} AS INTEGER) AS n_terms_hit,
+           dl,
+           ROUND({contribs}, 6) AS bm25
+    FROM per_doc CROSS JOIN stats
+),
+ranked AS (
+    SELECT doc_id, n_terms_hit, dl, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM scored WHERE n_terms_hit > 0
+)
+SELECT doc_id, n_terms_hit, dl, bm25, rank FROM ranked WHERE rank <= {int(k)}
+"""
+
+
 # per-group cap (lock-step with sampling.capped_per_group: rank by
 # hash bucket with id tiebreak, keep rank <= k)
 _CAPPED_PER_SOURCE_SQL = f"""
@@ -4407,6 +4479,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "bm25_search": _bm25_oracle(_BM25_TERMS, k=20),
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,

@@ -233,6 +233,91 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag-of-terms query →
+    top-k ``(doc_id, n_terms_hit, dl, bm25, rank)``.
+
+    idf is the Robertson/Lucene positive variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``; N and avgdl are over
+    non-empty documents (empty text produces no tokens and can never
+    score). Deterministic tiebreak (score desc, doc_id asc).
+
+    Scale shape — join-free two-pass conditional aggregation (the A2
+    multi-horizon trick applied to retrieval): because the query is a
+    small static term list, per-term tf becomes |q| conditional
+    ``sum(when(term = t))`` columns of ONE doc-keyed hash agg (map-side
+    partials, one shuffle, dl rides the same pass), per-term df + N +
+    avgdl become ONE single-row agg over that result (broadcast back
+    via cross join), and the score is a pure per-row expression. No
+    vocab join, no dl join, no explode survives the first exchange. At
+    10^12 docs the only data-sized exchange is the per-doc agg — and it
+    runs ONCE: the stats branch shares the same exchange subtree, which
+    AQE's exchange reuse dedupes at runtime (verified: one
+    ReusedExchange in the adaptive plan). The final top-k is
+    TakeOrderedAndProject (never a global sort); rank is assigned on
+    the k collected rows only.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    contribs = []
+    hits = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}")
+        dfq = F.col(f"_df_{i}")
+        idf = F.log((F.col("_N") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        norm = tf + k1 * (1.0 - b + b * (F.col("dl") / F.col("_avgdl")))
+        contribs.append(F.when(tf > 0, idf * ((tf * (k1 + 1.0)) / norm)).otherwise(F.lit(0.0)))
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_hit = hits[0]
+    for h in hits[1:]:
+        n_hit = n_hit + h
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            n_hit.cast("int").alias("n_terms_hit"),
+            F.col("dl"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .where(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min 48-bit hash over word n-grams (the
     winnowing/rolling-hash idea reduced to its min-sketch: equal for

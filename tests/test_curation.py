@@ -89,6 +89,51 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert all(len(v) <= 2 and min(r for r, _ in v) == 1 for v in by_doc.values())
 
 
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from kkbox_churn_prediction_spark.operators.textstats import bm25_scores
+
+    texts = {
+        1: "cat dog cat fish",
+        2: "cat cat cat cat cat cat cat cat",   # high tf, long doc
+        3: "dog bird",
+        4: "fish fish dog",
+        5: "zebra lion",                        # no query terms → excluded
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    terms, k1, b = ("cat", "dog"), 1.2, 0.75
+    got = {r["doc_id"]: r for r in bm25_scores(docs, terms, k=10, k1=k1, b=b).collect()}
+
+    # independent reference computation
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    exp = {}
+    for d, tv in toks.items():
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = tv.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(tv) / avgdl))
+            hits += 1
+        if hits:
+            exp[d] = (round(s, 6), hits, len(tv))
+
+    assert set(got) == set(exp) == {1, 2, 3, 4}
+    for d, (score, hits, dl) in exp.items():
+        assert got[d]["bm25"] == pytest.approx(score, abs=1e-6)
+        assert got[d]["n_terms_hit"] == hits and got[d]["dl"] == dl
+    # rank order: score desc, doc_id asc tiebreak; dense from 1
+    ordered = sorted(exp, key=lambda d: (-exp[d][0], d))
+    assert [got[d]["rank"] for d in ordered] == [1, 2, 3, 4]
+    # length normalization: doc 2's raw tf=8 must not scale linearly
+    assert got[2]["bm25"] < 8 * got[3]["bm25"]
+
+
 def test_unigram_logprob_ranks_common_text_higher(spark):
     from kkbox_churn_prediction_spark.operators.textstats import unigram_logprob_score
 
