@@ -293,6 +293,24 @@ def _q_pivot_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_role_counts(_conv(spark, sf_dir))
 
 
+def _q_unpivot_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot round trip back to (conv_id, role, n) long
+    form — zero-count cells survive, proving this is a true melt
+    (Expand node), not a groupBy restatement."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import (
+        pivot_role_counts,
+        unpivot_counts,
+    )
+
+    roles = ["user", "assistant", "system", "tool"]
+    wide = pivot_role_counts(_conv(spark, sf_dir)).select(
+        "conv_id", *[F.col(f"n_{r}").alias(r) for r in roles]
+    )
+    return unpivot_counts(wide, "conv_id", roles)
+
+
 def _q_union_dedup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import union_dedup_activity
 
@@ -1638,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_busiest": _q_topk_busiest,
         "semi_join_tool_users": _q_semi_join_tool_users,
         "pivot_role_counts": _q_pivot_role_counts,
+        "unpivot_role_counts": _q_unpivot_role_counts,
         "union_dedup_activity": _q_union_dedup_activity,
         "q1_pricing_summary": _q_q1_pricing_summary,
         # event-time windows + trend algebra + fold driver
@@ -2232,6 +2251,22 @@ SELECT conv_id,
        CAST(COUNT(CASE WHEN role = 'system' THEN 1 END) AS BIGINT) AS n_system,
        CAST(COUNT(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS n_tool
 FROM conversations GROUP BY conv_id
+"""
+
+_UNPIVOT_ROLE_SQL = f"""
+WITH {_CONV_CTE},
+wide AS (
+    SELECT conv_id,
+           CAST(COUNT(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+           CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS n_assistant,
+           CAST(COUNT(CASE WHEN role = 'system' THEN 1 END) AS BIGINT) AS n_system,
+           CAST(COUNT(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS n_tool
+    FROM conversations GROUP BY conv_id
+)
+SELECT conv_id, 'user' AS role, n_user AS n FROM wide
+UNION ALL SELECT conv_id, 'assistant', n_assistant FROM wide
+UNION ALL SELECT conv_id, 'system', n_system FROM wide
+UNION ALL SELECT conv_id, 'tool', n_tool FROM wide
 """
 
 _UNION_DEDUP_SQL = f"""
@@ -4440,6 +4475,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_busiest": _TOPK_BUSIEST_SQL,
         "semi_join_tool_users": _SEMI_JOIN_SQL,
         "pivot_role_counts": _PIVOT_ROLE_SQL,
+        "unpivot_role_counts": _UNPIVOT_ROLE_SQL,
         "union_dedup_activity": _UNION_DEDUP_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "session_assignment": _SESSION_ASSIGN_SQL,

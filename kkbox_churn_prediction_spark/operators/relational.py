@@ -149,6 +149,24 @@ def pivot_role_counts(turns: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_counts(
+    wide: DataFrame,
+    id_col: str,
+    value_cols: list[str],
+    var_col: str = "role",
+    value_col: str = "n",
+) -> DataFrame:
+    """A13⁻¹ — melt a pivoted wide frame back to long form via the
+    native ``DataFrame.unpivot``: one Expand node replicating each row
+    ``len(value_cols)`` times inside the same stage, ZERO exchange.
+    The inverse of :func:`pivot_role_counts` without a shuffle — long
+    form is what downstream per-category operators (PSI, encoders,
+    mixture rates) consume, so pivot→unpivot round-trips must be
+    free. Reference analog: pandas wide↔long reshapes around
+    ``pivot_table`` (``src/historical_features.py:155-163``)."""
+    return wide.unpivot(id_col, list(value_cols), var_col, value_col)
+
+
 def union_dedup_activity(turns: DataFrame) -> DataFrame:
     """U1 UNION ALL of two event streams + U3 SELECT DISTINCT
     (reference ``src/backtest.py:127-147``): user turns ∪ tool calls,

@@ -76,6 +76,33 @@ def test_pivot_and_daily_and_topk(spark, turns):
     assert [r["conv_id"] for r in top] == ["convA", "convB"]
 
 
+def test_unpivot_round_trips_pivot(spark, turns):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import unpivot_counts
+
+    roles = ["user", "assistant", "system", "tool"]
+    wide = pivot_role_counts(turns).select(
+        "conv_id", *[F.col(f"n_{r}").alias(r) for r in roles]
+    )
+    long = unpivot_counts(wide, "conv_id", roles)
+    # every (conv, role) cell present — zeros included (true melt)
+    assert long.count() == wide.count() * len(roles)
+    got = {(r["conv_id"], r["role"]): r["n"] for r in long.collect()}
+    assert got[("convA", "tool")] == 2 and got[("convC", "tool")] == 0
+    # round trip: re-pivoting the long form reproduces the wide counts
+    back = {
+        r["conv_id"]: r.asDict()
+        for r in long.groupBy("conv_id").pivot("role", roles).sum("n").collect()
+    }
+    for r in wide.collect():
+        assert all(back[r["conv_id"]][role] == r[role] for role in roles)
+    # plan shape: the melt is an Expand node with no exchange of its own
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Exchange") == wide._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
 def test_semi_join_and_union_dedup(spark, turns):
     semi = {r["conv_id"] for r in semi_join_tool_users(turns).collect()}
     assert semi == {"convA", "convB"}
