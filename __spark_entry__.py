@@ -949,6 +949,36 @@ def _q_rollup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_counts(conv, ["role", "tool"], "text_chars")
 
 
+def _q_cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(role, tool): all four grouping sets in one Expand+agg
+    pass (adds the role-rolled-away-but-tool-kept set ROLLUP can't
+    express)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import cube_counts
+
+    conv = _conv(spark, sf_dir).select(
+        "role", "tool", F.length("text").cast("bigint").alias("text_chars")
+    )
+    return cube_counts(conv, ["role", "tool"], "text_chars")
+
+
+def _q_set_ops_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT over conversation sets: conversations with
+    user turns vs conversations with tool calls, tagged left_only /
+    both / right_only."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import set_op_entities
+
+    conv = _conv(spark, sf_dir)
+    return set_op_entities(
+        conv.where(F.col("role") == "user"),
+        conv.where(F.col("tool").isNotNull()),
+        "conv_id",
+    )
+
+
 def _q_scd2_role_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 run compression: consecutive equal-role runs per
     conversation become [valid_from, valid_to) intervals (gaps-and-
@@ -1711,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "rollup_activity": _q_rollup_activity,
+        "cube_activity": _q_cube_activity,
+        "set_ops_convs": _q_set_ops_convs,
         "scd2_role_intervals": _q_scd2_role_intervals,
         "interval_session_join": _q_interval_session_join,
         "resample_daily_activity": _q_resample_daily_activity,
@@ -3412,6 +3444,27 @@ FROM conversations
 GROUP BY ROLLUP(role, tool)
 """
 
+_CUBE_ACTIVITY_SQL = f"""
+WITH {_CONV_CTE}
+SELECT role, tool,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS measure_sum,
+       CAST(GROUPING(role, tool) AS BIGINT) AS gid
+FROM conversations
+GROUP BY CUBE(role, tool)
+"""
+
+_SET_OPS_SQL = f"""
+WITH {_CONV_CTE},
+l AS (SELECT DISTINCT conv_id FROM conversations WHERE role = 'user'),
+r AS (SELECT DISTINCT conv_id FROM conversations WHERE tool IS NOT NULL)
+SELECT 'left_only' AS set_op, conv_id FROM (SELECT conv_id FROM l EXCEPT SELECT conv_id FROM r)
+UNION ALL
+SELECT 'both', conv_id FROM (SELECT conv_id FROM l INTERSECT SELECT conv_id FROM r)
+UNION ALL
+SELECT 'right_only', conv_id FROM (SELECT conv_id FROM r EXCEPT SELECT conv_id FROM l)
+"""
+
 # SCD2 gaps-and-islands: run_idx = running sum of null-safe change
 # flags (first row always flags); lead() over the COMPRESSED runs for
 # the half-open interval ends (lock-step with operators/scd.py)
@@ -4526,6 +4579,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,
+        "cube_activity": _CUBE_ACTIVITY_SQL,
+        "set_ops_convs": _SET_OPS_SQL,
         "scd2_role_intervals": _SCD2_ROLE_INTERVALS_SQL,
         "interval_session_join": _INTERVAL_SESSION_JOIN_SQL,
         "resample_daily_activity": _RESAMPLE_DAILY_SQL,

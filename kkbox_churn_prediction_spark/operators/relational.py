@@ -319,3 +319,41 @@ def rollup_counts(
             F.grouping_id().cast("bigint").alias("gid"),
         )
     )
+
+
+def cube_counts(df: DataFrame, keys: list[str], measure_col: str) -> DataFrame:
+    """``CUBE(keys)`` — every subset of the grouping keys, not just
+    the rollup prefix chain (2^len(keys) grouping sets in ONE
+    Expand + hash-agg pass). Same ``grouping_id`` discipline as
+    :func:`rollup_counts`; same scale shape — Expand replicates each
+    row 2^len(keys) times BEFORE the shuffle, but map-side combine
+    collapses low-cardinality keys to ~|domain| rows per task, so
+    the exchange stays tiny regardless of input size."""
+    m = F.col(measure_col)
+    return df.cube(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(m).alias("measure_sum"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+def set_op_entities(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """EXCEPT DISTINCT / INTERSECT DISTINCT over two entity-key sets,
+    tagged in one result: ``(set_op, key)`` rows for ``left_only``
+    (EXCEPT), ``both`` (INTERSECT), and ``right_only`` (reverse
+    EXCEPT). Uses Spark's native set operators — Catalyst plans each
+    as a distinct-aggregate + join (left-anti / left-semi
+    respectively), so partial aggregation dedupes map-side and the
+    shuffle carries only distinct keys. The U-family (SURVEY §2.7)
+    covered UNION; this completes the relational set algebra."""
+    l_keys = left.select(key)
+    r_keys = right.select(key)
+    return (
+        l_keys.subtract(r_keys).select(F.lit("left_only").alias("set_op"), key)
+        .unionAll(
+            l_keys.intersect(r_keys).select(F.lit("both").alias("set_op"), key)
+        )
+        .unionAll(
+            r_keys.subtract(l_keys).select(F.lit("right_only").alias("set_op"), key)
+        )
+    )

@@ -104,3 +104,34 @@ def test_rollup_single_expand_agg_plan(spark):
     plan = rollup_counts(df, ["role", "tool"], "m")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") >= 1
     assert "Union" not in plan
+
+
+def test_cube_adds_the_non_prefix_grouping_set(spark):
+    from kkbox_churn_prediction_spark.operators.relational import cube_counts
+
+    df = spark.createDataFrame(
+        [("u", "a", 1), ("u", "b", 2), ("u", None, 4), ("v", "a", 8), ("v", None, 16)],
+        ["role", "tool", "m"],
+    )
+    out = cube_counts(df, ["role", "tool"], "m").toPandas()
+    # the set ROLLUP can't express: role rolled away, tool kept (gid=2)
+    per_tool = out[out["gid"] == 2]
+    by_tool = {(None if t != t else t): int(s)  # NaN-safe key
+               for t, s in zip(per_tool["tool"], per_tool["measure_sum"])}
+    assert by_tool["a"] == 9 and by_tool["b"] == 2 and by_tool[None] == 20
+    # cube = rollup sets (8 rows) + per-tool sets (3) = 11
+    assert len(out) == 11
+    # single Expand + agg, no unioned GROUP BY jobs
+    plan = cube_counts(df, ["role", "tool"], "m")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1 and "Union" not in plan
+
+
+def test_set_op_entities_partitions_the_key_space(spark):
+    from kkbox_churn_prediction_spark.operators.relational import set_op_entities
+
+    left = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)], ["k"])
+    right = spark.createDataFrame([("b",), ("c",), ("c",), ("d",)], ["k"])
+    out = {(r["set_op"], r["k"]) for r in set_op_entities(left, right, "k").collect()}
+    assert out == {
+        ("left_only", "a"), ("both", "b"), ("both", "c"), ("right_only", "d"),
+    }
