@@ -737,6 +737,61 @@ def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #4: stream-static broadcast
+    enrichment (event_type → family dim) feeding a watermarked hourly
+    windowed count. The join is stateless per micro-batch; only the
+    window agg holds state. Same epoch-us keying + closure rule as
+    the drift gate."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.enrich import enriched_window_counts
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "ts")
+    )
+    dim = spark.createDataFrame(
+        [("signup", "onboarding"), ("purchase", "commerce"), ("error", "ops")],
+        "event_type string, family string",
+    )
+    name = "eng_streaming_enriched"
+    q = (
+        enriched_window_counts(stream, dim, "event_type", window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "family",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def _q_feature_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry validation report over the flagship feature matrix
     (reference ``src/features_processor.py:71-95`` validate_features:
@@ -1735,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
         "streaming_drift_counts": _q_streaming_drift_counts,
+        "streaming_enriched_counts": _q_streaming_enriched_counts,
         "quantize_embeddings": _q_quantize_embeddings,
         "assemble_documents": _q_assemble_documents,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -3139,6 +3195,27 @@ counts AS (
     FROM base GROUP BY 1, 2
 )
 SELECT window_start_us, role, n
+FROM counts CROSS JOIN maxts
+WHERE window_start_us + 3600000000 <= m - 3600000000
+"""
+
+_STREAMING_ENRICHED_SQL = """
+WITH base AS (
+    SELECT CASE event_type WHEN 'signup' THEN 'onboarding'
+                           WHEN 'purchase' THEN 'commerce'
+                           WHEN 'error' THEN 'ops'
+                           ELSE 'other' END AS family,
+           ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+maxts AS (SELECT MAX(epoch_us(ts)) AS m FROM base),
+counts AS (
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+               AS window_start_us,
+           family, COUNT(*) AS n
+    FROM base GROUP BY 1, 2
+)
+SELECT window_start_us, family, n
 FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
 """
@@ -4573,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,
         "streaming_drift_counts": _STREAMING_DRIFT_SQL,
+        "streaming_enriched_counts": _STREAMING_ENRICHED_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
         "assemble_documents": _ASSEMBLE_SQL,
         "corpus_pipeline": _corpus_pipeline_oracle(),

@@ -76,3 +76,52 @@ def test_streaming_psi_matches_batch(spark, tmp_path):
               psi_over_windows(batch_counts, "role", ref).collect()}
     assert got == expect
     assert got[datetime(2024, 1, 1, 11, 0)] > 0.2  # drift is visible
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join: the streaming result equals the
+    same composition run in batch, unmatched keys coalesce to
+    'other', and the join itself adds no streaming state."""
+    from kkbox_churn_prediction_spark.streaming.enrich import enriched_window_counts
+
+    rows = (
+        [("user", 10, m) for m in range(0, 30, 5)]
+        + [("assistant", 10, m) for m in range(1, 31, 5)]
+        + [("tool", 11, m) for m in range(0, 20, 5)]
+        + [("user", 13, 0)]  # watermark push closes hours 10-11
+    )
+    src = f"{tmp_path}/enrich_in"
+    _batch(spark, rows).write.mode("overwrite").parquet(src)
+    schema = _batch(spark, rows[:1]).schema
+    dim = spark.createDataFrame(
+        [("user", "human"), ("assistant", "model")], "role string, family string"
+    )  # 'tool' deliberately unmatched → 'other'
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        enriched_window_counts(stream, dim, "role", window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"].hour, r["family"]): r["n"]
+        for r in spark.table("enrich_out").collect()
+    }
+    # batch path over the same frame (bounded input → no watermark cut)
+    batch = enriched_window_counts(
+        spark.read.parquet(src), dim, "role", window="1 hour", watermark="1 hour"
+    )
+    exp_all = {
+        (r["window_start"].hour, r["family"]): r["n"] for r in batch.collect()
+    }
+    # stream finalizes only windows the watermark passed (hours 10, 11)
+    exp = {k: v for k, v in exp_all.items() if k[0] < 13}
+    assert got == exp
+    assert got[(10, "human")] == 6 and got[(10, "model")] == 6
+    assert got[(11, "other")] == 4
