@@ -1632,6 +1632,14 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, eval_set, n=3, min_common=2)
 
 
+def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-32 corpus vocabulary coverage per document (tokenizer-prep
+    OOV audit; vocab is top-k of the term counts, broadcast back)."""
+    from kkbox_churn_prediction_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=32)
+
+
 _BM25_TERMS = ("hash", "join", "vector")
 
 
@@ -1786,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_search": _q_bm25_search,
+        "vocab_oov": _q_vocab_oov,
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
@@ -3366,6 +3375,28 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
+_VOCAB_OOV_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS r
+        FROM counts
+    ) WHERE r <= 32
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab,
+       ROUND((COUNT(*) - SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END))
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+"""
+
+
 def _bm25_oracle(
     terms: tuple[str, ...], k: int = 20, k1: float = 1.2, b: float = 0.75
 ) -> str:
@@ -4646,6 +4677,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _PACK_DOCUMENTS_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _bm25_oracle(_BM25_TERMS, k=20),
+        "vocab_oov": _VOCAB_OOV_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,

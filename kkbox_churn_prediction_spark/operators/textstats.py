@@ -318,6 +318,57 @@ def bm25_scores(
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 32,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: build the top-``vocab_size``
+    corpus vocabulary by frequency (tiebreak count desc, term asc)
+    and report per-document coverage →
+    ``(doc_id, n_tokens, n_in_vocab, oov_rate)``.
+
+    This is the sizing loop a BPE/unigram tokenizer build runs before
+    committing a vocab: how much of each document the candidate vocab
+    explains, and where OOV concentrates.
+
+    Scale shape: term counts reduce with map-side partials (one
+    term-keyed exchange, hot stopwords are heavy keys but algebraic);
+    the vocab itself is top-k over the vocab-sized count table
+    (TakeOrderedAndProject, never a global sort) and is
+    executor-memory tiny by construction, so it broadcasts back onto
+    the token stream — the per-doc coverage agg is then ONE doc-keyed
+    exchange. No join shuffles the corpus side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(int(vocab_size))
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_in_vocab",
+            F.round(
+                (F.col("n_tokens") - F.col("n_in_vocab")) / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min 48-bit hash over word n-grams (the
     winnowing/rolling-hash idea reduced to its min-sketch: equal for

@@ -150,3 +150,29 @@ def test_unigram_logprob_ranks_common_text_higher(spark):
     # numpy cross-check: 'the' appears 5/8 times; doc1 = ln(5/8)
     import math
     assert got[1]["avg_token_logprob"] == round(math.log(5 / 8), 6)
+
+
+def test_vocab_coverage_oov_accounting(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),     # 'the' dominant
+            (2, "the cat dog"),
+            (3, "zebra quux"),          # fully OOV at vocab_size=2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    # vocab = {'the' (4), 'cat' (2)} — 'dog'/'zebra'/'quux' are OOV
+    assert got[1]["n_tokens"] == 4 and got[1]["n_in_vocab"] == 4
+    assert got[1]["oov_rate"] == 0.0
+    assert got[2]["n_in_vocab"] == 2 and got[2]["oov_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["n_in_vocab"] == 0 and got[3]["oov_rate"] == 1.0
+    # deterministic tiebreak at the vocab boundary: count desc, term asc
+    docs2 = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb cc")], "doc_id long, text string"
+    )
+    # counts: aa=2, bb=2, cc=1 → vocab_size=1 picks 'aa' (term asc tiebreak)
+    g2 = {r["doc_id"]: r for r in vocab_coverage(docs2, vocab_size=1).collect()}
+    assert g2[1]["n_in_vocab"] == 1 and g2[2]["n_in_vocab"] == 1
