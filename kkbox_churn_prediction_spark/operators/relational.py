@@ -341,19 +341,28 @@ def set_op_entities(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """EXCEPT DISTINCT / INTERSECT DISTINCT over two entity-key sets,
     tagged in one result: ``(set_op, key)`` rows for ``left_only``
     (EXCEPT), ``both`` (INTERSECT), and ``right_only`` (reverse
-    EXCEPT). Uses Spark's native set operators — Catalyst plans each
-    as a distinct-aggregate + join (left-anti / left-semi
-    respectively), so partial aggregation dedupes map-side and the
-    shuffle carries only distinct keys. The U-family (SURVEY §2.7)
-    covered UNION; this completes the relational set algebra."""
-    l_keys = left.select(key)
-    r_keys = right.select(key)
-    return (
-        l_keys.subtract(r_keys).select(F.lit("left_only").alias("set_op"), key)
-        .unionAll(
-            l_keys.intersect(r_keys).select(F.lit("both").alias("set_op"), key)
-        )
-        .unionAll(
-            r_keys.subtract(l_keys).select(F.lit("right_only").alias("set_op"), key)
-        )
+    EXCEPT). The U-family (SURVEY §2.7) covered UNION; this completes
+    the relational set algebra.
+
+    Shape: NOT three native ``subtract``/``intersect`` calls — each of
+    those plans its own distinct-aggregate + join (6 exchanges for the
+    trio, and Catalyst's exchange reuse does not fully collapse them
+    across join types). Instead, membership is ONE aggregation:
+    union the two sides with (in_l, in_r) indicator columns, groupBy
+    the key with ``max`` on each flag (algebraic — map-side partials
+    dedupe before the shuffle), and decode the three set ops from the
+    flag pair. ONE key-keyed exchange total regardless of how many of
+    the three outputs are consumed; a union never shuffles."""
+    tagged = left.select(
+        F.col(key), F.lit(1).alias("_in_l"), F.lit(0).alias("_in_r")
+    ).unionAll(right.select(F.col(key), F.lit(0), F.lit(1)))
+    flags = tagged.groupBy(key).agg(
+        F.max("_in_l").alias("_in_l"), F.max("_in_r").alias("_in_r")
+    )
+    return flags.select(
+        F.when((F.col("_in_l") == 1) & (F.col("_in_r") == 1), F.lit("both"))
+        .when(F.col("_in_l") == 1, F.lit("left_only"))
+        .otherwise(F.lit("right_only"))
+        .alias("set_op"),
+        key,
     )
