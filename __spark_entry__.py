@@ -1632,6 +1632,15 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, eval_set, n=3, min_common=2)
 
 
+def _q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation EXACT gap percentiles — the scale-safe home
+    for exact A10 (buffer bounded by one conversation, not the
+    corpus)."""
+    from kkbox_churn_prediction_spark.operators.lags import gap_percentiles_per_conv
+
+    return gap_percentiles_per_conv(_conv(spark, sf_dir))
+
+
 def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-32 corpus vocabulary coverage per document (tokenizer-prep
     OOV audit; vocab is top-k of the term counts, broadcast back)."""
@@ -1795,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_search": _q_bm25_search,
         "vocab_oov": _q_vocab_oov,
+        "gap_percentiles": _q_gap_percentiles,
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
@@ -3375,6 +3385,24 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
+# per-conversation exact gap percentiles (lock-step with
+# lags.gap_percentiles_per_conv: Spark `percentile` and DuckDB
+# `quantile_cont` both use linear interpolation on the sorted values)
+_GAP_PCTL_SQL = f"""
+WITH {_CONV_CTE},
+g AS (
+    SELECT conv_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY conv_id ORDER BY ts, turn_idx)) AS gap
+    FROM conversations
+)
+SELECT conv_id, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.5), 6) AS gap_p50_us,
+       ROUND(quantile_cont(gap, 0.9), 6) AS gap_p90_us
+FROM g WHERE gap IS NOT NULL GROUP BY conv_id
+"""
+
+
 _VOCAB_OOV_SQL = f"""
 WITH toks AS (
     SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -4678,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _bm25_oracle(_BM25_TERMS, k=20),
         "vocab_oov": _VOCAB_OOV_SQL,
+        "gap_percentiles": _GAP_PCTL_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,

@@ -48,6 +48,33 @@ def lag_lead_features(turns: DataFrame, ks: tuple[int, ...] = (1,)) -> DataFrame
     return out
 
 
+def gap_percentiles_per_conv(
+    turns: DataFrame, ps: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """A10 per-GROUP exact percentiles: inter-turn gap p50/p90 per
+    conversation → ``(conv_id, n_gaps, gap_p50_us, gap_p90_us)``.
+
+    This is the scale-safe home for EXACT percentiles: the aggregation
+    buffer is bounded by the group (one conversation's turns), never
+    the corpus — unlike the global ``session_percentiles`` gate, whose
+    scale path is the documented approx mode. The gap column rides the
+    shared conv_id window sort; the percentile agg reuses the same
+    partitioning (one exchange total for window + agg).
+    """
+    w = turn_order_window()
+    gaps = turns.withColumn(
+        "_gap_us", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    ).where(F.col("_gap_us").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_gaps")]
+    for p in ps:
+        aggs.append(
+            F.round(F.expr(f"percentile(_gap_us, {p!r})"), 6).alias(
+                f"gap_p{int(round(p * 100)):02d}_us"
+            )
+        )
+    return gaps.groupBy("conv_id").agg(*aggs)
+
+
 def stable_row_number(turns: DataFrame) -> DataFrame:
     """W1: dense stable ordering check column (``rn`` should equal
     ``turn_idx`` when the producer's ordering invariant holds)."""

@@ -151,3 +151,33 @@ def test_response_latency_skips_tools_and_unanswered(spark):
     assert got["c1"]["n_exchanges"] == 1
     assert got["c1"]["avg_latency_us"] == 20_000_000
     assert got["c1"]["max_latency_us"] == 20_000_000
+
+
+def test_gap_percentiles_per_conv_match_numpy(spark):
+    from kkbox_churn_prediction_spark.operators.lags import gap_percentiles_per_conv
+    from kkbox_churn_prediction_spark.sources.synth import to_spark
+
+    base = datetime(2024, 1, 1)
+    gaps_a = [60, 120, 600, 30]           # seconds between consecutive turns
+    ts_a, t = [base], base
+    for g in gaps_a:
+        t = t + timedelta(seconds=g)
+        ts_a.append(t)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * len(ts_a) + ["b", "b"],
+            "turn_idx": list(range(len(ts_a))) + [0, 1],
+            "role": ["user"] * (len(ts_a) + 2),
+            "text": ["x"] * (len(ts_a) + 2),
+            "tool": [None] * (len(ts_a) + 2),
+            "ts": ts_a + [base, base + timedelta(seconds=42)],
+        }
+    )
+    out = {r["conv_id"]: r for r in
+           gap_percentiles_per_conv(to_spark(spark, pdf)).collect()}
+    exp_us = np.array(gaps_a, dtype="float64") * 1e6
+    assert out["a"]["n_gaps"] == 4
+    assert out["a"]["gap_p50_us"] == pytest.approx(np.quantile(exp_us, 0.5), abs=1e-3)
+    assert out["a"]["gap_p90_us"] == pytest.approx(np.quantile(exp_us, 0.9), abs=1e-3)
+    # single-gap conversation: both percentiles collapse to the gap
+    assert out["b"]["n_gaps"] == 1 and out["b"]["gap_p50_us"] == 42e6
