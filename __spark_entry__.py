@@ -1632,6 +1632,14 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, eval_set, n=3, min_common=2)
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked levenshtein near-dup pairs (precision path; block-size
+    cap ON by default per the round-1 hot-shingle lesson)."""
+    from kkbox_churn_prediction_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_docs(spark, sf_dir), max_distance=6)
+
+
 def _q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation EXACT gap percentiles — the scale-safe home
     for exact A10 (buffer bounded by one conversation, not the
@@ -1805,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "vocab_oov": _q_vocab_oov,
         "gap_percentiles": _q_gap_percentiles,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "decontaminate": _q_decontaminate,
         "cluster_centroids": _q_cluster_centroids,
         "response_latency": _q_response_latency,
@@ -3385,6 +3394,26 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
+# blocked fuzzy near-dup (lock-step with dedup.fuzzy_pairs:
+# prefix-16 + len-band-8 blocking, block cap 1000, levenshtein <= 6;
+# DuckDB levenshtein == Spark levenshtein == unit-cost edit distance)
+_FUZZY_PAIRS_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+k AS (
+    SELECT doc_id, norm, substr(norm, 1, 16) AS pfx,
+           CAST(floor(length(norm) / 8) AS BIGINT) AS band
+    FROM n
+),
+sz AS (SELECT pfx, band, COUNT(*) AS c FROM k GROUP BY 1, 2),
+kk AS (SELECT k.* FROM k JOIN sz USING (pfx, band) WHERE c <= 1000)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev_dist
+FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.band = b.band
+                    AND a.doc_id < b.doc_id
+WHERE levenshtein(a.norm, b.norm) <= 6
+"""
+
+
 # per-conversation exact gap percentiles (lock-step with
 # lags.gap_percentiles_per_conv: Spark `percentile` and DuckDB
 # `quantile_cont` both use linear interpolation on the sorted values)
@@ -4707,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(_BM25_TERMS, k=20),
         "vocab_oov": _VOCAB_OOV_SQL,
         "gap_percentiles": _GAP_PCTL_SQL,
+        "fuzzy_pairs": _FUZZY_PAIRS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "cluster_centroids": _CLUSTER_CENTROIDS_SQL,
         "response_latency": _RESPONSE_LATENCY_SQL,

@@ -251,3 +251,29 @@ def test_quantize_roundtrip_error_and_cosine(spark):
     const = spark.createDataFrame([(0, [2.5] * 8)], "vec_id long, embedding array<double>")
     row = quantize_embeddings(const).first()
     assert set(row["qvec"]) == {0} and row["scale"] == 0.0
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("river", "rivet")),      # 1 edit, same prefix/band
+            (3, "XX " + base),                         # edit inside prefix → blocked out
+            (4, base + " " + base),                    # different length band
+            (5, "completely different text about engines and turbines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["lev_dist"]
+           for r in fuzzy_pairs(docs, max_distance=3).collect()}
+    assert got == {(1, 2): 1}  # recall contract: 3 and 4 are non-candidates
+
+    # hot-block cap: 5 identical docs with max_block=3 → block dropped
+    hot = spark.createDataFrame(
+        [(i, base) for i in range(10, 15)], "doc_id long, text string"
+    )
+    assert fuzzy_pairs(hot, max_distance=3, max_block=3).count() == 0
+    assert fuzzy_pairs(hot, max_distance=3).count() == 10  # 5 choose 2
