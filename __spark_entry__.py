@@ -1491,6 +1491,31 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy screen: all-pairs Pearson correlations over
+    four per-conversation engagement metrics in ONE single-row
+    aggregation pass, melted long by a zero-exchange Expand."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import correlation_matrix
+
+    per_conv = (
+        _conv(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nturns"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            .alias("ntool"),
+            F.avg(F.length("text").cast("double")).alias("avglen"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("double")
+            .alias("nuser"),
+        )
+    )
+    return correlation_matrix(per_conv, ["nturns", "ntool", "avglen", "nuser"])
+
+
 def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release audit: per (role, tool, day) quasi-identifier
     combo, distinct entities + at-risk flag under k=5 (Expand-free
@@ -1863,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": _q_streaming_dedup_counts,
         "daily_anomalies": _q_daily_anomalies,
         "engagement_regression": _q_engagement_regression,
+        "corr_matrix": _q_corr_matrix,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4552,6 +4578,24 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+_CORR_MATRIX_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS DOUBLE) AS nturns,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ntool,
+           AVG(CAST(length(text) AS DOUBLE)) AS avglen,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS DOUBLE) AS nuser
+    FROM conversations GROUP BY conv_id
+)
+SELECT 'nturns' AS feature_a, 'ntool' AS feature_b, ROUND(corr(nturns, ntool), 6) AS pearson_r FROM per_conv
+UNION ALL SELECT 'nturns', 'avglen', ROUND(corr(nturns, avglen), 6) FROM per_conv
+UNION ALL SELECT 'nturns', 'nuser', ROUND(corr(nturns, nuser), 6) FROM per_conv
+UNION ALL SELECT 'ntool', 'avglen', ROUND(corr(ntool, avglen), 6) FROM per_conv
+UNION ALL SELECT 'ntool', 'nuser', ROUND(corr(ntool, nuser), 6) FROM per_conv
+UNION ALL SELECT 'avglen', 'nuser', ROUND(corr(avglen, nuser), 6) FROM per_conv
+"""
+
 _ENGAGEMENT_REGRESSION_SQL = f"""
 WITH {_CONV_CTE},
 per_conv AS (
@@ -4785,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_counts": _STREAMING_DEDUP_SQL,
         "daily_anomalies": _DAILY_ANOMALIES_SQL,
         "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
+        "corr_matrix": _CORR_MATRIX_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

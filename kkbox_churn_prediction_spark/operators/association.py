@@ -113,3 +113,30 @@ def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("cramers_v"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Pearson correlation over ``cols`` →
+    ``(feature_a, feature_b, pearson_r)`` long form — the numeric
+    companion to the categorical MI screen (feature-redundancy
+    pruning before a training run).
+
+    Distributed shape: every pair's ``corr`` is an algebraic
+    co-moment aggregate, so ALL k·(k-1)/2 pairs reduce in ONE
+    single-row aggregation pass (partial+final, map-side combined —
+    the input is scanned once no matter how many pairs). The
+    wide→long melt of that one row is a zero-exchange Expand
+    (``unpivot``). No pair loop touches the data twice.
+
+    Feature names must not contain the ``"__"`` pair separator.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = df.agg(
+        *[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    long = wide.unpivot([], [f"{a}__{b}" for a, b in pairs], "pair", "pearson_r")
+    return long.select(
+        F.substring_index("pair", "__", 1).alias("feature_a"),
+        F.substring_index("pair", "__", -1).alias("feature_b"),
+        F.round("pearson_r", 6).alias("pearson_r"),
+    )

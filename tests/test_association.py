@@ -89,3 +89,27 @@ def test_constant_column(spark):
     assert abs(mi["mi"]) < 1e-12 and mi["nmi"] == 0.0
     ch = chi_square(df, "u", "v").first()
     assert ch["cramers_v"] == 0.0 and ch["dof"] == 0
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.association import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"a": rng.normal(size=80)})
+    pdf["b"] = pdf.a * 3 + rng.normal(size=80) * 0.2
+    pdf["c"] = rng.normal(size=80)
+    out = {(r["feature_a"], r["feature_b"]): r["pearson_r"]
+           for r in correlation_matrix(spark.createDataFrame(pdf), ["a", "b", "c"]).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    cm = np.corrcoef(pdf[["a", "b", "c"]].to_numpy().T)
+    assert out[("a", "b")] == round(float(cm[0, 1]), 6)
+    assert out[("a", "c")] == round(float(cm[0, 2]), 6)
+    assert out[("b", "c")] == round(float(cm[1, 2]), 6)
+    # one-pass contract: a single aggregate (no per-pair jobs/joins)
+    plan = correlation_matrix(
+        spark.createDataFrame(pdf), ["a", "b", "c"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 0
