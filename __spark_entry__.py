@@ -1491,6 +1491,17 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent sessions per day via the
+    DISTRIBUTED two-phase prefix sum (within-day running sums +
+    calendar-bounded cross-day carry — no global single-partition
+    sort)."""
+    from kkbox_churn_prediction_spark.operators.sessionize import session_aggregates
+    from kkbox_churn_prediction_spark.operators.windows import peak_concurrency
+
+    return peak_concurrency(session_aggregates(_conv(spark, sf_dir)))
+
+
 def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-redundancy screen: all-pairs Pearson correlations over
     four per-conversation engagement metrics in ONE single-row
@@ -1889,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies": _q_daily_anomalies,
         "engagement_regression": _q_engagement_regression,
         "corr_matrix": _q_corr_matrix,
+        "peak_concurrency": _q_peak_concurrency,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4578,6 +4590,46 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# sweep-line peak concurrency (lock-step with windows.peak_concurrency:
+# closed intervals — +1 sorts before -1 at equal ts via delta DESC; the
+# oracle's single global running sum equals the engine's two-phase
+# within-day + carry decomposition under the same total order)
+_PEAK_CONCURRENCY_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, ts, turn_idx,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT conv_id, ts,
+           CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                              ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_id
+    FROM flagged
+),
+spans AS (
+    SELECT conv_id, session_id,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM sess GROUP BY 1, 2
+),
+pts AS (
+    SELECT start_us AS ts_us, 1 AS delta, conv_id, session_id FROM spans
+    UNION ALL
+    SELECT end_us, -1, conv_id, session_id FROM spans
+),
+run AS (
+    SELECT CAST(floor(ts_us / 86400000000) * 86400000000 AS BIGINT) AS day_us,
+           SUM(delta) OVER (ORDER BY ts_us ASC, delta DESC, conv_id ASC,
+                            session_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+    FROM pts
+)
+SELECT day_us, CAST(MAX(cum) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day_us
+"""
+
 _CORR_MATRIX_SQL = f"""
 WITH {_CONV_CTE},
 per_conv AS (
@@ -4830,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_anomalies": _DAILY_ANOMALIES_SQL,
         "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
         "corr_matrix": _CORR_MATRIX_SQL,
+        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -235,3 +235,31 @@ def test_tumbling_parity_under_non_utc_session(spark):
         b["window_start"].astype("datetime64[us]")
     )
     assert list(a["n_turns"]) == list(b["n_turns"])
+
+
+def test_peak_concurrency_sweep_line(spark):
+    from datetime import datetime
+
+    from kkbox_churn_prediction_spark.operators.windows import peak_concurrency
+
+    rows = [
+        ("a", 0, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0)),
+        ("b", 0, datetime(2024, 1, 1, 10, 30), datetime(2024, 1, 1, 10, 45)),
+        ("c", 0, datetime(2024, 1, 1, 10, 40), datetime(2024, 1, 1, 10, 41)),  # triple overlap
+        ("d", 0, datetime(2024, 1, 1, 12, 0), datetime(2024, 1, 1, 12, 0)),    # zero-duration
+        ("e", 0, datetime(2024, 1, 1, 23, 0), datetime(2024, 1, 2, 1, 0)),     # crosses midnight
+        ("f", 0, datetime(2024, 1, 2, 0, 30), datetime(2024, 1, 2, 0, 40)),    # rides the carry
+        ("g", 0, datetime(2024, 1, 4, 9, 0), datetime(2024, 1, 4, 9, 5)),      # gap day before
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, session_id int, session_start timestamp, session_end timestamp"
+    )
+    day0 = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    out = {r["day_us"]: r["peak_concurrency"] for r in peak_concurrency(df).collect()}
+    assert out[day0] == 3                       # a+b+c at 10:40
+    assert out[day0 + 86_400_000_000] == 2      # e (carried) + f
+    assert out[day0 + 3 * 86_400_000_000] == 1  # g alone after the empty day
+    # partition-count invariance (two-phase carry must not depend on layout)
+    out2 = {r["day_us"]: r["peak_concurrency"]
+            for r in peak_concurrency(df.repartition(7)).collect()}
+    assert out == out2
