@@ -1491,6 +1491,37 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match rule router over per-conversation engagement
+    features (reference ``sql/07_churn_risk_scoring.sql:9-16`` CASE
+    chain; rules as data per ``rules.yaml``)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.rules import apply_rules
+
+    per_conv = (
+        _conv(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(86_400_000_000.0)
+            ).alias("tenure_days"),
+        )
+        .withColumn("tool_rate", F.col("n_tool") / F.col("n_turns"))
+    )
+    rules = [
+        ("n_turns >= 100", "Power"),
+        ("tenure_days < 1.0 OR n_turns < 5", "High"),
+        ("tenure_days BETWEEN 1.0 AND 7.0 OR tool_rate > 0.3", "Medium"),
+    ]
+    return apply_rules(per_conv, rules, default="Low", out_col="risk_bucket").select(
+        "conv_id", "n_turns", "risk_bucket"
+    )
+
+
 def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrent sessions per day via the
     DISTRIBUTED two-phase prefix sum (within-day running sums +
@@ -1901,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_regression": _q_engagement_regression,
         "corr_matrix": _q_corr_matrix,
         "peak_concurrency": _q_peak_concurrency,
+        "risk_buckets": _q_risk_buckets,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4590,6 +4622,32 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# first-match rule router (lock-step with operators/rules.py and the
+# gate's rule table; mirrors sql/07_churn_risk_scoring.sql's CASE)
+_RISK_BUCKETS_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 86400000000.0 AS tenure_days
+    FROM conversations GROUP BY conv_id
+),
+feats AS (
+    SELECT conv_id, n_turns, tenure_days,
+           n_tool / n_turns AS tool_rate
+    FROM per_conv
+)
+SELECT conv_id, n_turns,
+       CASE
+         WHEN n_turns >= 100                                    THEN 'Power'
+         WHEN tenure_days < 1.0 OR n_turns < 5                  THEN 'High'
+         WHEN tenure_days BETWEEN 1.0 AND 7.0 OR tool_rate > 0.3 THEN 'Medium'
+         ELSE 'Low'
+       END AS risk_bucket
+FROM feats
+"""
+
 # sweep-line peak concurrency (lock-step with windows.peak_concurrency:
 # closed intervals — +1 sorts before -1 at equal ts via delta DESC; the
 # oracle's single global running sum equals the engine's two-phase
@@ -4883,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "engagement_regression": _ENGAGEMENT_REGRESSION_SQL,
         "corr_matrix": _CORR_MATRIX_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
+        "risk_buckets": _RISK_BUCKETS_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

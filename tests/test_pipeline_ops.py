@@ -208,3 +208,27 @@ class TestKAnonymity:
             spark.createDataFrame(pdf), ("role", "tool"), "conv_id", k=5
         ).collect()[0]
         assert r["n_entities"] == 1 and r["n_rows"] == 2
+
+
+def test_rule_router_first_match_wins(spark):
+    from kkbox_churn_prediction_spark.operators.rules import apply_rules, rule_audit
+
+    df = spark.createDataFrame(
+        [(1, 150, 0.5), (2, 10, 0.05), (3, 10, 0.9), (4, 50, 0.1)],
+        "id long, n long, rate double",
+    )
+    rules = [
+        ("n >= 100", "power"),          # row 1 matches here AND below → first wins
+        ("rate > 0.4", "hot"),
+        ("n < 20", "small"),
+    ]
+    out = {r["id"]: r["bucket"] for r in apply_rules(df, rules, "other").collect()}
+    assert out == {1: "power", 2: "small", 3: "hot", 4: "other"}
+    audit = {r["bucket"]: r["n_rows"]
+             for r in rule_audit(apply_rules(df, rules, "other")).collect()}
+    assert audit == {"power": 1, "small": 1, "hot": 1, "other": 1}
+    # empty rule table → everything defaults
+    assert {r["bucket"] for r in apply_rules(df, [], "d").collect()} == {"d"}
+    # pure projection: no exchange added by the router itself
+    plan = apply_rules(df, rules, "other")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
