@@ -80,3 +80,61 @@ def test_curation_single_scan(spark):
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins == 1
+
+
+def test_bm25_is_join_free_and_reuses_the_doc_agg(spark):
+    """bm25_search: conditional-agg retrieval — no vocab/dl join, and
+    the stats branch must share the doc-agg exchange (ReusedExchange),
+    not recompute the tokenize+agg."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bm25_search"](spark, SF)
+    df.collect()  # AQE finalizes exchange reuse
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    assert "ReusedExchange" in plan
+    # top-k is TakeOrdered, never a global sort of all scored docs
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_set_ops_is_one_aggregation(spark):
+    """set_ops_convs: membership-flag agg — no join nodes at all, and
+    no per-branch distinct aggregates."""
+    plan = _plan(spark, "set_ops_convs")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_media_resize_has_zero_exchanges(spark):
+    """media_resize: geometry is pure codegen over the Arrow decode —
+    any exchange is a regression."""
+    plan = _plan(spark, "media_resize")
+    assert "Exchange" not in plan
+
+
+def test_peak_concurrency_has_no_global_point_sort(spark):
+    """peak_concurrency: running sums must stay day-partitioned; the
+    only single-partition window is over the tiny per-day totals
+    table. Guard: every SinglePartition exchange sits above an
+    aggregate (the day rollup), never directly over the union of
+    boundary points."""
+    plan = _plan(spark, "peak_concurrency")
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i : i + 6])
+            assert "HashAggregate" in below, (
+                "SinglePartition exchange not above the day-totals agg:\n" + below
+            )
+
+
+def test_fuzzy_pairs_block_cap_is_wired(spark):
+    """fuzzy_pairs: the shipped gate must carry the block-size cap
+    filter (<= 1000) so a hot block cannot go quadratic."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["fuzzy_pairs"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "1000" in opt and "levenshtein" in opt
