@@ -792,6 +792,70 @@ def _q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_turn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #5: stream-stream event-time
+    range self-join (user turn ⋈ assistant turns within 2 h, state
+    bounded by watermark + horizon). Inner-join append mode emits all
+    matches over a bounded replay, so the batch range-join oracle is
+    exact."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.joins import stream_turn_pairs
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    # a streaming frame can't compute the batch row_number turn_idx;
+    # event_id is already a unique per-turn identity and the oracle
+    # mirrors it
+    turns = stream.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_type") == "signup", F.lit("system"))
+        .when(F.col("event_type") == "purchase", F.lit("assistant"))
+        .when(F.col("event_type") == "error", F.lit("tool"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        "ts",
+    )
+    name = "eng_streaming_pairs"
+    q = (
+        stream_turn_pairs(turns, horizon="2 hours", watermark="4 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "conv_id",
+        F.col("u_idx").cast("long").alias("u_idx"),
+        F.col("a_idx").cast("long").alias("a_idx"),
+        F.col("reply_delay_us").cast("long").alias("reply_delay_us"),
+    )
+
+
 def _q_feature_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry validation report over the flagship feature matrix
     (reference ``src/features_processor.py:71-95`` validate_features:
@@ -1886,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": _q_response_latency,
         "streaming_drift_counts": _q_streaming_drift_counts,
         "streaming_enriched_counts": _q_streaming_enriched_counts,
+        "streaming_turn_pairs": _q_streaming_turn_pairs,
         "quantize_embeddings": _q_quantize_embeddings,
         "assemble_documents": _q_assemble_documents,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -3316,6 +3381,29 @@ counts AS (
 SELECT window_start_us, family, n
 FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
+"""
+
+# stream-stream range-join oracle: plain batch range join (inner
+# append-mode stream joins emit every match over a bounded replay)
+_STREAMING_PAIRS_SQL = """
+WITH t AS (
+    SELECT concat('c', user_id) AS conv_id,
+           event_id AS turn_idx,
+           CASE event_type WHEN 'signup' THEN 'system'
+                           WHEN 'purchase' THEN 'assistant'
+                           WHEN 'error' THEN 'tool'
+                           ELSE 'user' END AS role,
+           ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT u.conv_id,
+       u.turn_idx AS u_idx,
+       a.turn_idx AS a_idx,
+       epoch_us(a.ts) - epoch_us(u.ts) AS reply_delay_us
+FROM t u JOIN t a
+  ON u.conv_id = a.conv_id
+ AND a.ts > u.ts AND a.ts <= u.ts + INTERVAL 2 HOUR
+WHERE u.role = 'user' AND a.role = 'assistant'
 """
 
 # per-doc mean unigram log-probability (lock-step with
@@ -4896,6 +4984,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": _RESPONSE_LATENCY_SQL,
         "streaming_drift_counts": _STREAMING_DRIFT_SQL,
         "streaming_enriched_counts": _STREAMING_ENRICHED_SQL,
+        "streaming_turn_pairs": _STREAMING_PAIRS_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
         "assemble_documents": _ASSEMBLE_SQL,
         "corpus_pipeline": _corpus_pipeline_oracle(),

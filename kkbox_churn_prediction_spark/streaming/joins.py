@@ -1,0 +1,73 @@
+"""Stream-stream event-time range join.
+
+The hardest Structured Streaming operator the engine exposes: both
+sides are unbounded, so Spark buffers each side's rows in state until
+the other side's watermark proves no more matches can arrive. The
+event-time range predicate (``a_ts ∈ (u_ts, u_ts + horizon]``) is
+what makes state BOUNDED: combined with both watermarks, Spark derives
+a state-eviction bound for each side (user rows older than
+``watermark + horizon`` can never match a future assistant row).
+
+Semantics contract: INNER stream-stream joins in append mode emit
+every match as soon as both rows have arrived — the watermark bounds
+STATE, not emission — so over a bounded replay the result equals the
+batch range join exactly (the gate cross-checks that against DuckDB).
+
+Reference analog: the reply-latency pairing the batch engine computes
+join-free with a forward window (``operators/lags.py::
+response_latency``); streaming cannot see "the next turn" without
+state, so the range join is the honest streaming form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_turn_pairs(
+    turns: DataFrame,
+    *,
+    horizon: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Pair each user turn with every assistant turn of the SAME
+    conversation within ``(u_ts, u_ts + horizon]`` →
+    ``(conv_id, u_idx, a_idx, reply_delay_us)``.
+
+    Works identically on a streaming frame (stream-stream self-join,
+    state bounded by watermark + horizon) and a bounded batch frame
+    (plain range join — the oracle path). The join key includes
+    conv_id, so the only exchange is the conv hash partition of each
+    side.
+    """
+    is_stream = turns.isStreaming
+    u = turns.where(F.col("role") == "user").select(
+        F.col("conv_id"),
+        F.col("ts").alias("u_ts"),
+        F.col("turn_idx").alias("u_idx"),
+    )
+    a = turns.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("turn_idx").alias("a_idx"),
+    )
+    if is_stream:
+        u = u.withWatermark("u_ts", watermark)
+        a = a.withWatermark("a_ts", watermark)
+    joined = u.join(
+        a,
+        F.expr(
+            f"conv_id = a_conv_id AND a_ts > u_ts AND "
+            f"a_ts <= u_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        "u_idx",
+        "a_idx",
+        (F.unix_micros(F.col("a_ts")) - F.unix_micros(F.col("u_ts"))).alias(
+            "reply_delay_us"
+        ),
+    )

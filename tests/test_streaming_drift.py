@@ -125,3 +125,55 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert got == exp
     assert got[(10, "human")] == 6 and got[(10, "model")] == 6
     assert got[(11, "other")] == 4
+
+
+def test_stream_stream_range_join_matches_batch(spark, tmp_path):
+    """Inner stream-stream range self-join emits exactly the batch
+    range join's pairs over a bounded replay; both watermarks are
+    wired (state-eviction precondition)."""
+    from kkbox_churn_prediction_spark.streaming.joins import stream_turn_pairs
+
+    rows = (
+        [("cA", 0, "user", 10, 0), ("cA", 1, "assistant", 10, 2),
+         ("cA", 2, "assistant", 10, 4)]                                # both within 5m
+        + [("cB", 0, "user", 11, 0), ("cB", 1, "assistant", 11, 20)]   # outside horizon
+        + [("cC", 0, "assistant", 12, 0)]                              # no prior user
+    )
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": [r[1] for r in rows],
+            "role": [r[2] for r in rows],
+            "text": ["x"] * len(rows),
+            "tool": [None] * len(rows),
+            "ts": [datetime(2024, 1, 1, r[3], r[4]) for r in rows],
+        }
+    )
+    src = f"{tmp_path}/pairs_in"
+    to_spark(spark, pdf).write.mode("overwrite").parquet(src)
+    schema = to_spark(spark, pdf).schema
+
+    def _prep(df):
+        return df.select("conv_id", "turn_idx", "role", "ts")
+
+    stream = _prep(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream_turn_pairs(stream, horizon="5 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pairs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["conv_id"], r["u_idx"], r["a_idx"]): r["reply_delay_us"]
+           for r in spark.table("pairs_out").collect()}
+    batch = stream_turn_pairs(
+        _prep(spark.read.parquet(src)), horizon="5 minutes", watermark="1 hour"
+    )
+    exp = {(r["conv_id"], r["u_idx"], r["a_idx"]): r["reply_delay_us"]
+           for r in batch.collect()}
+    assert got == exp
+    assert len(got) == 2 and all(v <= 5 * 60 * 1_000_000 for v in got.values())
