@@ -1555,6 +1555,25 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weekly_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch rollup: daily text-length bin counts
+    merged to weekly p50/p90 estimates (the rank member of the
+    HLL/CMS sketch family; error bounded by the bin width)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sketches import binned_quantile_rollup
+
+    conv = _conv(spark, sf_dir)
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+    week = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts")))
+        / F.lit(7 * 86_400 * 1_000_000)
+    ).cast("bigint")
+    return binned_quantile_rollup(
+        conv, F.length("text").cast("bigint"), day, week, bin_width=50
+    )
+
+
 def _q_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match rule router over per-conversation engagement
     features (reference ``sql/07_churn_risk_scoring.sql:9-16`` CASE
@@ -1998,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": _q_corr_matrix,
         "peak_concurrency": _q_peak_concurrency,
         "risk_buckets": _q_risk_buckets,
+        "weekly_quantile_sketch": _q_weekly_quantile_sketch,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4710,6 +4730,38 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# mergeable binned-quantile rollup (lock-step with
+# sketches.binned_quantile_rollup: floor(len/50) bins, weekly merge,
+# linear interpolation est = bin*50 + 50*(p*total - cum_below)/cnt)
+_WEEKLY_QSKETCH_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS fine,
+           CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                      / 604800000000) AS BIGINT) AS coarse,
+           CAST(floor(CAST(length(text) AS BIGINT) / 50) AS BIGINT) AS bin
+    FROM conversations
+),
+daily AS (SELECT fine, coarse, bin, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3),
+merged AS (SELECT coarse, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM daily GROUP BY 1, 2),
+cdf AS (
+    SELECT coarse, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY coarse ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY coarse) AS total
+    FROM merged
+),
+pg AS (SELECT 0.5e0 AS p UNION ALL SELECT 0.9e0),
+eligible AS (
+    SELECT * FROM cdf CROSS JOIN pg WHERE cum >= p * total
+),
+chosen AS (SELECT coarse, p, MIN(bin) AS bin FROM eligible GROUP BY 1, 2)
+SELECT c.coarse, c.p,
+       ROUND(c.bin * 50 + 50 * (c.p * e.total - (e.cum - e.cnt)) / e.cnt, 6) AS est
+FROM chosen c JOIN cdf e ON e.coarse = c.coarse AND e.bin = c.bin
+"""
+
 # first-match rule router (lock-step with operators/rules.py and the
 # gate's rule table; mirrors sql/07_churn_risk_scoring.sql's CASE)
 _RISK_BUCKETS_SQL = f"""
@@ -5031,6 +5083,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _CORR_MATRIX_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "risk_buckets": _RISK_BUCKETS_SQL,
+        "weekly_quantile_sketch": _WEEKLY_QSKETCH_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -87,3 +87,77 @@ def distinct_rollup_check(
             <= F.lit(float(rel_tol)) * F.col("exact_distinct")
         ).alias("within_tol"),
     )
+
+
+def binned_quantile_rollup(
+    df: DataFrame,
+    value: Column,
+    fine_bucket: Column,
+    coarse_bucket: Column,
+    *,
+    bin_width: int = 50,
+    ps: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the quantile member of the
+    sketch family (HLL = distinct, CMS = frequency, this = rank):
+    fixed-width bin counts per fine bucket are the stored base layer;
+    any coarser window's quantiles come from MERGING bin counts
+    (plain sum — associative like the HLL union) and interpolating
+    the binned CDF. Error is bounded by ``bin_width`` (the estimate
+    is exact if values were uniform within a bin), and the base layer
+    is what an incremental backfill maintains.
+
+    Output: ``(coarse, p, est)`` — estimated p-quantile of ``value``
+    per coarse bucket, linear interpolation inside the covering bin:
+    ``est = bin*w + w * (p*total − cum_below) / bin_count``.
+
+    Shape: ONE (fine, coarse, bin) count agg over the stream (the
+    only data-sized exchange); the weekly merge, CDF window, and
+    quantile selection all run on the bins table, which is bounded by
+    buckets × (value range / bin_width). The p-grid is a broadcast
+    literal frame.
+    """
+    from pyspark.sql import Window
+
+    w = int(bin_width)
+    base = (
+        df.select(
+            fine_bucket.alias("fine"),
+            coarse_bucket.alias("coarse"),
+            F.floor(value / w).cast("bigint").alias("bin"),
+        )
+        .groupBy("fine", "coarse", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = base.groupBy("coarse", "bin").agg(F.sum("cnt").alias("cnt"))
+    cdf = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("coarse").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("coarse"))
+    )
+    spark = df.sparkSession
+    p_grid = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    eligible = cdf.crossJoin(F.broadcast(p_grid)).where(
+        F.col("cum") >= F.col("p") * F.col("total")
+    )
+    chosen = eligible.groupBy("coarse", "p").agg(
+        F.min_by(
+            F.struct("bin", "cnt", "cum", "total"), F.col("bin")
+        ).alias("s")
+    )
+    return chosen.select(
+        "coarse",
+        "p",
+        F.round(
+            F.col("s.bin") * w
+            + w
+            * (F.col("p") * F.col("s.total") - (F.col("s.cum") - F.col("s.cnt")))
+            / F.col("s.cnt"),
+            6,
+        ).alias("est"),
+    )

@@ -88,3 +88,34 @@ def test_hll_estimate_within_tolerance(spark):
     assert len(out) == 1
     assert out[0]["exact_distinct"] == 700
     assert out[0]["within_tol"] is True
+
+
+def test_binned_quantile_rollup_error_bound_and_mergeability(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sketches import binned_quantile_rollup
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {"v": rng.integers(0, 2000, size=3000), "day": rng.integers(0, 14, size=3000)}
+    )
+    pdf["week"] = pdf.day // 7
+    df = spark.createDataFrame(pdf)
+    W = 50
+    est = {(r["coarse"], r["p"]): r["est"]
+           for r in binned_quantile_rollup(
+               df, F.col("v"), F.col("day"), F.col("week"), bin_width=W
+           ).collect()}
+    # error bound: within one bin width of the exact quantile
+    for wk in (0, 1):
+        sub = pdf[pdf.week == wk].v.to_numpy()
+        for p in (0.5, 0.9):
+            assert abs(est[(wk, p)] - np.quantile(sub, p)) <= W
+    # mergeability: daily→weekly merge equals sketching weekly directly
+    direct = {(r["coarse"], r["p"]): r["est"]
+              for r in binned_quantile_rollup(
+                  df, F.col("v"), F.col("week"), F.col("week"), bin_width=W
+              ).collect()}
+    assert est == direct
