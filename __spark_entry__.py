@@ -1555,6 +1555,25 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-time debounce: collapse same-(user, event_type) bursts
+    closer than 5 min into one row with burst size/span (batch
+    counterpart of the streaming ingest-dedup guard)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.dedup import collapse_bursts
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    return collapse_bursts(
+        events, ["user_id", "event_type"], "ts", gap_us=300_000_000
+    )
+
+
 def _q_weekly_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch rollup: daily text-length bin counts
     merged to weekly p50/p90 estimates (the rank member of the
@@ -2018,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": _q_peak_concurrency,
         "risk_buckets": _q_risk_buckets,
         "weekly_quantile_sketch": _q_weekly_quantile_sketch,
+        "debounce_events": _q_debounce_events,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4730,6 +4750,34 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# near-time debounce (lock-step with dedup.collapse_bursts: islands
+# by >5min gap; equal-ts ordering is burst-invariant, so no tiebreak)
+_DEBOUNCE_SQL = """
+WITH base AS (
+    SELECT user_id, event_type, ts FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+    SELECT user_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                THEN 1 ELSE 0 END AS nb
+    FROM base
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+islands AS (
+    SELECT user_id, event_type, ts,
+           SUM(nb) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS burst
+    FROM flagged
+)
+SELECT user_id, event_type,
+       COUNT(*) AS burst_size,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS burst_span_us,
+       MIN(ts) AS ts
+FROM islands GROUP BY user_id, event_type, burst
+"""
+
 # mergeable binned-quantile rollup (lock-step with
 # sketches.binned_quantile_rollup: floor(len/50) bins, weekly merge,
 # linear interpolation est = bin*50 + 50*(p*total - cum_below)/cnt)
@@ -5084,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "risk_buckets": _RISK_BUCKETS_SQL,
         "weekly_quantile_sketch": _WEEKLY_QSKETCH_SQL,
+        "debounce_events": _DEBOUNCE_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

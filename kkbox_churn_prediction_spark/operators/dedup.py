@@ -351,3 +351,55 @@ def embedding_cosine_pairs(
         .select("doc_a", "doc_b", F.round(dot_expr("_va", "_vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    *,
+    gap_us: int = 1_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Debounce: collapse machine-generated retry/duplicate BURSTS —
+    consecutive events of the same key closer than ``gap_us`` — into
+    one representative row (the burst's FIRST event), annotated with
+    ``burst_size`` and ``burst_span_us``.
+
+    This is the near-TIME companion to :func:`exact_dedup` (same
+    payload, different timestamps — producer retries, double-clicks,
+    at-least-once telemetry) and the batch counterpart of the
+    streaming ``dropDuplicatesWithinWatermark`` ingest guard.
+
+    Shape: gaps-and-islands — one window over (key ORDER BY ts) flags
+    burst starts, a running sum assigns burst ids, one hash agg picks
+    the representative. One key-keyed exchange; the agg reuses the
+    window's partitioning.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    flagged = df.withColumn(
+        "_new_burst",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (us - F.unix_micros(F.lag(ts_col).over(w)) > int(gap_us)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_burst_id",
+        F.sum("_new_burst").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(*key_cols, "_burst_id")
+        .agg(
+            F.count(F.lit(1)).alias("burst_size"),
+            (F.max(us) - F.min(us)).alias("burst_span_us"),
+            F.min(F.col(ts_col)).alias(ts_col),
+        )
+        .drop("_burst_id")
+    )

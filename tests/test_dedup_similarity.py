@@ -277,3 +277,37 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     )
     assert fuzzy_pairs(hot, max_distance=3, max_block=3).count() == 0
     assert fuzzy_pairs(hot, max_distance=3).count() == 10  # 5 choose 2
+
+
+def test_collapse_bursts_debounce(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.dedup import collapse_bursts
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = (
+        [("u1", "click", t0 + timedelta(microseconds=300_000 * i)) for i in range(3)]
+        + [("u1", "click", t0 + timedelta(seconds=5))]      # new burst (>1s gap)
+        + [("u1", "view", t0)]                              # different key
+        + [("u2", "click", t0), ("u2", "click", t0)]        # exact-dup timestamps
+    )
+    df = spark.createDataFrame(rows, "user string, etype string, ts timestamp")
+    out = collapse_bursts(df, ["user", "etype"], "ts", gap_us=1_000_000)
+    got = sorted(
+        ((r["user"], r["etype"], r["ts"], r["burst_size"], r["burst_span_us"])
+         for r in out.collect())
+    )
+    assert got == [
+        ("u1", "click", t0, 3, 600_000),
+        ("u1", "click", t0 + timedelta(seconds=5), 1, 0),
+        ("u1", "view", t0, 1, 0),
+        ("u2", "click", t0, 2, 0),
+    ]
+    # partition-layout invariance
+    got2 = sorted(
+        ((r["user"], r["etype"], r["ts"], r["burst_size"], r["burst_span_us"])
+         for r in collapse_bursts(
+             df.repartition(5), ["user", "etype"], "ts", gap_us=1_000_000
+         ).collect())
+    )
+    assert got == got2
