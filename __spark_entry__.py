@@ -1555,6 +1555,21 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_days_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (W2/O2 per-group form): each conversation's two
+    busiest days by turn count (tiebreak earliest day)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import topk_per_group
+
+    daily = (
+        _conv(spark, sf_dir)
+        .groupBy("conv_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return topk_per_group(daily, ["conv_id"], "n_turns", k=2, tiebreak_cols=["day"])
+
+
 def _q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-time debounce: collapse same-(user, event_type) bursts
     closer than 5 min into one row with burst size/span (batch
@@ -2038,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_buckets": _q_risk_buckets,
         "weekly_quantile_sketch": _q_weekly_quantile_sketch,
         "debounce_events": _q_debounce_events,
+        "topk_days_per_conv": _q_topk_days_per_conv,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4750,6 +4766,24 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# grouped top-k (lock-step with relational.topk_per_group: n desc,
+# day asc tiebreak, dense rank from 1)
+_TOPK_DAYS_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT conv_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_turns
+    FROM conversations GROUP BY 1, 2
+),
+ranked AS (
+    SELECT conv_id, day, n_turns,
+           CAST(row_number() OVER (PARTITION BY conv_id
+                ORDER BY n_turns DESC, day ASC) AS INTEGER) AS rank
+    FROM daily
+)
+SELECT conv_id, day, n_turns, rank FROM ranked WHERE rank <= 2
+"""
+
 # near-time debounce (lock-step with dedup.collapse_bursts: islands
 # by >5min gap; equal-ts ordering is burst-invariant, so no tiebreak)
 _DEBOUNCE_SQL = """
@@ -5133,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
         "risk_buckets": _RISK_BUCKETS_SQL,
         "weekly_quantile_sketch": _WEEKLY_QSKETCH_SQL,
         "debounce_events": _DEBOUNCE_SQL,
+        "topk_days_per_conv": _TOPK_DAYS_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -366,3 +366,33 @@ def set_op_entities(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
         .alias("set_op"),
         key,
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows PER GROUP by ``order_col`` desc (deterministic
+    ``tiebreak_cols`` asc) with a dense 1-based ``rank`` — the
+    grouped generalization of O2's global TakeOrderedAndProject
+    (reference analog: per-group ``nlargest``, ``src/psi.py:119``).
+
+    Scale: the window sort is per-GROUP (bounded by group size), not
+    global — the one exchange is the group hash partition, and
+    Spark's WindowGroupLimit pushes the k-limit into the sort so each
+    task keeps only k rows per group rather than sorting whole
+    groups' worth of output.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+    )

@@ -148,3 +148,20 @@ def test_streaming_session_aggs_matches_batch(spark, turns):
     batch = session_aggregates(turns).groupBy("conv_id").count().collect()
     want = {r["conv_id"]: r["count"] for r in batch}
     assert ns == want
+
+
+def test_topk_per_group_ranks_and_limit_pushdown(spark, turns):
+    from kkbox_churn_prediction_spark.operators.relational import topk_per_group
+
+    daily = (
+        turns.groupBy("conv_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = topk_per_group(daily, ["conv_id"], "n", k=1, tiebreak_cols=["day"])
+    got = {r["conv_id"]: (r["n"], r["rank"]) for r in out.collect()}
+    # one row per conversation, all rank 1, n = that conv's busiest day
+    assert set(got) == {"convA", "convB", "convC"}
+    assert all(rank == 1 for _, rank in got.values())
+    # WindowGroupLimit: Spark pushes the k bound into the window sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
