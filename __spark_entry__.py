@@ -1555,6 +1555,46 @@ def _q_engagement_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join (J3/J5/O2 composition): BUILDING
+    customers' orders placed before the date line with line items
+    shipped after it, top-10 by DECIMAL-exact revenue. Catalyst
+    broadcasts the filtered customer dim; both date filters reach the
+    parquet scans (pushdown-audited in PLANS.md)."""
+    from pyspark.sql import functions as F
+
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(5,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def _q_topk_days_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k (W2/O2 per-group form): each conversation's two
     busiest days by turn count (tiebreak earliest day)."""
@@ -2054,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_quantile_sketch": _q_weekly_quantile_sketch,
         "debounce_events": _q_debounce_events,
         "topk_days_per_conv": _q_topk_days_per_conv,
+        "q3_shipping_priority": _q_q3_shipping_priority,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4766,6 +4807,24 @@ FROM scored
 
 # ANSI stat aggregates (lock-step with _q_engagement_regression;
 # DuckDB regr_slope/regr_intercept take (y, x) like Spark's)
+# TPC-H-Q3-shaped 3-way join; revenue DECIMAL-exact before the double
+# cast (Q1 discipline) so partition order can't change the sum
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
 # grouped top-k (lock-step with relational.topk_per_group: n desc,
 # day asc tiebreak, dense rank from 1)
 _TOPK_DAYS_SQL = f"""
@@ -5168,6 +5227,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_quantile_sketch": _WEEKLY_QSKETCH_SQL,
         "debounce_events": _DEBOUNCE_SQL,
         "topk_days_per_conv": _TOPK_DAYS_SQL,
+        "q3_shipping_priority": _Q3_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -138,3 +138,14 @@ def test_fuzzy_pairs_block_cap_is_wired(spark):
     df = entry.queries()["fuzzy_pairs"](spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "1000" in opt and "levenshtein" in opt
+
+
+def test_q3_pushdown_and_broadcast(spark):
+    """q3_shipping_priority: both date filters reach the parquet
+    scans (PushedFilters), the customer dim rides a broadcast join,
+    and the top-10 is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
