@@ -1595,6 +1595,53 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped selective filter-sum: every predicate (date
+    range, discount band, quantity cap) must reach the parquet scan —
+    the canonical predicate-pushdown showcase. One partial+final agg,
+    zero joins."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return li.agg(
+        F.sum(price * disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: broadcast part join, conditional
+    DECIMAL sums, one ratio row — exercises the part table (the last
+    catalog table without a dedicated gate)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    rev = price * (F.lit(1).cast("decimal(5,2)") - disc)
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(20,4)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def _q_topk_days_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k (W2/O2 per-group form): each conversation's two
     busiest days by turn count (tiebreak earliest day)."""
@@ -2095,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": _q_debounce_events,
         "topk_days_per_conv": _q_topk_days_per_conv,
         "q3_shipping_priority": _q_q3_shipping_priority,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q14_promo_share": _q_q14_promo_share,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4825,6 +4874,36 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+# TPC-H-Q6-shaped selective filter-sum (DECIMAL-exact, Q1 discipline)
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# TPC-H-Q14-shaped promo share (DECIMAL sums, double ratio, same
+# association order as the Spark expression: (100 * promo) / total)
+_Q14_SQL = """
+SELECT ROUND(
+         100.0e0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+                         ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
 # grouped top-k (lock-step with relational.topk_per_group: n desc,
 # day asc tiebreak, dense rank from 1)
 _TOPK_DAYS_SQL = f"""
@@ -5228,6 +5307,8 @@ def oracle_sql() -> dict[str, str]:
         "debounce_events": _DEBOUNCE_SQL,
         "topk_days_per_conv": _TOPK_DAYS_SQL,
         "q3_shipping_priority": _Q3_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q14_promo_share": _Q14_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -149,3 +149,21 @@ def test_q3_pushdown_and_broadcast(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """q6_forecast_revenue: date range, discount band, and quantity
+    cap ALL appear in PushedFilters — and the plan has no join.
+    (Uses explain("formatted"): the plan's toString truncates the
+    PushedFilters list.)"""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q6_forecast_revenue"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24"):
+        assert frag in plan, frag
+    assert "Join" not in plan
