@@ -1595,6 +1595,26 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers per nation by account balance — J8 broadcast
+    dim join composed with the grouped top-k (covers the supplier
+    table, the last catalog table without a gate)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.relational import topk_per_group
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    joined = sup.join(
+        F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+    ).select("n_name", "s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+    return topk_per_group(
+        joined, ["n_name"], "s_acctbal", k=2, tiebreak_cols=["s_name"]
+    )
+
+
 def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-shaped selective filter-sum: every predicate (date
     range, discount band, quantity cap) must reach the parquet scan —
@@ -2144,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q14_promo_share": _q_q14_promo_share,
+        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4874,6 +4895,21 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+# top-k suppliers per nation (grouped top-k over the broadcast dim)
+_TOP_SUPPLIERS_SQL = """
+WITH joined AS (
+    SELECT n_name, s_name, ROUND(s_acctbal, 6) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ranked AS (
+    SELECT n_name, s_name, s_acctbal,
+           CAST(row_number() OVER (PARTITION BY n_name
+                ORDER BY s_acctbal DESC, s_name ASC) AS INTEGER) AS rank
+    FROM joined
+)
+SELECT n_name, s_name, s_acctbal, rank FROM ranked WHERE rank <= 2
+"""
+
 # TPC-H-Q6-shaped selective filter-sum (DECIMAL-exact, Q1 discipline)
 _Q6_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -5309,6 +5345,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q14_promo_share": _Q14_SQL,
+        "top_suppliers_per_nation": _TOP_SUPPLIERS_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,
