@@ -1595,6 +1595,21 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_normalize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank/quantile transform of per-conversation turn counts
+    (average-rank tie handling, scaled to [0,1]) — computed with the
+    distributed prefix-sum along value order, never a
+    single-partition percent_rank sort."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import rank_normalize
+
+    per_conv = (
+        _conv(spark, sf_dir).groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return rank_normalize(per_conv, "n_turns")
+
+
 def _q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 suppliers per nation by account balance — J8 broadcast
     dim join composed with the grouped top-k (covers the supplier
@@ -2165,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q14_promo_share": _q_q14_promo_share,
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
+        "rank_normalize_turns": _q_rank_normalize_turns,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4895,6 +4911,23 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+# global average-rank normalize (lock-step with encoders.rank_normalize:
+# 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
+# doubles so DuckDB can't drift into DECIMAL arithmetic)
+_RANK_NORM_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id, COUNT(*) AS n_turns FROM conversations GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       ROUND(
+         (CAST(rank() OVER (ORDER BY n_turns) - 1 AS DOUBLE)
+          + (COUNT(*) OVER (PARTITION BY n_turns) - 1) / 2.0e0)
+         / GREATEST(COUNT(*) OVER () - 1, 1),
+         6) AS rank_norm
+FROM per_conv
+"""
+
 # top-k suppliers per nation (grouped top-k over the broadcast dim)
 _TOP_SUPPLIERS_SQL = """
 WITH joined AS (
@@ -5346,6 +5379,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_SQL,
         "q14_promo_share": _Q14_SQL,
         "top_suppliers_per_nation": _TOP_SUPPLIERS_SQL,
+        "rank_normalize_turns": _RANK_NORM_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

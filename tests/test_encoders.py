@@ -93,3 +93,30 @@ def test_hashed_cross_separator_ambiguity(spark):
     df = spark.createDataFrame([("a", "b c"), ("a b", "c")], ["x", "y"])
     out = [r["b"] for r in df.select(hashed_cross(["x", "y"], 1 << 20).alias("b")).collect()]
     assert out[0] != out[1]
+
+
+def test_rank_normalize_matches_pandas_average_rank(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.encoders import rank_normalize
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 50, size=500)  # heavy ties
+    pdf = pd.DataFrame({"id": range(500), "v": v})
+    out = rank_normalize(spark.createDataFrame(pdf), "v").toPandas()
+    assert len(out) == 500
+    exp = (pd.Series(v).rank(method="average") - 1) / (len(v) - 1)
+    exp_by_v = pd.Series(exp.values, index=v).groupby(level=0).first()
+    got = out.groupby("v").rank_norm.first()
+    assert float((got - exp_by_v).abs().max()) < 1e-6
+    # bounds + monotonicity in the value
+    assert out.rank_norm.min() >= 0.0 and out.rank_norm.max() <= 1.0
+    s = out.drop_duplicates("v").sort_values("v").rank_norm
+    assert s.is_monotonic_increasing
+    # all-tied degenerate: average rank of 3 tied rows is 1 (0-based)
+    # over N-1=2 → 0.5, matching pandas; and no division by zero
+    one = spark.createDataFrame(pd.DataFrame({"v": [7, 7, 7]}))
+    assert set(
+        r["rank_norm"] for r in rank_normalize(one, "v").collect()
+    ) == {0.5}
