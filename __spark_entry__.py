@@ -1595,6 +1595,22 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over document terms
+    (which words co-occur in the same doc more than independence
+    predicts); pair join bounded by per-doc vocabulary, min_support
+    prunes the tail."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+    from kkbox_churn_prediction_spark.operators.association import cooccurrence_lift
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    return cooccurrence_lift(toks, "doc_id", "term", min_support=300)
+
+
 def _q_rank_normalize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global rank/quantile transform of per-conversation turn counts
     (average-rank tie handling, scaled to [0,1]) — computed with the
@@ -2181,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q_q14_promo_share,
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "rank_normalize_turns": _q_rank_normalize_turns,
+        "term_cooccurrence": _q_term_cooccurrence,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4911,6 +4928,31 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+# market-basket co-occurrence with lift (lock-step with
+# association.cooccurrence_lift: distinct (doc, term), unordered
+# pairs, min_support 300, lift = n_both*N / (n_a*n_b))
+_COOCCURRENCE_SQL = f"""
+WITH gi AS (
+    SELECT DISTINCT doc_id, t.term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t
+    WHERE term IS NOT NULL
+),
+pairs AS (
+    SELECT a.term AS item_a, b.term AS item_b, COUNT(*) AS n_both
+    FROM gi a JOIN gi b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 300
+),
+singles AS (SELECT term, COUNT(*) AS n_items FROM gi GROUP BY term),
+tot AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM gi)
+SELECT p.item_a, p.item_b, p.n_both, sa.n_items AS n_a, sb.n_items AS n_b,
+       ROUND((p.n_both * n_total) / (sa.n_items * sb.n_items), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.term = p.item_a
+JOIN singles sb ON sb.term = p.item_b
+CROSS JOIN tot
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -5380,6 +5422,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": _Q14_SQL,
         "top_suppliers_per_nation": _TOP_SUPPLIERS_SQL,
         "rank_normalize_turns": _RANK_NORM_SQL,
+        "term_cooccurrence": _COOCCURRENCE_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

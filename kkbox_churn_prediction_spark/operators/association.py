@@ -140,3 +140,62 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         F.substring_index("pair", "__", -1).alias("feature_b"),
         F.round("pearson_r", 6).alias("pearson_r"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair,
+    the number of groups containing BOTH (support) plus the lift
+    ``n_both·N / (n_a·n_b)`` →
+    ``(item_a, item_b, n_both, n_a, n_b, lift)``.
+
+    The categorical-pair companion to bigram PMI (adjacency-based)
+    and MI (label-based): which tools/features co-occur in the same
+    conversation more than independence predicts.
+
+    Shape: distinct (group, item) first (one shuffle, map-side
+    dedup), then the pair join is a SELF-join keyed on the GROUP —
+    bounded quadratically by items-per-group (tools per conversation,
+    small by nature — NOT corpus size). Item marginals are a tiny
+    table broadcast onto the pair counts; N rides a one-row
+    broadcast. ``min_support`` prunes the long tail before the
+    marginal join.
+    """
+    gi = df.select(group_col, item_col).where(F.col(item_col).isNotNull()).distinct()
+    a = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_a"))
+    b = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_b"))
+    pairs = (
+        a.join(b, "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+    singles = gi.groupBy(item_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_groups = gi.select(group_col).distinct().agg(F.count(F.lit(1)).alias("_N"))
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col(item_col).alias("item_a"), F.col("_n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col(item_col).alias("item_b"), F.col("_n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_both") * F.col("_N")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

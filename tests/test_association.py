@@ -113,3 +113,25 @@ def test_correlation_matrix_matches_numpy(spark):
         spark.createDataFrame(pdf), ["a", "b", "c"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") == 0
+
+
+def test_cooccurrence_lift_matches_hand_counts(spark):
+    from kkbox_churn_prediction_spark.operators.association import cooccurrence_lift
+
+    # baskets: {a,b} x3, {a,c} x1, {b} x1, {c} x1  → N=6 groups
+    rows = []
+    for g, items in enumerate([["a", "b"], ["a", "b"], ["a", "b"],
+                               ["a", "c"], ["b"], ["c"]]):
+        rows += [(g, i) for i in items] + [(g, i) for i in items]  # dups collapse
+    df = spark.createDataFrame(rows, "g long, item string")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in cooccurrence_lift(df, "g", "item", min_support=1).collect()}
+    ab = got[("a", "b")]
+    assert ab["n_both"] == 3 and ab["n_a"] == 4 and ab["n_b"] == 4
+    assert ab["lift"] == round(3 * 6 / (4 * 4), 6)    # 1.125 > 1: associated
+    ac = got[("a", "c")]
+    assert ac["n_both"] == 1 and ac["lift"] == round(1 * 6 / (4 * 2), 6)  # 0.75
+    assert ("b", "c") not in got                       # never co-occur
+    # min_support prunes
+    assert set(cooccurrence_lift(df, "g", "item", min_support=2).toPandas()
+               .apply(lambda r: (r.item_a, r.item_b), axis=1)) == {("a", "b")}
