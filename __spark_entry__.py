@@ -1595,6 +1595,28 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_activity_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-dow × hour activity heatmap with share-of-total — the
+    reporting matrix behind the rhythm features. Wall-clock fields
+    (weekday/hour) are TZ-consistent across engines the same way the
+    A9 tumbling bucket is; ISO dow = Spark weekday(ts)+1 = DuckDB
+    isodow(ts)."""
+    from pyspark.sql import functions as F
+
+    conv = _conv(spark, sf_dir)
+    cells = conv.groupBy(
+        (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    total = cells.agg(F.sum("n_turns").alias("_t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "iso_dow",
+        "hour",
+        "n_turns",
+        F.round(F.col("n_turns") / F.col("_t"), 6).alias("pct"),
+    )
+
+
 def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift over document terms
     (which words co-occur in the same doc more than independence
@@ -2198,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "rank_normalize_turns": _q_rank_normalize_turns,
         "term_cooccurrence": _q_term_cooccurrence,
+        "activity_clock": _q_activity_clock,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -4928,6 +4951,20 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+# ISO-dow × hour heatmap (Spark weekday(ts)+1 == DuckDB isodow(ts))
+_ACTIVITY_CLOCK_SQL = f"""
+WITH {_CONV_CTE},
+cells AS (
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           COUNT(*) AS n_turns
+    FROM conversations GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_turns) AS t FROM cells)
+SELECT iso_dow, hour, n_turns, ROUND(n_turns / t, 6) AS pct
+FROM cells CROSS JOIN tot
+"""
+
 # market-basket co-occurrence with lift (lock-step with
 # association.cooccurrence_lift: distinct (doc, term), unordered
 # pairs, min_support 300, lift = n_both*N / (n_a*n_b))
@@ -5423,6 +5460,7 @@ def oracle_sql() -> dict[str, str]:
         "top_suppliers_per_nation": _TOP_SUPPLIERS_SQL,
         "rank_normalize_turns": _RANK_NORM_SQL,
         "term_cooccurrence": _COOCCURRENCE_SQL,
+        "activity_clock": _ACTIVITY_CLOCK_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,
