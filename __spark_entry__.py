@@ -1595,6 +1595,29 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wasserstein_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-Wasserstein drift of text length between the even/odd
+    week folds — the earth-mover companion to psi_text_len (same
+    binning, answer in characters instead of a divergence)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        fixed_width_bins,
+        wasserstein_from_bins,
+    )
+    from kkbox_churn_prediction_spark.sources.events import conversations_from_events
+
+    conv = conversations_from_events(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    binned = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 5.0, 10).alias("bin"),
+    )
+    return wasserstein_from_bins(binned, "fold", "bin", ref_fold="even", bin_width=5.0)
+
+
 def _q_activity_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-dow × hour activity heatmap with share-of-total — the
     reporting matrix behind the rhythm features. Wall-clock fields
@@ -2221,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize_turns": _q_rank_normalize_turns,
         "term_cooccurrence": _q_term_cooccurrence,
         "activity_clock": _q_activity_clock,
+        "wasserstein_text_len": _q_wasserstein_text_len,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -2416,6 +2440,40 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# binned 1-Wasserstein drift (lock-step with psi.wasserstein_from_bins:
+# same even/odd folds + width-5 bins as psi_text_len; W1 = sum|ΔCDF|·5)
+_WASSERSTEIN_SQL = f"""
+WITH {_CONV_CTE},
+binned AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 5.0), 0), 9) AS INTEGER) AS bin
+    FROM conversations
+),
+counts AS (SELECT fold, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts) f
+    CROSS JOIN (SELECT DISTINCT bin FROM counts) b
+),
+full_g AS (
+    SELECT g.fold, g.bin, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c ON g.fold = c.fold AND g.bin = c.bin
+),
+cdf AS (
+    SELECT fold, bin,
+           SUM(n) OVER (PARTITION BY fold ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)
+           / SUM(n) OVER (PARTITION BY fold) AS cdf
+    FROM full_g
+)
+SELECT c.fold, ROUND(SUM(ABS(c.cdf - r.cdf)) * 5.0e0, 6) AS wasserstein
+FROM cdf c JOIN (SELECT bin, cdf FROM cdf WHERE fold = 'even') r USING (bin)
+WHERE c.fold <> 'even'
+GROUP BY c.fold
 """
 
 _LEAKAGE_AUDIT_SQL = f"""
@@ -5461,6 +5519,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize_turns": _RANK_NORM_SQL,
         "term_cooccurrence": _COOCCURRENCE_SQL,
         "activity_clock": _ACTIVITY_CLOCK_SQL,
+        "wasserstein_text_len": _WASSERSTEIN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -181,3 +181,27 @@ def test_gap_percentiles_per_conv_match_numpy(spark):
     assert out["a"]["gap_p90_us"] == pytest.approx(np.quantile(exp_us, 0.9), abs=1e-3)
     # single-gap conversation: both percentiles collapse to the gap
     assert out["b"]["n_gaps"] == 1 and out["b"]["gap_p50_us"] == 42e6
+
+
+def test_wasserstein_from_bins_matches_numpy(spark):
+    from kkbox_churn_prediction_spark.operators.psi import wasserstein_from_bins
+
+    # ref: mass at bins 0-1; cur: same mass shifted up by one bin
+    rows = (
+        [("ref", 0)] * 6 + [("ref", 1)] * 4
+        + [("cur", 1)] * 6 + [("cur", 2)] * 4
+    )
+    df = spark.createDataFrame(rows, "fold string, bin int")
+    out = wasserstein_from_bins(df, "fold", "bin", ref_fold="ref", bin_width=2.0)
+    got = {r["fold"]: r["wasserstein"] for r in out.collect()}
+    # hand CDFs over bins 0,1,2: ref (.6, 1, 1) vs cur (0, .6, 1)
+    # sum|Δ| = .6 + .4 + 0 = 1.0 → ×width 2.0 = 2.0 (one-bin shift)
+    assert got == {"cur": 2.0}
+    # identical distributions → zero drift
+    same = spark.createDataFrame(
+        [("ref", 0)] * 3 + [("ref", 2)] * 2 + [("b", 0)] * 3 + [("b", 2)] * 2,
+        "fold string, bin int",
+    )
+    z = {r["fold"]: r["wasserstein"]
+         for r in wasserstein_from_bins(same, "fold", "bin", "ref", 5.0).collect()}
+    assert z == {"b": 0.0}
