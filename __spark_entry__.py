@@ -1595,6 +1595,22 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_episode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based episode segmentation: a new episode at every
+    system turn (content splits, vs sessionize's time splits) →
+    per-episode aggregates."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sessionize import segment_by_marker
+
+    seg = segment_by_marker(_conv(spark, sf_dir), F.col("role") == "system")
+    return seg.groupBy("conv_id", "episode_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("ep_start"),
+        F.max("ts").alias("ep_end"),
+    )
+
+
 def _q_wasserstein_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned 1-Wasserstein drift of text length between the even/odd
     week folds — the earth-mover companion to psi_text_len (same
@@ -2245,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "activity_clock": _q_activity_clock,
         "wasserstein_text_len": _q_wasserstein_text_len,
+        "episode_segments": _q_episode_segments,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -2440,6 +2457,27 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# marker segmentation (lock-step with sessionize.segment_by_marker:
+# running sum of system-turn flags minus the first row's flag)
+_EPISODE_SQL = f"""
+WITH {_CONV_CTE},
+flagged AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN role = 'system' THEN 1 ELSE 0 END AS f
+    FROM conversations
+),
+marked AS (
+    SELECT conv_id, ts,
+           CAST(SUM(f) OVER w - FIRST_VALUE(f) OVER w AS INTEGER) AS episode_id
+    FROM flagged
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT conv_id, episode_id, COUNT(*) AS n_turns,
+       MIN(ts) AS ep_start, MAX(ts) AS ep_end
+FROM marked GROUP BY conv_id, episode_id
 """
 
 # binned 1-Wasserstein drift (lock-step with psi.wasserstein_from_bins:
@@ -5520,6 +5558,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence": _COOCCURRENCE_SQL,
         "activity_clock": _ACTIVITY_CLOCK_SQL,
         "wasserstein_text_len": _WASSERSTEIN_SQL,
+        "episode_segments": _EPISODE_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -143,3 +143,33 @@ def session_aggregates(turns: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS)
             "duration_micros"
         ),
     )
+
+
+def segment_by_marker(
+    turns: DataFrame,
+    marker: Column,
+    *,
+    out_col: str = "episode_id",
+) -> DataFrame:
+    """Marker-based segmentation: start a new episode at every turn
+    where ``marker`` is true (e.g. a ``system`` turn re-priming the
+    conversation) → 0-based ``out_col`` per conversation. Turns
+    before the first marker form episode 0.
+
+    The semantic companion to gap-based :func:`sessionize` (time
+    splits) — episodes split on CONTENT. Same gaps-and-islands
+    shape: one cumulative window over the shared (conv_id ORDER BY
+    ts, turn_idx) sort, no join, no extra exchange beyond the conv
+    partition.
+    """
+    run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flag = F.when(marker, 1).otherwise(0)
+    eid = F.sum(flag).over(run)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    # default running frame: first() over it is the first row's flag
+    first_flag = F.first(flag).over(w)
+    # episodes are 0-based whether or not the conversation opens with
+    # a marker: subtract 1 only when the very first turn is a marker
+    return turns.withColumn(out_col, (eid - first_flag).cast("int"))

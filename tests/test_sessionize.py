@@ -91,3 +91,31 @@ def test_assemble_documents_order_and_truncation(spark):
     pdf2["ts"] = [t(10)] * 3
     r3 = assemble_documents(to_spark(spark, pdf2)).first()
     assert r3["doc"] == "user: one\ntool: two\nassistant: three"
+
+
+def test_segment_by_marker_episode_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sessionize import segment_by_marker
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("c1", i, r, t0 + timedelta(minutes=i)) for i, r in
+            enumerate(["user", "system", "user", "assistant", "system", "user"])]
+    # c2 OPENS with a marker — episodes must still start at 0
+    rows += [("c2", i, r, t0 + timedelta(minutes=i)) for i, r in
+             enumerate(["system", "user", "assistant"])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = segment_by_marker(df, F.col("role") == "system")
+    got = {(r["conv_id"], r["turn_idx"]): r["episode_id"] for r in out.collect()}
+    assert [got[("c1", i)] for i in range(6)] == [0, 1, 1, 1, 2, 2]
+    assert [got[("c2", i)] for i in range(3)] == [0, 0, 0]
+    # partition-layout invariance
+    got2 = {(r["conv_id"], r["turn_idx"]): r["episode_id"]
+            for r in segment_by_marker(
+                df.repartition(4), F.col("role") == "system"
+            ).collect()}
+    assert got == got2
