@@ -1595,6 +1595,32 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction over the event stream: signup=I,
+    purchase=U, error=D(tombstone); one max_by per user + tombstone
+    filter — the MERGE-INTO-free snapshot."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.scd import apply_cdc
+
+    ch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", F.lit("I"))
+            .when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    return apply_cdc(ch, ["user_id"], "ts", "op", tiebreak_col="event_id")
+
+
 def _q_episode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based episode segmentation: a new episode at every
     system turn (content splits, vs sessionize's time splits) →
@@ -2262,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_clock": _q_activity_clock,
         "wasserstein_text_len": _q_wasserstein_text_len,
         "episode_segments": _q_episode_segments,
+        "cdc_latest_state": _q_cdc_latest_state,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -2457,6 +2484,26 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# CDC latest-state (lock-step with scd.apply_cdc: latest row per key
+# by (ts, event_id), keys whose final op is the tombstone drop)
+_CDC_SQL = """
+WITH ch AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error' THEN 'D'
+                           ELSE 'U' END AS op,
+           value, ts, event_id
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ch
+)
+SELECT user_id, value, ts, event_id
+FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 # marker segmentation (lock-step with sessionize.segment_by_marker:
@@ -5559,6 +5606,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_clock": _ACTIVITY_CLOCK_SQL,
         "wasserstein_text_len": _WASSERSTEIN_SQL,
         "episode_segments": _EPISODE_SQL,
+        "cdc_latest_state": _CDC_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -100,3 +100,34 @@ def snapshot_at(intervals: DataFrame, key: str, at: object, ts_from: str = "vali
         (F.col(ts_from) <= lit)
         & (F.col(ts_to).isNull() | (F.col(ts_to) > lit))
     )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    *,
+    delete_op: str = "D",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC latest-state compaction: reduce an append-only change
+    stream (inserts/updates/deletes per key) to the CURRENT snapshot —
+    keep each key's latest row by ``(ts, tiebreak)``, then drop keys
+    whose final operation is the tombstone.
+
+    The MERGE-INTO-free lakehouse pattern: snapshot = one algebraic
+    ``max_by(struct(payload), struct(ts, tiebreak))`` per key (map-side
+    partials — the shuffle carries one candidate per key per task, not
+    the history), then a tombstone filter. The SCD2 compressor
+    (:func:`compress_scd2`) keeps the history; this keeps only now.
+    """
+    order = F.struct(
+        F.col(ts_col), *([F.col(tiebreak_col)] if tiebreak_col else [])
+    )
+    payload = F.struct(*[c for c in changes.columns if c not in key_cols])
+    latest = changes.groupBy(*key_cols).agg(
+        F.max_by(payload, order).alias("_row")
+    )
+    out = latest.select(*key_cols, "_row.*")
+    return out.where(F.col(op_col) != delete_op).drop(op_col)

@@ -140,3 +140,26 @@ def test_interval_join_closed_sessions_roundtrip(spark):
     assert len(joined) == 6
     for _, r in joined.iterrows():
         assert r["session_id"] == truth.loc[r["turn_idx"]]
+
+
+def test_apply_cdc_snapshot_and_tombstones(spark):
+    from datetime import datetime
+
+    from kkbox_churn_prediction_spark.operators.scd import apply_cdc
+
+    T = datetime
+    rows = [
+        (1, "I", 10.0, T(2024, 1, 1), 1), (1, "U", 20.0, T(2024, 1, 2), 2),
+        (2, "I", 5.0, T(2024, 1, 1), 3), (2, "D", None, T(2024, 1, 3), 4),
+        (3, "D", None, T(2024, 1, 1), 5), (3, "I", 7.0, T(2024, 1, 2), 6),  # re-created
+        (4, "I", 1.0, T(2024, 1, 1), 7), (4, "U", 2.0, T(2024, 1, 1), 8),   # ts tie → event_id
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, op string, value double, ts timestamp, event_id long"
+    )
+    got = {r["k"]: r["value"]
+           for r in apply_cdc(df, ["k"], "ts", "op", tiebreak_col="event_id").collect()}
+    assert got == {1: 20.0, 3: 7.0, 4: 2.0}  # 2 tombstoned; 3 recreated after delete
+    # plan: algebraic aggregate, no window sort of the change stream
+    plan = apply_cdc(df, ["k"], "ts", "op", tiebreak_col="event_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "max_by" in plan
