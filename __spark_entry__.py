@@ -1595,6 +1595,34 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of turn-count concentration across
+    conversations (ties-safe average-rank formula over the
+    distributed prefix-sum ranks — no global sort)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.rhythm import gini_concentration
+
+    per_conv = (
+        _conv(spark, sf_dir).groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return gini_concentration(per_conv, "n_turns")
+
+
+def _q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sampling allocation across text-length strata:
+    budget 100 samples ∝ N_h·σ_h, capped at stratum population."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import neyman_allocation
+
+    strata = _docs(spark, sf_dir).select(
+        F.floor(F.length("text") / F.lit(50.0)).cast("bigint").alias("len_band"),
+        F.length("text").alias("text_len"),
+    )
+    return neyman_allocation(strata, "len_band", "text_len", total_budget=100)
+
+
 def _q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC latest-state compaction over the event stream: signup=I,
     purchase=U, error=D(tombstone); one max_by per user + tombstone
@@ -2289,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_text_len": _q_wasserstein_text_len,
         "episode_segments": _q_episode_segments,
         "cdc_latest_state": _q_cdc_latest_state,
+        "gini_activity": _q_gini_activity,
+        "neyman_allocation": _q_neyman_allocation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
@@ -2484,6 +2514,55 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# Gini concentration (lock-step with rhythm.gini_concentration: the
+# oracle groups to the same distinct-value table so the double sums
+# see the same ~|distinct| addends)
+_GINI_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id, COUNT(*) AS n_turns FROM conversations GROUP BY conv_id
+),
+vals AS (SELECT n_turns, COUNT(*) AS cnt FROM per_conv GROUP BY n_turns),
+ranked AS (
+    SELECT n_turns, cnt,
+           SUM(cnt) OVER (ORDER BY n_turns ROWS UNBOUNDED PRECEDING) - cnt
+               AS before
+    FROM vals
+)
+SELECT ROUND(
+         2.0e0 * SUM((before + (cnt + 1) / 2.0e0)
+                     * CAST(n_turns AS DOUBLE) * cnt)
+         / (SUM(cnt) * SUM(CAST(n_turns AS DOUBLE) * cnt))
+         - (SUM(cnt) + 1) / CAST(SUM(cnt) AS DOUBLE),
+         6) AS gini,
+       CAST(SUM(cnt) AS BIGINT) AS n
+FROM ranked
+"""
+
+# Neyman allocation (lock-step with sampling.neyman_allocation:
+# weight N_h·σ_h with σ=1 fallback, floor allocation capped at N_h)
+_NEYMAN_SQL = """
+WITH strata AS (
+    SELECT CAST(floor(CAST(length(text) AS BIGINT) / 50.0) AS BIGINT) AS len_band,
+           CAST(length(text) AS DOUBLE) AS v
+    FROM documents
+),
+stats AS (
+    SELECT len_band, COUNT(*) AS n_rows,
+           COALESCE(stddev_samp(v), 0.0e0) AS sd
+    FROM strata GROUP BY len_band
+),
+w AS (
+    SELECT len_band, n_rows, sd,
+           n_rows * (CASE WHEN sd > 0 THEN sd ELSE 1.0e0 END) AS wt
+    FROM stats
+),
+tw AS (SELECT SUM(wt) AS t FROM w)
+SELECT len_band, n_rows, ROUND(sd, 6) AS stddev,
+       CAST(LEAST(CAST(floor(100 * wt / t) AS BIGINT), n_rows) AS BIGINT) AS alloc
+FROM w CROSS JOIN tw
 """
 
 # CDC latest-state (lock-step with scd.apply_cdc: latest row per key
@@ -5607,6 +5686,8 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_text_len": _WASSERSTEIN_SQL,
         "episode_segments": _EPISODE_SQL,
         "cdc_latest_state": _CDC_SQL,
+        "gini_activity": _GINI_SQL,
+        "neyman_allocation": _NEYMAN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,

@@ -137,3 +137,62 @@ def turn_taking(turns: DataFrame) -> DataFrame:
         (F.sum((F.col("role") == "assistant").cast("int")) / n).alias("assistant_frac"),
         F.coalesce(F.avg("switched"), F.lit(0.0)).alias("alternation_rate"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Gini coefficient of ``value_col``'s concentration across rows
+    (0 = perfectly even, →1 = one entity holds everything) — the
+    inequality summary for "how concentrated is activity across
+    conversations / tokens across documents".
+
+    Formula (ties-safe, 1-based average ranks r_i ascending):
+    ``G = 2·Σ r_i·x_i / (n·Σ x_i) − (n+1)/n``.
+
+    Scale shape: ranks come from the same distributed prefix-sum over
+    quantile-edge buckets of the DISTINCT-value table as
+    ``encoders.rank_normalize`` — never a single-partition sort. With
+    ties, Σ r·x per distinct value is ``avg_rank · value · count``,
+    so the final reduce is one row over the distinct table.
+    """
+    from pyspark.sql import Window as W
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        bucketize_by_edges,
+        quantile_edges,
+    )
+
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
+    bucketed = vals.withColumn(
+        "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
+    )
+    per_bucket = bucketed.groupBy("_bkt").agg(F.sum("_cnt").alias("_bc"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        W.partitionBy("_bkt").orderBy(value_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_before", F.col("_off") + F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
+        # 1-based average rank of this value's tied block
+        .withColumn("_avg_rank", F.col("_before") + (F.col("_cnt") + 1) / 2.0)
+    )
+    x = F.col(value_col).cast("double")
+    return ranked.agg(
+        F.round(
+            2.0
+            * F.sum(F.col("_avg_rank") * x * F.col("_cnt"))
+            / (F.sum(F.col("_cnt")) * F.sum(x * F.col("_cnt")))
+            - (F.sum(F.col("_cnt")) + 1) / F.sum(F.col("_cnt")),
+            6,
+        ).alias("gini"),
+        F.sum(F.col("_cnt")).cast("long").alias("n"),
+    )

@@ -171,3 +171,52 @@ def capped_per_group(
         .where(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation: budget each
+    stratum ∝ N_h·σ_h (size × within-stratum std of the target
+    variable) → ``(stratum, n_rows, stddev, alloc)`` with
+    ``Σ alloc ≤ total_budget`` and every allocation capped at the
+    stratum's population.
+
+    The budgeting step BEFORE :func:`stratified_sample`: with a fixed
+    labeling/inspection budget, high-variance strata deserve more
+    samples than proportional allocation gives them.
+
+    Shape: one (stratum) agg computes N_h and σ_h (algebraic
+    co-moments, map-side partials); the normalization constant is a
+    one-row broadcast; allocation is pure arithmetic (floor), so the
+    output is stratum-table sized. Single-stratum-value or zero-σ
+    strata fall back to proportional weight N_h.
+    """
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.stddev_samp(F.col(value_col).cast("double")), F.lit(0.0)).alias(
+            "stddev"
+        ),
+    )
+    weight = F.col("n_rows") * F.when(
+        F.col("stddev") > 0, F.col("stddev")
+    ).otherwise(F.lit(1.0))
+    weighted = stats.withColumn("_w", weight)
+    total_w = weighted.agg(F.sum("_w").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total_w))
+        .select(
+            stratum_col,
+            "n_rows",
+            F.round("stddev", 6).alias("stddev"),
+            F.least(
+                F.floor(F.lit(int(total_budget)) * F.col("_w") / F.col("_tw")),
+                F.col("n_rows"),
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

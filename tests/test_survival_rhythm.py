@@ -205,3 +205,55 @@ class TestRhythm:
         assert r["n_active_days"] == 3
         assert r["mean_daily_turns"] == 2.0
         assert r["var_daily_turns"] == 0.0 and r["fano_factor"] == 0.0
+
+
+def test_gini_concentration_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.rhythm import gini_concentration
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(1, 100, size=400).astype(float)
+
+    def gini_ref(a):
+        a = np.sort(a)
+        n = len(a)
+        r = np.arange(1, n + 1)
+        # average-rank correction for ties
+        s = pd.Series(a)
+        r = s.rank(method="average").to_numpy()
+        return 2 * np.sum(r * a) / (n * a.sum()) - (n + 1) / n
+
+    df = spark.createDataFrame(pd.DataFrame({"v": x}))
+    out = gini_concentration(df, "v").collect()[0]
+    assert out["n"] == 400
+    assert abs(out["gini"] - gini_ref(x)) < 1e-6
+    # degenerate: all equal → gini 0
+    same = spark.createDataFrame(pd.DataFrame({"v": [5.0] * 50}))
+    assert gini_concentration(same, "v").collect()[0]["gini"] == 0.0
+
+
+def test_neyman_allocation_properties(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.sampling import neyman_allocation
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # stratum 0: big & high variance; 1: big & low variance; 2: tiny
+    rows += [(0, float(v)) for v in rng.normal(100, 50, 300)]
+    rows += [(1, float(v)) for v in rng.normal(100, 1, 300)]
+    rows += [(2, float(v)) for v in rng.normal(100, 50, 4)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["s", "v"]))
+    out = {r["s"]: r for r in neyman_allocation(df, "s", "v", 100).collect()}
+    # high-variance stratum gets far more than the equal-size low-var one
+    assert out[0]["alloc"] > 5 * out[1]["alloc"]
+    # cap: no stratum exceeds its population; budget respected
+    assert all(out[s]["alloc"] <= out[s]["n_rows"] for s in out)
+    assert sum(out[s]["alloc"] for s in out) <= 100
+    # zero-variance stratum falls back to size weight (alloc > 0 possible)
+    one = spark.createDataFrame(pd.DataFrame({"s": [0] * 10, "v": [7.0] * 10}))
+    o = neyman_allocation(one, "s", "v", 5).collect()[0]
+    assert o["stddev"] == 0.0 and o["alloc"] == 5
