@@ -1595,6 +1595,20 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-conversation text-length outliers via median/MAD
+    (normal-consistent robust z > 3; exact grouped percentiles,
+    buffers bounded by one conversation)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.winsorize import mad_outliers
+
+    t = _conv(spark, sf_dir).select(
+        "conv_id", F.expr("CAST(length(text) AS BIGINT)").alias("text_len")
+    )
+    return mad_outliers(t, "conv_id", "text_len")
+
+
 def _q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of turn-count concentration across
     conversations (ties-safe average-rank formula over the
@@ -2318,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "episode_segments": _q_episode_segments,
         "cdc_latest_state": _q_cdc_latest_state,
         "gini_activity": _q_gini_activity,
+        "mad_outliers": _q_mad_outliers,
         "neyman_allocation": _q_neyman_allocation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
@@ -2514,6 +2529,31 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# robust median/MAD outliers (lock-step with winsorize.mad_outliers:
+# quantile_cont == Spark percentile; threshold 3·1.4826·MAD; zero-MAD
+# groups flag any deviation from the median)
+_MAD_SQL = f"""
+WITH {_CONV_CTE},
+t AS (
+    SELECT conv_id, CAST(length(text) AS BIGINT) AS text_len FROM conversations
+),
+med AS (
+    SELECT conv_id, quantile_cont(text_len, 0.5) AS med FROM t GROUP BY conv_id
+),
+wm AS (SELECT t.conv_id, text_len, med FROM t JOIN med USING (conv_id)),
+mad AS (
+    SELECT conv_id, quantile_cont(abs(text_len - med), 0.5) AS mad
+    FROM wm GROUP BY conv_id
+)
+SELECT wm.conv_id, text_len,
+       ROUND(med, 6) AS group_median,
+       ROUND(mad, 6) AS group_mad,
+       CAST(CASE WHEN mad > 0
+                 THEN abs(text_len - med) > 3.0e0 * 1.4826e0 * mad
+                 ELSE abs(text_len - med) > 0 END AS INTEGER) AS is_outlier
+FROM wm JOIN mad USING (conv_id)
 """
 
 # Gini concentration (lock-step with rhythm.gini_concentration: the
@@ -5687,6 +5727,7 @@ def oracle_sql() -> dict[str, str]:
         "episode_segments": _EPISODE_SQL,
         "cdc_latest_state": _CDC_SQL,
         "gini_activity": _GINI_SQL,
+        "mad_outliers": _MAD_SQL,
         "neyman_allocation": _NEYMAN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,

@@ -60,3 +60,45 @@ def winsorize_audit(clipped: DataFrame, value_col: str) -> DataFrame:
         (F.sum(F.col("clipped_high").cast("long")) / n).alias("frac_clipped_high"),
         (F.avg(value_col) - F.avg(f"{value_col}_w")).alias("mean_shift"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier flags via median/MAD: a row is an
+    outlier when ``|x − median_g| > k · 1.4826 · MAD_g`` (the normal-
+    consistent robust z-score — immune to the very outliers a
+    mean/std rule absorbs; companion to the percentile winsorizer and
+    ``encoders.standardize_by_group``).
+
+    Two grouped EXACT percentile aggs (median of x, then median of
+    |x − median|) — buffers bounded by group size, the gap_percentiles
+    scale contract — joined back on the group key. Zero-MAD groups
+    (≥half the group identical) flag only values ≠ median.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, group_col)
+    mad = (
+        with_med.withColumn("_adev", F.abs(F.col(value_col) - F.col("_med")))
+        .groupBy(group_col)
+        .agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    )
+    out = with_med.join(mad, group_col)
+    thresh = F.lit(float(k)) * F.lit(float(consistency)) * F.col("_mad")
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    return out.select(
+        group_col,
+        value_col,
+        F.round("_med", 6).alias("group_median"),
+        F.round("_mad", 6).alias("group_mad"),
+        F.when(F.col("_mad") > 0, (dev > thresh).cast("int"))
+        .otherwise((dev > 0).cast("int"))
+        .alias("is_outlier"),
+    )

@@ -232,3 +232,19 @@ def test_rule_router_first_match_wins(spark):
     # pure projection: no exchange added by the router itself
     plan = apply_rules(df, rules, "other")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    from kkbox_churn_prediction_spark.operators.winsorize import mad_outliers
+
+    rows = [("g", v) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]  # one wild point
+    rows += [("z", v) for v in [5, 5, 5, 5, 7]]                    # zero-MAD group
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r["g"], r["v"]): r for r in mad_outliers(df, "g", "v").collect()}
+    # the 1000 is flagged; the inliers are not (mean/std would have
+    # absorbed it: mean≈134, std≈349 → z(1000)≈2.5, under a 3σ rule)
+    assert out[("g", 1000)]["is_outlier"] == 1
+    assert all(out[("g", v)]["is_outlier"] == 0 for v in [9, 10, 11, 12])
+    assert out[("g", 1000)]["group_median"] == 10.5
+    # zero-MAD: only the deviant value flags
+    assert out[("z", 7)]["is_outlier"] == 1 and out[("z", 5)]["is_outlier"] == 0
