@@ -1595,6 +1595,14 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the next role (dialogue
+    predictability; rides the transition table)."""
+    from kkbox_churn_prediction_spark.operators.lags import conditional_entropy
+
+    return conditional_entropy(_conv(spark, sf_dir))
+
+
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-conversation text-length outliers via median/MAD
     (normal-consistent robust z > 3; exact grouped percentiles,
@@ -2333,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_state": _q_cdc_latest_state,
         "gini_activity": _q_gini_activity,
         "mad_outliers": _q_mad_outliers,
+        "role_entropy": _q_role_entropy,
         "neyman_allocation": _q_neyman_allocation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
@@ -2529,6 +2538,31 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# conditional entropy over the transition table (lock-step with
+# lags.conditional_entropy: p(to|from) then −Σ p·ln p per from-state)
+_ROLE_ENTROPY_SQL = f"""
+WITH {_CONV_CTE},
+pairs AS (
+    SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+               AS from_state,
+           role AS to_state
+    FROM conversations
+),
+counts AS (
+    SELECT from_state, to_state, COUNT(*) AS n
+    FROM pairs WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+),
+probs AS (
+    SELECT from_state, n,
+           CAST(n / SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p_cond
+    FROM counts
+)
+SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from,
+       ROUND(-SUM(p_cond * ln(p_cond)), 6) AS h_cond_nats
+FROM probs GROUP BY from_state
 """
 
 # robust median/MAD outliers (lock-step with winsorize.mad_outliers:
@@ -5728,6 +5762,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_latest_state": _CDC_SQL,
         "gini_activity": _GINI_SQL,
         "mad_outliers": _MAD_SQL,
+        "role_entropy": _ROLE_ENTROPY_SQL,
         "neyman_allocation": _NEYMAN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,

@@ -147,3 +147,22 @@ def role_transitions(turns: DataFrame, state_col: str = "role") -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n") / F.sum("n").over(w_from)).alias("p_cond"),
     )
+
+
+def conditional_entropy(turns: DataFrame, state_col: str = "role") -> DataFrame:
+    """Dialogue predictability: per-state conditional entropy of the
+    next turn, ``H(next | from) = −Σ p(to|from)·ln p(to|from)`` →
+    ``(from_state, n_from, h_cond_nats)``. 0 = the next role is fully
+    determined (e.g. tool → assistant always); ln|roles| = uniform.
+
+    Rides :func:`role_transitions` (same single conv-ordered lag +
+    |states|² count table); the entropy is one more tiny agg over
+    that table. The aggregate-level companion to the per-conversation
+    rhythm features (this is corpus structure, not per-entity)."""
+    t = role_transitions(turns, state_col)
+    return t.groupBy("from_state").agg(
+        F.sum("n").cast("bigint").alias("n_from"),
+        F.round(
+            -F.sum(F.col("p_cond") * F.log(F.col("p_cond"))), 6
+        ).alias("h_cond_nats"),
+    )

@@ -119,3 +119,31 @@ def test_binned_quantile_rollup_error_bound_and_mergeability(spark):
                   df, F.col("v"), F.col("week"), F.col("week"), bin_width=W
               ).collect()}
     assert est == direct
+
+
+def test_conditional_entropy_bounds_and_determinism(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.lags import conditional_entropy
+
+    t0 = datetime(2024, 1, 1)
+    # after 'tool' ALWAYS assistant (H=0); after 'user': 50/50 tool|assistant
+    seqs = [
+        ["user", "tool", "assistant", "user", "assistant"],
+        ["user", "tool", "assistant"],
+        ["user", "assistant"],
+        ["user", "tool", "assistant"],
+    ]
+    rows = []
+    for c, seq in enumerate(seqs):
+        rows += [(f"c{c}", i, r, t0 + timedelta(minutes=i)) for i, r in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {r["from_state"]: r for r in conditional_entropy(df).collect()}
+    assert got["tool"]["h_cond_nats"] == 0.0           # fully determined
+    # user → tool 3/5, assistant 2/5
+    h = -(3 / 5) * math.log(3 / 5) - (2 / 5) * math.log(2 / 5)
+    assert got["user"]["h_cond_nats"] == round(h, 6)
+    assert got["user"]["n_from"] == 5
