@@ -1595,6 +1595,39 @@ def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics on the daily turn-count series:
+    lag-1 (momentum) and lag-7 (weekly seasonality) Pearson
+    autocorrelation. The heavy reduction is the daily rollup; the
+    ACF itself runs on the calendar-bounded series (same exemption
+    as daily_anomalies)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    conv = _conv(spark, sf_dir)
+    daily = (
+        conv.groupBy(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.orderBy("day_idx")
+    out = None
+    for k in (1, 7):
+        lagged = daily.withColumn("prev", F.lag("n", k).over(w)).where(
+            F.col("prev").isNotNull()
+        )
+        row = lagged.agg(
+            F.lit(k).alias("lag"),
+            F.round(F.corr("n", "prev"), 6).alias("pearson_r"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def _q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state conditional entropy of the next role (dialogue
     predictability; rides the transition table)."""
@@ -2342,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_activity": _q_gini_activity,
         "mad_outliers": _q_mad_outliers,
         "role_entropy": _q_role_entropy,
+        "daily_autocorr": _q_daily_autocorr,
         "neyman_allocation": _q_neyman_allocation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
@@ -2538,6 +2572,29 @@ terms AS (
 )
 SELECT fold, ROUND(SUM((a - e) * ln(a / e)), 6) AS psi
 FROM terms GROUP BY fold
+"""
+
+# daily-series autocorrelation (lock-step with _q_daily_autocorr:
+# UTC day index, lag-1 and lag-7 Pearson r over the daily counts)
+_DAILY_AUTOCORR_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM conversations GROUP BY 1
+),
+l1 AS (
+    SELECT n, lag(n, 1) OVER (ORDER BY day_idx) AS prev FROM daily
+),
+l7 AS (
+    SELECT n, lag(n, 7) OVER (ORDER BY day_idx) AS prev FROM daily
+)
+SELECT 1 AS lag, ROUND(corr(n, prev), 6) AS pearson_r,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM l1 WHERE prev IS NOT NULL
+UNION ALL
+SELECT 7, ROUND(corr(n, prev), 6), CAST(COUNT(*) AS BIGINT)
+FROM l7 WHERE prev IS NOT NULL
 """
 
 # conditional entropy over the transition table (lock-step with
@@ -5763,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_activity": _GINI_SQL,
         "mad_outliers": _MAD_SQL,
         "role_entropy": _ROLE_ENTROPY_SQL,
+        "daily_autocorr": _DAILY_AUTOCORR_SQL,
         "neyman_allocation": _NEYMAN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
