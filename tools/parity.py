@@ -43,10 +43,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as entry_mod
-    from kkbox_churn_prediction_spark.session import get_spark
+    import os
 
-    spark = get_spark(master="local[8]")
+    import __spark_entry__ as entry_mod
+
+    if os.environ.get("PARITY_VANILLA"):
+        # replicate the DRIVER's session exactly: a bare builder with
+        # no engine-side tuning — catches any gate that silently
+        # depends on get_spark configs (TZ, Arrow, AQE dials)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from kkbox_churn_prediction_spark.session import get_spark
+
+        spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
