@@ -548,6 +548,28 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bins(binned, "fold", "bin", ref_fold="even")
 
 
+
+def _stage_stream_src(sf_dir: str) -> tuple[str, str]:
+    """The file stream source requires a DIRECTORY; the driver
+    testdata ships single parquet files, so stage a link/copy of
+    events.parquet under a content-addressed /tmp dir once and return
+    ``(src_file, stage_dir)`` — shared by every streaming gate."""
+    import hashlib
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    return src, stage
+
+
 def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate: drives the custom stateful
     sessionizer (``applyInPandasWithState``) over a file-source stream
@@ -566,21 +588,7 @@ def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_closed_sessions,
     )
 
-    import hashlib
-    import os
-    import shutil
-
-    src = f"{sf_dir}/events.parquet"
-    # the file stream source requires a DIRECTORY; the driver testdata
-    # ships single parquet files, so stage a link/copy under /tmp once
-    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+    src, stage = _stage_stream_src(sf_dir)
 
     batch = spark.read.parquet(src)
     stream = (
@@ -683,25 +691,13 @@ def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     MICROS (bigint) so the compare is session-TZ-free (the A9
     lesson); closure under replay = window_end ≤ max(ts) − delay,
     which the batch oracle reproduces exactly."""
-    import hashlib
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     from kkbox_churn_prediction_spark.streaming.drift import (
         streaming_category_counts,
     )
 
-    src = f"{sf_dir}/events.parquet"
-    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+    src, stage = _stage_stream_src(sf_dir)
 
     batch = spark.read.parquet(src)
     stream = (
@@ -743,23 +739,11 @@ def _q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed count. The join is stateless per micro-batch; only the
     window agg holds state. Same epoch-us keying + closure rule as
     the drift gate."""
-    import hashlib
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     from kkbox_churn_prediction_spark.streaming.enrich import enriched_window_counts
 
-    src = f"{sf_dir}/events.parquet"
-    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+    src, stage = _stage_stream_src(sf_dir)
 
     batch = spark.read.parquet(src)
     stream = (
@@ -798,23 +782,11 @@ def _q_streaming_turn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by watermark + horizon). Inner-join append mode emits all
     matches over a bounded replay, so the batch range-join oracle is
     exact."""
-    import hashlib
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     from kkbox_churn_prediction_spark.streaming.joins import stream_turn_pairs
 
-    src = f"{sf_dir}/events.parquet"
-    stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+    src, stage = _stage_stream_src(sf_dir)
 
     batch = spark.read.parquet(src)
     stream = (
@@ -2750,9 +2722,11 @@ binned AS (
 ),
 counts AS (SELECT fold, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
 grid AS (
-    SELECT f.fold, b.bin
+    SELECT f.fold, CAST(b.bin AS INTEGER) AS bin
     FROM (SELECT DISTINCT fold FROM counts) f
-    CROSS JOIN (SELECT DISTINCT bin FROM counts) b
+    CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT MIN(bin) FROM counts),
+                    (SELECT MAX(bin) FROM counts))) AS bin) b
 ),
 full_g AS (
     SELECT g.fold, g.bin, COALESCE(c.n, 0) AS n
@@ -5336,7 +5310,8 @@ pairs AS (
 singles AS (SELECT term, COUNT(*) AS n_items FROM gi GROUP BY term),
 tot AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM gi)
 SELECT p.item_a, p.item_b, p.n_both, sa.n_items AS n_a, sb.n_items AS n_b,
-       ROUND((p.n_both * n_total) / (sa.n_items * sb.n_items), 6) AS lift
+       ROUND((CAST(p.n_both AS DOUBLE) * n_total)
+             / (CAST(sa.n_items AS DOUBLE) * sb.n_items), 6) AS lift
 FROM pairs p
 JOIN singles sa ON sa.term = p.item_a
 JOIN singles sb ON sb.term = p.item_b

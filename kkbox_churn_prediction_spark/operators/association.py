@@ -128,8 +128,12 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     wide→long melt of that one row is a zero-exchange Expand
     (``unpivot``). No pair loop touches the data twice.
 
-    Feature names must not contain the ``"__"`` pair separator.
+    Feature names must not contain the ``"__"`` pair separator
+    (validated — a silent mis-split would mislabel correlations).
     """
+    bad = [c for c in cols if "__" in c]
+    if bad:
+        raise ValueError(f"feature names may not contain '__': {bad}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     wide = df.agg(
         *[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}") for a, b in pairs]
@@ -195,7 +199,12 @@ def cooccurrence_lift(
             "n_a",
             "n_b",
             F.round(
-                (F.col("n_both") * F.col("_N")) / (F.col("n_a") * F.col("n_b")), 6
+                # doubles BEFORE multiplying: BIGINT×BIGINT silently
+                # wraps (non-ANSI) once n_both·N exceeds 2^63 at the
+                # corpus scales this operator targets
+                (F.col("n_both").cast("double") * F.col("_N"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
             ).alias("lift"),
         )
     )

@@ -140,6 +140,47 @@ def hashed_cross(
     return F.pmod(stable_hash48(joined), F.lit(int(buckets)))
 
 
+def value_rank_components(
+    df: DataFrame, value_col: str, *, n_buckets: int = 256
+) -> DataFrame:
+    """The distributed prefix-sum rank machinery shared by
+    :func:`rank_normalize` and ``rhythm.gini_concentration``: collapse
+    to the distinct-value table with counts, bucket it by
+    approx-quantile edges, and compute each value's 0-based count of
+    strictly-smaller rows → ``(value_col, _cnt, _before)``.
+
+    Per-bucket cumulative sums run in parallel across buckets; the
+    cross-bucket carry is a window over the ≤ ``n_buckets``-row
+    offsets table (broadcast back). Never a single-partition sort of
+    the data — the round-1 ntile lesson."""
+    from kkbox_churn_prediction_spark.operators.psi import (
+        bucketize_by_edges,
+        quantile_edges,
+    )
+
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
+    bucketed = vals.withColumn(
+        "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
+    )
+    per_bucket = bucketed.groupBy("_bkt").agg(F.sum("_cnt").alias("_bc"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_local", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
+        .withColumn("_before", F.col("_off") + F.col("_local"))
+        .select(value_col, "_cnt", "_before")
+    )
+
+
 def rank_normalize(
     df: DataFrame,
     value_col: str,
@@ -163,31 +204,7 @@ def rank_normalize(
     pure expression, joined back to rows on the value (broadcast-or-
     shuffle by Catalyst's sizing). No global sort anywhere.
     """
-    from kkbox_churn_prediction_spark.operators.psi import (
-        bucketize_by_edges,
-        quantile_edges,
-    )
-
-    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
-    bucketed = vals.withColumn(
-        "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
-    )
-    per_bucket = bucketed.groupBy("_bkt").agg(F.sum("_cnt").alias("_bc"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_bkt", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_in = (
-        Window.partitionBy("_bkt")
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "_bkt")
-        .withColumn("_local", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
-        .withColumn("_before", F.col("_off") + F.col("_local"))
-    )
+    ranked = value_rank_components(df, value_col, n_buckets=n_buckets)
     total = ranked.agg(F.sum("_cnt").alias("_n"))
     scored = ranked.crossJoin(F.broadcast(total)).select(
         value_col,

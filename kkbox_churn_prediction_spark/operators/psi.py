@@ -201,12 +201,17 @@ def wasserstein_from_bins(
 
     Shape: identical to ``psi_from_bins`` — ONE (fold, bin) count agg
     over the stream; CDFs, the bin grid (folds × bins, tiny), and the
-    final |Δ|·width sum all run post-agg. The grid join guarantees
-    empty bins contribute their CDF gap.
+    final |Δ|·width sum all run post-agg. The grid spans the DENSE
+    integer bin range [min_bin, max_bin] — bins empty in EVERY fold
+    still contribute their CDF gap, otherwise mass jumping across
+    unoccupied bins is undercounted (W1 of "all at bin 0" vs "all at
+    bin 9" must be 9·width, not 1·width).
     """
     counts = binned.groupBy(fold_col, bin_col).agg(F.count(F.lit(1)).alias("n"))
     folds = counts.select(fold_col).distinct()
-    bins = counts.select(bin_col).distinct()
+    bins = counts.agg(
+        F.min(bin_col).alias("_lo"), F.max(bin_col).alias("_hi")
+    ).select(F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(bin_col))
     grid = folds.crossJoin(bins)
     full = grid.join(counts, [fold_col, bin_col], "left").select(
         fold_col, bin_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")

@@ -375,10 +375,13 @@ def topk_per_group(
     k: int,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Top-k rows PER GROUP by ``order_col`` desc (deterministic
-    ``tiebreak_cols`` asc) with a dense 1-based ``rank`` — the
-    grouped generalization of O2's global TakeOrderedAndProject
-    (reference analog: per-group ``nlargest``, ``src/psi.py:119``).
+    """Top-k rows PER GROUP by ``order_col`` desc with a 1-based
+    ``row_number`` rank — the grouped generalization of O2's global
+    TakeOrderedAndProject (reference analog: per-group ``nlargest``,
+    ``src/psi.py:119``). ``tiebreak_cols`` MUST complete a total
+    order within each group: row_number (not dense_rank) semantics
+    mean rows still tied after the tiebreaks are cut arbitrarily at
+    the k boundary — and nondeterministically across runs.
 
     Scale: the window sort is per-GROUP (bounded by group size), not
     global — the one exchange is the group hash partition, and

@@ -159,31 +159,13 @@ def gini_concentration(
     ties, Σ r·x per distinct value is ``avg_rank · value · count``,
     so the final reduce is one row over the distinct table.
     """
-    from pyspark.sql import Window as W
-
-    from kkbox_churn_prediction_spark.operators.psi import (
-        bucketize_by_edges,
-        quantile_edges,
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        value_rank_components,
     )
 
-    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
-    bucketed = vals.withColumn(
-        "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
-    )
-    per_bucket = bucketed.groupBy("_bkt").agg(F.sum("_cnt").alias("_bc"))
-    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_bkt", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_in = (
-        W.partitionBy("_bkt").orderBy(value_col).rowsBetween(W.unboundedPreceding, -1)
-    )
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "_bkt")
-        .withColumn("_before", F.col("_off") + F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
+    ranked = value_rank_components(df, value_col, n_buckets=n_buckets).withColumn(
         # 1-based average rank of this value's tied block
-        .withColumn("_avg_rank", F.col("_before") + (F.col("_cnt") + 1) / 2.0)
+        "_avg_rank", F.col("_before") + (F.col("_cnt") + 1) / 2.0
     )
     x = F.col(value_col).cast("double")
     return ranked.agg(

@@ -186,6 +186,7 @@ def peak_concurrency(
     sessions: DataFrame,
     start_col: str = "session_start",
     end_col: str = "session_end",
+    tiebreak_cols: tuple[str, str] = ("conv_id", "session_id"),
 ) -> DataFrame:
     """Max simultaneously-open sessions per UTC day →
     ``(day_us, peak_concurrency)`` — the sweep-line counter
@@ -193,7 +194,10 @@ def peak_concurrency(
 
     Intervals are CLOSED: at an equal timestamp the +1 boundary sorts
     before the -1 (delta desc), so a zero-duration session still
-    counts as concurrency 1.
+    counts as concurrency 1. ``tiebreak_cols`` are the interval's
+    identity columns (any columns of the input frame), making the
+    within-day ordering a total order for ANY interval table — not
+    just session_aggregates output.
 
     Scale shape — the naive sweep line is a running sum over ONE
     global ordering (single-partition sort, the exact killer VERDICT
@@ -208,16 +212,10 @@ def peak_concurrency(
     """
     us_start = F.unix_micros(F.col(start_col))
     us_end = F.unix_micros(F.col(end_col))
+    tb = [F.col(c) for c in tiebreak_cols]
     pts = sessions.select(
-        us_start.alias("ts_us"),
-        F.lit(1).alias("delta"),
-        "conv_id",
-        "session_id",
-    ).unionAll(
-        sessions.select(
-            us_end.alias("ts_us"), F.lit(-1), F.col("conv_id"), F.col("session_id")
-        )
-    )
+        us_start.alias("ts_us"), F.lit(1).alias("delta"), *tb
+    ).unionAll(sessions.select(us_end.alias("ts_us"), F.lit(-1), *tb))
     day_us = (F.floor(F.col("ts_us") / DAY_US) * DAY_US).cast("bigint")
     pts = pts.withColumn("day_us", day_us)
     w_in = (
@@ -225,8 +223,7 @@ def peak_concurrency(
         .orderBy(
             F.col("ts_us").asc(),
             F.col("delta").desc(),
-            F.col("conv_id").asc(),
-            F.col("session_id").asc(),
+            *[F.col(c).asc() for c in tiebreak_cols],
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -205,3 +205,11 @@ def test_wasserstein_from_bins_matches_numpy(spark):
     z = {r["fold"]: r["wasserstein"]
          for r in wasserstein_from_bins(same, "fold", "bin", "ref", 5.0).collect()}
     assert z == {"b": 0.0}
+    # sparse support: mass jumping across bins EMPTY IN BOTH folds
+    # must still pay the full transport cost (bins 1-8 unobserved)
+    sparse = spark.createDataFrame(
+        [("ref", 0)] * 5 + [("cur", 9)] * 5, "fold string, bin int"
+    )
+    s9 = {r["fold"]: r["wasserstein"]
+          for r in wasserstein_from_bins(sparse, "fold", "bin", "ref", 1.0).collect()}
+    assert s9 == {"cur": 9.0}
