@@ -1600,6 +1600,41 @@ def _q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent turn-labeling heuristics
+    (metadata rater: role ∈ {system, tool} → machine; text rater:
+    length ≥ 15 → machine). Annotation-QA: agreement beyond chance
+    before trusting a labeled corpus. One contingency shuffle; κ is
+    closed-form over the tiny cell table."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import cohens_kappa
+
+    rated = _conv(spark, sf_dir).select(
+        F.when(F.col("role").isin("system", "tool"), "machine")
+        .otherwise("human")
+        .alias("rater_a"),
+        F.when(F.length("text") >= 15, "machine")
+        .otherwise("human")
+        .alias("rater_b"),
+    )
+    return cohens_kappa(rated, "rater_a", "rater_b")
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid z-score screen over the embedding corpus
+    (|z| flags eccentric vectors; curation companion to the near-dup
+    family). Centroid = one 64-avg aggregation pass, scoring pass is
+    shuffle-free; both stats ride 1-row broadcasts."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        centroid_distance_outliers,
+    )
+
+    return centroid_distance_outliers(
+        _embs(spark, sf_dir), dim=64, z_threshold=2.0
+    )
+
+
 def _q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state conditional entropy of the next role (dialogue
     predictability; rides the transition table)."""
@@ -2353,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_summary": _q_k_anonymity_summary,
         "winsorize_value": _q_winsorize_value,
         "winsorize_audit": _q_winsorize_audit,
+        "label_agreement_kappa": _q_label_agreement_kappa,
+        "embedding_outliers": _q_embedding_outliers,
     }
 
 
@@ -5656,6 +5693,76 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+# Cohen's kappa (lock-step with operators/association.py cohens_kappa:
+# same contingency → marginal-product chance agreement → κ, same
+# p_e = 1 degenerate-to-0 convention and 6-digit rounding).
+_KAPPA_SQL = f"""
+WITH {_CONV_CTE},
+rated AS (
+    SELECT CASE WHEN role IN ('system', 'tool') THEN 'machine'
+                ELSE 'human' END AS rater_a,
+           CASE WHEN length(text) >= 15 THEN 'machine'
+                ELSE 'human' END AS rater_b
+    FROM conversations
+),
+cells AS (
+    SELECT rater_a, rater_b, COUNT(*) AS n_xy FROM rated GROUP BY 1, 2
+),
+tot AS (
+    SELECT SUM(n_xy) AS n,
+           SUM(CASE WHEN rater_a = rater_b THEN n_xy END) AS agree
+    FROM cells
+),
+ma AS (SELECT rater_a AS label, SUM(n_xy) AS n_a FROM cells GROUP BY 1),
+mb AS (SELECT rater_b AS label, SUM(n_xy) AS n_b FROM cells GROUP BY 1),
+ch AS (
+    SELECT SUM(CAST(n_a AS DOUBLE) * n_b) AS ab
+    FROM ma JOIN mb USING (label)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(COALESCE(agree, 0) * 1.0 / n, 6) AS po,
+       ROUND(COALESCE(ab, 0.0) / (1.0 * n * n), 6) AS pe,
+       ROUND(CASE WHEN COALESCE(ab, 0.0) / (1.0 * n * n) < 1.0
+                  THEN (COALESCE(agree, 0) * 1.0 / n
+                        - ab / (1.0 * n * n))
+                       / (1.0 - ab / (1.0 * n * n))
+                  ELSE 0.0 END, 6) AS kappa
+FROM tot CROSS JOIN ch
+"""
+
+# Embedding outliers (lock-step with operators/similarity.py
+# centroid_distance_outliers: per-position avg centroid, distance via
+# the clamped ‖x‖² − 2·x·c + ‖c‖² identity, population-std z-score,
+# sd = 0 → z = 0 / no outliers).
+_EMB_OUTLIERS_SQL = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pos AS (
+    SELECT unnest(e) AS x, unnest(range(1, len(e) + 1)) AS p FROM v
+),
+cent AS (
+    SELECT list(avg_x ORDER BY p) AS c
+    FROM (SELECT p, AVG(x) AS avg_x FROM pos GROUP BY p)
+),
+d AS (
+    SELECT vec_id,
+           sqrt(greatest(
+               list_dot_product(e, e)
+               - 2.0 * list_dot_product(e, c)
+               + list_dot_product(c, c), 0.0)) AS dist
+    FROM v CROSS JOIN cent
+),
+s AS (SELECT AVG(dist) AS mu, stddev_pop(dist) AS sd FROM d)
+SELECT vec_id,
+       ROUND(dist, 6) AS dist,
+       ROUND(CASE WHEN sd > 0 THEN (dist - mu) / sd ELSE 0.0 END, 6) AS z,
+       (CASE WHEN sd > 0 THEN (dist - mu) / sd ELSE 0.0 END) > 2.0
+           AS is_outlier
+FROM d CROSS JOIN s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -5801,4 +5908,6 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "winsorize_value": _WINSORIZE_VALUE_SQL,
         "winsorize_audit": _WINSORIZE_AUDIT_SQL,
+        "label_agreement_kappa": _KAPPA_SQL,
+        "embedding_outliers": _EMB_OUTLIERS_SQL,
     }

@@ -115,6 +115,65 @@ def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Inter-rater agreement between two categorical labelers →
+    one row ``(n, po, pe, kappa)``.
+
+    κ = (p_o − p_e) / (1 − p_e), where p_o is the observed agreement
+    share and p_e the chance agreement Σ_k p_A(k)·p_B(k). The
+    annotation-QA companion to MI/chi² above: before training on a
+    labeled corpus you quantify how much two labeling passes (two
+    heuristics, two annotator pools, model-vs-human) agree beyond
+    chance. The reference's label sanity checks are driver-side
+    pandas crosstabs; here only the |K|² contingency leaves the
+    executors.
+
+    Distributed shape: ONE groupBy (a, b) over the stream (the same
+    single-exchange ``contingency`` pass as MI/chi²); marginals,
+    diagonal mass, and κ are aggregates over that tiny cell table.
+    Degenerate edge: perfect chance agreement (p_e = 1 — both raters
+    constant and equal) yields κ = 0.0 by convention, not NULL.
+    """
+    c = contingency(df, a_col, b_col)
+    n = F.col("n").cast("double")
+    # p_e from the cell pass via the share trick used by MI's marginal
+    # entropies: weighting each (a=k, b=k') cell by n_xy/n_x makes
+    # Σ_cells collapse to Σ_k over A's categories — but p_e pairs A's
+    # marginal with B's marginal of the SAME label value, which the
+    # cell table only covers where the (k, k) cell exists. Missing
+    # diagonal cells contribute 0 to p_o but NOT to p_e, so p_e needs
+    # the marginal×marginal join, not a cell-sum shortcut.
+    marg_a = c.groupBy(F.col(a_col).alias("label")).agg(
+        F.max("n_x").alias("n_a")
+    )
+    marg_b = c.groupBy(F.col(b_col).alias("label")).agg(
+        F.max("n_y").alias("n_b")
+    )
+    total = c.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col(a_col) == F.col(b_col), F.col("n_xy"))).alias(
+            "_agree"
+        ),
+    )
+    # inner join: a label missing from either rater's marginal has
+    # p_A(k)·p_B(k) = 0 and contributes nothing to p_e
+    chance = (
+        marg_a.join(F.broadcast(marg_b), "label")
+        .agg(F.sum(F.col("n_a").cast("double") * F.col("n_b")).alias("_ab"))
+    )
+    stat = total.crossJoin(F.broadcast(chance))
+    po = F.coalesce(F.col("_agree").cast("double"), F.lit(0.0)) / n
+    pe = F.coalesce(F.col("_ab").cast("double"), F.lit(0.0)) / (n * n)
+    return stat.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (1.0 - pe)).otherwise(F.lit(0.0)), 6
+        ).alias("kappa"),
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """All-pairs Pearson correlation over ``cols`` →
     ``(feature_a, feature_b, pearson_r)`` long form — the numeric

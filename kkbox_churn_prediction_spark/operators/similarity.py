@@ -456,3 +456,75 @@ def kmeans_fit(
         cents = [updated.get(j, cents[j]) for j in range(k)]
 
     return assign_cells(vectors, cents, vec_col, id_col), cents
+
+
+def centroid_distance_outliers(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding-quality screen: euclidean distance of every vector to
+    the corpus centroid, z-scored against the distance distribution →
+    ``(vec_id, dist, z, is_outlier)`` for every vector.
+
+    Far-from-centroid vectors are the classic embedding-space junk
+    signal (mis-encoded docs, wrong-language strays, collapsed/zero
+    vectors sit at the OTHER extreme — both tails show up as |z|
+    large). The curation companion to the near-dup family: near-dups
+    remove redundancy, this removes eccentricity.
+
+    Distributed shape: centroid = ONE aggregation pass of ``dim``
+    per-position ``avg`` columns (map-side partials, no explode — the
+    posexplode alternative multiplies the stream by ``dim``); it
+    returns a 1-row array that rides a broadcast cross join. Distance
+    uses the expanded identity ‖x‖² − 2·x·c + ‖c‖² (clamped at 0
+    against float cancellation) so the DuckDB oracle can reproduce it
+    term-for-term with ``list_dot_product``. The z-scoring pass is a
+    second 1-row broadcast (mean/stddev_pop of dist). Total: two
+    full-data passes + two tiny broadcasts, zero shuffles of the
+    vector table itself. At 100 TB the centroid pass can run on a
+    sample (the mean is robust to sampling); the scoring pass is
+    embarrassingly parallel either way.
+
+    ``stddev_pop = 0`` (all vectors equidistant, e.g. one vector or
+    perfect symmetry) degrades to z = 0.0 / no outliers rather than
+    NULLs.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cent_row = vectors.agg(
+        F.array(*[F.avg(v[i]) for i in range(int(dim))]).alias("_cent")
+    )
+    c = F.col("_cent")
+    sq = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        - 2.0 * F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        vectors.crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col(id_col),
+            F.sqrt(F.greatest(sq, F.lit(0.0))).alias("dist"),
+        )
+    )
+    stats = scored.agg(
+        F.avg("dist").alias("_mu"), F.stddev_pop("dist").alias("_sd")
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+            (z > F.lit(float(z_threshold))).alias("is_outlier"),
+        )
+    )

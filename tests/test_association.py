@@ -135,3 +135,42 @@ def test_cooccurrence_lift_matches_hand_counts(spark):
     # min_support prunes
     assert set(cooccurrence_lift(df, "g", "item", min_support=2).toPandas()
                .apply(lambda r: (r.item_a, r.item_b), axis=1)) == {("a", "b")}
+
+
+def test_cohens_kappa_textbook(spark):
+    from kkbox_churn_prediction_spark.operators.association import cohens_kappa
+
+    # classic 2x2: [[20, 5], [10, 15]] → po=0.7, pe=0.5, kappa=0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").first()
+    assert r["n"] == 50
+    assert abs(r["po"] - 0.7) < 1e-9
+    assert abs(r["pe"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_cohens_kappa_perfect_disagreement(spark):
+    from kkbox_churn_prediction_spark.operators.association import cohens_kappa
+
+    rows = [("y", "n")] * 5 + [("n", "y")] * 5
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").first()
+    assert r["po"] == 0.0 and abs(r["pe"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - (-1.0)) < 1e-9
+
+
+def test_cohens_kappa_degenerate_constant_raters(spark):
+    from kkbox_churn_prediction_spark.operators.association import cohens_kappa
+
+    # both raters constant and equal: pe = 1 → kappa 0 by convention
+    df = spark.createDataFrame([("y", "y")] * 8, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").first()
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] == 0.0
+
+    # disjoint label sets: agreement 0, chance 0 → kappa 0
+    dj = spark.createDataFrame([("y", "x")] * 4, ["a", "b"])
+    r2 = cohens_kappa(dj, "a", "b").first()
+    assert r2["po"] == 0.0 and r2["pe"] == 0.0 and r2["kappa"] == 0.0

@@ -311,3 +311,41 @@ def test_collapse_bursts_debounce(spark):
          ).collect())
     )
     assert got == got2
+
+
+def test_centroid_distance_outliers(spark):
+    import math
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        centroid_distance_outliers,
+    )
+
+    # 8 vectors near the origin, one far stray: the stray must flag,
+    # the rest must not, and dist must match numpy exactly (clamped
+    # identity form).
+    base = [[0.1 * i, -0.1 * i, 0.05] for i in range(8)]
+    stray = [[25.0, -25.0, 25.0]]
+    rows = [(i, v) for i, v in enumerate(base + stray)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in centroid_distance_outliers(df, dim=3).collect()}
+    assert len(out) == 9
+    assert out[8]["is_outlier"] and out[8]["z"] > 2.0
+    assert all(not out[i]["is_outlier"] for i in range(8))
+    vecs = base + stray
+    cent = [sum(v[j] for v in vecs) / 9 for j in range(3)]
+    d8 = math.sqrt(sum((vecs[8][j] - cent[j]) ** 2 for j in range(3)))
+    assert abs(out[8]["dist"] - d8) < 1e-6
+
+
+def test_centroid_distance_outliers_degenerate(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        centroid_distance_outliers,
+    )
+
+    # identical vectors: sd = 0 → z = 0, nothing flags, dist clamps
+    # to exactly 0 (no sqrt(-epsilon) NaN from float cancellation)
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    rows = centroid_distance_outliers(df, dim=3).collect()
+    assert all(r["dist"] == 0.0 and r["z"] == 0.0 and not r["is_outlier"] for r in rows)
