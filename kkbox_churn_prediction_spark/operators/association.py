@@ -128,29 +128,30 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     pandas crosstabs; here only the |K|² contingency leaves the
     executors.
 
-    Distributed shape: ONE groupBy (a, b) over the stream (the same
-    single-exchange ``contingency`` pass as MI/chi²); marginals,
-    diagonal mass, and κ are aggregates over that tiny cell table.
+    Distributed shape: ONE groupBy (a, b) over the stream; marginals,
+    totals, and κ are aggregates over that tiny cell table. All three
+    derived branches (total, A-marginal, B-marginal) hang off the
+    BYTE-IDENTICAL cell subtree — not ``contingency``'s windowed
+    variant — so AQE's exchange reuse executes the base scan + cell
+    shuffle once and the branches re-read the shuffle output
+    (verified ReusedExchange/ReusedShuffle in the adaptive plan).
     Degenerate edge: perfect chance agreement (p_e = 1 — both raters
     constant and equal) yields κ = 0.0 by convention, not NULL.
     """
-    c = contingency(df, a_col, b_col)
+    cells = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("n_xy"))
     n = F.col("n").cast("double")
-    # p_e from the cell pass via the share trick used by MI's marginal
-    # entropies: weighting each (a=k, b=k') cell by n_xy/n_x makes
-    # Σ_cells collapse to Σ_k over A's categories — but p_e pairs A's
-    # marginal with B's marginal of the SAME label value, which the
-    # cell table only covers where the (k, k) cell exists. Missing
-    # diagonal cells contribute 0 to p_o but NOT to p_e, so p_e needs
-    # the marginal×marginal join, not a cell-sum shortcut.
-    marg_a = c.groupBy(F.col(a_col).alias("label")).agg(
-        F.max("n_x").alias("n_a")
+    # p_e pairs A's marginal with B's marginal of the SAME label
+    # value; a diagonal-cell-sum shortcut misses labels whose (k, k)
+    # cell is absent (they contribute 0 to p_o but NOT to p_e), so
+    # p_e needs the marginal×marginal join.
+    marg_a = cells.groupBy(F.col(a_col).alias("label")).agg(
+        F.sum("n_xy").alias("n_a")
     )
-    marg_b = c.groupBy(F.col(b_col).alias("label")).agg(
-        F.max("n_y").alias("n_b")
+    marg_b = cells.groupBy(F.col(b_col).alias("label")).agg(
+        F.sum("n_xy").alias("n_b")
     )
-    total = c.agg(
-        F.max("n").alias("n"),
+    total = cells.agg(
+        F.sum("n_xy").alias("n"),
         F.sum(F.when(F.col(a_col) == F.col(b_col), F.col("n_xy"))).alias(
             "_agree"
         ),

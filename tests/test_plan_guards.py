@@ -167,3 +167,19 @@ def test_q6_all_predicates_pushed(spark):
                  "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24"):
         assert frag in plan, frag
     assert "Join" not in plan
+
+
+def test_kappa_reuses_the_cell_shuffle(spark):
+    """cohens_kappa: total + both marginals must hang off ONE
+    byte-identical cell subtree so AQE executes the base scan once
+    (ReusedExchange), instead of three scans of the corpus."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["label_agreement_kappa"](spark, SF)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"FileScan parquet", final)) == 1
+    assert "ReusedExchange" in final
