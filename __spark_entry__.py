@@ -1635,6 +1635,42 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive cross-engine fingerprint of the transcript
+    table (replication/migration validator): Σ stable_hash48 mod M61
+    + bit-XOR + row count in ONE wide aggregation. The oracle
+    computing the SAME fingerprint in DuckDB is the point — the
+    md5-derived hash is engine-portable where xxhash64 is not."""
+    from kkbox_churn_prediction_spark.operators.profile import table_checksum
+
+    return table_checksum(
+        _conv(spark, sf_dir), ["conv_id", "turn_idx", "role", "tool", "text"]
+    )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level drift between two adjacent trailing-14d activity
+    snapshots (cutoffs: last week-trunc and 14 days earlier):
+    added/removed/changed/unchanged entity counts + value deltas in
+    ONE conditional-agg pass — no self-join, no second scan."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.scd import snapshot_diff
+
+    conv = _conv(spark, sf_dir)
+    bounds = conv.agg(
+        F.date_trunc("week", F.max("ts")).alias("_cut_b")
+    )
+    t = conv.crossJoin(F.broadcast(bounds))
+    cut_b = F.col("_cut_b")
+    cut_a = F.expr("_cut_b - INTERVAL 14 DAY")
+    in_b = (F.col("ts") >= cut_a) & (F.col("ts") < cut_b)
+    in_a = (F.col("ts") >= F.expr("_cut_b - INTERVAL 28 DAY")) & (
+        F.col("ts") < cut_a
+    )
+    return snapshot_diff(t, "conv_id", in_a, in_b)
+
+
 def _q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state conditional entropy of the next role (dialogue
     predictability; rides the transition table)."""
@@ -2390,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_audit": _q_winsorize_audit,
         "label_agreement_kappa": _q_label_agreement_kappa,
         "embedding_outliers": _q_embedding_outliers,
+        "table_checksum": _q_table_checksum,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -5763,6 +5801,58 @@ FROM d CROSS JOIN s
 """
 
 
+# Table checksum (lock-step with operators/profile.py table_checksum:
+# same \x01 null sentinel, \x1f separator, stable_hash48, decimal-
+# exact Σ mod M61 and bit-XOR — the cross-engine fingerprint IS the
+# test).
+_TABLE_CHECKSUM_SQL = f"""
+WITH {_CONV_CTE},
+h AS (
+    SELECT CAST(concat('0x', substr(md5(
+               concat_ws(chr(31),
+                         COALESCE(CAST(conv_id AS VARCHAR), chr(1)),
+                         COALESCE(CAST(turn_idx AS VARCHAR), chr(1)),
+                         COALESCE(CAST(role AS VARCHAR), chr(1)),
+                         COALESCE(CAST(tool AS VARCHAR), chr(1)),
+                         COALESCE(CAST(text AS VARCHAR), chr(1)))
+           ), 1, 12)) AS BIGINT) AS hv
+    FROM conversations
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(hv) AS BIGINT) AS checksum_xor
+FROM h
+"""
+
+# Snapshot diff (lock-step with operators/scd.py snapshot_diff over
+# the gate's two trailing-14d windows before the last week-trunc).
+_SNAPSHOT_DIFF_SQL = f"""
+WITH {_CONV_CTE},
+b AS (SELECT CAST(date_trunc('week', MAX(ts)) AS TIMESTAMP) AS cut_b
+      FROM conversations),
+pe AS (
+    SELECT conv_id,
+           SUM(CASE WHEN ts >= cut_b - INTERVAL 28 DAY
+                     AND ts <  cut_b - INTERVAL 14 DAY THEN 1 ELSE 0 END)
+               AS va,
+           SUM(CASE WHEN ts >= cut_b - INTERVAL 14 DAY
+                     AND ts <  cut_b THEN 1 ELSE 0 END) AS vb
+    FROM conversations CROSS JOIN b
+    GROUP BY conv_id
+)
+SELECT CASE WHEN va = 0 AND vb > 0 THEN 'added'
+            WHEN va > 0 AND vb = 0 THEN 'removed'
+            WHEN va <> vb THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(vb - va) AS BIGINT) AS total_delta,
+       ROUND(AVG(ABS(vb - va)), 6) AS avg_abs_delta
+FROM pe
+WHERE va > 0 OR vb > 0
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -5910,4 +6000,6 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_audit": _WINSORIZE_AUDIT_SQL,
         "label_agreement_kappa": _KAPPA_SQL,
         "embedding_outliers": _EMB_OUTLIERS_SQL,
+        "table_checksum": _TABLE_CHECKSUM_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     }

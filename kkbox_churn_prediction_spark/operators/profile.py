@@ -95,3 +95,55 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive cross-engine table fingerprint → one row
+    ``(n_rows, checksum_sum, checksum_xor)``.
+
+    The replication/migration validator: after copying a table
+    between engines or regions, compare fingerprints instead of rows.
+    Built on ``stable_hash48`` (md5-derived, reproducible in DuckDB —
+    Spark's ``hash``/``xxhash64`` are not), so the SAME fingerprint
+    is computable on both sides of a migration.
+
+    Row canonicalization: each column is cast to string and
+    NULL-coalesced to a ``\\x01`` sentinel, joined with ``\\x1f`` —
+    unambiguous (the sentinel/separator can't collide with cast
+    output for the supported column types: strings without control
+    chars, integers, dates). Float columns are the caller's problem —
+    engine-specific decimal rendering breaks cross-engine equality;
+    cast to DECIMAL first.
+
+    Two independent reductions over the same hash (both commutative,
+    so the result is partition-order-invariant):
+
+    - ``checksum_sum``: Σ h mod M61, summed in DECIMAL(38,0) so the
+      48-bit per-row hashes never overflow (BIGINT Σ wraps past ~32k
+      max-valued rows; decimal keeps the mod exact at any count).
+    - ``checksum_xor``: bitwise XOR — overflow-free, but blind to
+      duplicate-pair edits (two identical rows cancel); the sum
+      catches those, the xor catches reorder-resistant transpositions
+      the sum's modular wrap could mask. Together with ``n_rows``
+      a collision requires simultaneous md5-prefix coincidences.
+
+    Distributed shape: ONE wide aggregation, map-side partials, no
+    shuffle beyond the single-row final combine.
+    """
+    from kkbox_churn_prediction_spark.functions.text import (
+        MERSENNE_61,
+        stable_hash48,
+    )
+
+    canon = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols],
+    )
+    h = stable_hash48(canon)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.pmod(F.sum(h.cast("decimal(38,0)")), F.lit(MERSENNE_61))
+        .cast("bigint")
+        .alias("checksum_sum"),
+        F.bit_xor(h).cast("bigint").alias("checksum_xor"),
+    )

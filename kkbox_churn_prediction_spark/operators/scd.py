@@ -131,3 +131,56 @@ def apply_cdc(
     )
     out = latest.select(*key_cols, "_row.*")
     return out.where(F.col(op_col) != delete_op).drop(op_col)
+
+
+def snapshot_diff(
+    df: DataFrame,
+    key_col: str,
+    in_a,
+    in_b,
+) -> DataFrame:
+    """Column-level drift between two point-in-time snapshots of a
+    per-entity metric, computed in ONE pass → per-status summary
+    ``(status, n_entities, total_delta, avg_abs_delta)`` with status
+    ∈ {added, removed, changed, unchanged}.
+
+    The data-regression audit between feature-table builds: "did
+    this week's snapshot move?" — CDC (``apply_cdc``) answers at row
+    granularity, this answers at dataset granularity (how many
+    entities appeared/vanished, how far the survivors moved).
+
+    ``in_a`` / ``in_b`` are boolean Columns selecting each snapshot's
+    observation window over the SAME input stream (e.g. trailing-14d
+    activity before two cutoffs) — so the diff needs NO self-join and
+    NO second scan: one conditional-aggregation groupBy per entity
+    (the A2 multi-horizon trick), then a ≤4-key reduction for the
+    summary. Entities in neither window drop out.
+
+    Scale: first agg shuffles on the entity key (map-side partials);
+    the status rollup shuffles 4 keys. Nothing else.
+    """
+    per_entity = df.groupBy(key_col).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("_va"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("_vb"),
+    )
+    present_a = F.col("_va") > 0
+    present_b = F.col("_vb") > 0
+    status = (
+        F.when(~present_a & present_b, "added")
+        .when(present_a & ~present_b, "removed")
+        .when(F.col("_va") != F.col("_vb"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        per_entity.where(present_a | present_b)
+        .select(
+            status.alias("status"),
+            (F.col("_vb") - F.col("_va")).alias("_delta"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+            F.sum("_delta").cast("bigint").alias("total_delta"),
+            F.round(F.avg(F.abs(F.col("_delta"))), 6).alias("avg_abs_delta"),
+        )
+    )

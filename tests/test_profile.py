@@ -61,3 +61,36 @@ def test_exact_plan_has_no_expand(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    from kkbox_churn_prediction_spark.operators.profile import table_checksum
+
+    rows = [(1, "a", None), (2, "b", "x"), (3, "c", "y")]
+    cols = ["id", "s", "t"]
+    a = table_checksum(spark.createDataFrame(rows, cols), cols).first()
+    # same rows, reversed order, different partitioning → identical
+    b = table_checksum(
+        spark.createDataFrame(list(reversed(rows)), cols).repartition(7), cols
+    ).first()
+    assert (a["n_rows"], a["checksum_sum"], a["checksum_xor"]) == (
+        b["n_rows"], b["checksum_sum"], b["checksum_xor"],
+    )
+    # one changed value → both reductions move
+    c = table_checksum(
+        spark.createDataFrame([(1, "a", None), (2, "b", "x"), (3, "c", "z")], cols),
+        cols,
+    ).first()
+    assert c["checksum_sum"] != a["checksum_sum"]
+    assert c["checksum_xor"] != a["checksum_xor"]
+    # NULL vs empty string must differ (sentinel, not concat_ws skip)
+    sch = "id bigint, s string, t string"
+    d = table_checksum(spark.createDataFrame([(1, "a", "")], sch), cols).first()
+    e = table_checksum(spark.createDataFrame([(1, "a", None)], sch), cols).first()
+    assert d["checksum_sum"] != e["checksum_sum"]
+    # duplicate pair: xor cancels (documented blind spot), sum catches
+    f = table_checksum(
+        spark.createDataFrame(rows + [rows[0], rows[0]], cols), cols
+    ).first()
+    assert f["checksum_xor"] == a["checksum_xor"]
+    assert f["checksum_sum"] != a["checksum_sum"] and f["n_rows"] == 5

@@ -163,3 +163,33 @@ def test_apply_cdc_snapshot_and_tombstones(spark):
     # plan: algebraic aggregate, no window sort of the change stream
     plan = apply_cdc(df, ["k"], "ts", "op", tiebreak_col="event_id")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "max_by" in plan
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.scd import snapshot_diff
+
+    # window A = t in [0, 10), window B = t in [10, 20)
+    rows = (
+        [("gone", 1), ("gone", 2)]            # A only → removed
+        + [("new", 15)]                        # B only → added
+        + [("up", 3), ("up", 12), ("up", 13)]  # 1 → 2 → changed (+1)
+        + [("same", 4), ("same", 14)]          # 1 → 1 → unchanged
+        + [("out", 99)]                        # neither → dropped
+    )
+    df = spark.createDataFrame(rows, ["k", "t"])
+    out = {
+        r["status"]: r
+        for r in snapshot_diff(
+            df, "k",
+            (F.col("t") >= 0) & (F.col("t") < 10),
+            (F.col("t") >= 10) & (F.col("t") < 20),
+        ).collect()
+    }
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    assert out["removed"]["n_entities"] == 1 and out["removed"]["total_delta"] == -2
+    assert out["added"]["n_entities"] == 1 and out["added"]["total_delta"] == 1
+    assert out["changed"]["n_entities"] == 1 and out["changed"]["total_delta"] == 1
+    assert out["unchanged"]["n_entities"] == 1 and out["unchanged"]["total_delta"] == 0
+    assert out["changed"]["avg_abs_delta"] == 1.0
