@@ -1671,6 +1671,36 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(t, "conv_id", in_a, in_b)
 
 
+def _q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality: 3-round PageRank over the
+    customer↔supplier bipartite graph (distinct trade edges from
+    orders⋈lineitem, symmetrized), reporting supplier-node ranks.
+    Each round: co-partitioned rank⋈degree join + edge join + dst-sum
+    — the node-sized degree table is joined, never broadcast."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.components import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, "src", "dst", damping=0.85, iters=3)
+    return pr.where(F.col("node").startswith("s")).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
 def _q_role_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state conditional entropy of the next role (dialogue
     predictability; rides the transition table)."""
@@ -2428,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "table_checksum": _q_table_checksum,
         "snapshot_diff": _q_snapshot_diff,
+        "supplier_pagerank": _q_supplier_pagerank,
     }
 
 
@@ -5853,6 +5884,35 @@ GROUP BY 1
 """
 
 
+# PageRank (lock-step with operators/components.py pagerank: same
+# symmetrized edge set, uniform init over out-degree nodes, 3 unrolled
+# power-iteration rounds with damping 0.85, supplier nodes reported).
+_PAGERANK_SQL = """
+WITH e0 AS (
+    SELECT DISTINCT concat('c', o_custkey) AS s,
+                    concat('s', l_suppkey) AS d
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / n AS rank FROM deg CROSS JOIN nn),
+i1 AS (SELECT e.d AS node, SUM(r0.rank / deg.deg) AS infl
+       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.node
+       GROUP BY e.d),
+r1 AS (SELECT node, 0.15 / n + 0.85 * infl AS rank FROM i1 CROSS JOIN nn),
+i2 AS (SELECT e.d AS node, SUM(r1.rank / deg.deg) AS infl
+       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.node
+       GROUP BY e.d),
+r2 AS (SELECT node, 0.15 / n + 0.85 * infl AS rank FROM i2 CROSS JOIN nn),
+i3 AS (SELECT e.d AS node, SUM(r2.rank / deg.deg) AS infl
+       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON e.s = deg.node
+       GROUP BY e.d),
+r3 AS (SELECT node, 0.15 / n + 0.85 * infl AS rank FROM i3 CROSS JOIN nn)
+SELECT node, ROUND(rank, 9) AS rank FROM r3 WHERE node LIKE 's%'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -6002,4 +6062,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _EMB_OUTLIERS_SQL,
         "table_checksum": _TABLE_CHECKSUM_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "supplier_pagerank": _PAGERANK_SQL,
     }

@@ -122,3 +122,62 @@ def connected_components(
             "component_size",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iters: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Distributed PageRank by power iteration → ``(node, rank)``.
+
+    The importance companion to :func:`connected_components`
+    (membership): which hubs dominate an interaction graph —
+    customer↔supplier, doc↔near-dup-cluster, conv↔tool. Exact power
+    iteration, fixed ``iters`` (the oracle unrolls the same rounds;
+    convergence-to-epsilon is a caller loop over this function).
+
+    Each round is the canonical two-shuffle dataflow:
+    ranks ⋈ degrees on node (co-partitioned equi-join), contributions
+    shipped along the edge join on ``src``, summed by ``dst``
+    (map-side combined), teleport added from a broadcast 1-row node
+    count. The degree table is node-sized — joined, never broadcast.
+    ``undirected=True`` symmetrizes the edge list first, which also
+    eliminates dangling-mass bookkeeping (every node has out-degree
+    ≥ 1), so Σ rank = 1 holds each round. For deep ``iters`` wrap
+    rounds with ``localCheckpoint`` as ``connected_components`` does;
+    at the shipped depth the lineage stays shallow.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    n_total = deg.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = deg.select("_s").crossJoin(F.broadcast(n_total)).select(
+        F.col("_s").alias("node"), (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(int(iters)):
+        outflow = ranks.join(
+            deg.select(F.col("_s").alias("node"), "_deg"), "node"
+        ).select(
+            F.col("node").alias("_s"),
+            (F.col("rank") / F.col("_deg")).alias("_share"),
+        )
+        inflow = (
+            e.join(outflow, "_s")
+            .groupBy("_d")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = inflow.crossJoin(F.broadcast(n_total)).select(
+            F.col("_d").alias("node"),
+            ((1.0 - d) / F.col("_n") + d * F.col("_in")).alias("rank"),
+        )
+    return ranks

@@ -305,3 +305,29 @@ def test_connected_components_partition_invariant(spark):
     assert r1 == r8
     assert len({c for _, c, _ in r1}) == 10
     assert all(s == 6 for _, _, s in r1)
+
+
+def test_pagerank_star_graph_and_mass(spark):
+    from kkbox_churn_prediction_spark.operators.components import pagerank
+
+    # undirected star: hub h with leaves l1..l4 — replicate the exact
+    # 3-round power iteration in python and require equality
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(1, 5)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    n, d = 5, 0.85
+    ranks = {v: 1.0 / n for v in out}
+    deg = {"h": 4, "l1": 1, "l2": 1, "l3": 1, "l4": 1}
+    nbrs = {"h": [f"l{i}" for i in range(1, 5)]}
+    for l in nbrs["h"]:
+        nbrs[l] = ["h"]
+    for _ in range(3):
+        ranks = {
+            v: (1 - d) / n + d * sum(ranks[u] / deg[u] for u in nbrs[v])
+            for v in ranks
+        }
+    for v, expect in ranks.items():
+        assert abs(out[v] - expect) < 1e-12, v
+    assert abs(sum(out.values()) - 1.0) < 1e-12  # mass conserved
+    assert out["h"] > out["l1"] and len(set(out[f"l{i}"] for i in range(1, 5))) == 1
