@@ -2290,6 +2290,47 @@ def _q_quintile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quintile_bucket_stats(ev, "value", "event_id", n_buckets=5)
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge-pair frequencies over the corpus —
+    the distributed inner loop of BPE-vocab training (tokenizer
+    prep, next to vocab_oov). Pair stats run on the vocab-sized
+    distinct-word table weighted by word frequency, never on the
+    corpus (see operators/textstats.py::bpe_pair_counts)."""
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
+def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized CUSUM level-shift detection on the daily series —
+    the structural-drift companion to daily_anomalies (persistent
+    small deviations accumulate past the threshold even when no
+    single day trips a z-score)."""
+    from kkbox_churn_prediction_spark.operators.windows import cusum_changepoints
+
+    return cusum_changepoints(_conv(spark, sf_dir), threshold=5.0)
+
+
+def _q_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census / transitivity of the term co-occurrence graph
+    (same ≥300-doc edges as term_cooccurrence). Spark counts via
+    degree-ordered wedges (√m fan-out bound); the oracle counts via
+    plain id-ordering — same census, two algorithms cross-checked."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+    from kkbox_churn_prediction_spark.operators.association import cooccurrence_lift
+    from kkbox_churn_prediction_spark.operators.components import triangle_stats
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    edges = cooccurrence_lift(toks, "doc_id", "term", min_support=300).select(
+        "item_a", "item_b"
+    )
+    return triangle_stats(edges, "item_a", "item_b")
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2459,6 +2500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": _q_table_checksum,
         "snapshot_diff": _q_snapshot_diff,
         "supplier_pagerank": _q_supplier_pagerank,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "cusum_drift": _q_cusum_drift,
+        "cooccurrence_triangles": _q_cooccurrence_triangles,
     }
 
 
@@ -5424,6 +5468,95 @@ JOIN singles sb ON sb.term = p.item_b
 CROSS JOIN tot
 """
 
+# first-iteration BPE merge-pair frequencies (lock-step with
+# textstats.bpe_pair_counts: whitespace tokens on normalized text,
+# word-frequency-weighted adjacent char pairs on the DISTINCT-word
+# table, deterministic tie-break, top 50). unnest(range(1, len)) is
+# the 1..len-1 position list (range is half-open) — DuckDB's
+# generate_series can't laterally correlate here.
+_BPE_PAIRS_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS wf
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+    WHERE word IS NOT NULL AND word <> ''
+    GROUP BY 1
+),
+positions AS (
+    SELECT word, wf, unnest(range(1, len(word))) AS i
+    FROM words WHERE len(word) >= 2
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+           SUM(wf) AS pair_count
+    FROM positions GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, CAST(pair_count AS BIGINT) AS pair_count
+FROM pairs ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+"""
+
+# standardized CUSUM over the daily series (lock-step with
+# windows.cusum_changepoints: global mean/sample-std, ordered prefix
+# sum, flag on the ROUNDED value so float drift can't flip it)
+_CUSUM_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n_turns
+    FROM conversations GROUP BY 1
+),
+stats AS (SELECT AVG(n_turns) AS mu, STDDEV_SAMP(n_turns) AS sd FROM daily),
+scored AS (
+    SELECT d, n_turns,
+           SUM(CASE WHEN sd > 0 THEN (n_turns - mu) / sd ELSE 0.0 END)
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cusum
+    FROM daily CROSS JOIN stats
+)
+SELECT d, CAST(n_turns AS BIGINT) AS n_turns,
+       ROUND(cusum, 6) AS cusum,
+       ABS(ROUND(cusum, 6)) > 5.0 AS is_shift
+FROM scored
+"""
+
+# triangle census of the ≥300-doc term co-occurrence graph (edges as
+# in _COOCCURRENCE_SQL). The oracle counts each triangle once via
+# plain id-ordering a<b<c; the engine uses degree-ordered wedges —
+# identical census, cross-validating the two algorithms.
+_TRIANGLES_SQL = f"""
+WITH gi AS (
+    SELECT DISTINCT doc_id, t.term
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t
+    WHERE term IS NOT NULL
+),
+edges AS (
+    SELECT a.term AS a, b.term AS b
+    FROM gi a JOIN gi b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING COUNT(*) >= 300
+),
+deg AS (
+    SELECT node, COUNT(*) AS deg
+    FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY 1
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+summary AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(SUM(deg * (deg - 1)), 0) / 2 AS BIGINT) AS n_wedges
+    FROM deg
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS global_clustering
+FROM summary CROSS JOIN ne CROSS JOIN tri
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -6063,4 +6196,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": _TABLE_CHECKSUM_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "supplier_pagerank": _PAGERANK_SQL,
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
+        "cusum_drift": _CUSUM_SQL,
+        "cooccurrence_triangles": _TRIANGLES_SQL,
     }

@@ -181,3 +181,111 @@ def pagerank(
             ((1.0 - d) / F.col("_n") + d * F.col("_in")).alias("rank"),
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Triangle census of an undirected graph → ONE summary row
+    ``(n_nodes, n_edges, n_triangles, n_wedges, global_clustering)``
+    where ``global_clustering = 3·triangles / wedges`` (the standard
+    transitivity ratio; 0.0 when the graph has no wedges).
+
+    Near-dup pair graphs (MinHash-LSH / embedding buckets) and term
+    co-occurrence graphs are where this runs: transitivity close to
+    1 means LSH pairs form clean cliques (safe to collapse via
+    ``connected_components``); low transitivity means chains —
+    collapsing would over-merge, so tighten the similarity threshold
+    first. The audit to run BEFORE trusting transitive dedup.
+
+    Scale shape — degree-ordered wedge counting (the MapReduce
+    triangle standard, Suri & Vassilvitskii 2011): every edge is
+    re-oriented from the endpoint with smaller ``(degree, id)`` to
+    the larger, so wedges are generated only at their lowest-degree
+    vertex; out-degree is then bounded by O(√m) on any graph, which
+    caps the wedge self-join fan-out that a naive id-ordering hits
+    on star graphs (one celebrity node = quadratic wedges). Three
+    hash joins total (wedge build + closing-edge probe), all keyed
+    partitions, no broadcast assumption on the edge list itself.
+    Each triangle is counted exactly once (its unique degree-minimal
+    vertex generates the wedge; the probe matches the closing edge
+    in canonical orientation).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        # und is referenced by degrees, orientation, the closing-edge
+        # probe, and the edge count; deg by four join probes; oriented
+        # by three. Without cutting lineage each reference re-derives
+        # the whole upstream (the LSH/co-occurrence pair join!) — the
+        # composed plan re-scans the corpus >100×. localCheckpoint
+        # materializes each once (same discipline as the component
+        # iterations above).
+        .localCheckpoint(eager=False)
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=False)
+    )
+
+    # orient every edge from the (degree, id)-smaller endpoint to the larger
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=False)
+
+    # wedges at the low vertex: (lo -> u), (lo -> v) with u before v in
+    # the same (degree, id) order; triangle iff oriented edge u -> v exists
+    e1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("u"))
+    e2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    wedges = (
+        e1.join(e2, "pivot")
+        .join(du, "u")
+        .join(dv, "v")
+        .where(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", F.col("v").alias("w_v"))
+    )
+    closing = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w_v"))
+    tri = wedges.join(closing, ["u", "w_v"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+    # open-wedge total from degrees: Σ deg·(deg−1)/2 (orientation-free)
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -549,3 +549,54 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 50,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """First-iteration BPE merge statistics: frequency of every
+    adjacent character pair across the corpus, weighted by word
+    frequency → ``(left_sym, right_sym, pair_count)``, the top
+    ``top_n`` by count (deterministic tie-break on the symbols).
+    The most frequent pair is exactly the first merge a BPE
+    tokenizer trainer would pick; re-running after applying a merge
+    yields the next, so this is the distributed inner loop of
+    BPE-vocab training over the corpus the engine curates
+    (tokenizer prep — the step after `vocab_coverage`'s OOV audit).
+
+    Scale shape — the trick real BPE trainers use: pair statistics
+    are computed on the DISTINCT-WORD table weighted by word
+    frequency, never on the corpus. One corpus-sized explode+shuffle
+    builds the word-frequency table (map-side partial counts); the
+    per-character explode and the pair aggregation then run on the
+    vocab-sized table (≤ a few million rows at 100 TB — Heaps' law),
+    so each merge iteration costs O(vocab), not O(corpus tokens).
+    ``sequence(1, len-1)`` is guarded by ``min_word_len`` (Spark's
+    sequence DESCENDS for stop < start rather than returning empty).
+    """
+    words = (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("word") >= min_word_len)
+    )
+    pairs = words.select(
+        "word",
+        "wf",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("word").substr(F.col("i") + F.lit(1), F.lit(1)).alias("right_sym"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(top_n)
+    )

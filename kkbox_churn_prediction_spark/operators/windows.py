@@ -244,3 +244,51 @@ def peak_concurrency(
             .alias("peak_concurrency")
         )
     )
+
+
+def cusum_changepoints(
+    turns: DataFrame, *, threshold: float = 5.0
+) -> DataFrame:
+    """Standardized CUSUM drift detection over the daily turn-count
+    series: ``S_t = Σ_{i≤t} (x_i − x̄)/s`` (global mean/sample-std),
+    with a ``|S_t| > threshold`` level-shift flag per day →
+    ``(d, n_turns, cusum, is_shift)``.
+
+    The structural-drift companion to ``daily_anomalies`` (which
+    flags single-day spikes against a trailing window): CUSUM
+    accumulates small persistent deviations, so a regime change that
+    never trips a daily z-score still drives |S_t| past the
+    threshold — the page-one monitoring chart for "did the corpus
+    mix shift mid-backfill".
+
+    Shape: one partial+final hash agg collapses the stream to the
+    daily series; mean/std ride a one-row broadcast join; the prefix
+    sum is a window over the calendar-bounded series (≤ a few
+    thousand rows per decade — the same bounded-single-partition
+    exemption as ``daily_anomalies``/``km_curve``). A constant
+    series (std = 0) emits all-zero CUSUM, never a division blowup.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+    # global mean/std as an UNPARTITIONED window over the already-tiny
+    # daily series — not a separate .agg + crossJoin, which would run
+    # the heavy daily rollup (and the corpus scan under it) twice
+    wall = Window.partitionBy()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.when(
+        F.col("_sd") > 0, (F.col("n_turns") - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        daily.withColumn("_mu", F.avg("n_turns").over(wall))
+        .withColumn("_sd", F.stddev_samp("n_turns").over(wall))
+        .withColumn("cusum", F.sum(dev).over(w))
+        .select(
+            "d",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            # threshold compares the ROUNDED value so the flag can't
+            # flip on sub-1e-6 cross-engine float drift
+            F.round("cusum", 6).alias("cusum"),
+            (F.abs(F.round("cusum", 6)) > F.lit(float(threshold))).alias("is_shift"),
+        )
+    )

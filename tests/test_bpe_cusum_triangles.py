@@ -1,0 +1,150 @@
+"""Goldens for the round-2 late additions: BPE merge-pair counts,
+CUSUM changepoints, and the triangle census.
+
+Hand-computed references throughout; the triangle tests also pin the
+two properties the degree-ordered algorithm must preserve (each
+triangle counted exactly once; star graphs produce zero triangles
+but many wedges).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from kkbox_churn_prediction_spark.operators.components import triangle_stats
+from kkbox_churn_prediction_spark.operators.textstats import bpe_pair_counts
+from kkbox_churn_prediction_spark.operators.windows import cusum_changepoints
+
+
+def test_bpe_pair_counts_hand_golden(spark):
+    # vocab: low(×2 docs → wf=2 each occurrence counted), lower, lowest
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low"), (3, None)], ["doc_id", "text"]
+    )
+    rows = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in bpe_pair_counts(docs, top_n=100).collect()
+    }
+    # 'lo' and 'ow': low×2 + lower + lowest = 4
+    assert rows[("l", "o")] == 4
+    assert rows[("o", "w")] == 4
+    # 'we': lower + lowest = 2; 'er' only lower; 'st' only lowest
+    assert rows[("w", "e")] == 2
+    assert rows[("e", "r")] == 1
+    assert rows[("s", "t")] == 1
+    assert ("t", "x") not in rows
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # the same word repeated must multiply pair counts, and the
+    # single-char word contributes nothing (sequence guard)
+    docs = spark.createDataFrame([(1, "ab ab ab a")], ["doc_id", "text"])
+    rows = bpe_pair_counts(docs, top_n=10).collect()
+    assert len(rows) == 1
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].pair_count) == ("a", "b", 3)
+
+
+def test_bpe_top_n_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef gh")], ["doc_id", "text"]
+    )
+    # all four pairs tie at count 1 → tie-break on symbols keeps ab, cd
+    out = [
+        (r.left_sym, r.right_sym) for r in bpe_pair_counts(docs, top_n=2).collect()
+    ]
+    assert out == [("a", "b"), ("c", "d")]
+
+
+def _daily_turns(spark, counts):
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 12, 0, 0),)
+        for d, n in enumerate(counts)
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, ["ts"])
+
+
+def test_cusum_detects_level_shift_daily_z_misses(spark):
+    # +1σ-ish persistent shift: each day individually unremarkable,
+    # cumulative sum drifts monotonically past the threshold
+    turns = _daily_turns(spark, [10] * 8 + [14] * 8)
+    out = {r.d.day: r for r in cusum_changepoints(turns, threshold=2.0).collect()}
+    # the regime boundary carries the extreme: |S_8| ≈ 7.7σ
+    assert out[8].is_shift
+    # mean-centering makes the full-series CUSUM return to exactly 0
+    assert out[16].cusum == pytest.approx(0.0, abs=1e-6)
+    # first day deviates < 1σ → can never be flagged at threshold 2
+    assert not out[1].is_shift
+
+
+def test_cusum_constant_series_all_zero(spark):
+    turns = _daily_turns(spark, [5] * 6)
+    rows = cusum_changepoints(turns, threshold=1.0).collect()
+    assert all(r.cusum == 0.0 and not r.is_shift for r in rows)
+
+
+def test_cusum_matches_numpy(spark):
+    import numpy as np
+
+    counts = [3, 9, 4, 12, 5, 5, 20, 2]
+    turns = _daily_turns(spark, counts)
+    got = [
+        r.cusum
+        for r in cusum_changepoints(turns, threshold=99.0).orderBy("d").collect()
+    ]
+    x = np.array(counts, dtype=float)
+    dev = (x - x.mean()) / x.std(ddof=1)
+    want = np.cumsum(dev)
+    assert got == pytest.approx(list(np.round(want, 6)), abs=1e-6)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+
+
+def test_triangle_census_hand_golden(spark):
+    # triangle a-b-c plus pendant c-d: 1 triangle, 5 wedges, C=0.6
+    row = triangle_stats(
+        _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    ).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (4, 4, 1, 5)
+    assert row.global_clustering == pytest.approx(0.6)
+
+
+def test_triangle_star_graph_zero_triangles(spark):
+    # K1,4 star: the hub's degree-ordered out-edges never form wedges
+    # at the leaves, and there is no closing edge anywhere
+    star = [("hub", f"leaf{i}") for i in range(4)]
+    row = triangle_stats(_edges(spark, star)).first()
+    assert row.n_triangles == 0
+    assert row.n_wedges == 6  # C(4,2) at the hub
+    assert row.global_clustering == 0.0
+
+
+def test_triangle_clique_counts_each_once(spark):
+    # K5: C(5,3)=10 triangles, 30 wedges, transitivity exactly 1
+    nodes = [f"n{i}" for i in range(5)]
+    k5 = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+    row = triangle_stats(_edges(spark, k5)).first()
+    assert (row.n_triangles, row.n_wedges) == (10, 30)
+    assert row.global_clustering == pytest.approx(1.0)
+
+
+def test_triangle_dedups_and_ignores_direction_and_loops(spark):
+    # duplicated / reversed / self-loop edges must not inflate the census
+    row = triangle_stats(
+        _edges(
+            spark,
+            [
+                ("a", "b"),
+                ("b", "a"),
+                ("a", "b"),
+                ("b", "c"),
+                ("c", "a"),
+                ("a", "a"),
+            ],
+        )
+    ).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
