@@ -2331,6 +2331,19 @@ def _q_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges, "item_a", "item_b")
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (Lee et al. 2022): maximal
+    duplicated n-gram spans per doc + covered-token fraction — finds
+    shared boilerplate that doc-level Jaccard/MinHash misses. One
+    corpus explode to a slim (id, pos, hash48) stream; hot-gram join
+    bounded by min_docs/max_gram_docs; island merge per doc."""
+    from kkbox_churn_prediction_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), n=5, min_docs=2, max_gram_docs=10_000
+    )
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2503,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "cusum_drift": _q_cusum_drift,
         "cooccurrence_triangles": _q_cooccurrence_triangles,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -5557,6 +5571,52 @@ SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
 FROM summary CROSS JOIN ne CROSS JOIN tri
 """
 
+# substring-level duplicated spans (lock-step with
+# dedup.duplicate_spans: 5-gram hash48 positions, hot grams in
+# [2, 10000] docs, interval islands merging on pos ≤ prev + 5).
+# DuckDB list slice [i:i+4] is INCLUSIVE (5 elements); pos is 0-based
+# (i − 1) to match Spark's posexplode.
+_DUP_SPANS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, len(ws) AS n_tokens, CAST(i AS INTEGER) - 1 AS pos,
+           {_H48.format(x="array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+4], ' ')")} AS gh
+    FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        FROM toks WHERE len(ws) >= 5
+    )
+),
+hot AS (
+    SELECT gh FROM grams GROUP BY gh
+    HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10000
+),
+dup AS (SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN hot USING (gh)),
+flagged AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+),
+islands AS (
+    SELECT doc_id, n_tokens, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e,
+           MAX(n_tokens) AS n_tokens
+    FROM islands GROUP BY 1, 2
+)
+SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 5) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(e - s + 5) AS DOUBLE) / MAX(n_tokens), 6) AS dup_fraction
+FROM spans GROUP BY doc_id
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -6199,4 +6259,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "cusum_drift": _CUSUM_SQL,
         "cooccurrence_triangles": _TRIANGLES_SQL,
+        "duplicate_spans": _DUP_SPANS_SQL,
     }

@@ -403,3 +403,99 @@ def collapse_bursts(
         )
         .drop("_burst_id")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+    max_gram_docs: int | None = 10_000,
+) -> DataFrame:
+    """Substring-level duplication report (the span analog of
+    doc-level near-dup, per Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): for every document that
+    shares at least one word ``n``-gram with ``min_docs``-or-more
+    documents, the MAXIMAL duplicated spans — runs of duplicated
+    n-grams whose token intervals touch — and the fraction of the
+    document's tokens they cover →
+    ``(doc_id, n_tokens, n_dup_spans, dup_tokens, dup_fraction)``.
+
+    Doc-level dedup misses boilerplate: two distinct pages sharing a
+    500-token license header never hit a Jaccard threshold, but the
+    header still memorizes. This finds the header itself.
+
+    Shape: positional grams are a slim (id, pos, hash48) stream —
+    ONE corpus explode; duplicated-gram detection is a count-distinct
+    agg on the gram hash; the join back is keyed by that hash and
+    bounded because the hot-gram table only holds grams seen in ≥
+    ``min_docs`` docs. ``max_gram_docs`` drops ubiquitous grams
+    (every-page boilerplate seen in >10k docs) the same way
+    ``max_shingle_freq`` caps stop-shingles — without it one
+    universal footer fans the join out by docs×positions. Span
+    merging is a gaps-and-islands window per doc (bounded by doc
+    length): intervals ``[pos, pos+n-1]`` merge when they overlap or
+    touch (``pos ≤ prev + n``), so covered-token sums never
+    double-count.
+    """
+    from pyspark.sql import Window
+
+    from kkbox_churn_prediction_spark.functions.text import all_word_ngrams
+
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(F.trim(norm), r"\s+")
+
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.posexplode(all_word_ngrams(norm, n)).alias("pos", "_gram"),
+        )
+        .select(id_col, "n_tokens", "pos", stable_hash48(F.col("_gram")).alias("gh"))
+    )
+    # the gram stream feeds BOTH the hot-gram aggregate and the join
+    # probe; without materialization each branch re-runs the corpus
+    # scan + normalize + split + md5 (the expensive part). persist —
+    # not localCheckpoint — keeps lineage, so a lost executor
+    # recomputes its blocks instead of failing the job; the cached
+    # form is the slim (id, n_tokens, pos, hash48) columns, shuffle-
+    # class I/O, spilling to disk when it outgrows memory.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    nd = F.count_distinct(F.col(id_col)).alias("nd")
+    hot = grams.groupBy("gh").agg(nd).where(F.col("nd") >= int(min_docs))
+    if max_gram_docs is not None:
+        hot = hot.where(F.col("nd") <= int(max_gram_docs))
+    dup = grams.join(hot.select("gh"), "gh")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w) + F.lit(int(n)), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dup.withColumn("island", F.sum(brk).over(w))
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"),
+        F.max("pos").alias("e"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + F.lit(int(n)))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
+        )
+    )

@@ -148,3 +148,74 @@ def test_triangle_dedups_and_ignores_direction_and_loops(spark):
         )
     ).first()
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+# --- duplicate_spans (substring-level dedup) -------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_hand_golden(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one two three"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta suffix tail here"),
+            (3, "totally different content with no overlap at all whatsoever"),
+            (4, None),
+        ],
+    )
+    r = {x.doc_id: x for x in duplicate_spans(docs, n=3).collect()}
+    # only the two docs sharing the 6-token run appear
+    assert set(r) == {1, 2}
+    assert r[1].dup_tokens == 6 and r[2].dup_tokens == 6
+    assert r[1].n_tokens == 10 and r[1].dup_fraction == 0.6
+    assert r[1].n_dup_spans == 1
+
+
+def test_duplicate_spans_merges_touching_intervals(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import duplicate_spans
+
+    # two shared trigram runs separated by ONE private token: the
+    # interval [pos, pos+2] of the second run touches the first run's
+    # coverage, so they merge into one span in doc 1
+    shared_a = "q w e"
+    shared_b = "r t y"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared_a} x {shared_b}"),  # qwe x rty: runs at 0 and 4
+            (2, f"zz {shared_a} zz2 zz3"),
+            (3, f"aa bb {shared_b} cc"),
+        ],
+    )
+    r = {x.doc_id: x for x in duplicate_spans(docs, n=3).collect()}
+    # doc1 grams: pos0 (q w e) dup, pos4 (r t y) dup; gap 4 ≤ n=3? no:
+    # 4 > 0+3 → SEPARATE spans, covering 3+3=6 of 7 tokens
+    assert r[1].n_dup_spans == 2 and r[1].dup_tokens == 6
+    # adjacent case: doc where the runs abut with no private token
+    docs2 = _docs(
+        spark,
+        [
+            (1, f"{shared_a} {shared_b}"),  # contiguous: pos0 and pos3
+            (2, f"zz {shared_a} zz2 zz3"),
+            (3, f"aa bb {shared_b} cc"),
+        ],
+    )
+    r2 = {x.doc_id: x for x in duplicate_spans(docs2, n=3).collect()}
+    # pos3 ≤ pos0 + 3 → ONE merged span covering all 6 tokens
+    assert r2[1].n_dup_spans == 1 and r2[1].dup_tokens == 6
+    assert r2[1].dup_fraction == 1.0
+
+
+def test_duplicate_spans_max_gram_docs_cap(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import duplicate_spans
+
+    # a footer shared by ALL 5 docs is dropped when the cap is below 5
+    docs = _docs(spark, [(i, f"body{i} text{i} common footer trigram") for i in range(5)])
+    assert duplicate_spans(docs, n=3, max_gram_docs=4).count() == 0
+    assert duplicate_spans(docs, n=3, max_gram_docs=None).count() == 5
