@@ -2344,6 +2344,18 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding space — the
+    PCA/whitening/Mahalanobis sufficient statistic. One Arrow-batched
+    mapInPandas pass of BLAS Gram partials; only ~33 KB per partition
+    reaches the driver."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_embs(spark, sf_dir))
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2517,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": _q_cusum_drift,
         "cooccurrence_triangles": _q_cooccurrence_triangles,
         "duplicate_spans": _q_duplicate_spans,
+        "embedding_covariance": _q_embedding_covariance,
     }
 
 
@@ -5617,6 +5630,24 @@ SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
 FROM spans GROUP BY doc_id
 """
 
+# embedding covariance (lock-step with similarity.embedding_covariance:
+# sample covariance, upper triangle dim_i ≤ dim_j, 0-based dims,
+# round 6; engine sums BLAS Gram partials, oracle streams covar_samp —
+# same statistic by two algorithms)
+_EMB_COV_SQL = """
+WITH ev AS (
+    SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+    FROM (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j, ROUND(covar_samp(a.v, b.v), 6) AS cov
+FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -6260,4 +6291,5 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": _CUSUM_SQL,
         "cooccurrence_triangles": _TRIANGLES_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
+        "embedding_covariance": _EMB_COV_SQL,
     }

@@ -528,3 +528,117 @@ def centroid_distance_outliers(
             (z > F.lit(float(z_threshold))).alias("is_outlier"),
         )
     )
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Sample covariance matrix of an embedding column, long form →
+    ``(dim_i, dim_j, cov)`` for the upper triangle ``dim_i ≤ dim_j``
+    — the sufficient statistic for PCA (:func:`pca_project`),
+    whitening, and Mahalanobis outlier screens over the corpus's
+    embedding space.
+
+    Plan: per-partition sufficient statistics ``(n, Σx, upper(Σxxᵀ))``
+    via ONE Arrow-batched ``mapInPandas`` pass — the Gram update is a
+    BLAS ``XᵀX`` per batch, so the stream is scanned once and nothing
+    row×d² ever materializes (tried: 2 080 separate ``covar_samp``
+    buffers run interpreted and were ~50× slower; the posexplode
+    self-join is a d²× stream blowup). Only the tiny partials — one
+    ~33 KB row per partition — reach the driver for the final
+    combine, the same tiny-result-only-collect discipline as
+    ``kmeans_fit``; with 10⁵ partitions that is still ~3 GB → add a
+    coalesce-level tree step before collecting if you run wider.
+    ``cov = (Σxy − n·x̄·ȳ)/(n−1)`` in float64 on corpus-scale sums is
+    ≪ the 1e-6 rounding the cross-engine gate compares at.
+    """
+    import numpy as np
+
+    d = int(df.select(F.size(vec_col).alias("_d")).first()["_d"])
+
+    def gram(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n = 0
+        s = _np.zeros(d)
+        g = _np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in pdf["_x"]])
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        iu = _np.triu_indices(d)
+        yield _pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g[iu].tolist()]})
+
+    parts = df.select(F.col(vec_col).cast("array<double>").alias("_x")).mapInPandas(
+        gram, "n long, s array<double>, g array<double>"
+    )
+    rows = parts.collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    gu = np.sum([r["g"] for r in rows], axis=0)
+    g = np.zeros((d, d))
+    g[np.triu_indices(d)] = gu
+    mean = s / n
+    out = []
+    for i in range(d):
+        for j in range(i, d):
+            c = (g[i, j] - n * mean[i] * mean[j]) / (n - 1)
+            out.append((i, j, round(float(c), 6)))
+    return df.sparkSession.createDataFrame(out, "dim_i int, dim_j int, cov double")
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 2,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components →
+    ``(id, pc, value)`` — dimensionality reduction for visualization
+    / cheap downstream models, on top of the one-pass covariance.
+
+    Eigendecomposition runs driver-side on the tiny d×d covariance
+    (numpy ``eigh`` — d=64 is microseconds; the DATA never moves);
+    each component's sign is fixed deterministically (largest-|loading|
+    coordinate made positive) since eigenvectors are sign-ambiguous.
+    The projection back over the corpus is a broadcast-literal
+    dot-product per component — pure JVM column arithmetic via
+    ``F.aggregate`` over the zipped arrays, no UDF, no shuffle.
+    """
+    import numpy as np
+
+    cov_long = embedding_covariance(df, vec_col).collect()
+    d = max(r.dim_j for r in cov_long) + 1
+    cov = np.zeros((d, d))
+    for r in cov_long:
+        cov[r.dim_i, r.dim_j] = cov[r.dim_j, r.dim_i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in range(k):
+        v = vecs[:, order[c]]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append(v)
+
+    out = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_x"))
+    proj = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_x"),
+                    F.array(*[F.lit(float(w)) for w in comps[c]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias(f"pc{c}")
+        for c in range(k)
+    ]
+    wide = out.select(id_col, *proj)
+    return wide.unpivot([id_col], [f"pc{c}" for c in range(k)], "pc", "value")
