@@ -2356,6 +2356,26 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_embs(spark, sf_dir))
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix (shared trigram
+    vocabulary + Jaccard per source pair) — dedup-across-crawls
+    screen before mixture weighting. Pair-join fan-out bounded by
+    #sources per gram, never doc count."""
+    from kkbox_churn_prediction_spark.operators.textstats import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir), n=3)
+
+
+def _q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit of the word-frequency distribution (slope
+    ≈ −1 for natural text; drift flags synthetic/boilerplate corpora).
+    Ranks via the distributed value-order prefix sum — no
+    single-partition vocab sort."""
+    from kkbox_churn_prediction_spark.operators.textstats import zipf_stats
+
+    return zipf_stats(_docs(spark, sf_dir))
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2530,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_triangles": _q_cooccurrence_triangles,
         "duplicate_spans": _q_duplicate_spans,
         "embedding_covariance": _q_embedding_covariance,
+        "source_overlap": _q_source_overlap,
+        "zipf_stats": _q_zipf_stats,
     }
 
 
@@ -5648,6 +5670,55 @@ FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY 1, 2
 """
 
+# cross-source shingle overlap (lock-step with textstats.source_overlap:
+# distinct (source, trigram-hash48), ordered pair join, Jaccard round 6)
+_SOURCE_OVERLAP_SQL = f"""
+WITH sg AS (
+    SELECT DISTINCT source AS src, {_H48.format(x="sh")} AS gh
+    FROM (
+        SELECT source, unnest({_SHINGLES.format(toks=_TOKS, nm1=2)}) AS sh
+        FROM documents
+    )
+),
+shared AS (
+    SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+    FROM sg a JOIN sg b ON a.gh = b.gh AND a.src < b.src
+    GROUP BY 1, 2
+),
+totals AS (SELECT src, COUNT(*) AS n_grams FROM sg GROUP BY 1)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n_grams AS BIGINT) AS n_a, CAST(tb.n_grams AS BIGINT) AS n_b,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / (ta.n_grams + tb.n_grams - n_shared), 6) AS jaccard
+FROM shared
+JOIN totals ta ON ta.src = source_a
+JOIN totals tb ON tb.src = source_b
+"""
+
+# Zipf fit (lock-step with textstats.zipf_stats: average-tie DESC
+# ranks — rank() min-rank + (ties-1)/2 — OLS of ln(freq) on ln(rank);
+# the engine computes the identical regression as count-weighted sums
+# over the distinct-count table)
+_ZIPF_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+    WHERE word IS NOT NULL AND word <> ''
+    GROUP BY 1
+),
+ranked AS (
+    SELECT c,
+           CAST(rank() OVER (ORDER BY c DESC) AS DOUBLE)
+             + (COUNT(*) OVER (PARTITION BY c) - 1) / 2.0e0 AS r
+    FROM words
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       ROUND(regr_slope(LN(c), LN(r)), 6) AS zipf_slope,
+       ROUND(POW(corr(LN(c), LN(r)), 2), 6) AS zipf_r2
+FROM ranked
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -6292,4 +6363,6 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_triangles": _TRIANGLES_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
+        "zipf_stats": _ZIPF_SQL,
     }

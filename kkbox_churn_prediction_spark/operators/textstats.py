@@ -600,3 +600,126 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(top_n)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    count of shared distinct word ``n``-grams and their Jaccard
+    overlap → ``(source_a, source_b, n_shared, n_a, n_b, jaccard)``.
+
+    The corpus-mix companion to :func:`~.dedup.decontaminate` (which
+    probes a known eval set): high Jaccard between two "independent"
+    crawls means one mirrors the other — deduplicate across them
+    before weighting the mixture (:func:`~.sampling.mixture_rates`).
+
+    Shape: ONE corpus explode → distinct (source, gram-hash48) — the
+    per-source gram vocabulary (map-side dedup). The pair join is
+    keyed on the gram hash with fan-out bounded by the number of
+    SOURCES containing each gram (≤ #sources, a handful by nature —
+    never doc-count). Per-source totals are a tiny table broadcast
+    onto the pair counts.
+    """
+    sg = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("_sh"),
+        )
+        .select("src", stable_hash48(F.col("_sh")).alias("gh"))
+        .distinct()
+    )
+    a = sg.select(F.col("src").alias("source_a"), "gh")
+    b = sg.select(F.col("src").alias("source_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    totals = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_grams").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def zipf_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution → ONE
+    row ``(vocab_size, total_tokens, zipf_slope, zipf_r2)`` where
+    slope is the OLS coefficient of ``ln(freq) ~ ln(avg_desc_rank)``
+    over all vocabulary words (natural text ≈ −1; a slope far from
+    −1 or a poor r² flags synthetic/boilerplate-heavy corpora — the
+    corpus-health screen next to :func:`repetition_stats`).
+
+    Shape: word counts collapse the corpus (one shuffle, map-side
+    combined) and are immediately re-collapsed to the DISTINCT-COUNT
+    table — frequency ranks are computed there via the same
+    distributed value-order prefix sum as ``encoders.rank_normalize``
+    (no single-partition sort of the vocab). Words tied at a count
+    share their average rank (scipy ``rankdata(method='average')``),
+    so the regression runs as count-weighted sums over the tiny
+    distinct-count table — algebraically identical to per-word OLS.
+    """
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        value_rank_components,
+    )
+
+    words = (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    comp = value_rank_components(words, "c")  # (c, _cnt words, _before)
+    # vocab size V and token total ride one-row broadcasts
+    tot = comp.agg(
+        F.sum("_cnt").alias("_v"),
+        F.sum(F.col("c") * F.col("_cnt")).alias("_t"),
+    )
+    pts = comp.crossJoin(F.broadcast(tot)).select(
+        F.col("_v"),
+        F.col("_t"),
+        F.col("_cnt").cast("double").alias("w"),
+        F.log(F.col("_v") - (F.col("_before") + (F.col("_cnt") - 1) / 2.0)).alias(
+            "x"
+        ),  # ln(1-based average DESC rank)
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.first("_v").alias("v"),
+        F.first("_t").alias("t"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_xy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw")
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / F.col("sw")
+    return agg.select(
+        F.col("v").cast("bigint").alias("vocab_size"),
+        F.col("t").cast("bigint").alias("total_tokens"),
+        F.round(cov_xy / var_x, 6).alias("zipf_slope"),
+        F.round((cov_xy * cov_xy) / (var_x * var_y), 6).alias("zipf_r2"),
+    )

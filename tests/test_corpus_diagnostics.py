@@ -1,0 +1,95 @@
+"""Goldens for the corpus-diagnostics additions: cross-source n-gram
+overlap and the Zipf's-law fit."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from kkbox_churn_prediction_spark.operators.textstats import (
+    source_overlap,
+    zipf_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_source_overlap_hand_golden(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "crawlA", "one two three four"),
+            (2, "crawlB", "one two three five"),  # shares trigram "one two three"
+            (3, "crawlC", "совсем другой текст тут"),
+        ],
+    )
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(docs, n=3).collect()}
+    # only A-B overlap; A has trigrams {one two three, two three four} (2),
+    # B has 2, shared 1 → jaccard 1/3
+    assert set(rows) == {("crawlA", "crawlB")}
+    r = rows[("crawlA", "crawlB")]
+    assert (r.n_shared, r.n_a, r.n_b) == (1, 2, 2)
+    assert r.jaccard == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_source_overlap_identical_sources_jaccard_one(spark):
+    text = "alpha beta gamma delta epsilon"
+    docs = _docs(spark, [(1, "x", text), (2, "y", text)])
+    r = source_overlap(docs, n=3).first()
+    assert r.jaccard == 1.0 and r.n_shared == r.n_a == r.n_b
+
+
+def test_source_overlap_counts_distinct_grams_once(spark):
+    # repeated trigram within one source must not inflate counts
+    docs = _docs(
+        spark,
+        [
+            (1, "x", "a b c a b c"),
+            (2, "x", "a b c"),
+            (3, "y", "a b c unrelated tail"),
+        ],
+    )
+    r = source_overlap(docs, n=3).first()
+    # x grams: {a b c, b c a, c a b} = 3; y: {a b c, b c unrelated,
+    # c unrelated tail} = 3; shared = {a b c}
+    assert (r.n_a, r.n_b, r.n_shared) == (3, 3, 1)
+
+
+def test_zipf_matches_manual_ols(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d"), (2, "a b b c")], ["doc_id", "text"]
+    )
+    row = zipf_stats(docs).first()
+    assert row.vocab_size == 4 and row.total_tokens == 12
+    # counts: a=5 b=4 c=2 d=1 → desc ranks 1,2,3,4 (no ties)
+    x = np.log([1.0, 2.0, 3.0, 4.0])
+    y = np.log([5.0, 4.0, 2.0, 1.0])
+    slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-6)
+    assert row.zipf_r2 == pytest.approx(r2, abs=1e-6)
+
+
+def test_zipf_average_rank_for_ties(spark):
+    # b and c tie at 2 → both get rank (2+3)/2 = 2.5
+    docs = spark.createDataFrame([(1, "a a a b b c c d")], ["doc_id", "text"])
+    row = zipf_stats(docs).first()
+    x = np.log([1.0, 2.5, 2.5, 4.0])
+    y = np.log([3.0, 2.0, 2.0, 1.0])
+    slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-6)
+
+
+def test_zipf_pure_zipf_corpus_slope_near_minus_one(spark):
+    # frequencies ∝ 1/rank exactly → slope −1, r² 1
+    words = []
+    for rank in range(1, 41):
+        words += [f"w{rank:02d}"] * max(1, round(1200 / rank))
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_stats(docs).first()
+    assert row.zipf_slope == pytest.approx(-1.0, abs=0.02)
+    assert row.zipf_r2 > 0.999
