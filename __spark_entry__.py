@@ -2376,6 +2376,16 @@ def _q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_stats(_docs(spark, sf_dir))
 
 
+def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) pair mining: adjacent user→assistant
+    turn pairs under the shared conversation ordering — one lag
+    window, no join. Strict adjacency: intervening system/tool turns
+    disqualify the pair."""
+    from kkbox_churn_prediction_spark.operators.assemble import dialogue_pairs
+
+    return dialogue_pairs(_conv(spark, sf_dir))
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2552,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,
         "source_overlap": _q_source_overlap,
         "zipf_stats": _q_zipf_stats,
+        "dialogue_pairs": _q_dialogue_pairs,
     }
 
 
@@ -5719,6 +5730,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
 FROM ranked
 """
 
+# SFT dialogue pairs (lock-step with assemble.dialogue_pairs: strict
+# adjacency user→assistant under the shared (ts, turn_idx) ordering,
+# length floors ≥ 1)
+_DIALOGUE_PAIRS_SQL = f"""
+WITH {_CONV_CTE},
+lagged AS (
+    SELECT conv_id, turn_idx, role, text,
+           lag(role) OVER w AS pr, lag(text) OVER w AS pt
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       pt AS prompt, text AS response,
+       CAST(length(pt) AS BIGINT) AS prompt_len,
+       CAST(length(text) AS BIGINT) AS response_len
+FROM lagged
+WHERE role = 'assistant' AND pr = 'user'
+  AND length(pt) >= 1 AND length(text) >= 1
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -6365,4 +6396,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "zipf_stats": _ZIPF_SQL,
+        "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

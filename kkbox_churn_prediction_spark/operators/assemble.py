@@ -60,3 +60,52 @@ def assemble_documents(
         F.element_at(F.col("_p"), 1)["ts_us"].alias("t0_us"),
         F.element_at(F.col("_p"), -1)["ts_us"].alias("t1_us"),
     )
+
+
+def dialogue_pairs(
+    turns: DataFrame,
+    *,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    min_prompt_len: int = 1,
+    min_response_len: int = 1,
+) -> DataFrame:
+    """(prompt, response) training-pair extraction from transcripts —
+    the SFT counterpart of :func:`assemble_documents` (which builds
+    pretraining documents): every ``response_role`` turn whose
+    IMMEDIATELY preceding turn in the conversation is a
+    ``prompt_role`` turn becomes one example →
+    ``(conv_id, turn_idx, prompt, response, prompt_len,
+    response_len)``. Pairs with an intervening system/tool turn are
+    deliberately excluded (the prompt shown to the model would not
+    be the adjacent text), matching the strict-adjacency convention
+    of instruction-tuning pair miners.
+
+    Shape: one ``lag`` over the shared per-conversation sort (the
+    same ``(conv_id → ts, turn_idx)`` window every turn-level
+    operator rides) + a filter — no join, no second scan. Length
+    floors drop empty/degenerate pairs at the source.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_text = F.lag("text").over(w)
+    out = (
+        turns.withColumn("_pr", prev_role)
+        .withColumn("_pt", prev_text)
+        .where(
+            (F.col("role") == response_role)
+            & (F.col("_pr") == prompt_role)
+            & (F.length(F.col("_pt")) >= int(min_prompt_len))
+            & (F.length(F.col("text")) >= int(min_response_len))
+        )
+    )
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("_pt").alias("prompt"),
+        F.col("text").alias("response"),
+        F.length("_pt").cast("bigint").alias("prompt_len"),
+        F.length("text").cast("bigint").alias("response_len"),
+    )

@@ -93,3 +93,38 @@ def test_zipf_pure_zipf_corpus_slope_near_minus_one(spark):
     row = zipf_stats(docs).first()
     assert row.zipf_slope == pytest.approx(-1.0, abs=0.02)
     assert row.zipf_r2 > 0.999
+
+
+# --- dialogue_pairs (SFT pair mining) --------------------------------------
+
+
+def test_dialogue_pairs_strict_adjacency(spark):
+    import datetime as dt
+
+    from kkbox_churn_prediction_spark.operators.assemble import dialogue_pairs
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def turn(i, role, text):
+        return ("c1", i, role, text, None, t0 + dt.timedelta(minutes=i))
+
+    turns = spark.createDataFrame(
+        [
+            turn(0, "system", "sys prompt"),
+            turn(1, "user", "question one"),
+            turn(2, "assistant", "answer one"),      # pair
+            turn(3, "user", "question two"),
+            turn(4, "tool", "tool output"),
+            turn(5, "assistant", "answer two"),      # NOT a pair (tool between)
+            turn(6, "user", ""),
+            turn(7, "assistant", "answer three"),    # NOT a pair (empty prompt)
+            turn(8, "assistant", "follow-up"),       # NOT a pair (assistant prev)
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rows = dialogue_pairs(turns).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.turn_idx, r.prompt, r.response) == (2, "question one", "answer one")
+    assert (r.prompt_len, r.response_len) == (12, 10)
