@@ -2319,15 +2319,16 @@ def _q_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
-    from kkbox_churn_prediction_spark.operators.association import cooccurrence_lift
+    from kkbox_churn_prediction_spark.operators.association import cooccurrence_pairs
     from kkbox_churn_prediction_spark.operators.components import triangle_stats
 
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
     )
-    edges = cooccurrence_lift(toks, "doc_id", "term", min_support=300).select(
-        "item_a", "item_b"
-    )
+    # pair CORE only — the lift's marginal/total aggs would re-derive
+    # the corpus-sized distinct three more times for columns the
+    # census throws away
+    edges = cooccurrence_pairs(toks, "doc_id", "term", min_support=300)
     return triangle_stats(edges, "item_a", "item_b")
 
 

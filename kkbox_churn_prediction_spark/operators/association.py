@@ -206,6 +206,32 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+) -> DataFrame:
+    """The pair core shared by :func:`cooccurrence_lift` and graph
+    consumers (e.g. the triangle census): distinct (group, item) →
+    group-keyed self-join → supported unordered pairs
+    ``(item_a, item_b, n_both)``. Consumers that only need the EDGE
+    LIST call this directly and skip the lift's marginal/total
+    aggregations (each of which re-derives the corpus-sized distinct
+    otherwise)."""
+    gi = df.select(group_col, item_col).where(F.col(item_col).isNotNull()).distinct()
+    a = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_a"))
+    b = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_b"))
+    return (
+        a.join(b, "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+
+
 def cooccurrence_lift(
     df: DataFrame,
     group_col: str,
@@ -231,15 +257,7 @@ def cooccurrence_lift(
     marginal join.
     """
     gi = df.select(group_col, item_col).where(F.col(item_col).isNotNull()).distinct()
-    a = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_a"))
-    b = gi.select(F.col(group_col).alias("_g"), F.col(item_col).alias("item_b"))
-    pairs = (
-        a.join(b, "_g")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= int(min_support))
-    )
+    pairs = cooccurrence_pairs(df, group_col, item_col, min_support=min_support)
     singles = gi.groupBy(item_col).agg(F.count(F.lit(1)).alias("_n"))
     n_groups = gi.select(group_col).distinct().agg(F.count(F.lit(1)).alias("_N"))
     return (

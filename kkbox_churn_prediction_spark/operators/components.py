@@ -269,7 +269,11 @@ def triangle_stats(
     # open-wedge total from degrees: Σ deg·(deg−1)/2 (orientation-free)
     summary = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        # COALESCE: SUM over an EMPTY edge set is NULL, but the census
+        # must report 0 wedges (the oracle coalesces identically)
+        (F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1)), F.lit(0)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return (

@@ -444,8 +444,12 @@ def duplicate_spans(
 
     from kkbox_churn_prediction_spark.functions.text import all_word_ngrams
 
+    from kkbox_churn_prediction_spark.functions.text import tokens
+
     norm = normalize_text(F.col(text_col))
-    toks = F.split(F.trim(norm), r"\s+")
+    # the SAME tokenizer that produces the gram positions inside
+    # all_word_ngrams — n_tokens and positions must never diverge
+    toks = tokens(norm)
 
     grams = (
         df.where(F.col(text_col).isNotNull())
@@ -462,7 +466,12 @@ def duplicate_spans(
     # not localCheckpoint — keeps lineage, so a lost executor
     # recomputes its blocks instead of failing the job; the cached
     # form is the slim (id, n_tokens, pos, hash48) columns, shuffle-
-    # class I/O, spilling to disk when it outgrows memory.
+    # class I/O, spilling to disk when it outgrows memory. Lifecycle:
+    # cached blocks are EVICTABLE under the unified memory manager
+    # (execution demand reclaims them) and ContextCleaner unpersists
+    # when the caller releases the returned plan — long-lived
+    # sessions wanting deterministic release should unpersist via
+    # df.sparkSession.catalog.clearCache() or track the handle.
     from pyspark import StorageLevel
 
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)

@@ -552,7 +552,12 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     """
     import numpy as np
 
-    d = int(df.select(F.size(vec_col).alias("_d")).first()["_d"])
+    first = df.select(F.size(vec_col).alias("_d")).first()
+    if first is None:  # empty input → empty result (oracle: no rows)
+        return df.sparkSession.createDataFrame(
+            [], "dim_i int, dim_j int, cov double"
+        )
+    d = int(first["_d"])
 
     def gram(batches):
         import numpy as _np
@@ -584,8 +589,13 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     out = []
     for i in range(d):
         for j in range(i, d):
-            c = (g[i, j] - n * mean[i] * mean[j]) / (n - 1)
-            out.append((i, j, round(float(c), 6)))
+            # n == 1 → sample covariance undefined → NULL (covar_samp)
+            c = (
+                round(float((g[i, j] - n * mean[i] * mean[j]) / (n - 1)), 6)
+                if n > 1
+                else None
+            )
+            out.append((i, j, c))
     return df.sparkSession.createDataFrame(out, "dim_i int, dim_j int, cov double")
 
 

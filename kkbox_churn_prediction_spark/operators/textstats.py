@@ -689,6 +689,15 @@ def zipf_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # words is replayed by the rank components' quantile probe, the
+    # totals agg, and the regression points — persist the vocab-sized
+    # table so the corpus explode+shuffle above runs exactly once
+    # (Heaps' law keeps the vocabulary a sliver of the corpus; the
+    # cached blocks are evictable and ContextCleaner reclaims them
+    # when the plan is released)
+    from pyspark import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     comp = value_rank_components(words, "c")  # (c, _cnt words, _before)
     # vocab size V and token total ride one-row broadcasts
     tot = comp.agg(
@@ -717,9 +726,21 @@ def zipf_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     cov_xy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")
     var_x = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw")
     var_y = F.col("syy") - F.col("sy") * F.col("sy") / F.col("sw")
+    # degenerate vocabularies (one distinct count → var 0) yield NULL,
+    # matching the oracle's regr_slope/corr — an unguarded division
+    # throws under Spark 4's default ANSI mode. The threshold is an
+    # epsilon, not 0: the Σ-form variance of an all-ties rank column
+    # leaves an O(1e-16) float residual, and any REAL two-rank
+    # vocabulary has variance ≥ (Δln rank)² ≫ 1e-9.
+    eps = F.lit(1e-9)
     return agg.select(
         F.col("v").cast("bigint").alias("vocab_size"),
         F.col("t").cast("bigint").alias("total_tokens"),
-        F.round(cov_xy / var_x, 6).alias("zipf_slope"),
-        F.round((cov_xy * cov_xy) / (var_x * var_y), 6).alias("zipf_r2"),
+        F.round(F.when(var_x > eps, cov_xy / var_x), 6).alias("zipf_slope"),
+        F.round(
+            F.when(
+                (var_x > eps) & (var_y > eps), (cov_xy * cov_xy) / (var_x * var_y)
+            ),
+            6,
+        ).alias("zipf_r2"),
     )

@@ -128,3 +128,34 @@ def test_dialogue_pairs_strict_adjacency(spark):
     r = rows[0]
     assert (r.turn_idx, r.prompt, r.response) == (2, "question one", "answer one")
     assert (r.prompt_len, r.response_len) == (12, 10)
+
+
+def test_zipf_degenerate_vocab_yields_null_not_error(spark):
+    # every word same frequency → zero rank variance → NULL slope/r2
+    docs = spark.createDataFrame([(1, "aa bb cc")], ["doc_id", "text"])
+    row = zipf_stats(docs).first()
+    assert row.vocab_size == 3 and row.total_tokens == 3
+    assert row.zipf_slope is None and row.zipf_r2 is None
+
+
+def test_triangle_empty_edge_set_all_zero(spark):
+    from kkbox_churn_prediction_spark.operators.components import triangle_stats
+
+    edges = spark.createDataFrame([], "doc_a string, doc_b string")
+    row = triangle_stats(edges).first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (0, 0, 0, 0)
+    assert row.global_clustering == 0.0
+
+
+def test_covariance_degenerate_inputs(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_covariance(empty).count() == 0
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    rows = embedding_covariance(one).collect()
+    assert len(rows) == 3 and all(r.cov is None for r in rows)
