@@ -625,6 +625,8 @@ def source_overlap(
     never doc-count). Per-source totals are a tiny table broadcast
     onto the pair counts.
     """
+    from pyspark import StorageLevel
+
     sg = (
         df.select(
             F.col(source_col).alias("src"),
@@ -632,6 +634,11 @@ def source_overlap(
         )
         .select("src", stable_hash48(F.col("_sh")).alias("gh"))
         .distinct()
+        # referenced by both join sides AND the totals — persist the
+        # per-source vocabulary (distinct grams, a sliver of the
+        # corpus) so the corpus explode runs exactly once; blocks are
+        # evictable and ContextCleaner reclaims them with the plan
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sg.select(F.col("src").alias("source_a"), "gh")
     b = sg.select(F.col("src").alias("source_b"), "gh")
