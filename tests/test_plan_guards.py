@@ -183,3 +183,44 @@ def test_kappa_reuses_the_cell_shuffle(spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert len(re.findall(r"FileScan parquet", final)) == 1
     assert "ReusedExchange" in final
+
+
+def test_dialogue_pairs_is_join_free_single_scan(spark):
+    """dialogue_pairs: one lag window on the shared conversation sort
+    — no join, one scan."""
+    plan = _plan(spark, "dialogue_pairs")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cusum_drift_single_scan(spark):
+    """cusum_drift: mean/std as windows over the bounded daily series
+    — NOT a second .agg branch re-running the corpus rollup."""
+    plan = _plan(spark, "cusum_drift")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bpe_pairs_single_scan_vocab_sized_second_agg(spark):
+    """bpe_pair_counts: one corpus scan (word counts); the pair agg
+    runs on the vocab table; top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_overlap_reads_cached_vocab(spark):
+    """source_overlap: all four consumers (two join sides + two totals
+    probes) must read the persisted per-source vocabulary, never
+    re-run the corpus explode."""
+    plan = _plan(spark, "source_overlap")
+    assert plan.count("InMemoryTableScan") == 4
+
+
+def test_duplicate_spans_probe_reads_cached_grams(spark):
+    """duplicate_spans: the hot-gram aggregate and the join probe both
+    read the persisted gram stream (2 cache scans), not two corpus
+    explodes."""
+    plan = _plan(spark, "duplicate_spans")
+    assert plan.count("InMemoryTableScan") == 2
