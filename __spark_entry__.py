@@ -970,6 +970,25 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: LSH pairs → transitive clusters →
+    KEEP-BEST collapse (longest text wins, larger id breaks ties) —
+    one max_by aggregate per cluster, no window sort."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+        select_canonical,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, n=3, bands=4, rows_per_band=2)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return select_canonical(comps, scores)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation pipeline: quality → language →
     exact-dedup verdicts in one scan + one shuffle."""
@@ -2463,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": _q_isotonic_calibration,
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
+        "dedup_canonical": _q_dedup_canonical,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -6070,6 +6090,38 @@ FROM conversations GROUP BY conv_id
 
 # transitive closure of the LSH pair graph via recursive CTE
 # (lock-step with operators/components.py min-label fixpoint)
+# keep-best cluster collapse (lock-step with components.select_canonical:
+# score = length(text), ties toward the LARGER doc id)
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_LSH_SQL}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+scored AS (
+    SELECT c.node, c.component, length(d.text) AS score
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+    SELECT component, node,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY score DESC, node DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM scored
+)
+SELECT component, node AS canonical_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rn = 1
+"""
+
 _DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE pairs AS ({_MINHASH_LSH_SQL}),
 edges AS (
@@ -6393,6 +6445,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "cusum_drift": _CUSUM_SQL,
         "cooccurrence_triangles": _TRIANGLES_SQL,
+        "dedup_canonical": _DEDUP_CANONICAL_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

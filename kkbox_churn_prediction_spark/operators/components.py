@@ -293,3 +293,46 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def select_canonical(
+    assignments: DataFrame,
+    scores: DataFrame,
+    *,
+    node_col: str = "node",
+    component_col: str = "component",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Collapse near-dup clusters to their best representative: given
+    cluster ``assignments`` (from :func:`connected_components`) and a
+    per-doc quality ``score``, pick one canonical doc per cluster →
+    ``(component, canonical_id, n_members, n_removed)``. The final
+    step of the dedup pipeline (detect pairs → cluster transitively →
+    KEEP-BEST collapse), generalizing the reference's keep-first
+    ``GROUP BY`` upsert (`sql/02_create_core_tables.sql:107-117`) from
+    arrival order to an explicit quality policy.
+
+    Ties break toward the LARGER doc id (``max_by`` on
+    ``struct(score, id)``) — deterministic under any partitioning.
+
+    Shape: one equi-join keyed by doc id (scores side is the corpus
+    projection — Catalyst picks broadcast vs shuffle by size) and ONE
+    algebraic ``max_by`` aggregate per component: map-side partials,
+    no window sort of the membership table.
+    """
+    sc = scores.select(
+        F.col(id_col).alias(node_col), F.col(score_col).alias("_score")
+    )
+    return (
+        assignments.select(node_col, component_col)
+        .join(sc, node_col)
+        .groupBy(component_col)
+        .agg(
+            F.max_by(
+                F.col(node_col), F.struct(F.col("_score"), F.col(node_col))
+            ).alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .withColumn("n_removed", (F.col("n_members") - 1).cast("bigint"))
+    )

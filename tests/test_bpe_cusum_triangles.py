@@ -219,3 +219,26 @@ def test_duplicate_spans_max_gram_docs_cap(spark):
     docs = _docs(spark, [(i, f"body{i} text{i} common footer trigram") for i in range(5)])
     assert duplicate_spans(docs, n=3, max_gram_docs=4).count() == 0
     assert duplicate_spans(docs, n=3, max_gram_docs=None).count() == 5
+
+
+# --- select_canonical (keep-best cluster collapse) --------------------------
+
+
+def test_select_canonical_keep_best(spark):
+    from kkbox_churn_prediction_spark.operators.components import select_canonical
+
+    assignments = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (7, 7, 2), (8, 7, 2)],
+        "node long, component long, component_size int",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5)],
+        "doc_id long, score long",
+    )
+    rows = {r.component: r for r in select_canonical(assignments, scores).collect()}
+    # cluster 1: doc 2 has the top score
+    assert rows[1].canonical_id == 2
+    assert (rows[1].n_members, rows[1].n_removed) == (3, 2)
+    # cluster 7: tie at 5 → LARGER id wins
+    assert rows[7].canonical_id == 8
+    assert rows[7].n_removed == 1
