@@ -2252,6 +2252,29 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS, k=20)
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a dense ranker
+    (cosine top-20 neighbors of vec 0) and a lexical ranker (BM25
+    top-20 for the standing 3-term query) — ranks only, so the
+    incomparable score scales never mix."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import bm25_scores
+
+    embs = _embs(spark, sf_dir)
+    dense = brute_force_topk(
+        embs, embs.where(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    lexical = bm25_scores(_docs(spark, sf_dir), _BM25_TERMS, k=20).select(
+        "doc_id", "rank"
+    )
+    return rrf_fuse([dense, lexical], top_n=10)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smooth TF-IDF —
     corpus-level df statistics broadcast back onto the tf stream."""
@@ -2483,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
+        "rrf_fusion": _q_rrf_fusion,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -6292,6 +6316,50 @@ SELECT node, ROUND(rank, 9) AS rank FROM r3 WHERE node LIKE 's%'
 """
 
 
+# reciprocal-rank fusion (lock-step with similarity.rrf_fuse: k=60,
+# rounded score ordering with doc-id tie-break, top 10). The two
+# ranker subqueries are the SAME oracle bodies as embedding_topk
+# (query pinned to vec 0, k=20) and bm25_search (k=20).
+_RRF_DENSE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT neighbor_id AS doc_id, rank FROM ranked WHERE rank <= 20
+"""
+
+_RRF_SQL = f"""
+WITH dense AS (SELECT * FROM ({_RRF_DENSE_SQL}) d),
+lexical AS (SELECT doc_id, rank FROM ({_bm25_oracle(_BM25_TERMS, k=20)}) b),
+u AS (
+    SELECT doc_id, rank FROM dense
+    UNION ALL
+    SELECT doc_id, rank FROM lexical
+),
+fused AS (
+    SELECT doc_id,
+           ROUND(SUM(1.0e0 / (60 + rank)), 6) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists,
+           CAST(MIN(rank) AS INTEGER) AS best_rank
+    FROM u GROUP BY doc_id
+),
+final AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                   AS INTEGER) AS fused_rank
+    FROM fused
+)
+SELECT doc_id, rrf_score, n_lists, best_rank, fused_rank
+FROM final WHERE fused_rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -6446,6 +6514,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": _CUSUM_SQL,
         "cooccurrence_triangles": _TRIANGLES_SQL,
         "dedup_canonical": _DEDUP_CANONICAL_SQL,
+        "rrf_fusion": _RRF_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

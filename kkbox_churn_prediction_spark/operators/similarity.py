@@ -652,3 +652,56 @@ def pca_project(
     ]
     wide = out.select(id_col, *proj)
     return wide.unpivot([id_col], [f"pc{c}" for c in range(k)], "pc", "value")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    *,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    retrieval lists → ``(doc_id, rrf_score, n_lists, best_rank,
+    fused_rank)`` with ``rrf_score = Σ_lists 1/(k + rank)`` — the
+    standard score-free way to combine lexical (BM25) and dense
+    (embedding top-k) retrieval, robust to incomparable score scales
+    because only RANKS enter the sum.
+
+    Shape: the inputs are already top-k-bounded lists (tiny by
+    construction), so fusion is a union + ONE hash agg keyed by doc;
+    the final ordering window runs over ≤ Σk rows. Ordering uses the
+    ROUNDED score with a doc-id tie-break so float summation order
+    can never flip a rank.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        r.select(
+            F.col(id_col).alias("_doc"), F.col(rank_col).cast("int").alias("_rk")
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionAll(b), tagged)
+    fused = u.groupBy("_doc").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(int(k)) + F.col("_rk"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.min("_rk").cast("int").alias("best_rank"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("_doc"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= int(top_n))
+        .select(
+            F.col("_doc").alias(id_col),
+            "rrf_score",
+            "n_lists",
+            "best_rank",
+            "fused_rank",
+        )
+    )

@@ -77,3 +77,36 @@ def test_pca_sign_deterministic_across_runs(spark, X):
     b = pca_project(_emb_df(spark, X.copy()), k=2).toPandas()
     m = a.merge(b, on=["vec_id", "pc"])
     assert np.allclose(m.value_x, m.value_y)
+
+
+# --- reciprocal-rank fusion --------------------------------------------------
+
+
+def test_rrf_fuse_hand_golden(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_n=10).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 30: 1/63; doc 40: 1/62
+    assert rows[20].rrf_score == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert rows[10].rrf_score == pytest.approx(round(1 / 61 + 1 / 63, 6))
+    assert rows[20].fused_rank == 1 and rows[10].fused_rank == 2
+    assert rows[20].n_lists == 2 and rows[30].n_lists == 1
+    assert rows[10].best_rank == 1  # doc 10 is rank 1 in list a
+    # doc 40 (1/62) beats doc 30 (1/63)
+    assert rows[40].fused_rank == 3 and rows[30].fused_rank == 4
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "doc_id long, rank int")
+    rows = rrf_fuse([a, b], top_n=10).collect()
+    # identical scores → smaller doc_id first
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.fused_rank)] == [3, 5]
