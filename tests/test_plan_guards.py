@@ -18,7 +18,11 @@ def _plan(spark, name):
     import __spark_entry__ as entry
 
     df = entry.queries()[name](spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE sometimes prints "== Current Plan ==" AND "== Initial Plan =="
+    # sections (depends on prior session state) — counting nodes across
+    # both double-counts every operator; keep only the leading section
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_flagship_has_no_expand_and_no_global_sort(spark):
