@@ -2275,6 +2275,18 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([dense, lexical], top_n=10)
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring (λ=0.7 bigram + 0.3 unigram
+    backoff) — the sharper perplexity-filter proxy; smoothing joins
+    run table-side, the corpus stream probes ONE finished log-prob
+    table."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bigram_logprob_score,
+    )
+
+    return bigram_logprob_score(_docs(spark, sf_dir))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smooth TF-IDF —
     corpus-level df statistics broadcast back onto the tf stream."""
@@ -2507,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
         "rrf_fusion": _q_rrf_fusion,
+        "bigram_logprob": _q_bigram_logprob,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -4227,6 +4240,42 @@ scored AS (
 SELECT doc_id, COUNT(*) AS n_scored_tokens,
        ROUND(AVG(lp), 6) AS avg_token_logprob
 FROM scored GROUP BY doc_id
+"""
+
+# interpolated bigram LM (lock-step with textstats.bigram_logprob_score:
+# normalized tokens, context counts from the bigram table, λ=0.7 with
+# the exact float64 literals Spark computes — 1.0-0.7 is
+# 0.30000000000000004 — and the same operator association)
+_BIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOKS} AS ws FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+    FROM tok WHERE len(ws) >= 2
+),
+words AS (SELECT unnest(ws) AS w FROM tok),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+bcnt AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+ctx AS (
+    SELECT string_split(bigram, ' ')[1] AS w1, SUM(c12) AS c1
+    FROM bcnt GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t FROM wc),
+probs AS (
+    SELECT b.bigram,
+           LN((0.69999999999999996e0 * b.c12) / c1
+              + (0.30000000000000004e0 * w2c.c) / t) AS lp
+    FROM bcnt b
+    JOIN ctx ON ctx.w1 = string_split(b.bigram, ' ')[1]
+    JOIN wc w2c ON w2c.w = string_split(b.bigram, ' ')[2]
+    CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS avg_bigram_logprob
+FROM bg JOIN probs USING (bigram)
+GROUP BY doc_id
 """
 
 # transcript → document assembly (lock-step with
@@ -6515,6 +6564,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_triangles": _TRIANGLES_SQL,
         "dedup_canonical": _DEDUP_CANONICAL_SQL,
         "rrf_fusion": _RRF_SQL,
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

@@ -751,3 +751,72 @@ def zipf_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("zipf_r2"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    broadcast_tables: bool = True,
+) -> DataFrame:
+    """Interpolated bigram-LM quality proxy → ``(doc_id, n_bigrams,
+    avg_bigram_logprob)``: each word bigram scores
+    ``ln(λ·c12/c1 + (1−λ)·c2/T)`` against the corpus's own counts,
+    where ``c1 = Σ_w c(w1, w)`` is the CONTEXT count (not the raw
+    unigram, so probabilities per context sum to 1) and the unigram
+    backoff term keeps unseen-continuation mass nonzero. The sharper
+    successor to :func:`unigram_logprob_score` — word-salad with
+    plausible unigrams but impossible transitions scores low.
+
+    Shape (the tfidf/unigram two-table pattern, one extra level): the
+    bigram and unigram tables reduce from the exploded streams
+    (map-side partials); the smoothing joins run TABLE-side (bigram ⋈
+    context ⋈ unigram — all vocab-bounded, never the corpus stream),
+    so the corpus-sized bigram stream touches exactly ONE join probe
+    against the finished log-prob table (broadcast by default;
+    ``broadcast_tables=False`` switches the probe to a shuffle join
+    for open-vocabulary corpora).
+    """
+    norm = normalize_text(F.col(text_col))
+    bg = df.select(
+        F.col(id_col), F.explode(all_word_ngrams(norm, 2)).alias("bigram")
+    )
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    words = (
+        df.select(F.explode(tokens(norm)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = words.agg(F.sum("c").alias("_T"))
+    ctx = bcnt.select(
+        F.substring_index("bigram", " ", 1).alias("w1"), "c12"
+    ).groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = (
+        bcnt.select(
+            "bigram",
+            "c12",
+            F.substring_index("bigram", " ", 1).alias("w1"),
+            F.substring_index("bigram", " ", -1).alias("w2"),
+        )
+        .join(ctx, "w1")
+        .join(words.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            F.log(
+                F.lit(float(lam)) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - float(lam)) * F.col("c2") / F.col("_T")
+            ).alias("_lp"),
+        )
+    )
+    probs_side = F.broadcast(probs) if broadcast_tables else probs
+    return (
+        bg.join(probs_side, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_bigram_logprob"),
+        )
+    )

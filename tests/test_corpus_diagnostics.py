@@ -159,3 +159,43 @@ def test_covariance_degenerate_inputs(spark):
     )
     rows = embedding_covariance(one).collect()
     assert len(rows) == 3 and all(r.cov is None for r in rows)
+
+
+def test_bigram_logprob_matches_manual(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bigram_logprob_score,
+    )
+
+    # corpus: "a b a b" (doc1), "a c" (doc2)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    # bigram counts: (a b)=2, (b a)=1, (a c)=1; ctx: a→3, b→1
+    # unigrams: a=3, b=2, c=1; T=6
+    lam = 0.7
+    p_ab = lam * 2 / 3 + (1 - lam) * 2 / 6
+    p_ba = lam * 1 / 1 + (1 - lam) * 3 / 6
+    p_ac = lam * 1 / 3 + (1 - lam) * 1 / 6
+    d1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_bigram_logprob == pytest.approx(round(d1, 6), abs=1e-6)
+    assert rows[2].n_bigrams == 1
+    assert rows[2].avg_bigram_logprob == pytest.approx(
+        round(math.log(p_ac), 6), abs=1e-6
+    )
+
+
+def test_bigram_logprob_ranks_scrambled_text_lower(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bigram_logprob_score,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug " * 5
+    scrambled = "mat the on dog sat rug the cat and on the sat the " * 5
+    docs = spark.createDataFrame(
+        [(1, natural), (2, scrambled)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    # both docs share the unigram distribution; only transitions differ
+    assert rows[1].avg_bigram_logprob > rows[2].avg_bigram_logprob
