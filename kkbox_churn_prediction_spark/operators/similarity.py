@@ -705,3 +705,73 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    top_n: int = 20,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Covariance-aware embedding outliers → top ``top_n``
+    ``(id, mahalanobis_sq)`` by squared Mahalanobis distance
+    ``(x−μ)ᵀ Σ⁻¹ (x−μ)`` — the correlated-dimensions upgrade of
+    :func:`centroid_distance_outliers` (which assumes isotropic
+    spread and under-flags outliers lying along low-variance axes).
+
+    Tested-not-gated, deliberately: the oracle would need a matrix
+    inverse, which SQL can't express — same policy as
+    ``cosine_topk_pandas`` (driver-side planes). Numpy lock-step
+    goldens cover it instead.
+
+    Shape: Σ comes from :func:`embedding_covariance` (one scan); the
+    driver inverts the tiny d×d (ridge-regularized) and Cholesky-
+    factors Σ⁻¹ = LᵀL so the per-row score is ‖L(x−μ)‖² — shipped to
+    executors as a broadcast literal inside ONE Arrow-batched
+    pandas_udf (BLAS matmul per batch, the ``cosine_topk_pandas``
+    precedent; a d²-term column expression per row would be
+    interpreted and ~50× slower). Top-n is a TakeOrdered, id
+    tie-broken.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cov_long = embedding_covariance(df, vec_col).collect()
+    d = max(r.dim_j for r in cov_long) + 1
+    cov = np.zeros((d, d))
+    for r in cov_long:
+        cov[r.dim_i, r.dim_j] = cov[r.dim_j, r.dim_i] = r.cov
+    mean_rows = (
+        df.agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                for i in range(d)
+            ]
+        ).first()
+    )
+    mu = np.array([mean_rows[f"m{i}"] for i in range(d)])
+    prec = np.linalg.inv(cov + float(ridge) * np.eye(d))
+    L = np.linalg.cholesky(prec).T  # Σ⁻¹ = LᵀL, score = ‖L(x−μ)‖²
+
+    # no type hints: the module's `from __future__ import annotations`
+    # turns them into strings that pandas_udf can't resolve (pd is a
+    # function-local import); the returnType string is sufficient
+    @pandas_udf("double")
+    def _score(v):
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if X.size == 0:
+            return pd.Series([], dtype=np.float64)
+        Y = (X - mu) @ L.T
+        return pd.Series(np.round((Y * Y).sum(axis=1), 6))
+
+    return (
+        df.select(
+            F.col(id_col),
+            _score(F.col(vec_col).cast("array<double>")).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.desc("mahalanobis_sq"), F.asc(id_col))
+        .limit(int(top_n))
+    )

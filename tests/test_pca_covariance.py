@@ -110,3 +110,44 @@ def test_rrf_fuse_tie_breaks_on_doc_id(spark):
     rows = rrf_fuse([a, b], top_n=10).collect()
     # identical scores → smaller doc_id first
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.fused_rank)] == [3, 5]
+
+
+# --- Mahalanobis outliers ----------------------------------------------------
+
+
+def test_mahalanobis_matches_numpy(spark, X):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    got = {
+        r.vec_id: r.mahalanobis_sq
+        for r in mahalanobis_outliers(_emb_df(spark, X), top_n=200).collect()
+    }
+    Xd = X.astype(np.float64)
+    # replicate: covariance from the engine's rounded long form
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    C = np.zeros((4, 4))
+    for r in embedding_covariance(_emb_df(spark, X)).collect():
+        C[r.dim_i, r.dim_j] = C[r.dim_j, r.dim_i] = r.cov
+    mu = Xd.mean(axis=0)
+    prec = np.linalg.inv(C + 1e-6 * np.eye(4))
+    diff = Xd - mu
+    want = np.einsum("ij,jk,ik->i", diff, prec, diff)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, rel=1e-4)
+
+
+def test_mahalanobis_flags_low_variance_axis_outlier(spark, X):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    # a point displaced 1.0 along the LOWEST-variance axis (σ=0.1) is a
+    # huge Mahalanobis outlier even though its euclidean norm is modest
+    Y = np.vstack([X, np.array([[0.0, 0.0, 0.0, 1.0]], dtype=np.float32)])
+    top = mahalanobis_outliers(_emb_df(spark, Y), top_n=1).first()
+    assert top.vec_id == len(Y) - 1
