@@ -733,6 +733,50 @@ def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_cms_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #6: Count-Min frequency sketch
+    as a streaming aggregation in COMPLETE mode — the agg state IS
+    the sketch (d×w counters, bounded regardless of stream length).
+    Estimates run batch-side over the drained counter table; the
+    oracle replays the identical cell arithmetic over the full
+    events table."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.cms import cms_estimate
+    from kkbox_churn_prediction_spark.streaming.sketch import (
+        streaming_cms_counters,
+    )
+
+    src, stage = _stage_stream_src(sf_dir)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .select(F.col("event_type").alias("tool"))
+    )
+    name = "eng_streaming_cms"
+    q = (
+        streaming_cms_counters(stream, "tool", depth=4, width=32)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    probes = spark.createDataFrame([("purchase",), ("error",)], ["k"])
+    return cms_estimate(spark.table(name), probes, width=32, depth=4).select(
+        F.col("k").alias("tool"), "cms_count"
+    )
+
+
 def _q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #4: stream-static broadcast
     enrichment (event_type → family dim) feeding a watermarked hourly
@@ -2520,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "rrf_fusion": _q_rrf_fusion,
         "bigram_logprob": _q_bigram_logprob,
+        "streaming_cms_tools": _q_streaming_cms_tools,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -5331,6 +5376,36 @@ SELECT CAST(e.week AS TIMESTAMP) AS week_start, e.k AS tool,
 FROM exact e JOIN est s ON e.week = s.week AND e.k = s.k
 """
 
+# streaming CMS (lock-step with streaming/sketch.py: the drained
+# complete-mode counter table equals the batch sketch row-for-row, so
+# the oracle replays the batch cell arithmetic over the full table)
+_STREAMING_CMS_SQL = f"""
+WITH {_CONV_CTE},
+tools AS (SELECT tool FROM conversations WHERE tool IS NOT NULL),
+depths AS (SELECT unnest([0, 1, 2, 3]) AS row_d),
+cells AS (
+    SELECT d.row_d,
+           CAST({_H48.format(x="concat(tool, '#', row_d)")} % 32 AS INTEGER) AS slot
+    FROM tools CROSS JOIN depths d
+),
+counters AS (SELECT row_d, slot, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (SELECT unnest(['purchase', 'error']) AS k),
+probe_slots AS (
+    SELECT k, d.row_d,
+           CAST({_H48.format(x="concat(k, '#', row_d)")} % 32 AS INTEGER) AS slot
+    FROM probes CROSS JOIN depths d
+),
+est AS (
+    SELECT p.k, MIN(c.cnt) AS est_from_hits, COUNT(*) AS n_depth_hit
+    FROM counters c JOIN probe_slots p ON c.row_d = p.row_d AND c.slot = p.slot
+    GROUP BY p.k
+)
+SELECT k AS tool,
+       CAST(CASE WHEN n_depth_hit < 4 THEN 0 ELSE est_from_hits END AS BIGINT)
+         AS cms_count
+FROM est
+"""
+
 # ordered funnel (lock-step with operators/funnel.py: step i+1 only
 # counts strictly AFTER step i's first occurrence; unordered window
 # frames, no sort)
@@ -6565,6 +6640,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _DEDUP_CANONICAL_SQL,
         "rrf_fusion": _RRF_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "streaming_cms_tools": _STREAMING_CMS_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

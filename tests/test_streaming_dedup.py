@@ -61,3 +61,46 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     # each key exactly once
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").first()["n"]
     assert n == len(got)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The drained complete-mode counter table must equal the batch
+    cms_build sketch row-for-row (same cells, same counts)."""
+    import pyspark.sql.functions as F
+
+    from kkbox_churn_prediction_spark.operators.cms import cms_build
+    from kkbox_churn_prediction_spark.streaming.sketch import (
+        streaming_cms_counters,
+    )
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    batch = spark.createDataFrame(rows, "tool string")
+    src = str(tmp_path / "toolstream")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_cms_counters(stream, "tool", depth=4, width=8)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.row_d, r.slot): r.cnt for r in spark.table("cms_stream_test").collect()
+    }
+    want = {
+        (r.row_d, r.slot): r.cnt
+        for r in cms_build(
+            batch.select("tool", F.lit("all").alias("b")),
+            key_col="tool",
+            bucket_col="b",
+            depth=4,
+            width=8,
+        ).collect()
+    }
+    assert got == want
