@@ -2331,6 +2331,26 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation stage: per-doc blocked-token share + a
+    keep/drop verdict at 5% — pure HOF expressions, no join/UDF."""
+    from kkbox_churn_prediction_spark.operators.textstats import blocklist_filter
+
+    return blocklist_filter(
+        _docs(spark, sf_dir), ("hash", "vector"), max_fraction=0.05
+    )
+
+
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation drift: per-label centroid L2/cosine distance to
+    the reference (minimum) label's centroid — the embedding-space
+    sibling of categorical PSI. One Summarizer pass for centroids;
+    distance algebra on the tiny (groups × dims) table."""
+    from kkbox_churn_prediction_spark.operators.similarity import embedding_drift
+
+    return embedding_drift(_embs(spark, sf_dir), "label")
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smooth TF-IDF —
     corpus-level df statistics broadcast back onto the tf stream."""
@@ -2565,6 +2585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "bigram_logprob": _q_bigram_logprob,
         "streaming_cms_tools": _q_streaming_cms_tools,
+        "blocklist_filter": _q_blocklist_filter,
+        "embedding_drift": _q_embedding_drift,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -5376,6 +5398,58 @@ SELECT CAST(e.week AS TIMESTAMP) AS week_start, e.k AS tool,
 FROM exact e JOIN est s ON e.week = s.week AND e.k = s.k
 """
 
+# blocklist curation (lock-step with textstats.blocklist_filter:
+# normalized tokens, 5% threshold on the rounded fraction)
+_BLOCKLIST_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+per AS (
+    SELECT doc_id, len(ws) AS n_tokens,
+           len(list_filter(ws, t -> t IN ('hash', 'vector'))) AS n_blocked
+    FROM tok
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       ROUND(CAST(n_blocked AS DOUBLE) / GREATEST(n_tokens, 1), 6)
+         AS blocked_fraction,
+       ROUND(CAST(n_blocked AS DOUBLE) / GREATEST(n_tokens, 1), 6) <= 0.05
+         AS keep
+FROM per
+"""
+
+# embedding drift (lock-step with similarity.embedding_drift:
+# 6-rounded per-dim centroids — identical to the cluster_centroids
+# convention — then L2/cosine to the min-label reference centroid)
+_EMB_DRIFT_SQL = """
+WITH ev AS (
+    SELECT label, CAST(i AS INTEGER) - 1 AS dim,
+           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+    FROM (
+        SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+),
+cents AS (
+    SELECT label, dim, ROUND(AVG(v), 6) AS c FROM ev GROUP BY 1, 2
+),
+members AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY 1),
+refg AS (SELECT MIN(label) AS rl FROM embeddings),
+ref AS (SELECT dim, c AS r FROM cents, refg WHERE label = rl),
+j AS (SELECT c.label, c.c, ref.r FROM cents c JOIN ref USING (dim)),
+agg AS (
+    SELECT label,
+           SQRT(SUM(POW(c - r, 2))) AS l2,
+           SUM(c * r) AS dot,
+           SQRT(SUM(c * c)) AS na,
+           SQRT(SUM(r * r)) AS nb
+    FROM j GROUP BY label
+)
+SELECT a.label, CAST(m.n_members AS BIGINT) AS n_members,
+       ROUND(l2, 6) AS l2_to_ref,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) END, 6)
+         AS cosine_to_ref
+FROM agg a JOIN members m USING (label)
+"""
+
 # streaming CMS (lock-step with streaming/sketch.py: the drained
 # complete-mode counter table equals the batch sketch row-for-row, so
 # the oracle replays the batch cell arithmetic over the full table)
@@ -6641,6 +6715,8 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _RRF_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "streaming_cms_tools": _STREAMING_CMS_SQL,
+        "blocklist_filter": _BLOCKLIST_SQL,
+        "embedding_drift": _EMB_DRIFT_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

@@ -775,3 +775,53 @@ def mahalanobis_outliers(
         .orderBy(F.desc("mahalanobis_sq"), F.asc(id_col))
         .limit(int(top_n))
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    ref_group=None,
+) -> DataFrame:
+    """Group-level embedding drift: per group, the L2 and cosine
+    distance between its centroid and a reference group's centroid →
+    ``(group, n_members, l2_to_ref, cosine_to_ref)`` — the
+    embedding-space sibling of categorical PSI (distribution drift of
+    the REPRESENTATION, not of a scalar feature). A fold whose
+    centroid wanders from the reference fold's signals upstream
+    encoder/model drift before any scalar feature moves.
+
+    Shape: centroids come from ``cluster_centroids`` (ONE
+    Summarizer whole-vector pass — the corpus never explodes); the
+    distance algebra runs on the tiny (groups × dims) table with the
+    reference column broadcast back by dim. Distances use the
+    6-rounded centroids so the cross-engine compare is exact.
+    ``ref_group`` defaults to the minimum group value (deterministic).
+    """
+    cents = cluster_centroids(df, group_col, vec_col)
+    if ref_group is None:
+        ref_group = cents.agg(F.min(group_col)).first()[0]
+    ref = cents.where(F.col(group_col) == F.lit(ref_group)).select(
+        F.col("dim"), F.col("centroid").alias("_ref")
+    )
+    j = cents.join(F.broadcast(ref), "dim")
+    per_group = j.groupBy(group_col).agg(
+        F.max("n_members").cast("bigint").alias("n_members"),
+        F.sqrt(F.sum(F.pow(F.col("centroid") - F.col("_ref"), 2))).alias("_l2"),
+        F.sum(F.col("centroid") * F.col("_ref")).alias("_dot"),
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("_na"),
+        F.sqrt(F.sum(F.col("_ref") * F.col("_ref"))).alias("_nb"),
+    )
+    return per_group.select(
+        group_col,
+        "n_members",
+        F.round("_l2", 6).alias("l2_to_ref"),
+        F.round(
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.col("_dot") / (F.col("_na") * F.col("_nb")),
+            ),
+            6,
+        ).alias("cosine_to_ref"),
+    )

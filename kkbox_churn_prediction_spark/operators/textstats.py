@@ -820,3 +820,39 @@ def bigram_logprob_score(
             F.round(F.avg("_lp"), 6).alias("avg_bigram_logprob"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fraction: float = 0.1,
+) -> DataFrame:
+    """Blocklist curation stage: per doc, the count and fraction of
+    tokens matching a (normalized) blocklist plus a keep/drop verdict
+    at ``max_fraction`` →
+    ``(doc_id, n_tokens, n_blocked, blocked_fraction, keep)``. The
+    list-based companion to the regex scrubber (``redact.py``):
+    redaction rewrites matched spans, this DROPS documents whose
+    blocked-token share crosses the policy line (the standard
+    pretraining-corpus safety/spam filter stage).
+
+    Pure column expressions: the blocklist is a tiny array literal and
+    the membership test is a ``filter`` higher-order function over the
+    token array — no join, no UDF, no shuffle; embarrassingly
+    parallel like the rest of the quality family.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    arr = F.array(*[F.lit(w.lower()) for w in blocklist])
+    n_tok = F.size(toks).cast("bigint")
+    n_blk = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+    frac = F.round(n_blk / F.greatest(n_tok, F.lit(1)), 6)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_blk.alias("n_blocked"),
+        frac.alias("blocked_fraction"),
+        (frac <= F.lit(float(max_fraction))).alias("keep"),
+    )

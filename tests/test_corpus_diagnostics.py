@@ -199,3 +199,49 @@ def test_bigram_logprob_ranks_scrambled_text_lower(spark):
     rows = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
     # both docs share the unigram distribution; only transitions differ
     assert rows[1].avg_bigram_logprob > rows[2].avg_bigram_logprob
+
+
+def test_blocklist_filter_hand_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BAD word bad again fine"),   # 2/5 blocked (case-folded)
+            (2, "all clean words here"),
+            (3, "bad"),                       # 1/1 blocked
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in blocklist_filter(docs, ("bad",), max_fraction=0.25).collect()
+    }
+    assert (rows[1].n_blocked, rows[1].n_tokens) == (2, 5)
+    assert rows[1].blocked_fraction == 0.4 and not rows[1].keep
+    assert rows[2].n_blocked == 0 and rows[2].keep
+    assert rows[3].blocked_fraction == 1.0 and not rows[3].keep
+
+
+def test_embedding_drift_reference_is_zero(spark):
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.similarity import embedding_drift
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for label, shift in ((0, 0.0), (1, 0.0), (2, 5.0)):
+        for _ in range(50):
+            v = rng.normal(size=4) + shift
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in embedding_drift(df, "label").collect()}
+    # the reference group's distance to itself is exactly 0 / cos 1
+    assert got[0].l2_to_ref == 0.0 and got[0].cosine_to_ref == 1.0
+    # same-distribution group stays close; shifted group drifts far
+    assert got[1].l2_to_ref < 1.0 < got[2].l2_to_ref
+    assert got[2].l2_to_ref > 5.0  # shift of 5 in all 4 dims ⇒ L2 ≈ 10
+    assert all(r.n_members == 50 for r in got.values())
