@@ -2331,6 +2331,15 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def _q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: doc/token counts, mean quality, curation
+    kept-rate and dup-rate — the mixture-weighting input; composes
+    curate_corpus with one broadcast join + one per-source agg."""
+    from kkbox_churn_prediction_spark.plans.curation import source_datacard
+
+    return source_datacard(_docs(spark, sf_dir))
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist curation stage: per-doc blocked-token share + a
     keep/drop verdict at 5% — pure HOF expressions, no join/UDF."""
@@ -2587,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_tools": _q_streaming_cms_tools,
         "blocklist_filter": _q_blocklist_filter,
         "embedding_drift": _q_embedding_drift,
+        "source_datacard": _q_source_datacard,
         # composed corpus-curation pipeline
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
@@ -6558,6 +6568,22 @@ FROM final WHERE fused_rank <= 10
 """
 
 
+def _source_datacard_oracle() -> str:
+    return f"""
+WITH curated AS ({_curation_oracle()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(c.quality_score), 6) AS mean_quality,
+       ROUND(AVG(CASE WHEN c.verdict = 'kept' THEN 1.0e0 ELSE 0.0e0 END), 6)
+         AS kept_rate,
+       ROUND(AVG(CASE WHEN c.verdict = 'duplicate' THEN 1.0e0 ELSE 0.0e0 END), 6)
+         AS dup_rate
+FROM curated c JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -6717,6 +6743,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cms_tools": _STREAMING_CMS_SQL,
         "blocklist_filter": _BLOCKLIST_SQL,
         "embedding_drift": _EMB_DRIFT_SQL,
+        "source_datacard": _source_datacard_oracle(),
         "duplicate_spans": _DUP_SPANS_SQL,
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,

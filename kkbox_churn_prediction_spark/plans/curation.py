@@ -102,3 +102,36 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def source_datacard(docs: DataFrame, *, keep_lang: str = "en") -> DataFrame:
+    """Per-source data card → ``(source, n_docs, total_tokens,
+    mean_quality, kept_rate, dup_rate)``: the mixture-weighting input
+    every multi-crawl corpus build starts from (which sources are
+    clean, which are duplicate-heavy, how many tokens survive
+    curation per source).
+
+    Composes :func:`curate_corpus` (quality → lang → dedup verdicts,
+    one scan + one shuffle) with a broadcast source-lookup join and
+    ONE per-source aggregate — the source dimension is not threaded
+    through the curation plan, so the verdict logic stays a single
+    shared implementation.
+    """
+    curated = curate_corpus(docs, keep_lang=keep_lang)
+    src = docs.select("doc_id", "source")
+    return (
+        curated.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(
+                F.avg(F.when(F.col("verdict") == "kept", 1.0).otherwise(0.0)), 6
+            ).alias("kept_rate"),
+            F.round(
+                F.avg(F.when(F.col("verdict") == "duplicate", 1.0).otherwise(0.0)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

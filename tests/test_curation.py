@@ -176,3 +176,33 @@ def test_vocab_coverage_oov_accounting(spark):
     # counts: aa=2, bb=2, cc=1 → vocab_size=1 picks 'aa' (term asc tiebreak)
     g2 = {r["doc_id"]: r for r in vocab_coverage(docs2, vocab_size=1).collect()}
     assert g2[1]["n_in_vocab"] == 1 and g2[2]["n_in_vocab"] == 1
+
+
+def test_source_datacard_rates(spark):
+    """Per-source rollup: rates come from the same verdict logic as
+    curate_corpus, grouped by source."""
+    import pyspark.sql.functions as F
+
+    from kkbox_churn_prediction_spark.plans.curation import (
+        curate_corpus,
+        source_datacard,
+    )
+
+    good = "the a of and to in is " * 4  # high-quality english
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", good + "one"),
+            (2, "srcA", good + "one"),      # exact dup of doc 1 (normalized)
+            (3, "srcA", good + "two"),
+            (4, "srcB", "zz"),              # low quality (too short)
+        ],
+        ["doc_id", "source", "text"],
+    )
+    card = {r.source: r for r in source_datacard(docs).collect()}
+    assert card["srcA"].n_docs == 3
+    assert card["srcA"].dup_rate == pytest.approx(round(1 / 3, 6))
+    assert card["srcB"].kept_rate == 0.0 and card["srcB"].n_docs == 1
+    # cross-check totals against the underlying verdict table
+    verdicts = curate_corpus(docs).groupBy("verdict").count().collect()
+    vd = {r.verdict: r["count"] for r in verdicts}
+    assert vd.get("duplicate") == 1
