@@ -1084,6 +1084,32 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", rates, "doc_id", default_rate=0.25)
 
 
+def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection to a per-source TOKEN budget:
+    score docs (same composite as text_quality), then within each
+    source keep the best docs until the running token count crosses
+    the budget. One shuffle on source; running sum is a within-source
+    window (exact/oracle path — token_budget_threshold is the
+    sort-free scale path)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import token_budget_select
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        doc_signal_stage1,
+        doc_signal_stage2,
+        quality_output_cols,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        docs.select("doc_id", "source", *doc_signal_stage1(F.col("text")))
+        .select("doc_id", "source", "n_chars_calc", "n_tokens", *doc_signal_stage2())
+        .select("doc_id", "source", *quality_output_cols())
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
+    return token_budget_select(scored, budget_tokens=600)
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy: per-doc mean unigram log-probability
     against the corpus's own token distribution."""
@@ -2645,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": _q_curation_report,
         # deterministic training-data sampling + packing
         "stratified_sample": _q_stratified_sample,
+        "token_budget_select": _q_token_budget_select,
         "capped_per_source": _q_capped_per_source,
         "weighted_sample": _q_weighted_sample,
         "pack_documents": _q_pack_documents,
@@ -3379,6 +3406,35 @@ SELECT doc_id, n_chars_calc, n_tokens, mean_word_len, punct_ratio, stopword_rati
             + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 3.0,
              6) AS quality_score
 FROM base
+"""
+
+_TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+           ROUND(length(replace({_NORM}, ' ', '')) * 1.0
+                 / greatest({_NTOK_RAW}, 1), 6) AS mean_word_len,
+           ROUND(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source, n_tokens,
+           ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 3.0,
+                 6) AS quality_score
+    FROM base
+),
+cum AS (
+    SELECT source, doc_id, quality_score, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY quality_score DESC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM scored
+)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 600
 """
 
 _TOKEN_STATS_SQL = f"""
@@ -6759,6 +6815,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "token_budget_select": _TOKEN_BUDGET_SQL,
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,

@@ -220,3 +220,128 @@ def neyman_allocation(
             .alias("alloc"),
         )
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    source_col: str = "source",
+    quality_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first corpus selection to a per-source TOKEN
+    budget: within each source take documents in (quality DESC, id)
+    order until the running token count reaches ``budget_tokens``;
+    the boundary-crossing document is included (its predecessor mass
+    is still under budget). This is the token-denominated sibling of
+    :func:`neyman_allocation`'s row budgeting — LLM corpus quotas are
+    set in tokens, not rows, and "fill each source's quota with its
+    best documents" is the standard mixture-build step after quality
+    scoring (reference analog: the churn pipeline caps row counts per
+    split in ``src/make_dataset.py``; tokens are the transcript-world
+    denomination).
+
+    Output: selected ``(source, id, quality, n_tokens, cum_tokens)``
+    rows; deterministic under ties via the id tiebreak.
+
+    Shape: ONE shuffle on ``source_col``; the within-source running
+    sum is a window over (quality DESC, id) — bounded by source size,
+    and sources are few and fat, so this is the exact/oracle path.
+    At 10^9 docs/source use :func:`token_budget_threshold` (quantile
+    edges, no within-source sort) and reserve this form for the
+    boundary bucket it isolates.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.select(source_col, id_col, quality_col, tokens_col)
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col(tokens_col) < F.lit(int(budget_tokens)))
+    )
+
+
+def token_budget_threshold(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    source_col: str = "source",
+    quality_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Scale path for :func:`token_budget_select`: pick a per-source
+    quality THRESHOLD instead of sorting every document — keep all
+    docs with quality ≥ the lowest bucket edge at which the
+    top-of-distribution token mass first covers the budget. Overshoot
+    is bounded by one bucket's token mass (tighten with
+    ``n_buckets``); selection is quality-downward-closed by
+    construction (every kept doc outranks every dropped doc up to
+    bucket granularity).
+
+    Shape: NO within-source sort. One grouped ``approx_percentile``
+    agg finds the edges (GK sketch, map-side partials), one
+    (source × bucket) agg sums token mass — its output is
+    sources × ``n_buckets`` rows, collected driver-side like the PSI
+    edge list (tiny by construction) — then the only full-data pass
+    is a when-chain filter (pure JVM predicate, pushes past the
+    scan). This survives 10^9-doc sources where the exact window's
+    per-source sort would not.
+    """
+    frac = [i / n_buckets for i in range(1, n_buckets)]
+    edges_rows = (
+        df.groupBy(source_col)
+        .agg(
+            F.expr(
+                f"approx_percentile({quality_col}, array({','.join(map(str, frac))}), 10000)"
+            ).alias("_edges")
+        )
+        .collect()
+    )
+    edges = {r[source_col]: sorted(set(r["_edges"] or [])) for r in edges_rows}
+
+    def bucket_of(src: str) -> Column:
+        expr = F.lit(0)
+        for i, e in enumerate(edges.get(src, [])):
+            expr = F.when(F.col(quality_col) > F.lit(e), i + 1).otherwise(expr)
+        return expr
+
+    src_bucket = F.lit(None).cast("int")
+    for src in edges:
+        src_bucket = F.when(F.col(source_col) == src, bucket_of(src)).otherwise(
+            src_bucket
+        )
+    mass = (
+        df.withColumn("_b", src_bucket)
+        .groupBy(source_col, "_b")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_tok"))
+        .collect()
+    )
+    per_src: dict[str, dict[int, int]] = {}
+    for r in mass:
+        per_src.setdefault(r[source_col], {})[r["_b"]] = r["_tok"]
+    thresholds: dict[str, float] = {}
+    for src, buckets in per_src.items():
+        cum = 0
+        cut = None
+        for b in sorted(buckets, reverse=True):
+            cum += buckets[b]
+            cut = b
+            if cum >= budget_tokens:
+                break
+        es = edges.get(src, [])
+        # keep bucket `cut` and above: quality > edge below bucket `cut`
+        thresholds[src] = es[cut - 1] if cut and cut >= 1 and es else float("-inf")
+
+    keep = F.lit(False)
+    for src, thr in thresholds.items():
+        cond = (F.col(source_col) == src) & (
+            F.lit(True) if thr == float("-inf") else (F.col(quality_col) > F.lit(thr))
+        )
+        keep = keep | cond
+    return df.where(keep)

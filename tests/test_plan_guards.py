@@ -269,3 +269,14 @@ def test_dedup_weights_corpus_join_is_broadcast(spark):
     assert plan.count("Scan parquet") == 1  # docs once; clusters are
     # checkpointed RDDs from the components fixpoint, not a re-scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_select_single_scan_source_window(spark):
+    """token_budget_select: one documents scan, ONE exchange (hash by
+    source for the within-source cumsum window) — never a global
+    single-partition sort; quality scoring stays in the scan stage."""
+    plan = _final_plan(spark, "token_budget_select")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "Exchange SinglePartition" not in plan

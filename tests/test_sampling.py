@@ -135,3 +135,92 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         for r in weighted_sample_per_group(z, "grp", 2, "doc_id", "w").collect()
     }
     assert first_two == {2, 3}
+
+
+def _scored(spark):
+    # two sources, quality with ties, deterministic tokens
+    rows = []
+    for i in range(40):
+        src = "a" if i < 20 else "b"
+        rows.append((i, src, (i % 4) / 4.0, 10 + (i % 7)))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score double, n_tokens long"
+    )
+
+
+def test_token_budget_select_greedy_fill(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import token_budget_select
+
+    out = token_budget_select(_scored(spark), 60).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+        # predecessor mass under budget for every kept row; boundary row kept
+        cum = 0
+        for r in rs:
+            assert cum < 60
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == sum(
+                x["n_tokens"] for x in rs if (-x["quality_score"], x["doc_id"]) <= (-r["quality_score"], r["doc_id"])
+            )
+        # total reaches the budget (supply is ample in the fixture)
+        assert cum >= 60
+        # quality-downward-closed vs the full frame: no dropped doc of the
+        # same source outranks a kept one
+        kept_keys = {(r["doc_id"]) for r in rs}
+        full = [
+            x
+            for x in _scored(spark).collect()
+            if x["source"] == src and x["doc_id"] not in kept_keys
+        ]
+        worst_kept = min((r["quality_score"], -r["doc_id"]) for r in rs)
+        for x in full:
+            assert (x["quality_score"], -x["doc_id"]) <= worst_kept
+
+
+def test_token_budget_threshold_brackets_exact(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_threshold,
+    )
+
+    df = _scored(spark)
+    budget = 60
+    thr = token_budget_threshold(df, budget, n_buckets=8)
+    rows = thr.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    exact = token_budget_select(df, budget).collect()
+    exact_by_src = {}
+    for r in exact:
+        exact_by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        got = sum(r["n_tokens"] for r in rs)
+        # covers the budget whenever the source has the supply
+        assert got >= budget
+        # selection is downward-closed in quality (bucket granularity):
+        # every kept doc's quality >= every dropped doc's quality minus
+        # one bucket width is guaranteed by construction; assert the
+        # stronger invariant that minimum kept quality >= minimum
+        # exact-kept quality (threshold can only widen at the boundary)
+        min_thr = min(r["quality_score"] for r in rs)
+        min_exact = min(r["quality_score"] for r in exact_by_src[src])
+        assert min_thr <= min_exact + 1e-9
+        # and the threshold keep-set contains every exact keep of
+        # strictly higher quality than the threshold floor
+        thr_ids = {r["doc_id"] for r in rs}
+        for e in exact_by_src[src]:
+            if e["quality_score"] > min_thr:
+                assert e["doc_id"] in thr_ids
+
+
+def test_token_budget_threshold_no_window(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import token_budget_threshold
+
+    plan = token_budget_threshold(
+        _scored(spark), 60, n_buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # sort-free scale path
