@@ -1475,6 +1475,16 @@ def _q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_profile(_conv(spark, sf_dir))
 
 
+def _q_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation OLS slope/intercept of daily turn counts over
+    the day index (origin-shifted for FP headroom) — ramp-up vs
+    fade-out rate, the regression form of the churn trend signal.
+    Two algebraic hash aggs, zero windows."""
+    from kkbox_churn_prediction_spark.operators.rhythm import activity_trend
+
+    return activity_trend(_conv(spark, sf_dir))
+
+
 def _q_daily_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-count Fano factor per conversation (overdispersion of the
     active-day load)."""
@@ -2716,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_curve": _q_km_curve,
         "interarrival_stats": _q_interarrival_stats,
         "activity_profile": _q_activity_profile,
+        "activity_trend": _q_activity_trend,
         "daily_regularity": _q_daily_regularity,
         "shard_profile": _q_shard_profile,
         "redact_pii": _q_redact_pii,
@@ -5446,6 +5457,39 @@ FROM by_hour GROUP BY conv_id
 
 # daily-count Fano factor over ACTIVE days (lock-step with
 # operators/rhythm.py::daily_regularity; population variance)
+# per-conversation daily-count OLS trend (lock-step with
+# rhythm.activity_trend: same origin shift, same explicit co-moment
+# sums — NOT regr_slope, whose accumulation order could differ in the
+# last ulp — same 1e-9 variance guard, 6dp rounding)
+_ACTIVITY_TREND_SQL = f"""
+WITH {_CONV_CTE},
+by_day AS (
+    SELECT conv_id, CAST(ts AS DATE) AS d, COUNT(*) * 1.0 AS y
+    FROM conversations GROUP BY conv_id, CAST(ts AS DATE)
+),
+xy AS (
+    SELECT conv_id,
+           CAST(date_diff('day', DATE '2024-01-01', d) AS DOUBLE) AS x, y
+    FROM by_day
+),
+acc AS (
+    SELECT conv_id,
+           COUNT(*) * 1.0 AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM xy GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(n AS INTEGER) AS n_active_days,
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-9
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+             6) AS slope,
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-9
+                  THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END,
+             6) AS intercept
+FROM acc
+"""
+
 _DAILY_REGULARITY_SQL = f"""
 WITH {_CONV_CTE},
 by_day AS (
@@ -6859,6 +6903,7 @@ def oracle_sql() -> dict[str, str]:
         "km_curve": _KM_CURVE_SQL,
         "interarrival_stats": _INTERARRIVAL_STATS_SQL,
         "activity_profile": _ACTIVITY_PROFILE_SQL,
+        "activity_trend": _ACTIVITY_TREND_SQL,
         "daily_regularity": _DAILY_REGULARITY_SQL,
         "shard_profile": _SHARD_PROFILE_SQL,
         "redact_pii": _REDACT_PII_SQL,

@@ -114,6 +114,54 @@ def daily_regularity(turns: DataFrame) -> DataFrame:
     )
 
 
+def activity_trend(
+    turns: DataFrame, *, origin: str = "2024-01-01", eps: float = 1e-9
+) -> DataFrame:
+    """Per conversation: OLS slope + intercept of the daily turn count
+    over the calendar-day index — ramping up (slope > 0) vs fading out
+    (slope < 0). The regression generalizes the reference's
+    recent-vs-prior window-mean trend ratios
+    (``features/features_comprehensive.sql:97-296`` W3/W4 families) to
+    a rate per day; fading engagement is the canonical churn signal.
+
+    ``origin`` shifts the day axis to small integers before the
+    co-moments so the cancellation in ``nΣxy − ΣxΣy`` stays far above
+    double-precision noise (epoch-day x ≈ 2·10⁴ wastes 9 digits);
+    slope is shift-invariant and the intercept is reported AT the
+    origin date. Single-active-day conversations have zero x-variance
+    → slope/intercept NULL (matches DuckDB ``regr_slope``); the
+    epsilon guard (not ``> 0``) absorbs FP residue per the
+    cross-engine discipline.
+
+    Shape: per-(conv, day) count agg collapses to ≤ #days rows per
+    entity BEFORE the entity-level co-moment agg — both algebraic
+    hash aggs with map-side partials; zero windows, zero sorts, two
+    conv-keyed exchanges that AQE coalesces on the shared layout.
+    """
+    by_day = (
+        turns.select("conv_id", F.to_date(F.col("ts")).alias("d"))
+        .groupBy("conv_id", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(
+            "conv_id",
+            F.datediff(F.col("d"), F.lit(origin)).cast("double").alias("x"),
+            "y",
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    var_n = n * sxx - sx * sx  # n² · var_pop(x)
+    slope = (n * sxy - sx * sy) / var_n
+    return by_day.groupBy("conv_id").agg(
+        n.cast("int").alias("n_active_days"),
+        F.round(F.when(var_n > eps, slope), 6).alias("slope"),
+        F.round(
+            F.when(var_n > eps, (sy - slope * sx) / n), 6
+        ).alias("intercept"),
+    )
+
+
 def turn_taking(turns: DataFrame) -> DataFrame:
     """Per conversation: role-mix fractions and the alternation rate
     (share of turns whose role differs from the previous turn's under

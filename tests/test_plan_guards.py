@@ -280,3 +280,14 @@ def test_token_budget_select_single_scan_source_window(spark):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(source" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_activity_trend_pure_hash_aggs(spark):
+    """activity_trend: one scan, two algebraic hash aggs (day rollup →
+    entity co-moments), zero windows/sorts — the regression never
+    needs per-entity ordering."""
+    plan = _final_plan(spark, "activity_trend")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan
+    assert "Sort [" not in plan

@@ -257,3 +257,45 @@ def test_neyman_allocation_properties(spark):
     one = spark.createDataFrame(pd.DataFrame({"s": [0] * 10, "v": [7.0] * 10}))
     o = neyman_allocation(one, "s", "v", 5).collect()[0]
     assert o["stddev"] == 0.0 and o["alloc"] == 5
+
+
+class TestActivityTrend:
+    def test_golden_slope_and_intercept(self, spark):
+        from kkbox_churn_prediction_spark.operators.rhythm import activity_trend
+
+        rows = []
+        # conv "up": 1/2/3 turns on Jan 1/2/3 -> slope 1, intercept 1
+        for day, cnt in [(0, 1), (1, 2), (2, 3)]:
+            for k in range(cnt):
+                rows.append(
+                    ("up", k, "user", "x", None, datetime(2024, 1, 1 + day, 8, k))
+                )
+        # conv "flat1day": everything on one day -> zero x-variance -> NULL
+        rows += [("flat1day", k, "user", "x", None, datetime(2024, 2, 1, 9, k)) for k in range(5)]
+        out = {r["conv_id"]: r for r in activity_trend(_turns(spark, rows)).collect()}
+        assert out["up"]["n_active_days"] == 3
+        assert out["up"]["slope"] == pytest.approx(1.0, abs=1e-6)
+        assert out["up"]["intercept"] == pytest.approx(1.0, abs=1e-6)
+        assert out["flat1day"]["n_active_days"] == 1
+        assert out["flat1day"]["slope"] is None
+        assert out["flat1day"]["intercept"] is None
+
+    def test_slope_shift_invariance_and_sign(self, spark):
+        from kkbox_churn_prediction_spark.operators.rhythm import activity_trend
+
+        rows = []
+        # fading: 5/3/1 turns across three days -> slope -2
+        for day, cnt in [(0, 5), (1, 3), (2, 1)]:
+            for k in range(cnt):
+                rows.append(
+                    ("down", k, "user", "x", None, datetime(2024, 3, 10 + day, 8, k))
+                )
+        a = {r["conv_id"]: r for r in activity_trend(_turns(spark, rows)).collect()}
+        b = {
+            r["conv_id"]: r
+            for r in activity_trend(_turns(spark, rows), origin="2020-06-15").collect()
+        }
+        assert a["down"]["slope"] == pytest.approx(-2.0, abs=1e-6)
+        # slope is origin-shift invariant; the intercept is defined AT
+        # the origin so it legitimately moves with it
+        assert b["down"]["slope"] == pytest.approx(a["down"]["slope"], abs=1e-6)
