@@ -1110,6 +1110,26 @@ def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(scored, budget_tokens=600)
 
 
+def _q_match_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution matching: importance-resample docs so the token-
+    count histogram is uniform over 8 fixed-width bins (the DoReMi-
+    style shape-matching step before corpus mixing). One tiny count
+    agg fixes rates; the shipped pass is a scan-stage hash filter."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        distribution_match_sample,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return distribution_match_sample(
+        docs, "n_tokens", [1.0] * 8, width=16, id_col="doc_id"
+    )
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy: per-doc mean unigram log-probability
     against the corpus's own token distribution."""
@@ -2682,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic training-data sampling + packing
         "stratified_sample": _q_stratified_sample,
         "token_budget_select": _q_token_budget_select,
+        "match_token_distribution": _q_match_token_distribution,
         "capped_per_source": _q_capped_per_source,
         "weighted_sample": _q_weighted_sample,
         "pack_documents": _q_pack_documents,
@@ -3446,6 +3467,37 @@ cum AS (
 )
 SELECT doc_id, source, n_tokens, quality_score, cum_tokens
 FROM cum WHERE cum_tokens - n_tokens < 600
+"""
+
+# distribution matching (lock-step with sampling.distribution_match_sample:
+# same bin clamp, same rate expression SHAPES — (n·1.0/total), c=MIN(src/t),
+# rate=(c·t)/src, FLOOR(rate·2^20) — so thresholds agree bit-for-bit; same
+# 'match:' hash coin as the stratified sampler)
+_MATCH_TOKEN_DIST_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, CAST({_NTOK_RAW} AS BIGINT) AS n_tokens
+    FROM documents
+),
+binned AS (
+    SELECT *, CAST(GREATEST(LEAST(FLOOR(n_tokens / 16.0), 7), 0) AS INTEGER) AS bin
+    FROM toks
+),
+counts AS (
+    SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n) * 1.0 AS total FROM counts),
+rates AS (
+    SELECT bin, (n * 1.0 / total) AS src FROM counts, tot
+),
+cmin AS (SELECT MIN(src / 0.125) AS c FROM rates),
+thr AS (
+    SELECT bin, CAST(FLOOR((c * 0.125 / src) * 1048576) AS BIGINT) AS threshold
+    FROM rates, cmin
+)
+SELECT b.doc_id, b.source, b.n_tokens, b.bin
+FROM binned b JOIN thr USING (bin)
+WHERE ({_H48.format(x="concat('match:', CAST(doc_id AS VARCHAR))")}) % 1048576
+      < threshold
 """
 
 _TOKEN_STATS_SQL = f"""
@@ -6860,6 +6912,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": _curation_report_oracle(),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
+        "match_token_distribution": _MATCH_TOKEN_DIST_SQL,
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,

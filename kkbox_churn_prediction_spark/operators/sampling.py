@@ -345,3 +345,59 @@ def token_budget_threshold(
         )
         keep = keep | cond
     return df.where(keep)
+
+
+def distribution_match_sample(
+    df: DataFrame,
+    value_col: str,
+    target: list[float],
+    *,
+    width: float,
+    id_col: str = "doc_id",
+    salt: str = "match",
+) -> DataFrame:
+    """Importance-resample the corpus so ``value_col``'s distribution
+    matches a TARGET histogram (DoReMi-style distribution matching:
+    make web text's length/quality profile look like the reference
+    domain's before mixing). Rows land in ``len(target)`` fixed-width
+    bins; per-bin keep rates are ``c·target_b/source_b`` with ``c``
+    chosen so the scarcest bin (relative to its target mass) keeps
+    everything — the largest sample whose expectation matches the
+    target shape. Membership is the same hash coin as
+    :func:`deterministic_sample` (partition/rerun-stable, oracle-
+    reproducible); zero-target bins drop entirely.
+
+    Shape: ONE count agg (≤ #bins rows, collected driver-side like
+    the PSI edge list) fixes the rates; the only full-data pass is a
+    scan-stage when-chain filter — no shuffle of the corpus at any
+    scale. Rates are computed with the exact expression shapes the
+    DuckDB oracle uses (same division order), so thresholds agree
+    bit-for-bit.
+    """
+    import math
+
+    nbins = len(target)
+    bin_col = F.greatest(
+        F.least(
+            F.floor(F.col(value_col) / float(width)), F.lit(nbins - 1)
+        ),
+        F.lit(0),
+    ).cast("int")
+    binned = df.withColumn("bin", bin_col)
+    counts = {
+        r["bin"]: r["n"]
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = float(sum(counts.values()))
+    z = sum(target)
+    t = [x / z for x in target]
+    c = min(
+        (counts[b] * 1.0 / total) / t[b] for b in counts if t[b] > 0
+    )
+    chain = F.lit(0)
+    for b in sorted(counts):
+        rate = 0.0 if t[b] <= 0 else c * t[b] / (counts[b] * 1.0 / total)
+        chain = F.when(F.col("bin") == b, int(math.floor(rate * _BUCKETS))).otherwise(
+            chain
+        )
+    return binned.where(sample_hash_bucket(F.col(id_col), salt) < chain)

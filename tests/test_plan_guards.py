@@ -291,3 +291,13 @@ def test_activity_trend_pure_hash_aggs(spark):
     assert plan.count("Exchange") == 2
     assert "Window" not in plan
     assert "Sort [" not in plan
+
+
+def test_match_token_distribution_scan_stage_filter(spark):
+    """match_token_distribution: after the tiny eager rate job, the
+    shipped pass is a pure scan-stage filter — one scan, ZERO
+    exchanges (the corpus never shuffles to get resampled)."""
+    plan = _final_plan(spark, "match_token_distribution")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 0
+    assert "Window" not in plan

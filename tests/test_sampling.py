@@ -224,3 +224,49 @@ def test_token_budget_threshold_no_window(spark):
         _scored(spark), 60, n_buckets=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # sort-free scale path
+
+
+def _skewed_vals(spark, parts=4):
+    # value ~ bin index: bin b has (b+1)*100 rows (heavily skewed up)
+    rows = []
+    i = 0
+    for b in range(4):
+        for _ in range((b + 1) * 100):
+            rows.append((i, b * 10 + 5.0))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, v double").repartition(parts)
+
+
+def test_distribution_match_uniformizes(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        distribution_match_sample,
+    )
+
+    out = distribution_match_sample(
+        _skewed_vals(spark), "v", [1.0] * 4, width=10
+    ).collect()
+    by_bin = {}
+    for r in out:
+        by_bin[r["bin"]] = by_bin.get(r["bin"], 0) + 1
+    # scarcest-relative bin (0: 100 rows) keeps everything
+    assert by_bin[0] == 100
+    # every bin's kept count matches the target shape within hash noise
+    for b in range(1, 4):
+        assert abs(by_bin[b] - 100) <= 25
+    # deterministic under partitioning
+    again = distribution_match_sample(
+        _skewed_vals(spark, parts=13), "v", [1.0] * 4, width=10
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_distribution_match_zero_target_drops_bin(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        distribution_match_sample,
+    )
+
+    out = distribution_match_sample(
+        _skewed_vals(spark), "v", [1.0, 0.0, 1.0, 1.0], width=10
+    ).collect()
+    assert all(r["bin"] != 1 for r in out)
+    assert any(r["bin"] == 0 for r in out)
