@@ -2602,6 +2602,20 @@ def _q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_stats(_docs(spark, sf_dir))
 
 
+def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative pairs for contrastive training: deterministic
+    hash batches, all within-batch pairs minus same-dedup-key false
+    negatives. Slim (batch, id, key-hash) projection before the
+    self-join; pair fan-out bounded by batch size²."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+    from kkbox_churn_prediction_spark.operators.assemble import contrastive_pairs
+
+    key = F.array_join(F.slice(tokens(normalize_text(F.col("text"))), 1, 5), " ")
+    return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
+
+
 def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, response) pair mining: adjacent user→assistant
     turn pairs under the shared conversation ordering — one lag
@@ -2800,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,
         "source_overlap": _q_source_overlap,
         "zipf_stats": _q_zipf_stats,
+        "contrastive_pairs": _q_contrastive_pairs,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6222,6 +6237,21 @@ FROM ranked
 # SFT dialogue pairs (lock-step with assemble.dialogue_pairs: strict
 # adjacency user→assistant under the shared (ts, turn_idx) ordering,
 # length floors ≥ 1)
+# in-batch contrastive negatives (lock-step with assemble.contrastive_pairs:
+# same 'batch:' hash coin % 50, same prefix dup-key hash exclusion)
+_CONTRASTIVE_PAIRS_SQL = f"""
+WITH slim AS (
+    SELECT CAST(({_H48.format(x="concat('batch:', CAST(doc_id AS VARCHAR))")}) % 50
+                AS BIGINT) AS batch,
+           doc_id,
+           {_H48.format(x=f"array_to_string(({_TOKS})[1:5], ' ')")} AS k
+    FROM documents
+)
+SELECT a.batch, a.doc_id AS a_id, b.doc_id AS b_id
+FROM slim a JOIN slim b USING (batch)
+WHERE a.doc_id < b.doc_id AND a.k <> b.k
+"""
+
 _DIALOGUE_PAIRS_SQL = f"""
 WITH {_CONV_CTE},
 lagged AS (
@@ -7017,5 +7047,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": _EMB_COV_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "zipf_stats": _ZIPF_SQL,
+        "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

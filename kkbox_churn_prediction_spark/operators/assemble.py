@@ -109,3 +109,52 @@ def dialogue_pairs(
         F.length("_pt").cast("bigint").alias("prompt_len"),
         F.length("text").cast("bigint").alias("response_len"),
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    n_batches: int,
+    *,
+    id_col: str = "doc_id",
+    dup_key: "Column | None" = None,
+    salt: str = "batch",
+) -> DataFrame:
+    """In-batch negative pairs for contrastive/embedding training:
+    assign every document to a deterministic hash batch (the same
+    stable-hash coin as the samplers — rerun/partition-invariant,
+    oracle-reproducible), then emit every unordered pair within a
+    batch EXCLUDING pairs that share ``dup_key`` — near-identical
+    docs are false negatives and must not be pushed apart (the
+    in-batch-negatives discipline of SimCLR/DPR-style trainers, with
+    the same dedup-key exclusion the canonical-selection op uses).
+
+    Output: ``(batch, a_id, b_id)`` with ``a_id < b_id``.
+
+    Shape: the corpus collapses to a slim ``(batch, id, key-hash)``
+    projection BEFORE the self-join (text never rides the shuffle);
+    the equi-join on ``batch`` shuffles both sides once and AQE
+    reuses the identical exchange. Pair fan-out is bounded by
+    batch-size² — batch occupancy is Poisson(N/n_batches), so pick
+    ``n_batches ≈ N/B`` for trainer batch size B and the output is
+    ~N·B/2 rows, never all-pairs.
+    """
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+    key = dup_key if dup_key is not None else F.col(id_col).cast("string")
+    slim = docs.select(
+        F.pmod(
+            stable_hash48(
+                F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+            ),
+            F.lit(int(n_batches)),
+        ).alias("batch"),
+        F.col(id_col),
+        stable_hash48(key.cast("string")).alias("_k"),
+    )
+    left = slim.select("batch", F.col(id_col).alias("a_id"), F.col("_k").alias("_ka"))
+    right = slim.select("batch", F.col(id_col).alias("b_id"), F.col("_k").alias("_kb"))
+    return (
+        left.join(right, "batch")
+        .where((F.col("a_id") < F.col("b_id")) & (F.col("_ka") != F.col("_kb")))
+        .select("batch", "a_id", "b_id")
+    )

@@ -245,3 +245,39 @@ def test_embedding_drift_reference_is_zero(spark):
     assert got[1].l2_to_ref < 1.0 < got[2].l2_to_ref
     assert got[2].l2_to_ref > 5.0  # shift of 5 in all 4 dims ⇒ L2 ≈ 10
     assert all(r.n_members == 50 for r in got.values())
+
+
+class TestContrastivePairs:
+    def test_pairs_complete_minus_false_negatives(self, spark):
+        from pyspark.sql import functions as F
+
+        from kkbox_churn_prediction_spark.operators.assemble import contrastive_pairs
+
+        # 12 docs, 3 share dup key "dup"; one batch so pairs are global
+        rows = [(i, "dup" if i < 3 else f"u{i}") for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, k string")
+        out = contrastive_pairs(
+            docs, 1, dup_key=F.col("k")
+        ).collect()
+        # C(12,2) minus the C(3,2) same-key pairs
+        assert len(out) == 66 - 3
+        keys = dict(rows)
+        for r in out:
+            assert r["a_id"] < r["b_id"]
+            assert keys[r["a_id"]] != keys[r["b_id"]]
+
+    def test_batches_partition_invariant(self, spark):
+        from kkbox_churn_prediction_spark.operators.assemble import contrastive_pairs
+
+        docs = spark.range(200).select(F_col_id())
+        a = {(r["batch"], r["a_id"], r["b_id"]) for r in contrastive_pairs(docs.repartition(3), 8).collect()}
+        b = {(r["batch"], r["a_id"], r["b_id"]) for r in contrastive_pairs(docs.repartition(17), 8).collect()}
+        assert a == b
+        # pair fan-out bounded: every pair stays within one hash batch
+        assert all(x[0] in range(8) for x in a)
+
+
+def F_col_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id").alias("doc_id")

@@ -301,3 +301,17 @@ def test_match_token_distribution_scan_stage_filter(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 0
     assert "Window" not in plan
+
+
+def test_contrastive_pairs_equi_join_only(spark):
+    """contrastive_pairs: the self-join is an equi-join on the hash
+    batch (BHJ small-scale / SMJ at scale) — never a cartesian or
+    nested-loop product; text never rides the shuffle (slim
+    projection before the join)."""
+    plan = _final_plan(spark, "contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the exchanged/broadcast columns are the slim projection only
+    import re
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
