@@ -206,6 +206,27 @@ def _q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < 10), k=5, bits=4)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality gate: per-query recall@5 of the sign-LSH ANN
+    against exact brute force. Both sides prune to top-k first, so
+    the compare runs on result-sized data."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        recall_at_k,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return recall_at_k(
+        lsh_bucketed_topk(embs, queries, k=5, bits=4),
+        brute_force_topk(embs, queries, k=5),
+        k=5,
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.textstats import lang_id
 
@@ -2655,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "ann_recall": _q_ann_recall,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "token_stats": _q_token_stats,
@@ -3393,6 +3415,50 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+# ANN recall@5 (lock-step with similarity.recall_at_k over the same
+# LSH-vs-brute pair the two topk gates verify individually)
+_ANN_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+ex_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+ex_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ex_scored
+),
+exact AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+qb AS (SELECT vec_id AS query_id, embedding AS qe,
+              {_BUCKET.format(e='embedding')} AS bucket
+       FROM embeddings WHERE vec_id < 10),
+vb AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              {_BUCKET.format(e='embedding')} AS bucket
+       FROM embeddings),
+ap_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM qb JOIN vb USING (bucket) WHERE neighbor_id <> query_id
+),
+ap_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ap_scored
+),
+approx AS (SELECT query_id, neighbor_id FROM ap_ranked WHERE rank <= 5),
+hits AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM approx JOIN exact USING (query_id, neighbor_id) GROUP BY query_id
+),
+denom AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM exact GROUP BY query_id
+)
+SELECT d.query_id, d.n_exact, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / d.n_exact, 6) AS recall
+FROM denom d LEFT JOIN hits h USING (query_id)
 """
 
 _PROFILES = {
@@ -6893,6 +6959,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SQL,
         "simhash": _SIMHASH_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
+        "ann_recall": _ANN_RECALL_SQL,
         "embedding_topk_lsh": _EMB_TOPK_LSH_SQL,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_SQL,

@@ -825,3 +825,42 @@ def embedding_drift(
             6,
         ).alias("cosine_to_ref"),
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k of an
+    approximate ANN result against the exact (brute-force) one —
+    ``|approx ∩ exact| / |exact|`` over each side's top-``k``. The
+    measurement every approximate index needs before it replaces the
+    exact path in a pipeline; the same check the LSH/IVF unit tests
+    run, promoted to a first-class gated operator.
+
+    Inputs are ``(query_id, neighbor_id, …, rank)`` frames as produced
+    by :func:`brute_force_topk` / :func:`lsh_bucketed_topk` /
+    :func:`ivf_topk`. Output: ``(query_id, n_exact, n_hit, recall)``.
+
+    Shape: both sides prune to top-k FIRST (≤ Q·k rows each), so the
+    intersection join and the two per-query aggs run on result-sized
+    data — the corpus never re-enters; queries-only cost at any scale.
+    """
+    a = approx.where(F.col("rank") <= int(k)).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= int(k)).select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    denom = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        denom.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1.0 / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

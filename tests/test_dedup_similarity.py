@@ -349,3 +349,28 @@ def test_centroid_distance_outliers_degenerate(spark):
     )
     rows = centroid_distance_outliers(df, dim=3).collect()
     assert all(r["dist"] == 0.0 and r["z"] == 0.0 and not r["is_outlier"] for r in rows)
+
+
+def test_recall_at_k_golden(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([10, 11, 12], 1)]
+        + [(2, n, r) for r, n in enumerate([20, 21, 22], 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # query 1: 2/3 overlap; query 2: none (left-join zero path)
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 99, 3), (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r["query_id"]: r for r in recall_at_k(approx, exact, 3).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2
+    assert abs(out[1]["recall"] - 0.666667) < 1e-6
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+    # identical inputs -> perfect recall
+    perfect = recall_at_k(exact, exact, 3).collect()
+    assert all(r["recall"] == 1.0 for r in perfect)
+    # rank pruning: rows beyond k never count
+    pruned = recall_at_k(approx, exact, 2).collect()
+    assert {r["query_id"]: r["n_exact"] for r in pruned} == {1: 2, 2: 2}
