@@ -1131,6 +1131,24 @@ def _q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(scored, budget_tokens=600)
 
 
+def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware train/val split: hash coin on the exact-dedup
+    CLUSTER id, so duplicate groups never straddle the boundary —
+    contamination-proof by construction. Pure projection on top of
+    the dedup assignment."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+    from kkbox_churn_prediction_spark.operators.dedup import exact_dedup
+    from kkbox_churn_prediction_spark.operators.sampling import cluster_safe_split
+
+    key = F.array_join(F.slice(tokens(normalize_text(F.col("text"))), 1, 5), " ")
+    assigned = exact_dedup(_docs(spark, sf_dir), key).select(
+        "doc_id", "canonical_id"
+    )
+    return cluster_safe_split(assigned, val_rate=0.2)
+
+
 def _q_match_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution matching: importance-resample docs so the token-
     count histogram is uniform over 8 fixed-width bins (the DoReMi-
@@ -2739,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "token_budget_select": _q_token_budget_select,
         "match_token_distribution": _q_match_token_distribution,
+        "cluster_safe_split": _q_cluster_safe_split,
         "capped_per_source": _q_capped_per_source,
         "weighted_sample": _q_weighted_sample,
         "pack_documents": _q_pack_documents,
@@ -3548,6 +3567,25 @@ cum AS (
 )
 SELECT doc_id, source, n_tokens, quality_score, cum_tokens
 FROM cum WHERE cum_tokens - n_tokens < 600
+"""
+
+# duplicate-aware split (lock-step with sampling.cluster_safe_split over
+# exact_dedup's canonical ids: same 'split:' coin, thr=round(0.2·2^20))
+_CLUSTER_SPLIT_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, array_to_string(({_TOKS})[1:5], ' ') AS k FROM documents
+),
+groups AS (
+    SELECT k, MIN(doc_id) AS canonical_id FROM keyed GROUP BY k
+),
+assigned AS (
+    SELECT d.doc_id, g.canonical_id FROM keyed d JOIN groups g USING (k)
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN ({_H48.format(x="concat('split:', CAST(canonical_id AS VARCHAR))")}) % 1048576
+                 < 209715
+            THEN 'val' ELSE 'train' END AS split
+FROM assigned
 """
 
 # distribution matching (lock-step with sampling.distribution_match_sample:
@@ -7010,6 +7048,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
         "match_token_distribution": _MATCH_TOKEN_DIST_SQL,
+        "cluster_safe_split": _CLUSTER_SPLIT_SQL,
         "capped_per_source": _CAPPED_PER_SOURCE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,

@@ -401,3 +401,32 @@ def distribution_match_sample(
             chain
         )
     return binned.where(sample_hash_bucket(F.col(id_col), salt) < chain)
+
+
+def cluster_safe_split(
+    assignments: DataFrame,
+    *,
+    val_rate: float,
+    cluster_col: str = "canonical_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Duplicate-aware train/val split: the hash coin flips on the
+    CLUSTER id, not the document id, so every member of a duplicate /
+    near-duplicate cluster lands on the same side — eval contamination
+    through duplicated text is impossible BY CONSTRUCTION, not by
+    post-hoc decontamination. ``assignments`` is any
+    ``(…, cluster_col)`` frame — ``dedup.exact_dedup``'s canonical
+    ids or the transitive ``components`` labels both fit. The same
+    deterministic coin as the samplers: the split is stable across
+    reruns, partitioning, and cluster sizes.
+
+    Shape: a pure projection — zero shuffle beyond whatever produced
+    the assignments; at any scale the split itself is scan-stage.
+    """
+    thr = int(round(float(val_rate) * _BUCKETS))
+    return assignments.withColumn(
+        "split",
+        F.when(
+            sample_hash_bucket(F.col(cluster_col), salt) < F.lit(thr), "val"
+        ).otherwise("train"),
+    )

@@ -270,3 +270,28 @@ def test_distribution_match_zero_target_drops_bin(spark):
     ).collect()
     assert all(r["bin"] != 1 for r in out)
     assert any(r["bin"] == 0 for r in out)
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import cluster_safe_split
+
+    # 300 docs in 60 clusters of 5
+    assigned = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 60).alias("canonical_id")
+    )
+    out = cluster_safe_split(assigned, val_rate=0.3).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["canonical_id"], set()).add(r["split"])
+    # no cluster straddles the boundary — the contamination guarantee
+    assert all(len(s) == 1 for s in sides.values())
+    # rate lands near the target at the CLUSTER level
+    val_clusters = sum(1 for s in sides.values() if s == {"val"})
+    assert 8 <= val_clusters <= 28
+    # deterministic under repartitioning
+    again = cluster_safe_split(assigned.repartition(7), val_rate=0.3).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
