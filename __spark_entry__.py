@@ -634,6 +634,41 @@ def _q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_streaming_asof_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming gate #7: the flagship strictly-prior (as-of)
+    semantic in streaming form — every arriving turn emitted with its
+    tie-safe prior-turn count and recency gap, state carried across
+    micro-batches (applyInPandasWithState). Replay mode vs the batch
+    RANGE-frame oracle."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.asof import stream_asof_depth
+
+    src, stage = _stage_stream_src(sf_dir)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"), "ts")
+    )
+    name = "eng_streaming_asof_depth"
+    q = (
+        stream_asof_depth(stream, watermark_delay=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #3: at-least-once ingest dedup.
     The staged stream re-delivers every 10th event (a second parquet
@@ -2733,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_categorical": _q_psi_categorical,
         "feature_validation": _q_feature_validation,
         "streaming_closed_sessions": _q_streaming_closed_sessions,
+        "streaming_asof_depth": _q_streaming_asof_depth,
         # calibration / evaluation math in-engine (SURVEY §2.10 F3)
         "reliability_diagram": _q_reliability_diagram,
         "calibration_ece": _q_calibration_ece,
@@ -4182,6 +4218,26 @@ FROM geo
 
 # streaming closed-sessions oracle: batch sessions over (conv_id, ts)
 # minus each conversation's final (still-open-at-end-of-stream) session
+# streaming as-of depth (lock-step with streaming/asof.py: strictly-
+# prior = RANGE frame ending 1 micro before the current event time —
+# tie rows are peers, never prior)
+_STREAMING_ASOF_SQL = """
+WITH base AS (
+    SELECT concat('c', CAST(user_id AS VARCHAR)) AS conv_id,
+           ts,
+           epoch_us(ts) AS tsu
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT conv_id, ts,
+       CAST(COUNT(*) OVER (PARTITION BY conv_id ORDER BY tsu
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS n_prior,
+       CAST(tsu - MAX(tsu) OVER (PARTITION BY conv_id ORDER BY tsu
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS micros_since_prior
+FROM base
+"""
+
 _STREAMING_SESSIONS_SQL = """
 WITH base AS (
     SELECT concat('c', user_id) AS conv_id, ts
@@ -7036,6 +7092,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_categorical": _PSI_CATEGORICAL_SQL,
         "feature_validation": _feature_validation_oracle(),
         "streaming_closed_sessions": _STREAMING_SESSIONS_SQL,
+        "streaming_asof_depth": _STREAMING_ASOF_SQL,
         "reliability_diagram": _RELIABILITY_SQL,
         "calibration_ece": _ECE_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
