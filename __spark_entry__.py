@@ -1204,6 +1204,18 @@ def _q_match_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain-relevance weights: mean hashed-unigram log-ratio
+    of the src0 target domain vs the rest of the pool, add-0.5
+    smoothing over 4096 buckets. One persisted explode; bucket table
+    broadcasts back onto the stream."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.textstats import dsir_scores
+
+    return dsir_scores(_docs(spark, sf_dir), F.col("source") == "src0")
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality proxy: per-doc mean unigram log-probability
     against the corpus's own token distribution."""
@@ -2812,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "corpus_pipeline": _q_corpus_pipeline,
         "unigram_logprob": _q_unigram_logprob,
+        "dsir_scores": _q_dsir_scores,
         "chunk_documents": _q_chunk_documents,
         "rollup_activity": _q_rollup_activity,
         "cube_activity": _q_cube_activity,
@@ -4682,6 +4695,32 @@ WHERE u.role = 'user' AND a.role = 'assistant'
 # per-doc mean unigram log-probability (lock-step with
 # textstats.unigram_logprob_score: self-corpus distribution,
 # lp = ln(c_term / T))
+# DSIR importance weights (lock-step with textstats.dsir_scores: same
+# 48-bit-hash buckets % 4096, add-0.5 smoothing, same operand shapes —
+# (c + 0.5)/(T + 0.5·4096) with T summed as DOUBLE)
+_DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, t, ({_H48.format(x="w")}) % 4096 AS b
+    FROM (SELECT doc_id, (source = 'src0') AS t, unnest({_TOKS}) AS w
+          FROM documents)
+),
+buckets AS (
+    SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+           SUM(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+    FROM toks GROUP BY b
+),
+tot AS (SELECT SUM(tc) * 1.0 AS tt, SUM(rc) * 1.0 AS tr FROM buckets),
+logw AS (
+    SELECT b, LN((tc + 0.5) / (tt + 0.5 * 4096))
+              - LN((rc + 0.5) / (tr + 0.5 * 4096)) AS lw
+    FROM buckets, tot
+)
+SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+       ROUND(AVG(lw), 6) AS dsir_logratio
+FROM toks k JOIN logw USING (b)
+GROUP BY k.doc_id
+"""
+
 _UNIGRAM_LOGPROB_SQL = f"""
 WITH toks AS (
     SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -7124,6 +7163,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_documents": _ASSEMBLE_SQL,
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "dsir_scores": _DSIR_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,
         "cube_activity": _CUBE_ACTIVITY_SQL,

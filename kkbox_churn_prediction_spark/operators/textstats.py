@@ -856,3 +856,74 @@ def blocklist_filter(
         frac.alias("blocked_fraction"),
         (frac <= F.lit(float(max_fraction))).alias("keep"),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    n_buckets: int = 4096,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style domain-relevance importance weights (Data Selection
+    via Importance Resampling, Xie et al. 2023): score every document
+    by the mean hashed-unigram log-likelihood RATIO between a target
+    domain (rows where ``is_target``) and the raw pool (the rest) —
+    ``avg over tokens of [ln p̂_target(b) − ln p̂_raw(b)]`` with add-s
+    smoothing over ``n_buckets`` hash buckets. High scores = "reads
+    like the target domain"; feed the scores to
+    :func:`~kkbox_churn_prediction_spark.operators.sampling.distribution_match_sample`
+    or a threshold filter to build the selected corpus. The
+    cross-corpus sibling of :func:`unigram_logprob_score` (which
+    scores against the corpus's OWN distribution).
+
+    Shape: ONE explode into a slim hashed (doc, bucket) stream,
+    persisted — two consumers (the bucket count table and the score
+    join) must not re-scan the corpus; the bucket table is
+    ``n_buckets`` rows → broadcast back onto the stream; totals ride
+    a one-row broadcast; per-doc reduce is algebraic with map-side
+    partials. Hashing bounds vocabulary state at any corpus size —
+    the reason DSIR hashes in the first place.
+    """
+    nb = int(n_buckets)
+    s = float(smoothing)
+    toks = (
+        df.select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("_t"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w"),
+        )
+        .select(
+            id_col,
+            "_t",
+            F.pmod(stable_hash48(F.col("_w")), F.lit(nb)).alias("b"),
+        )
+        .persist()
+    )
+    buckets = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("tc"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("rc"),
+    )
+    totals = buckets.agg(
+        (F.sum("tc") * 1.0).alias("tt"), (F.sum("rc") * 1.0).alias("tr")
+    )
+    logw = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("tc") + s) / (F.col("tt") + s * nb))
+                - F.log((F.col("rc") + s) / (F.col("tr") + s * nb))
+            ).alias("lw"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(logw), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
+            F.round(F.avg("lw"), 6).alias("dsir_logratio"),
+        )
+    )

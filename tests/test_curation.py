@@ -206,3 +206,47 @@ def test_source_datacard_rates(spark):
     verdicts = curate_corpus(docs).groupBy("verdict").count().collect()
     vd = {r.verdict: r["count"] for r in verdicts}
     assert vd.get("duplicate") == 1
+
+
+class TestDsirScores:
+    def test_target_like_text_scores_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from kkbox_churn_prediction_spark.operators.textstats import dsir_scores
+
+        rows = (
+            [(i, "target", "alpha beta alpha beta") for i in range(10)]
+            + [(100 + i, "raw", "gamma delta gamma delta") for i in range(10)]
+            + [(200, "raw", "alpha beta alpha beta"),  # target-like raw doc
+               (201, "raw", "alpha gamma beta delta")]  # half-half
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in dsir_scores(docs, F.col("source") == "target").collect()
+        }
+        # target-like text scores higher than raw-like, mixture between
+        assert out[200] > out[201] > out[100]
+        # the score is a log-RATIO: target-vocab positive, raw-vocab negative
+        assert out[200] > 0 > out[100]
+        # token counts surface
+        assert all(
+            r["n_scored_tokens"] == 4
+            for r in dsir_scores(docs, F.col("source") == "target").collect()
+        )
+
+    def test_unseen_bucket_smoothing_finite(self, spark):
+        from pyspark.sql import functions as F
+
+        from kkbox_churn_prediction_spark.operators.textstats import dsir_scores
+
+        # a word that appears ONLY in raw: target count 0 in its bucket
+        docs = spark.createDataFrame(
+            [(1, "t", "common words here"), (2, "r", "common words zzzunseen")],
+            "doc_id long, source string, text string",
+        )
+        out = dsir_scores(docs, F.col("source") == "t").collect()
+        assert all(
+            r["dsir_logratio"] is not None and abs(r["dsir_logratio"]) < 50
+            for r in out
+        )

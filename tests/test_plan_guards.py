@@ -315,3 +315,13 @@ def test_contrastive_pairs_equi_join_only(spark):
     import re
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
+
+
+def test_dsir_scores_cached_stream_broadcast_vocab(spark):
+    """dsir_scores: the exploded hashed-token stream persists (both
+    the bucket-count table and the score join read the cache, not a
+    re-explode of the corpus) and the bucket/log-weight table rides a
+    broadcast back onto the stream."""
+    plan = _final_plan(spark, "dsir_scores")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan
