@@ -1204,6 +1204,32 @@ def _q_match_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fold_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe fold scaling: z-score of per-conversation turn
+    counts where μ/σ come from each month-fold's TRAIN rows only
+    (deterministic 25% val coin) and apply to the whole fold. One
+    tiny conditional agg broadcast back — the stream never shuffles."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import fold_standardize
+    from kkbox_churn_prediction_spark.operators.sampling import sample_hash_bucket
+
+    per = (
+        _conv(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.min("ts").alias("_first"))
+    )
+    feat = per.select(
+        "conv_id",
+        F.date_format("_first", "yyyy-MM").alias("fold"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.when(
+            sample_hash_bucket(F.col("conv_id"), "cv") < 262144, "val"
+        ).otherwise("train").alias("split"),
+    )
+    return fold_standardize(feat, "n_turns")
+
+
 def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR domain-relevance weights: mean hashed-unigram log-ratio
     of the src0 target domain vs the rest of the pool, add-0.5
@@ -2825,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "unigram_logprob": _q_unigram_logprob,
         "dsir_scores": _q_dsir_scores,
+        "fold_standardize": _q_fold_standardize,
         "chunk_documents": _q_chunk_documents,
         "rollup_activity": _q_rollup_activity,
         "cube_activity": _q_cube_activity,
@@ -4695,6 +4722,32 @@ WHERE u.role = 'user' AND a.role = 'assistant'
 # per-doc mean unigram log-probability (lock-step with
 # textstats.unigram_logprob_score: self-corpus distribution,
 # lp = ln(c_term / T))
+# leakage-safe fold scaling (lock-step with encoders.fold_standardize:
+# stats from train rows ONLY; constant-train → 0.0; no-train fold →
+# NULL; same 'cv:' hash coin, thr=262144 = 0.25·2^20)
+_FOLD_STANDARDIZE_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MIN(ts) AS first_ts
+    FROM conversations GROUP BY conv_id
+),
+feat AS (
+    SELECT conv_id, strftime(first_ts, '%Y-%m') AS fold, n_turns,
+           CASE WHEN ({_H48.format(x="concat('cv:', conv_id)")}) % 1048576 < 262144
+                THEN 'val' ELSE 'train' END AS split
+    FROM per
+),
+stats AS (
+    SELECT fold, AVG(n_turns) AS mu, STDDEV_SAMP(n_turns) AS sd
+    FROM feat WHERE split = 'train' GROUP BY fold
+)
+SELECT f.conv_id, f.fold, f.n_turns, f.split,
+       ROUND(CASE WHEN sd IS NOT NULL AND sd > 1e-12
+                  THEN (n_turns - mu) / sd
+                  WHEN mu IS NOT NULL THEN 0.0 END, 6) AS n_turns_z
+FROM feat f LEFT JOIN stats USING (fold)
+"""
+
 # DSIR importance weights (lock-step with textstats.dsir_scores: same
 # 48-bit-hash buckets % 4096, add-0.5 smoothing, same operand shapes —
 # (c + 0.5)/(T + 0.5·4096) with T summed as DOUBLE)
@@ -7164,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "dsir_scores": _DSIR_SQL,
+        "fold_standardize": _FOLD_STANDARDIZE_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,
         "cube_activity": _CUBE_ACTIVITY_SQL,

@@ -215,3 +215,46 @@ def rank_normalize(
         ).alias(out_col),
     )
     return df.join(scored, value_col)
+
+
+def fold_standardize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    fold_col: str = "fold",
+    split_col: str = "split",
+    train_value: str = "train",
+    out_col: str | None = None,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Leakage-safe fold scaling: μ/σ are fitted on each fold's TRAIN
+    rows ONLY and applied to every row of the fold — validation rows
+    never contribute to the statistics that transform them, the same
+    fit-on-train discipline the reference applies to its scalers and
+    encoders inside each backtest fold (`src/train_temporal.py`
+    fit/transform split; the engine's OOF target encoder and temporal
+    CV share it). :func:`standardize_by_group` is the
+    non-fold-aware sibling (stats from ALL group rows).
+
+    Degenerate cases: constant train values → z = 0.0 (every train
+    member sits at the mean); a fold with NO train rows → z = NULL
+    (nothing to fit — surfaced, not fabricated). Epsilon guard on σ,
+    not ``> 0``, per the cross-engine FP discipline.
+
+    Shape: one conditional hash agg (train rows only, ≤ #folds
+    output) broadcast back onto the stream — the data never shuffles
+    to get scaled.
+    """
+    out_col = out_col or f"{value_col}_z"
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.where(F.col(split_col) == train_value)
+        .groupBy(fold_col)
+        .agg(F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd"))
+    )
+    joined = df.join(F.broadcast(stats), fold_col, "left")
+    z = F.when(
+        F.col("_sd").isNotNull() & (F.col("_sd") > eps),
+        (v - F.col("_mu")) / F.col("_sd"),
+    ).otherwise(F.when(F.col("_mu").isNotNull(), F.lit(0.0)))
+    return joined.withColumn(out_col, F.round(z, 6)).drop("_mu", "_sd")

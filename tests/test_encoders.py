@@ -120,3 +120,35 @@ def test_rank_normalize_matches_pandas_average_rank(spark):
     assert set(
         r["rank_norm"] for r in rank_normalize(one, "v").collect()
     ) == {0.5}
+
+
+class TestFoldStandardize:
+    def test_stats_fit_on_train_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from kkbox_churn_prediction_spark.operators.encoders import fold_standardize
+
+        rows = [
+            # fold A train: values 0, 10 -> mu=5, sd=sqrt(50)
+            ("a1", "A", "train", 0.0),
+            ("a2", "A", "train", 10.0),
+            # fold A val: an extreme value that must NOT shift the stats
+            ("a3", "A", "val", 1000.0),
+            # fold B: constant train -> z = 0.0 for all fold-B rows
+            ("b1", "B", "train", 7.0),
+            ("b2", "B", "train", 7.0),
+            ("b3", "B", "val", 9.0),
+            # fold C: no train rows -> NULL (nothing to fit)
+            ("c1", "C", "val", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "id string, fold string, split string, v double")
+        out = {r["id"]: r["v_z"] for r in fold_standardize(df, "v").collect()}
+        import math
+
+        sd = math.sqrt(50.0)
+        assert abs(out["a1"] - round((0 - 5) / sd, 6)) < 1e-9
+        assert abs(out["a2"] - round((10 - 5) / sd, 6)) < 1e-9
+        # the val row is scaled by TRAIN stats — leakage-safe
+        assert abs(out["a3"] - round((1000 - 5) / sd, 6)) < 1e-9
+        assert out["b1"] == 0.0 and out["b3"] == 0.0
+        assert out["c1"] is None
