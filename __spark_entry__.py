@@ -2738,6 +2738,21 @@ def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dialogue_pairs(_conv(spark, sf_dir))
 
 
+def _q_sft_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-pair filter verdicts on top of dialogue_pairs: refusal
+    phrase flag (literal substring, engine-portable), degenerate
+    short-response flag, response/prompt length ratio, keep verdict.
+    Pure per-row expressions — zero added shuffles."""
+    from kkbox_churn_prediction_spark.operators.assemble import (
+        dialogue_pairs,
+        sft_pair_quality,
+    )
+
+    return sft_pair_quality(
+        dialogue_pairs(_conv(spark, sf_dir)), min_response_len=5
+    )
+
+
 def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.relational import sales_by_region
 
@@ -2932,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "zipf_stats": _q_zipf_stats,
         "contrastive_pairs": _q_contrastive_pairs,
+        "sft_pair_quality": _q_sft_pair_quality,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6521,6 +6537,43 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# SFT pair quality (lock-step with assemble.sft_pair_quality: literal
+# lowercase substring refusal phrases, min_response_len=5, ratio vs
+# greatest(prompt_len, 1) rounded 6)
+_SFT_PAIR_QUALITY_SQL = f"""
+WITH {_CONV_CTE},
+lagged AS (
+    SELECT conv_id, turn_idx, role, text,
+           lag(role) OVER w AS pr, lag(text) OVER w AS pt
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+pairs AS (
+    SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           text AS response,
+           CAST(length(pt) AS BIGINT) AS prompt_len,
+           CAST(length(text) AS BIGINT) AS response_len
+    FROM lagged
+    WHERE role = 'assistant' AND pr = 'user'
+      AND length(pt) >= 1 AND length(text) >= 1
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lower(response) LIKE '%i can''t%'
+                  OR lower(response) LIKE '%i cannot%'
+                  OR lower(response) LIKE '%i''m sorry%'
+                  OR lower(response) LIKE '%as an ai%'
+                THEN 1 ELSE 0 END AS is_refusal,
+           CASE WHEN response_len < 5 THEN 1 ELSE 0 END AS is_short
+    FROM pairs
+)
+SELECT conv_id, turn_idx, prompt_len, response_len,
+       ROUND(response_len * 1.0 / greatest(prompt_len, 1), 6) AS len_ratio,
+       is_refusal, is_short,
+       CASE WHEN is_refusal = 0 AND is_short = 0 THEN 1 ELSE 0 END AS keep
+FROM flagged
+"""
+
 # global average-rank normalize (lock-step with encoders.rank_normalize:
 # 0-based min-rank + (ties-1)/2, over N-1, round 6; literals as e0
 # doubles so DuckDB can't drift into DECIMAL arithmetic)
@@ -7305,5 +7358,6 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "zipf_stats": _ZIPF_SQL,
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
+        "sft_pair_quality": _SFT_PAIR_QUALITY_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

@@ -158,3 +158,45 @@ def contrastive_pairs(
         .where((F.col("a_id") < F.col("b_id")) & (F.col("_ka") != F.col("_kb")))
         .select("batch", "a_id", "b_id")
     )
+
+
+DEFAULT_REFUSAL_PHRASES = ("i can't", "i cannot", "i'm sorry", "as an ai")
+
+
+def sft_pair_quality(
+    pairs: DataFrame,
+    *,
+    refusal_phrases: tuple[str, ...] = DEFAULT_REFUSAL_PHRASES,
+    min_response_len: int = 8,
+) -> DataFrame:
+    """Quality verdicts for SFT (prompt, response) pairs — the filter
+    pass instruction-tuning corpora run after :func:`dialogue_pairs`
+    mining: flag refusal-styled responses (they teach the model to
+    refuse), degenerate short responses, and surface the
+    response/prompt length ratio (extreme ratios correlate with
+    truncation and low-effort answers). ``keep`` = neither flag.
+
+    Phrase matching is literal-substring on the lowercased response
+    (NOT regex) so the verdicts are trivially reproducible in any
+    engine; pass domain-specific ``refusal_phrases`` to tune.
+
+    Shape: pure per-row column expressions on the pair stream — zero
+    shuffles, embarrassingly parallel at any scale.
+    """
+    lower = F.lower(F.col("response"))
+    refusal = F.lit(False)
+    for p in refusal_phrases:
+        refusal = refusal | lower.contains(p)
+    short = F.col("response_len") < int(min_response_len)
+    return pairs.select(
+        "conv_id",
+        "turn_idx",
+        "prompt_len",
+        "response_len",
+        F.round(
+            F.col("response_len") * 1.0 / F.greatest(F.col("prompt_len"), F.lit(1)), 6
+        ).alias("len_ratio"),
+        refusal.cast("int").alias("is_refusal"),
+        short.cast("int").alias("is_short"),
+        ((~refusal) & (~short)).cast("int").alias("keep"),
+    )

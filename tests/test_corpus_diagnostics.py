@@ -281,3 +281,27 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id").alias("doc_id")
+
+
+class TestSftPairQuality:
+    def test_flags_and_keep_verdict(self, spark):
+        from kkbox_churn_prediction_spark.operators.assemble import sft_pair_quality
+
+        pairs = spark.createDataFrame(
+            [
+                ("c", 1, "tell me", "I'm sorry, I cannot help with that request", 7, 42),
+                ("c", 3, "hi", "ok", 2, 2),
+                ("c", 5, "explain widgets", "widgets are small components", 15, 28),
+                ("c", 7, "hello", "AS AN AI assistant I will help you anyway", 5, 41),
+            ],
+            "conv_id string, turn_idx int, prompt string, response string,"
+            " prompt_len long, response_len long",
+        )
+        out = {r["turn_idx"]: r for r in sft_pair_quality(pairs).collect()}
+        assert out[1]["is_refusal"] == 1 and out[1]["keep"] == 0
+        assert out[3]["is_short"] == 1 and out[3]["keep"] == 0
+        assert out[5]["is_refusal"] == 0 and out[5]["is_short"] == 0 and out[5]["keep"] == 1
+        # case-insensitive phrase match
+        assert out[7]["is_refusal"] == 1
+        # ratio surfaces rounded
+        assert abs(out[5]["len_ratio"] - round(28 / 15, 6)) < 1e-9
