@@ -2728,6 +2728,16 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/KV-cache sharing profile: per depth d ∈ {1,2,3}, how
+    many conversations share an identical first-d-turn prefix.
+    Depth-capped collect (≤3 texts per conv buffer), hash-only
+    shuffle."""
+    from kkbox_churn_prediction_spark.operators.profile import prefix_sharing
+
+    return prefix_sharing(_conv(spark, sf_dir))
+
+
 def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, response) pair mining: adjacent user→assistant
     turn pairs under the shared conversation ordering — one lag
@@ -2948,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": _q_zipf_stats,
         "contrastive_pairs": _q_contrastive_pairs,
         "sft_pair_quality": _q_sft_pair_quality,
+        "prefix_sharing": _q_prefix_sharing,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6537,6 +6548,32 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# prefix-sharing profile (lock-step with profile.prefix_sharing: same
+# depth cap, \\x1f-joined prefix → 48-bit hash, ≥d-turn membership)
+_PREFIX_SHARING_SQL = f"""
+WITH {_CONV_CTE},
+pre AS (
+    SELECT conv_id, ts, turn_idx, COALESCE(text, '') AS tx
+    FROM conversations WHERE turn_idx < 3
+),
+lists AS (
+    SELECT conv_id, list(tx ORDER BY ts, turn_idx) AS texts
+    FROM pre GROUP BY conv_id
+),
+stacked AS (
+    SELECT d.depth,
+           {_H48.format(x="array_to_string(texts[1:d.depth], chr(31))")} AS ph
+    FROM lists, (SELECT unnest([1, 2, 3]) AS depth) d
+    WHERE len(texts) >= d.depth
+),
+groups AS (SELECT depth, ph, COUNT(*) AS cnt FROM stacked GROUP BY depth, ph)
+SELECT depth, CAST(SUM(cnt) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_prefixes,
+       CAST(MAX(cnt) AS BIGINT) AS max_group,
+       ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS sharing_factor
+FROM groups GROUP BY depth
+"""
+
 # SFT pair quality (lock-step with assemble.sft_pair_quality: literal
 # lowercase substring refusal phrases, min_response_len=5, ratio vs
 # greatest(prompt_len, 1) rounded 6)
@@ -7359,5 +7396,6 @@ def oracle_sql() -> dict[str, str]:
         "zipf_stats": _ZIPF_SQL,
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "sft_pair_quality": _SFT_PAIR_QUALITY_SQL,
+        "prefix_sharing": _PREFIX_SHARING_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

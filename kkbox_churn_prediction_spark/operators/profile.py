@@ -147,3 +147,62 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         .alias("checksum_sum"),
         F.bit_xor(h).cast("bigint").alias("checksum_xor"),
     )
+
+
+def prefix_sharing(
+    turns: DataFrame, depths: tuple[int, ...] = (1, 2, 3), id_col: str = "conv_id"
+) -> DataFrame:
+    """Conversation prefix-sharing profile: for each depth ``d``, how
+    many conversations share an identical first-``d``-turn prefix —
+    the statistic that sizes prefix/KV-cache reuse and flags
+    boilerplate system-prompt duplication in agent-transcript corpora.
+    Output per depth: ``(depth, n_convs, n_distinct_prefixes,
+    max_group, sharing_factor)`` where sharing_factor =
+    n_convs / n_distinct_prefixes (1.0 = all unique) and only
+    conversations with >= d turns count at depth d.
+
+    Shape: turns are filtered to ``turn_idx < max(depths)`` BEFORE
+    the per-conversation collect, so the aggregation buffer holds at
+    most ``max(depths)`` texts per conversation regardless of
+    conversation length (no mega-conversation risk); prefixes reduce
+    to 48-bit hashes before the (depth, prefix) count, so the shuffle
+    carries hashes, not text (joined with the \\x1f unit separator —
+    unambiguous under concatenation). Two-level agg, map-side
+    partials.
+    """
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+    mx = max(depths)
+    pre = turns.where(F.col("turn_idx") < mx).select(
+        id_col, "ts", "turn_idx", F.coalesce(F.col("text"), F.lit("")).alias("_tx")
+    )
+    lists = pre.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "turn_idx", "_tx"))),
+            lambda s: s["_tx"],
+        ).alias("_texts")
+    )
+    branches = [
+        F.struct(
+            F.lit(d).alias("depth"),
+            F.when(
+                F.size("_texts") >= d,
+                stable_hash48(
+                    F.concat_ws("\u001f", F.slice(F.col("_texts"), 1, d))
+                ),
+            ).alias("ph"),
+        )
+        for d in depths
+    ]
+    stacked = (
+        lists.select(id_col, F.explode(F.array(*branches)).alias("s"))
+        .select(F.col("s.depth").alias("depth"), F.col("s.ph").alias("ph"))
+        .where(F.col("ph").isNotNull())
+    )
+    groups = stacked.groupBy("depth", "ph").agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.groupBy("depth").agg(
+        F.sum("cnt").cast("long").alias("n_convs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_prefixes"),
+        F.max("cnt").cast("long").alias("max_group"),
+        F.round(F.sum("cnt") * 1.0 / F.count(F.lit(1)), 6).alias("sharing_factor"),
+    )

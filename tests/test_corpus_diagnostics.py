@@ -305,3 +305,63 @@ class TestSftPairQuality:
         assert out[7]["is_refusal"] == 1
         # ratio surfaces rounded
         assert abs(out[5]["len_ratio"] - round(28 / 15, 6)) < 1e-9
+
+
+class TestPrefixSharing:
+    def test_sharing_counts_per_depth(self, spark):
+        from datetime import datetime, timedelta
+
+        from kkbox_churn_prediction_spark.operators.profile import prefix_sharing
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # three convs share the same first turn; two of them also share
+        # the second; third diverges at depth 2; conv d has 1 turn only
+        scripts = {
+            "a": ["sys", "hello", "x"],
+            "b": ["sys", "hello", "y"],
+            "c": ["sys", "other", "z"],
+            "d": ["sys"],
+        }
+        for conv, texts in scripts.items():
+            for i, tx in enumerate(texts):
+                rows.append((conv, i, "user", tx, None, t0 + timedelta(minutes=i)))
+        turns = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        out = {r["depth"]: r for r in prefix_sharing(turns).collect()}
+        # depth 1: all four convs share one prefix
+        assert out[1]["n_convs"] == 4
+        assert out[1]["n_distinct_prefixes"] == 1
+        assert out[1]["max_group"] == 4
+        assert out[1]["sharing_factor"] == 4.0
+        # depth 2: d drops out (1 turn); a+b share, c alone
+        assert out[2]["n_convs"] == 3
+        assert out[2]["n_distinct_prefixes"] == 2
+        assert out[2]["max_group"] == 2
+        # depth 3: all distinct
+        assert out[3]["n_distinct_prefixes"] == 3
+        assert out[3]["sharing_factor"] == 1.0
+
+    def test_concat_ambiguity_guard(self, spark):
+        from datetime import datetime, timedelta
+
+        from kkbox_churn_prediction_spark.operators.profile import prefix_sharing
+
+        t0 = datetime(2024, 1, 1)
+        # ("ab", "c") vs ("a", "bc") must NOT collide at depth 2
+        rows = [
+            ("p", 0, "user", "ab", None, t0),
+            ("p", 1, "user", "c", None, t0 + timedelta(minutes=1)),
+            ("q", 0, "user", "a", None, t0),
+            ("q", 1, "user", "bc", None, t0 + timedelta(minutes=1)),
+        ]
+        turns = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        out = {r["depth"]: r for r in prefix_sharing(turns, depths=(2,)).collect()}
+        assert out[2]["n_distinct_prefixes"] == 2
