@@ -227,6 +227,18 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion (variance trace + RMS radius):
+    the mode-collapse/duplicate-heaviness audit complementing
+    centroid drift. ||x||² folds per row (no dims explosion); μ from
+    the Summarizer centroid pass."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    return embedding_diversity(_embs(spark, sf_dir), "label")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.textstats import lang_id
 
@@ -2793,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "ann_recall": _q_ann_recall,
+        "embedding_diversity": _q_embedding_diversity,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "token_stats": _q_token_stats,
@@ -4936,6 +4949,30 @@ SELECT e.bucket, CAST(e.dim - 1 AS INTEGER) AS dim,
        ROUND(AVG(v), 6) AS centroid, s.n_members
 FROM expl e JOIN sizes s USING (bucket)
 GROUP BY e.bucket, e.dim, s.n_members
+"""
+
+# embedding diversity (lock-step with similarity.embedding_diversity:
+# mean||x||² and ||μ||² EACH rounded 6dp before subtraction; centroid
+# from 6-rounded per-dim means; trace clamped ≥0 before sqrt)
+_EMB_DIVERSITY_SQL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+base AS (SELECT label, embedding FROM embeddings),
+per AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))), 6) AS msq
+    FROM base GROUP BY label
+),
+expl AS (
+    SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
+    FROM base CROSS JOIN dims
+),
+cent AS (SELECT label, dim, ROUND(AVG(v), 6) AS c FROM expl GROUP BY label, dim),
+musq AS (SELECT label, ROUND(SUM(c * c), 6) AS ms FROM cent GROUP BY label)
+SELECT p.label, p.n_vectors,
+       ROUND(p.msq - m.ms, 6) AS trace_variance,
+       ROUND(SQRT(GREATEST(ROUND(p.msq - m.ms, 6), 0.0)), 6) AS rms_radius
+FROM per p JOIN musq m USING (label)
 """
 
 # benchmark decontamination (lock-step with dedup.decontaminate:
@@ -7236,6 +7273,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
         "ann_recall": _ANN_RECALL_SQL,
+        "embedding_diversity": _EMB_DIVERSITY_SQL,
         "embedding_topk_lsh": _EMB_TOPK_LSH_SQL,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_SQL,

@@ -864,3 +864,46 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def embedding_diversity(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Within-group embedding dispersion: per group the variance
+    trace ``E||x − μ||² = mean||x||² − ||μ||²`` and its square root
+    (RMS radius) — the diversity audit for corpus mixture groups: a
+    source whose trace collapses is duplicate-heavy or mode-collapsed
+    even when its centroid (``embedding_drift``) looks healthy.
+    Complements the centroid ops: drift watches WHERE a group sits,
+    diversity watches how SPREAD it is.
+
+    Shape: ``||x||²`` is one scalar per row via an ``F.aggregate``
+    fold over the array (no row×dim explosion); μ comes from
+    :func:`cluster_centroids`' single Summarizer pass. Everything
+    after runs on group-sized tables. ``mean||x||²`` and ``||μ||²``
+    are EACH rounded to 6dp before the subtraction so the
+    cross-engine difference is exact; the trace is clamped at 0
+    before the square root (rounding can push a near-zero trace
+    negative).
+    """
+    sq = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg(sq), 6).alias("_msq"),
+    )
+    cents = cluster_centroids(df, group_col, vec_col)
+    musq = cents.groupBy(group_col).agg(
+        F.round(F.sum(F.col("centroid") * F.col("centroid")), 6).alias("_musq")
+    )
+    out = per.join(musq, group_col)
+    trace = F.round(F.col("_msq") - F.col("_musq"), 6)
+    return out.select(
+        group_col,
+        "n_vectors",
+        trace.alias("trace_variance"),
+        F.round(F.sqrt(F.greatest(trace, F.lit(0.0))), 6).alias("rms_radius"),
+    )

@@ -374,3 +374,23 @@ def test_recall_at_k_golden(spark):
     # rank pruning: rows beyond k never count
     pruned = recall_at_k(approx, exact, 2).collect()
     assert {r["query_id"]: r["n_exact"] for r in pruned} == {1: 2, 2: 2}
+
+
+def test_embedding_diversity_golden(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import embedding_diversity
+
+    rows = [
+        # group 0: two opposite unit vectors -> mu=0, trace = mean||x||^2 = 1
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [-1.0, 0.0]),
+        # group 1: identical vectors -> trace 0 (collapsed)
+        (3, 1, [3.0, 4.0]),
+        (4, 1, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in embedding_diversity(df, "label").collect()}
+    assert out[0]["n_vectors"] == 2
+    assert abs(out[0]["trace_variance"] - 1.0) < 1e-9
+    assert abs(out[0]["rms_radius"] - 1.0) < 1e-9
+    assert out[1]["trace_variance"] == 0.0
+    assert out[1]["rms_radius"] == 0.0
