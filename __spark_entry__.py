@@ -2740,6 +2740,15 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_conversation_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How conversations END: last role, abandonment (final turn is
+    an unanswered user turn), refusal-styled final assistant turn,
+    volume context. ONE algebraic max_by aggregate — no window sort."""
+    from kkbox_churn_prediction_spark.operators.labels import conversation_outcomes
+
+    return conversation_outcomes(_conv(spark, sf_dir))
+
+
 def _q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix/KV-cache sharing profile: per depth d ∈ {1,2,3}, how
     many conversations share an identical first-d-turn prefix.
@@ -2972,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": _q_contrastive_pairs,
         "sft_pair_quality": _q_sft_pair_quality,
         "prefix_sharing": _q_prefix_sharing,
+        "conversation_outcomes": _q_conversation_outcomes,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6585,6 +6595,36 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# conversation outcomes (lock-step with labels.conversation_outcomes:
+# argmax by (ts, turn_idx), same literal refusal phrases as
+# sft_pair_quality)
+_CONV_OUTCOMES_SQL = f"""
+WITH {_CONV_CTE},
+ranked AS (
+    SELECT conv_id, role, text, ts, turn_idx,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM conversations
+),
+last AS (
+    SELECT conv_id, role AS last_role, lower(COALESCE(text, '')) AS lt
+    FROM ranked WHERE rn = 1
+),
+vol AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tool_calls
+    FROM conversations GROUP BY conv_id
+)
+SELECT v.conv_id, l.last_role, v.n_turns, v.n_tool_calls,
+       CAST(l.last_role = 'user' AS INTEGER) AS abandoned,
+       CAST(l.last_role = 'assistant'
+            AND (lt LIKE '%i can''t%' OR lt LIKE '%i cannot%'
+                 OR lt LIKE '%i''m sorry%' OR lt LIKE '%as an ai%')
+            AS INTEGER) AS refusal_final
+FROM vol v JOIN last l USING (conv_id)
+"""
+
 # prefix-sharing profile (lock-step with profile.prefix_sharing: same
 # depth cap, \\x1f-joined prefix → 48-bit hash, ≥d-turn membership)
 _PREFIX_SHARING_SQL = f"""
@@ -7435,5 +7475,6 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": _CONTRASTIVE_PAIRS_SQL,
         "sft_pair_quality": _SFT_PAIR_QUALITY_SQL,
         "prefix_sharing": _PREFIX_SHARING_SQL,
+        "conversation_outcomes": _CONV_OUTCOMES_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

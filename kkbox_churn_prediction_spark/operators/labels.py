@@ -79,3 +79,48 @@ def time_to_next_qualifying_turn(
         "micros_to_next_qualifying",
         F.coalesce(next_us - F.unix_micros(F.col("ts")), F.lit(-1)),
     )
+
+
+def conversation_outcomes(turns: DataFrame) -> DataFrame:
+    """How each conversation ENDED — the outcome labels agent-ops
+    dashboards and SFT curation both key on:
+
+    - ``last_role``:   role of the final turn (stable (ts, turn_idx)
+                       order),
+    - ``abandoned``:   1 when the final turn is a USER turn — the
+                       user asked and nobody answered (the
+                       transcript-world churn signal; reference
+                       analog: the no-renewal-after-expiry label,
+                       ``src/labels.py:110-140``),
+    - ``refusal_final``: 1 when the final turn is an assistant turn
+                       styled as a refusal (same portable literal
+                       phrases as ``assemble.sft_pair_quality``),
+    - ``n_turns`` / ``n_tool_calls``: volume context.
+
+    Shape: ONE algebraic hash aggregate — ``max_by(x, (ts,
+    turn_idx))`` argmax per conversation (map-side partials, no
+    window sort of the turn stream; the same W2 rewrite as
+    ``last_value_before_cutoff``).
+    """
+    from kkbox_churn_prediction_spark.operators.assemble import (
+        DEFAULT_REFUSAL_PHRASES,
+    )
+
+    last_role = F.expr("max_by(role, struct(ts, turn_idx))")
+    last_text = F.lower(
+        F.coalesce(F.expr("max_by(text, struct(ts, turn_idx))"), F.lit(""))
+    )
+    refusal = F.lit(False)
+    for p in DEFAULT_REFUSAL_PHRASES:
+        refusal = refusal | last_text.contains(p)
+    return turns.groupBy("conv_id").agg(
+        last_role.alias("last_role"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+        (last_role == F.lit("user")).cast("int").alias("abandoned"),
+        ((last_role == F.lit("assistant")) & refusal).cast("int").alias(
+            "refusal_final"
+        ),
+    )

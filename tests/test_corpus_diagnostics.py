@@ -365,3 +365,37 @@ class TestPrefixSharing:
         )
         out = {r["depth"]: r for r in prefix_sharing(turns, depths=(2,)).collect()}
         assert out[2]["n_distinct_prefixes"] == 2
+
+
+class TestConversationOutcomes:
+    def test_outcome_flags(self, spark):
+        from datetime import datetime, timedelta
+
+        from kkbox_churn_prediction_spark.operators.labels import (
+            conversation_outcomes,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            # abandoned: ends with an unanswered user turn
+            ("a", 0, "user", "hi", None, t0),
+            ("a", 1, "assistant", "hello", None, t0 + timedelta(minutes=1)),
+            ("a", 2, "user", "one more thing", None, t0 + timedelta(minutes=2)),
+            # refusal-final assistant ending, with one tool call
+            ("b", 0, "user", "do it", None, t0),
+            ("b", 1, "assistant", "I cannot help with that", "search", t0 + timedelta(minutes=1)),
+            # clean assistant ending
+            ("c", 0, "user", "hey", None, t0),
+            ("c", 1, "assistant", "done!", None, t0 + timedelta(minutes=1)),
+        ]
+        turns = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        out = {r["conv_id"]: r for r in conversation_outcomes(turns).collect()}
+        assert out["a"]["abandoned"] == 1 and out["a"]["refusal_final"] == 0
+        assert out["a"]["last_role"] == "user" and out["a"]["n_turns"] == 3
+        assert out["b"]["refusal_final"] == 1 and out["b"]["abandoned"] == 0
+        assert out["b"]["n_tool_calls"] == 1
+        assert out["c"]["refusal_final"] == 0 and out["c"]["abandoned"] == 0
