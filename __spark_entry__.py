@@ -2740,6 +2740,21 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_mad_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-role text-length scale: median + MAD (+ the
+    1.4826-scaled normal-consistent version). Two exact-percentile
+    passes sharing the role partitioning; approx_percentile switch
+    documented for 10^12-row groups."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.winsorize import mad_by_group
+
+    vals = _conv(spark, sf_dir).select(
+        "role", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double").alias("text_len")
+    )
+    return mad_by_group(vals, "text_len", "role")
+
+
 def _q_role_tool_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between role and tool (NULL tool is a real
     category): the cross-column redundancy audit. One joint count
@@ -2994,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_sharing": _q_prefix_sharing,
         "conversation_outcomes": _q_conversation_outcomes,
         "role_tool_mi": _q_role_tool_mi,
+        "mad_text_len": _q_mad_text_len,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6607,6 +6623,31 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# per-role MAD (lock-step with winsorize.mad_by_group: quantile_cont =
+# Spark exact percentile; mad_scaled = round6(round6(mad)·1.4826))
+_MAD_TEXT_LEN_SQL = f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT role, CAST(length(COALESCE(text, '')) AS DOUBLE) AS v
+    FROM conversations
+),
+meds AS (
+    SELECT role, quantile_cont(v, 0.5) AS med, CAST(COUNT(*) AS BIGINT) AS n
+    FROM vals GROUP BY role
+),
+dev AS (
+    SELECT v.role, ABS(v.v - m.med) AS adev, m.med, m.n
+    FROM vals v JOIN meds m USING (role)
+),
+agg AS (
+    SELECT role, MAX(n) AS n, ROUND(MAX(med), 6) AS median,
+           ROUND(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev GROUP BY role
+)
+SELECT role, n, median, mad, ROUND(mad * 1.4826, 6) AS mad_scaled
+FROM agg
+"""
+
 # role×tool mutual information (lock-step with
 # relational.mutual_information: NULL → '__null__' category; ratios in
 # doubles — c·n overflows integers at scale; nmi on 6-rounded terms)
@@ -7522,5 +7563,6 @@ def oracle_sql() -> dict[str, str]:
         "prefix_sharing": _PREFIX_SHARING_SQL,
         "conversation_outcomes": _CONV_OUTCOMES_SQL,
         "role_tool_mi": _ROLE_TOOL_MI_SQL,
+        "mad_text_len": _MAD_TEXT_LEN_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

@@ -102,3 +102,53 @@ def mad_outliers(
         .otherwise((dev > 0).cast("int"))
         .alias("is_outlier"),
     )
+
+
+def mad_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: float = 1.4826,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust scale
+    estimate outlier screens should prefer over stddev (one wild
+    value moves σ, not the MAD; ``scale=1.4826`` makes it consistent
+    with σ under normality). Output per group: ``(group, n, median,
+    mad, mad_scaled)``. Pairs with :func:`winsorize_value` (which
+    clips by quantile) and the Mahalanobis screen (which assumes
+    moments): MAD is the screen to trust when the data has already
+    failed those assumptions.
+
+    Two exact-percentile passes (value median, then deviation
+    median): same A10 exactness/oracle discipline — and the same
+    scale caveat — as ``session_length_percentiles``; ``exact=False``
+    switches both passes to ``approx_percentile`` (GK sketch,
+    bounded memory, the 10^12-row default).
+
+    Shape: group-keyed agg → join the group-sized median table back
+    (same key, AQE reuses the partitioning) → second group-keyed agg.
+    """
+    if exact:
+        med_expr = f"percentile({value_col}, 0.5)"
+        dev_expr = "percentile(_adev, 0.5)"
+    else:
+        med_expr = f"approx_percentile({value_col}, 0.5, {int(accuracy)})"
+        dev_expr = f"approx_percentile(_adev, 0.5, {int(accuracy)})"
+    meds = df.groupBy(group_col).agg(
+        F.expr(med_expr).alias("_med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = df.join(meds, group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    out = dev.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.round(F.max("_med"), 6).alias("median"),
+        F.round(F.expr(dev_expr), 6).alias("mad"),
+    )
+    return out.withColumn(
+        "mad_scaled", F.round(F.col("mad") * F.lit(float(scale)), 6)
+    )
