@@ -2740,6 +2740,15 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool turnaround stats (gap to the next turn after a tool
+    call): one lead on the shared conv window + Expand-free two-level
+    agg; integer-division averages for cross-engine exactness."""
+    from kkbox_churn_prediction_spark.operators.lags import tool_latency_stats
+
+    return tool_latency_stats(_conv(spark, sf_dir))
+
+
 def _q_mad_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-role text-length scale: median + MAD (+ the
     1.4826-scaled normal-consistent version). Two exact-percentile
@@ -3010,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_outcomes": _q_conversation_outcomes,
         "role_tool_mi": _q_role_tool_mi,
         "mad_text_len": _q_mad_text_len,
+        "tool_latency": _q_tool_latency,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6623,6 +6633,28 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# per-tool latency (lock-step with lags.tool_latency_stats: lead over
+# the conv order, Expand-free (tool, conv) rollup, integer-div avg)
+_TOOL_LATENCY_SQL = f"""
+WITH {_CONV_CTE},
+led AS (
+    SELECT tool, conv_id,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+    FROM conversations
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+calls AS (SELECT * FROM led WHERE tool IS NOT NULL AND gap IS NOT NULL),
+per_tc AS (
+    SELECT tool, conv_id, COUNT(*) AS n_i, SUM(gap) AS s_i, MAX(gap) AS m_i
+    FROM calls GROUP BY tool, conv_id
+)
+SELECT tool, CAST(SUM(n_i) AS BIGINT) AS n_calls,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(s_i) // SUM(n_i) AS BIGINT) AS avg_gap_us,
+       CAST(MAX(m_i) AS BIGINT) AS max_gap_us
+FROM per_tc GROUP BY tool
+"""
+
 # per-role MAD (lock-step with winsorize.mad_by_group: quantile_cont =
 # Spark exact percentile; mad_scaled = round6(round6(mad)·1.4826))
 _MAD_TEXT_LEN_SQL = f"""
@@ -7564,5 +7596,6 @@ def oracle_sql() -> dict[str, str]:
         "conversation_outcomes": _CONV_OUTCOMES_SQL,
         "role_tool_mi": _ROLE_TOOL_MI_SQL,
         "mad_text_len": _MAD_TEXT_LEN_SQL,
+        "tool_latency": _TOOL_LATENCY_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

@@ -166,3 +166,40 @@ def conditional_entropy(turns: DataFrame, state_col: str = "role") -> DataFrame:
             -F.sum(F.col("p_cond") * F.log(F.col("p_cond"))), 6
         ).alias("h_cond_nats"),
     )
+
+
+def tool_latency_stats(turns: DataFrame) -> DataFrame:
+    """Per-TOOL turnaround: for every turn that invoked a tool, the
+    event-time gap to the NEXT turn of the conversation — the
+    execution + response-time proxy agent-ops dashboards rank tools
+    by. Output: ``(tool, n_calls, n_convs, avg_gap_us, max_gap_us)``.
+
+    Same exactness discipline as :func:`response_latency`: averages
+    are integer division of exact micro sums (float ROUND eventually
+    disagrees across engines at a half boundary). The conv-distinct
+    count is restructured Expand-free: a (tool, conv) partial rollup
+    feeds the tool-level agg — mixing COUNT(DISTINCT) with plain
+    aggs in one groupBy would Expand-multiply the stream (the A3
+    trap).
+
+    Shape: one lead over the shared conv-order window (rides the
+    common conv_id shuffle), then two slim hash aggs.
+    """
+    ts_us = F.unix_micros(F.col("ts"))
+    nxt = F.lead(ts_us).over(turn_order_window())
+    calls = (
+        turns.withColumn("_gap", nxt - ts_us)
+        .where(F.col("tool").isNotNull() & F.col("_gap").isNotNull())
+        .select("tool", "conv_id", "_gap")
+    )
+    per_tc = calls.groupBy("tool", "conv_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_gap").alias("_s"),
+        F.max("_gap").alias("_m"),
+    )
+    return per_tc.groupBy("tool").agg(
+        F.sum("_n").cast("long").alias("n_calls"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.expr("sum(_s) div sum(_n)").alias("avg_gap_us"),
+        F.max("_m").cast("long").alias("max_gap_us"),
+    )

@@ -440,3 +440,33 @@ class TestMutualInformation:
         r = mutual_information(df, "a", "b").collect()[0]
         # NULL tool is fully determined by role here -> nmi == 1
         assert abs(r["nmi"] - 1.0) < 1e-5
+
+
+def test_tool_latency_stats_golden(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.lags import tool_latency_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # conv a: search at +0 answered at +10s; search at +60 answered +90
+        ("a", 0, "assistant", "q", "search", t0),
+        ("a", 1, "assistant", "r", None, t0 + timedelta(seconds=10)),
+        ("a", 2, "assistant", "q2", "search", t0 + timedelta(seconds=60)),
+        ("a", 3, "assistant", "r2", None, t0 + timedelta(seconds=90)),
+        # conv b: calc at +0 answered +5; trailing tool call (no next turn) dropped
+        ("b", 0, "assistant", "q", "calc", t0),
+        ("b", 1, "assistant", "r", None, t0 + timedelta(seconds=5)),
+        ("b", 2, "assistant", "q2", "calc", t0 + timedelta(seconds=100)),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r["tool"]: r for r in tool_latency_stats(turns).collect()}
+    assert out["search"]["n_calls"] == 2 and out["search"]["n_convs"] == 1
+    assert out["search"]["avg_gap_us"] == 20_000_000  # (10s + 30s) / 2
+    assert out["search"]["max_gap_us"] == 30_000_000
+    assert out["calc"]["n_calls"] == 1  # trailing call has no next turn
+    assert out["calc"]["avg_gap_us"] == 5_000_000
