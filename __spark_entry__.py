@@ -2740,6 +2740,16 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly vocabulary growth over the transcript stream: distinct
+    types, first-seen (new) types, cumulative types — the corpus
+    freshness curve. Hash-slim shuffles; cumsum on the tiny week
+    table."""
+    from kkbox_churn_prediction_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_conv(spark, sf_dir))
+
+
 def _q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool turnaround stats (gap to the next turn after a tool
     call): one lead on the shared conv window + Expand-free two-level
@@ -3020,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_tool_mi": _q_role_tool_mi,
         "mad_text_len": _q_mad_text_len,
         "tool_latency": _q_tool_latency,
+        "vocab_growth": _q_vocab_growth,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6633,6 +6644,30 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# vocabulary growth (lock-step with textstats.vocab_growth: Monday-
+# aligned date_trunc week both engines; 48-bit token hashes; first-seen
+# = min bucket per type; cumsum over the tiny week series)
+_VOCAB_GROWTH_SQL = f"""
+WITH {_CONV_CTE},
+toks AS (
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+           {_H48.format(x="w")} AS tk
+    FROM (SELECT ts, unnest({_TOKS}) AS w FROM conversations)
+),
+pairs AS (SELECT DISTINCT bucket, tk FROM toks),
+first AS (SELECT tk, MIN(bucket) AS bucket FROM pairs GROUP BY tk),
+news AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+         FROM first GROUP BY bucket),
+tot AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM pairs GROUP BY bucket)
+SELECT t.bucket, t.n_types,
+       CAST(COALESCE(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+       CAST(SUM(COALESCE(n.n_new_types, 0))
+            OVER (ORDER BY t.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_types
+FROM tot t LEFT JOIN news n USING (bucket)
+"""
+
 # per-tool latency (lock-step with lags.tool_latency_stats: lead over
 # the conv order, Expand-free (tool, conv) rollup, integer-div avg)
 _TOOL_LATENCY_SQL = f"""
@@ -7597,5 +7632,6 @@ def oracle_sql() -> dict[str, str]:
         "role_tool_mi": _ROLE_TOOL_MI_SQL,
         "mad_text_len": _MAD_TEXT_LEN_SQL,
         "tool_latency": _TOOL_LATENCY_SQL,
+        "vocab_growth": _VOCAB_GROWTH_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

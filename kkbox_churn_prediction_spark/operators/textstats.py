@@ -927,3 +927,56 @@ def dsir_scores(
             F.round(F.avg("lw"), 6).alias("dsir_logratio"),
         )
     )
+
+
+def vocab_growth(
+    turns: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Vocabulary growth curve over ingestion time: per ``grain``
+    bucket, the distinct token types used, the types NEVER seen in an
+    earlier bucket, and the cumulative type count — the corpus
+    freshness metric ("is new data still bringing new language, or
+    are we re-crawling the same text?"). A flattening curve is the
+    standard signal to rebalance sources; pairs with
+    :func:`~..operators.textstats.zipf_stats` (static shape) as the
+    temporal view of vocabulary.
+
+    Shape: tokens reduce to 48-bit hashes BEFORE the (bucket, type)
+    distinct — shuffles carry hashes; first-seen is one min-agg over
+    the (bucket, type) pairs; the cumulative sum runs on the
+    bucket-count table (≤ #weeks rows — the SinglePartition window is
+    on a provably tiny series, the daily_anomalies exemption).
+    """
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        stable_hash48,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    toks = turns.select(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w"),
+    ).select("bucket", stable_hash48(F.col("_w")).alias("_tk"))
+    pairs = toks.distinct()
+    first = pairs.groupBy("_tk").agg(F.min("bucket").alias("bucket"))
+    news = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types")
+    )
+    tot = pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tot.join(news, "bucket", "left")
+        .select(
+            "bucket",
+            "n_types",
+            F.coalesce(F.col("n_new_types"), F.lit(0)).alias("n_new_types"),
+        )
+        .withColumn("cum_types", F.sum("n_new_types").over(w).cast("long"))
+    )

@@ -250,3 +250,27 @@ class TestDsirScores:
             r["dsir_logratio"] is not None and abs(r["dsir_logratio"]) < 50
             for r in out
         )
+
+
+def test_vocab_growth_golden(spark):
+    from datetime import datetime
+
+    from kkbox_churn_prediction_spark.operators.textstats import vocab_growth
+
+    w1 = datetime(2024, 1, 1)   # a Monday
+    w2 = datetime(2024, 1, 8)
+    rows = [
+        ("a", 0, "user", "alpha beta", None, w1),
+        ("b", 0, "user", "beta gamma", None, w1),
+        # week 2: one repeat type + one new
+        ("c", 0, "user", "gamma delta", None, w2),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = sorted(vocab_growth(turns).collect(), key=lambda r: r["bucket"])
+    assert [r["n_types"] for r in out] == [3, 2]       # {alpha,beta,gamma}, {gamma,delta}
+    assert [r["n_new_types"] for r in out] == [3, 1]   # delta is the only new type
+    assert [r["cum_types"] for r in out] == [3, 4]
