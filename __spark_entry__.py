@@ -2740,6 +2740,15 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices — the
+    fabricated-data screen. Scan-stage digit projection, 9-key agg."""
+    from kkbox_churn_prediction_spark.operators.profile import benford_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_profile(li, "l_extendedprice")
+
+
 def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly vocabulary growth over the transcript stream: distinct
     types, first-seen (new) types, cumulative types — the corpus
@@ -3031,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_text_len": _q_mad_text_len,
         "tool_latency": _q_tool_latency,
         "vocab_growth": _q_vocab_growth,
+        "benford_prices": _q_benford_prices,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6644,6 +6654,30 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# Benford audit (lock-step with profile.benford_profile: FLOOR→string
+# digit — double→int CAST rounds in DuckDB, log10 digits hit libm ulps;
+# shared 6dp expected literals)
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939"
+    " WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947"
+    " WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END"
+)
+_BENFORD_SQL = f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_extendedprice >= 1
+    GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / t, 6) AS freq,
+       {_BENFORD_CASE} AS expected,
+       ROUND(ROUND(n * 1.0 / t, 6) - {_BENFORD_CASE}, 6) AS dev
+FROM counts CROSS JOIN tot
+"""
+
 # vocabulary growth (lock-step with textstats.vocab_growth: Monday-
 # aligned date_trunc week both engines; 48-bit token hashes; first-seen
 # = min bucket per type; cumsum over the tiny week series)
@@ -7633,5 +7667,6 @@ def oracle_sql() -> dict[str, str]:
         "mad_text_len": _MAD_TEXT_LEN_SQL,
         "tool_latency": _TOOL_LATENCY_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,
+        "benford_prices": _BENFORD_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

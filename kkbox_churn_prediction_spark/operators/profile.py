@@ -206,3 +206,53 @@ def prefix_sharing(
         F.max("cnt").cast("long").alias("max_group"),
         F.round(F.sum("cnt") * 1.0 / F.count(F.lit(1)), 6).alias("sharing_factor"),
     )
+
+
+_BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}  # round(log10(1 + 1/d), 6) — literals so both engines agree exactly
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column against Benford's law — the classic fabricated-data /
+    synthetic-artifact screen for financial-style measures (organic
+    multiplicative data follows log10(1 + 1/d); uniform generators
+    and copy-paste rows do not). Output per digit: ``(digit, n,
+    freq, expected, dev)``.
+
+    Contract: rows with value < 1 are excluded (the digit comes from
+    the integer part — ``FLOOR`` then string, because a direct
+    double→int cast ROUNDS in some engines and log10-based digit
+    extraction hits libm ulp disagreements at exact powers of ten).
+    Expected frequencies are shared 6dp literals, not engine-side
+    logarithms, for the same reason.
+
+    Shape: scan-stage digit projection → 9-key hash agg (map-side
+    partials) → one-row total broadcast. Trivially scale-safe.
+    """
+    v = F.col(value_col)
+    digit = (
+        F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    )
+    counts = (
+        df.where(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    expected = F.lit(None).cast("double")
+    for d, e in _BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(e)).otherwise(expected)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("_t"), 6).alias("freq"),
+            expected.alias("expected"),
+        )
+        .withColumn("dev", F.round(F.col("freq") - F.col("expected"), 6))
+    )

@@ -470,3 +470,22 @@ def test_tool_latency_stats_golden(spark):
     assert out["search"]["max_gap_us"] == 30_000_000
     assert out["calc"]["n_calls"] == 1  # trailing call has no next turn
     assert out["calc"]["avg_gap_us"] == 5_000_000
+
+
+def test_benford_profile_golden(spark):
+    from kkbox_churn_prediction_spark.operators.profile import benford_profile
+
+    # perfect multiplicative (log-uniform-ish) sample: 10^k scaled digits
+    rows = [(float(d * 10**k),) for d in range(1, 10) for k in range(3)]
+    # sub-1 values are excluded by contract
+    rows += [(0.5,), (0.01,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    # uniform digit counts (3 each of 27): freq = 1/9 each
+    for d in range(1, 10):
+        assert out[d]["n"] == 3
+        assert abs(out[d]["freq"] - round(3 / 27, 6)) < 1e-9
+        assert out[d]["dev"] == round(out[d]["freq"] - out[d]["expected"], 6)
+    # expected follows Benford exactly (literal table)
+    assert out[1]["expected"] == 0.30103 and out[9]["expected"] == 0.045757
