@@ -2740,6 +2740,15 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily turn-count series at lags 1..7 —
+    the weekly-seasonality detector for the drift monitors. All
+    series math on the tiny daily table."""
+    from kkbox_churn_prediction_spark.operators.windows import daily_acf
+
+    return daily_acf(_conv(spark, sf_dir))
+
+
 def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of lineitem extended prices — the
     fabricated-data screen. Scan-stage digit projection, 9-key agg."""
@@ -3041,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": _q_tool_latency,
         "vocab_growth": _q_vocab_growth,
         "benford_prices": _q_benford_prices,
+        "daily_acf": _q_daily_acf,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6654,6 +6664,30 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# daily ACF (lock-step with windows.daily_acf: observation lags over
+# the ordered day series — the rn self-join replicates lag(dv, k))
+_DAILY_ACF_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT date_trunc('day', ts) AS d, COUNT(*) * 1.0 AS x
+    FROM conversations GROUP BY 1
+),
+mu AS (SELECT AVG(x) AS m FROM daily),
+dev AS (
+    SELECT d, x - m AS dv, row_number() OVER (ORDER BY d) AS rn
+    FROM daily CROSS JOIN mu
+),
+den AS (SELECT SUM(dv * dv) AS dn FROM dev),
+ks AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pairs AS (
+    SELECT CAST(k.lag AS INTEGER) AS lag, a.dv * b.dv AS prod
+    FROM dev a JOIN ks k ON TRUE JOIN dev b ON a.rn = b.rn + k.lag
+)
+SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN dn > 1e-12 THEN SUM(prod) / dn END, 6) AS acf
+FROM pairs CROSS JOIN den GROUP BY lag, dn
+"""
+
 # Benford audit (lock-step with profile.benford_profile: FLOOR→string
 # digit — double→int CAST rounds in DuckDB, log10 digits hit libm ulps;
 # shared 6dp expected literals)
@@ -7668,5 +7702,6 @@ def oracle_sql() -> dict[str, str]:
         "tool_latency": _TOOL_LATENCY_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "benford_prices": _BENFORD_SQL,
+        "daily_acf": _DAILY_ACF_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

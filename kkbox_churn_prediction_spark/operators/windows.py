@@ -292,3 +292,62 @@ def cusum_changepoints(
             (F.abs(F.round("cusum", 6)) > F.lit(float(threshold))).alias("is_shift"),
         )
     )
+
+
+def daily_acf(
+    turns: DataFrame, max_lag: int = 7, *, eps: float = 1e-12
+) -> DataFrame:
+    """Sample autocorrelation of the daily activity series at lags
+    1..``max_lag`` — the weekly-rhythm detector (strong lag-7 ACF =
+    weekday seasonality; decide whether drift monitors need
+    seasonal adjustment before CUSUM/PSI alarms fire on Mondays).
+    Output: ``(lag, n_pairs, acf)`` with the standard estimator
+    ``Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²``; a constant series emits
+    NULL (epsilon-guarded denominator).
+
+    Lags are OBSERVATION lags over the ordered day series (a gap day
+    is absent, not zero — :mod:`operators.resample` densifies first
+    when calendar-lag semantics are wanted; documented contract, and
+    the oracle mirrors it).
+
+    Shape: the stream collapses to one row per day in a partial+final
+    agg; every window/self-product after that runs on the tiny daily
+    series (daily_anomalies exemption), with the mean and denominator
+    riding one-row broadcasts.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    mu = daily.agg(F.avg("x").alias("_mu"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("x") - F.col("_mu")).alias("dv")
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("_den"))
+    w = Window.orderBy("d")
+    ks = list(range(1, int(max_lag) + 1))
+    wide = dev.select(
+        "dv", *[F.lag("dv", k).over(w).alias(f"_l{k}") for k in ks]
+    )
+    arms = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            (F.col("dv") * F.col(f"_l{k}")).alias("prod"),
+        )
+        for k in ks
+    ]
+    stacked = (
+        wide.select(F.explode(F.array(*arms)).alias("s"))
+        .select(F.col("s.lag").alias("lag"), F.col("s.prod").alias("prod"))
+        .where(F.col("prod").isNotNull())
+    )
+    out = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("prod").alias("_num"),
+    )
+    return out.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when(F.col("_den") > eps, F.col("_num") / F.col("_den")), 6
+        ).alias("acf"),
+    )

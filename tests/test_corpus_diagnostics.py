@@ -489,3 +489,34 @@ def test_benford_profile_golden(spark):
         assert out[d]["dev"] == round(out[d]["freq"] - out[d]["expected"], 6)
     # expected follows Benford exactly (literal table)
     assert out[1]["expected"] == 0.30103 and out[9]["expected"] == 0.045757
+
+
+def test_daily_acf_alternating_series(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import daily_acf
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # alternating 1/3 turns per day for 14 days: lag-1 ACF strongly
+    # negative, lag-2 strongly positive
+    for day in range(14):
+        for k in range(1 if day % 2 == 0 else 3):
+            rows.append(("c", k, "user", "x", None, t0 + timedelta(days=day, minutes=k)))
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r["lag"]: r for r in daily_acf(turns, max_lag=3).collect()}
+    assert out[1]["acf"] < -0.8
+    assert out[2]["acf"] > 0.8
+    assert out[1]["n_pairs"] == 13 and out[2]["n_pairs"] == 12
+    # constant series -> NULL acf
+    const = [("c", 0, "user", "x", None, t0 + timedelta(days=d)) for d in range(5)]
+    cdf = spark.createDataFrame(
+        const,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    assert all(r["acf"] is None for r in daily_acf(cdf, max_lag=2).collect())
