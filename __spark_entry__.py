@@ -2740,6 +2740,15 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tool→tool chains across conversations (workflow mining):
+    lead over tool turns on the shared conv window, |tools|²-bounded
+    counts, deterministic top-k."""
+    from kkbox_churn_prediction_spark.operators.lags import tool_bigrams
+
+    return tool_bigrams(_conv(spark, sf_dir), k=20)
+
+
 def _q_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the daily turn-count series at lags 1..7 —
     the weekly-seasonality detector for the drift monitors. All
@@ -3051,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "benford_prices": _q_benford_prices,
         "daily_acf": _q_daily_acf,
+        "tool_bigrams": _q_tool_bigrams,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6664,6 +6674,33 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# tool bigrams (lock-step with lags.tool_bigrams: lead over tool turns
+# only; top-20 by count with (from, to) tiebreak — compare on the
+# SELECTED set, which the deterministic tiebreak makes unique)
+_TOOL_BIGRAMS_SQL = f"""
+WITH {_CONV_CTE},
+calls AS (
+    SELECT conv_id, tool, ts, turn_idx FROM conversations
+    WHERE tool IS NOT NULL
+),
+led AS (
+    SELECT tool AS from_tool, lead(tool) OVER w AS to_tool
+    FROM calls
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+counts AS (
+    SELECT from_tool, to_tool, CAST(COUNT(*) AS BIGINT) AS n
+    FROM led WHERE to_tool IS NOT NULL
+    GROUP BY from_tool, to_tool
+),
+froms AS (SELECT from_tool, SUM(n) AS fn FROM counts GROUP BY from_tool)
+SELECT c.from_tool, c.to_tool, c.n,
+       ROUND(c.n * 1.0 / f.fn, 6) AS p_cond
+FROM counts c JOIN froms f USING (from_tool)
+ORDER BY c.n DESC, c.from_tool, c.to_tool
+LIMIT 20
+"""
+
 # daily ACF (lock-step with windows.daily_acf: observation lags over
 # the ordered day series — the rn self-join replicates lag(dv, k))
 _DAILY_ACF_SQL = f"""
@@ -7703,5 +7740,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "benford_prices": _BENFORD_SQL,
         "daily_acf": _DAILY_ACF_SQL,
+        "tool_bigrams": _TOOL_BIGRAMS_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

@@ -203,3 +203,43 @@ def tool_latency_stats(turns: DataFrame) -> DataFrame:
         F.expr("sum(_s) div sum(_n)").alias("avg_gap_us"),
         F.max("_m").cast("long").alias("max_gap_us"),
     )
+
+
+def tool_bigrams(turns: DataFrame, k: int = 20) -> DataFrame:
+    """Workflow mining: the top-``k`` consecutive TOOL pairs across
+    conversations — which tool follows which (ordering over the
+    conversation's tool-invoking turns only; intervening plain turns
+    don't break the chain). The sequence-level sibling of
+    :func:`role_transitions` for the ``tool`` column, and the
+    empirical input for "which tool chains deserve a composite
+    action" decisions.
+
+    Output: ``(from_tool, to_tool, n, p_cond)`` with the conditional
+    P(to | from) over the counted pairs, top-k by count with a
+    deterministic (from, to) tiebreak.
+
+    Shape: filter to tool turns at the scan, one lead over the shared
+    conv window, |tools|²-bounded count table, TakeOrdered top-k.
+    """
+    calls = turns.where(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pairs = (
+        calls.withColumn("_next", F.lead("tool").over(w))
+        .where(F.col("_next").isNotNull())
+        .select(F.col("tool").alias("from_tool"), F.col("_next").alias("to_tool"))
+    )
+    counts = pairs.groupBy("from_tool", "to_tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    froms = counts.groupBy("from_tool").agg(F.sum("n").alias("_fn"))
+    return (
+        counts.join(froms, "from_tool")
+        .select(
+            "from_tool",
+            "to_tool",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("_fn"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("n"), "from_tool", "to_tool")
+        .limit(int(k))
+    )

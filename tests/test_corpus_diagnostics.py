@@ -520,3 +520,33 @@ def test_daily_acf_alternating_series(spark):
         " tool string, ts timestamp",
     )
     assert all(r["acf"] is None for r in daily_acf(cdf, max_lag=2).collect())
+
+
+def test_tool_bigrams_chain_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.lags import tool_bigrams
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # conv a: search -> (plain turn) -> calc -> search
+        ("a", 0, "assistant", "q", "search", t0),
+        ("a", 1, "assistant", "chat", None, t0 + timedelta(minutes=1)),
+        ("a", 2, "assistant", "q", "calc", t0 + timedelta(minutes=2)),
+        ("a", 3, "assistant", "q", "search", t0 + timedelta(minutes=3)),
+        # conv b: search -> calc
+        ("b", 0, "assistant", "q", "search", t0),
+        ("b", 1, "assistant", "q", "calc", t0 + timedelta(minutes=1)),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {(r["from_tool"], r["to_tool"]): r for r in tool_bigrams(turns).collect()}
+    # intervening plain turn does NOT break the chain
+    assert out[("search", "calc")]["n"] == 2
+    assert out[("calc", "search")]["n"] == 1
+    # conditional probability normalizes over the from-tool
+    assert out[("search", "calc")]["p_cond"] == 1.0
+    assert ("search", "search") not in out  # chains never cross conversations
