@@ -2740,6 +2740,23 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_woe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE/IV feature audit: decile-binned token counts predicting
+    the src0 domain label — the churn-modeling separating-power
+    ranking applied to a corpus feature. PSI-family edge discipline;
+    smoothing denominators are fixed literals."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import woe_iv
+    from kkbox_churn_prediction_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        token_count(F.col("text")).alias("n_tokens"),
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    return woe_iv(docs, "n_tokens", "label")
+
+
 def _q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top tool→tool chains across conversations (workflow mining):
     lead over tool turns on the shared conv window, |tools|²-bounded
@@ -3061,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": _q_benford_prices,
         "daily_acf": _q_daily_acf,
         "tool_bigrams": _q_tool_bigrams,
+        "woe_tokens": _q_woe_tokens,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6674,6 +6692,39 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# WoE/IV (lock-step with encoders.woe_iv: PSI-family decile edges,
+# strictly-less edge count = the when-chain bin, add-0.5 smoothing with
+# the REQUESTED n_bins=10 literal in the denominators)
+_WOE_TOKENS_SQL = f"""
+WITH scored AS (
+    SELECT CAST({_NTOK_RAW} AS BIGINT) AS v,
+           CAST(source = 'src0' AS INTEGER) AS y
+    FROM documents
+),
+edges AS (
+    SELECT ROUND(unnest(quantile_cont(v, {_PSI_DECILES})), 6) AS e FROM scored
+),
+binned AS (
+    SELECT CAST((SELECT COUNT(*) FROM edges WHERE e < v) AS INTEGER) AS bin, y
+    FROM scored
+),
+counts AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_pos) AS pt, SUM(n_neg) AS nt FROM counts)
+SELECT bin, n, n_pos, n_neg,
+       ROUND(LN(((n_pos + 0.5) / (pt + 0.5 * 10))
+                / ((n_neg + 0.5) / (nt + 0.5 * 10))), 6) AS woe,
+       ROUND((((n_pos + 0.5) / (pt + 0.5 * 10))
+              - ((n_neg + 0.5) / (nt + 0.5 * 10)))
+             * LN(((n_pos + 0.5) / (pt + 0.5 * 10))
+                  / ((n_neg + 0.5) / (nt + 0.5 * 10))), 6) AS iv_term
+FROM counts CROSS JOIN tot
+"""
+
 # tool bigrams (lock-step with lags.tool_bigrams: lead over tool turns
 # only; top-20 by count with (from, to) tiebreak — compare on the
 # SELECTED set, which the deterministic tiebreak makes unique)
@@ -7741,5 +7792,6 @@ def oracle_sql() -> dict[str, str]:
         "benford_prices": _BENFORD_SQL,
         "daily_acf": _DAILY_ACF_SQL,
         "tool_bigrams": _TOOL_BIGRAMS_SQL,
+        "woe_tokens": _WOE_TOKENS_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

@@ -152,3 +152,31 @@ class TestFoldStandardize:
         assert abs(out["a3"] - round((1000 - 5) / sd, 6)) < 1e-9
         assert out["b1"] == 0.0 and out["b3"] == 0.0
         assert out["c1"] is None
+
+
+class TestWoeIv:
+    def test_separating_feature_high_iv(self, spark):
+        from kkbox_churn_prediction_spark.operators.encoders import woe_iv
+
+        # perfectly separating feature: label 1 iff v >= 100
+        rows = [(float(v), 0) for v in range(50)] + [
+            (float(100 + v), 1) for v in range(50)
+        ]
+        df = spark.createDataFrame(rows, "v double, label int")
+        out = woe_iv(df, "v", "label", n_bins=4).collect()
+        by_bin = {r["bin"]: r for r in out}
+        # low bins pure-negative (woe << 0), high bins pure-positive
+        assert by_bin[0]["n_pos"] == 0 and by_bin[0]["woe"] < -2
+        assert max(by_bin) >= 2 and by_bin[max(by_bin)]["n_neg"] == 0
+        assert by_bin[max(by_bin)]["woe"] > 2
+        # every iv_term is non-negative and the total is large
+        assert all(r["iv_term"] >= 0 for r in out)
+        assert sum(r["iv_term"] for r in out) > 1.0
+
+    def test_uninformative_feature_near_zero_iv(self, spark):
+        from kkbox_churn_prediction_spark.operators.encoders import woe_iv
+
+        rows = [(float(i % 40), i % 2) for i in range(400)]
+        df = spark.createDataFrame(rows, "v double, label int")
+        out = woe_iv(df, "v", "label", n_bins=4).collect()
+        assert sum(r["iv_term"] for r in out) < 0.01
