@@ -2740,6 +2740,30 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(_docs(spark, sf_dir), 50, dup_key=key)
 
 
+def _q_quantile_match_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF matching: map the odd fold's text-length distribution onto
+    the even (reference) fold via piecewise-linear decile
+    interpolation — the 'apply' counterpart of the PSI drift audit.
+    Pure scan-stage when-chain with 6dp edge literals."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import quantile_match
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    folded = conv.select(
+        "conv_id",
+        "turn_idx",
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("v"),
+    )
+    src = folded.where(F.col("fold") == "odd").select("conv_id", "turn_idx", "v")
+    ref = folded.where(F.col("fold") == "even")
+    return quantile_match(src, "v", ref)
+
+
 def _q_woe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WoE/IV feature audit: decile-binned token counts predicting
     the src0 domain label — the churn-modeling separating-power
@@ -3079,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_acf": _q_daily_acf,
         "tool_bigrams": _q_tool_bigrams,
         "woe_tokens": _q_woe_tokens,
+        "quantile_match_lengths": _q_quantile_match_lengths,
         "dialogue_pairs": _q_dialogue_pairs,
     }
 
@@ -6692,6 +6717,47 @@ WHERE role = 'assistant' AND pr = 'user'
   AND length(pt) >= 1 AND length(text) >= 1
 """
 
+# quantile matching (lock-step with encoders.quantile_match: 6dp full
+# edge grids incl. min/max; bin = smallest i with v <= hi; same
+# rlo + t·(rhi−rlo) shape; clamp below/above; NULL passes through)
+_QM_GRID = "[0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]"
+_QUANTILE_MATCH_SQL = f"""
+WITH {_CONV_CTE},
+folded AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                           / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(length(text) AS BIGINT) AS v
+    FROM conversations
+),
+src AS (SELECT conv_id, turn_idx, v FROM folded WHERE fold = 'odd'),
+sa AS (SELECT quantile_cont(v, {_QM_GRID}) AS arr FROM src),
+ra AS (SELECT quantile_cont(v, {_QM_GRID}) AS arr
+       FROM folded WHERE fold = 'even'),
+se AS (
+    SELECT i, ROUND(sa.arr[i], 6) AS lo, ROUND(sa.arr[i + 1], 6) AS hi,
+           ROUND(ra.arr[i], 6) AS rlo, ROUND(ra.arr[i + 1], 6) AS rhi
+    FROM (SELECT unnest(generate_series(1, 10)) AS i), sa, ra
+),
+binned AS (
+    SELECT s.conv_id, s.turn_idx, s.v,
+           (SELECT MIN(i) FROM se WHERE s.v <= se.hi) AS i
+    FROM src s
+)
+SELECT b.conv_id, b.turn_idx, b.v,
+       ROUND(CASE
+           WHEN b.v IS NULL THEN NULL
+           WHEN b.v < (SELECT lo FROM se WHERE i = 1)
+               THEN (SELECT rlo FROM se WHERE i = 1)
+           WHEN b.i IS NULL THEN (SELECT rhi FROM se WHERE i = 10)
+           ELSE e.rlo + (CASE WHEN e.hi = e.lo THEN 0.0
+                              ELSE (b.v - e.lo) / (e.hi - e.lo) END)
+                        * (e.rhi - e.rlo)
+       END, 6) AS v_qm
+FROM binned b LEFT JOIN se e ON b.i = e.i
+"""
+
 # WoE/IV (lock-step with encoders.woe_iv: PSI-family decile edges,
 # strictly-less edge count = the when-chain bin, add-0.5 smoothing with
 # the REQUESTED n_bins=10 literal in the denominators)
@@ -7793,5 +7859,6 @@ def oracle_sql() -> dict[str, str]:
         "daily_acf": _DAILY_ACF_SQL,
         "tool_bigrams": _TOOL_BIGRAMS_SQL,
         "woe_tokens": _WOE_TOKENS_SQL,
+        "quantile_match_lengths": _QUANTILE_MATCH_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
     }

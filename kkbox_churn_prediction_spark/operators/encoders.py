@@ -321,3 +321,72 @@ def woe_iv(
             F.round((ps - ns) * woe, 6).alias("iv_term"),
         )
     )
+
+
+def full_quantile_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> list[float]:
+    """Edges INCLUDING min and max (n_bins+1 values at 0, 1/n, …, 1)
+    rounded to 6dp — the grid :func:`quantile_match` interpolates on.
+    Same exact/approx dual and scale caveat as
+    ``psi.quantile_edges`` (which returns interior edges only)."""
+    ps = [i / n_bins for i in range(0, n_bins + 1)]
+    arr = ",".join(str(p) for p in ps)
+    fn = (
+        f"percentile({value_col}, array({arr}))"
+        if exact
+        else f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
+    )
+    row = df.select(F.expr(fn).alias("e")).first()
+    return [round(float(x), 6) for x in row["e"]]
+
+
+def quantile_match(
+    df: DataFrame,
+    value_col: str,
+    ref: DataFrame,
+    ref_value_col: str | None = None,
+    *,
+    n_bins: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile normalization / CDF matching: transform ``value_col``
+    so its distribution matches a REFERENCE frame's — each value maps
+    through its source quantile position onto the reference quantile
+    function (piecewise-linear between the ``n_bins+1`` edges). The
+    "apply" counterpart of the drift audits: PSI/JSD say the fold's
+    length distribution moved; this op moves it back before the
+    model sees it. Values outside the source range clamp to the
+    reference min/max.
+
+    Both edge grids are 6dp-rounded driver-side lists (the PSI
+    exemption — ≤ 11 doubles each), so the per-row mapping is a pure
+    scan-stage when-chain with literals: zero shuffles on the data
+    path, and bit-identical arithmetic shapes for the cross-engine
+    compare. Equal source edges (duplicate-heavy data) interpolate at
+    t = 0 (the bin's left reference edge).
+    """
+    ref_value_col = ref_value_col or value_col
+    out_col = out_col or f"{value_col}_qm"
+    se = full_quantile_edges(df, value_col, n_bins)
+    re_ = full_quantile_edges(ref, ref_value_col, n_bins)
+    v = F.col(value_col).cast("double")
+    expr = F.lit(float(re_[-1]))  # above the last source edge → ref max
+    for i in reversed(range(n_bins)):
+        lo, hi = se[i], se[i + 1]
+        rlo, rhi = re_[i], re_[i + 1]
+        t = (
+            F.lit(0.0)
+            if hi == lo
+            else (v - F.lit(lo)) / F.lit(hi - lo)
+        )
+        mapped = F.lit(rlo) + t * F.lit(rhi - rlo)
+        expr = F.when(v <= F.lit(hi), mapped).otherwise(expr)
+    expr = F.when(v < F.lit(se[0]), F.lit(float(re_[0]))).otherwise(expr)
+    expr = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(expr)
+    return df.withColumn(out_col, F.round(expr, 6))

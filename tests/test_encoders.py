@@ -180,3 +180,33 @@ class TestWoeIv:
         df = spark.createDataFrame(rows, "v double, label int")
         out = woe_iv(df, "v", "label", n_bins=4).collect()
         assert sum(r["iv_term"] for r in out) < 0.01
+
+
+class TestQuantileMatch:
+    def test_matches_reference_distribution(self, spark):
+        from kkbox_churn_prediction_spark.operators.encoders import quantile_match
+
+        # source uniform on [0, 100); reference uniform on [1000, 1100)
+        src = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        ref = spark.createDataFrame(
+            [(float(1000 + i),) for i in range(100)], "v double"
+        )
+        out = quantile_match(src, "v", ref).collect()
+        vals = {r["v"]: r["v_qm"] for r in out}
+        # a shift map: every value lands ~v + 1000
+        for v, m in vals.items():
+            assert abs(m - (v + 1000)) < 1.0
+        # monotone
+        s = sorted(vals)
+        assert all(vals[a] <= vals[b] for a, b in zip(s, s[1:]))
+
+    def test_clamps_and_nulls(self, spark):
+        from kkbox_churn_prediction_spark.operators.encoders import quantile_match
+
+        src = spark.createDataFrame(
+            [(float(i),) for i in range(10)] + [(None,)], "v double"
+        )
+        ref = spark.createDataFrame([(float(50 + i),) for i in range(10)], "v double")
+        out = {r["v"]: r["v_qm"] for r in quantile_match(src, "v", ref).collect()}
+        assert out[None] is None
+        assert out[0.0] == 50.0 and out[9.0] == 59.0  # endpoints map to endpoints
