@@ -1028,6 +1028,15 @@ def _q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ece(_preds(spark, sf_dir), "y", "p", n_bins=10)
 
 
+def _q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift per probability band (top-down) —
+    fixed-width score bands, NOT ntile: the classic decile sort is
+    the single-partition scale-killer; band math runs on ≤10 rows."""
+    from kkbox_churn_prediction_spark.operators.calibration import gains_table
+
+    return gains_table(_preds(spark, sf_dir), "p", "y", n_bins=10)
+
+
 def _q_calibration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fold Brier + log-loss (sklearn-clip semantics,
     ``src/models.py`` metric block) as algebraic aggregates."""
@@ -2970,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # calibration / evaluation math in-engine (SURVEY §2.10 F3)
         "reliability_diagram": _q_reliability_diagram,
         "calibration_ece": _q_calibration_ece,
+        "gains_table": _q_gains_table,
         "calibration_metrics": _q_calibration_metrics,
         "bootstrap_ci": _q_bootstrap_ci,
         "auc_by_fold": _q_auc_by_fold,
@@ -4599,6 +4609,33 @@ preds AS (
                 THEN 'a' ELSE 'b' END AS fold
     FROM events WHERE event_id IS NOT NULL
 )
+"""
+
+# gains/lift table (lock-step with calibration.gains_table: fixed-width
+# floor(p·10) bands — not ntile; cumulative windows on the band table)
+_GAINS_SQL = f"""
+WITH {_PRED_CTE},
+counts AS (
+    SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM preds GROUP BY 1
+)
+SELECT band, n, n_pos,
+       ROUND(CASE WHEN SUM(n_pos) OVER () > 0
+                  THEN SUM(n_pos) OVER (ORDER BY band DESC
+                                        ROWS UNBOUNDED PRECEDING) * 1.0
+                       / SUM(n_pos) OVER () END, 6) AS cum_capture,
+       ROUND(CASE WHEN SUM(n_pos) OVER () > 0
+                   AND SUM(n) OVER (ORDER BY band DESC
+                                    ROWS UNBOUNDED PRECEDING) > 0
+                  THEN (SUM(n_pos) OVER (ORDER BY band DESC
+                                         ROWS UNBOUNDED PRECEDING) * 1.0
+                        / SUM(n) OVER (ORDER BY band DESC
+                                       ROWS UNBOUNDED PRECEDING))
+                       / (SUM(n_pos) OVER () * 1.0 / SUM(n) OVER ())
+             END, 6) AS lift
+FROM counts
 """
 
 # right-closed prob bins (src/calibration.py:115-117 semantics):
@@ -7730,6 +7767,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_asof_depth": _STREAMING_ASOF_SQL,
         "reliability_diagram": _RELIABILITY_SQL,
         "calibration_ece": _ECE_SQL,
+        "gains_table": _GAINS_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "auc_by_fold": _AUC_SQL,

@@ -39,7 +39,7 @@ import math
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # sklearn's log_loss eps clip (reference uses sklearn defaults,
@@ -538,4 +538,63 @@ def isotonic_calibration(
         "avg_conf",
         F.round("frac_pos", 6).alias("frac_pos"),
         F.round("iso_prob", 6).alias("iso_prob"),
+    )
+
+
+def gains_table(
+    preds: DataFrame,
+    score_col: str = "p",
+    label_col: str = "y",
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting view of
+    a churn model (reference domain: "call the top decile, capture
+    X% of churners"): per probability band (top first), the row
+    count, positives, cumulative capture rate, and lift vs the base
+    rate. Output: ``(band, n, n_pos, cum_capture, lift)`` with band
+    ``n_bins−1`` = the highest-score band.
+
+    Bands are FIXED-WIDTH on the score (``floor(p·n_bins)``), not
+    ``ntile`` — the classic formulation's global sort is exactly the
+    single-partition scale-killer this engine rewrote out of
+    quintile_stats; for calibrated probabilities fixed bands carry
+    the same business meaning at any scale, scan-stage. All
+    cumulative math runs on the ≤ ``n_bins``-row band table.
+    """
+    band = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = (
+        preds.select(band.alias("band"), F.col(label_col).cast("long").alias("_y"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_n = F.sum("n").over(w_cum)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    tot_n = F.sum("n").over(w_all)
+    tot_pos = F.sum("n_pos").over(w_all)
+    return counts.select(
+        "band",
+        "n",
+        "n_pos",
+        F.round(
+            F.when(tot_pos > 0, cum_pos * 1.0 / tot_pos), 6
+        ).alias("cum_capture"),
+        F.round(
+            F.when(
+                (tot_pos > 0) & (cum_n > 0),
+                (cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n),
+            ),
+            6,
+        ).alias("lift"),
     )

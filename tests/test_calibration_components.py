@@ -393,3 +393,26 @@ def test_jsd_from_bins_matches_hand_math(spark):
     h = {r["fold"]: r["jsd"]
          for r in jsd_from_bins(half, "fold", "bin", "ref").collect()}
     assert h == {"cur": 0.5}
+
+
+def test_gains_table_perfect_model(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import gains_table
+
+    # perfect separation: top band all positive, rest all negative
+    rows = [(0.95, 1)] * 10 + [(0.05, 0)] * 90
+    preds = spark.createDataFrame(rows, "p double, y int")
+    out = {r["band"]: r for r in gains_table(preds, "p", "y").collect()}
+    assert out[9]["n_pos"] == 10 and out[9]["cum_capture"] == 1.0
+    # top band holds 10% of rows and 100% of positives -> lift 10
+    assert abs(out[9]["lift"] - 10.0) < 1e-9
+    # the bottom band's cumulative view is the whole population: lift 1
+    assert abs(out[0]["lift"] - 1.0) < 1e-9
+    assert out[0]["cum_capture"] == 1.0
+
+
+def test_gains_table_no_positives_null(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import gains_table
+
+    preds = spark.createDataFrame([(0.4, 0), (0.8, 0)], "p double, y int")
+    out = gains_table(preds, "p", "y").collect()
+    assert all(r["cum_capture"] is None and r["lift"] is None for r in out)
