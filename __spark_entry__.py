@@ -1028,6 +1028,15 @@ def _q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ece(_preds(spark, sf_dir), "y", "p", n_bins=10)
 
 
+def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly first-response SLA rollup: exchange counts, exact
+    p50/p90 latency, and the within-5-minutes fraction — the fleet
+    ops view of response_latency."""
+    from kkbox_churn_prediction_spark.operators.lags import weekly_latency_sla
+
+    return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
+
+
 def _q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains / lift per probability band (top-down) —
     fixed-width score bands, NOT ntile: the classic decile sort is
@@ -2980,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_diagram": _q_reliability_diagram,
         "calibration_ece": _q_calibration_ece,
         "gains_table": _q_gains_table,
+        "weekly_latency_sla": _q_weekly_latency_sla,
         "calibration_metrics": _q_calibration_metrics,
         "bootstrap_ci": _q_bootstrap_ci,
         "auc_by_fold": _q_auc_by_fold,
@@ -4609,6 +4619,30 @@ preds AS (
                 THEN 'a' ELSE 'b' END AS fold
     FROM events WHERE event_id IS NOT NULL
 )
+"""
+
+# weekly SLA (lock-step with lags.weekly_latency_sla: same forward-min
+# latency as response_latency; FLOOR before the BIGINT cast — bare
+# CAST rounds here but truncates in Spark)
+_WEEKLY_SLA_SQL = f"""
+WITH {_CONV_CTE},
+lat AS (
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END)
+               OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             - epoch_us(ts) AS l,
+           role
+    FROM conversations
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_exchanges,
+       CAST(FLOOR(quantile_cont(l, 0.5)) AS BIGINT) AS p50_latency_us,
+       CAST(FLOOR(quantile_cont(l, 0.9)) AS BIGINT) AS p90_latency_us,
+       ROUND(SUM(CASE WHEN l <= {300 * 1_000_000} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS sla_fraction
+FROM lat WHERE role = 'user' AND l IS NOT NULL
+GROUP BY week
 """
 
 # gains/lift table (lock-step with calibration.gains_table: fixed-width
@@ -7768,6 +7802,7 @@ def oracle_sql() -> dict[str, str]:
         "reliability_diagram": _RELIABILITY_SQL,
         "calibration_ece": _ECE_SQL,
         "gains_table": _GAINS_SQL,
+        "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "auc_by_fold": _AUC_SQL,

@@ -243,3 +243,49 @@ def tool_bigrams(turns: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), "from_tool", "to_tool")
         .limit(int(k))
     )
+
+
+def weekly_latency_sla(
+    turns: DataFrame, *, sla_seconds: int = 300
+) -> DataFrame:
+    """Weekly first-response SLA report: per calendar week, how many
+    user→assistant exchanges happened, their median and p90 latency,
+    and the fraction answered within ``sla_seconds`` — the ops-review
+    rollup of :func:`response_latency` (which is per-conversation;
+    this is the fleet view over time). Latency = gap from a user turn
+    to the EARLIEST later assistant turn, exactly as there.
+
+    Percentiles are exact (the weekly population is the bucket — same
+    A10 exactness discipline and the same documented
+    ``approx_percentile`` switch at 10^12 rows); the SLA fraction is
+    a conditional count ratio rounded at 6dp.
+
+    Shape: the forward-window latency rides the shared conv_id
+    shuffle; the weekly rollup is one hash agg keyed by ≤ #weeks.
+    """
+    w = turn_order_window().rowsBetween(1, Window.unboundedFollowing)
+    ts_us = F.unix_micros(F.col("ts"))
+    next_assistant = F.min(
+        F.when(F.col("role") == "assistant", ts_us)
+    ).over(w)
+    lat = (
+        turns.withColumn("_lat", next_assistant - ts_us)
+        .where((F.col("role") == "user") & F.col("_lat").isNotNull())
+        .select(F.date_trunc("week", F.col("ts")).alias("week"), "_lat")
+    )
+    within = F.sum(
+        F.when(F.col("_lat") <= int(sla_seconds) * 1_000_000, 1).otherwise(0)
+    )
+    return lat.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exchanges"),
+        # FLOOR before the integer cast: a bare double→int CAST rounds
+        # in DuckDB but truncates in Spark — interpolated .5 midpoints
+        # would flip the last digit between engines
+        F.expr("CAST(FLOOR(percentile(_lat, 0.5)) AS BIGINT)").alias(
+            "p50_latency_us"
+        ),
+        F.expr("CAST(FLOOR(percentile(_lat, 0.9)) AS BIGINT)").alias(
+            "p90_latency_us"
+        ),
+        F.round(within * 1.0 / F.count(F.lit(1)), 6).alias("sla_fraction"),
+    )

@@ -550,3 +550,33 @@ def test_tool_bigrams_chain_semantics(spark):
     # conditional probability normalizes over the from-tool
     assert out[("search", "calc")]["p_cond"] == 1.0
     assert ("search", "search") not in out  # chains never cross conversations
+
+
+def test_weekly_latency_sla_golden(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.lags import weekly_latency_sla
+
+    t0 = datetime(2024, 1, 1, 9, 0)  # a Monday
+    rows = [
+        # user at +0 answered at +60s (within 300s SLA)
+        ("a", 0, "user", "q", None, t0),
+        ("a", 1, "assistant", "r", None, t0 + timedelta(seconds=60)),
+        # user at +1h answered 600s later (SLA breach)
+        ("a", 2, "user", "q2", None, t0 + timedelta(hours=1)),
+        ("a", 3, "assistant", "r2", None, t0 + timedelta(hours=1, seconds=600)),
+        # unanswered trailing user turn: excluded entirely
+        ("a", 4, "user", "q3", None, t0 + timedelta(hours=2)),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = weekly_latency_sla(turns, sla_seconds=300).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exchanges"] == 2
+    assert r["sla_fraction"] == 0.5
+    # exact interpolated median of {60s, 600s} = 330s, floor exact
+    assert r["p50_latency_us"] == 330_000_000
