@@ -1037,6 +1037,20 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fitted per-fold isotonic map back to every
+    prediction (fit→apply loop): broadcast the folds×bins fit table;
+    the stream never shuffles. Unbinned rows keep NULL."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+
+    preds = _preds(spark, sf_dir)
+    fit = isotonic_calibration(preds, "fold", "y", "p", n_bins=20)
+    return isotonic_apply(preds, fit, n_bins=20)
+
+
 def _q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains / lift per probability band (top-down) —
     fixed-width score bands, NOT ntile: the classic decile sort is
@@ -2990,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q_calibration_ece,
         "gains_table": _q_gains_table,
         "weekly_latency_sla": _q_weekly_latency_sla,
+        "isotonic_apply": _q_isotonic_apply,
         "calibration_metrics": _q_calibration_metrics,
         "bootstrap_ci": _q_bootstrap_ci,
         "auc_by_fold": _q_auc_by_fold,
@@ -4826,6 +4841,44 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# isotonic apply (lock-step with calibration.isotonic_apply: the full
+# fit chain from _ISOTONIC_SQL + a (fold, bin) left join back onto the
+# event-keyed binned stream)
+_ISOTONIC_APPLY_SQL = f"""
+WITH {_PRED_CTE}, {_BINNED_CTE.format(n=20)},
+prof AS (
+    SELECT fold, bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM binned WHERE bin IS NOT NULL GROUP BY fold, bin
+),
+cum AS (
+    SELECT fold, bin, n, sum_y,
+           SUM(sum_y) OVER (PARTITION BY fold ORDER BY bin) AS cy,
+           SUM(n) OVER (PARTITION BY fold ORDER BY bin) AS cn
+    FROM prof
+),
+pairs AS (
+    SELECT j.fold, j.bin AS jb, k.bin AS kb,
+           CAST(k.cy - j.cy + j.sum_y AS DOUBLE) / (k.cn - j.cn + j.n) AS avg_jk
+    FROM cum j JOIN cum k ON j.fold = k.fold AND j.bin <= k.bin
+),
+mins AS (
+    SELECT i.fold, i.bin, p.jb, MIN(p.avg_jk) AS m
+    FROM prof i JOIN pairs p
+      ON p.fold = i.fold AND p.jb <= i.bin AND p.kb >= i.bin
+    GROUP BY i.fold, i.bin, p.jb
+),
+iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob
+        FROM mins GROUP BY fold, bin),
+rebinned AS (
+    SELECT p.event_id, p.fold, p.p, p.y,
+           CASE WHEN CEIL(p.p * 20) - 1 >= 0 AND CEIL(p.p * 20) - 1 < 20
+                THEN CAST(CEIL(p.p * 20) - 1 AS INTEGER) END AS bin
+    FROM preds p
+)
+SELECT r.event_id, r.fold, r.p, r.y, i.iso_prob AS p_cal
+FROM rebinned r LEFT JOIN iso i ON r.fold = i.fold AND r.bin = i.bin
 """
 
 # composed curation verdicts (lock-step with plans/curation.py:
@@ -7803,6 +7856,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_ece": _ECE_SQL,
         "gains_table": _GAINS_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
+        "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "auc_by_fold": _AUC_SQL,

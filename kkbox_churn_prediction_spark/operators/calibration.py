@@ -598,3 +598,40 @@ def gains_table(
             6,
         ).alias("lift"),
     )
+
+
+def isotonic_apply(
+    preds: DataFrame,
+    fit: DataFrame,
+    *,
+    fold_col: str = "fold",
+    prob_col: str = "p",
+    n_bins: int = 20,
+    closed: str = "right",
+    out_col: str = "p_cal",
+) -> DataFrame:
+    """Apply a fitted per-fold isotonic map (the output of
+    :func:`isotonic_calibration`) back to the prediction stream: each
+    row picks up its (fold, bin)'s ``iso_prob`` as the calibrated
+    probability — completing the fit→apply loop the reference runs
+    through sklearn's CalibratedClassifierCV. The bin derivation is
+    the SAME ``prob_bin`` as the fit (``closed``/``n_bins`` must
+    match); rows whose bin had no training mass (or whose score falls
+    outside [0, 1]) keep a NULL calibrated score — surfaced, never
+    fabricated.
+
+    Shape: the fit table is ≤ folds×n_bins rows → broadcast onto the
+    stream; the prediction stream itself never shuffles to get
+    calibrated.
+    """
+    binned = preds.withColumn(
+        "_bin", prob_bin(F.col(prob_col).cast("double"), n_bins, closed=closed)
+    )
+    table = fit.select(
+        fold_col,
+        F.col("bin").alias("_bin"),
+        F.col("iso_prob").alias(out_col),
+    )
+    return binned.join(
+        F.broadcast(table), [fold_col, "_bin"], "left"
+    ).drop("_bin")

@@ -416,3 +416,28 @@ def test_gains_table_no_positives_null(spark):
     preds = spark.createDataFrame([(0.4, 0), (0.8, 0)], "p double, y int")
     out = gains_table(preds, "p", "y").collect()
     assert all(r["cum_capture"] is None and r["lift"] is None for r in out)
+
+
+def test_isotonic_apply_monotone_and_null(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+
+    rows = []
+    # miscalibrated but monotone-ish: y rate rises with p
+    import itertools
+
+    for i, p in enumerate(itertools.chain(*[[0.1 + 0.2 * b] * 40 for b in range(5)])):
+        rows.append(("a", float(p), 1 if (i * 7) % 10 < p * 10 else 0))
+    preds = spark.createDataFrame(rows, "fold string, p double, y int")
+    fit = isotonic_calibration(preds, "fold", "y", "p", n_bins=10)
+    out = isotonic_apply(preds, fit, n_bins=10).collect()
+    # every row got a calibrated score, and the map is monotone in p
+    got = sorted({(r["p"], r["p_cal"]) for r in out})
+    assert all(c is not None for _, c in got)
+    assert all(a[1] <= b[1] for a, b in zip(got, got[1:]))
+    # a score in a bin the fit never saw -> NULL calibrated value
+    extra = spark.createDataFrame([("a", 0.9999, 1)], "fold string, p double, y int")
+    holes = isotonic_apply(extra, fit, n_bins=10).collect()
+    assert holes[0]["p_cal"] is None
