@@ -1028,6 +1028,15 @@ def _q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ece(_preds(spark, sf_dir), "y", "p", n_bins=10)
 
 
+def _q_weekly_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per cohort week: conversations started, single-turn bounces,
+    bounce rate — the transcript analog of early-churn cohort cuts.
+    Two algebraic aggs, no windows."""
+    from kkbox_churn_prediction_spark.operators.rhythm import weekly_bounce_rate
+
+    return weekly_bounce_rate(_conv(spark, sf_dir))
+
+
 def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly first-response SLA rollup: exchange counts, exact
     p50/p90 latency, and the within-5-minutes fraction — the fleet
@@ -3005,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": _q_gains_table,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
+        "weekly_bounce_rate": _q_weekly_bounce_rate,
         "calibration_metrics": _q_calibration_metrics,
         "bootstrap_ci": _q_bootstrap_ci,
         "auc_by_fold": _q_auc_by_fold,
@@ -4634,6 +4644,24 @@ preds AS (
                 THEN 'a' ELSE 'b' END AS fold
     FROM events WHERE event_id IS NOT NULL
 )
+"""
+
+# weekly bounce (lock-step with rhythm.weekly_bounce_rate: cohort week
+# = week of the conversation's FIRST turn; bounce = exactly one turn)
+_WEEKLY_BOUNCE_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id,
+           CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS week,
+           COUNT(*) AS n
+    FROM conversations GROUP BY conv_id
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_started,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS bounce_rate
+FROM per_conv GROUP BY week
 """
 
 # weekly SLA (lock-step with lags.weekly_latency_sla: same forward-min
@@ -7857,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "gains_table": _GAINS_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
+        "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,
         "calibration_metrics": _CALIBRATION_METRICS_SQL,
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "auc_by_fold": _AUC_SQL,

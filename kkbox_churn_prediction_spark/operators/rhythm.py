@@ -226,3 +226,32 @@ def gini_concentration(
         ).alias("gini"),
         F.sum(F.col("_cnt")).cast("long").alias("n"),
     )
+
+
+def weekly_bounce_rate(turns: DataFrame) -> DataFrame:
+    """Engagement funnel health per cohort week: conversations
+    STARTED each week, how many never got a second turn (bounce), and
+    the bounce rate — the transcript analog of the reference's
+    early-churn cohort cut (users who lapse right after signup).
+    Output: ``(week, n_started, n_bounced, bounce_rate)``.
+
+    Shape: one per-conversation aggregate (first-turn week + turn
+    count — algebraic min/count with map-side partials), then one
+    ≤#weeks-key rollup. No windows.
+    """
+    per_conv = turns.groupBy("conv_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("week"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_conv.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounced"),
+        F.round(
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )

@@ -299,3 +299,36 @@ class TestActivityTrend:
         # slope is origin-shift invariant; the intercept is defined AT
         # the origin so it legitimately moves with it
         assert b["down"]["slope"] == pytest.approx(a["down"]["slope"], abs=1e-6)
+
+
+def test_weekly_bounce_rate_golden(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import weekly_bounce_rate
+
+    t0 = datetime(2024, 1, 1)  # Monday
+    rows = [
+        # week 1: conv a bounces (1 turn), conv b doesn't (2 turns)
+        ("a", 0, "user", "x", None, t0),
+        ("b", 0, "user", "x", None, t0 + timedelta(hours=1)),
+        ("b", 1, "assistant", "y", None, t0 + timedelta(hours=2)),
+        # conv c STARTS in week 1 but continues into week 2:
+        # counted in week 1's cohort, not bounced
+        ("c", 0, "user", "x", None, t0 + timedelta(days=6)),
+        ("c", 1, "user", "y", None, t0 + timedelta(days=8)),
+        # week 2: one bounce
+        ("d", 0, "user", "x", None, t0 + timedelta(days=7)),
+    ]
+    turns = _turns_frame(spark, rows)
+    out = {r["week"]: r for r in weekly_bounce_rate(turns).collect()}
+    wk1 = out[t0]
+    assert wk1["n_started"] == 3 and wk1["n_bounced"] == 1
+    assert wk1["bounce_rate"] == round(1 / 3, 6)
+    wk2 = out[t0 + timedelta(days=7)]
+    assert wk2["n_started"] == 1 and wk2["n_bounced"] == 1
+
+
+def _turns_frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
