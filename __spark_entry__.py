@@ -1046,6 +1046,17 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition (reliability − resolution + uncertainty)
+    of the binned Brier score — the diagnosis ECE can't give. Same
+    two-level binned-agg shape as the ECE gate."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(_preds(spark, sf_dir), "y", "p", n_bins=10)
+
+
 def _q_isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the fitted per-fold isotonic map back to every
     prediction (fit→apply loop): broadcast the folds×bins fit table;
@@ -3012,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_diagram": _q_reliability_diagram,
         "calibration_ece": _q_calibration_ece,
         "gains_table": _q_gains_table,
+        "brier_decomposition": _q_brier_decomposition,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
         "weekly_bounce_rate": _q_weekly_bounce_rate,
@@ -4869,6 +4881,29 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# Murphy decomposition (lock-step with calibration.brier_decomposition:
+# same right-closed bins as ECE; unbinned rows stay in ȳ and the
+# weight denominator)
+_BRIER_DECOMP_SQL = f"""
+WITH {_PRED_CTE}, {_BINNED_CTE.format(n=10)},
+per_bin AS (
+    SELECT bin, COUNT(*) AS n, AVG(p) AS conf, AVG(y) AS acc
+    FROM binned WHERE bin IS NOT NULL GROUP BY bin
+),
+totals AS (SELECT COUNT(*) AS nn, AVG(y) AS ybar FROM binned),
+terms AS (
+    SELECT ROUND(SUM(CAST(n AS DOUBLE) / nn * POW(conf - acc, 2)), 6)
+               AS reliability,
+           ROUND(SUM(CAST(n AS DOUBLE) / nn * POW(acc - ybar, 2)), 6)
+               AS resolution,
+           ROUND(MAX(ybar * (1.0 - ybar)), 6) AS uncertainty
+    FROM per_bin CROSS JOIN totals
+)
+SELECT reliability, resolution, uncertainty,
+       ROUND(reliability - resolution + uncertainty, 6) AS brier_binned
+FROM terms
 """
 
 # isotonic apply (lock-step with calibration.isotonic_apply: the full
@@ -7883,6 +7918,7 @@ def oracle_sql() -> dict[str, str]:
         "reliability_diagram": _RELIABILITY_SQL,
         "calibration_ece": _ECE_SQL,
         "gains_table": _GAINS_SQL,
+        "brier_decomposition": _BRIER_DECOMP_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,

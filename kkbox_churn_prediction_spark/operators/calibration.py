@@ -635,3 +635,71 @@ def isotonic_apply(
     return binned.join(
         F.broadcast(table), [fold_col, "_bin"], "left"
     ).drop("_bin")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    *,
+    closed: str = "right",
+) -> DataFrame:
+    """Murphy decomposition of the binned Brier score — ONE row:
+    ``reliability − resolution + uncertainty``:
+
+    - ``uncertainty`` = ȳ(1−ȳ): the irreducible base-rate variance,
+    - ``resolution``  = Σ w_b·(ȳ_b − ȳ)²: how much the bins separate
+      outcomes (bigger is better),
+    - ``reliability`` = Σ w_b·(p̄_b − ȳ_b)²: calibration error proper
+      (smaller is better).
+
+    The diagnosis ECE alone can't give: a model can have tiny ECE yet
+    zero resolution (it learned the base rate and nothing else).
+    ``brier_binned`` = rel − res + unc is emitted for the identity
+    check against :func:`brier_logloss_by_fold` (equal up to within-
+    bin probability variance, exactly equal when each bin's
+    probabilities are constant).
+
+    Shape: same two-level binned agg as :func:`ece` — one shuffle on
+    a ≤ n_bins key space, one-row totals broadcast; only unbinned-row
+    handling differs (they count in ȳ and the weights' denominator,
+    the reference's ECE convention).
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        prob_bin(p, n_bins, closed=closed).alias("bin"), y.alias("y"), p.alias("p")
+    )
+    per_bin = (
+        binned.where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("p").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    totals = binned.agg(
+        F.count(F.lit(1)).alias("_N"), F.avg("y").alias("_ybar")
+    )
+    w = F.col("n").cast("double") / F.col("_N")
+    terms = per_bin.crossJoin(F.broadcast(totals)).agg(
+        F.round(F.sum(w * F.pow(F.col("conf") - F.col("acc"), 2)), 6).alias(
+            "reliability"
+        ),
+        F.round(F.sum(w * F.pow(F.col("acc") - F.col("_ybar"), 2)), 6).alias(
+            "resolution"
+        ),
+        F.round(
+            F.max(F.col("_ybar") * (1.0 - F.col("_ybar"))), 6
+        ).alias("uncertainty"),
+    )
+    return terms.select(
+        "reliability",
+        "resolution",
+        "uncertainty",
+        F.round(
+            F.col("reliability") - F.col("resolution") + F.col("uncertainty"), 6
+        ).alias("brier_binned"),
+    )

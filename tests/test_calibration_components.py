@@ -441,3 +441,23 @@ def test_isotonic_apply_monotone_and_null(spark):
     extra = spark.createDataFrame([("a", 0.9999, 1)], "fold string, p double, y int")
     holes = isotonic_apply(extra, fit, n_bins=10).collect()
     assert holes[0]["p_cal"] is None
+
+
+def test_brier_decomposition_identity(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        brier_decomposition,
+        brier_logloss_by_fold,
+    )
+
+    # constant-probability-per-bin preds: the binned identity is exact
+    rows = []
+    for p, frac_pos, n in [(0.15, 0.2, 50), (0.45, 0.5, 50), (0.85, 0.8, 50)]:
+        pos = int(n * frac_pos)
+        rows += [("a", p, 1)] * pos + [("a", p, 0)] * (n - pos)
+    preds = spark.createDataFrame(rows, "fold string, p double, y int")
+    dec = brier_decomposition(preds, "y", "p", n_bins=10).collect()[0]
+    brier = brier_logloss_by_fold(preds, "fold", "y", "p").collect()[0]["brier"]
+    # with constant p in each bin, rel - res + unc == Brier exactly
+    assert abs(dec["brier_binned"] - brier) < 2e-6
+    assert dec["uncertainty"] == 0.25  # ybar = 0.5
+    assert dec["resolution"] > 0 and dec["reliability"] > 0
