@@ -1046,6 +1046,17 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise screen: high-confidence
+    disagreement counts + flip-rate estimates. One conditional-agg
+    pass, one output row."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        label_noise_screen,
+    )
+
+    return label_noise_screen(_preds(spark, sf_dir), "y", "p")
+
+
 def _q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy decomposition (reliability − resolution + uncertainty)
     of the binned Brier score — the diagnosis ECE can't give. Same
@@ -3024,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": _q_calibration_ece,
         "gains_table": _q_gains_table,
         "brier_decomposition": _q_brier_decomposition,
+        "label_noise": _q_label_noise,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
         "weekly_bounce_rate": _q_weekly_bounce_rate,
@@ -4881,6 +4893,28 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# label-noise screen (lock-step with calibration.label_noise_screen:
+# hi=0.9 / lo=0.1 confident regions, integer disagreement counters)
+_LABEL_NOISE_SQL = f"""
+WITH {_PRED_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_conf_pos,
+       CAST(SUM(CASE WHEN p <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conf_neg,
+       CAST(SUM(CASE WHEN p >= 0.9 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos_disagree,
+       CAST(SUM(CASE WHEN p <= 0.1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg_disagree,
+       ROUND(CASE WHEN SUM(CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) > 0
+                  THEN SUM(CASE WHEN p >= 0.9 AND y = 0 THEN 1 ELSE 0 END) * 1.0
+                       / SUM(CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) END, 6)
+           AS flip_rate_pos,
+       ROUND(CASE WHEN SUM(CASE WHEN p <= 0.1 THEN 1 ELSE 0 END) > 0
+                  THEN SUM(CASE WHEN p <= 0.1 AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                       / SUM(CASE WHEN p <= 0.1 THEN 1 ELSE 0 END) END, 6)
+           AS flip_rate_neg
+FROM preds
 """
 
 # Murphy decomposition (lock-step with calibration.brier_decomposition:
@@ -7919,6 +7953,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_ece": _ECE_SQL,
         "gains_table": _GAINS_SQL,
         "brier_decomposition": _BRIER_DECOMP_SQL,
+        "label_noise": _LABEL_NOISE_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,

@@ -703,3 +703,47 @@ def brier_decomposition(
             F.col("reliability") - F.col("resolution") + F.col("uncertainty"), 6
         ).alias("brier_binned"),
     )
+
+
+def label_noise_screen(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    *,
+    hi: float = 0.9,
+    lo: float = 0.1,
+) -> DataFrame:
+    """Confident-learning label-noise screen (Cleanlab-style, reduced
+    to its distributed core): rows where a well-calibrated model is
+    CONFIDENT and the label disagrees are flip candidates —
+    ``p ≥ hi`` with ``y = 0``, or ``p ≤ lo`` with ``y = 1``. One row:
+    confident-region sizes, disagreement counts, and estimated flip
+    rates per direction. Run it after calibration (isotonic_apply);
+    uncalibrated confidence inflates the estimate.
+
+    Shape: one conditional-aggregate pass — six counters in a single
+    partial+final reduce, no shuffle beyond the one-row final.
+    """
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    conf_pos = (p >= float(hi)).cast("long")
+    conf_neg = (p <= float(lo)).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(conf_pos).cast("long").alias("n_conf_pos"),
+        F.sum(conf_neg).cast("long").alias("n_conf_neg"),
+        F.sum(conf_pos * (1 - y)).cast("long").alias("n_pos_disagree"),
+        F.sum(conf_neg * y).cast("long").alias("n_neg_disagree"),
+    )
+    rate = lambda num, den: F.round(  # noqa: E731 — tiny local shaper
+        F.when(F.col(den) > 0, F.col(num) * 1.0 / F.col(den)), 6
+    )
+    return agg.select(
+        "n_rows",
+        "n_conf_pos",
+        "n_conf_neg",
+        "n_pos_disagree",
+        "n_neg_disagree",
+        rate("n_pos_disagree", "n_conf_pos").alias("flip_rate_pos"),
+        rate("n_neg_disagree", "n_conf_neg").alias("flip_rate_neg"),
+    )

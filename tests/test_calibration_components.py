@@ -461,3 +461,25 @@ def test_brier_decomposition_identity(spark):
     assert abs(dec["brier_binned"] - brier) < 2e-6
     assert dec["uncertainty"] == 0.25  # ybar = 0.5
     assert dec["resolution"] > 0 and dec["reliability"] > 0
+
+
+def test_label_noise_screen_golden(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        label_noise_screen,
+    )
+
+    rows = (
+        [(0.95, 1)] * 8 + [(0.95, 0)] * 2      # 20% flips in the confident-pos region
+        + [(0.05, 0)] * 9 + [(0.05, 1)] * 1    # 10% flips in the confident-neg region
+        + [(0.5, 1)] * 5 + [(0.5, 0)] * 5      # unconfident: ignored
+    )
+    preds = spark.createDataFrame(rows, "p double, y int")
+    r = label_noise_screen(preds, "y", "p").collect()[0]
+    assert r["n_rows"] == 30
+    assert r["n_conf_pos"] == 10 and r["n_pos_disagree"] == 2
+    assert r["flip_rate_pos"] == 0.2
+    assert r["n_conf_neg"] == 10 and r["flip_rate_neg"] == 0.1
+    # empty confident region -> NULL rate
+    mid = spark.createDataFrame([(0.5, 1)] * 4, "p double, y int")
+    r2 = label_noise_screen(mid, "y", "p").collect()[0]
+    assert r2["flip_rate_pos"] is None and r2["flip_rate_neg"] is None
