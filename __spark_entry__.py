@@ -1046,6 +1046,33 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_feature_label_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan feature screening: point-biserial correlation of
+    doc-quality signals against the src0 domain label (melt ×3 + one
+    co-moment agg — never one job per feature)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import feature_label_corr
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        doc_signal_stage1,
+        doc_signal_stage2,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", *doc_signal_stage1(F.col("text"))
+    ).select("doc_id", "source", "n_chars_calc", "n_tokens", *doc_signal_stage2())
+    feats = scored.select(
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("n_chars_calc").cast("double").alias("n_chars"),
+        F.col("punct_ratio"),
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    return feature_label_corr(
+        feats, ["n_tokens", "n_chars", "punct_ratio"], "label"
+    )
+
+
 def _q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confident-learning label-noise screen: high-confidence
     disagreement counts + flip-rate estimates. One conditional-agg
@@ -3036,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": _q_gains_table,
         "brier_decomposition": _q_brier_decomposition,
         "label_noise": _q_label_noise,
+        "feature_label_corr": _q_feature_label_corr,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
         "weekly_bounce_rate": _q_weekly_bounce_rate,
@@ -4893,6 +4921,43 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# feature-label correlation (lock-step with encoders.feature_label_corr:
+# UNION-ALL melt = the engine's explode; same co-moment shapes; abs on
+# the ROUNDED corr)
+_FEATURE_CORR_SQL = f"""
+WITH base AS (
+    SELECT CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           CAST(source = 'src0' AS INTEGER) AS label
+    FROM documents
+),
+melted AS (
+    SELECT 'n_tokens' AS feature, CAST(n_tokens AS DOUBLE) AS x,
+           CAST(label AS DOUBLE) AS y FROM base
+    UNION ALL
+    SELECT 'n_chars', CAST(n_chars AS DOUBLE), CAST(label AS DOUBLE) FROM base
+    UNION ALL
+    SELECT 'punct_ratio', punct_ratio, CAST(label AS DOUBLE) FROM base
+),
+acc AS (
+    SELECT feature, COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM melted WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY feature
+)
+SELECT feature, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 1e-12
+                  THEN (n * sxy - sx * sy)
+                       / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS corr,
+       ABS(ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 1e-12
+                      THEN (n * sxy - sx * sy)
+                           / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6)) AS abs_corr
+FROM acc
 """
 
 # label-noise screen (lock-step with calibration.label_noise_screen:
@@ -7954,6 +8019,7 @@ def oracle_sql() -> dict[str, str]:
         "gains_table": _GAINS_SQL,
         "brier_decomposition": _BRIER_DECOMP_SQL,
         "label_noise": _LABEL_NOISE_SQL,
+        "feature_label_corr": _FEATURE_CORR_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,

@@ -210,3 +210,25 @@ class TestQuantileMatch:
         out = {r["v"]: r["v_qm"] for r in quantile_match(src, "v", ref).collect()}
         assert out[None] is None
         assert out[0.0] == 50.0 and out[9.0] == 59.0  # endpoints map to endpoints
+
+
+def test_feature_label_corr_golden(spark):
+    from kkbox_churn_prediction_spark.operators.encoders import feature_label_corr
+
+    rows = []
+    for i in range(100):
+        y = 1 if i < 50 else 0
+        rows.append(
+            (
+                float(y),          # perfectly correlated feature
+                float(-i),         # anti-correlated-ish with y (i<50 -> y=1)
+                7.0,               # constant -> NULL
+                y,
+            )
+        )
+    df = spark.createDataFrame(rows, "perfect double, anti double, const double, label int")
+    out = {r["feature"]: r for r in feature_label_corr(df, ["perfect", "anti", "const"], "label").collect()}
+    assert out["perfect"]["corr"] == 1.0 and out["perfect"]["abs_corr"] == 1.0
+    assert out["anti"]["corr"] > 0.8  # -i is LARGER for y=1 rows (i small)
+    assert out["const"]["corr"] is None
+    assert all(r["n"] == 100 for r in out.values())
