@@ -132,3 +132,47 @@ def test_out_of_order_row_gets_processing_order_depth(spark, tmp_path):
     # and the in-order rows are untouched
     assert by_ts[T0][2] == 0 and by_ts[T0][3] is None
     assert by_ts[T0 + timedelta(seconds=120)][2] == 1
+
+
+def test_watermark_timeout_reclaims_state(spark, tmp_path):
+    """Production wiring: an idle conversation's state is reclaimed
+    once the watermark passes it — a turn arriving AFTER reclamation
+    restarts depth at 0 (documented trade-off: depth is exact within
+    the watermark horizon, not across unbounded idle gaps)."""
+    from kkbox_churn_prediction_spark.streaming.asof import stream_asof_depth
+
+    b1 = _turns(spark, {"c1": [0, 10]})
+    # far-future traffic on another conversation drags the watermark
+    # well past c1's last event + delay
+    b2 = _turns(spark, {"c2": [100000]})
+    b3 = _turns(spark, {"c1": [100060]})
+    b1.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .parquet(f"{tmp_path}/in")
+        .select("conv_id", "ts")
+    )
+    q = (
+        stream_asof_depth(stream, watermark_delay="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_wm")
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(f"{tmp_path}/in")
+    q.processAllAvailable()  # watermark advances; c1 state times out
+    b3.write.mode("append").parquet(f"{tmp_path}/in")
+    q.processAllAvailable()
+    rows = {
+        (r["conv_id"], r["ts"]): r
+        for r in spark.sql("SELECT * FROM asof_wm").collect()
+        if r["conv_id"] == "c1"
+    }
+    q.stop()
+    late_key = ("c1", T0 + timedelta(seconds=100060))
+    # pre-idle turns got exact depths; the post-reclamation turn
+    # restarted at 0 with no recency (fresh state)
+    assert rows[("c1", T0)][2] == 0
+    assert rows[("c1", T0 + timedelta(seconds=10))][2] == 1
+    assert rows[late_key][2] == 0 and rows[late_key][3] is None
