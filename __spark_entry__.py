@@ -1046,6 +1046,24 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_collapse_rare_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-label collapse on the tool column (cardinality guard
+    before encoding): frequent-list broadcast membership; NULL stays
+    NULL. Output is the per-collapsed-value row count."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        collapse_rare_categories,
+    )
+
+    collapsed = collapse_rare_categories(
+        _conv(spark, sf_dir), "tool", min_count=2000
+    )
+    return collapsed.groupBy("tool_collapsed").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def _q_feature_label_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan feature screening: point-biserial correlation of
     doc-quality signals against the src0 domain label (melt ×3 + one
@@ -3064,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": _q_brier_decomposition,
         "label_noise": _q_label_noise,
         "feature_label_corr": _q_feature_label_corr,
+        "collapse_rare_tools": _q_collapse_rare_tools,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
         "weekly_bounce_rate": _q_weekly_bounce_rate,
@@ -4921,6 +4940,24 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# rare-category collapse (lock-step with encoders.collapse_rare_categories:
+# frequent = count >= 2000 (bites at sf0.01: purchase collapses, error survives); NULL stays NULL; rollup by collapsed value)
+_COLLAPSE_RARE_SQL = f"""
+WITH {_CONV_CTE},
+freq AS (
+    SELECT tool FROM conversations WHERE tool IS NOT NULL
+    GROUP BY tool HAVING COUNT(*) >= 2000
+),
+collapsed AS (
+    SELECT CASE WHEN c.tool IS NULL THEN NULL
+                WHEN f.tool IS NOT NULL THEN c.tool
+                ELSE '__other__' END AS tool_collapsed
+    FROM conversations c LEFT JOIN freq f ON c.tool = f.tool
+)
+SELECT tool_collapsed, CAST(COUNT(*) AS BIGINT) AS n
+FROM collapsed GROUP BY tool_collapsed
 """
 
 # feature-label correlation (lock-step with encoders.feature_label_corr:
@@ -8020,6 +8057,7 @@ def oracle_sql() -> dict[str, str]:
         "brier_decomposition": _BRIER_DECOMP_SQL,
         "label_noise": _LABEL_NOISE_SQL,
         "feature_label_corr": _FEATURE_CORR_SQL,
+        "collapse_rare_tools": _COLLAPSE_RARE_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,

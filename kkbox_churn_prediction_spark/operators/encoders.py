@@ -438,3 +438,44 @@ def feature_label_corr(
         F.round(F.when(vx * vy > eps, r), 6).alias("corr"),
     )
     return out.withColumn("abs_corr", F.abs(F.col("corr")))
+
+
+def collapse_rare_categories(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    min_count: int,
+    other_token: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rare-label collapse: categories seen fewer than ``min_count``
+    times map to ``other_token`` — the standard cardinality guard
+    before one-hot/target encoding (a million-category tool column is
+    a leakage-and-variance trap; the reference caps categoricals the
+    same way before LabelEncoder). NULL stays NULL (missing ≠ rare).
+
+    Shape: one count agg reduced to the FREQUENT-category list (tiny
+    by construction — at most total/min_count entries) broadcast back
+    as a semi-join membership; the stream never shuffles. Keeping the
+    frequent side (not the rare side) bounds the broadcast: rare
+    categories can be unbounded, frequent ones cannot.
+    """
+    out_col = out_col or f"{cat_col}_collapsed"
+    frequent = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select(F.col(cat_col).alias("_freq_val"))
+    )
+    joined = df.join(
+        F.broadcast(frequent),
+        F.col(cat_col) == F.col("_freq_val"),
+        "left",
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(cat_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("_freq_val").isNotNull(), F.col(cat_col).cast("string"))
+        .otherwise(F.lit(other_token)),
+    ).drop("_freq_val")

@@ -232,3 +232,26 @@ def test_feature_label_corr_golden(spark):
     assert out["anti"]["corr"] > 0.8  # -i is LARGER for y=1 rows (i small)
     assert out["const"]["corr"] is None
     assert all(r["n"] == 100 for r in out.values())
+
+
+def test_collapse_rare_categories(spark):
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        collapse_rare_categories,
+    )
+
+    rows = (
+        [("common",)] * 10 + [("rare1",)] * 2 + [("rare2",)] * 1 + [(None,)] * 3
+    )
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare_categories(df, "cat", min_count=5).collect()
+    got = {}
+    for r in out:
+        got[r["cat_collapsed"]] = got.get(r["cat_collapsed"], 0) + 1
+    assert got["common"] == 10
+    assert got["__other__"] == 3      # both rare categories pooled
+    assert got[None] == 3             # NULL is missing, not rare
+    # original column is preserved alongside
+    assert {r["cat"] for r in out if r["cat_collapsed"] == "__other__"} == {
+        "rare1",
+        "rare2",
+    }
