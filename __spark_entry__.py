@@ -2950,17 +2950,6 @@ def _q_mad_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_by_group(vals, "text_len", "role")
 
 
-def _q_role_tool_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual information between role and tool (NULL tool is a real
-    category): the cross-column redundancy audit. One joint count
-    agg; marginals/entropies re-aggregate the tiny joint table."""
-    from kkbox_churn_prediction_spark.operators.relational import (
-        mutual_information,
-    )
-
-    return mutual_information(_conv(spark, sf_dir), "role", "tool")
-
-
 def _q_conversation_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How conversations END: last role, abandonment (final turn is
     an unanswered user turn), refusal-styled final assistant turn,
@@ -3211,7 +3200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pair_quality": _q_sft_pair_quality,
         "prefix_sharing": _q_prefix_sharing,
         "conversation_outcomes": _q_conversation_outcomes,
-        "role_tool_mi": _q_role_tool_mi,
         "mad_text_len": _q_mad_text_len,
         "tool_latency": _q_tool_latency,
         "vocab_growth": _q_vocab_growth,
@@ -7260,39 +7248,6 @@ SELECT role, n, median, mad, ROUND(mad * 1.4826, 6) AS mad_scaled
 FROM agg
 """
 
-# role×tool mutual information (lock-step with
-# relational.mutual_information: NULL → '__null__' category; ratios in
-# doubles — c·n overflows integers at scale; nmi on 6-rounded terms)
-_ROLE_TOOL_MI_SQL = f"""
-WITH {_CONV_CTE},
-pairs AS (
-    SELECT COALESCE(role, '__null__') AS a, COALESCE(tool, '__null__') AS b
-    FROM conversations
-),
-joint AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY a, b),
-pa AS (SELECT a, SUM(c) AS ca FROM joint GROUP BY a),
-pb AS (SELECT b, SUM(c) AS cb FROM joint GROUP BY b),
-tot AS (SELECT SUM(c) AS n FROM joint),
-mi AS (
-    SELECT ROUND(SUM((c * 1.0 / n) *
-               LN((c * 1.0 / n) / ((ca * 1.0 / n) * (cb * 1.0 / n)))), 6)
-           AS mi_nats
-    FROM joint JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN tot
-),
-ha AS (
-    SELECT ROUND(-SUM((ca * 1.0 / n) * LN(ca * 1.0 / n)), 6) AS h_a
-    FROM pa CROSS JOIN tot
-),
-hb AS (
-    SELECT ROUND(-SUM((cb * 1.0 / n) * LN(cb * 1.0 / n)), 6) AS h_b
-    FROM pb CROSS JOIN tot
-)
-SELECT CAST(n AS BIGINT) AS n_rows, h_a, h_b, mi_nats,
-       ROUND(CASE WHEN h_a * h_b > 1e-12
-                  THEN mi_nats / SQRT(h_a * h_b) END, 6) AS nmi
-FROM tot CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi
-"""
-
 # conversation outcomes (lock-step with labels.conversation_outcomes:
 # argmax by (ts, turn_idx), same literal refusal phrases as
 # sft_pair_quality)
@@ -8182,7 +8137,6 @@ def oracle_sql() -> dict[str, str]:
         "sft_pair_quality": _SFT_PAIR_QUALITY_SQL,
         "prefix_sharing": _PREFIX_SHARING_SQL,
         "conversation_outcomes": _CONV_OUTCOMES_SQL,
-        "role_tool_mi": _ROLE_TOOL_MI_SQL,
         "mad_text_len": _MAD_TEXT_LEN_SQL,
         "tool_latency": _TOOL_LATENCY_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,

@@ -399,78 +399,3 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= int(k))
     )
-
-
-def mutual_information(
-    df: DataFrame,
-    col_a: str,
-    col_b: str,
-    *,
-    null_token: str = "__null__",
-    eps: float = 1e-12,
-) -> DataFrame:
-    """Mutual information (nats) between two categorical columns plus
-    their marginal entropies and the normalized MI — the
-    feature-selection / redundancy audit: MI(role, tool) ≈ H(tool)
-    means the tool is determined by the role (drop one); MI ≈ 0 means
-    independent signals. The column-level sibling of the transition
-    ops in ``operators/lags.py`` (those measure sequence structure,
-    this measures cross-column association).
-
-    NULLs are a real category (``null_token``) — in transcripts
-    "no tool" is informative, not missing. All probability ratios are
-    computed in doubles (``c·n`` in integers overflows at 10^12
-    rows). Output: one row ``(n_rows, h_a, h_b, mi_nats, nmi)`` with
-    ``nmi = mi/√(h_a·h_b)`` on the 6-rounded terms (NULL when a
-    marginal entropy is 0 — a constant column carries no information).
-
-    Shape: ONE (a, b) count aggregate off the scan; marginals and
-    entropies re-aggregate the tiny joint table (never a second
-    scan); the final reduce is a single row.
-    """
-    a = F.coalesce(F.col(col_a).cast("string"), F.lit(null_token))
-    b = F.coalesce(F.col(col_b).cast("string"), F.lit(null_token))
-    joint = (
-        df.select(a.alias("_a"), b.alias("_b"))
-        .groupBy("_a", "_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pa = joint.groupBy("_a").agg(F.sum("c").alias("ca"))
-    pb = joint.groupBy("_b").agg(F.sum("c").alias("cb"))
-    tot = joint.agg(F.sum("c").alias("n"))
-    pj = F.col("c") * 1.0 / F.col("n")
-    ma = F.col("ca") * 1.0 / F.col("n")
-    mb = F.col("cb") * 1.0 / F.col("n")
-    mi = (
-        joint.join(pa, "_a")
-        .join(pb, "_b")
-        .crossJoin(F.broadcast(tot))
-        .agg(F.round(F.sum(pj * F.log(pj / (ma * mb))), 6).alias("mi_nats"))
-    )
-    ha = (
-        pa.crossJoin(F.broadcast(tot))
-        .agg(F.round(-F.sum(ma * F.log(ma)), 6).alias("h_a"))
-    )
-    hb = (
-        pb.crossJoin(F.broadcast(tot))
-        .agg(F.round(-F.sum(mb * F.log(mb)), 6).alias("h_b"))
-    )
-    return (
-        tot.select(F.col("n").cast("long").alias("n_rows"))
-        .crossJoin(F.broadcast(ha))
-        .crossJoin(F.broadcast(hb))
-        .crossJoin(F.broadcast(mi))
-        .select(
-            "n_rows",
-            "h_a",
-            "h_b",
-            "mi_nats",
-            F.round(
-                F.when(
-                    F.col("h_a") * F.col("h_b") > eps,
-                    F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")),
-                ),
-                6,
-            ).alias("nmi"),
-        )
-    )

@@ -401,47 +401,6 @@ class TestConversationOutcomes:
         assert out["c"]["refusal_final"] == 0 and out["c"]["abandoned"] == 0
 
 
-class TestMutualInformation:
-    def test_independent_and_determined(self, spark):
-        import math
-
-        from kkbox_churn_prediction_spark.operators.relational import (
-            mutual_information,
-        )
-
-        # determined: b == a -> MI == H(a) == ln 2, nmi == 1
-        det = spark.createDataFrame(
-            [("x", "x")] * 8 + [("y", "y")] * 8, "a string, b string"
-        )
-        r = mutual_information(det, "a", "b").collect()[0]
-        assert abs(r["mi_nats"] - math.log(2)) < 1e-5
-        assert abs(r["nmi"] - 1.0) < 1e-5
-        # independent: all four (a, b) combos equally likely -> MI 0
-        ind = spark.createDataFrame(
-            [(a, b) for a in "xy" for b in "uv" for _ in range(4)],
-            "a string, b string",
-        )
-        r2 = mutual_information(ind, "a", "b").collect()[0]
-        assert abs(r2["mi_nats"]) < 1e-9
-        # constant column -> zero entropy -> nmi NULL
-        const = spark.createDataFrame([("x", "u")] * 6, "a string, b string")
-        r3 = mutual_information(const, "a", "b").collect()[0]
-        assert r3["h_a"] == 0.0 and r3["nmi"] is None
-
-    def test_null_is_a_category(self, spark):
-        from kkbox_churn_prediction_spark.operators.relational import (
-            mutual_information,
-        )
-
-        df = spark.createDataFrame(
-            [("user", None)] * 5 + [("assistant", "search")] * 5,
-            "a string, b string",
-        )
-        r = mutual_information(df, "a", "b").collect()[0]
-        # NULL tool is fully determined by role here -> nmi == 1
-        assert abs(r["nmi"] - 1.0) < 1e-5
-
-
 def test_tool_latency_stats_golden(spark):
     from datetime import datetime, timedelta
 
