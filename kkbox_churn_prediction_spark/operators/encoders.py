@@ -404,6 +404,9 @@ def feature_label_corr(
     ``(feature, n, corr, abs_corr)`` ranked input for "which features
     deserve a model's attention" next to :func:`woe_iv` (which sees
     nonlinear separation this misses) and the MI audit (categorical).
+    The full feature×feature grid is
+    ``association.correlation_matrix``; this is the one-vs-label cut
+    with NULL-pair filtering and |r| ranking.
 
     Shape: features melt to (feature, x, y) via an in-row explode
     (×|features| rows, the profile-melt discipline — never one job
