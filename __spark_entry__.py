@@ -1350,6 +1350,19 @@ def _q_fold_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_standardize(feat, "n_turns")
 
 
+def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-words log-odds (Dirichlet prior, SE-scaled): the
+    top-k terms separating src0 from the rest of the pool. One token
+    pass; z-algebra on the vocab table."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.textstats import distinctive_terms
+
+    return distinctive_terms(
+        _docs(spark, sf_dir), F.col("source") == "src0", k=25, min_count=5
+    )
+
+
 def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR domain-relevance weights: mean hashed-unigram log-ratio
     of the src0 target domain vs the rest of the pool, add-0.5
@@ -3116,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "unigram_logprob": _q_unigram_logprob,
         "dsir_scores": _q_dsir_scores,
+        "distinctive_terms": _q_distinctive_terms,
         "fold_standardize": _q_fold_standardize,
         "chunk_documents": _q_chunk_documents,
         "rollup_activity": _q_rollup_activity,
@@ -5229,6 +5243,36 @@ SELECT f.conv_id, f.fold, f.n_turns, f.split,
                   THEN (n_turns - mu) / sd
                   WHEN mu IS NOT NULL THEN 0.0 END, 6) AS n_turns_z
 FROM feat f LEFT JOIN stats USING (fold)
+"""
+
+# fightin'-words distinctive terms (lock-step with
+# textstats.distinctive_terms: α=0.5 Dirichlet prior, SE-scaled
+# log-odds, min_count pruning BEFORE the prior, top/bottom-25 on the
+# ROUNDED z with term tiebreak)
+_DISTINCTIVE_TERMS_SQL = f"""
+WITH toks AS (
+    SELECT (source = 'src0') AS t, unnest({_TOKS}) AS term FROM documents
+),
+counts AS (
+    SELECT term,
+           SUM(CASE WHEN t THEN 1 ELSE 0 END) AS yt,
+           SUM(CASE WHEN t THEN 0 ELSE 1 END) AS yr
+    FROM toks GROUP BY term
+    HAVING SUM(CASE WHEN t THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN t THEN 0 ELSE 1 END) >= 5
+),
+tot AS (SELECT SUM(yt) AS nt, SUM(yr) AS nr,
+               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+scored AS (
+    SELECT term, CAST(yt AS BIGINT) AS yt, CAST(yr AS BIGINT) AS yr,
+           ROUND((LN((yt + 0.5) / (nt + 0.5 * v - yt - 0.5))
+                  - LN((yr + 0.5) / (nr + 0.5 * v - yr - 0.5)))
+                 / SQRT(1.0 / (yt + 0.5) + 1.0 / (yr + 0.5)), 6) AS z
+    FROM counts CROSS JOIN tot
+),
+top AS (SELECT *, 'target' AS side FROM scored ORDER BY z DESC, term LIMIT 25),
+bottom AS (SELECT *, 'rest' AS side FROM scored ORDER BY z ASC, term LIMIT 25)
+SELECT * FROM top UNION ALL SELECT * FROM bottom
 """
 
 # DSIR importance weights (lock-step with textstats.dsir_scores: same
@@ -8046,6 +8090,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "dsir_scores": _DSIR_SQL,
+        "distinctive_terms": _DISTINCTIVE_TERMS_SQL,
         "fold_standardize": _FOLD_STANDARDIZE_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "rollup_activity": _ROLLUP_ACTIVITY_SQL,

@@ -980,3 +980,70 @@ def vocab_growth(
         )
         .withColumn("cum_types", F.sum("n_new_types").over(w).cast("long"))
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    alpha: float = 0.5,
+    k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fightin'-words distinctive terms (Monroe, Colaresi & Quinn
+    2008): for every term, the log-odds ratio between the target and
+    the rest of the pool with a symmetric Dirichlet prior α, scaled
+    by its estimated standard error —
+
+    ``z = [ln((y_t+α)/(n_t+αV−y_t−α)) − ln((y_r+α)/(n_r+αV−y_r−α))]
+          / sqrt(1/(y_t+α) + 1/(y_r+α))``
+
+    — the corpus-COMPARISON view the doc-level scorers can't give:
+    TF-IDF says what's distinctive about one document, DSIR scores
+    whole documents; this names the TERMS that separate two sources
+    (the top-k per side, deterministic tiebreak). Low-count noise is
+    pruned by ``min_count`` BEFORE the prior is applied.
+
+    Shape: ONE exploded token pass → per-(term) conditional counts
+    (map-side partials); totals and vocabulary size ride a one-row
+    broadcast; z is pure column algebra on the vocab-sized table;
+    TakeOrdered top-k each side. The vocabulary never exceeds the
+    term table — no per-doc state.
+    """
+    toks = df.select(
+        is_target.cast("boolean").alias("_t"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("yt"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("yr"),
+    )
+    counts = counts.where(F.col("yt") + F.col("yr") >= int(min_count))
+    tot = counts.agg(
+        F.sum("yt").alias("nt"),
+        F.sum("yr").alias("nr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    a = float(alpha)
+    j = counts.crossJoin(F.broadcast(tot))
+    lt = F.log(
+        (F.col("yt") + a) / (F.col("nt") + a * F.col("v") - F.col("yt") - a)
+    )
+    lr = F.log(
+        (F.col("yr") + a) / (F.col("nr") + a * F.col("v") - F.col("yr") - a)
+    )
+    se = F.sqrt(1.0 / (F.col("yt") + a) + 1.0 / (F.col("yr") + a))
+    scored = j.select(
+        "term",
+        "yt",
+        "yr",
+        F.round((lt - lr) / se, 6).alias("z"),
+    )
+    top = scored.orderBy(F.desc("z"), "term").limit(int(k)).withColumn(
+        "side", F.lit("target")
+    )
+    bottom = scored.orderBy(F.asc("z"), "term").limit(int(k)).withColumn(
+        "side", F.lit("rest")
+    )
+    return top.unionAll(bottom)

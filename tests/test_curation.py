@@ -274,3 +274,30 @@ def test_vocab_growth_golden(spark):
     assert [r["n_types"] for r in out] == [3, 2]       # {alpha,beta,gamma}, {gamma,delta}
     assert [r["n_new_types"] for r in out] == [3, 1]   # delta is the only new type
     assert [r["cum_types"] for r in out] == [3, 4]
+
+
+def test_distinctive_terms_golden(spark):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.textstats import distinctive_terms
+
+    rows = (
+        [(i, "t", "alpha common filler words here") for i in range(10)]
+        + [(100 + i, "r", "omega common filler words here") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = distinctive_terms(
+        docs, F.col("source") == "t", k=3, min_count=2
+    ).collect()
+    by_side = {}
+    for r in out:
+        by_side.setdefault(r["side"], []).append(r)
+    # the exclusive terms head each side's list with the largest |z|
+    assert by_side["target"][0]["term"] == "alpha"
+    assert by_side["rest"][0]["term"] == "omega"
+    assert by_side["target"][0]["z"] > 0 > by_side["rest"][0]["z"]
+    # shared terms score near zero
+    shared = [r for r in out if r["term"] == "common"]
+    assert all(abs(r["z"]) < 0.5 for r in shared)
+    # counts surface for auditability
+    assert by_side["target"][0]["yt"] == 10 and by_side["target"][0]["yr"] == 0
