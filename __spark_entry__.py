@@ -2929,6 +2929,15 @@ def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(li, "l_extendedprice")
 
 
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-scaling fit over the weekly transcript
+    stream (V = K·N^β): the one-row scaling summary of vocab_growth,
+    temporal companion to zipf_stats."""
+    from kkbox_churn_prediction_spark.operators.textstats import heaps_law_fit
+
+    return heaps_law_fit(_conv(spark, sf_dir))
+
+
 def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly vocabulary growth over the transcript stream: distinct
     types, first-seen (new) types, cumulative types — the corpus
@@ -3217,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_text_len": _q_mad_text_len,
         "tool_latency": _q_tool_latency,
         "vocab_growth": _q_vocab_growth,
+        "heaps_law": _q_heaps_law,
         "benford_prices": _q_benford_prices,
         "daily_acf": _q_daily_acf,
         "tool_bigrams": _q_tool_bigrams,
@@ -7221,6 +7231,49 @@ SELECT digit, CAST(n AS BIGINT) AS n,
 FROM counts CROSS JOIN tot
 """
 
+# Heaps'-law fit (lock-step with textstats.heaps_law_fit: same weekly
+# vocab machinery; explicit co-moment OLS on the ln-ln series)
+_HEAPS_LAW_SQL = f"""
+WITH {_CONV_CTE},
+toks AS (
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+           {_H48.format(x="w")} AS tk
+    FROM (SELECT ts, unnest({_TOKS}) AS w FROM conversations)
+),
+tok_counts AS (SELECT bucket, COUNT(*) AS ntok FROM toks GROUP BY bucket),
+firsts AS (
+    SELECT bucket, COUNT(*) AS nnew
+    FROM (SELECT tk, MIN(bucket) AS bucket
+          FROM (SELECT DISTINCT bucket, tk FROM toks) GROUP BY tk)
+    GROUP BY bucket
+),
+series AS (
+    SELECT LN(CAST(SUM(t.ntok) OVER (ORDER BY t.bucket
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS x,
+           LN(CAST(SUM(COALESCE(f.nnew, 0)) OVER (ORDER BY t.bucket
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS y
+    FROM tok_counts t LEFT JOIN firsts f USING (bucket)
+),
+acc AS (
+    SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM series
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+           AS beta,
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12
+                  THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n END, 6) AS ln_k,
+       ROUND(CASE WHEN n * sxx - sx * sx > 1e-12
+                   AND n * syy - sy * sy > 1e-12
+                  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+           AS r2
+FROM acc
+"""
+
 # vocabulary growth (lock-step with textstats.vocab_growth: Monday-
 # aligned date_trunc week both engines; 48-bit token hashes; first-seen
 # = min bucket per type; cumsum over the tiny week series)
@@ -8185,6 +8238,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_text_len": _MAD_TEXT_LEN_SQL,
         "tool_latency": _TOOL_LATENCY_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,
+        "heaps_law": _HEAPS_LAW_SQL,
         "benford_prices": _BENFORD_SQL,
         "daily_acf": _DAILY_ACF_SQL,
         "tool_bigrams": _TOOL_BIGRAMS_SQL,

@@ -1047,3 +1047,77 @@ def distinctive_terms(
         "side", F.lit("rest")
     )
     return top.unionAll(bottom)
+
+
+def heaps_law_fit(
+    turns: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    grain: str = "week",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Heaps'-law fit over ingestion time: regress ln(cumulative
+    distinct types) on ln(cumulative tokens) across time buckets →
+    one row ``(n_points, beta, ln_k, r2)`` for ``V = K·N^β``
+    (natural corpora: β ≈ 0.4–0.6; β near 0 = re-crawled/duplicated
+    text, β near 1 = noise/IDs). The scaling-law summary of
+    :func:`vocab_growth`'s curve, and the temporal companion to
+    ``zipf_stats``' static rank fit.
+
+    Shape: one exploded token pass → per-bucket token counts AND the
+    first-seen type counts (the vocab_growth machinery); cumulative
+    sums + the log-log OLS run on the ≤ #buckets series (tiny-table
+    exemption). Same explicit co-moment shapes as ``activity_trend``
+    so the oracle agrees bit-for-bit at 6dp.
+    """
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        stable_hash48,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    toks = turns.select(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w"),
+    ).select("bucket", stable_hash48(F.col("_w")).alias("_tk"))
+    tok_counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_ntok")
+    )
+    first = (
+        toks.distinct()
+        .groupBy("_tk")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nnew"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        tok_counts.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("_ntok").over(w).alias("_cumtok"),
+            F.sum(F.coalesce(F.col("_nnew"), F.lit(0))).over(w).alias("_cumtyp"),
+        )
+        .select(
+            F.log(F.col("_cumtok").cast("double")).alias("x"),
+            F.log(F.col("_cumtyp").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    beta = cov / vx
+    return series.agg(
+        n.cast("long").alias("n_points"),
+        F.round(F.when(vx > eps, beta), 6).alias("beta"),
+        F.round(F.when(vx > eps, (sy - beta * sx) / n), 6).alias("ln_k"),
+        F.round(
+            F.when((vx > eps) & (vy > eps), cov * cov / (vx * vy)), 6
+        ).alias("r2"),
+    )

@@ -301,3 +301,33 @@ def test_distinctive_terms_golden(spark):
     assert all(abs(r["z"]) < 0.5 for r in shared)
     # counts surface for auditability
     assert by_side["target"][0]["yt"] == 10 and by_side["target"][0]["yr"] == 0
+
+
+def test_heaps_law_duplicated_vs_fresh(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.textstats import heaps_law_fit
+
+    w0 = datetime(2024, 1, 1)
+
+    def corpus(texts_by_week):
+        rows = []
+        for wk, text in enumerate(texts_by_week):
+            rows.append(("c%d" % wk, 0, "user", text, None, w0 + timedelta(days=7 * wk)))
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+
+    # fresh: every week brings brand-new vocabulary -> beta near 1
+    fresh = corpus(
+        [" ".join(f"w{wk}_{i}" for i in range(20)) for wk in range(6)]
+    )
+    b_fresh = heaps_law_fit(fresh).collect()[0]
+    # re-crawled: the same 20 words every week -> beta 0 (flat curve)
+    dup = corpus([" ".join(f"t{i}" for i in range(20))] * 6)
+    b_dup = heaps_law_fit(dup).collect()[0]
+    assert b_fresh["beta"] > 0.9
+    assert abs(b_dup["beta"]) < 1e-6
+    assert b_fresh["n_points"] == 6 and b_fresh["r2"] > 0.99
