@@ -1046,6 +1046,20 @@ def _q_weekly_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_latency_sla(_conv(spark, sf_dir), sla_seconds=300)
 
 
+def _q_eb_tool_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-conversation tool-use rates
+    (beta-binomial moment matching): small samples shrink toward the
+    population prior; degenerate spreads fall back to raw."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.encoders import eb_shrunk_rates
+
+    conv = _conv(spark, sf_dir).select(
+        "conv_id", F.col("tool").isNotNull().cast("int").alias("is_tool")
+    )
+    return eb_shrunk_rates(conv, "conv_id", "is_tool")
+
+
 def _q_collapse_rare_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-label collapse on the tool column (cardinality guard
     before encoding): frequent-list broadcast membership; NULL stays
@@ -3094,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": _q_label_noise,
         "feature_label_corr": _q_feature_label_corr,
         "collapse_rare_tools": _q_collapse_rare_tools,
+        "eb_tool_rates": _q_eb_tool_rates,
         "weekly_latency_sla": _q_weekly_latency_sla,
         "isotonic_apply": _q_isotonic_apply,
         "weekly_bounce_rate": _q_weekly_bounce_rate,
@@ -4952,6 +4967,37 @@ iso AS (SELECT fold, bin, ROUND(MAX(m), 6) AS iso_prob FROM mins GROUP BY fold, 
 SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
+"""
+
+# EB shrinkage (lock-step with encoders.eb_shrunk_rates: same moment
+# shapes — s = μ(1−μ)/Var − 1 over raw rates; VAR_SAMP both engines;
+# fallback to raw when the spread is degenerate)
+_EB_TOOL_RATES_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM conversations GROUP BY conv_id
+),
+rated AS (SELECT *, k * 1.0 / n AS raw FROM per),
+mom AS (
+    SELECT AVG(raw) AS mu, VAR_SAMP(raw) AS var FROM rated
+),
+prior AS (
+    SELECT mu, var,
+           CASE WHEN var IS NOT NULL AND var > 1e-12
+                 AND mu * (1.0 - mu) / var - 1.0 > 1e-12
+                THEN mu * (1.0 - mu) / var - 1.0 END AS s
+    FROM mom
+)
+SELECT r.conv_id, r.n, r.k,
+       ROUND(r.raw, 6) AS raw_rate,
+       ROUND(CASE WHEN p.s IS NOT NULL
+                  THEN (r.k + p.mu * p.s)
+                       / (r.n + p.mu * p.s + (1.0 - p.mu) * p.s)
+                  ELSE r.raw END, 6) AS shrunk_rate
+FROM rated r CROSS JOIN prior p
 """
 
 # rare-category collapse (lock-step with encoders.collapse_rare_categories:
@@ -8110,6 +8156,7 @@ def oracle_sql() -> dict[str, str]:
         "label_noise": _LABEL_NOISE_SQL,
         "feature_label_corr": _FEATURE_CORR_SQL,
         "collapse_rare_tools": _COLLAPSE_RARE_SQL,
+        "eb_tool_rates": _EB_TOOL_RATES_SQL,
         "weekly_latency_sla": _WEEKLY_SLA_SQL,
         "isotonic_apply": _ISOTONIC_APPLY_SQL,
         "weekly_bounce_rate": _WEEKLY_BOUNCE_SQL,

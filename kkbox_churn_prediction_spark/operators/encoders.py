@@ -482,3 +482,66 @@ def collapse_rare_categories(
         .when(F.col("_freq_val").isNotNull(), F.col(cat_col).cast("string"))
         .otherwise(F.lit(other_token)),
     ).drop("_freq_val")
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    hit_col: str,
+    *,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-entity event rates: a conversation with 1 tool call in 2
+    turns should NOT carry rate 0.5 into a model next to one with 500
+    in 1000 — small samples shrink toward the population prior with a
+    data-estimated strength. Output per group:
+    ``(group, n, k, raw_rate, shrunk_rate)`` where
+    ``shrunk = (k + α)/(n + α + β)`` and (α, β) moment-match the
+    spread of the raw per-group rates
+    (``s = μ(1−μ)/Var(p) − 1``, ``α = μ·s``, ``β = (1−μ)·s``).
+    Degenerate spreads (Var ≈ 0, or Var ≥ μ(1−μ) — more dispersed
+    than binomial sampling alone allows s ≤ 0) fall back to the raw
+    rate: shrinking toward a prior the data can't estimate fabricates
+    confidence.
+
+    Shape: one (group) conditional agg; the two-row moment pass runs
+    on the group table; (α, β) ride a one-row broadcast; the shrunk
+    rate is pure column algebra. Same explicit expression shapes as
+    the oracle.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(hit_col).cast("long")).cast("long").alias("k"),
+    )
+    per = per.withColumn("raw_rate", F.col("k") * 1.0 / F.col("n"))
+    mom = per.agg(
+        F.avg("raw_rate").alias("_mu"), F.var_samp("raw_rate").alias("_var")
+    )
+    mu = F.col("_mu")
+    var = F.col("_var")
+    s = mu * (1.0 - mu) / var - 1.0
+    prior = mom.select(
+        mu.alias("_mu"),
+        var.alias("_var"),
+        F.when(
+            var.isNotNull() & (var > eps) & (mu * (1.0 - mu) / var - 1.0 > eps),
+            s,
+        ).alias("_s"),
+    )
+    j = per.crossJoin(F.broadcast(prior))
+    alpha = F.col("_mu") * F.col("_s")
+    beta = (1.0 - F.col("_mu")) * F.col("_s")
+    return j.select(
+        group_col,
+        "n",
+        "k",
+        F.round(F.col("raw_rate"), 6).alias("raw_rate"),
+        F.round(
+            F.when(
+                F.col("_s").isNotNull(),
+                (F.col("k") + alpha) / (F.col("n") + alpha + beta),
+            ).otherwise(F.col("raw_rate")),
+            6,
+        ).alias("shrunk_rate"),
+    )

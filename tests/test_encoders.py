@@ -255,3 +255,42 @@ def test_collapse_rare_categories(spark):
         "rare1",
         "rare2",
     }
+
+
+def test_eb_shrunk_rates_small_samples_shrink_more(spark):
+    from kkbox_churn_prediction_spark.operators.encoders import eb_shrunk_rates
+
+    rows = []
+    import math
+
+    # population of 40 groups with varying true rates, big samples
+    for g in range(40):
+        p = 0.2 + 0.015 * g  # rates spread 0.2..0.8
+        n = 100
+        k = int(round(n * p))
+        rows += [(f"big{g}", 1)] * k + [(f"big{g}", 0)] * (n - k)
+    # one tiny group: 2 of 2 hits — raw 1.0 must shrink hard
+    rows += [("tiny", 1), ("tiny", 1)]
+    df = spark.createDataFrame(rows, "g string, hit int")
+    out = {r["g"]: r for r in eb_shrunk_rates(df, "g", "hit").collect()}
+    tiny = out["tiny"]
+    assert tiny["raw_rate"] == 1.0
+    assert tiny["shrunk_rate"] < 0.9  # pulled toward the population
+    # a big group with the same raw rate barely moves
+    big = out["big39"]
+    assert abs(big["shrunk_rate"] - big["raw_rate"]) < abs(
+        tiny["shrunk_rate"] - tiny["raw_rate"]
+    )
+    # shrinkage is toward the mean, never past it
+    mu = sum(r["raw_rate"] for r in out.values()) / len(out)
+    assert mu < tiny["shrunk_rate"] < tiny["raw_rate"]
+
+
+def test_eb_shrunk_rates_degenerate_falls_back(spark):
+    from kkbox_churn_prediction_spark.operators.encoders import eb_shrunk_rates
+
+    # all groups identical rates -> Var 0 -> raw passthrough
+    rows = [(f"g{i}", j % 2) for i in range(5) for j in range(10)]
+    df = spark.createDataFrame(rows, "g string, hit int")
+    out = eb_shrunk_rates(df, "g", "hit").collect()
+    assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
