@@ -108,7 +108,9 @@ def _asof_depth(
     # vectorized per-row features over the batch-sorted array
     left = np.searchsorted(arr, arr, side="left")  # in-batch strict-prior
     gt = arr > last_us
-    eq = (arr == last_us) & (last_us != _ABSENT)
+    # rows AT the clock (arr == last_us) take neither n_eq (their
+    # equal-ts peers are not prior) nor the gt branch — the n_eq
+    # split is exactly what keeps cross-batch ties correct
     n_prior = n_lt + left + np.where(gt, n_eq, 0)
 
     # recency: largest strictly-smaller among (batch, carried state)
