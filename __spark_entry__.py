@@ -2943,6 +2943,17 @@ def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(li, "l_extendedprice")
 
 
+def _q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve over the document corpus: surviving
+    types + token-mass share per min-frequency floor. One token pass;
+    the curve is one pass over the vocab table."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        vocab_threshold_coverage,
+    )
+
+    return vocab_threshold_coverage(_docs(spark, sf_dir))
+
+
 def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-scaling fit over the weekly transcript
     stream (V = K·N^β): the one-row scaling summary of vocab_growth,
@@ -3242,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": _q_tool_latency,
         "vocab_growth": _q_vocab_growth,
         "heaps_law": _q_heaps_law,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
         "benford_prices": _q_benford_prices,
         "daily_acf": _q_daily_acf,
         "tool_bigrams": _q_tool_bigrams,
@@ -7277,6 +7289,25 @@ SELECT digit, CAST(n AS BIGINT) AS n,
 FROM counts CROSS JOIN tot
 """
 
+# vocab coverage curve (lock-step with textstats.vocab_threshold_coverage:
+# same hashed type-count table; per-threshold conditional sums)
+_VOCAB_COVERAGE_CURVE_SQL = f"""
+WITH vocab AS (
+    SELECT {_H48.format(x="w")} AS tk, COUNT(*) AS c
+    FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+    GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t FROM vocab),
+grid AS (SELECT unnest([1, 2, 5, 10, 20, 50, 100]) AS threshold)
+SELECT CAST(g.threshold AS INTEGER) AS threshold,
+       CAST(SUM(CASE WHEN v.c >= g.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_types,
+       ROUND(SUM(CASE WHEN v.c >= g.threshold THEN v.c ELSE 0 END) * 1.0
+             / MAX(t.t), 6) AS token_share
+FROM vocab v CROSS JOIN grid g CROSS JOIN tot t
+GROUP BY g.threshold
+"""
+
 # Heaps'-law fit (lock-step with textstats.heaps_law_fit: same weekly
 # vocab machinery; explicit co-moment OLS on the ln-ln series)
 _HEAPS_LAW_SQL = f"""
@@ -8286,6 +8317,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_latency": _TOOL_LATENCY_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "heaps_law": _HEAPS_LAW_SQL,
+        "vocab_coverage_curve": _VOCAB_COVERAGE_CURVE_SQL,
         "benford_prices": _BENFORD_SQL,
         "daily_acf": _DAILY_ACF_SQL,
         "tool_bigrams": _TOOL_BIGRAMS_SQL,

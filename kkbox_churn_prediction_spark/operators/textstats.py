@@ -1121,3 +1121,63 @@ def heaps_law_fit(
             F.when((vx > eps) & (vy > eps), cov * cov / (vx * vy)), 6
         ).alias("r2"),
     )
+
+
+def vocab_threshold_coverage(
+    df: DataFrame,
+    *,
+    thresholds: tuple[int, ...] = (1, 2, 5, 10, 20, 50, 100),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-budget sizing curve: for each minimum-frequency
+    floor ``t``, how many token TYPES survive (``count ≥ t``) and
+    what share of the corpus token MASS they cover —
+    ``(threshold, n_types, token_share)``. The empirical answer to
+    "a vocabulary keeping every type seen ≥ t times covers X% of
+    tokens", the decision table behind vocab truncation / min-count
+    cuts (the rank-free complement of the Zipf fit: no top-k sort of
+    the vocabulary, which at web scale is itself a big table).
+
+    Shape: one exploded token pass → the type-count table (map-side
+    partials), then the whole curve is ONE pass over that table —
+    per-threshold conditional sums via an in-row explode (×|grid|
+    rows of the VOCAB table, never the corpus). Everything after the
+    type-count reduce is vocabulary-sized.
+    """
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        stable_hash48,
+        tokens,
+    )
+
+    vocab = (
+        df.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w")
+        )
+        .select(stable_hash48(F.col("_w")).alias("_tk"))
+        .groupBy("_tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arms = [
+        F.struct(
+            F.lit(int(t)).alias("threshold"),
+            F.when(F.col("c") >= int(t), 1).otherwise(0).alias("keep"),
+            F.when(F.col("c") >= int(t), F.col("c")).otherwise(0).alias("mass"),
+        )
+        for t in thresholds
+    ]
+    total = vocab.agg(F.sum("c").alias("_tot"))
+    stacked = (
+        vocab.select(F.explode(F.array(*arms)).alias("s"))
+        .select("s.threshold", "s.keep", "s.mass")
+        .groupBy("threshold")
+        .agg(
+            F.sum("keep").cast("long").alias("n_types"),
+            F.sum("mass").alias("_mass"),
+        )
+    )
+    return stacked.crossJoin(F.broadcast(total)).select(
+        "threshold",
+        "n_types",
+        F.round(F.col("_mass") * 1.0 / F.col("_tot"), 6).alias("token_share"),
+    )

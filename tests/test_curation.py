@@ -331,3 +331,25 @@ def test_heaps_law_duplicated_vs_fresh(spark):
     assert b_fresh["beta"] > 0.9
     assert abs(b_dup["beta"]) < 1e-6
     assert b_fresh["n_points"] == 6 and b_fresh["r2"] > 0.99
+
+
+def test_vocab_threshold_coverage_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        vocab_threshold_coverage,
+    )
+
+    # 1 type ×10 occurrences, 2 types ×3, 4 types ×1 → 20 tokens
+    text_parts = ["hot"] * 10 + ["warm1"] * 3 + ["warm2"] * 3 + [
+        "cold1", "cold2", "cold3", "cold4",
+    ]
+    docs = spark.createDataFrame([(0, " ".join(text_parts))], "doc_id long, text string")
+    out = {
+        r["threshold"]: r
+        for r in vocab_threshold_coverage(docs, thresholds=(1, 2, 5)).collect()
+    }
+    assert out[1]["n_types"] == 7 and out[1]["token_share"] == 1.0
+    assert out[2]["n_types"] == 3
+    assert out[2]["token_share"] == round(16 / 20, 6)
+    assert out[5]["n_types"] == 1 and out[5]["token_share"] == 0.5
+    # monotone: a higher floor never covers more
+    assert out[1]["token_share"] >= out[2]["token_share"] >= out[5]["token_share"]
