@@ -6347,31 +6347,45 @@ FROM curve
 """
 
 # inter-arrival gap stats + burstiness (lock-step with
-# operators/rhythm.py::interarrival_stats; stddev is SAMPLE std and
-# conversations with < 2 gaps drop)
+# operators/rhythm.py::interarrival_stats: ORDER-DEPENDENT reductions
+# are exact integer sums (Σg BIGINT→HUGEINT, Σg² HUGEINT); mean/std
+# derive through the same fixed float tree — a float AVG/STDDEV here
+# flakes at 6dp rounding boundaries as partial-sum order varies)
 _INTERARRIVAL_STATS_SQL = f"""
 WITH {_CONV_CTE},
 gaps AS (
     SELECT conv_id,
-           (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) / 1000000.0 AS gap_s
+           epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS g
     FROM conversations
     WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 ),
 per_conv AS (
     SELECT conv_id,
            COUNT(*) AS n_gaps,
-           AVG(gap_s) AS mean_gap_s,
-           STDDEV_SAMP(gap_s) AS sd_gap_s
-    FROM gaps WHERE gap_s IS NOT NULL
+           SUM(g) AS s1,
+           SUM(CAST(g AS HUGEINT) * g) AS s2
+    FROM gaps WHERE g IS NOT NULL
     GROUP BY conv_id
     HAVING COUNT(*) >= 2
+),
+derived AS (
+    SELECT conv_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0 AS mean_s,
+           SQRT(GREATEST(
+               (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n_gaps AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) / 1000000.0 AS sd_s
+    FROM per_conv
 )
-SELECT conv_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_s, sd_gap_s,
-       COALESCE(CASE WHEN mean_gap_s > 0 THEN sd_gap_s / mean_gap_s END, 0.0) AS cv_gap,
-       COALESCE(CASE WHEN sd_gap_s + mean_gap_s > 0
-                     THEN (sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s) END,
-                0.0) AS burstiness
-FROM per_conv
+SELECT conv_id, n_gaps,
+       mean_s AS mean_gap_s,
+       sd_s AS sd_gap_s,
+       COALESCE(CASE WHEN mean_s > 0 THEN sd_s / mean_s END, 0.0) AS cv_gap,
+       COALESCE(CASE WHEN sd_s + mean_s > 0
+                     THEN (sd_s - mean_s) / (sd_s + mean_s) END, 0.0)
+           AS burstiness
+FROM derived
 """
 
 # hour-of-day entropy + weekend fraction (lock-step with

@@ -33,31 +33,52 @@ def interarrival_stats(turns: DataFrame, *, min_gaps: int = 2) -> DataFrame:
 
     Conversations with fewer than ``min_gaps`` gaps are dropped —
     sample std needs n ≥ 2 and a one-gap cadence is noise.
+
+    Determinism: the only order-dependent reductions are EXACT —
+    Σgap as integer micros (long) and Σgap² as DECIMAL(38,0) — and
+    mean/std derive from those two scalars through a fixed float
+    expression tree, so both engines produce BIT-IDENTICAL doubles. A
+    float ``avg``/``stddev_samp`` here is a run-to-run flake: Spark's
+    partial-sum order varies with partitioning, and a value one ulp
+    from a 6dp rounding boundary flips the cross-engine compare
+    intermittently (observed once in ~8 full parity runs before this
+    rewrite). The outputs are deliberately NOT engine-rounded:
+    integer-micros means land EXACTLY on .0000005 boundaries, where
+    Spark rounds the shortest-decimal repr up while DuckDB rounds the
+    true binary value down — identical raw doubles sidestep both
+    implementations (observed: 33374.0610425 → 043 vs 042).
+    Σgap² in decimal is exact to 10^38 — ample for any conversation.
     """
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    gap_s = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
-    ) / F.lit(_US_PER_SEC)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
     per_conv = (
-        turns.select("conv_id", gap_s.alias("gap_s"))
-        .where(F.col("gap_s").isNotNull())
+        turns.select("conv_id", gap_us.alias("g"))
+        .where(F.col("g").isNotNull())
         .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            F.avg("gap_s").alias("mean_gap_s"),
-            F.stddev_samp("gap_s").alias("sd_gap_s"),
+            F.sum("g").alias("_s1"),
+            F.sum(
+                F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+            ).alias("_s2"),
         )
         .where(F.col("n_gaps") >= F.lit(min_gaps))
     )
-    denom_cv = F.when(F.col("mean_gap_s") > 0, F.col("sd_gap_s") / F.col("mean_gap_s"))
-    denom_b = F.col("sd_gap_s") + F.col("mean_gap_s")
-    burst = F.when(denom_b > 0, (F.col("sd_gap_s") - F.col("mean_gap_s")) / denom_b)
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean_s = s1 / n / F.lit(_US_PER_SEC)
+    var_us2 = (s2 - s1 * s1 / n) / (n - 1.0)
+    sd_s = F.sqrt(F.greatest(var_us2, F.lit(0.0))) / F.lit(_US_PER_SEC)
+    cv = F.when(mean_s > 0, sd_s / mean_s)
+    denom_b = sd_s + mean_s
+    burst = F.when(denom_b > 0, (sd_s - mean_s) / denom_b)
     return per_conv.select(
         "conv_id",
         "n_gaps",
-        "mean_gap_s",
-        "sd_gap_s",
-        F.coalesce(denom_cv, F.lit(0.0)).alias("cv_gap"),
+        mean_s.alias("mean_gap_s"),
+        sd_s.alias("sd_gap_s"),
+        F.coalesce(cv, F.lit(0.0)).alias("cv_gap"),
         F.coalesce(burst, F.lit(0.0)).alias("burstiness"),
     )
 
