@@ -6407,8 +6407,6 @@ SELECT conv_id,
 FROM by_hour GROUP BY conv_id
 """
 
-# daily-count Fano factor over ACTIVE days (lock-step with
-# operators/rhythm.py::daily_regularity; population variance)
 # per-conversation daily-count OLS trend (lock-step with
 # rhythm.activity_trend: same origin shift, same explicit co-moment
 # sums — NOT regr_slope, whose accumulation order could differ in the
@@ -6442,18 +6440,35 @@ SELECT conv_id,
 FROM acc
 """
 
+# daily-count Fano factor over ACTIVE days (lock-step with
+# operators/rhythm.py::daily_regularity: ORDER-DEPENDENT reductions
+# are exact integer sums — Σc, Σc² — and mean/var_pop derive through
+# the same fixed float tree; a float AVG/VAR_POP here is the
+# interarrival flake class, rational values on 6dp boundaries)
 _DAILY_REGULARITY_SQL = f"""
 WITH {_CONV_CTE},
 by_day AS (
     SELECT conv_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
     FROM conversations GROUP BY conv_id, CAST(ts AS DATE)
+),
+acc AS (
+    SELECT conv_id, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+    FROM by_day GROUP BY conv_id
+),
+derived AS (
+    SELECT conv_id, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+           GREATEST((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE), 0.0) AS var_d
+    FROM acc
 )
 SELECT conv_id,
-       CAST(COUNT(*) AS INTEGER) AS n_active_days,
-       AVG(c) AS mean_daily_turns,
-       VAR_POP(c) AS var_daily_turns,
-       COALESCE(CASE WHEN AVG(c) > 0 THEN VAR_POP(c) / AVG(c) END, 0.0) AS fano_factor
-FROM by_day GROUP BY conv_id
+       CAST(n AS INTEGER) AS n_active_days,
+       mean_d AS mean_daily_turns,
+       var_d AS var_daily_turns,
+       COALESCE(CASE WHEN mean_d > 0 THEN var_d / mean_d END, 0.0) AS fano_factor
+FROM derived
 """
 
 # deterministic 8-way sharding manifest (lock-step with

@@ -117,21 +117,40 @@ def daily_regularity(turns: DataFrame) -> DataFrame:
     Gap days are intentionally excluded (this measures load given
     activity); the dense-grid variant is :mod:`operators.resample`'s
     job. Same two-level collapse as :func:`activity_profile`, keyed by
-    calendar day."""
+    calendar day.
+
+    Determinism: same discipline as :func:`interarrival_stats` — the
+    only order-dependent reductions are EXACT integer sums (Σc, Σc²
+    as longs; daily counts keep Σc² far below 2⁶³), and mean/variance
+    derive from those scalars through a fixed float expression tree,
+    so both engines produce bit-identical doubles. ``F.var_pop``'s
+    Welford-merge state is float and its merge order varies with
+    partitioning — with integer counts the variance is a rational
+    number that can land exactly on a 6dp rounding boundary, the
+    observed interarrival flake class."""
     by_day = (
         turns.select("conv_id", F.to_date(F.col("ts")).alias("d"))
         .groupBy("conv_id", "d")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    mean = F.avg("c")
-    var = F.var_pop("c")
-    return by_day.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_active_days"),
+    acc = by_day.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.greatest(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nd)
+        / nd,
+        F.lit(0.0),
+    )
+    return acc.select(
+        "conv_id",
+        F.col("n").cast("int").alias("n_active_days"),
         mean.alias("mean_daily_turns"),
         var.alias("var_daily_turns"),
-        F.coalesce(
-            F.when(mean > 0, var / mean), F.lit(0.0)
-        ).alias("fano_factor"),
+        F.coalesce(F.when(mean > 0, var / mean), F.lit(0.0)).alias("fano_factor"),
     )
 
 
