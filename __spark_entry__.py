@@ -176,6 +176,18 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kkbox_churn_prediction_spark.operators.dedup import containment_pairs
+
+    # asymmetric doc-in-doc screen: same capped shingle-hash join as
+    # the Jaccard gate (max_shingle_freq=100, mirrored in the oracle),
+    # but scored by containment so a short doc quoted inside a long
+    # one still ships a pair (Jaccard's union washes it out)
+    return containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=100
+    )
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.dedup import minhash_signatures
 
@@ -2497,6 +2509,24 @@ def _q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit: per (role, day) quasi-identifier
+    cell, distinct sensitive (tool) values incl. the NULL class;
+    homogeneity-attack guard that k-anonymity alone misses."""
+    from kkbox_churn_prediction_spark.operators.privacy import l_diversity_audit
+
+    return l_diversity_audit(_conv(spark, sf_dir), ("role",), "tool", l=2)
+
+
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64->8: data-independent
+    dimensionality reduction (no fit pass — the scale story vs PCA);
+    deterministic md5 matrix so the oracle re-derives it bit-for-bit."""
+    from kkbox_churn_prediction_spark.operators.similarity import random_projection
+
+    return random_projection(_embs(spark, sf_dir), d_in=64, d_out=8, seed="jl")
+
+
 def _q_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile clipping (p01/p99) of the events value column +
     clip flags (one tiny percentile agg, then pure projection)."""
@@ -3066,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup / similarity / text analysis
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_containment": _q_dedup_containment,
         "minhash_signatures": _q_minhash_signatures,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -3231,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": _q_neyman_allocation,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
+        "l_diversity": _q_l_diversity,
+        "random_projection": _q_random_projection,
         "winsorize_value": _q_winsorize_value,
         "winsorize_audit": _q_winsorize_audit,
         "label_agreement_kappa": _q_label_agreement_kappa,
@@ -3765,6 +3798,35 @@ FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+"""
+
+# containment: same capped shingle-hash join as Jaccard, asymmetric
+# |A∩B|/|A| scoring (lock-step with containment_pairs threshold=0.5,
+# max_shingle_freq=100)
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_shingle_cte(3)},
+shh0 AS (
+    SELECT doc_id, {_H48.format(x='shingle')} AS shingle FROM sh
+),
+shh AS (
+    SELECT doc_id, shingle FROM shh0
+    WHERE shingle IN (SELECT shingle FROM shh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shh a JOIN shh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common * 1.0 / sa.n_sh, 6) AS containment_a_in_b,
+       ROUND(n_common * 1.0 / sb.n_sh, 6) AS containment_b_in_a
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(ROUND(n_common * 1.0 / sa.n_sh, 6),
+               ROUND(n_common * 1.0 / sb.n_sh, 6)) >= 0.5
 """
 
 _MINHASH_SQL = f"""
@@ -7816,6 +7878,51 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
 FROM per_combo
 """
 
+# l-diversity (lock-step with privacy.l_diversity_audit: NULL
+# sensitive values form their own class, same two-level distinct)
+_L_DIVERSITY_SQL = f"""
+WITH {_CONV_CTE},
+pre AS (
+    SELECT role, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           tool, COUNT(*) AS _rows
+    FROM conversations GROUP BY 1, 2, 3
+),
+per_combo AS (
+    SELECT role, day,
+           CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+           CAST(SUM(_rows) AS BIGINT) AS n_rows
+    FROM pre GROUP BY 1, 2
+)
+SELECT role, day, n_sensitive, n_rows, n_sensitive >= 2 AS is_l_diverse
+FROM per_combo
+"""
+
+
+def _random_projection_oracle(d_in: int = 64, d_out: int = 8, seed: str = "jl") -> str:
+    """Unrolled JL-projection SQL: the SAME md5-derived ±1 matrix as
+    similarity._jl_signs, with each output dim one explicit
+    left-associated sum (0.0 + x1*s1 + x2*s2 + ...) * scale — the
+    identical double expression tree Spark's zip_with+aggregate fold
+    builds, so the raw (unrounded) doubles match bit-for-bit."""
+    from kkbox_churn_prediction_spark.operators.similarity import _jl_signs
+
+    signs = _jl_signs(d_in, d_out, seed)
+    scale = repr(1.0 / float(d_out) ** 0.5)
+    dims = []
+    for j in range(d_out):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[j][i]!r}"
+            for i in range(d_in)
+        )
+        dims.append(f"(0.0 + {terms}) * {scale} AS proj_{j}")
+    cols = ",\n       ".join(dims)
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) >= {d_in}
+"""
+
 # winsorization (lock-step with operators/winsorize.py: exact
 # interpolated percentiles rounded to 6 dp, greatest/least clip,
 # strict-inequality clip flags)
@@ -8165,6 +8272,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_audit": _LEAKAGE_AUDIT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_containment": _DEDUP_CONTAINMENT_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "simhash": _SIMHASH_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
@@ -8316,6 +8424,8 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": _NEYMAN_SQL,
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
+        "l_diversity": _L_DIVERSITY_SQL,
+        "random_projection": _random_projection_oracle(),
         "winsorize_value": _WINSORIZE_VALUE_SQL,
         "winsorize_audit": _WINSORIZE_AUDIT_SQL,
         "label_agreement_kappa": _KAPPA_SQL,

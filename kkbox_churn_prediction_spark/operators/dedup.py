@@ -116,6 +116,92 @@ def shingle_stream(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
     )
 
 
+def _hashed_shingles(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    id_col: str,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """(id, 48-bit shingle hash) stream, optionally hot-shingle-capped.
+
+    The join/shuffle key is the hash, not the shingle string — fixed
+    8-byte keys shrink the shuffle and the pair-join build side. The
+    cap is a window count over the shingle partition, NOT groupBy +
+    join: the filter then lives INSIDE the one exchange-by-shingle
+    subplan which all consumers share (ReuseExchange) — the
+    groupBy+join formulation re-exploded + re-hashed the corpus once
+    per consumer (measured +4.7s at sf0.1).
+    """
+    sh = shingle_stream(df, text_col, n, id_col).select(
+        id_col, stable_hash48(F.col("shingle")).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_f", F.count(F.lit(1)).over(wf))
+            .where(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
+    return sh
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT: for each pair
+    C(A→B) = |A∩B| / |A|. Jaccard misses doc-in-doc subsets — a short
+    document quoted verbatim inside a much longer one scores near-zero
+    Jaccard (the union is huge) but 1.0 containment — and containment
+    is the standard screen for them (Broder's resemblance/containment
+    pair). A pair ships when EITHER direction clears ``threshold``;
+    both directions are emitted so the caller can tell "A inside B"
+    from "B inside A".
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one
+    shingle-hash equi-join bounded by ``max_shingle_freq`` (set it in
+    production: one stop-shingle shared by 10^6 docs makes the pair
+    join quadratic), sizes and intersections both computed on the
+    SAME capped stream so the ratio stays a true ratio of capped sets.
+    """
+    sh = _hashed_shingles(df, text_col, n, id_col, max_shingle_freq)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .where(
+            F.greatest(F.col("containment_a_in_b"), F.col("containment_b_in_a"))
+            >= threshold
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -136,23 +222,7 @@ def ngram_jaccard_pairs(
     so a (vanishingly unlikely) hash collision changes BOTH engines
     the same way.
     """
-    sh = shingle_stream(df, text_col, n, id_col).select(
-        id_col, stable_hash48(F.col("shingle")).alias("shingle")
-    )
-    if max_shingle_freq is not None:
-        # window count over the shingle partition, NOT groupBy+join:
-        # the filter then lives INSIDE the one exchange-by-shingle
-        # subplan, which sizes/a/b all share (ReuseExchange) — the
-        # groupBy+join formulation re-exploded + re-hashed the corpus
-        # once per consumer (measured +4.7s at sf0.1)
-        from pyspark.sql import Window
-
-        wf = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_f", F.count(F.lit(1)).over(wf))
-            .where(F.col("_f") <= max_shingle_freq)
-            .drop("_f")
-        )
+    sh = _hashed_shingles(df, text_col, n, id_col, max_shingle_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

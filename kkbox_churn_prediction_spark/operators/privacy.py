@@ -48,6 +48,47 @@ def k_anonymity_audit(
     return per_combo.withColumn("at_risk", F.col("n_entities") < F.lit(int(k)))
 
 
+def l_diversity_audit(
+    turns: DataFrame,
+    quasi_cols: tuple[str, ...] = ("role",),
+    sensitive_col: str = "tool",
+    l: int = 2,
+    *,
+    with_day: bool = True,
+) -> DataFrame:
+    """l-diversity audit: per quasi-identifier combo, how many DISTINCT
+    values of the sensitive attribute appear. k-anonymity alone is not
+    enough — a cell can hold k entities who all share one sensitive
+    value, so membership still discloses it (the classic homogeneity
+    attack). A release gate wants every QI cell to carry at least
+    ``l`` distinct sensitive values.
+
+    NULL sensitive values are their own class (an absent tool is
+    itself a disclosure), mirroring :func:`k_anonymity_audit`'s NULL
+    policy for QI columns.
+
+    Spark-first shape: the same Expand-free two-level distinct as the
+    k-anonymity audit — pre-distinct on (combo, sensitive) with a row
+    count, then one per-combo rollup. Output is bounded by the QI
+    domain, not the data, so the audit stays tiny at 10^12 rows.
+    """
+    cols = [F.col(c) for c in quasi_cols]
+    names = list(quasi_cols)
+    if with_day:
+        cols.append(F.date_trunc("day", F.col("ts")).alias("day"))
+        names.append("day")
+    pre = (
+        turns.select(*cols, F.col(sensitive_col).alias("_s"))
+        .groupBy(*names, "_s")
+        .agg(F.count(F.lit(1)).alias("_rows"))
+    )
+    per_combo = pre.groupBy(*names).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+    )
+    return per_combo.withColumn("is_l_diverse", F.col("n_sensitive") >= F.lit(int(l)))
+
+
 def k_anonymity_summary(audit: DataFrame) -> DataFrame:
     """One-row release verdict: combos / entities-at-risk-weighted row
     exposure, and the minimum cell size (the dataset's k)."""

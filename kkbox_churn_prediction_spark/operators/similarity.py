@@ -654,6 +654,75 @@ def pca_project(
     return wide.unpivot([id_col], [f"pc{c}" for c in range(k)], "pc", "value")
 
 
+def _jl_signs(d_in: int, d_out: int, seed: str) -> list[list[float]]:
+    """Deterministic ±1 projection matrix from md5 — the same stable
+    hash family as ``functions.text.stable_hash48``, so any engine can
+    re-derive the matrix from (seed, i, j) alone."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:12], 16) % 2 == 0
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    d_in: int = 64,
+    d_out: int = 8,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: map ``d_in``-dim
+    embeddings to ``d_out`` dims with a deterministic ±1/√d_out matrix
+    (Achlioptas' database-friendly projections, JMLR 2003 — public).
+
+    This is the DATA-INDEPENDENT counterpart to :func:`pca_project`:
+    no fit pass at all, which is the dimensionality-reduction story at
+    10^12 rows — PCA's covariance needs a full corpus pass before the
+    first projected row exists, while JL projects each row as it
+    streams and still preserves pairwise distances within (1±ε) for
+    d_out = O(log n / ε²). The standard pre-step before LSH/IVF when
+    raw vectors are wide (project 1024→64, then bucket).
+
+    Shape: per-row column arithmetic only — the matrix rides the plan
+    as codegen'd literals (no broadcast join, no shuffle, no UDF);
+    each output dim is one ``zip_with``+``aggregate`` dot product in
+    index order, matching a sequential SQL oracle exactly. Outputs are
+    deliberately NOT engine-rounded (fixed float tree → bit-identical
+    doubles; the interarrival discipline).
+    """
+    signs = _jl_signs(d_in, d_out, seed)
+    scale = 1.0 / float(d_out) ** 0.5
+    x = df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, d_in).alias("_x"),
+    ).where(F.size("_x") >= d_in)
+    proj = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("_x"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda v, s: v * s,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * F.lit(scale)
+        ).alias(f"proj_{j}")
+        for j in range(d_out)
+    ]
+    return x.select(id_col, *proj)
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

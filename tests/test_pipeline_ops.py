@@ -209,6 +209,36 @@ class TestKAnonymity:
         ).collect()[0]
         assert r["n_entities"] == 1 and r["n_rows"] == 2
 
+    def test_l_diversity_homogeneity_and_null_class(self, spark):
+        rows = [
+            # (user, day0): two distinct tools -> diverse at l=2
+            ("a", 0, "user", "x", "search", T0),
+            ("b", 0, "user", "x", "code", T0),
+            # (tool, day0): 3 rows but ONE sensitive value -> homogeneous
+            ("c", 0, "tool", "x", "error", T0),
+            ("d", 0, "tool", "x", "error", T0),
+            ("e", 0, "tool", "x", "error", T0),
+            # (system, day0): NULL tool is its own sensitive class
+            ("f", 0, "system", "x", None, T0),
+            ("g", 0, "system", "x", "search", T0),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import l_diversity_audit
+
+        out = {
+            r["role"]: r
+            for r in l_diversity_audit(
+                spark.createDataFrame(pdf), ("role",), "tool", l=2
+            ).collect()
+        }
+        assert out["user"]["n_sensitive"] == 2 and out["user"]["is_l_diverse"]
+        # k-anonymity would pass this cell (3 rows); l-diversity catches it
+        assert out["tool"]["n_sensitive"] == 1 and not out["tool"]["is_l_diverse"]
+        assert out["tool"]["n_rows"] == 3
+        assert out["system"]["n_sensitive"] == 2  # NULL counted as a class
+
 
 def test_rule_router_first_match_wins(spark):
     from kkbox_churn_prediction_spark.operators.rules import apply_rules, rule_audit

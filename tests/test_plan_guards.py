@@ -325,3 +325,31 @@ def test_dsir_scores_cached_stream_broadcast_vocab(spark):
     plan = _final_plan(spark, "dsir_scores")
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_random_projection_zero_exchanges_no_udf(spark):
+    """random_projection: the ±1 matrix rides the plan as literals —
+    no shuffle, no broadcast join, no Python evaluation of any kind."""
+    plan = _plan(spark, "random_projection")
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_l_diversity_two_level_distinct_expand_free(spark):
+    """l_diversity: distinct-sensitive counting is the two-level agg
+    rewrite, never an Expand-based count-distinct."""
+    plan = _plan(spark, "l_diversity")
+    assert "Expand" not in plan
+
+
+def test_containment_matches_jaccard_plan_shape(spark):
+    """dedup_containment: identical physical shape to the audited
+    dedup_ngram_jaccard gate — window-counted hot-shingle cap present,
+    equi-joins only (no cross product), same scan budget (4: two
+    pair-join sides + two size branches, window cap inside each)."""
+    jac = _final_plan(spark, "dedup_ngram_jaccard")
+    con = _final_plan(spark, "dedup_containment")
+    assert "Window" in con and "100" in con  # the max_shingle_freq cap
+    assert "CartesianProduct" not in con and "BroadcastNestedLoop" not in con
+    assert con.count("Scan parquet") <= jac.count("Scan parquet")
