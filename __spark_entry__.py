@@ -2518,6 +2518,61 @@ def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(_conv(spark, sf_dir), ("role",), "tool", l=2)
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit: per (role, day) QI cell, the total-
+    variation distance of the tool distribution from the global one —
+    the skewness-attack guard k-anonymity and l-diversity both miss.
+    Exact-integer numerator (decimal), one final double division."""
+    from kkbox_churn_prediction_spark.operators.privacy import t_closeness_audit
+
+    return t_closeness_audit(_conv(spark, sf_dir), ("role",), "tool", t=0.2)
+
+
+def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity per source slice (n=1,2,3):
+    distinct/total n-gram ratios — the cross-document boilerplate
+    signal per-doc repetition_stats can't see. Exact long counts,
+    one long/long division per ratio."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    return distinct_ngram_diversity(_docs(spark, sf_dir))
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source slice from exact long sums of
+    words / sentence-runs / vowel-group syllables — the classic
+    readability quality gate, no per-doc float averaging."""
+    from kkbox_churn_prediction_spark.operators.textstats import readability_stats
+
+    return readability_stats(_docs(spark, sf_dir))
+
+
+def _q_ks_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic of text length between the even/odd
+    week folds — the sup-norm member of the drift family (same
+    binning as psi/jsd/wasserstein_text_len; exact-integer numerator,
+    answer in [0,1])."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        fixed_width_bins,
+        ks_from_bins,
+    )
+    from kkbox_churn_prediction_spark.sources.events import conversations_from_events
+
+    conv = conversations_from_events(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    binned = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 5.0, 10).alias("bin"),
+    )
+    return ks_from_bins(binned, "fold", "bin", ref_fold="even")
+
+
 def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign projection 64->8: data-independent
     dimensionality reduction (no fit pass — the scale story vs PCA);
@@ -3263,6 +3318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_summary": _q_k_anonymity_summary,
         "l_diversity": _q_l_diversity,
+        "t_closeness": _q_t_closeness,
+        "ks_text_len": _q_ks_text_len,
+        "distinct_ngrams": _q_distinct_ngrams,
+        "readability": _q_readability,
         "random_projection": _q_random_projection,
         "winsorize_value": _q_winsorize_value,
         "winsorize_audit": _q_winsorize_audit,
@@ -7897,6 +7956,185 @@ SELECT role, day, n_sensitive, n_rows, n_sensitive >= 2 AS is_l_diverse
 FROM per_combo
 """
 
+# t-closeness (lock-step with privacy.t_closeness_audit: NULL
+# sensitive → sentinel class; EXACT hugeint numerator |c·G − g·C| +
+# missing-mass term, one final double division in the same
+# left-associated shape as the Spark expression)
+_T_CLOSENESS_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT role, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COALESCE(tool, '__NULL__') AS _s
+    FROM conversations
+),
+gdist AS (SELECT _s, CAST(COUNT(*) AS BIGINT) AS _g FROM base GROUP BY 1),
+gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS _gt FROM base),
+cell AS (
+    SELECT role, day, _s, CAST(COUNT(*) AS BIGINT) AS _c
+    FROM base GROUP BY 1, 2, 3
+),
+ctot AS (SELECT role, day, CAST(SUM(_c) AS BIGINT) AS _ct FROM cell GROUP BY 1, 2),
+j AS (
+    SELECT c.role, c.day, c._c, g._g, ct._ct, gt._gt
+    FROM cell c
+    JOIN gdist g ON c._s = g._s
+    JOIN ctot ct ON c.role = ct.role AND c.day = ct.day
+    CROSS JOIN gtot gt
+),
+per AS (
+    SELECT role, day,
+           MAX(_ct) AS _C, MAX(_gt) AS _G,
+           SUM(ABS(CAST(_c AS HUGEINT) * CAST(_gt AS HUGEINT)
+                   - CAST(_g AS HUGEINT) * CAST(_ct AS HUGEINT))) AS _num1,
+           SUM(_g) AS _sumg
+    FROM j GROUP BY 1, 2
+)
+SELECT role, day,
+       CAST(_C AS BIGINT) AS n_rows,
+       CAST(_num1 + (CAST(_G AS HUGEINT) - CAST(_sumg AS HUGEINT))
+                    * CAST(_C AS HUGEINT) AS DOUBLE)
+       / (2.0 * CAST(_C AS DOUBLE) * CAST(_G AS DOUBLE)) AS tvd,
+       CAST(_num1 + (CAST(_G AS HUGEINT) - CAST(_sumg AS HUGEINT))
+                    * CAST(_C AS HUGEINT) AS DOUBLE)
+       / (2.0 * CAST(_C AS DOUBLE) * CAST(_G AS DOUBLE)) > 0.2 AS at_risk
+FROM per
+"""
+
+# distinct-n diversity (lock-step with textstats.distinct_ngram_
+# diversity: whitespace tokens, ordered n-grams with duplicates kept,
+# exact long counts, one long/long double division per ratio)
+_DISTINCT_NGRAMS_SQL = r"""
+WITH tok AS (
+    SELECT source, string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+    SELECT source, unnest(ws) AS g FROM tok
+),
+bi AS (
+    SELECT source, unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM tok WHERE len(ws) >= 2
+),
+tri AS (
+    SELECT source,
+           unnest(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+    FROM tok WHERE len(ws) >= 3
+),
+u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT g) AS BIGINT) AS d FROM uni GROUP BY 1),
+b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT g) AS BIGINT) AS d FROM bi GROUP BY 1),
+t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT g) AS BIGINT) AS d FROM tri GROUP BY 1)
+SELECT u.source,
+       u.n AS n_unigrams, u.d AS distinct_unigrams,
+       CASE WHEN u.n > 0 THEN CAST(u.d AS DOUBLE) / CAST(u.n AS DOUBLE) ELSE 0.0 END AS distinct_1,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.d, 0) AS BIGINT) AS distinct_bigrams,
+       CASE WHEN COALESCE(b.n, 0) > 0 THEN CAST(b.d AS DOUBLE) / CAST(b.n AS DOUBLE) ELSE 0.0 END AS distinct_2,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(t.d, 0) AS BIGINT) AS distinct_trigrams,
+       CASE WHEN COALESCE(t.n, 0) > 0 THEN CAST(t.d AS DOUBLE) / CAST(t.n AS DOUBLE) ELSE 0.0 END AS distinct_3
+FROM u LEFT JOIN b ON u.source = b.source LEFT JOIN t ON u.source = t.source
+"""
+
+# readability (lock-step with textstats.readability_stats: sentence
+# runs of [.!?], vowel-group syllables with per-word min 1, exact
+# long sums, FRE as the same left-associated double expression)
+_READABILITY_SQL = r"""
+WITH per_doc AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS _w,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           END AS _s,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE list_sum(list_transform(
+                    string_split_regex(trim(text), '\s+'),
+                    w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+           END AS _y
+    FROM documents
+),
+per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(_w) AS BIGINT) AS n_words,
+           CAST(SUM(_s) AS BIGINT) AS n_sentences,
+           CAST(SUM(_y) AS BIGINT) AS n_syllables
+    FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       CASE WHEN n_sentences > 0
+            THEN CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+            ELSE 0.0 END AS words_per_sentence,
+       CASE WHEN n_words > 0
+            THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS syllables_per_word,
+       206.835
+       - 1.015 * (CASE WHEN n_sentences > 0
+                       THEN CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                       ELSE 0.0 END)
+       - 84.6 * (CASE WHEN n_words > 0
+                      THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END) AS flesch_reading_ease
+FROM per
+"""
+
+
+# two-sample KS drift (lock-step with psi.ks_from_bins: same fold/bin
+# stream as the PSI/JSD/W1 gates; sup over the union of observed bins,
+# EXACT hugeint cross-products |C_cur·N_ref − C_ref·N_cur|, MAX
+# (order-free), one final double division, round 6)
+_KS_SQL = f"""
+WITH {_CONV_CTE},
+binned AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 5.0), 0), 9) AS INTEGER) AS bin
+    FROM conversations
+),
+counts AS (SELECT fold, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY 1, 2),
+bins AS (SELECT DISTINCT bin FROM counts),
+cur_grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN bins b
+),
+cur_full AS (
+    SELECT g.fold, g.bin, COALESCE(c.n, 0) AS n
+    FROM cur_grid g
+    LEFT JOIN counts c ON g.fold = c.fold AND g.bin = c.bin
+),
+ref_full AS (
+    SELECT b.bin, COALESCE(c.n, 0) AS n
+    FROM bins b
+    LEFT JOIN (SELECT bin, n FROM counts WHERE fold = 'even') c ON b.bin = c.bin
+),
+cur AS (
+    SELECT fold, bin,
+           CAST(SUM(n) OVER (PARTITION BY fold ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+           CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS _tot
+    FROM cur_full
+),
+ref AS (
+    SELECT bin,
+           CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _rcum,
+           CAST(SUM(n) OVER () AS BIGINT) AS _rtot
+    FROM ref_full
+)
+SELECT c.fold,
+       ROUND(CAST(MAX(ABS(CAST(c._cum AS HUGEINT) * CAST(r._rtot AS HUGEINT)
+                          - CAST(r._rcum AS HUGEINT) * CAST(c._tot AS HUGEINT)))
+                  AS DOUBLE)
+             / (CAST(MAX(c._tot) AS DOUBLE) * CAST(MAX(r._rtot) AS DOUBLE)), 6) AS ks,
+       CAST(MAX(c._tot) AS BIGINT) AS n_cur,
+       CAST(MAX(r._rtot) AS BIGINT) AS n_ref
+FROM cur c JOIN ref r ON c.bin = r.bin
+GROUP BY c.fold
+"""
+
 
 def _random_projection_oracle(d_in: int = 64, d_out: int = 8, seed: str = "jl") -> str:
     """Unrolled JL-projection SQL: the SAME md5-derived ±1 matrix as
@@ -8425,6 +8663,10 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _K_ANONYMITY_SQL,
         "k_anonymity_summary": _K_ANONYMITY_SUMMARY_SQL,
         "l_diversity": _L_DIVERSITY_SQL,
+        "t_closeness": _T_CLOSENESS_SQL,
+        "ks_text_len": _KS_SQL,
+        "distinct_ngrams": _DISTINCT_NGRAMS_SQL,
+        "readability": _READABILITY_SQL,
         "random_projection": _random_projection_oracle(),
         "winsorize_value": _WINSORIZE_VALUE_SQL,
         "winsorize_audit": _WINSORIZE_AUDIT_SQL,

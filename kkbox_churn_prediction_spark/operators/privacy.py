@@ -89,6 +89,86 @@ def l_diversity_audit(
     return per_combo.withColumn("is_l_diverse", F.col("n_sensitive") >= F.lit(int(l)))
 
 
+def t_closeness_audit(
+    turns: DataFrame,
+    quasi_cols: tuple[str, ...] = ("role",),
+    sensitive_col: str = "tool",
+    t: float = 0.2,
+    *,
+    with_day: bool = True,
+) -> DataFrame:
+    """t-closeness audit: per quasi-identifier cell, the total-
+    variation distance between the cell's sensitive-value distribution
+    and the GLOBAL one. Completes the release-gate triple — k-anonymity
+    bounds cell size, l-diversity bounds distinct sensitive values, and
+    t-closeness catches the skewness attack both miss: a cell can hold
+    many entities and several sensitive values yet still leak (e.g.
+    99% one tool where the corpus is 50/50).
+
+    TVD(cell) = ½ · Σ_v |q_cell(v) − p_global(v)|, over the full
+    sensitive domain; values absent from a cell contribute their whole
+    global mass. NULL sensitive values are their own class (mapped to
+    a sentinel BEFORE grouping so the distribution join stays
+    null-safe), mirroring the sibling audits' NULL policy.
+
+    Determinism: the numerator is computed EXACTLY in integers —
+    |c_v·G − g_v·C| summed as decimal (order-free), plus the missing
+    mass (G − Σ_present g_v)·C — and only the final ratio is a double,
+    so both engines convert the same exact integer and divide by the
+    same double product: bit-identical, no float-sum ordering.
+
+    Distributed shape: three hash aggs (global dist, cell dist, cell
+    totals) + one broadcast join of the tiny global table; every
+    intermediate is bounded by the QI × sensitive DOMAIN, not the row
+    count, so the audit stays small at 10^12 rows. decimal(18,0)
+    operands keep the c·G products exact to ~10^18 rows per audit
+    slice (beyond that, pre-aggregate per shard).
+    """
+    dec = "decimal(18,0)"
+    cols = [F.col(c) for c in quasi_cols]
+    names = list(quasi_cols)
+    if with_day:
+        cols.append(F.date_trunc("day", F.col("ts")).alias("day"))
+        names.append("day")
+    base = turns.select(
+        *cols,
+        F.coalesce(F.col(sensitive_col), F.lit("__NULL__")).alias("_s"),
+    )
+    glob = base.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_g"))
+    gtot = base.agg(F.count(F.lit(1)).cast("long").alias("_gt"))
+    cell = base.groupBy(*names, "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ctot = cell.groupBy(*names).agg(F.sum("_c").cast("long").alias("_ct"))
+    j = (
+        cell.join(F.broadcast(glob), on="_s", how="inner")
+        .join(F.broadcast(ctot), on=names, how="inner")
+        .crossJoin(F.broadcast(gtot))
+    )
+    term = F.abs(
+        F.col("_c").cast(dec) * F.col("_gt").cast(dec)
+        - F.col("_g").cast(dec) * F.col("_ct").cast(dec)
+    )
+    per = j.groupBy(*names).agg(
+        F.max("_ct").alias("_C"),
+        F.max("_gt").alias("_G"),
+        F.sum(term).alias("_num1"),
+        F.sum("_g").cast("long").alias("_sumg"),
+    )
+    num = F.col("_num1") + (
+        F.col("_G").cast(dec) - F.col("_sumg").cast(dec)
+    ) * F.col("_C").cast(dec)
+    tvd = num.cast("double") / (
+        F.lit(2.0) * F.col("_C").cast("double") * F.col("_G").cast("double")
+    )
+    return per.select(
+        *names,
+        F.col("_C").cast("long").alias("n_rows"),
+        tvd.alias("tvd"),
+        (tvd > F.lit(float(t))).alias("at_risk"),
+    )
+
+
 def k_anonymity_summary(audit: DataFrame) -> DataFrame:
     """One-row release verdict: combos / entities-at-risk-weighted row
     exposure, and the minimum cell size (the dataset's k)."""

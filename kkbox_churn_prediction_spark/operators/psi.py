@@ -317,3 +317,99 @@ def wasserstein_from_bins(
         )
         .select(F.col(fold_col).alias("fold"), "wasserstein")
     )
+
+
+def ks_from_bins(
+    binned: DataFrame,
+    fold_col: str,
+    bin_col: str,
+    ref_fold: str,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic vs the reference
+    fold → ``(fold, ks)`` for every non-reference fold.
+
+    Completes the drift family's FOURTH lens: PSI is a divergence
+    (support-sensitive, unbounded), JSD a bounded divergence, W1 the
+    magnitude of the move in value units — KS is the sup-norm CDF gap
+    ``max_b |CDF_cur(b) − CDF_ref(b)|`` in [0, 1], the classic
+    distribution-shift test statistic (feeds the D_{n,m} critical
+    value ``c(α)·sqrt((n+m)/(n·m))`` driver-side if a p-value is
+    wanted). For step CDFs the sup is attained at a jump point, and
+    every jump point is an observed bin of SOME fold, so evaluating
+    over the union of observed bins is exact — no dense grid needed.
+
+    Determinism: the gap is computed EXACTLY in integers —
+    ``|C_cur(b)·N_ref − C_ref(b)·N_cur|`` as decimal cross-products of
+    cumulative long counts — and MAX is order-free, so both engines
+    pick the same exact numerator and perform one identical double
+    division by ``N_cur·N_ref``. No float summation anywhere.
+
+    Shape: identical to the siblings — ONE (fold, bin) count agg with
+    map-side partials; cumsums, the fold×bin grid, and the max all run
+    post-agg on domain-bounded rows (folds × bins).
+    """
+    dec = "decimal(18,0)"
+    counts = (
+        binned.groupBy(fold_col, bin_col).agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    bins = counts.select(bin_col).distinct()
+    cur_folds = counts.select(fold_col).where(F.col(fold_col) != ref_fold).distinct()
+    grid = cur_folds.crossJoin(F.broadcast(bins))
+
+    w_cdf = (
+        Window.partitionBy(fold_col)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(fold_col)
+
+    def cum(side: DataFrame) -> DataFrame:
+        return side.select(
+            fold_col,
+            bin_col,
+            F.sum("n").over(w_cdf).cast("long").alias("_cum"),
+            F.sum("n").over(w_tot).cast("long").alias("_tot"),
+        )
+
+    # evaluate BOTH folds' step CDFs at the full union of observed
+    # bins (zero-filled), so jump points of either side are covered
+    cur_full = grid.join(
+        counts.where(F.col(fold_col) != ref_fold), [fold_col, bin_col], "left"
+    ).select(fold_col, bin_col, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    ref_full = bins.join(
+        counts.where(F.col(fold_col) == ref_fold).select(bin_col, "n"),
+        [bin_col],
+        "left",
+    ).select(
+        F.lit(ref_fold).alias(fold_col),
+        bin_col,
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    cur = cum(cur_full)
+    ref = cum(ref_full).select(
+        bin_col,
+        F.col("_cum").alias("_rcum"),
+        F.col("_tot").alias("_rtot"),
+    )
+    gap = F.abs(
+        F.col("_cum").cast(dec) * F.col("_rtot").cast(dec)
+        - F.col("_rcum").cast(dec) * F.col("_tot").cast(dec)
+    )
+    per = (
+        cur.join(F.broadcast(ref), [bin_col])
+        .groupBy(fold_col)
+        .agg(
+            F.max(gap).alias("_num"),
+            F.max("_tot").alias("_n"),
+            F.max("_rtot").alias("_rn"),
+        )
+    )
+    ks = F.col("_num").cast("double") / (
+        F.col("_n").cast("double") * F.col("_rn").cast("double")
+    )
+    return per.select(
+        F.col(fold_col).alias("fold"),
+        F.round(ks, 6).alias("ks"),
+        F.col("_n").cast("long").alias("n_cur"),
+        F.col("_rn").cast("long").alias("n_ref"),
+    )

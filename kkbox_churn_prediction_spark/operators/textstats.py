@@ -1181,3 +1181,143 @@ def vocab_threshold_coverage(
         "n_types",
         F.round(F.col("_mass") * 1.0 / F.col("_tot"), 6).alias("token_share"),
     )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct-n corpus diversity per slice: for n = 1, 2, 3, the
+    ratio of distinct n-grams to total n-grams (distinct-1 is the
+    type/token ratio; distinct-2/3 are the standard generation- and
+    corpus-diversity metrics). A slice whose distinct-2 collapses is
+    template-heavy / self-repeating — exactly the text a pre-training
+    curation pass down-weights.
+
+    Differs from :func:`repetition_stats` (per-DOC duplicate-gram
+    fraction) by measuring diversity across the whole slice, where
+    cross-document boilerplate shows up.
+
+    Determinism: totals and distinct counts are exact longs; each
+    ratio is ONE long/long double division — no float summation.
+
+    Distributed shape: per n, explode → (slice, gram) hash agg →
+    per-slice rollup (two shuffles, map-side partials absorb the
+    fan-out); the three per-slice tables are domain-bounded and
+    broadcast-joined. Output rows = |slices|.
+    """
+    g = F.col(group_col)
+    t = F.col(text_col)
+
+    def per_n(n: int, tag: str) -> DataFrame:
+        grams = df.select(
+            g.alias("_grp"),
+            F.explode(
+                tokens(t) if n == 1 else all_word_ngrams(t, n)
+            ).alias("_g"),
+        )
+        cnt = grams.groupBy("_grp", "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        return cnt.groupBy("_grp").agg(
+            F.sum("_c").cast("long").alias(f"n_{tag}"),
+            F.count(F.lit(1)).cast("long").alias(f"distinct_{tag}"),
+        )
+
+    uni = per_n(1, "unigrams")
+    bi = per_n(2, "bigrams")
+    tri = per_n(3, "trigrams")
+    out = uni.join(F.broadcast(bi), on="_grp", how="left").join(
+        F.broadcast(tri), on="_grp", how="left"
+    )
+
+    def ratio(tag: str) -> Column:
+        tot = F.coalesce(F.col(f"n_{tag}"), F.lit(0))
+        dis = F.coalesce(F.col(f"distinct_{tag}"), F.lit(0))
+        return F.when(
+            tot > 0, dis.cast("double") / tot.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return out.select(
+        F.col("_grp").alias(group_col),
+        F.col("n_unigrams"),
+        F.col("distinct_unigrams"),
+        ratio("unigrams").alias("distinct_1"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("distinct_bigrams"), F.lit(0))
+        .cast("long")
+        .alias("distinct_bigrams"),
+        ratio("bigrams").alias("distinct_2"),
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce(F.col("distinct_trigrams"), F.lit(0))
+        .cast("long")
+        .alias("distinct_trigrams"),
+        ratio("trigrams").alias("distinct_3"),
+    )
+
+
+def readability_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Flesch reading-ease per corpus slice — the classic readability
+    quality filter (C4/FineWeb-style pipelines gate on it): FRE =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/word), with
+    sentences counted as runs of [.!?] (min 1 per non-empty doc) and
+    syllables approximated as vowel-letter groups per word (min 1 —
+    the standard heuristic; 'rhythm'-class all-consonant words still
+    score one syllable).
+
+    Determinism: the three components are exact LONG sums; FRE is one
+    fixed-shape double expression over their ratios, so both engines
+    evaluate the identical tree — no per-doc float averaging.
+
+    Distributed shape: per-row integer counters (regexp_extract_all +
+    a bind-once HOF sum over the token array — interpreted, but
+    integer-only and allocation-light) followed by ONE hash agg keyed
+    by the slice; output rows = |slices|.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    sent_runs = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0)))
+    n_sents = F.when(
+        n_words > 0, F.greatest(sent_runs, F.lit(1))
+    ).otherwise(F.lit(0)).cast("long")
+    syl_per_word = lambda w: F.greatest(  # noqa: E731
+        F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + syl_per_word(w)
+    ).cast("long")
+
+    per = df.select(
+        F.col(group_col).alias(group_col),
+        n_words.alias("_w"),
+        n_sents.alias("_s"),
+        n_syll.alias("_y"),
+    ).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.sum("_s").cast("long").alias("n_sentences"),
+        F.sum("_y").cast("long").alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    wps = F.when(F.col("n_sentences") > 0, w / s).otherwise(F.lit(0.0))
+    spw = F.when(F.col("n_words") > 0, y / w).otherwise(F.lit(0.0))
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        fre.alias("flesch_reading_ease"),
+    )

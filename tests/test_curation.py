@@ -353,3 +353,79 @@ def test_vocab_threshold_coverage_golden(spark):
     assert out[5]["n_types"] == 1 and out[5]["token_share"] == 0.5
     # monotone: a higher floor never covers more
     assert out[1]["token_share"] >= out[2]["token_share"] >= out[5]["token_share"]
+
+
+def test_distinct_ngram_diversity_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # template slice: same 3-token doc twice -> cross-doc dup
+            ("tpl", "a b c"),
+            ("tpl", "a b c"),
+            # fresh slice: all-new tokens
+            ("new", "p q r s"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r for r in distinct_ngram_diversity(docs).collect()
+    }
+    tpl = out["tpl"]
+    # 6 unigram tokens, 3 distinct; 4 bigrams, 2 distinct; 2 trigrams, 1 distinct
+    assert tpl["n_unigrams"] == 6 and tpl["distinct_unigrams"] == 3
+    assert tpl["distinct_1"] == 0.5
+    assert tpl["n_bigrams"] == 4 and tpl["distinct_bigrams"] == 2
+    assert tpl["distinct_2"] == 0.5
+    assert tpl["n_trigrams"] == 2 and tpl["distinct_trigrams"] == 1
+    assert tpl["distinct_3"] == 0.5
+    new = out["new"]
+    assert new["distinct_1"] == 1.0 and new["distinct_2"] == 1.0
+    assert new["n_trigrams"] == 2 and new["distinct_3"] == 1.0
+
+
+def test_distinct_ngram_diversity_short_docs(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    # one-word docs: no bigrams/trigrams anywhere in the slice
+    docs = spark.createDataFrame(
+        [("s", "solo"), ("s", "solo")], "source string, text string"
+    )
+    r = distinct_ngram_diversity(docs).collect()[0]
+    assert r["n_unigrams"] == 2 and r["distinct_unigrams"] == 1
+    assert r["n_bigrams"] == 0 and r["distinct_2"] == 0.0
+    assert r["n_trigrams"] == 0 and r["distinct_3"] == 0.0
+
+
+def test_readability_stats_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import readability_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentence-runs, syllables: the=1 cat=1 sat=1 down=1
+            ("a", "The cat sat. Down!"),
+            # no terminal punctuation -> min 1 sentence; rhythm -> 1 syllable floor
+            ("a", "rhythm grd"),
+            ("b", ""),
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in readability_stats(docs).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 2
+    assert a["n_words"] == 6  # 4 + 2
+    assert a["n_sentences"] == 3  # 2 runs + floor(1)
+    # syllables: the(1) cat(1) sat(1) down(1) + rhythm(y->1) grd(floor 1) = 6
+    assert a["n_syllables"] == 6
+    assert abs(a["words_per_sentence"] - 2.0) < 1e-12
+    assert abs(a["syllables_per_word"] - 1.0) < 1e-12
+    expected = 206.835 - 1.015 * 2.0 - 84.6 * 1.0
+    assert abs(a["flesch_reading_ease"] - expected) < 1e-9
+    # empty slice: all-zero counters, FRE at the formula's zero point
+    b = out["b"]
+    assert b["n_words"] == 0 and b["n_sentences"] == 0 and b["n_syllables"] == 0
+    assert b["words_per_sentence"] == 0.0 and b["syllables_per_word"] == 0.0

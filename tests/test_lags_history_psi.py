@@ -213,3 +213,40 @@ def test_wasserstein_from_bins_matches_numpy(spark):
     s9 = {r["fold"]: r["wasserstein"]
           for r in wasserstein_from_bins(sparse, "fold", "bin", "ref", 1.0).collect()}
     assert s9 == {"cur": 9.0}
+
+
+def test_ks_from_bins_golden(spark):
+    from kkbox_churn_prediction_spark.operators.psi import ks_from_bins
+
+    # ref: 6@bin0 + 4@bin1; cur: 6@bin1 + 4@bin2 (one-bin shift)
+    rows = (
+        [("ref", 0)] * 6 + [("ref", 1)] * 4
+        + [("cur", 1)] * 6 + [("cur", 2)] * 4
+    )
+    df = spark.createDataFrame(rows, "fold string, bin int")
+    out = {r["fold"]: r for r in ks_from_bins(df, "fold", "bin", "ref").collect()}
+    # CDFs at bins 0,1,2: ref (.6, 1, 1) vs cur (0, .6, 1) → sup gap .6
+    assert out["cur"]["ks"] == 0.6
+    assert out["cur"]["n_cur"] == 10 and out["cur"]["n_ref"] == 10
+    # identical distributions → 0; disjoint support → 1
+    same = spark.createDataFrame(
+        [("ref", 0)] * 3 + [("b", 0)] * 3, "fold string, bin int"
+    )
+    assert ks_from_bins(same, "fold", "bin", "ref").collect()[0]["ks"] == 0.0
+    disj = spark.createDataFrame(
+        [("ref", 0)] * 3 + [("cur", 5)] * 7, "fold string, bin int"
+    )
+    r = ks_from_bins(disj, "fold", "bin", "ref").collect()[0]
+    assert r["ks"] == 1.0 and r["n_cur"] == 7 and r["n_ref"] == 3
+
+
+def test_ks_from_bins_unequal_sizes_exact(spark):
+    from kkbox_churn_prediction_spark.operators.psi import ks_from_bins
+
+    # unequal n: ref 3 rows, cur 7 rows — exact rational gap
+    # ref CDF at bin0 = 2/3, cur = 3/7 → |2/3-3/7| = 5/21
+    # at bin1 both = 1 → sup = 5/21
+    rows = [("ref", 0)] * 2 + [("ref", 1)] + [("cur", 0)] * 3 + [("cur", 1)] * 4
+    df = spark.createDataFrame(rows, "fold string, bin int")
+    out = ks_from_bins(df, "fold", "bin", "ref").collect()[0]
+    assert out["ks"] == round(5 / 21, 6)

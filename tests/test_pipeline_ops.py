@@ -239,6 +239,74 @@ class TestKAnonymity:
         assert out["tool"]["n_rows"] == 3
         assert out["system"]["n_sensitive"] == 2  # NULL counted as a class
 
+    def test_t_closeness_skew_cell(self, spark):
+        # Global tool distribution: 4×search, 4×code (50/50).
+        # Cell 'user': 3×search + 1×code  -> TVD = |3/4-1/2|/... = 0.25
+        # Cell 'tool': 1×search + 3×code  -> TVD = 0.25 (symmetric)
+        # Both cells are l-diverse (2 tools) yet skewed vs global.
+        rows = (
+            [("a", 0, "user", "x", "search", T0)] * 3
+            + [("b", 0, "user", "x", "code", T0)]
+            + [("c", 0, "tool", "x", "search", T0)]
+            + [("d", 0, "tool", "x", "code", T0)] * 3
+        )
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import t_closeness_audit
+
+        out = {
+            r["role"]: r
+            for r in t_closeness_audit(
+                spark.createDataFrame(pdf), ("role",), "tool", t=0.2
+            ).collect()
+        }
+        # TVD = 0.5*(|0.75-0.5| + |0.25-0.5|) = 0.25 for both cells
+        assert abs(out["user"]["tvd"] - 0.25) < 1e-12
+        assert abs(out["tool"]["tvd"] - 0.25) < 1e-12
+        assert out["user"]["at_risk"] and out["tool"]["at_risk"]
+        assert out["user"]["n_rows"] == 4
+
+    def test_t_closeness_missing_mass_and_null(self, spark):
+        # Cell 'user' holds ONLY NULL-tool rows; global also has
+        # 'search' rows elsewhere, so the cell pays the full missing
+        # mass of 'search' plus the NULL-class surplus.
+        rows = (
+            [("a", 0, "user", "x", None, T0)] * 2
+            + [("b", 0, "tool", "x", "search", T0)] * 2
+        )
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import t_closeness_audit
+
+        out = {
+            r["role"]: r
+            for r in t_closeness_audit(
+                spark.createDataFrame(pdf), ("role",), "tool", t=0.2
+            ).collect()
+        }
+        # cell user: q = {NULL:1.0}; global p = {NULL:.5, search:.5}
+        # TVD = 0.5*(|1-.5| + |0-.5|) = 0.5
+        assert abs(out["user"]["tvd"] - 0.5) < 1e-12
+        assert out["user"]["at_risk"]
+
+    def test_t_closeness_matching_cell_is_safe(self, spark):
+        # A cell that mirrors the global distribution has TVD 0.
+        rows = (
+            [("a", 0, "user", "x", "search", T0), ("a", 1, "user", "x", "code", T0)]
+            + [("b", 0, "tool", "x", "search", T0), ("b", 1, "tool", "x", "code", T0)]
+        )
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        from kkbox_churn_prediction_spark.operators.privacy import t_closeness_audit
+
+        out = t_closeness_audit(
+            spark.createDataFrame(pdf), ("role",), "tool", t=0.2
+        ).collect()
+        assert all(r["tvd"] == 0.0 and not r["at_risk"] for r in out)
+
 
 def test_rule_router_first_match_wins(spark):
     from kkbox_churn_prediction_spark.operators.rules import apply_rules, rule_audit
