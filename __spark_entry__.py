@@ -2549,6 +2549,110 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_stats(_docs(spark, sf_dir))
 
 
+def _q_cuped_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction on per-conversation post-period turn
+    counts, with the pre-period turn count as covariate (pre/post
+    split at the global time-range midpoint; arms by hash parity).
+    Exact integer sufficient statistics, one hash agg per stage."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import cuped_adjusted
+
+    conv = _conv(spark, sf_dir)
+    mid = conv.agg(
+        F.floor(
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / F.lit(2)
+        ).alias("_mid")
+    )
+    units = (
+        conv.crossJoin(F.broadcast(mid))
+        .groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("_mid"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("_mid"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                F.pmod(
+                    stable_hash48(F.concat(F.lit("cuped"), F.col("conv_id"))),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    return cuped_adjusted(units)
+
+
+def _q_proportion_tool_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of 'conversation used ≥1 tool' between
+    hash-parity arms — the conversion-rate companion to the Welch
+    gate. Exact conditional counts, one row out."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import two_proportion_z
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.max(F.col("tool").isNotNull().cast("int")).alias("success")
+    ).select(
+        F.when(
+            F.pmod(
+                stable_hash48(F.concat(F.lit("prop"), F.col("conv_id"))), F.lit(2)
+            )
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+        "success",
+    )
+    return two_proportion_z(units)
+
+
+def _q_srm_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on the hash-parity assignment vs the
+    designed 50/50 split: per-arm observed/expected/share plus the
+    chi-square verdict every experiment platform runs first."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import srm_check
+
+    conv = _conv(spark, sf_dir)
+    units = conv.select("conv_id").distinct().select(
+        F.when(
+            F.pmod(
+                stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2)
+            )
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("arm")
+    )
+    return srm_check(units)
+
+
 def _q_ks_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS statistic of text length between the even/odd
     week folds — the sup-norm member of the drift family (same
@@ -3320,6 +3424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _q_l_diversity,
         "t_closeness": _q_t_closeness,
         "ks_text_len": _q_ks_text_len,
+        "cuped_turns": _q_cuped_turns,
+        "proportion_tool_use": _q_proportion_tool_use,
+        "srm_arms": _q_srm_arms,
         "distinct_ngrams": _q_distinct_ngrams,
         "readability": _q_readability,
         "random_projection": _q_random_projection,
@@ -8081,6 +8188,158 @@ FROM per
 """
 
 
+# CUPED (lock-step with abtest.cuped_adjusted: hash-parity arms,
+# pre/post split at the global epoch-us midpoint, EXACT hugeint
+# sufficient statistics per arm, identical fixed-shape double algebra)
+_CUPED_TURNS_SQL = f"""
+WITH {_CONV_CTE},
+mid AS (
+    SELECT CAST(floor((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2) AS BIGINT) AS _mid
+    FROM conversations
+),
+per_conv AS (
+    SELECT conv_id,
+           CAST(SUM(CASE WHEN epoch_us(ts) < _mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN epoch_us(ts) >= _mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM conversations CROSS JOIN mid
+    GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('cuped', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm, x, y
+    FROM per_conv
+),
+per_arm AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM units GROUP BY arm
+),
+pooled AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS _N,
+           CAST(SUM(sx) AS DOUBLE) AS _SX,
+           CAST(SUM(sy) AS DOUBLE) AS _SY,
+           CAST(SUM(sxy) AS DOUBLE) AS _SXY,
+           CAST(SUM(sxx) AS DOUBLE) AS _SXX
+    FROM per_arm
+),
+calc AS (
+    SELECT arm, n,
+           CASE WHEN _N * _SXX - _SX * _SX > 0
+                THEN (_N * _SXY - _SX * _SY) / (_N * _SXX - _SX * _SX)
+                ELSE 0.0 END AS theta,
+           _SX / _N AS xbar_pool,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(sx AS DOUBLE) AS sxd,
+           CAST(sy AS DOUBLE) AS syd,
+           CAST(sxy AS DOUBLE) AS sxyd,
+           CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(syy AS DOUBLE) AS syyd
+    FROM per_arm CROSS JOIN pooled
+),
+calc2 AS (
+    SELECT arm, n, theta,
+           syd / nd AS mean_y,
+           syd / nd - theta * (sxd / nd - xbar_pool) AS mean_y_adj,
+           CASE WHEN n > 1 THEN (syyd - syd * syd / nd) / (nd - 1.0) ELSE 0.0 END AS var_y,
+           CASE WHEN n > 1 THEN (sxxd - sxd * sxd / nd) / (nd - 1.0) ELSE 0.0 END AS var_x,
+           CASE WHEN n > 1 THEN (sxyd - sxd * syd / nd) / (nd - 1.0) ELSE 0.0 END AS cov
+    FROM calc
+)
+SELECT arm, n,
+       ROUND(mean_y, 6) AS mean_y,
+       ROUND(mean_y_adj, 6) AS mean_y_adj,
+       ROUND(var_y, 6) AS var_y,
+       ROUND(var_y - 2.0 * theta * cov + theta * theta * var_x, 6) AS var_y_adj,
+       ROUND(CASE WHEN var_y > 0
+                  THEN 1.0 - (var_y - 2.0 * theta * cov + theta * theta * var_x) / var_y
+                  ELSE 0.0 END, 6) AS var_reduction,
+       ROUND(theta, 6) AS theta
+FROM calc2
+"""
+
+# two-proportion z (lock-step with abtest.two_proportion_z: exact
+# conditional counts, pooled-SE z as one fixed double expression)
+_PROPORTION_TOOL_USE_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id, MAX(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS success
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('prop', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm, success
+    FROM per_conv
+),
+one AS (
+    SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 'a' THEN success ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN success ELSE 0 END) AS BIGINT) AS s_b
+    FROM units
+)
+SELECT n_a, n_b, s_a, s_b,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_diff,
+       ROUND(CASE WHEN CAST(s_a + s_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (1.0 - CAST(s_a + s_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) > 0
+                  THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt(CAST(s_a + s_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                              * (1.0 - CAST(s_a + s_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS z_stat
+FROM one
+"""
+
+# SRM check (lock-step with abtest.srm_check: exact observed counts,
+# 50/50 design, chi² summed over the arm-ordered window frame)
+_SRM_ARMS_SQL = f"""
+WITH {_CONV_CTE},
+armed AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm
+    FROM (SELECT DISTINCT conv_id FROM conversations)
+),
+obs AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS observed FROM armed GROUP BY arm),
+expected(arm, ratio) AS (VALUES ('a', 0.5), ('b', 0.5)),
+j AS (
+    SELECT e.arm, e.ratio, CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed
+    FROM expected e LEFT JOIN obs o ON e.arm = o.arm
+),
+win AS (
+    SELECT arm, observed, ratio,
+           CAST(SUM(observed) OVER () AS DOUBLE) AS total
+    FROM j
+),
+terms AS (
+    SELECT arm, observed, ratio, total,
+           total * ratio AS e,
+           CASE WHEN total * ratio > 0
+                THEN (CAST(observed AS DOUBLE) - total * ratio)
+                     * (CAST(observed AS DOUBLE) - total * ratio) / (total * ratio)
+                ELSE 0.0 END AS term
+    FROM win
+)
+SELECT arm, observed,
+       ROUND(e, 6) AS expected,
+       ROUND(CAST(observed AS DOUBLE) / total, 6) AS share,
+       ROUND(SUM(term) OVER (ORDER BY arm
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING), 6) AS chi2,
+       SUM(term) OVER (ORDER BY arm
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) > 3.841 AS srm
+FROM terms
+"""
+
 # two-sample KS drift (lock-step with psi.ks_from_bins: same fold/bin
 # stream as the PSI/JSD/W1 gates; sup over the union of observed bins,
 # EXACT hugeint cross-products |C_cur·N_ref − C_ref·N_cur|, MAX
@@ -8665,6 +8924,9 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _L_DIVERSITY_SQL,
         "t_closeness": _T_CLOSENESS_SQL,
         "ks_text_len": _KS_SQL,
+        "cuped_turns": _CUPED_TURNS_SQL,
+        "proportion_tool_use": _PROPORTION_TOOL_USE_SQL,
+        "srm_arms": _SRM_ARMS_SQL,
         "distinct_ngrams": _DISTINCT_NGRAMS_SQL,
         "readability": _READABILITY_SQL,
         "random_projection": _random_projection_oracle(),

@@ -72,3 +72,206 @@ def welch_t_stats(
         F.coalesce(dfree, F.lit(0.0)).alias("welch_df"),
         F.coalesce(d, F.lit(0.0)).alias("cohens_d"),
     )
+
+
+def cuped_adjusted(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — public): per
+    experiment arm, the pre-period covariate ``x`` absorbs between-
+    unit variance from the post-period metric ``y`` via
+    ``y_adj = y − θ·(x − x̄_pool)`` with the pooled OLS slope
+    ``θ = Cov(x,y)/Var(x)``. Emits per-arm ``n / mean_y / mean_y_adj /
+    var_y / var_y_adj / var_reduction`` plus the shared ``theta`` —
+    the standard pre-experiment-data trick that cuts A/B test
+    durations by the covariate's R².
+
+    Input is ONE ROW PER UNIT (pre-aggregate turns → units first);
+    ``x``/``y`` are integer counts, so every moment below is exact.
+
+    Determinism: the five sufficient statistics per arm (n, Σx, Σy,
+    Σxy, Σx², Σy²) are EXACT decimal sums of integer products —
+    order-free — and all downstream algebra (θ, means, variances) is
+    fixed-shape double expressions over those exact scalars, so both
+    engines compute bit-identical output. No float summation over
+    rows anywhere.
+
+    Distributed shape: ONE partial+final hash agg keyed by arm (6
+    algebraic sums), then scalar algebra on the |arms|-row result with
+    the pooled row broadcast back. Nothing else touches the unit
+    table.
+
+    Degenerate guard: Var(x) = 0 (constant covariate) → θ = 0 and
+    CUPED is a no-op (adjusted == raw), matching the production
+    convention.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    per_arm = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n").cast("double").alias("_N"),
+        F.sum("sx").cast("double").alias("_SX"),
+        F.sum("sy").cast("double").alias("_SY"),
+        F.sum("sxy").cast("double").alias("_SXY"),
+        F.sum("sxx").cast("double").alias("_SXX"),
+    )
+    j = per_arm.crossJoin(F.broadcast(pooled))
+    # pooled slope: θ = (N·Σxy − Σx·Σy) / (N·Σx² − Σx²) — both sides
+    # exact-integer-valued doubles, one division
+    th_den = F.col("_N") * F.col("_SXX") - F.col("_SX") * F.col("_SX")
+    theta = F.when(
+        th_den > 0,
+        (F.col("_N") * F.col("_SXY") - F.col("_SX") * F.col("_SY")) / th_den,
+    ).otherwise(F.lit(0.0))
+    xbar_pool = F.col("_SX") / F.col("_N")
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    mean_y = sy / n
+    mean_y_adj = mean_y - theta * (sx / n - xbar_pool)
+    var_y = F.when(
+        F.col("n") > 1,
+        (F.col("syy").cast("double") - sy * sy / n) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    var_x = F.when(
+        F.col("n") > 1,
+        (F.col("sxx").cast("double") - sx * sx / n) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    cov = F.when(
+        F.col("n") > 1,
+        (F.col("sxy").cast("double") - sx * sy / n) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    var_y_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+    return j.select(
+        "arm",
+        "n",
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y_adj, 6).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_y_adj, 6).alias("var_y_adj"),
+        F.round(
+            F.when(var_y > 0, F.lit(1.0) - var_y_adj / var_y).otherwise(F.lit(0.0)),
+            6,
+        ).alias("var_reduction"),
+        F.round(theta, 6).alias("theta"),
+    )
+
+
+def two_proportion_z(
+    units: DataFrame,
+    arm_col: str = "arm",
+    success_col: str = "success",
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test (pooled standard error) between arms
+    ``arm_a`` and ``arm_b`` over a boolean/0-1 ``success`` column —
+    the conversion-rate companion to :func:`welch_t_stats` (means).
+    One row: per-arm n / successes / rate, the rate difference, and
+    the z statistic (0.0 when the pooled variance is degenerate —
+    all-success or all-failure).
+
+    Determinism: all four counts are exact longs; the z expression is
+    one fixed shape over their double casts — bit-identical cross-
+    engine. Shape: ONE conditional-count hash agg, scalar algebra on
+    a single row.
+    """
+    s = F.col(success_col).cast("int")
+    g = F.col(arm_col)
+    one = units.agg(
+        F.sum(F.when(g == arm_a, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_b, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_a, s).otherwise(F.lit(0))).cast("long").alias("s_a"),
+        F.sum(F.when(g == arm_b, s).otherwise(F.lit(0))).cast("long").alias("s_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    p_a = F.col("s_a").cast("double") / na
+    p_b = F.col("s_b").cast("double") / nb
+    pool = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
+    se2 = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when(se2 > 0, (p_a - p_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    return one.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_a - p_b, 6).alias("rate_diff"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def srm_check(
+    units: DataFrame,
+    arm_col: str = "arm",
+    expected: tuple[tuple[str, float], ...] = (("a", 0.5), ("b", 0.5)),
+    threshold: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch check: per-arm observed vs expected
+    allocation and the chi-square goodness-of-fit statistic — the
+    first gate every experimentation platform runs (a biased split
+    invalidates the test before any metric is read). ``threshold``
+    defaults to the χ²(1df, α=0.05) critical value.
+
+    Output: one row per EXPECTED arm (observed, expected, share) each
+    carrying the total ``chi2`` and the ``srm`` verdict flag, so the
+    per-arm allocation and the decision read off one table.
+
+    Determinism: observed counts are exact longs joined onto the
+    broadcast expected-ratio table; the chi-square total sums ≤|arms|
+    fixed-shape double terms ordered by arm via a window over the
+    domain-bounded result — no row-order dependence. Shape: ONE hash
+    agg keyed by arm + tiny broadcast join; everything after runs on
+    |arms| rows.
+    """
+    from pyspark.sql import Window
+
+    spark = units.sparkSession
+    exp_df = spark.createDataFrame(
+        [(a, float(r)) for a, r in expected], "arm string, ratio double"
+    )
+    obs = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    j = (
+        exp_df.join(obs, "arm", "left")
+        .select(
+            "arm",
+            "ratio",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+        )
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("observed").over(w_all).cast("double")
+    e = total * F.col("ratio")
+    term = F.when(
+        e > 0,
+        (F.col("observed").cast("double") - e) * (F.col("observed").cast("double") - e) / e,
+    ).otherwise(F.lit(0.0))
+    # order the ≤|arms| chi² terms by arm before summing: a sorted
+    # window frame fixes the float-add order on both engines
+    w_ord = w_all.orderBy("arm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi2 = F.sum(term).over(w_ord)
+    return j.select(
+        "arm",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(F.col("observed").cast("double") / total, 6).alias("share"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(threshold))).alias("srm"),
+    )

@@ -144,3 +144,101 @@ class TestDailyAnomalies:
         assert last["n_turns"] == 120 and last["is_anomaly"]
         assert last["z_score"] > 3.0
         assert sum(r["is_anomaly"] for r in out) == 1
+
+
+class TestCuped:
+    def test_perfect_covariate_kills_variance(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import cuped_adjusted
+
+        # y = x exactly -> theta = 1, adjusted variance = 0
+        rows = [("a", i, i) for i in range(1, 7)] + [("b", i, i) for i in range(2, 8)]
+        df = spark.createDataFrame(rows, "arm string, x long, y long")
+        out = {r["arm"]: r for r in cuped_adjusted(df).collect()}
+        assert out["a"]["theta"] == 1.0
+        assert out["a"]["var_y_adj"] == 0.0 and out["b"]["var_y_adj"] == 0.0
+        assert out["a"]["var_reduction"] == 1.0
+        # adjusted means shift toward the pooled baseline but keep the
+        # arm DIFFERENCE intact when allocation is balanced
+        diff_raw = out["b"]["mean_y"] - out["a"]["mean_y"]
+        diff_adj = out["b"]["mean_y_adj"] - out["a"]["mean_y_adj"]
+        assert abs(diff_adj - 0.0) < 1e-9  # x explains ALL of the gap
+        assert abs(diff_raw - 1.0) < 1e-9
+
+    def test_useless_covariate_is_noop(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import cuped_adjusted
+
+        # constant x -> Var(x)=0 -> theta=0 -> adjusted == raw
+        rows = [("a", 5, 1), ("a", 5, 3), ("b", 5, 2), ("b", 5, 6)]
+        df = spark.createDataFrame(rows, "arm string, x long, y long")
+        out = {r["arm"]: r for r in cuped_adjusted(df).collect()}
+        for arm in ("a", "b"):
+            assert out[arm]["theta"] == 0.0
+            assert out[arm]["mean_y_adj"] == out[arm]["mean_y"]
+            assert out[arm]["var_y_adj"] == out[arm]["var_y"]
+            assert out[arm]["var_reduction"] == 0.0
+
+    def test_theta_matches_pooled_ols(self, spark):
+        import numpy as np
+
+        from kkbox_churn_prediction_spark.operators.abtest import cuped_adjusted
+
+        xs = [1, 2, 3, 4, 5, 6, 7, 8]
+        ys = [2, 3, 5, 4, 7, 8, 8, 11]
+        rows = [("a" if i % 2 == 0 else "b", xs[i], ys[i]) for i in range(8)]
+        df = spark.createDataFrame(rows, "arm string, x long, y long")
+        out = cuped_adjusted(df).collect()[0]
+        x, y = np.array(xs, float), np.array(ys, float)
+        theta = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+        assert out["theta"] == round(theta, 6)
+
+
+class TestProportionZ:
+    def test_golden_counts_and_z(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import two_proportion_z
+
+        rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 45 + [("b", 0)] * 55
+        df = spark.createDataFrame(rows, "arm string, success int")
+        r = two_proportion_z(df).collect()[0]
+        assert (r["n_a"], r["n_b"], r["s_a"], r["s_b"]) == (100, 100, 30, 45)
+        assert r["rate_a"] == 0.3 and r["rate_b"] == 0.45
+        import math
+
+        pool = 75 / 200
+        z = (0.3 - 0.45) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+        assert r["z_stat"] == round(z, 6)
+
+    def test_degenerate_pool_yields_zero(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import two_proportion_z
+
+        rows = [("a", 1)] * 5 + [("b", 1)] * 5  # all success: se2 = 0
+        df = spark.createDataFrame(rows, "arm string, success int")
+        r = two_proportion_z(df).collect()[0]
+        assert r["z_stat"] == 0.0 and r["rate_diff"] == 0.0
+
+
+class TestSrm:
+    def test_balanced_split_not_flagged(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import srm_check
+
+        df = spark.createDataFrame(
+            [("a",)] * 500 + [("b",)] * 510, "arm string"
+        )
+        out = {r["arm"]: r for r in srm_check(df).collect()}
+        # chi2 = 2 * (5^2 / 505) ≈ 0.099 << 3.841
+        assert not out["a"]["srm"] and not out["b"]["srm"]
+        assert out["a"]["observed"] == 500 and out["a"]["expected"] == 505.0
+        assert out["a"]["chi2"] == out["b"]["chi2"]
+        assert abs(out["a"]["chi2"] - round(2 * 25 / 505, 6)) < 1e-9
+
+    def test_biased_split_flagged_and_missing_arm(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import srm_check
+
+        # 90/10 on n=1000: chi2 = (400^2/500)*2 = 640 -> flagged
+        df = spark.createDataFrame([("a",)] * 900 + [("b",)] * 100, "arm string")
+        out = {r["arm"]: r for r in srm_check(df).collect()}
+        assert out["a"]["srm"] and out["b"]["srm"]
+        assert out["a"]["chi2"] == 640.0
+        # an expected arm with ZERO observed rows still appears
+        df2 = spark.createDataFrame([("a",)] * 10, "arm string")
+        out2 = {r["arm"]: r for r in srm_check(df2).collect()}
+        assert out2["b"]["observed"] == 0 and out2["b"]["srm"]
