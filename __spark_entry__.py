@@ -2549,6 +2549,41 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_stats(_docs(spark, sf_dir))
 
 
+def _q_mde_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the hash-parity text-length test
+    at current sample sizes (two-sided α=0.05, power 0.8) — the
+    design-side companion to ab_test_text_len. Exact decimal moment
+    sums, fixed-shape double algebra."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import power_mde
+
+    conv = _conv(spark, sf_dir)
+    units = conv.select(
+        F.when(
+            F.pmod(
+                stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2)
+            )
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+        F.length("text").cast("long").alias("y"),
+    )
+    return power_mde(units)
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per predicted language: bytes/chars per
+    BPE-ish token and tokens per word, exact long sums per slice —
+    the tokenizer-equity audit for multilingual corpora."""
+    from kkbox_churn_prediction_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def _q_cuped_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction on per-conversation post-period turn
     counts, with the pre-period turn count as covariate (pre/post
@@ -3424,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _q_l_diversity,
         "t_closeness": _q_t_closeness,
         "ks_text_len": _q_ks_text_len,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "mde_text_len": _q_mde_text_len,
         "cuped_turns": _q_cuped_turns,
         "proportion_tool_use": _q_proportion_tool_use,
         "srm_arms": _q_srm_arms,
@@ -4147,6 +4184,61 @@ WITH scored AS (
 SELECT doc_id, {cols},
        CASE WHEN {all_max} > 0 THEN {best} ELSE 'und' END AS pred_lang
 FROM scored
+"""
+
+
+def _fertility_oracle() -> str:
+    """Tokenizer-fertility SQL (lock-step with textstats.
+    tokenizer_fertility: the SAME per-language scores + argmax
+    tiebreak as the lang_id oracle, strlen() UTF-8 bytes, exact
+    BIGINT sums per slice, one double division per ratio)."""
+    scores = ",\n       ".join(
+        f"ROUND(len(list_filter({_TOKS}, t -> list_contains({lst}, t))) * 1.0 / "
+        f"greatest({_NTOK_RAW}, 1), 6) AS score_{lang}"
+        for lang, lst in _PROFILES.items()
+    )
+    langs = sorted(_PROFILES)
+    best = f"'{langs[0]}'"
+    seen = [f"score_{langs[0]}"]
+    for lang in langs[1:]:
+        prev_max = "greatest(" + ", ".join(seen) + ")" if len(seen) > 1 else seen[0]
+        best = f"CASE WHEN score_{lang} > {prev_max} THEN '{lang}' ELSE {best} END"
+        seen.append(f"score_{lang}")
+    all_max = "greatest(" + ", ".join(seen) + ")"
+    return f"""
+WITH scored AS (
+    SELECT strlen(text) AS _bytes,
+           length(text) AS _chars,
+           len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS _bpe,
+           {_NTOK_RAW} AS _words,
+       {scores}
+    FROM documents
+),
+tagged AS (
+    SELECT CASE WHEN {all_max} > 0 THEN {best} ELSE 'und' END AS lang,
+           _bytes, _chars, _bpe, _words
+    FROM scored
+),
+per AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(_bytes) AS BIGINT) AS n_bytes,
+           CAST(SUM(_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(_bpe) AS BIGINT) AS n_tokens,
+           CAST(SUM(_words) AS BIGINT) AS n_words
+    FROM tagged GROUP BY lang
+)
+SELECT lang, n_docs, n_bytes, n_chars, n_tokens, n_words,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS bytes_per_token,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS chars_per_token,
+       ROUND(CASE WHEN n_words > 0
+                  THEN CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END, 6) AS tokens_per_word
+FROM per
 """
 
 
@@ -8262,6 +8354,58 @@ SELECT arm, n,
 FROM calc2
 """
 
+# MDE power analysis (lock-step with abtest.power_mde: exact hugeint
+# moment sums per arm, (1.959964 + 0.841621)·SE as one fixed-shape
+# double expression)
+_MDE_TEXT_LEN_SQL = f"""
+WITH {_CONV_CTE},
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           CAST(length(text) AS BIGINT) AS y
+    FROM conversations
+),
+one AS (
+    SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0 END) AS syy_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0 END) AS syy_b
+    FROM units
+),
+calc AS (
+    SELECT n_a, n_b,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           CASE WHEN n_a > 1
+                THEN (CAST(syy_a AS DOUBLE)
+                      - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) - 1.0)
+                ELSE 0.0 END AS var_a,
+           CASE WHEN n_b > 1
+                THEN (CAST(syy_b AS DOUBLE)
+                      - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE) - 1.0)
+                ELSE 0.0 END AS var_b
+    FROM one
+),
+calc2 AS (
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+           * sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS mde
+    FROM calc
+)
+SELECT n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(var_a, 6) AS var_a,
+       ROUND(var_b, 6) AS var_b,
+       ROUND(mde, 6) AS mde_abs,
+       ROUND(CASE WHEN mean_a <> 0 THEN mde / mean_a ELSE 0.0 END, 6) AS mde_rel
+FROM calc2
+"""
+
 # two-proportion z (lock-step with abtest.two_proportion_z: exact
 # conditional counts, pooled-SE z as one fixed double expression)
 _PROPORTION_TOOL_USE_SQL = f"""
@@ -8924,6 +9068,8 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _L_DIVERSITY_SQL,
         "t_closeness": _T_CLOSENESS_SQL,
         "ks_text_len": _KS_SQL,
+        "tokenizer_fertility": _fertility_oracle(),
+        "mde_text_len": _MDE_TEXT_LEN_SQL,
         "cuped_turns": _CUPED_TURNS_SQL,
         "proportion_tool_use": _PROPORTION_TOOL_USE_SQL,
         "srm_arms": _SRM_ARMS_SQL,

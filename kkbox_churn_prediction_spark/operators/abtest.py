@@ -275,3 +275,67 @@ def srm_check(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(threshold))).alias("srm"),
     )
+
+
+def power_mde(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    arm_a: str = "a",
+    arm_b: str = "b",
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample sizes — the
+    design-side companion to :func:`welch_t_stats` (analysis) and
+    :func:`cuped_adjusted` (variance reduction): before reading a
+    metric, an experimenter asks "what lift could this test even
+    see?". ``MDE = (z_α/2 + z_β)·sqrt(var_a/n_a + var_b/n_b)`` with
+    the defaults at two-sided α=0.05, power 0.80. One row: per-arm
+    n/mean/var, absolute MDE, and MDE relative to the control (arm a)
+    mean.
+
+    Determinism: integer metrics reduce to exact decimal Σy/Σy² per
+    arm (one hash agg); variances and the MDE are fixed-shape double
+    algebra over those exact scalars — no float row sums.
+    """
+    dec = "decimal(38,0)"
+    y = F.col(y_col).cast(dec)
+    g = F.col(arm_col)
+    one = units.agg(
+        F.sum(F.when(g == arm_a, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_b, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_a, y).otherwise(F.lit(0).cast(dec))).alias("sy_a"),
+        F.sum(F.when(g == arm_b, y).otherwise(F.lit(0).cast(dec))).alias("sy_b"),
+        F.sum(F.when(g == arm_a, y * y).otherwise(F.lit(0).cast(dec))).alias("syy_a"),
+        F.sum(F.when(g == arm_b, y * y).otherwise(F.lit(0).cast(dec))).alias("syy_b"),
+    )
+
+    def var(sy: str, syy: str, n: str) -> Column:
+        nd = F.col(n).cast("double")
+        s = F.col(sy).cast("double")
+        return F.when(
+            F.col(n) > 1,
+            (F.col(syy).cast("double") - s * s / nd) / (nd - F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+
+    var_a = var("sy_a", "syy_a", "n_a")
+    var_b = var("sy_b", "syy_b", "n_b")
+    mean_a = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+    se = F.sqrt(
+        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
+    )
+    mde = F.lit(float(z_alpha) + float(z_power)) * se
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(mean_a != 0, mde / mean_a).otherwise(F.lit(0.0)), 6
+        ).alias("mde_rel"),
+    )

@@ -1321,3 +1321,70 @@ def readability_stats(
         spw.alias("syllables_per_word"),
         fre.alias("flesch_reading_ease"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per predicted language: UTF-8 bytes /
+    characters / whitespace words per (BPE-ish) token, aggregated over
+    each language slice — the tokenizer-equity audit multilingual
+    pipelines run (a language whose bytes-per-token is 3× English pays
+    3× the context budget for the same content).
+
+    Language prediction reuses the staged :func:`lang_id` machinery
+    verbatim (same scores, same argmax tiebreak, 'und' fallback), so
+    this gate and ``lang_id`` can never disagree on the slice.
+
+    Determinism: the four per-slice reductions are exact LONG sums;
+    every ratio is one fixed-shape double division.
+
+    Distributed shape: one projection (heavy subtrees staged so each
+    evaluates once) + ONE hash agg keyed by language; output rows =
+    |languages| + 'und'.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.octet_length(t).cast("long").alias("_bytes"),
+        F.length(t).cast("long").alias("_chars"),
+        bpe_ish_token_count(t).alias("_bpe"),
+        *doc_signal_stage1(t, quality=False),
+    ).select(
+        "_bytes",
+        "_chars",
+        "_bpe",
+        F.col("n_tokens").alias("_words"),
+        *doc_signal_stage2(quality=False),
+    )
+    tagged = staged.select(
+        lang_pred_from_scores().alias("lang"), "_bytes", "_chars", "_bpe", "_words"
+    )
+    per = tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_bytes").cast("long").alias("n_bytes"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_bpe").cast("long").alias("n_tokens"),
+        F.sum("_words").cast("long").alias("n_words"),
+    )
+
+    def ratio(num: str, den: str) -> Column:
+        return F.round(
+            F.when(
+                F.col(den) > 0, F.col(num).cast("double") / F.col(den).cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        "n_tokens",
+        "n_words",
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+        ratio("n_chars", "n_tokens").alias("chars_per_token"),
+        ratio("n_tokens", "n_words").alias("tokens_per_word"),
+    )

@@ -429,3 +429,43 @@ def test_readability_stats_golden(spark):
     b = out["b"]
     assert b["n_words"] == 0 and b["n_sentences"] == 0 and b["n_syllables"] == 0
     assert b["words_per_sentence"] == 0.0 and b["syllables_per_word"] == 0.0
+
+
+def test_tokenizer_fertility_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            # 'the and is' -> 3 english stopword hits out of 3 tokens
+            (0, "the and is"),
+            # no stopwords of any profile -> 'und'
+            (1, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 1
+    assert en["n_bytes"] == 10 and en["n_chars"] == 10  # ASCII: bytes == chars
+    assert en["n_words"] == 3
+    # bpe-ish pieces: the(1) and(1) is(1) -> 3 (each ≤4 alpha chars)
+    assert en["n_tokens"] == 3
+    assert en["bytes_per_token"] == round(10 / 3, 6)
+    assert en["tokens_per_word"] == 1.0
+    und = out["und"]
+    # zzz(1) qqq(1) -> 2 pieces over 2 words
+    assert und["n_words"] == 2 and und["n_tokens"] == 2
+    assert und["chars_per_token"] == 3.5  # 7 chars / 2 pieces
+
+
+def test_tokenizer_fertility_long_words_split(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import tokenizer_fertility
+
+    # a 10-letter word splits into ceil(10/4)=3 bpe-ish pieces
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij")], "doc_id long, text string"
+    )
+    r = tokenizer_fertility(docs).collect()[0]
+    assert r["lang"] == "und"
+    assert r["n_words"] == 1 and r["n_tokens"] == 3
+    assert r["tokens_per_word"] == 3.0

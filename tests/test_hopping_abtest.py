@@ -242,3 +242,31 @@ class TestSrm:
         df2 = spark.createDataFrame([("a",)] * 10, "arm string")
         out2 = {r["arm"]: r for r in srm_check(df2).collect()}
         assert out2["b"]["observed"] == 0 and out2["b"]["srm"]
+
+
+class TestPowerMde:
+    def test_matches_hand_formula(self, spark):
+        import math
+
+        from kkbox_churn_prediction_spark.operators.abtest import power_mde
+
+        rows = [("a", v) for v in [10, 12, 14, 16]] + [("b", v) for v in [9, 11, 13]]
+        df = spark.createDataFrame(rows, "arm string, y long")
+        r = power_mde(df).collect()[0]
+        va = 20 / 3  # sample variance of 10,12,14,16
+        vb = 4.0  # of 9,11,13
+        se = math.sqrt(va / 4 + vb / 3)
+        assert r["n_a"] == 4 and r["n_b"] == 3
+        assert r["mean_a"] == 13.0 and r["mean_b"] == 11.0
+        assert r["var_a"] == round(va, 6) and r["var_b"] == vb
+        assert r["mde_abs"] == round((1.959964 + 0.841621) * se, 6)
+        assert r["mde_rel"] == round((1.959964 + 0.841621) * se / 13.0, 6)
+
+    def test_constant_metric_zero_mde(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import power_mde
+
+        df = spark.createDataFrame(
+            [("a", 5)] * 3 + [("b", 5)] * 3, "arm string, y long"
+        )
+        r = power_mde(df).collect()[0]
+        assert r["mde_abs"] == 0.0 and r["var_a"] == 0.0 and r["var_b"] == 0.0
