@@ -2549,6 +2549,38 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_stats(_docs(spark, sf_dir))
 
 
+def _q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance audit of the hash-parity assignment:
+    standardized mean difference of per-conversation n_turns /
+    total text length / tool-turn count between arms (the profile
+    check between srm_arms and cuped_turns)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import covariate_balance
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("text_len"),
+        F.sum(F.col("tool").isNotNull().cast("int")).cast("long").alias("n_tool_turns"),
+    ).select(
+        F.when(
+            F.pmod(
+                stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2)
+            )
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+        "n_turns",
+        "text_len",
+        "n_tool_turns",
+    )
+    return covariate_balance(units, ("n_turns", "text_len", "n_tool_turns"))
+
+
 def _q_mde_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum detectable effect of the hash-parity text-length test
     at current sample sizes (two-sided α=0.05, power 0.8) — the
@@ -3461,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_text_len": _q_ks_text_len,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
+        "covariate_balance": _q_covariate_balance,
         "cuped_turns": _q_cuped_turns,
         "proportion_tool_use": _q_proportion_tool_use,
         "srm_arms": _q_srm_arms,
@@ -8354,6 +8387,70 @@ SELECT arm, n,
 FROM calc2
 """
 
+# covariate balance (lock-step with abtest.covariate_balance: melt of
+# the three per-conversation covariates, exact hugeint sums per
+# (covariate, arm), SMD as one fixed-shape double expression)
+_COVARIATE_BALANCE_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(length(text)) AS BIGINT) AS text_len,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           n_turns, text_len, n_tool_turns
+    FROM per_conv
+),
+long_u AS (
+    SELECT arm, 'n_turns' AS covariate, n_turns AS v FROM units
+    UNION ALL
+    SELECT arm, 'text_len' AS covariate, text_len AS v FROM units
+    UNION ALL
+    SELECT arm, 'n_tool_turns' AS covariate, n_tool_turns AS v FROM units
+),
+per AS (
+    SELECT covariate,
+           CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) ELSE 0 END) AS ss_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) ELSE 0 END) AS ss_b
+    FROM long_u GROUP BY covariate
+),
+calc AS (
+    SELECT covariate, n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           (CASE WHEN n_a > 1
+                 THEN (CAST(ss_a AS DOUBLE)
+                       - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - 1.0)
+                 ELSE 0.0 END
+            + CASE WHEN n_b > 1
+                 THEN (CAST(ss_b AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / (CAST(n_b AS DOUBLE) - 1.0)
+                 ELSE 0.0 END) / 2.0 AS pooled
+    FROM per
+),
+calc2 AS (
+    SELECT covariate, n_a, n_b, mean_a, mean_b,
+           CASE WHEN pooled > 0 THEN (mean_a - mean_b) / sqrt(pooled) ELSE 0.0 END AS smd
+    FROM calc
+)
+SELECT covariate, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(smd, 6) AS smd,
+       ABS(smd) > 0.1 AS imbalanced
+FROM calc2
+"""
+
 # MDE power analysis (lock-step with abtest.power_mde: exact hugeint
 # moment sums per arm, (1.959964 + 0.841621)·SE as one fixed-shape
 # double expression)
@@ -9070,6 +9167,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_text_len": _KS_SQL,
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
+        "covariate_balance": _COVARIATE_BALANCE_SQL,
         "cuped_turns": _CUPED_TURNS_SQL,
         "proportion_tool_use": _PROPORTION_TOOL_USE_SQL,
         "srm_arms": _SRM_ARMS_SQL,

@@ -339,3 +339,71 @@ def power_mde(
             F.when(mean_a != 0, mde / mean_a).otherwise(F.lit(0.0)), 6
         ).alias("mde_rel"),
     )
+
+
+def covariate_balance(
+    units: DataFrame,
+    covariates: tuple[str, ...],
+    arm_col: str = "arm",
+    arm_a: str = "a",
+    arm_b: str = "b",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Pre-experiment covariate balance: per covariate, the
+    standardized mean difference between arms
+    ``SMD = (mean_a − mean_b) / sqrt((var_a + var_b) / 2)`` and the
+    |SMD| > threshold imbalance flag (0.1 is the standard epidemiology
+    cut). Completes the experiment-hygiene chain: :func:`srm_check`
+    validates the allocation COUNTS, this validates the allocation's
+    covariate PROFILE, :func:`cuped_adjusted` then exploits the same
+    covariates for variance reduction.
+
+    Input is one row per unit with integer covariate columns; they are
+    melted engine-side (``stack``) so the whole check is ONE hash agg
+    keyed by covariate name — six exact decimal sums per (covariate,
+    arm), no per-covariate scans.
+
+    Determinism: exact decimal Σv/Σv² per arm; SMD is fixed-shape
+    double algebra over those exact scalars. Degenerate spread (both
+    arms constant) → SMD 0.0.
+    """
+    dec = "decimal(38,0)"
+    n_cov = len(covariates)
+    stack_expr = "stack({}, {}) as (covariate, v)".format(
+        n_cov, ", ".join(f"'{c}', {c}" for c in covariates)
+    )
+    long_df = units.selectExpr(arm_col, stack_expr)
+    g = F.col(arm_col)
+    v = F.col("v").cast(dec)
+    per = long_df.groupBy("covariate").agg(
+        F.sum(F.when(g == arm_a, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_b, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_a, v).otherwise(F.lit(0).cast(dec))).alias("s_a"),
+        F.sum(F.when(g == arm_b, v).otherwise(F.lit(0).cast(dec))).alias("s_b"),
+        F.sum(F.when(g == arm_a, v * v).otherwise(F.lit(0).cast(dec))).alias("ss_a"),
+        F.sum(F.when(g == arm_b, v * v).otherwise(F.lit(0).cast(dec))).alias("ss_b"),
+    )
+
+    def mean(s: str, n: str) -> Column:
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def var(s: str, ss: str, n: str) -> Column:
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        return F.when(
+            F.col(n) > 1,
+            (F.col(ss).cast("double") - sd * sd / nd) / (nd - F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+
+    mean_a, mean_b = mean("s_a", "n_a"), mean("s_b", "n_b")
+    pooled = (var("s_a", "ss_a", "n_a") + var("s_b", "ss_b", "n_b")) / F.lit(2.0)
+    smd = F.when(pooled > 0, (mean_a - mean_b) / F.sqrt(pooled)).otherwise(F.lit(0.0))
+    return per.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) > F.lit(float(threshold))).alias("imbalanced"),
+    )

@@ -270,3 +270,32 @@ class TestPowerMde:
         )
         r = power_mde(df).collect()[0]
         assert r["mde_abs"] == 0.0 and r["var_a"] == 0.0 and r["var_b"] == 0.0
+
+
+class TestCovariateBalance:
+    def test_balanced_and_shifted(self, spark):
+        import math
+
+        from kkbox_churn_prediction_spark.operators.abtest import covariate_balance
+
+        rows = [
+            # cov1 identical across arms; cov2 shifted by +2 in b
+            ("a", 1, 10), ("a", 2, 11), ("a", 3, 12),
+            ("b", 1, 12), ("b", 2, 13), ("b", 3, 14),
+        ]
+        df = spark.createDataFrame(rows, "arm string, cov1 long, cov2 long")
+        out = {r["covariate"]: r for r in covariate_balance(df, ("cov1", "cov2")).collect()}
+        assert out["cov1"]["smd"] == 0.0 and not out["cov1"]["imbalanced"]
+        # cov2: means 11 vs 13, var 1 each -> smd = -2/sqrt(1) = -2
+        assert out["cov2"]["smd"] == -2.0 and out["cov2"]["imbalanced"]
+        assert out["cov2"]["n_a"] == 3 and out["cov2"]["n_b"] == 3
+        assert math.isclose(out["cov2"]["mean_b"] - out["cov2"]["mean_a"], 2.0)
+
+    def test_constant_covariate_zero_smd(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import covariate_balance
+
+        df = spark.createDataFrame(
+            [("a", 7), ("a", 7), ("b", 7), ("b", 7)], "arm string, c long"
+        )
+        r = covariate_balance(df, ("c",)).collect()[0]
+        assert r["smd"] == 0.0 and not r["imbalanced"]
