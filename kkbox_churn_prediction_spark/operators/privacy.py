@@ -117,12 +117,15 @@ def t_closeness_audit(
     so both engines convert the same exact integer and divide by the
     same double product: bit-identical, no float-sum ordering.
 
-    Distributed shape: three hash aggs (global dist, cell dist, cell
-    totals) + one broadcast join of the tiny global table; every
-    intermediate is bounded by the QI × sensitive DOMAIN, not the row
-    count, so the audit stays small at 10^12 rows. decimal(18,0)
-    operands keep the c·G products exact to ~10^18 rows per audit
-    slice (beyond that, pre-aggregate per shard).
+    Distributed shape: ONE corpus scan — the (QI, sensitive) cell
+    table is the only aggregate that touches the row stream; the
+    global distribution, the global total, and the cell totals are all
+    rollups OF the cell table (domain-bounded, persisted against the
+    four-branch fan-out). Every intermediate is bounded by the QI ×
+    sensitive DOMAIN, not the row count, so the audit stays small at
+    10^12 rows. decimal(18,0) operands keep the c·G products exact to
+    ~10^18 rows per audit slice (beyond that, pre-aggregate per
+    shard).
     """
     dec = "decimal(18,0)"
     cols = [F.col(c) for c in quasi_cols]
@@ -134,11 +137,13 @@ def t_closeness_audit(
         *cols,
         F.coalesce(F.col(sensitive_col), F.lit("__NULL__")).alias("_s"),
     )
-    glob = base.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_g"))
-    gtot = base.agg(F.count(F.lit(1)).cast("long").alias("_gt"))
-    cell = base.groupBy(*names, "_s").agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
+    cell = (
+        base.groupBy(*names, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .persist()
     )
+    glob = cell.groupBy("_s").agg(F.sum("_c").cast("long").alias("_g"))
+    gtot = cell.agg(F.sum("_c").cast("long").alias("_gt"))
     ctot = cell.groupBy(*names).agg(F.sum("_c").cast("long").alias("_ct"))
     j = (
         cell.join(F.broadcast(glob), on="_s", how="inner")

@@ -1202,57 +1202,84 @@ def distinct_ngram_diversity(
     Determinism: totals and distinct counts are exact longs; each
     ratio is ONE long/long double division — no float summation.
 
-    Distributed shape: per n, explode → (slice, gram) hash agg →
-    per-slice rollup (two shuffles, map-side partials absorb the
-    fan-out); the three per-slice tables are domain-bounded and
-    broadcast-joined. Output rows = |slices|.
+    Distributed shape: ONE corpus scan — every n-gram order is tagged
+    (n, gram) in a single staged projection (tokens evaluate once) and
+    exploded together, so the (slice, n, gram) hash agg and the
+    per-slice conditional rollup are the only two shuffles at any
+    scale. Output rows = |slices|. (A per-n loop would be 3 corpus
+    scans for the same answer — rejected for the 100 TB shape.)
     """
     g = F.col(group_col)
     t = F.col(text_col)
 
-    def per_n(n: int, tag: str) -> DataFrame:
-        grams = df.select(
-            g.alias("_grp"),
-            F.explode(
-                tokens(t) if n == 1 else all_word_ngrams(t, n)
-            ).alias("_g"),
-        )
-        cnt = grams.groupBy("_grp", "_g").agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        return cnt.groupBy("_grp").agg(
-            F.sum("_c").cast("long").alias(f"n_{tag}"),
-            F.count(F.lit(1)).cast("long").alias(f"distinct_{tag}"),
+    def grams_from(toks: Column, n: int) -> Column:
+        # same construction as functions.text.all_word_ngrams, applied
+        # to the already-tokenized column so the tokenizer runs once
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tagged(toks: Column, n: int) -> Column:
+        return F.transform(
+            grams_from(toks, n),
+            lambda w: F.struct(F.lit(n).alias("n"), w.alias("g")),
         )
 
-    uni = per_n(1, "unigrams")
-    bi = per_n(2, "bigrams")
-    tri = per_n(3, "trigrams")
-    out = uni.join(F.broadcast(bi), on="_grp", how="left").join(
-        F.broadcast(tri), on="_grp", how="left"
+    base = df.select(g.alias("_grp"), tokens(t).alias("_toks"))
+    stream = base.select(
+        "_grp",
+        F.explode(
+            F.concat(
+                tagged(F.col("_toks"), 1),
+                tagged(F.col("_toks"), 2),
+                tagged(F.col("_toks"), 3),
+            )
+        ).alias("_x"),
+    ).select("_grp", F.col("_x.n").alias("_n"), F.col("_x.g").alias("_g"))
+    cnt = stream.groupBy("_grp", "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per = cnt.groupBy("_grp", "_n").agg(
+        F.sum("_c").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_dis"),
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return (
+            F.coalesce(F.sum(F.when(F.col("_n") == n, F.col(col))), F.lit(0))
+            .cast("long")
+        )
+
+    wide = per.groupBy("_grp").agg(
+        pick(1, "_tot").alias("n_unigrams"),
+        pick(1, "_dis").alias("distinct_unigrams"),
+        pick(2, "_tot").alias("n_bigrams"),
+        pick(2, "_dis").alias("distinct_bigrams"),
+        pick(3, "_tot").alias("n_trigrams"),
+        pick(3, "_dis").alias("distinct_trigrams"),
     )
 
     def ratio(tag: str) -> Column:
-        tot = F.coalesce(F.col(f"n_{tag}"), F.lit(0))
-        dis = F.coalesce(F.col(f"distinct_{tag}"), F.lit(0))
+        tot = F.col(f"n_{tag}")
+        dis = F.col(f"distinct_{tag}")
         return F.when(
             tot > 0, dis.cast("double") / tot.cast("double")
         ).otherwise(F.lit(0.0))
 
-    return out.select(
+    return wide.select(
         F.col("_grp").alias(group_col),
         F.col("n_unigrams"),
         F.col("distinct_unigrams"),
         ratio("unigrams").alias("distinct_1"),
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.coalesce(F.col("distinct_bigrams"), F.lit(0))
-        .cast("long")
-        .alias("distinct_bigrams"),
+        F.col("n_bigrams"),
+        F.col("distinct_bigrams"),
         ratio("bigrams").alias("distinct_2"),
-        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
-        F.coalesce(F.col("distinct_trigrams"), F.lit(0))
-        .cast("long")
-        .alias("distinct_trigrams"),
+        F.col("n_trigrams"),
+        F.col("distinct_trigrams"),
         ratio("trigrams").alias("distinct_3"),
     )
 
