@@ -2616,6 +2616,55 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval quality: per-query nDCG@5 of the sign-LSH ANN
+    vs exact brute force (relevance from the exact ranking itself) —
+    the order-weighted companion to ann_recall."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        ndcg_at_k,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return ndcg_at_k(
+        lsh_bucketed_topk(embs, queries, k=5, bits=4),
+        brute_force_topk(embs, queries, k=5),
+        k=5,
+    )
+
+
+def _q_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of re-engagement survival between hash-parity
+    cohorts — the significance companion to km_curve (same labels,
+    same horizon)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.survival import (
+        logrank_test,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    labels = survival_labels(
+        _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+    ).withColumn(
+        "cohort",
+        F.when(
+            F.pmod(
+                stable_hash48(F.concat(F.lit("km"), F.col("conv_id"))), F.lit(2)
+            )
+            == 0,
+            F.lit("a"),
+        ).otherwise(F.lit("b")),
+    )
+    return logrank_test(labels)
+
+
 def _q_cuped_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction on per-conversation post-period turn
     counts, with the pre-period turn count as covariate (pre/post
@@ -3494,6 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "ndcg_lsh": _q_ndcg_lsh,
+        "logrank_cohorts": _q_logrank_cohorts,
         "cuped_turns": _q_cuped_turns,
         "proportion_tool_use": _q_proportion_tool_use,
         "srm_arms": _q_srm_arms,
@@ -8313,6 +8364,138 @@ FROM per
 """
 
 
+# nDCG@5 (lock-step with similarity.ndcg_at_k over the same LSH-vs-
+# brute pair as ann_recall: relevance k+1−exact_rank, rel/log2(rank+1)
+# terms summed over the rank-ordered window frame)
+_NDCG_LSH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+ex_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+ex_ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ex_scored
+),
+exact AS (
+    SELECT query_id, neighbor_id,
+           CAST(6 - rank AS DOUBLE) AS rel, rank AS erank
+    FROM ex_ranked WHERE rank <= 5
+),
+qb AS (SELECT vec_id AS query_id, embedding AS qe,
+              {_BUCKET.format(e='embedding')} AS bucket
+       FROM embeddings WHERE vec_id < 10),
+vb AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              {_BUCKET.format(e='embedding')} AS bucket
+       FROM embeddings),
+ap_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM qb JOIN vb USING (bucket) WHERE neighbor_id <> query_id
+),
+ap_ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ap_scored
+),
+approx AS (SELECT query_id, neighbor_id, rank AS arank FROM ap_ranked WHERE rank <= 5),
+dcg_terms AS (
+    SELECT a.query_id, a.arank,
+           COALESCE(e.rel, 0.0) / log2(CAST(a.arank AS DOUBLE) + 1.0) AS term
+    FROM approx a
+    LEFT JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+),
+dcg AS (
+    SELECT query_id, MAX(w) AS dcg FROM (
+        SELECT query_id,
+               SUM(term) OVER (PARTITION BY query_id ORDER BY arank
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS w
+        FROM dcg_terms
+    ) GROUP BY query_id
+),
+idcg AS (
+    SELECT query_id, MAX(w) AS idcg FROM (
+        SELECT query_id,
+               SUM(rel / log2(CAST(erank AS DOUBLE) + 1.0))
+                   OVER (PARTITION BY query_id ORDER BY erank
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS w
+        FROM exact
+    ) GROUP BY query_id
+)
+SELECT i.query_id,
+       ROUND(COALESCE(d.dcg, 0.0), 6) AS dcg,
+       ROUND(i.idcg, 6) AS idcg,
+       ROUND(CASE WHEN i.idcg > 0 THEN COALESCE(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+"""
+
+# log-rank test (lock-step with survival.logrank_test: hash-parity
+# cohorts over the SAME survival-label CTE as km_curve; exact counts,
+# E/V terms summed over the t-ordered window frame)
+_LOGRANK_SQL = f"""
+WITH {_SURVIVAL_CORE},
+tagged AS (
+    SELECT duration_days, observed,
+           CASE WHEN ({_H48.format(x="concat('km', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS cohort
+    FROM labels
+),
+per_t AS (
+    SELECT duration_days AS t,
+           CAST(SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS l_a,
+           CAST(SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS l_b,
+           CAST(SUM(CASE WHEN cohort = 'a' THEN observed ELSE 0 END) AS BIGINT) AS d_a,
+           CAST(SUM(CASE WHEN cohort = 'b' THEN observed ELSE 0 END) AS BIGINT) AS d_b
+    FROM tagged GROUP BY duration_days
+),
+at_risk AS (
+    SELECT t, d_a, d_b,
+           CAST(SUM(l_a) OVER ()
+                - COALESCE(SUM(l_a) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT) AS n_a,
+           CAST(SUM(l_b) OVER ()
+                - COALESCE(SUM(l_b) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT) AS n_b
+    FROM per_t
+),
+terms AS (
+    SELECT t, d_a, d_b, n_a, n_b,
+           CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS e_term,
+           CASE WHEN n_a + n_b > 1
+                THEN CAST(d_a + d_b AS DOUBLE)
+                     * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 - CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                     * ((CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+                        / (CAST(n_a + n_b AS DOUBLE) - 1.0))
+                ELSE 0.0 END AS v_term
+    FROM at_risk
+),
+sums AS (
+    SELECT MAX(o_a) AS o_a, MAX(o_b) AS o_b, MAX(e_a) AS e_a, MAX(v) AS v FROM (
+        SELECT CAST(SUM(d_a) OVER w AS BIGINT) AS o_a,
+               CAST(SUM(d_b) OVER w AS BIGINT) AS o_b,
+               SUM(e_term) OVER w AS e_a,
+               SUM(v_term) OVER w AS v
+        FROM terms
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING)
+    )
+)
+SELECT o_a, o_b,
+       ROUND(e_a, 6) AS e_a,
+       ROUND(CAST(o_a + o_b AS DOUBLE) - e_a, 6) AS e_b,
+       ROUND(v, 6) AS variance,
+       ROUND(CASE WHEN v > 0 THEN (CAST(o_a AS DOUBLE) - e_a) / sqrt(v) ELSE 0.0 END, 6) AS z_stat,
+       ROUND((CASE WHEN v > 0 THEN (CAST(o_a AS DOUBLE) - e_a) / sqrt(v) ELSE 0.0 END)
+             * (CASE WHEN v > 0 THEN (CAST(o_a AS DOUBLE) - e_a) / sqrt(v) ELSE 0.0 END), 6) AS chi2
+FROM sums
+"""
+
 # CUPED (lock-step with abtest.cuped_adjusted: hash-parity arms,
 # pre/post split at the global epoch-us midpoint, EXACT hugeint
 # sufficient statistics per arm, identical fixed-shape double algebra)
@@ -9168,6 +9351,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "ndcg_lsh": _NDCG_LSH_SQL,
+        "logrank_cohorts": _LOGRANK_SQL,
         "cuped_turns": _CUPED_TURNS_SQL,
         "proportion_tool_use": _PROPORTION_TOOL_USE_SQL,
         "srm_arms": _SRM_ARMS_SQL,

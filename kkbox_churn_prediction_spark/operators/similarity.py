@@ -976,3 +976,81 @@ def embedding_diversity(
         trace.alias("trace_variance"),
         F.round(F.sqrt(F.greatest(trace, F.lit(0.0))), 6).alias("rms_radius"),
     )
+
+
+def ndcg_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Retrieval-quality evaluation #2: per-query nDCG@k of an
+    approximate result against the exact ranking — the GRADED
+    companion to :func:`recall_at_k` (recall says "did the right
+    neighbors appear"; nDCG says "in the right order, weighted toward
+    the top"). Relevance is derived from the exact ranking itself:
+    ``rel(neighbor) = k + 1 − exact_rank`` (top exact neighbor most
+    relevant, neighbors outside the exact top-k contribute 0), so no
+    external judgment set is needed. ``nDCG = DCG(approx) /
+    DCG(exact)`` with the standard ``rel / log2(rank + 1)`` discount.
+
+    Determinism: the ≤k discount terms per query are summed over the
+    rank-ORDERED window frame, so both engines add the same doubles in
+    the same order; relevance grades are exact small integers.
+
+    Shape: both sides prune to top-k FIRST (≤ Q·k rows), the relevance
+    join is per-query equi, and every window is partitioned by query —
+    queries-only cost at any scale (recall_at_k discipline).
+    """
+    kk = int(k)
+    e = exact.where(F.col("rank") <= kk).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(kk + 1) - F.col("rank")).cast("double").alias("_rel"),
+        F.col("rank").alias("_erank"),
+    )
+    a = approx.where(F.col("rank") <= kk).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_arank")
+    )
+    w_a = (
+        Window.partitionBy("query_id")
+        .orderBy("_arank")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_e = (
+        Window.partitionBy("query_id")
+        .orderBy("_erank")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dcg_terms = a.join(
+        e.select("query_id", "neighbor_id", "_rel"),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select(
+        "query_id",
+        "_arank",
+        (
+            F.coalesce(F.col("_rel"), F.lit(0.0))
+            / F.log2(F.col("_arank").cast("double") + F.lit(1.0))
+        ).alias("_term"),
+    )
+    dcg = dcg_terms.select(
+        "query_id", F.sum("_term").over(w_a).alias("dcg")
+    ).groupBy("query_id").agg(F.max("dcg").alias("dcg"))
+    idcg_terms = e.select(
+        "query_id",
+        "_erank",
+        (F.col("_rel") / F.log2(F.col("_erank").cast("double") + F.lit(1.0))).alias(
+            "_term"
+        ),
+    )
+    idcg = idcg_terms.select(
+        "query_id", F.sum("_term").over(w_e).alias("idcg")
+    ).groupBy("query_id").agg(F.max("idcg").alias("idcg"))
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(F.col("idcg"), 6).alias("idcg"),
+        F.round(
+            F.when(
+                F.col("idcg") > 0,
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    )

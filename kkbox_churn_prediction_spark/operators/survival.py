@@ -100,3 +100,83 @@ def km_curve(labels: DataFrame) -> DataFrame:
         .otherwise(F.exp(F.sum(F.log(safe_factor)).over(w_run)))
         .alias("survival"),
     )
+
+
+def logrank_test(
+    labels: DataFrame,
+    group_col: str = "cohort",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Two-cohort log-rank test over ``(duration_days, observed)``
+    survival labels — the significance companion to :func:`km_curve`
+    (the curve shows the gap; log-rank says whether it's noise). At
+    each distinct event time t: observed events per cohort vs the
+    hypergeometric expectation ``d_t·n_a(t)/n(t)``; the statistic is
+    ``z = (O_a − E_a)/sqrt(V)``, ``chi2 = z²`` (1 df).
+
+    Determinism: leaving/event counts are exact longs; at-risk counts
+    derive from exact prefix sums; the E and V float terms are summed
+    over the time-ORDERED window frame (the km_curve device), so both
+    engines add identical doubles in the same order.
+
+    Shape: ONE hash agg of the label stream to the ≤horizon-row
+    (t, cohort-conditional counts) table; every window and the final
+    reduce run on that bounded frame.
+    """
+    g = F.col(group_col)
+    obs = F.col("observed")
+    per_t = labels.groupBy(F.col("duration_days").alias("t")).agg(
+        F.sum(F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("l_a"),
+        F.sum(F.when(g == group_b, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("l_b"),
+        F.sum(F.when(g == group_a, obs).otherwise(F.lit(0))).cast("long").alias("d_a"),
+        F.sum(F.when(g == group_b, obs).otherwise(F.lit(0))).cast("long").alias("d_b"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_full = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = Window.partitionBy()
+    n_a = (
+        F.sum("l_a").over(total) - F.coalesce(F.sum("l_a").over(w_prev), F.lit(0))
+    ).cast("long")
+    n_b = (
+        F.sum("l_b").over(total) - F.coalesce(F.sum("l_b").over(w_prev), F.lit(0))
+    ).cast("long")
+    at_risk = per_t.select("t", "d_a", "d_b", n_a.alias("n_a"), n_b.alias("n_b"))
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    nad = F.col("n_a").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    e_term = d * nad / nd
+    v_term = F.when(
+        (F.col("n_a") + F.col("n_b")) > 1,
+        d * (nad / nd) * (F.lit(1.0) - nad / nd) * ((nd - d) / (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    sums = at_risk.select(
+        F.sum("d_a").over(w_full).cast("long").alias("o_a"),
+        F.sum("d_b").over(w_full).cast("long").alias("o_b"),
+        F.sum(e_term).over(w_full).alias("e_a"),
+        F.sum(v_term).over(w_full).alias("v"),
+    ).groupBy().agg(
+        F.max("o_a").alias("o_a"),
+        F.max("o_b").alias("o_b"),
+        F.max("e_a").alias("e_a"),
+        F.max("v").alias("v"),
+    )
+    diff = F.col("o_a").cast("double") - F.col("e_a")
+    z = F.when(F.col("v") > 0, diff / F.sqrt(F.col("v"))).otherwise(F.lit(0.0))
+    return sums.select(
+        "o_a",
+        "o_b",
+        F.round(F.col("e_a"), 6).alias("e_a"),
+        F.round(
+            (F.col("o_a") + F.col("o_b")).cast("double") - F.col("e_a"), 6
+        ).alias("e_b"),
+        F.round(F.col("v"), 6).alias("variance"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(z * z, 6).alias("chi2"),
+    )

@@ -460,3 +460,40 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark, vectors):
     # 8 output dims from 16 keeps only a coarse JL guarantee — a
     # deterministic fixture measures 0.66 here; bound it away from 0
     assert np.corrcoef(d_in, d_out)[0, 1] > 0.5
+
+
+class TestNdcgAtK:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, neighbor_id long, rank int")
+
+    def test_perfect_and_swapped(self, spark):
+        from kkbox_churn_prediction_spark.operators.similarity import ndcg_at_k
+
+        exact = self._frame(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        # identical ranking -> ndcg 1.0
+        out = ndcg_at_k(exact, exact, k=3).collect()[0]
+        assert out["ndcg"] == 1.0 and out["dcg"] == out["idcg"]
+        # top two swapped -> dcg < idcg, still high
+        import math
+
+        swapped = self._frame(spark, [(1, 11, 1), (1, 10, 2), (1, 12, 3)])
+        r = ndcg_at_k(swapped, exact, k=3).collect()[0]
+        # rel: 10->3, 11->2, 12->1; dcg = 2/log2(2)+3/log2(3)+1/log2(4)
+        dcg = 2 / 1.0 + 3 / math.log2(3) + 1 / 2.0
+        idcg = 3 / 1.0 + 2 / math.log2(3) + 1 / 2.0
+        assert r["dcg"] == round(dcg, 6)
+        assert r["ndcg"] == round(dcg / idcg, 6)
+        assert 0 < r["ndcg"] < 1.0
+
+    def test_miss_scores_zero_relevance(self, spark):
+        from kkbox_churn_prediction_spark.operators.similarity import ndcg_at_k
+
+        exact = self._frame(spark, [(1, 10, 1), (1, 11, 2)])
+        # approx returns a neighbor the exact top-k never saw
+        approx = self._frame(spark, [(1, 99, 1), (1, 10, 2)])
+        import math
+
+        r = ndcg_at_k(approx, exact, k=2).collect()[0]
+        # rel: 10->2, 11->1; dcg = 0/1 + 2/log2(3); idcg = 2/1 + 1/log2(3)
+        assert r["dcg"] == round(2 / math.log2(3), 6)
+        assert r["ndcg"] < 0.6

@@ -332,3 +332,47 @@ def _turns_frame(spark, rows):
         "conv_id string, turn_idx int, role string, text string,"
         " tool string, ts timestamp",
     )
+
+
+class TestLogrank:
+    def test_identical_cohorts_null(self, spark):
+        from kkbox_churn_prediction_spark.operators.survival import logrank_test
+
+        rows = []
+        for c in ("a", "b"):
+            rows += [(c, 2, 1), (c, 5, 1), (c, 9, 0), (c, 14, 0)]
+        df = spark.createDataFrame(rows, "cohort string, duration_days int, observed int")
+        r = logrank_test(df).collect()[0]
+        assert r["z_stat"] == 0.0 and r["chi2"] == 0.0
+        assert r["o_a"] == 2 and r["o_b"] == 2
+        assert r["e_a"] == 2.0  # symmetric design
+
+    def test_hand_math_two_times(self, spark):
+        from kkbox_churn_prediction_spark.operators.survival import logrank_test
+
+        # t=1: a dies (1 event), both at risk (n_a=2, n_b=2)
+        # t=2: b dies (1 event), at risk n_a=1, n_b=2
+        # censored tails at t=3
+        rows = [("a", 1, 1), ("a", 3, 0), ("b", 2, 1), ("b", 3, 0)]
+        df = spark.createDataFrame(rows, "cohort string, duration_days int, observed int")
+        r = logrank_test(df).collect()[0]
+        # E_a = 1*(2/4) + 1*(1/3) = 5/6
+        assert r["e_a"] == round(0.5 + 1 / 3, 6)
+        assert r["o_a"] == 1 and r["o_b"] == 1
+        # V = 1*(1/2)*(1/2)*(4-1)/(4-1)=0.25 ; + 1*(1/3)*(2/3)*(3-1)/(3-1)=2/9
+        v = 0.25 + 2 / 9
+        assert r["variance"] == round(v, 6)
+        import math
+
+        z = (1 - (0.5 + 1 / 3)) / math.sqrt(v)
+        assert r["z_stat"] == round(z, 6)
+
+    def test_one_sided_events_significant(self, spark):
+        from kkbox_churn_prediction_spark.operators.survival import logrank_test
+
+        # cohort a: everyone dies at t=1; cohort b: all censored at 14
+        rows = [("a", 1, 1)] * 10 + [("b", 14, 0)] * 10
+        df = spark.createDataFrame(rows, "cohort string, duration_days int, observed int")
+        r = logrank_test(df).collect()[0]
+        assert r["o_a"] == 10 and r["o_b"] == 0
+        assert r["z_stat"] > 3.0 and r["chi2"] > 9.0
