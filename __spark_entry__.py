@@ -2616,6 +2616,15 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_source_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-vector cosine between source pairs — the frequency-weighted
+    companion to source_overlap's distinct-gram Jaccard. Exact decimal
+    dot/norms, one explode, hash-keyed pair join."""
+    from kkbox_churn_prediction_spark.operators.textstats import source_tf_cosine
+
+    return source_tf_cosine(_docs(spark, sf_dir))
+
+
 def _q_ndcg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded retrieval quality: per-query nDCG@5 of the sign-LSH ANN
     vs exact brute force (relevance from the exact ranking itself) —
@@ -3543,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "source_tf_cosine": _q_source_tf_cosine,
         "ndcg_lsh": _q_ndcg_lsh,
         "logrank_cohorts": _q_logrank_cohorts,
         "cuped_turns": _q_cuped_turns,
@@ -8364,6 +8374,39 @@ FROM per
 """
 
 
+# TF cosine between sources (lock-step with textstats.
+# source_tf_cosine: same normalize/tokenize/hash48 stream, EXACT
+# hugeint dot products and norms, one double division per pair)
+_SOURCE_TF_COSINE_SQL = f"""
+WITH tok AS (
+    SELECT source AS src, unnest({_TOKS}) AS t FROM documents
+),
+tc AS (
+    SELECT src, {_H48.format(x='t')} AS gh, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok WHERE t <> ''
+    GROUP BY src, gh
+),
+dots AS (
+    SELECT a.src AS source_a, b.src AS source_b,
+           SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS dot
+    FROM tc a JOIN tc b ON a.gh = b.gh AND a.src < b.src
+    GROUP BY a.src, b.src
+),
+norms AS (
+    SELECT src, SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS n2
+    FROM tc GROUP BY src
+)
+SELECT d.source_a, d.source_b,
+       CAST(d.dot AS DOUBLE) AS dot,
+       CAST(na.n2 AS DOUBLE) AS n2_a,
+       CAST(nb.n2 AS DOUBLE) AS n2_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.source_a = na.src
+JOIN norms nb ON d.source_b = nb.src
+"""
+
 # nDCG@5 (lock-step with similarity.ndcg_at_k over the same LSH-vs-
 # brute pair as ann_recall: relevance k+1−exact_rank, rel/log2(rank+1)
 # terms summed over the rank-ordered window frame)
@@ -9351,6 +9394,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "source_tf_cosine": _SOURCE_TF_COSINE_SQL,
         "ndcg_lsh": _NDCG_LSH_SQL,
         "logrank_cohorts": _LOGRANK_SQL,
         "cuped_turns": _CUPED_TURNS_SQL,

@@ -1415,3 +1415,81 @@ def tokenizer_fertility(
         ratio("n_chars", "n_tokens").alias("chars_per_token"),
         ratio("n_tokens", "n_words").alias("tokens_per_word"),
     )
+
+
+def source_tf_cosine(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Frequency-weighted source similarity: cosine of the term-
+    frequency vectors of every source pair →
+    ``(source_a, source_b, dot, n2_a, n2_b, cosine)``. The
+    distributional companion to :func:`source_overlap`: Jaccard over
+    distinct n-grams says "do these crawls share CONTENT"; TF cosine
+    says "do they have the same TOPIC/STYLE mix" even when the actual
+    documents differ — the signal mixture weighting needs when two
+    sources are near-identical distributions and one should be
+    down-weighted.
+
+    Determinism: the dot product and both norms are EXACT — decimal
+    sums of long count products — and the cosine is one fixed-shape
+    double expression over those exact scalars.
+
+    Shape: ONE corpus explode → (source, token-hash48) count agg
+    (vocab-bounded, map-side partials, persisted for the three
+    branches); the pair join is keyed on the token hash with fan-out
+    bounded by #sources per token (≤ |sources|); norms are a tiny
+    broadcast table.
+    """
+    from pyspark import StorageLevel
+
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        stable_hash48,
+        tokens,
+    )
+
+    dec = "decimal(38,0)"
+    tc = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("_t"),
+        )
+        .select("src", stable_hash48(F.col("_t")).alias("gh"))
+        .groupBy("src", "gh")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = tc.select(F.col("src").alias("source_a"), "gh", F.col("c").alias("c_a"))
+    b = tc.select(F.col("src").alias("source_b"), "gh", F.col("c").alias("c_b"))
+    dots = (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("c_a").cast(dec) * F.col("c_b").cast(dec)).alias("_dot"))
+    )
+    norms = tc.groupBy("src").agg(
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("_n2")
+    )
+    na = norms.select(F.col("src").alias("source_a"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col("src").alias("source_b"), F.col("_n2").alias("_n2b"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("_dot").cast("double").alias("dot"),
+            F.col("_n2a").cast("double").alias("n2_a"),
+            F.col("_n2b").cast("double").alias("n2_b"),
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_n2a").cast("double"))
+                    * F.sqrt(F.col("_n2b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -539,3 +539,34 @@ def test_weekly_latency_sla_golden(spark):
     assert r["sla_fraction"] == 0.5
     # exact interpolated median of {60s, 600s} = 330s, floor exact
     assert r["p50_latency_us"] == 330_000_000
+
+
+def test_source_tf_cosine_golden(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import source_tf_cosine
+
+    docs = spark.createDataFrame(
+        [
+            # A and B: same token distribution (scaled) -> cosine 1
+            ("A", "x x y"),
+            ("B", "x x x x y y"),
+            # C: disjoint vocabulary -> cosine 0 vs both
+            ("C", "z z z"),
+            # D: partial overlap with A
+            ("D", "x y y"),
+        ],
+        "source string, text string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in source_tf_cosine(docs).collect()}
+    ab = out[("A", "B")]
+    assert ab["cosine"] == 1.0
+    assert ab["dot"] == 2 * 4 + 1 * 2  # exact integer dot
+    # disjoint pairs are ABSENT (no shared token -> no pair row), the
+    # same sparse contract as source_overlap
+    assert ("A", "C") not in out and ("B", "C") not in out
+    ad = out[("A", "D")]
+    import math
+
+    # A = (x:2, y:1), D = (x:1, y:2): dot 4, |A|=|D|=sqrt(5)
+    assert ad["dot"] == 4.0 and ad["n2_a"] == 5.0 and ad["n2_b"] == 5.0
+    assert ad["cosine"] == round(4 / 5, 6)
+    assert 0 < ad["cosine"] < ab["cosine"]
