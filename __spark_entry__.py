@@ -2616,6 +2616,23 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_transition_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-tool backtest: transition argmax fitted on the
+    even-week fold, top-1 accuracy scored on the odd weeks — a full
+    train/apply split inside the engine (the floor any sequence model
+    must beat)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.lags import transition_backtest
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    fold = F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd"))
+    return transition_backtest(conv, fold, train_fold="even")
+
+
 def _q_source_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-vector cosine between source pairs — the frequency-weighted
     companion to source_overlap's distinct-gram Jaccard. Exact decimal
@@ -3552,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "transition_backtest": _q_transition_backtest,
         "source_tf_cosine": _q_source_tf_cosine,
         "ndcg_lsh": _q_ndcg_lsh,
         "logrank_cohorts": _q_logrank_cohorts,
@@ -8374,6 +8392,44 @@ FROM per
 """
 
 
+# Markov next-tool backtest (lock-step with lags.transition_backtest:
+# fold tagged BEFORE the lead so pairs inherit the FROM turn's fold;
+# train argmax row_number(count DESC, to_tool ASC); unseen from-tools
+# predict NULL and score 0)
+_TRANSITION_BACKTEST_SQL = f"""
+WITH {_CONV_CTE},
+pairs AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS _fold,
+           tool AS from_tool,
+           lead(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS to_tool
+    FROM conversations WHERE tool IS NOT NULL
+),
+good AS (SELECT _fold, from_tool, to_tool FROM pairs WHERE to_tool IS NOT NULL),
+tr_counts AS (
+    SELECT from_tool, to_tool, CAST(COUNT(*) AS BIGINT) AS _n
+    FROM good WHERE _fold = 'even' GROUP BY from_tool, to_tool
+),
+train AS (
+    SELECT from_tool, to_tool AS predicted FROM (
+        SELECT from_tool, to_tool,
+               row_number() OVER (PARTITION BY from_tool
+                                  ORDER BY _n DESC, to_tool ASC) AS _rn
+        FROM tr_counts
+    ) WHERE _rn = 1
+)
+SELECT g._fold AS fold, g.from_tool,
+       MAX(t.predicted) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN g.to_tool = t.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN g.to_tool = t.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM good g LEFT JOIN train t ON g.from_tool = t.from_tool
+WHERE g._fold <> 'even'
+GROUP BY g._fold, g.from_tool
+"""
+
 # TF cosine between sources (lock-step with textstats.
 # source_tf_cosine: same normalize/tokenize/hash48 stream, EXACT
 # hugeint dot products and norms, one double division per pair)
@@ -9394,6 +9450,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "transition_backtest": _TRANSITION_BACKTEST_SQL,
         "source_tf_cosine": _SOURCE_TF_COSINE_SQL,
         "ndcg_lsh": _NDCG_LSH_SQL,
         "logrank_cohorts": _LOGRANK_SQL,

@@ -289,3 +289,80 @@ def weekly_latency_sla(
         ),
         F.round(within * 1.0 / F.count(F.lit(1)), 6).alias("sla_fraction"),
     )
+
+
+def transition_backtest(
+    turns: DataFrame,
+    fold: Column,
+    train_fold: str = "even",
+) -> DataFrame:
+    """Markov next-tool backtest — a full train/apply split INSIDE the
+    engine: fit the first-order transition argmax P(next_tool | tool)
+    on the training fold, then score top-1 accuracy on the held-out
+    fold(s). The engine-native sanity model for "is tool order
+    predictable at all" (its accuracy is the floor any sequence model
+    must beat), and the backtest twin of :func:`tool_bigrams` (which
+    reports the transition table itself).
+
+    Output: per (eval fold, from_tool): ``predicted`` next tool,
+    ``n_eval`` / ``n_correct`` exact longs, ``accuracy``. From-tools
+    unseen in training predict NULL and score 0 correct — the honest
+    cold-start accounting.
+
+    Determinism: the argmax tie-breaks (count DESC, to_tool ASC) via
+    one max_by-style struct ordering; counts exact.
+
+    Shape: one lead over the shared conv window tags consecutive tool
+    pairs with their fold; the |tools|²-bounded train table collapses
+    to an argmax and BROADCASTS onto the |tools|²-bounded eval pairs.
+    The corpus is touched once.
+    """
+    calls = turns.where(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pairs = (
+        calls.select(fold.alias("_fold"), "conv_id", "ts", "turn_idx", "tool")
+        .withColumn("_next", F.lead("tool").over(w))
+        .where(F.col("_next").isNotNull())
+        .select("_fold", F.col("tool").alias("from_tool"), F.col("_next").alias("to_tool"))
+    )
+    tr_counts = (
+        pairs.where(F.col("_fold") == train_fold)
+        .groupBy("from_tool", "to_tool")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    # deterministic argmax (mode_per_group discipline): count DESC,
+    # to_tool ASC — the window runs on the |tools|²-bounded table
+    w_rank = Window.partitionBy("from_tool").orderBy(
+        F.desc("_n"), F.asc("to_tool")
+    )
+    train = (
+        tr_counts.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") == 1)
+        .select("from_tool", F.col("to_tool").alias("predicted"))
+    )
+    ev = pairs.where(F.col("_fold") != train_fold)
+    scored = ev.join(F.broadcast(train), "from_tool", "left")
+    return (
+        scored.groupBy(F.col("_fold").alias("fold"), "from_tool")
+        .agg(
+            F.max("predicted").alias("predicted"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("to_tool") == F.col("predicted"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "from_tool",
+            "predicted",
+            "n_eval",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -250,3 +250,81 @@ def test_ks_from_bins_unequal_sizes_exact(spark):
     df = spark.createDataFrame(rows, "fold string, bin int")
     out = ks_from_bins(df, "fold", "bin", "ref").collect()[0]
     assert out["ks"] == round(5 / 21, 6)
+
+
+def test_transition_backtest_golden(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.lags import transition_backtest
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def conv(cid, fold, tools):
+        return [
+            (cid, i, "assistant", "x", tool, t0 + timedelta(minutes=i))
+            for i, tool in enumerate(tools)
+        ] and [
+            (cid, i, "assistant", "x", tool, t0 + timedelta(minutes=i))
+            for i, tool in enumerate(tools)
+        ]
+
+    rows = []
+    # TRAIN fold: search->code twice, search->web once  => predict code
+    rows += conv("t1", "train", ["search", "code", "search", "code"])
+    rows += conv("t2", "train", ["search", "web"])
+    # EVAL fold: search->code, search->web, web->search (web unseen as
+    # a FROM in train? web->? never trained -> NULL prediction)
+    rows += conv("e1", "eval", ["search", "code"])
+    rows += conv("e2", "eval", ["search", "web"])
+    rows += conv("e3", "eval", ["web", "search"])
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df = spark.createDataFrame(pdf)
+    fold = F.when(F.col("conv_id").startswith("t"), F.lit("train")).otherwise(
+        F.lit("eval")
+    )
+    out = {
+        (r["fold"], r["from_tool"]): r
+        for r in transition_backtest(df, fold, train_fold="train").collect()
+    }
+    s = out[("eval", "search")]
+    assert s["predicted"] == "code"
+    assert s["n_eval"] == 2 and s["n_correct"] == 1 and s["accuracy"] == 0.5
+    w = out[("eval", "web")]
+    # 'web' never appears as a FROM tool in training (t2 ends on web)
+    assert w["predicted"] is None and w["n_correct"] == 0 and w["accuracy"] == 0.0
+
+
+def test_transition_backtest_tiebreak(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.lags import transition_backtest
+
+    t0 = datetime(2024, 1, 1)
+    # train: a->b once, a->c once (tie) -> lexicographically first 'b'
+    rows = [
+        ("t1", 0, "assistant", "x", "a", t0),
+        ("t1", 1, "assistant", "x", "b", t0 + timedelta(minutes=1)),
+        ("t2", 0, "assistant", "x", "a", t0),
+        ("t2", 1, "assistant", "x", "c", t0 + timedelta(minutes=1)),
+        ("e1", 0, "assistant", "x", "a", t0),
+        ("e1", 1, "assistant", "x", "b", t0 + timedelta(minutes=1)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    fold = F.when(F.col("conv_id").startswith("t"), F.lit("train")).otherwise(
+        F.lit("eval")
+    )
+    r = transition_backtest(
+        spark.createDataFrame(pdf), fold, train_fold="train"
+    ).collect()[0]
+    assert r["predicted"] == "b" and r["n_correct"] == 1
