@@ -2616,6 +2616,22 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_spearman_turns_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-conversation turn count
+    and total text length — the monotone, tail-robust companion to
+    corr_matrix; exact doubled-rank integer sums."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import spearman_corr
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("text_len"),
+    )
+    return spearman_corr(units, "n_turns", "text_len")
+
+
 def _q_transition_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-tool backtest: transition argmax fitted on the
     even-week fold, top-1 accuracy scored on the odd weeks — a full
@@ -3569,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "spearman_turns_textlen": _q_spearman_turns_textlen,
         "transition_backtest": _q_transition_backtest,
         "source_tf_cosine": _q_source_tf_cosine,
         "ndcg_lsh": _q_ndcg_lsh,
@@ -8392,6 +8409,58 @@ FROM per
 """
 
 
+# Spearman rank correlation (lock-step with association.spearman_corr:
+# doubled average ranks 2r = 2·before + cnt + 1 are exact integers,
+# five HUGEINT sufficient sums, one fixed-shape double expression)
+_SPEARMAN_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS _x,
+           CAST(SUM(length(text)) AS BIGINT) AS _y
+    FROM conversations GROUP BY conv_id
+),
+vx AS (SELECT _x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY _x),
+rx AS (
+    SELECT _x,
+           CAST(2 * COALESCE(SUM(c) OVER (ORDER BY _x ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+                + c + 1 AS HUGEINT) AS _rx
+    FROM vx
+),
+vy AS (SELECT _y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY _y),
+ry AS (
+    SELECT _y,
+           CAST(2 * COALESCE(SUM(c) OVER (ORDER BY _y ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+                + c + 1 AS HUGEINT) AS _ry
+    FROM vy
+),
+j AS (
+    SELECT b._x, b._y, rx._rx, ry._ry
+    FROM base b JOIN rx ON b._x = rx._x JOIN ry ON b._y = ry._y
+),
+one AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(_rx) AS sx, SUM(_ry) AS sy,
+           SUM(_rx * _rx) AS sxx, SUM(_ry * _ry) AS syy,
+           SUM(_rx * _ry) AS sxy
+    FROM j
+)
+SELECT n,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS spearman
+FROM one
+"""
+
 # Markov next-tool backtest (lock-step with lags.transition_backtest:
 # fold tagged BEFORE the lead so pairs inherit the FROM turn's fold;
 # train argmax row_number(count DESC, to_tool ASC); unseen from-tools
@@ -9450,6 +9519,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "spearman_turns_textlen": _SPEARMAN_SQL,
         "transition_backtest": _TRANSITION_BACKTEST_SQL,
         "source_tf_cosine": _SOURCE_TF_COSINE_SQL,
         "ndcg_lsh": _NDCG_LSH_SQL,

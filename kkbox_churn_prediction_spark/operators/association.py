@@ -286,3 +286,61 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    robust, monotonic companion to the Pearson machinery
+    (:func:`correlation_matrix` answers "linear?"; this answers
+    "monotone?", immune to the heavy tails transcript measures have).
+    Ties get average ranks (the standard convention).
+
+    Determinism: the DOUBLED average rank ``2r = 2·n_before + cnt + 1``
+    is an exact INTEGER for every value (ties included), so all five
+    sufficient statistics are exact decimal sums and ρ is one
+    fixed-shape double expression — no float row sums. Exact up to
+    ~10^11 rows per call (4N³ < 10^38); beyond that, rank-bucket
+    pre-aggregation applies.
+
+    Shape: two runs of the shared distributed prefix-sum rank
+    machinery (``encoders.value_rank_components`` — never a
+    single-partition sort), two equi joins keyed on the value (rank
+    tables are distinct-value-bounded), ONE hash agg to a single row.
+    """
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        value_rank_components,
+    )
+
+    dec = "decimal(38,0)"
+    base = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        r = value_rank_components(base, col)
+        return r.select(
+            col,
+            (F.lit(2) * F.col("_before") + F.col("_cnt") + F.lit(1))
+            .cast(dec)
+            .alias(out),
+        )
+
+    rx = rank_table("_x", "_rx")
+    ry = rank_table("_y", "_ry")
+    j = base.join(rx, "_x").join(ry, "_y")
+    one = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_rx").alias("sx"),
+        F.sum("_ry").alias("sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    den_x = nd * F.col("sxx").cast("double") - sx * sx
+    den_y = nd * F.col("syy").cast("double") - sy * sy
+    rho = F.when(
+        (den_x > 0) & (den_y > 0), num / (F.sqrt(den_x) * F.sqrt(den_y))
+    ).otherwise(F.lit(0.0))
+    return one.select("n", F.round(rho, 6).alias("spearman"))

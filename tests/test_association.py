@@ -174,3 +174,39 @@ def test_cohens_kappa_degenerate_constant_raters(spark):
     dj = spark.createDataFrame([("y", "x")] * 4, ["a", "b"])
     r2 = cohens_kappa(dj, "a", "b").first()
     assert r2["po"] == 0.0 and r2["pe"] == 0.0 and r2["kappa"] == 0.0
+
+
+class TestSpearman:
+    def test_monotone_nonlinear_is_one(self, spark):
+        from kkbox_churn_prediction_spark.operators.association import spearman_corr
+
+        # y = x³: nonlinear but perfectly monotone -> spearman 1
+        rows = [(x, x ** 3) for x in range(1, 11)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert r["spearman"] == 1.0 and r["n"] == 10
+        # reversed -> -1
+        rev = spark.createDataFrame([(x, -(x ** 3)) for x in range(1, 11)], "x long, y long")
+        assert spearman_corr(rev, "x", "y").collect()[0]["spearman"] == -1.0
+
+    def test_ties_match_scipy_convention(self, spark):
+        from kkbox_churn_prediction_spark.operators.association import spearman_corr
+
+        # hand check with ties: x=[1,1,2,3], y=[10,20,20,30]
+        # rank_x = [1.5,1.5,3,4], rank_y = [1,2.5,2.5,4]
+        import numpy as np
+
+        xs = [1, 1, 2, 3]
+        ys = [10, 20, 20, 30]
+        rank_x = np.array([1.5, 1.5, 3, 4])
+        rank_y = np.array([1, 2.5, 2.5, 4])
+        expected = np.corrcoef(rank_x, rank_y)[0, 1]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert r["spearman"] == round(float(expected), 6)
+
+    def test_constant_column_zero(self, spark):
+        from kkbox_churn_prediction_spark.operators.association import spearman_corr
+
+        df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+        assert spearman_corr(df, "x", "y").collect()[0]["spearman"] == 0.0
