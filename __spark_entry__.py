@@ -2616,6 +2616,26 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_qq_shift_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ drift table: per-decile text-length quantiles of the odd
+    weeks vs the even reference, with the per-quantile shift in
+    characters — WHERE the drift scores' movement happened."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import qq_shift
+    from kkbox_churn_prediction_spark.sources.events import conversations_from_events
+
+    conv = conversations_from_events(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    tagged = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    return qq_shift(tagged, "text_len", "fold", ref_fold="even")
+
+
 def _q_spearman_turns_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between per-conversation turn count
     and total text length — the monotone, tail-robust companion to
@@ -3585,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "qq_shift_text_len": _q_qq_shift_text_len,
         "spearman_turns_textlen": _q_spearman_turns_textlen,
         "transition_backtest": _q_transition_backtest,
         "source_tf_cosine": _q_source_tf_cosine,
@@ -8409,6 +8430,37 @@ FROM per
 """
 
 
+# QQ drift table (lock-step with psi.qq_shift: quantile_cont ==
+# Spark exact percentile; same even/odd week folds as the drift gates)
+_QQ_SHIFT_SQL = f"""
+WITH {_CONV_CTE},
+tagged AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM conversations
+),
+per AS (
+    SELECT fold,
+           quantile_cont(text_len, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+    FROM tagged GROUP BY fold
+),
+long_q AS (
+    SELECT fold,
+           unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS prob,
+           CAST(unnest(qs) AS DOUBLE) AS q
+    FROM per
+),
+ref AS (SELECT prob, q AS q_ref FROM long_q WHERE fold = 'even')
+SELECT c.fold, c.prob,
+       ROUND(c.q, 6) AS q_cur,
+       ROUND(r.q_ref, 6) AS q_ref,
+       ROUND(c.q - r.q_ref, 6) AS shift
+FROM long_q c JOIN ref r ON c.prob = r.prob
+WHERE c.fold <> 'even'
+"""
+
 # Spearman rank correlation (lock-step with association.spearman_corr:
 # doubled average ranks 2r = 2·before + cnt + 1 are exact integers,
 # five HUGEINT sufficient sums, one fixed-shape double expression)
@@ -9519,6 +9571,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "qq_shift_text_len": _QQ_SHIFT_SQL,
         "spearman_turns_textlen": _SPEARMAN_SQL,
         "transition_backtest": _TRANSITION_BACKTEST_SQL,
         "source_tf_cosine": _SOURCE_TF_COSINE_SQL,

@@ -413,3 +413,58 @@ def ks_from_bins(
         F.col("_n").cast("long").alias("n_cur"),
         F.col("_rn").cast("long").alias("n_ref"),
     )
+
+
+def qq_shift(
+    binnable: DataFrame,
+    value_col: str,
+    fold_col: str,
+    ref_fold: str,
+    probs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-quantile drift magnitudes: the QQ table behind the drift
+    scores — for every non-reference fold and probability p, the
+    fold's p-quantile, the reference's, and their difference in VALUE
+    units. PSI/JSD/KS say "the distribution moved"; W1 says "by this
+    much on average"; this says WHERE it moved (tail-only vs
+    everywhere) — the triage view an on-call engineer reads first.
+
+    ``exact=True`` is the np.quantile analog (linear interpolation,
+    oracle-exact at round(6)); pass ``exact=False`` at 10^12 rows for
+    the GK-sketch `approx_percentile` (A10 buffer discipline —
+    bounded memory, mergeable partials).
+
+    Shape: ONE fold-keyed hash agg computing the whole probability
+    vector per fold (never a per-p scan), posexplode of the
+    |folds|×|probs| result, broadcast ref join. The corpus is touched
+    once.
+    """
+    arr = ",".join(str(float(p)) for p in probs)
+    fn = (
+        f"percentile({value_col}, array({arr}))"
+        if exact
+        else f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
+    )
+    per_fold = binnable.groupBy(fold_col).agg(F.expr(fn).alias("_qs"))
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    long_q = per_fold.select(
+        fold_col, F.posexplode("_qs").alias("_i", "_q")
+    ).select(
+        fold_col,
+        F.element_at(probs_arr, F.col("_i") + 1).alias("prob"),
+        F.col("_q").cast("double").alias("_q"),
+    )
+    ref = long_q.where(F.col(fold_col) == ref_fold).select(
+        "prob", F.col("_q").alias("q_ref")
+    )
+    cur = long_q.where(F.col(fold_col) != ref_fold)
+    return cur.join(F.broadcast(ref), "prob").select(
+        F.col(fold_col).alias("fold"),
+        "prob",
+        F.round(F.col("_q"), 6).alias("q_cur"),
+        F.round(F.col("q_ref"), 6).alias("q_ref"),
+        F.round(F.col("_q") - F.col("q_ref"), 6).alias("shift"),
+    )

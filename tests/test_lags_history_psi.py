@@ -328,3 +328,24 @@ def test_transition_backtest_tiebreak(spark):
         spark.createDataFrame(pdf), fold, train_fold="train"
     ).collect()[0]
     assert r["predicted"] == "b" and r["n_correct"] == 1
+
+
+def test_qq_shift_golden_and_approx(spark):
+    from kkbox_churn_prediction_spark.operators.psi import qq_shift
+
+    # cur = ref + 10 exactly -> every decile shifts by 10
+    ref_vals = list(range(1, 101))
+    rows = [("ref", v) for v in ref_vals] + [("cur", v + 10) for v in ref_vals]
+    df = spark.createDataFrame(rows, "fold string, v long")
+    out = qq_shift(df, "v", "fold", "ref", probs=(0.25, 0.5, 0.75)).collect()
+    assert len(out) == 3
+    assert all(r["shift"] == 10.0 and r["fold"] == "cur" for r in out)
+    med = {r["prob"]: r for r in out}[0.5]
+    import numpy as np
+
+    assert med["q_ref"] == round(float(np.quantile(ref_vals, 0.5)), 6)
+    # approx mode lands within a value of exact on this spread
+    approx = {r["prob"]: r["shift"] for r in qq_shift(
+        df, "v", "fold", "ref", probs=(0.5,), exact=False
+    ).collect()}
+    assert abs(approx[0.5] - 10.0) <= 1.0
