@@ -2616,6 +2616,15 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA level + one-step forecast error of the daily turn count
+    (staircase half-life weights — exact IEEE on both engines); the
+    forecasting baseline beside daily_anomalies and cusum_drift."""
+    from kkbox_churn_prediction_spark.operators.windows import ewma_daily
+
+    return ewma_daily(_conv(spark, sf_dir), halving_days=3)
+
+
 def _q_qq_shift_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QQ drift table: per-decile text-length quantiles of the odd
     weeks vs the even reference, with the per-quantile shift in
@@ -3605,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "ewma_daily": _q_ewma_daily,
         "qq_shift_text_len": _q_qq_shift_text_len,
         "spearman_turns_textlen": _q_spearman_turns_textlen,
         "transition_backtest": _q_transition_backtest,
@@ -8430,6 +8440,55 @@ FROM per
 """
 
 
+# EWMA daily level (lock-step with windows.ewma_daily: staircase
+# half-life weights 1/(1<<k) — exact IEEE both engines; weighted sums
+# over the day-ordered window frame of the bounded pair table)
+_EWMA_DAILY_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY 1
+),
+days AS (
+    SELECT d, CAST(floor(epoch_us(d) / {86400 * 1_000_000}) AS BIGINT) AS dn, n_turns
+    FROM daily
+),
+pairs AS (
+    SELECT a.d, a.dn, a.n_turns, b.dn AS dni, b.n_turns AS xi,
+           CASE WHEN CAST(floor((a.dn - b.dn) / 3) AS INTEGER) <= 62
+                THEN 1.0 / CAST(CAST(1 AS BIGINT)
+                                << CAST(floor((a.dn - b.dn) / 3) AS INTEGER) AS DOUBLE)
+                ELSE 0.0 END AS w
+    FROM days a JOIN days b ON b.dn <= a.dn
+),
+summed AS (
+    SELECT d, dn, n_turns, MAX(num) AS num, MAX(den) AS den FROM (
+        SELECT d, dn, n_turns,
+               SUM(w * CAST(xi AS DOUBLE)) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS num,
+               SUM(w) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS den
+        FROM pairs
+    ) GROUP BY d, dn, n_turns
+),
+lev AS (
+    SELECT d, dn, n_turns, num / den AS ewma,
+           lag(num / den) OVER (ORDER BY dn) AS prev
+    FROM summed
+)
+SELECT d, n_turns,
+       ROUND(ewma, 6) AS ewma,
+       ROUND(COALESCE(prev, -1.0), 6) AS forecast,
+       ROUND(COALESCE(CASE WHEN prev IS NOT NULL AND prev <> 0
+                           THEN (CAST(n_turns AS DOUBLE) - prev) / prev END, 0.0), 6)
+           AS forecast_err,
+       ABS(COALESCE(CASE WHEN prev IS NOT NULL AND prev <> 0
+                         THEN (CAST(n_turns AS DOUBLE) - prev) / prev END, 0.0)) > 0.5
+           AS is_surprise
+FROM lev
+"""
+
 # QQ drift table (lock-step with psi.qq_shift: quantile_cont ==
 # Spark exact percentile; same even/odd week folds as the drift gates)
 _QQ_SHIFT_SQL = f"""
@@ -9571,6 +9630,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "ewma_daily": _EWMA_DAILY_SQL,
         "qq_shift_text_len": _QQ_SHIFT_SQL,
         "spearman_turns_textlen": _SPEARMAN_SQL,
         "transition_backtest": _TRANSITION_BACKTEST_SQL,

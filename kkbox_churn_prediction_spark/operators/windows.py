@@ -351,3 +351,86 @@ def daily_acf(
             F.when(F.col("_den") > eps, F.col("_num") / F.col("_den")), 6
         ).alias("acf"),
     )
+
+
+def ewma_daily(
+    turns: DataFrame,
+    halving_days: int = 3,
+    deviation_threshold: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted level of the daily turn count — the
+    forecasting baseline beside :func:`daily_anomalies` (trailing-mean
+    z) and :func:`cusum_changepoints` (level shifts): ``level_t =
+    Σ_{i≤t} w(d_t−d_i)·x_i / Σ w(d_t−d_i)`` (the ``ewm(adjust=True)``
+    convention over OBSERVED days, weighting by CALENDAR distance so
+    gaps decay naturally). Emits each day's level, the one-step-ahead
+    forecast (the previous day's level — what you'd have predicted),
+    and the relative forecast error with a |err| > threshold flag.
+
+    Determinism: the decay is a STAIRCASE half-life — ``w = 1 /
+    2^floor(Δdays/halving_days)`` — because ``1 << k`` then one
+    division is EXACT IEEE on both engines, where a general
+    ``pow(1−α, k)`` is implementation-rounded (a 1-ulp libm
+    disagreement is exactly the flake class this engine eliminates);
+    both weighted sums run over the day-ORDERED window frame of the
+    pair table, so the float order is pinned (km_curve discipline).
+
+    Shape: the raw stream collapses to one row per day in a single
+    hash agg; the pair self-join and every window run on the bounded
+    daily series (≤ thousands of rows for a decade) — the same
+    tiny-profile exemption as daily_anomalies/daily_acf.
+    """
+    h = int(halving_days)
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    days = daily.select(
+        "d",
+        F.floor(F.unix_micros(F.col("d")) / F.lit(86400 * 1_000_000)).alias("_dn"),
+        "n_turns",
+    )
+    past = days.select(
+        F.col("_dn").alias("_dni"), F.col("n_turns").alias("_xi")
+    )
+    pairs = days.join(past, F.col("_dni") <= F.col("_dn")).withColumn(
+        "_k", F.floor((F.col("_dn") - F.col("_dni")) / F.lit(h)).cast("int")
+    )
+    # 1/(1<<k): bit shift + one division — exact IEEE on both engines
+    # (a libm pow() here is implementation-rounded, the flake class
+    # this engine eliminates)
+    wgt = F.when(
+        F.col("_k") <= 62,
+        F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _k) AS DOUBLE)"),
+    ).otherwise(F.lit(0.0))
+    w_ord = (
+        Window.partitionBy("_dn")
+        .orderBy("_dni")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    summed = pairs.select(
+        "d",
+        "_dn",
+        "n_turns",
+        F.sum(wgt * F.col("_xi").cast("double")).over(w_ord).alias("_num"),
+        F.sum(wgt).over(w_ord).alias("_den"),
+    ).groupBy("d", "_dn", "n_turns").agg(
+        F.max("_num").alias("_num"), F.max("_den").alias("_den")
+    )
+    level = (F.col("_num") / F.col("_den")).alias("ewma")
+    w_prev = Window.orderBy("_dn")
+    out = summed.select("d", "_dn", "n_turns", level)
+    prev = F.lag("ewma").over(w_prev)
+    err = F.when(
+        prev.isNotNull() & (prev != 0),
+        (F.col("n_turns").cast("double") - prev) / prev,
+    )
+    return out.select(
+        "d",
+        "n_turns",
+        F.round(F.col("ewma"), 6).alias("ewma"),
+        F.round(F.coalesce(prev, F.lit(-1.0)), 6).alias("forecast"),
+        F.round(F.coalesce(err, F.lit(0.0)), 6).alias("forecast_err"),
+        (F.abs(F.coalesce(err, F.lit(0.0))) > F.lit(float(deviation_threshold))).alias(
+            "is_surprise"
+        ),
+    )

@@ -263,3 +263,56 @@ def test_peak_concurrency_sweep_line(spark):
     out2 = {r["day_us"]: r["peak_concurrency"]
             for r in peak_concurrency(df.repartition(7)).collect()}
     assert out == out2
+
+
+def test_ewma_daily_golden(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import ewma_daily
+
+    t0 = datetime(2024, 1, 1, 6, 0, 0)
+    # day 0: 8 turns, day 1: 8 turns, day 2: 24 turns (a surge)
+    rows = []
+    for day, n in [(0, 8), (1, 8), (2, 24)]:
+        rows += [("c%d%d" % (day, i), i, "user", "x", None, t0 + timedelta(days=day, minutes=i))
+                 for i in range(n)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    res = sorted(
+        ewma_daily(spark.createDataFrame(pdf), halving_days=3).collect(),
+        key=lambda r: r["d"],
+    )
+    d0, d1, d2 = res
+    # halving_days=3: Δ=1,2 days -> k=0 -> weight 1 (staircase) so the
+    # level is a plain running mean inside the first half-life step
+    assert d1["ewma"] == 8.0
+    assert d1["forecast"] == 8.0 and d1["forecast_err"] == 0.0
+    assert not d1["is_surprise"]
+    assert d2["ewma"] == round((8 + 8 + 24) / 3, 6)
+    assert d2["forecast"] == 8.0
+    assert d2["forecast_err"] == 2.0 and d2["is_surprise"]
+    # first day has no forecast -> sentinel + no flag
+    assert d0["forecast"] == -1.0 and not d0["is_surprise"]
+
+
+def test_ewma_daily_halving_decay(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.windows import ewma_daily
+
+    t0 = datetime(2024, 1, 1)
+    # two observed days 3 apart: weight of the old day halves (k=1)
+    rows = [("a", 0, "user", "x", None, t0)] * 1 + [
+        ("b", 0, "user", "x", None, t0 + timedelta(days=3))
+    ]
+    rows = [(f"c{i}", 0, "user", "x", None, ts) for i, (_, _, _, _, _, ts) in enumerate(rows)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    # day0: x=1; day3: x=1 -> level day3 = (0.5*1 + 1*1)/(1.5) = 1.0
+    out = sorted(
+        ewma_daily(spark.createDataFrame(pdf), halving_days=3).collect(),
+        key=lambda r: r["d"],
+    )
+    assert out[1]["ewma"] == 1.0 and out[1]["forecast"] == 1.0
