@@ -2616,6 +2616,31 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-weekday decomposition of the daily series + Hyndman
+    seasonal strength — quantifies the deseasonalize-first decision
+    daily_acf flags. Exact integer sufficient statistics."""
+    from kkbox_churn_prediction_spark.operators.windows import dow_seasonality
+
+    return dow_seasonality(_conv(spark, sf_dir))
+
+
+def _q_label_rate_by_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label sensitivity: positive rate of re-engagement within
+    h days for h in 1/3/7/14 over the entity×cutoff grid — the audit
+    behind choosing a label horizon."""
+    from kkbox_churn_prediction_spark.operators.survival import (
+        label_rate_by_horizon,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    labels = survival_labels(
+        _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+    )
+    return label_rate_by_horizon(labels, horizons=(1, 3, 7, 14))
+
+
 def _q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA level + one-step forecast error of the daily turn count
     (staircase half-life weights — exact IEEE on both engines); the
@@ -3614,6 +3639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "dow_seasonality": _q_dow_seasonality,
+        "label_rate_by_horizon": _q_label_rate_by_horizon,
         "ewma_daily": _q_ewma_daily,
         "qq_shift_text_len": _q_qq_shift_text_len,
         "spearman_turns_textlen": _q_spearman_turns_textlen,
@@ -8440,6 +8467,69 @@ FROM per
 """
 
 
+# dow seasonality (lock-step with windows.dow_seasonality: Spark
+# weekday()+1 == DuckDB isodow; exact hugeint Σx/Σx² per dow; the
+# Σ(x−m_d)² = Σx² − Σ n_d·m_d² identity; 7-term ordered window sums)
+_DOW_SEASONALITY_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM conversations GROUP BY 1
+),
+per_dow AS (
+    SELECT CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           SUM(CAST(n AS HUGEINT)) AS s,
+           SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS ss
+    FROM daily GROUP BY 1
+),
+win AS (
+    SELECT iso_dow, n_days,
+           CAST(n_days AS DOUBLE) AS nd,
+           CAST(s AS DOUBLE) AS sd,
+           CAST(SUM(n_days) OVER w AS DOUBLE) AS n_tot,
+           CAST(SUM(s) OVER w AS DOUBLE) AS s_tot,
+           CAST(SUM(ss) OVER w AS DOUBLE) AS ss_tot,
+           SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) OVER w AS seas
+    FROM per_dow
+    WINDOW w AS (ORDER BY iso_dow ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING)
+)
+SELECT iso_dow, n_days,
+       ROUND(sd / nd, 6) AS mean_daily_turns,
+       ROUND(sd / s_tot, 6) AS share,
+       ROUND(CASE WHEN n_tot > 1
+                   AND (ss_tot - s_tot * s_tot / n_tot) / (n_tot - 1.0) > 0
+                  THEN greatest(0.0, 1.0 - ((ss_tot - seas) / (n_tot - 1.0))
+                                           / ((ss_tot - s_tot * s_tot / n_tot) / (n_tot - 1.0)))
+                  ELSE 0.0 END, 6) AS seasonal_strength
+FROM win
+"""
+
+# label-horizon sensitivity (lock-step with survival.
+# label_rate_by_horizon over the SAME survival-label CTE as km_curve)
+_LABEL_RATE_BY_HORIZON_SQL = f"""
+WITH {_SURVIVAL_CORE},
+one AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN observed = 1 AND duration_days <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+           CAST(SUM(CASE WHEN observed = 1 AND duration_days <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+           CAST(SUM(CASE WHEN observed = 1 AND duration_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS p7,
+           CAST(SUM(CASE WHEN observed = 1 AND duration_days <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS p14
+    FROM labels
+),
+long_h AS (
+    SELECT CAST(1 AS INTEGER) AS horizon_days, n, p1 AS n_positive FROM one
+    UNION ALL SELECT 3, n, p3 FROM one
+    UNION ALL SELECT 7, n, p7 FROM one
+    UNION ALL SELECT 14, n, p14 FROM one
+)
+SELECT horizon_days, n, n_positive,
+       ROUND(CAST(n_positive AS DOUBLE) / CAST(n AS DOUBLE), 6) AS positive_rate
+FROM long_h
+"""
+
 # EWMA daily level (lock-step with windows.ewma_daily: staircase
 # half-life weights 1/(1<<k) — exact IEEE both engines; weighted sums
 # over the day-ordered window frame of the bounded pair table)
@@ -9630,6 +9720,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "dow_seasonality": _DOW_SEASONALITY_SQL,
+        "label_rate_by_horizon": _LABEL_RATE_BY_HORIZON_SQL,
         "ewma_daily": _EWMA_DAILY_SQL,
         "qq_shift_text_len": _QQ_SHIFT_SQL,
         "spearman_turns_textlen": _SPEARMAN_SQL,

@@ -180,3 +180,49 @@ def logrank_test(
         F.round(z, 6).alias("z_stat"),
         F.round(z * z, 6).alias("chi2"),
     )
+
+
+def label_rate_by_horizon(
+    labels: DataFrame,
+    horizons: tuple[int, ...] = (1, 3, 7, 14),
+) -> DataFrame:
+    """Label-definition sensitivity curve: for each candidate horizon
+    h, the positive rate of "re-engaged within h days" over the
+    entity×cutoff grid — the audit behind choosing a churn window (the
+    reference hard-codes 30 days; this shows what every other choice
+    would have labeled). Run it BEFORE committing a label definition:
+    a rate cliff between adjacent horizons means the label is
+    sensitive to an arbitrary constant.
+
+    Input: :func:`survival_labels` output (``duration_days``,
+    ``observed``) computed at the LARGEST candidate horizon; an event
+    at day d counts as positive for every h ≥ d. Output per horizon:
+    ``n`` / ``n_positive`` exact longs, ``positive_rate``.
+
+    Shape: ONE conditional-count hash agg over the label grid (the
+    horizon list compiles to |horizons| count-if columns — no explode,
+    no per-horizon scan), unpivoted to rows post-agg.
+    """
+    hs = sorted(int(h) for h in horizons)
+    pos = [
+        F.sum(
+            F.when(
+                (F.col("observed") == 1) & (F.col("duration_days") <= h), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"_p{h}")
+        for h in hs
+    ]
+    one = labels.agg(F.count(F.lit(1)).cast("long").alias("_n"), *pos)
+    stack = "stack({}, {}) as (horizon_days, n_positive)".format(
+        len(hs), ", ".join(f"{h}, _p{h}" for h in hs)
+    )
+    return one.selectExpr("_n", stack).select(
+        F.col("horizon_days").cast("int").alias("horizon_days"),
+        F.col("_n").alias("n"),
+        F.col("n_positive").cast("long").alias("n_positive"),
+        F.round(
+            F.col("n_positive").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("positive_rate"),
+    )

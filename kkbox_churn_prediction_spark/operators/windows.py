@@ -434,3 +434,62 @@ def ewma_daily(
             "is_surprise"
         ),
     )
+
+
+def dow_seasonality(turns: DataFrame) -> DataFrame:
+    """Day-of-week seasonality decomposition of the daily turn count:
+    per ISO weekday, the mean daily count and its share of the weekly
+    total, plus the classic seasonality STRENGTH ``max(0, 1 −
+    Var(residual)/Var(series))`` (Hyndman's STL measure with the
+    weekday means as the seasonal component) repeated on every row —
+    strength ≈ 0 means drift monitors need no weekday adjustment;
+    near 1 means every alarm should be deseasonalized first (the
+    decision :func:`daily_acf` flags, quantified).
+
+    Determinism: day counts and per-dow totals are exact longs; both
+    variances are computed from exact integer sufficient statistics
+    (Σx, Σx² per dow as decimals) through one fixed-shape double
+    expression — no float row sums. Residual variance uses the
+    identity ``Σ(x−m_d)² = Σx² − Σ_d n_d·m_d²`` so nothing ever joins
+    back to the daily rows.
+
+    Shape: stream → daily agg (one corpus shuffle) → 7-row dow agg;
+    the strength is scalar algebra over the 7-row table summed in
+    dow order (bounded-frame discipline).
+    """
+    dec = "decimal(38,0)"
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # Spark weekday(): 0=Monday..6=Sunday → +1 == DuckDB isodow
+    per_dow = daily.groupBy(
+        (F.weekday(F.col("d")) + F.lit(1)).cast("int").alias("iso_dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("n").cast(dec)).alias("_s"),
+        F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).alias("_ss"),
+    )
+    w_ord = Window.orderBy("iso_dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("_s").cast("double")
+    mean_dow = sd / nd
+    # ordered 7-term sums: total N/Σx/Σx² and the seasonal reduction
+    n_tot = F.sum("n_days").over(w_ord).cast("double")
+    s_tot = F.sum("_s").over(w_ord).cast("double")
+    ss_tot = F.sum("_ss").over(w_ord).cast("double")
+    seas = F.sum(sd * sd / nd).over(w_ord)
+    var_series = (ss_tot - s_tot * s_tot / n_tot) / (n_tot - F.lit(1.0))
+    var_resid = (ss_tot - seas) / (n_tot - F.lit(1.0))
+    strength = F.when(
+        (n_tot > 1) & (var_series > 0),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_resid / var_series),
+    ).otherwise(F.lit(0.0))
+    return per_dow.select(
+        "iso_dow",
+        "n_days",
+        F.round(mean_dow, 6).alias("mean_daily_turns"),
+        F.round(sd / s_tot, 6).alias("share"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    )

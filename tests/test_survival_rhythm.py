@@ -376,3 +376,20 @@ class TestLogrank:
         r = logrank_test(df).collect()[0]
         assert r["o_a"] == 10 and r["o_b"] == 0
         assert r["z_stat"] > 3.0 and r["chi2"] > 9.0
+
+
+def test_label_rate_by_horizon_monotone_golden(spark):
+    from kkbox_churn_prediction_spark.operators.survival import label_rate_by_horizon
+
+    # durations: 1,2,5,10 observed; 14 censored (never positive)
+    rows = [(1, 1), (2, 1), (5, 1), (10, 1), (14, 0)]
+    df = spark.createDataFrame(rows, "duration_days int, observed int")
+    out = {r["horizon_days"]: r for r in label_rate_by_horizon(df, (1, 3, 7, 14)).collect()}
+    assert out[1]["n_positive"] == 1 and out[1]["positive_rate"] == 0.2
+    assert out[3]["n_positive"] == 2
+    assert out[7]["n_positive"] == 3
+    assert out[14]["n_positive"] == 4 and out[14]["positive_rate"] == 0.8
+    # monotone in h by construction
+    rates = [out[h]["positive_rate"] for h in (1, 3, 7, 14)]
+    assert rates == sorted(rates)
+    assert all(r["n"] == 5 for r in out.values())

@@ -316,3 +316,42 @@ def test_ewma_daily_halving_decay(spark):
         key=lambda r: r["d"],
     )
     assert out[1]["ewma"] == 1.0 and out[1]["forecast"] == 1.0
+
+
+def test_dow_seasonality_golden(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.windows import dow_seasonality
+
+    # two weeks: Mondays get 10 turns, all other days 2 -> strong dow signal
+    t0 = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    cid = 0
+    for day in range(14):
+        n = 10 if day % 7 == 0 else 2
+        for i in range(n):
+            rows.append((f"c{cid}", i, "user", "x", None, t0 + timedelta(days=day, minutes=i)))
+        cid += 1
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = {r["iso_dow"]: r for r in dow_seasonality(spark.createDataFrame(pdf)).collect()}
+    assert out[1]["mean_daily_turns"] == 10.0 and out[1]["n_days"] == 2
+    assert out[2]["mean_daily_turns"] == 2.0
+    # within-dow variance is ZERO -> strength exactly 1
+    assert out[1]["seasonal_strength"] == 1.0
+    assert out[1]["share"] == round(20 / 44, 6)
+
+def test_dow_seasonality_flat_series(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.windows import dow_seasonality
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(f"c{d}", 0, "user", "x", None, t0 + timedelta(days=d)) for d in range(14)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = dow_seasonality(spark.createDataFrame(pdf)).collect()
+    # constant series: Var(series)=0 -> strength pinned to 0
+    assert all(r["seasonal_strength"] == 0.0 for r in out)
