@@ -311,8 +311,15 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         value_rank_components,
     )
 
+    from pyspark import StorageLevel
+
     dec = "decimal(38,0)"
-    base = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    # referenced by BOTH rank machines and the final join — persist so
+    # whatever lineage produced the (x, y) pairs runs exactly once
+    # (plan-audited: 5 corpus scans without this)
+    base = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def rank_table(col: str, out: str) -> DataFrame:
         r = value_rank_components(base, col)

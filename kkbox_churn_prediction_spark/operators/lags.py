@@ -325,6 +325,11 @@ def transition_backtest(
         .where(F.col("_next").isNotNull())
         .select("_fold", F.col("tool").alias("from_tool"), F.col("_next").alias("to_tool"))
     )
+    # train and eval branches both read the pair stream — persist the
+    # slim (fold, from, to) projection so the corpus window runs once
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     tr_counts = (
         pairs.where(F.col("_fold") == train_fold)
         .groupBy("from_tool", "to_tool")

@@ -384,11 +384,13 @@ def ewma_daily(
     daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n_turns")
     )
+    # both sides of the pair join read the daily table — persist the
+    # bounded series so the corpus aggregates once
     days = daily.select(
         "d",
         F.floor(F.unix_micros(F.col("d")) / F.lit(86400 * 1_000_000)).alias("_dn"),
         "n_turns",
-    )
+    ).persist()
     past = days.select(
         F.col("_dn").alias("_dni"), F.col("n_turns").alias("_xi")
     )
