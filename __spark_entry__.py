@@ -2616,6 +2616,23 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the duplication-weighted corpus — what
+    soft dedup bought: ESS, ESS ratio, and the redundant mass hard
+    dedup would have deleted."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+        duplication_weights,
+        effective_sample_size,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, n=3, bands=4, rows_per_band=2)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return effective_sample_size(duplication_weights(docs, comps))
+
+
 def _q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-weekday decomposition of the daily series + Hyndman
     seasonal strength — quantifies the deseasonalize-first decision
@@ -3639,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "dedup_effective_size": _q_dedup_effective_size,
         "dow_seasonality": _q_dow_seasonality,
         "label_rate_by_horizon": _q_label_rate_by_horizon,
         "ewma_daily": _q_ewma_daily,
@@ -9339,6 +9357,44 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# effective sample size of the weighted corpus (lock-step with
+# components.effective_sample_size over the SAME recursive-CTE
+# weight table as dedup_weights; m_k/k summed over the size-ordered
+# histogram window)
+_DEDUP_EFFECTIVE_SIZE_SQL = f"""
+WITH RECURSIVE weighted AS ({_DEDUP_WEIGHTS_SQL.strip()}),
+hist AS (
+    SELECT cluster_size AS k, CAST(COUNT(*) AS BIGINT) AS n_docs_k
+    FROM weighted GROUP BY cluster_size
+),
+rows_t AS (
+    SELECT k, n_docs_k,
+           CAST(n_docs_k // k AS BIGINT) AS m,
+           CAST(CAST(n_docs_k // k AS BIGINT) AS DOUBLE) / CAST(k AS DOUBLE) AS inv
+    FROM hist
+),
+agg AS (
+    SELECT MAX(n_docs) AS n_docs, MAX(n_clusters) AS n_clusters,
+           MAX(inv_sum) AS inv_sum FROM (
+        SELECT CAST(SUM(n_docs_k) OVER w AS BIGINT) AS n_docs,
+               CAST(SUM(m) OVER w AS BIGINT) AS n_clusters,
+               SUM(inv) OVER w AS inv_sum
+        FROM rows_t
+        WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING)
+    )
+)
+SELECT n_docs, n_clusters,
+       ROUND(CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE) / inv_sum, 6) AS ess,
+       ROUND(CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE) / inv_sum
+             / CAST(n_docs AS DOUBLE), 6) AS ess_ratio,
+       ROUND(CAST(n_docs AS DOUBLE)
+             - CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE) / inv_sum, 6)
+           AS redundant_mass
+FROM agg
+"""
+
+
 # Cohen's kappa (lock-step with operators/association.py cohens_kappa:
 # same contingency → marginal-product chance agreement → κ, same
 # p_e = 1 degenerate-to-0 convention and 6-digit rounding).
@@ -9720,6 +9776,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "dedup_effective_size": _DEDUP_EFFECTIVE_SIZE_SQL,
         "dow_seasonality": _DOW_SEASONALITY_SQL,
         "label_rate_by_horizon": _LABEL_RATE_BY_HORIZON_SQL,
         "ewma_daily": _EWMA_DAILY_SQL,

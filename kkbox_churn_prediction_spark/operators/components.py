@@ -26,7 +26,7 @@ graphs are dense blobs, not paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -396,4 +396,60 @@ def select_canonical(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
         .withColumn("n_removed", (F.col("n_members") - 1).cast("bigint"))
+    )
+
+
+def effective_sample_size(weighted_docs: DataFrame) -> DataFrame:
+    """Effective sample size of the duplication-weighted corpus — the
+    scalar that says what soft dedup actually bought: for weights
+    ``1/cluster_size``, ``ESS = (Σw)²/Σw²``, which collapses to
+    ``C² / Σ_k m_k/k`` over the cluster-size histogram (C = number of
+    clusters, m_k = clusters of size k). ESS == C exactly when every
+    cluster is internally uniform — so ``ess / n_docs`` is the
+    fraction of the corpus that is informationally distinct, and
+    ``n_docs − ess`` is the mass hard dedup would have deleted and
+    soft dedup merely down-weighted.
+
+    Input: :func:`duplication_weights` output (needs only
+    ``cluster_size``). Determinism: doc and cluster counts are exact
+    longs (``m_k = n_docs_k / k`` is exact integer division); the one
+    rational reduction ``Σ m_k/k`` runs over the size-ORDERED window
+    of the bounded histogram (distinct cluster sizes), so the float
+    order is pinned.
+
+    Shape: ONE hash agg to the cluster-size histogram; everything
+    after runs on ≤|distinct sizes| rows.
+    """
+    hist = weighted_docs.groupBy(F.col("cluster_size").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_k")
+    )
+    m_k = (F.col("n_docs_k") / F.col("k")).cast("long")
+    w_ord = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rows = hist.select(
+        "k",
+        "n_docs_k",
+        m_k.alias("_m"),
+        (m_k.cast("double") / F.col("k").cast("double")).alias("_inv"),
+    )
+    agg = rows.select(
+        F.sum("n_docs_k").over(w_ord).cast("long").alias("n_docs"),
+        F.sum("_m").over(w_ord).cast("long").alias("n_clusters"),
+        F.sum("_inv").over(w_ord).alias("_inv_sum"),
+    ).groupBy().agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_clusters").alias("n_clusters"),
+        F.max("_inv_sum").alias("_inv_sum"),
+    )
+    c = F.col("n_clusters").cast("double")
+    ess = c * c / F.col("_inv_sum")
+    return agg.select(
+        "n_docs",
+        "n_clusters",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+        F.round(
+            F.col("n_docs").cast("double") - ess, 6
+        ).alias("redundant_mass"),
     )

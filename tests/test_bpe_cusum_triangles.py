@@ -242,3 +242,29 @@ def test_select_canonical_keep_best(spark):
     # cluster 7: tie at 5 → LARGER id wins
     assert rows[7].canonical_id == 8
     assert rows[7].n_removed == 1
+
+
+def test_effective_sample_size_golden(spark):
+    from kkbox_churn_prediction_spark.operators.components import (
+        effective_sample_size,
+    )
+
+    # 4 singletons + 1 pair + 1 cluster of 4 -> 10 docs, 6 clusters
+    rows = (
+        [(i, i, 1) for i in range(4)]
+        + [(10, 100, 2), (11, 100, 2)]
+        + [(20 + i, 200, 4) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, component long, cluster_size long")
+    r = effective_sample_size(df).collect()[0]
+    assert r["n_docs"] == 10 and r["n_clusters"] == 6
+    # Σ m_k/k = 4/1 + 1/2 + 1/4 = 4.75 ; ESS = 36/4.75
+    ess = 36 / 4.75
+    assert r["ess"] == round(ess, 6)
+    assert r["ess_ratio"] == round(ess / 10, 6)
+    assert r["redundant_mass"] == round(10 - ess, 6)
+    # no duplication at all -> ESS == n_docs exactly
+    uniq = spark.createDataFrame([(i, i, 1) for i in range(5)],
+                                 "doc_id long, component long, cluster_size long")
+    u = effective_sample_size(uniq).collect()[0]
+    assert u["ess"] == 5.0 and u["ess_ratio"] == 1.0 and u["redundant_mass"] == 0.0
