@@ -2616,6 +2616,62 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_streaming_srm_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #7: continuous sample-ratio-
+    mismatch monitor — watermarked hourly arm counts in append mode,
+    chi-square verdict batch-side per finalized window (the lambda
+    shape the PSI monitor uses)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.streaming.drift import (
+        srm_over_windows,
+        streaming_category_counts,
+    )
+
+    src, stage = _stage_stream_src(sf_dir)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.when(
+                F.pmod(
+                    stable_hash48(
+                        F.concat(F.lit("ab"), F.col("user_id").cast("string"))
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+            "ts",
+        )
+    )
+    name = "eng_streaming_srm"
+    q = (
+        streaming_category_counts(stream, "arm", window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "arm",
+        F.col("n").cast("long").alias("n"),
+    )
+    return srm_over_windows(counts)
+
+
 def _q_dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective sample size of the duplication-weighted corpus — what
     soft dedup bought: ESS, ESS ratio, and the redundant mass hard
@@ -3656,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "streaming_srm_arms": _q_streaming_srm_arms,
         "dedup_effective_size": _q_dedup_effective_size,
         "dow_seasonality": _q_dow_seasonality,
         "label_rate_by_horizon": _q_label_rate_by_horizon,
@@ -9357,6 +9414,61 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# streaming SRM monitor (lock-step with streaming/drift.py
+# srm_over_windows over the same closed-window counts as the drift
+# gate; hash-parity arms on user_id; chi² over the arm-ordered frame)
+_STREAMING_SRM_SQL = f"""
+WITH base AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', CAST(user_id AS VARCHAR))")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+maxts AS (SELECT MAX(epoch_us(ts)) AS m FROM base),
+counts AS (
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+               AS window_start_us,
+           arm, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2
+),
+closed AS (
+    SELECT window_start_us, arm, n
+    FROM counts CROSS JOIN maxts
+    WHERE window_start_us + 3600000000 <= m - 3600000000
+),
+expected(arm, ratio) AS (VALUES ('a', 0.5), ('b', 0.5)),
+grid AS (
+    SELECT w.window_start_us, e.arm, e.ratio
+    FROM (SELECT DISTINCT window_start_us FROM closed) w CROSS JOIN expected e
+),
+j AS (
+    SELECT g.window_start_us, g.arm, g.ratio,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS observed
+    FROM grid g LEFT JOIN closed c
+      ON g.window_start_us = c.window_start_us AND g.arm = c.arm
+),
+win AS (
+    SELECT window_start_us, arm, ratio, observed,
+           CAST(SUM(observed) OVER (PARTITION BY window_start_us) AS DOUBLE) AS total
+    FROM j
+),
+terms AS (
+    SELECT window_start_us, arm, observed, total * ratio AS e,
+           CASE WHEN total * ratio > 0
+                THEN (CAST(observed AS DOUBLE) - total * ratio)
+                     * (CAST(observed AS DOUBLE) - total * ratio) / (total * ratio)
+                ELSE 0.0 END AS term
+    FROM win
+)
+SELECT window_start_us, arm, observed,
+       ROUND(e, 6) AS expected,
+       ROUND(SUM(term) OVER w, 6) AS chi2,
+       SUM(term) OVER w > 3.841 AS srm
+FROM terms
+WINDOW w AS (PARTITION BY window_start_us ORDER BY arm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
 # effective sample size of the weighted corpus (lock-step with
 # components.effective_sample_size over the SAME recursive-CTE
 # weight table as dedup_weights; m_k/k summed over the size-ordered
@@ -9776,6 +9888,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "streaming_srm_arms": _STREAMING_SRM_SQL,
         "dedup_effective_size": _DEDUP_EFFECTIVE_SIZE_SQL,
         "dow_seasonality": _DOW_SEASONALITY_SQL,
         "label_rate_by_horizon": _LABEL_RATE_BY_HORIZON_SQL,

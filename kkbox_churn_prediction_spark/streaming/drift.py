@@ -100,3 +100,63 @@ def psi_over_windows(
             F.sum((F.col("a") - F.col("e")) * F.log(F.col("a") / F.col("e"))), 6
         ).alias("psi")
     )
+
+
+def srm_over_windows(
+    counts: DataFrame,
+    expected: tuple[tuple[str, float], ...] = (("a", 0.5), ("b", 0.5)),
+    threshold: float = 3.841,
+    window_col: str = "window_start_us",
+    arm_col: str = "arm",
+) -> DataFrame:
+    """Continuous sample-ratio-mismatch monitoring: per finalized
+    event-time window, the observed arm allocation vs the designed
+    ratios and the chi-square verdict — the streaming twin of
+    ``operators.abtest.srm_check`` (an experiment whose assignment
+    breaks mid-flight is caught the window it breaks, not at
+    readout). Same lambda shape as the PSI monitor: the stream does
+    only the watermarked windowed count; this math runs batch-side
+    over the finalized tiny (window × arm) table.
+
+    Determinism: observed counts exact; per-window chi² terms summed
+    over the arm-ordered window frame (srm_check discipline).
+    """
+    from pyspark.sql import Window as W
+
+    spark = counts.sparkSession
+    exp_df = spark.createDataFrame(
+        [(a, float(r)) for a, r in expected], "arm string, ratio double"
+    )
+    windows = counts.select(window_col).distinct()
+    grid = windows.crossJoin(F.broadcast(exp_df))
+    j = grid.join(
+        counts.select(window_col, F.col(arm_col).alias("arm"), "n"),
+        [window_col, "arm"],
+        "left",
+    ).select(
+        window_col,
+        "arm",
+        "ratio",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("observed"),
+    )
+    w_tot = W.partitionBy(window_col)
+    total = F.sum("observed").over(w_tot).cast("double")
+    e = total * F.col("ratio")
+    term = F.when(
+        e > 0,
+        (F.col("observed").cast("double") - e)
+        * (F.col("observed").cast("double") - e)
+        / e,
+    ).otherwise(F.lit(0.0))
+    w_ord = w_tot.orderBy("arm").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    chi2 = F.sum(term).over(w_ord)
+    return j.select(
+        window_col,
+        "arm",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(threshold))).alias("srm"),
+    )

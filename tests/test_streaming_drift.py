@@ -177,3 +177,24 @@ def test_stream_stream_range_join_matches_batch(spark, tmp_path):
            for r in batch.collect()}
     assert got == exp
     assert len(got) == 2 and all(v <= 5 * 60 * 1_000_000 for v in got.values())
+
+
+def test_srm_over_windows_golden(spark):
+    from kkbox_churn_prediction_spark.streaming.drift import srm_over_windows
+
+    counts = spark.createDataFrame(
+        [
+            # window 0: balanced 50/51 -> not flagged
+            (0, "a", 50), (0, "b", 51),
+            # window 1: 90/10 -> chi2 = 2*(40^2/50) = 64 -> flagged
+            (1, "a", 90), (1, "b", 10),
+            # window 2: arm b absent entirely -> observed 0 row appears
+            (2, "a", 40),
+        ],
+        "window_start_us long, arm string, n long",
+    )
+    out = {(r["window_start_us"], r["arm"]): r for r in srm_over_windows(counts).collect()}
+    assert not out[(0, "a")]["srm"] and not out[(0, "b")]["srm"]
+    assert out[(1, "a")]["chi2"] == 64.0 and out[(1, "a")]["srm"]
+    assert out[(2, "b")]["observed"] == 0 and out[(2, "b")]["srm"]
+    assert out[(2, "b")]["expected"] == 20.0
