@@ -353,3 +353,61 @@ def test_containment_matches_jaccard_plan_shape(spark):
     assert "Window" in con and "100" in con  # the max_shingle_freq cap
     assert "CartesianProduct" not in con and "BroadcastNestedLoop" not in con
     assert con.count("Scan parquet") <= jac.count("Scan parquet")
+
+
+def test_distinct_ngrams_single_scan(spark):
+    """distinct_ngrams: one tagged explode over one corpus scan — a
+    per-n loop would show three parquet scans of documents."""
+    plan = _plan(spark, "distinct_ngrams")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+
+
+def test_t_closeness_reads_cached_cells(spark):
+    """t_closeness: the global distribution / total / cell totals are
+    rollups OF the persisted cell table — removing the persist yields
+    zero cache scans (and 3+ corpus scans)."""
+    plan = _final_plan(spark, "t_closeness")
+    assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_spearman_base_is_cached(spark):
+    """spearman: both rank machines and the final join read the
+    persisted per-conversation base, never re-derive it."""
+    plan = _final_plan(spark, "spearman_turns_textlen")
+    assert plan.count("InMemoryTableScan") >= 1
+    # (the one legitimate SinglePartition exchange is the final
+    # one-row sufficient-statistic reduce — partial aggs feed it)
+
+
+def test_transition_backtest_reads_cached_pairs(spark):
+    """transition_backtest: train and eval branches read the persisted
+    pair stream, not two corpus windows."""
+    plan = _final_plan(spark, "transition_backtest")
+    assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_ks_text_len_no_expand(spark):
+    """ks_from_bins: exact integer cumsum formulation stays
+    Expand-free; all windows run post-agg on bin-bounded rows."""
+    plan = _plan(spark, "ks_text_len")
+    assert "Expand" not in plan
+
+
+def test_cuped_single_agg_per_stage(spark):
+    """cuped_turns: the unit table reduces through hash aggregates
+    (map-side partials) — no window sort touches the corpus."""
+    plan = _plan(spark, "cuped_turns")
+    assert "Window" not in plan
+    assert "Expand" not in plan
+
+
+def test_label_rate_by_horizon_no_explode(spark):
+    """label_rate_by_horizon: horizons compile to count-if columns —
+    no Expand/explode multiplies the label grid."""
+    plan = _plan(spark, "label_rate_by_horizon")
+    assert "Expand" not in plan
+    # exactly ONE Generate — the post-agg stack unpivot of the single
+    # sufficient-statistic row; a pre-agg horizon explode would add a
+    # second one under the label grid
+    assert plan.count("Generate") == 1
