@@ -404,8 +404,9 @@ def effective_sample_size(weighted_docs: DataFrame) -> DataFrame:
     scalar that says what soft dedup actually bought: for weights
     ``1/cluster_size``, ``ESS = (Σw)²/Σw²``, which collapses to
     ``C² / Σ_k m_k/k`` over the cluster-size histogram (C = number of
-    clusters, m_k = clusters of size k). ESS == C exactly when every
-    cluster is internally uniform — so ``ess / n_docs`` is the
+    clusters, m_k = clusters of size k). Cauchy-Schwarz pins
+    C ≤ ESS ≤ N (ESS = C iff all clusters share one size; ESS = N iff
+    no duplication) — so ``ess / n_docs`` is the
     fraction of the corpus that is informationally distinct, and
     ``n_docs − ess`` is the mass hard dedup would have deleted and
     soft dedup merely down-weighted.
