@@ -2616,6 +2616,17 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold audit: session count + mean length at
+    15/30/60-minute inactivity gaps from ONE lag pass — the axis-A
+    constant's sensitivity curve."""
+    from kkbox_churn_prediction_spark.operators.sessionize import (
+        session_gap_sensitivity,
+    )
+
+    return session_gap_sensitivity(_conv(spark, sf_dir))
+
+
 def _q_streaming_srm_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #7: continuous sample-ratio-
     mismatch monitor — watermarked hourly arm counts in append mode,
@@ -3712,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "session_gap_sensitivity": _q_session_gap_sensitivity,
         "streaming_srm_arms": _q_streaming_srm_arms,
         "dedup_effective_size": _q_dedup_effective_size,
         "dow_seasonality": _q_dow_seasonality,
@@ -9414,6 +9426,37 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# session-gap sensitivity (lock-step with sessionize.
+# session_gap_sensitivity: n_sessions(g) = n_convs + |gaps > g| from
+# one lag pass; exact counts, one division per mean)
+_SESSION_GAP_SENSITIVITY_SQL = f"""
+WITH {_CONV_CTE},
+gaps AS (
+    SELECT conv_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id
+                                                 ORDER BY ts, turn_idx)) AS g
+    FROM conversations
+),
+one AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_convs,
+           CAST(SUM(CASE WHEN g > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS s900,
+           CAST(SUM(CASE WHEN g > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+           CAST(SUM(CASE WHEN g > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s3600
+    FROM gaps
+),
+long_g AS (
+    SELECT CAST(900 AS INTEGER) AS gap_seconds, n_turns, n_convs + s900 AS n_sessions FROM one
+    UNION ALL SELECT 1800, n_turns, n_convs + s1800 FROM one
+    UNION ALL SELECT 3600, n_turns, n_convs + s3600 FROM one
+)
+SELECT gap_seconds, n_turns,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       ROUND(CAST(n_turns AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+           AS mean_turns_per_session
+FROM long_g
+"""
+
 # streaming SRM monitor (lock-step with streaming/drift.py
 # srm_over_windows over the same closed-window counts as the drift
 # gate; hash-parity arms on user_id; chi² over the arm-ordered frame)
@@ -9888,6 +9931,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "session_gap_sensitivity": _SESSION_GAP_SENSITIVITY_SQL,
         "streaming_srm_arms": _STREAMING_SRM_SQL,
         "dedup_effective_size": _DEDUP_EFFECTIVE_SIZE_SQL,
         "dow_seasonality": _DOW_SEASONALITY_SQL,

@@ -173,3 +173,55 @@ def segment_by_marker(
     # episodes are 0-based whether or not the conversation opens with
     # a marker: subtract 1 only when the very first turn is a marker
     return turns.withColumn(out_col, (eid - first_flag).cast("int"))
+
+
+def session_gap_sensitivity(
+    turns: DataFrame,
+    gaps_seconds: tuple[int, ...] = (900, 1800, 3600),
+) -> DataFrame:
+    """Sessionization-parameter sensitivity: for each candidate
+    inactivity threshold g, the total session count and mean turns per
+    session the 30-minute default WOULD become — the axis-A analog of
+    :func:`~.survival.label_rate_by_horizon` (that audits the label
+    constant; this audits the session constant). A count cliff between
+    adjacent thresholds means conversations cluster near that gap and
+    the default needs justification, not convention.
+
+    Sessions-per-threshold needs no re-sessionization: a session
+    starts at every first turn and at every gap > g, so
+    ``n_sessions(g) = n_convs + |{gaps > g}|`` — ONE lag window pass
+    computes every threshold as a conditional count (no per-g scans).
+
+    Determinism: all counts exact longs; one double division per
+    mean. Shape: one conv-ordered window (the shared conv_id shuffle)
+    → ONE global conditional-count agg → |gaps| rows via stack.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flags = turns.select(
+        F.when(gap_us.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_first"),
+        *[
+            F.when(gap_us > g * 1_000_000, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"_g{g}")
+            for g in gaps_seconds
+        ],
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_turns"),
+        F.sum("_first").cast("long").alias("_n_convs"),
+        *[F.sum(f"_g{g}").cast("long").alias(f"_s{g}") for g in gaps_seconds],
+    )
+    stack = "stack({}, {}) as (gap_seconds, n_splits)".format(
+        len(gaps_seconds), ", ".join(f"{g}, _s{g}" for g in gaps_seconds)
+    )
+    long_df = one.selectExpr("_n_turns", "_n_convs", stack)
+    n_sessions = (F.col("_n_convs") + F.col("n_splits")).cast("long")
+    return long_df.select(
+        F.col("gap_seconds").cast("int").alias("gap_seconds"),
+        F.col("_n_turns").alias("n_turns"),
+        n_sessions.alias("n_sessions"),
+        F.round(
+            F.col("_n_turns").cast("double") / n_sessions.cast("double"), 6
+        ).alias("mean_turns_per_session"),
+    )

@@ -119,3 +119,38 @@ def test_segment_by_marker_episode_semantics(spark):
                 df.repartition(4), F.col("role") == "system"
             ).collect()}
     assert got == got2
+
+
+def test_session_gap_sensitivity_matches_sessionize(spark):
+    """The conditional-count shortcut must agree with ACTUALLY
+    re-sessionizing at each threshold."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.sessionize import (
+        session_gap_sensitivity,
+        sessionize,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    # conv a: gaps of 10min, 20min, 45min, 70min
+    offs = [0, 10, 30, 75, 145]
+    rows += [("a", i, "user", "x", None, t0 + timedelta(minutes=m))
+             for i, m in enumerate(offs)]
+    # conv b: single turn
+    rows += [("b", 0, "user", "x", None, t0)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = spark.createDataFrame(pdf)
+    out = {r["gap_seconds"]: r for r in
+           session_gap_sensitivity(df, gaps_seconds=(900, 1800, 3600)).collect()}
+    for g in (900, 1800, 3600):
+        actual = (
+            sessionize(df, gap_seconds=g)
+            .select("conv_id", "session_id").distinct().count()
+        )
+        assert out[g]["n_sessions"] == actual, g
+        assert out[g]["n_turns"] == 6
+    # more sessions at tighter thresholds (monotone non-increasing in g)
+    assert out[900]["n_sessions"] >= out[1800]["n_sessions"] >= out[3600]["n_sessions"]
