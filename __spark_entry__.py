@@ -2616,6 +2616,20 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: per entity×cutoff, the earliest turn after
+    the cutoff within 14 days with its role/tool payload and gap —
+    the direction='forward' counterpart of the flagship backfill."""
+    from kkbox_churn_prediction_spark.operators.asof import asof_forward_nearest
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return asof_forward_nearest(
+        _conv(spark, sf_dir),
+        cutoffs_from_events(spark, sf_dir),
+        horizon_days=14,
+    )
+
+
 def _q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization-threshold audit: session count + mean length at
     15/30/60-minute inactivity gaps from ONE lag pass — the axis-A
@@ -3723,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "asof_next_event": _q_asof_next_event,
         "session_gap_sensitivity": _q_session_gap_sensitivity,
         "streaming_srm_arms": _q_streaming_srm_arms,
         "dedup_effective_size": _q_dedup_effective_size,
@@ -9426,6 +9441,34 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# forward as-of join (lock-step with asof.asof_forward_nearest:
+# min over (ts_us, turn_idx, payload) structs == ORDER BY ts, turn_idx
+# LIMIT 1 per (conv, cutoff); NULL row when the horizon is empty)
+_ASOF_NEXT_EVENT_SQL = f"""
+WITH {_CONV_CTE},
+cand AS (
+    SELECT c.conv_id, k.cutoff_ts, epoch_us(c.ts) AS us, c.turn_idx, c.role, c.tool,
+           row_number() OVER (PARTITION BY c.conv_id, k.cutoff_ts
+                              ORDER BY c.ts, c.turn_idx) AS rn
+    FROM conversations c
+    JOIN cutoffs k
+      ON c.ts > k.cutoff_ts AND c.ts <= k.cutoff_ts + INTERVAL 14 DAY
+),
+nearest AS (SELECT * FROM cand WHERE rn = 1),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+)
+SELECT g.conv_id, g.cutoff_ts,
+       CAST(n.us AS BIGINT) AS next_ts_us,
+       CAST(n.us - epoch_us(g.cutoff_ts) AS BIGINT) AS gap_us,
+       n.role AS next_role,
+       n.tool AS next_tool,
+       n.us IS NOT NULL AS found
+FROM grid g
+LEFT JOIN nearest n ON g.conv_id = n.conv_id AND g.cutoff_ts = n.cutoff_ts
+"""
+
 # session-gap sensitivity (lock-step with sessionize.
 # session_gap_sensitivity: n_sessions(g) = n_convs + |gaps > g| from
 # one lag pass; exact counts, one division per mean)
@@ -9931,6 +9974,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "asof_next_event": _ASOF_NEXT_EVENT_SQL,
         "session_gap_sensitivity": _SESSION_GAP_SENSITIVITY_SQL,
         "streaming_srm_arms": _STREAMING_SRM_SQL,
         "dedup_effective_size": _DEDUP_EFFECTIVE_SIZE_SQL,

@@ -100,3 +100,61 @@ def asof_join_entity_cutoffs(
         turns["ts"], g["cutoff_ts"], lookback_days, inclusive=inclusive
     )
     return turns.join(g, cond, "inner").drop("_g_conv_id")
+
+
+def asof_forward_nearest(
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    horizon_days: int,
+    *,
+    inclusive: bool = False,
+    payload_cols: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``
+    analog): per entity×cutoff, the EARLIEST turn strictly after the
+    cutoff (``inclusive=True`` → at-or-after) within ``horizon_days``,
+    with its timestamp, gap, and requested payload columns — NULLs and
+    ``found=false`` when the horizon is empty. The generic operator
+    behind the specialized label builders (``operators/labels.py``
+    hard-codes the qualifying predicate; this returns the next event
+    itself, for features like "what does the user do next" or
+    time-to-next-touch).
+
+    Determinism: the argmin is ONE ``min_by``-style struct minimum
+    ordered by (ts, turn_idx) — turn_idx breaks timestamp ties, and
+    (conv_id, turn_idx) is unique, so the selected payload is total-
+    order deterministic. Exact integer micros for the gap.
+
+    Shape: broadcast the cutoff list onto the fact stream (no fact
+    shuffle — the J1 discipline), ONE (conv_id, cutoff_ts) hash agg
+    with map-side partials, then a left join back onto the entity
+    grid so empty horizons surface as explicit NULL rows.
+    """
+    lo = (
+        turns["ts"] >= cutoffs["cutoff_ts"]
+        if inclusive
+        else turns["ts"] > cutoffs["cutoff_ts"]
+    )
+    hi = turns["ts"] <= cutoffs["cutoff_ts"] + F.expr(
+        f"INTERVAL {int(horizon_days)} DAYS"
+    )
+    joined = turns.join(F.broadcast(cutoffs), lo & hi, "inner")
+    pick = F.min(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("_us"),
+            F.col("turn_idx").alias("_idx"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        )
+    ).alias("_best")
+    nearest = joined.groupBy("conv_id", "cutoff_ts").agg(pick)
+    grid = turns.select("conv_id").distinct().crossJoin(F.broadcast(cutoffs))
+    out = grid.join(nearest, ["conv_id", "cutoff_ts"], "left")
+    cols = [
+        "conv_id",
+        "cutoff_ts",
+        F.col("_best._us").alias("next_ts_us"),
+        (F.col("_best._us") - F.unix_micros(F.col("cutoff_ts"))).alias("gap_us"),
+    ]
+    cols += [F.col(f"_best._p_{c}").alias(f"next_{c}") for c in payload_cols]
+    cols.append(F.col("_best").isNotNull().alias("found"))
+    return out.select(*cols)

@@ -83,3 +83,60 @@ def test_partition_count_invariance(trap):
     out8 = backfill_features(turns.repartition(8), cutoffs).orderBy("conv_id", "cutoff_ts")
     p1, p8 = out1.toPandas(), out8.toPandas()
     pd.testing.assert_frame_equal(p1, p8, check_exact=False, rtol=1e-12)
+
+
+def test_asof_forward_nearest_golden(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.asof import asof_forward_nearest
+
+    cut = datetime(2024, 1, 10)
+    rows = [
+        # conv a: one turn before the cutoff (never picked), two after
+        ("a", 0, "user", "x", None, cut - timedelta(days=1)),
+        ("a", 1, "assistant", "x", "code", cut + timedelta(hours=2)),
+        ("a", 2, "user", "x", None, cut + timedelta(hours=5)),
+        # conv b: first post-cutoff turn beyond the horizon -> not found
+        ("b", 0, "user", "x", None, cut + timedelta(days=20)),
+        # conv c: two turns at the SAME ts -> turn_idx breaks the tie
+        ("c", 5, "tool", "x", "search", cut + timedelta(hours=1)),
+        ("c", 4, "user", "x", None, cut + timedelta(hours=1)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    cutoffs = spark.createDataFrame([(cut,)], "cutoff_ts timestamp")
+    out = {
+        r["conv_id"]: r
+        for r in asof_forward_nearest(
+            spark.createDataFrame(pdf), cutoffs, horizon_days=14
+        ).collect()
+    }
+    a = out["a"]
+    assert a["found"] and a["next_role"] == "assistant" and a["next_tool"] == "code"
+    assert a["gap_us"] == 2 * 3600 * 1_000_000
+    b = out["b"]
+    assert not b["found"] and b["next_ts_us"] is None and b["next_role"] is None
+    c = out["c"]
+    assert c["next_role"] == "user"  # turn_idx 4 < 5 at the tied ts
+
+
+def test_asof_forward_inclusive_boundary(spark):
+    from datetime import datetime
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.asof import asof_forward_nearest
+
+    cut = datetime(2024, 1, 10)
+    rows = [("a", 0, "user", "x", None, cut)]  # exactly AT the cutoff
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    cutoffs = spark.createDataFrame([(cut,)], "cutoff_ts timestamp")
+    strict = asof_forward_nearest(
+        spark.createDataFrame(pdf), cutoffs, horizon_days=7
+    ).collect()[0]
+    incl = asof_forward_nearest(
+        spark.createDataFrame(pdf), cutoffs, horizon_days=7, inclusive=True
+    ).collect()[0]
+    assert not strict["found"]
+    assert incl["found"] and incl["gap_us"] == 0
