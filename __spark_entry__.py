@@ -2616,6 +2616,20 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKWARD as-of join: latest pre-cutoff turn within a 14-day
+    lookback per entity×cutoff, with payload and staleness — the
+    feature-store 'latest snapshot as of t' with a TTL budget."""
+    from kkbox_churn_prediction_spark.operators.asof import asof_backward_nearest
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return asof_backward_nearest(
+        _conv(spark, sf_dir),
+        cutoffs_from_events(spark, sf_dir),
+        lookback_days=14,
+    )
+
+
 def _q_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: per entity×cutoff, the earliest turn after
     the cutoff within 14 days with its role/tool payload and gap —
@@ -3737,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "asof_last_event": _q_asof_last_event,
         "asof_next_event": _q_asof_next_event,
         "session_gap_sensitivity": _q_session_gap_sensitivity,
         "streaming_srm_arms": _q_streaming_srm_arms,
@@ -9441,6 +9456,34 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# backward as-of join (lock-step with asof.asof_backward_nearest:
+# max over (ts_us, turn_idx, payload) structs == ORDER BY ts DESC,
+# turn_idx DESC LIMIT 1; strict ts < cutoff with a 14-day lookback)
+_ASOF_LAST_EVENT_SQL = f"""
+WITH {_CONV_CTE},
+cand AS (
+    SELECT c.conv_id, k.cutoff_ts, epoch_us(c.ts) AS us, c.turn_idx, c.role, c.tool,
+           row_number() OVER (PARTITION BY c.conv_id, k.cutoff_ts
+                              ORDER BY c.ts DESC, c.turn_idx DESC) AS rn
+    FROM conversations c
+    JOIN cutoffs k
+      ON c.ts < k.cutoff_ts AND c.ts >= k.cutoff_ts - INTERVAL 14 DAY
+),
+latest AS (SELECT * FROM cand WHERE rn = 1),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+)
+SELECT g.conv_id, g.cutoff_ts,
+       CAST(l.us AS BIGINT) AS last_ts_us,
+       CAST(epoch_us(g.cutoff_ts) - l.us AS BIGINT) AS staleness_us,
+       l.role AS last_role,
+       l.tool AS last_tool,
+       l.us IS NOT NULL AS found
+FROM grid g
+LEFT JOIN latest l ON g.conv_id = l.conv_id AND g.cutoff_ts = l.cutoff_ts
+"""
+
 # forward as-of join (lock-step with asof.asof_forward_nearest:
 # min over (ts_us, turn_idx, payload) structs == ORDER BY ts, turn_idx
 # LIMIT 1 per (conv, cutoff); NULL row when the horizon is empty)
@@ -9974,6 +10017,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "asof_last_event": _ASOF_LAST_EVENT_SQL,
         "asof_next_event": _ASOF_NEXT_EVENT_SQL,
         "session_gap_sensitivity": _SESSION_GAP_SENSITIVITY_SQL,
         "streaming_srm_arms": _STREAMING_SRM_SQL,

@@ -158,3 +158,58 @@ def asof_forward_nearest(
     cols += [F.col(f"_best._p_{c}").alias(f"next_{c}") for c in payload_cols]
     cols.append(F.col("_best").isNotNull().alias("found"))
     return out.select(*cols)
+
+
+def asof_backward_nearest(
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    lookback_days: int | None = None,
+    *,
+    inclusive: bool = False,
+    payload_cols: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """BACKWARD as-of join (pandas ``merge_asof`` default direction):
+    per entity×cutoff, the LATEST turn strictly before the cutoff
+    (``inclusive=True`` → at-or-before), optionally bounded by
+    ``lookback_days`` (the feature-TTL semantic: a snapshot older than
+    the budget is no snapshot), with its timestamp, staleness, and
+    payload columns — the generic form of
+    ``relational.last_value_before_cutoff`` (one column) for whole-row
+    "latest state as of t" features.
+
+    Determinism: ONE ``max_by``-style struct maximum ordered by
+    (ts, turn_idx) — at a tied timestamp the higher turn_idx is the
+    later turn, and (conv_id, turn_idx) is unique, so the payload is
+    total-order deterministic. Exact integer micros for staleness.
+
+    Shape: identical to :func:`asof_forward_nearest` — broadcast
+    cutoffs (no fact shuffle), ONE hash agg with map-side partials
+    (no window sort of the turn stream — the same algebraic-argmax
+    rewrite VERDICT r1 asked of last_value_before_cutoff), left join
+    onto the entity grid for explicit NULL rows.
+    """
+    cond = leak_guard(
+        turns["ts"], cutoffs["cutoff_ts"], lookback_days, inclusive=inclusive
+    )
+    joined = turns.join(F.broadcast(cutoffs), cond, "inner")
+    pick = F.max(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("_us"),
+            F.col("turn_idx").alias("_idx"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        )
+    ).alias("_best")
+    latest = joined.groupBy("conv_id", "cutoff_ts").agg(pick)
+    grid = turns.select("conv_id").distinct().crossJoin(F.broadcast(cutoffs))
+    out = grid.join(latest, ["conv_id", "cutoff_ts"], "left")
+    cols = [
+        "conv_id",
+        "cutoff_ts",
+        F.col("_best._us").alias("last_ts_us"),
+        (F.unix_micros(F.col("cutoff_ts")) - F.col("_best._us")).alias(
+            "staleness_us"
+        ),
+    ]
+    cols += [F.col(f"_best._p_{c}").alias(f"last_{c}") for c in payload_cols]
+    cols.append(F.col("_best").isNotNull().alias("found"))
+    return out.select(*cols)

@@ -140,3 +140,44 @@ def test_asof_forward_inclusive_boundary(spark):
     ).collect()[0]
     assert not strict["found"]
     assert incl["found"] and incl["gap_us"] == 0
+
+
+def test_asof_backward_nearest_ttl_and_tiebreak(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.asof import asof_backward_nearest
+
+    cut = datetime(2024, 1, 20)
+    rows = [
+        # conv a: latest pre-cutoff turn wins; tied-ts -> higher turn_idx
+        ("a", 1, "user", "x", None, cut - timedelta(days=2)),
+        ("a", 2, "assistant", "x", "code", cut - timedelta(days=1)),
+        ("a", 3, "tool", "x", "search", cut - timedelta(days=1)),
+        # conv b: only activity is OLDER than the 14-day TTL -> not found
+        ("b", 0, "user", "x", None, cut - timedelta(days=30)),
+        # conv c: a turn exactly AT the cutoff is NOT prior (strict)
+        ("c", 0, "user", "x", None, cut),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    cutoffs = spark.createDataFrame([(cut,)], "cutoff_ts timestamp")
+    out = {
+        r["conv_id"]: r
+        for r in asof_backward_nearest(
+            spark.createDataFrame(pdf), cutoffs, lookback_days=14
+        ).collect()
+    }
+    a = out["a"]
+    assert a["found"] and a["last_role"] == "tool"  # turn_idx 3 > 2 at tied ts
+    assert a["staleness_us"] == 24 * 3600 * 1_000_000
+    assert not out["b"]["found"] and out["b"]["staleness_us"] is None
+    assert not out["c"]["found"]
+    # unbounded lookback resurrects conv b's old snapshot
+    unb = {
+        r["conv_id"]: r
+        for r in asof_backward_nearest(
+            spark.createDataFrame(pdf), cutoffs, lookback_days=None
+        ).collect()
+    }
+    assert unb["b"]["found"] and unb["b"]["staleness_us"] == 30 * 24 * 3600 * 1_000_000
