@@ -2616,6 +2616,58 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_did_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-conversation pre/post turn
+    counts between hash-parity cohorts (a placebo design: DiD ≈ 0 is
+    the expected, testable answer) — paired-delta inference."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import diff_in_diff
+
+    conv = _conv(spark, sf_dir)
+    mid = conv.agg(
+        F.floor(
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / F.lit(2)
+        ).alias("_mid")
+    )
+    units = (
+        conv.crossJoin(F.broadcast(mid))
+        .groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("_mid"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("_mid"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                F.pmod(
+                    stable_hash48(F.concat(F.lit("did"), F.col("conv_id"))),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    return diff_in_diff(units)
+
+
 def _q_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BACKWARD as-of join: latest pre-cutoff turn within a 14-day
     lookback per entity×cutoff, with payload and staleness — the
@@ -3751,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "did_turns": _q_did_turns,
         "asof_last_event": _q_asof_last_event,
         "asof_next_event": _q_asof_next_event,
         "session_gap_sensitivity": _q_session_gap_sensitivity,
@@ -9456,6 +9509,77 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# difference-in-differences (lock-step with abtest.diff_in_diff:
+# same pre/post midpoint split as cuped_turns, 'did'-salted arms,
+# EXACT hugeint sums, paired-delta Welch inference)
+_DID_TURNS_SQL = f"""
+WITH {_CONV_CTE},
+mid AS (
+    SELECT CAST(floor((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2) AS BIGINT) AS _mid
+    FROM conversations
+),
+per_conv AS (
+    SELECT conv_id,
+           CAST(SUM(CASE WHEN epoch_us(ts) < _mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN epoch_us(ts) >= _mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM conversations CROSS JOIN mid
+    GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('did', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm, x, y
+    FROM per_conv
+),
+one AS (
+    SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx_b,
+           SUM(CASE WHEN arm = 'a' THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_a,
+           SUM(CASE WHEN arm = 'b' THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_b,
+           SUM(CASE WHEN arm = 'a'
+                    THEN (CAST(y AS HUGEINT) - CAST(x AS HUGEINT))
+                         * (CAST(y AS HUGEINT) - CAST(x AS HUGEINT)) ELSE 0 END) AS sdd_a,
+           SUM(CASE WHEN arm = 'b'
+                    THEN (CAST(y AS HUGEINT) - CAST(x AS HUGEINT))
+                         * (CAST(y AS HUGEINT) - CAST(x AS HUGEINT)) ELSE 0 END) AS sdd_b
+    FROM units
+),
+calc AS (
+    SELECT n_a, n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS post_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b,
+           CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS post_b,
+           CAST(sy_a - sx_a AS DOUBLE) AS sd_a,
+           CAST(sy_b - sx_b AS DOUBLE) AS sd_b,
+           CAST(sdd_a AS DOUBLE) AS sdd_a,
+           CAST(sdd_b AS DOUBLE) AS sdd_b
+    FROM one
+),
+calc2 AS (
+    SELECT n_a, n_b, pre_a, post_a, pre_b, post_b,
+           sd_b / CAST(n_b AS DOUBLE) - sd_a / CAST(n_a AS DOUBLE) AS did,
+           (CASE WHEN n_a > 1
+                 THEN (sdd_a - sd_a * sd_a / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - 1.0)
+                 ELSE 0.0 END) / CAST(n_a AS DOUBLE)
+           + (CASE WHEN n_b > 1
+                   THEN (sdd_b - sd_b * sd_b / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1.0)
+                   ELSE 0.0 END) / CAST(n_b AS DOUBLE) AS se2
+    FROM calc
+)
+SELECT n_a, n_b,
+       ROUND(pre_a, 6) AS pre_a,
+       ROUND(post_a, 6) AS post_a,
+       ROUND(pre_b, 6) AS pre_b,
+       ROUND(post_b, 6) AS post_b,
+       ROUND(did, 6) AS did,
+       ROUND(CASE WHEN se2 > 0 THEN did / sqrt(se2) ELSE 0.0 END, 6) AS t_stat
+FROM calc2
+"""
+
 # backward as-of join (lock-step with asof.asof_backward_nearest:
 # max over (ts_us, turn_idx, payload) structs == ORDER BY ts DESC,
 # turn_idx DESC LIMIT 1; strict ts < cutoff with a 14-day lookback)
@@ -10017,6 +10141,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "did_turns": _DID_TURNS_SQL,
         "asof_last_event": _ASOF_LAST_EVENT_SQL,
         "asof_next_event": _ASOF_NEXT_EVENT_SQL,
         "session_gap_sensitivity": _SESSION_GAP_SENSITIVITY_SQL,

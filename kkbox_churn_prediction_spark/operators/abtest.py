@@ -407,3 +407,77 @@ def covariate_balance(
         F.round(smd, 6).alias("smd"),
         (F.abs(smd) > F.lit(float(threshold))).alias("imbalanced"),
     )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    arm_col: str = "arm",
+    pre_col: str = "x",
+    post_col: str = "y",
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Difference-in-differences over one-row-per-unit panel data:
+    the 2×2 (arm × period) means plus the DiD estimate
+    ``(ȳ_b − x̄_b) − (ȳ_a − x̄_a)`` and its t statistic. Because pre
+    and post are PAIRED per unit, inference runs on the per-unit delta
+    ``d = post − pre`` (Welch on d) — the correct SE, not the
+    four-independent-cells approximation. The panel-causal member of
+    the experiment family: CUPED uses the pre-period to shrink
+    variance of a randomized test; DiD uses it to difference away
+    fixed unit effects when assignment was NOT randomized.
+
+    Determinism: integer metrics → exact decimal Σd/Σd² and exact
+    pre/post sums per arm in ONE hash agg; all algebra is fixed-shape
+    doubles over those scalars.
+    """
+    dec = "decimal(38,0)"
+    g = F.col(arm_col)
+    x = F.col(pre_col).cast(dec)
+    y = F.col(post_col).cast(dec)
+    d = y - x
+    zero = F.lit(0).cast(dec)
+
+    def arm_sum(expr, arm, name):
+        return F.sum(F.when(g == arm, expr).otherwise(zero)).alias(name)
+
+    one = units.agg(
+        F.sum(F.when(g == arm_a, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_b, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_b"),
+        arm_sum(x, arm_a, "sx_a"),
+        arm_sum(x, arm_b, "sx_b"),
+        arm_sum(y, arm_a, "sy_a"),
+        arm_sum(y, arm_b, "sy_b"),
+        arm_sum(d * d, arm_a, "sdd_a"),
+        arm_sum(d * d, arm_b, "sdd_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pre_a = F.col("sx_a").cast("double") / na
+    pre_b = F.col("sx_b").cast("double") / nb
+    post_a = F.col("sy_a").cast("double") / na
+    post_b = F.col("sy_b").cast("double") / nb
+    sd_a = (F.col("sy_a") - F.col("sx_a")).cast("double")
+    sd_b = (F.col("sy_b") - F.col("sx_b")).cast("double")
+    mean_d_a = sd_a / na
+    mean_d_b = sd_b / nb
+    var_d_a = F.when(
+        F.col("n_a") > 1,
+        (F.col("sdd_a").cast("double") - sd_a * sd_a / na) / (na - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    var_d_b = F.when(
+        F.col("n_b") > 1,
+        (F.col("sdd_b").cast("double") - sd_b * sd_b / nb) / (nb - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    se2 = var_d_a / na + var_d_b / nb
+    did = mean_d_b - mean_d_a
+    t = F.when(se2 > 0, did / F.sqrt(se2)).otherwise(F.lit(0.0))
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(pre_a, 6).alias("pre_a"),
+        F.round(post_a, 6).alias("post_a"),
+        F.round(pre_b, 6).alias("pre_b"),
+        F.round(post_b, 6).alias("post_b"),
+        F.round(did, 6).alias("did"),
+        F.round(t, 6).alias("t_stat"),
+    )

@@ -299,3 +299,40 @@ class TestCovariateBalance:
         )
         r = covariate_balance(df, ("c",)).collect()[0]
         assert r["smd"] == 0.0 and not r["imbalanced"]
+
+
+class TestDiffInDiff:
+    def test_parallel_trends_golden(self, spark):
+        from kkbox_churn_prediction_spark.operators.abtest import diff_in_diff
+
+        # a: pre 10 -> post 12 (+2); b: pre 20 -> post 25 (+5): DiD = 3
+        rows = (
+            [("a", 10, 12)] * 4
+            + [("b", 20, 25)] * 4
+        )
+        df = spark.createDataFrame(rows, "arm string, x long, y long")
+        r = diff_in_diff(df).collect()[0]
+        assert (r["pre_a"], r["post_a"], r["pre_b"], r["post_b"]) == (10.0, 12.0, 20.0, 25.0)
+        assert r["did"] == 3.0
+        # zero within-arm delta variance -> degenerate SE -> t = 0
+        assert r["t_stat"] == 0.0
+
+    def test_placebo_is_zero_and_t_matches_welch_on_delta(self, spark):
+        import math
+
+        from kkbox_churn_prediction_spark.operators.abtest import diff_in_diff
+
+        rows = [
+            ("a", 1, 4), ("a", 2, 4), ("a", 3, 9),
+            ("b", 2, 5), ("b", 4, 6), ("b", 6, 13),
+        ]
+        df = spark.createDataFrame(rows, "arm string, x long, y long")
+        r = diff_in_diff(df).collect()[0]
+        # deltas: a = [3,2,6]; b = [3,2,7]
+        da, db_ = [3, 2, 6], [3, 2, 7]
+        mean = lambda v: sum(v) / len(v)  # noqa: E731
+        var = lambda v: sum((x - mean(v)) ** 2 for x in v) / (len(v) - 1)  # noqa: E731
+        did = mean(db_) - mean(da)
+        t = did / math.sqrt(var(da) / 3 + var(db_) / 3)
+        assert r["did"] == round(did, 6)
+        assert r["t_stat"] == round(t, 6)
