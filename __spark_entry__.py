@@ -2616,6 +2616,17 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_daily_anomalies_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted anomaly flags: trailing-z on dow-demeaned
+    residuals — the deseasonalize-first alarm daily_acf and
+    dow_seasonality exist to justify."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        daily_anomalies_deseasonalized,
+    )
+
+    return daily_anomalies_deseasonalized(_conv(spark, sf_dir))
+
+
 def _q_did_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences on per-conversation pre/post turn
     counts between hash-parity cohorts (a placebo design: DiD ≈ 0 is
@@ -3803,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "daily_anomalies_adj": _q_daily_anomalies_adj,
         "did_turns": _q_did_turns,
         "asof_last_event": _q_asof_last_event,
         "asof_next_event": _q_asof_next_event,
@@ -9509,6 +9521,43 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# weekday-adjusted anomalies (lock-step with windows.
+# daily_anomalies_deseasonalized: isodow means as exact-integer
+# ratios, trailing z over the day-ordered bounded frame)
+_DAILY_ANOMALIES_ADJ_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY 1
+),
+dowed AS (SELECT d, n_turns, CAST(isodow(d) AS INTEGER) AS dow FROM daily),
+dmeans AS (
+    SELECT dow, CAST(SUM(n_turns) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM dowed GROUP BY dow
+),
+base AS (
+    SELECT w.d, w.n_turns,
+           CAST(w.n_turns AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.nd AS DOUBLE) AS resid
+    FROM dowed w JOIN dmeans m ON w.dow = m.dow
+),
+scored AS (
+    SELECT d, n_turns, resid,
+           AVG(resid) OVER w AS mu,
+           STDDEV_SAMP(resid) OVER w AS sd,
+           COUNT(resid) OVER w AS n_prior
+    FROM base
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, n_turns,
+       ROUND(resid, 6) AS residual,
+       ROUND(COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                           THEN (resid - mu) / sd END, 0.0), 6) AS z_resid,
+       ABS(COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                         THEN (resid - mu) / sd END, 0.0)) > 3.0 AS is_anomaly
+FROM scored
+"""
+
 # difference-in-differences (lock-step with abtest.diff_in_diff:
 # same pre/post midpoint split as cuped_turns, 'did'-salted arms,
 # EXACT hugeint sums, paired-delta Welch inference)
@@ -10141,6 +10190,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "daily_anomalies_adj": _DAILY_ANOMALIES_ADJ_SQL,
         "did_turns": _DID_TURNS_SQL,
         "asof_last_event": _ASOF_LAST_EVENT_SQL,
         "asof_next_event": _ASOF_NEXT_EVENT_SQL,

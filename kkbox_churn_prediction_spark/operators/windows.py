@@ -495,3 +495,51 @@ def dow_seasonality(turns: DataFrame) -> DataFrame:
         F.round(sd / s_tot, 6).alias("share"),
         F.round(strength, 6).alias("seasonal_strength"),
     )
+
+
+def daily_anomalies_deseasonalized(
+    turns: DataFrame, trailing_days: int = 7, z_threshold: float = 3.0
+) -> DataFrame:
+    """Weekday-adjusted anomaly flags: the :func:`daily_anomalies`
+    trailing-z, computed on RESIDUALS after removing each ISO
+    weekday's mean level — the composition :func:`daily_acf` and
+    :func:`dow_seasonality` exist to justify (a strongly weekly series
+    alarms every Monday under the raw z; deseasonalize first and only
+    genuine departures from the weekday's own norm fire).
+
+    Determinism: weekday means are exact-integer ratios (Σ, n per dow
+    as longs); residuals and the trailing mean/std run over
+    day-ORDERED bounded frames (the daily_anomalies device).
+
+    Shape: stream → daily agg (one corpus shuffle) → 7-row dow table
+    broadcast back → trailing window over the bounded daily series.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    with_dow = daily.withColumn(
+        "_dow", (F.weekday(F.col("d")) + F.lit(1)).cast("int")
+    )
+    dow_means = with_dow.groupBy("_dow").agg(
+        F.sum("n_turns").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+    )
+    j = with_dow.join(F.broadcast(dow_means), "_dow")
+    resid = F.col("n_turns").cast("double") - F.col("_s").cast("double") / F.col(
+        "_nd"
+    ).cast("double")
+    base = j.select("d", "n_turns", resid.alias("_resid"))
+    w = Window.orderBy("d").rowsBetween(-int(trailing_days), -1)
+    mu = F.avg("_resid").over(w)
+    sd = F.stddev_samp("_resid").over(w)
+    n_prior = F.count("_resid").over(w)
+    z = F.when((n_prior >= 2) & (sd > 0), (F.col("_resid") - mu) / sd)
+    return base.select(
+        "d",
+        "n_turns",
+        F.round(F.col("_resid"), 6).alias("residual"),
+        F.round(F.coalesce(z, F.lit(0.0)), 6).alias("z_resid"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(float(z_threshold))).alias(
+            "is_anomaly"
+        ),
+    )
