@@ -2616,6 +2616,14 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_refusal_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly assistant refusal-rate trend (same literal lexicon as
+    the SFT pair filter) — the deploy-regression safety metric."""
+    from kkbox_churn_prediction_spark.operators.assemble import refusal_rate_weekly
+
+    return refusal_rate_weekly(_conv(spark, sf_dir))
+
+
 def _q_daily_anomalies_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday-adjusted anomaly flags: trailing-z on dow-demeaned
     residuals — the deseasonalize-first alarm daily_acf and
@@ -3814,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "mde_text_len": _q_mde_text_len,
         "covariate_balance": _q_covariate_balance,
+        "refusal_rate_weekly": _q_refusal_rate_weekly,
         "daily_anomalies_adj": _q_daily_anomalies_adj,
         "did_turns": _q_did_turns,
         "asof_last_event": _q_asof_last_event,
@@ -9521,6 +9530,26 @@ LEFT JOIN sizes s ON s.component = c.component
 """
 
 
+# weekly refusal rate (lock-step with assemble.refusal_rate_weekly:
+# same literal-substring lexicon as sft_pair_quality, exact counts)
+_REFUSAL_RATE_WEEKLY_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CASE WHEN contains(lower(text), 'i can''t')
+                  OR contains(lower(text), 'i cannot')
+                  OR contains(lower(text), 'i''m sorry')
+                  OR contains(lower(text), 'as an ai')
+                THEN 1 ELSE 0 END AS r
+    FROM conversations WHERE role = 'assistant'
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(r) AS BIGINT) AS n_refusals,
+       ROUND(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS refusal_rate
+FROM base GROUP BY week
+"""
+
 # weekday-adjusted anomalies (lock-step with windows.
 # daily_anomalies_deseasonalized: isodow means as exact-integer
 # ratios, trailing z over the day-ordered bounded frame)
@@ -10190,6 +10219,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_oracle(),
         "mde_text_len": _MDE_TEXT_LEN_SQL,
         "covariate_balance": _COVARIATE_BALANCE_SQL,
+        "refusal_rate_weekly": _REFUSAL_RATE_WEEKLY_SQL,
         "daily_anomalies_adj": _DAILY_ANOMALIES_ADJ_SQL,
         "did_turns": _DID_TURNS_SQL,
         "asof_last_event": _ASOF_LAST_EVENT_SQL,

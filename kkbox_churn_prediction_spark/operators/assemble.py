@@ -200,3 +200,42 @@ def sft_pair_quality(
         short.cast("int").alias("is_short"),
         ((~refusal) & (~short)).cast("int").alias("keep"),
     )
+
+
+def refusal_rate_weekly(
+    turns: DataFrame,
+    *,
+    refusal_phrases: tuple[str, ...] = DEFAULT_REFUSAL_PHRASES,
+    role: str = "assistant",
+) -> DataFrame:
+    """Safety-ops trend: per calendar week, the share of ``role``
+    turns whose text matches the refusal lexicon — the TIME-SERIES
+    view of :func:`sft_pair_quality`'s per-pair flag (a refusal-rate
+    step after a deploy is the first thing an agent-ops review asks
+    for; the same literal-substring lexicon keeps the two views
+    consistent by construction).
+
+    Determinism: exact conditional counts per week; one division.
+    Shape: scan-stage flag → ONE week-keyed hash agg (map-side
+    partials); output rows = |weeks|.
+    """
+    lower = F.lower(F.col("text"))
+    refusal = F.lit(False)
+    for p in refusal_phrases:
+        refusal = refusal | lower.contains(p)
+    base = turns.where(F.col("role") == role).select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        refusal.cast("int").alias("_r"),
+    )
+    per = base.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_r").cast("long").alias("n_refusals"),
+    )
+    return per.select(
+        "week",
+        "n_turns",
+        "n_refusals",
+        F.round(
+            F.col("n_refusals").cast("double") / F.col("n_turns").cast("double"), 6
+        ).alias("refusal_rate"),
+    )

@@ -570,3 +570,29 @@ def test_source_tf_cosine_golden(spark):
     assert ad["dot"] == 4.0 and ad["n2_a"] == 5.0 and ad["n2_b"] == 5.0
     assert ad["cosine"] == round(4 / 5, 6)
     assert 0 < ad["cosine"] < ab["cosine"]
+
+
+def test_refusal_rate_weekly_golden(spark):
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.assemble import refusal_rate_weekly
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)  # a Monday
+    rows = [
+        # week 1: 1 refusal out of 2 assistant turns; user turns ignored
+        ("a", 0, "assistant", "Sure, here you go", None, t0),
+        ("a", 1, "assistant", "I can't help with that", None, t0 + timedelta(hours=1)),
+        ("a", 2, "user", "i cannot even", None, t0 + timedelta(hours=2)),
+        # week 2: 0 of 1
+        ("b", 0, "assistant", "Done.", None, t0 + timedelta(days=7)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = sorted(
+        refusal_rate_weekly(spark.createDataFrame(pdf)).collect(),
+        key=lambda r: r["week"],
+    )
+    assert out[0]["n_turns"] == 2 and out[0]["n_refusals"] == 1
+    assert out[0]["refusal_rate"] == 0.5
+    assert out[1]["n_refusals"] == 0 and out[1]["refusal_rate"] == 0.0
