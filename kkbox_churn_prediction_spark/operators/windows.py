@@ -514,9 +514,11 @@ def daily_anomalies_deseasonalized(
     Shape: stream → daily agg (one corpus shuffle) → 7-row dow table
     broadcast back → trailing window over the bounded daily series.
     """
+    # the dow-means branch and the residual join both read the daily
+    # table — persist the bounded series so the corpus aggregates once
     daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n_turns")
-    )
+    ).persist()
     with_dow = daily.withColumn(
         "_dow", (F.weekday(F.col("d")) + F.lit(1)).cast("int")
     )
