@@ -317,7 +317,11 @@ def _q_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kkbox_churn_prediction_spark.operators.sessionize import session_aggregates
 
-    return session_length_percentiles(session_aggregates(_conv(spark, sf_dir)))
+    # exact=True requested EXPLICITLY to hash-match the DuckDB oracle;
+    # the operator default is the scale-safe approx_percentile path
+    return session_length_percentiles(
+        session_aggregates(_conv(spark, sf_dir)), exact=True
+    )
 
 
 def _q_topk_busiest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +591,11 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = [
         round(e, 6)
-        for e in quantile_edges(folded.where(F.col("fold") == "even"), "v", 10)
+        # exact=True requested EXPLICITLY to hash-match the oracle;
+        # the operator default is the scale-safe approx path
+        for e in quantile_edges(
+            folded.where(F.col("fold") == "even"), "v", 10, exact=True
+        )
     ]
     binned = folded.select("fold", bucketize_by_edges(F.col("v"), edges).alias("bin"))
     return psi_from_bins(binned, "fold", "bin", ref_fold="even")
@@ -1201,6 +1209,18 @@ def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return isotonic_calibration(_preds(spark, sf_dir), "fold", "y", "p", n_bins=20)
+
+
+def _q_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold sigmoid (Platt) calibration map fitted on binned
+    aggregates (weighted Newton per fold via applyInPandas — the
+    distributed form of ``src/calibration.py`` method='sigmoid',
+    next to isotonic_calibration's method='isotonic')."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        platt_calibration,
+    )
+
+    return platt_calibration(_preds(spark, sf_dir), "fold", "y", "p", n_bins=20)
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3497,7 +3517,9 @@ def _q_woe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         (F.col("source") == "src0").cast("int").alias("label"),
     )
-    return woe_iv(docs, "n_tokens", "label")
+    # exact_edges=True requested EXPLICITLY to hash-match the oracle;
+    # the operator default is the scale-safe approx-edge path
+    return woe_iv(docs, "n_tokens", "label", exact_edges=True)
 
 
 def _q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3636,7 +3658,90 @@ def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's CORRECTNESS harness hashes the FIRST 50 entries of
+# ``queries()`` (positional sample). Round 2 shipped them in build
+# order, so the sample covered only the round-1 prefix; this ordering
+# makes the hard external signal span the operator surface: the
+# flagship 8, then one-or-two gates per family (as-of, calibration,
+# graph/components, curation, sampling, text-LM, rank/numerics,
+# experiments, survival, time-series, privacy, drift, ANN, folds,
+# streaming), newest numerics first (VERDICT r2 task #2).
+_DRIVER_CORE: tuple[str, ...] = (
+    # flagship point-in-time transcript engine
+    "asof_features",
+    "sessionize",
+    "lag_lead",
+    "turn_labels",
+    "entity_labels",
+    "history_lags",
+    "psi_text_len",
+    "leakage_audit",
+    # generic as-of (merge_asof analogs)
+    "asof_next_event",
+    # calibration / evaluation numerics
+    "bootstrap_ci",
+    "calibration_ece",
+    "isotonic_calibration",
+    "platt_calibration",
+    "auc_by_fold",
+    "brier_decomposition",
+    "gains_table",
+    # graph / components
+    "dedup_components",
+    "supplier_pagerank",
+    # corpus curation
+    "curate_corpus",
+    "decontaminate",
+    "pack_documents",
+    "chunk_documents",
+    # deterministic sampling
+    "token_budget_select",
+    "match_token_distribution",
+    "cluster_safe_split",
+    "stratified_sample",
+    # text-LM statistics
+    "bm25_search",
+    "dsir_scores",
+    "zipf_stats",
+    "woe_tokens",
+    # rank machinery / distribution numerics
+    "spearman_turns_textlen",
+    "gini_activity",
+    "wasserstein_text_len",
+    # experiments
+    "did_turns",
+    "cuped_turns",
+    "srm_arms",
+    # survival / time-series
+    "km_curve",
+    "ewma_daily",
+    "daily_anomalies_adj",
+    "refusal_rate_weekly",
+    # privacy
+    "k_anonymity",
+    "redact_pii",
+    # drift
+    "embedding_drift",
+    "cusum_drift",
+    "psi_categorical",
+    # ANN + embeddings
+    "ann_recall",
+    # folds + near-dup + streaming
+    "backtest_folds_expanding",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
+    "streaming_closed_sessions",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    core = {k: q.pop(k) for k in _DRIVER_CORE}
+    core.update(q)
+    return core
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # point-in-time transcript engine
         "asof_features": _q_asof_features,
@@ -3712,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "auc_by_fold": _q_auc_by_fold,
         "isotonic_calibration": _q_isotonic_calibration,
+        "platt_calibration": _q_platt_calibration,
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
@@ -5678,6 +5784,80 @@ SELECT p.fold, p.bin, p.n, p.avg_conf,
        ROUND(CAST(p.sum_y AS DOUBLE) / p.n, 6) AS frac_pos, i.iso_prob
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
 """
+
+def _platt_oracle(n_bins: int = 20, n_iter: int = 12) -> str:
+    """Sigmoid-calibration oracle (lock-step with
+    calibration.platt_calibration): the same binned profile as the
+    isotonic oracle, then ``n_iter`` FIXED Newton iterations unrolled
+    as chained CTEs — per iteration one per-bin q pass and one
+    per-fold 5-sum aggregate, the det-guarded 2×2 solve as CASE
+    expressions. Every per-bin term uses the identical expression
+    shape the engine's driver-side Python evaluates (glibc exp/ln on
+    both sides); the fixed iteration count converges quadratically,
+    damping summation-order wobble far below the 6dp rounding."""
+    clip = "LEAST(GREATEST(avg_conf, 1e-6), 1.0 - 1e-6)"
+    parts = [
+        f"WITH {_PRED_CTE}, {_BINNED_CTE.format(n=n_bins)},",
+        f"""
+prof AS (
+    SELECT fold, bin, COUNT(*) AS n, ROUND(AVG(p), 6) AS avg_conf,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM binned WHERE bin IS NOT NULL GROUP BY fold, bin
+),
+px AS (
+    SELECT fold, bin, n, avg_conf,
+           CAST(n AS DOUBLE) AS nd, CAST(sum_y AS DOUBLE) AS syd,
+           ln(acc / (1.0 - acc)) AS x
+    FROM (SELECT *, {clip} AS acc FROM prof)
+),
+consts AS (
+    SELECT fold,
+           (CAST(SUM(sum_y) AS DOUBLE) + 1.0)
+               / (CAST(SUM(sum_y) AS DOUBLE) + 2.0) AS t_pos,
+           1.0 / ((CAST(SUM(n) AS DOUBLE) - CAST(SUM(sum_y) AS DOUBLE)) + 2.0)
+               AS t_neg
+    FROM prof GROUP BY fold
+),
+it0 AS (SELECT fold, 1.0 AS a, 0.0 AS b FROM consts)""",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        prev = f"it{k - 1}"
+        parts.append(f""",
+q{k} AS (
+    SELECT px.fold, px.x, px.nd, px.syd, c.t_pos, c.t_neg, i.a, i.b,
+           1.0 / (1.0 + exp(-(i.a * px.x + i.b))) AS q
+    FROM px JOIN {prev} i ON px.fold = i.fold
+            JOIN consts c ON px.fold = c.fold
+),
+s{k} AS (
+    SELECT fold, MAX(a) AS a, MAX(b) AS b,
+           SUM((nd * q - (syd * t_pos + (nd - syd) * t_neg)) * x) AS g_a,
+           SUM(nd * q - (syd * t_pos + (nd - syd) * t_neg)) AS g_b,
+           SUM(nd * q * (1.0 - q) * x * x) AS h_aa,
+           SUM(nd * q * (1.0 - q) * x) AS h_ab,
+           SUM(nd * q * (1.0 - q)) AS h_bb
+    FROM q{k} GROUP BY fold
+),
+it{k} AS (
+    SELECT fold,
+           CASE WHEN abs(h_aa * h_bb - h_ab * h_ab) >= 1e-12
+                THEN a - (h_bb * g_a - h_ab * g_b)
+                         / (h_aa * h_bb - h_ab * h_ab)
+                ELSE a END AS a,
+           CASE WHEN abs(h_aa * h_bb - h_ab * h_ab) >= 1e-12
+                THEN b - (h_aa * g_b - h_ab * g_a)
+                         / (h_aa * h_bb - h_ab * h_ab)
+                ELSE b END AS b
+    FROM s{k}
+)""")
+    parts.append(f"""
+SELECT px.fold, px.bin, px.n, px.avg_conf,
+       ROUND(1.0 / (1.0 + exp(-(i.a * px.x + i.b))), 6) AS platt_prob,
+       ROUND(i.a, 6) AS a, ROUND(i.b, 6) AS b
+FROM px JOIN it{int(n_iter)} i ON px.fold = i.fold
+""")
+    return "".join(parts)
+
 
 # EB shrinkage (lock-step with encoders.eb_shrunk_rates: same moment
 # shapes — s = μ(1−μ)/Var − 1 over raw rates; VAR_SAMP both engines;
@@ -8854,20 +9034,29 @@ FROM one
 """
 
 # Markov next-tool backtest (lock-step with lags.transition_backtest:
-# fold tagged BEFORE the lead so pairs inherit the FROM turn's fold;
-# train argmax row_number(count DESC, to_tool ASC); unseen from-tools
-# predict NULL and score 0)
+# fold tagged BEFORE the lead; a pair counts only when BOTH turns
+# share the fold — straddling pairs dropped, temporally disjoint on
+# the predicted event; train argmax row_number(count DESC, to_tool
+# ASC); unseen from-tools predict NULL and score 0)
 _TRANSITION_BACKTEST_SQL = f"""
 WITH {_CONV_CTE},
-pairs AS (
+tagged AS (
     SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
                             / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
                 THEN 'even' ELSE 'odd' END AS _fold,
-           tool AS from_tool,
-           lead(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS to_tool
+           conv_id, ts, turn_idx, tool
     FROM conversations WHERE tool IS NOT NULL
 ),
-good AS (SELECT _fold, from_tool, to_tool FROM pairs WHERE to_tool IS NOT NULL),
+pairs AS (
+    SELECT _fold,
+           tool AS from_tool,
+           lead(tool) OVER w AS to_tool,
+           lead(_fold) OVER w AS _fold_to
+    FROM tagged
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+good AS (SELECT _fold, from_tool, to_tool FROM pairs
+         WHERE to_tool IS NOT NULL AND _fold = _fold_to),
 tr_counts AS (
     SELECT from_tool, to_tool, CAST(COUNT(*) AS BIGINT) AS _n
     FROM good WHERE _fold = 'even' GROUP BY from_tool, to_tool
@@ -10121,6 +10310,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "auc_by_fold": _AUC_SQL,
         "isotonic_calibration": _ISOTONIC_SQL,
+        "platt_calibration": _platt_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),

@@ -127,7 +127,7 @@ def cuped_adjusted(
         F.sum("sxx").cast("double").alias("_SXX"),
     )
     j = per_arm.crossJoin(F.broadcast(pooled))
-    # pooled slope: θ = (N·Σxy − Σx·Σy) / (N·Σx² − Σx²) — both sides
+    # pooled slope: θ = (N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²) — both sides
     # exact-integer-valued doubles, one division
     th_den = F.col("_N") * F.col("_SXX") - F.col("_SX") * F.col("_SX")
     theta = F.when(
@@ -197,8 +197,14 @@ def two_proportion_z(
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    p_a = F.col("s_a").cast("double") / na
-    p_b = F.col("s_b").cast("double") / nb
+    # empty-arm guard (mirrors the se2 guard): a missing arm yields a
+    # defined 0.0 rate, not a NULL that diverges from the oracle
+    p_a = F.when(F.col("n_a") > 0, F.col("s_a").cast("double") / na).otherwise(
+        F.lit(0.0)
+    )
+    p_b = F.when(F.col("n_b") > 0, F.col("s_b").cast("double") / nb).otherwise(
+        F.lit(0.0)
+    )
     pool = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
     se2 = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     z = F.when(se2 > 0, (p_a - p_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
@@ -321,12 +327,21 @@ def power_mde(
 
     var_a = var("sy_a", "syy_a", "n_a")
     var_b = var("sy_b", "syy_b", "n_b")
-    mean_a = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
-    mean_b = F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+    # empty-arm guard (mirrors the variance guard): defined 0.0 means
+    # and a 0.0 MDE instead of NULL/NaN when an arm has no units
+    mean_a = F.when(
+        F.col("n_a") > 0, F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    ).otherwise(F.lit(0.0))
+    mean_b = F.when(
+        F.col("n_b") > 0, F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+    ).otherwise(F.lit(0.0))
     se = F.sqrt(
         var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
     )
-    mde = F.lit(float(z_alpha) + float(z_power)) * se
+    mde = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.lit(float(z_alpha) + float(z_power)) * se,
+    ).otherwise(F.lit(0.0))
     return one.select(
         "n_a",
         "n_b",

@@ -541,6 +541,118 @@ def isotonic_calibration(
     )
 
 
+def platt_calibration(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 20,
+    *,
+    n_iter: int = 12,
+    closed: str = "right",
+) -> DataFrame:
+    """Per-fold sigmoid (Platt 1999) calibration map fitted on binned
+    aggregates — the reference's ``CalibratedClassifierCV(
+    method="sigmoid")`` (``src/calibration.py:101-128``) next to
+    :func:`isotonic_calibration` (method="isotonic"), in the same
+    scalable reformulation: groupBy(fold, bin) reduces 10^12 rows to
+    ≤ n_bins rows per fold (ONE shuffle, map-side partials), then the
+    weighted Newton logistic fit runs per fold-group inside
+    ``applyInPandas`` on that tiny profile — never per-row Python.
+
+    Fit: p' = σ(a·logit(conf) + b) by a FIXED ``n_iter`` Newton
+    iterations from (a=1, b=0) with Platt's prior-smoothed targets
+    (t+ = (N+ + 1)/(N+ + 2), t− = 1/(N− + 2), sklearn
+    ``_SigmoidCalibration``), each bin contributing its integer
+    (n, Σy) weights. Determinism: the profile's integer stats and
+    6dp-rounded avg_conf are cross-engine exact; the per-bin Newton
+    terms use ONE fixed expression shape evaluated with C-library
+    transcendentals on both engines (Python ``math`` here, DuckDB
+    there), bins accumulated in ascending order; the fixed iteration
+    count has the fit converged (quadratically) long before iter 12,
+    so last-ulp summation wobble is damped to ~1e-13 — far inside
+    the 6dp output rounding.
+
+    Output per (fold, bin): ``(fold, bin, n, avg_conf, platt_prob,
+    a, b)`` — the map table :func:`apply_platt` consumes as column
+    literals (or join it back like ``isotonic_apply``).
+    """
+    import math
+
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        F.col(fold_col),
+        prob_bin(p, n_bins, closed=closed).alias("bin"),
+        y.alias("y"),
+        p.alias("p"),
+    ).where(F.col("bin").isNotNull())
+    profile = binned.groupBy(fold_col, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("avg_conf"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    out_schema = (
+        f"{fold_col} string, bin int, n bigint, avg_conf double, "
+        "platt_prob double, a double, b double"
+    )
+    iters = int(n_iter)
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # plain Python floats + math.* (glibc — the same C library the
+        # oracle's DuckDB links), ascending-bin accumulation order
+        rows = []
+        for bn, n, sy, ac in zip(pdf["bin"], pdf["n"], pdf["sum_y"], pdf["avg_conf"]):
+            acc = min(max(float(ac), 1e-6), 1.0 - 1e-6)
+            rows.append((float(n), float(sy), math.log(acc / (1.0 - acc))))
+        n_pos = float(sum(int(s) for s in pdf["sum_y"]))
+        n_neg = float(sum(int(v) for v in pdf["n"])) - n_pos
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        a, b = 1.0, 0.0
+        for _ in range(iters):
+            g_a = g_b = h_aa = h_ab = h_bb = 0.0
+            for nd, syd, x in rows:
+                q = 1.0 / (1.0 + math.exp(-(a * x + b)))
+                r = nd * q - (syd * t_pos + (nd - syd) * t_neg)
+                w = nd * q * (1.0 - q)
+                g_a += r * x
+                g_b += r
+                h_aa += w * x * x
+                h_ab += w * x
+                h_bb += w
+            det = h_aa * h_bb - h_ab * h_ab
+            if abs(det) >= 1e-12:  # det-guard, NOT a convergence break
+                a = a - (h_bb * g_a - h_ab * g_b) / det
+                b = b - (h_aa * g_b - h_ab * g_a) / det
+        platt = [1.0 / (1.0 + math.exp(-(a * x + b))) for _, _, x in rows]
+        return pd.DataFrame(
+            {
+                fold_col: pdf[fold_col],
+                "bin": pdf["bin"],
+                "n": pdf["n"],
+                "avg_conf": pdf["avg_conf"],
+                "platt_prob": platt,
+                "a": [a] * len(rows),
+                "b": [b] * len(rows),
+            }
+        )
+
+    fitted = profile.groupBy(fold_col).applyInPandas(_fit, schema=out_schema)
+    # rounding JVM-side: F.round is HALF_UP like the oracle's ROUND
+    # (pandas .round is banker's and diverges on exact 6dp ties)
+    return fitted.select(
+        fold_col,
+        "bin",
+        "n",
+        "avg_conf",
+        F.round("platt_prob", 6).alias("platt_prob"),
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+    )
+
+
 def gains_table(
     preds: DataFrame,
     score_col: str = "p",

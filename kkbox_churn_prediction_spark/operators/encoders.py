@@ -267,6 +267,7 @@ def woe_iv(
     *,
     n_bins: int = 10,
     smoothing: float = 0.5,
+    exact_edges: bool = False,
 ) -> DataFrame:
     """Weight-of-evidence binning + information value — the classic
     churn/credit-scoring feature audit (the reference's modeling
@@ -278,9 +279,11 @@ def woe_iv(
     ``(bin, n, n_pos, n_neg, woe, iv_term)``.
 
     Bins ride :func:`~kkbox_churn_prediction_spark.operators.psi.quantile_edges`
-    + ``bucketize_by_edges`` (exact np.quantile-analog edges, 6dp,
-    same cross-engine discipline as the PSI family — and the same
-    approx switch at scale). Smoothing denominators use the REQUESTED
+    + ``bucketize_by_edges``. ``exact_edges=False`` (DEFAULT — the
+    scale path) uses the GK-sketch ``approx_percentile`` edges, safe
+    at 10^12 rows; the gate/oracle requests ``exact_edges=True``
+    (np.quantile-analog, 6dp, the PSI-family cross-engine
+    discipline) explicitly. Smoothing denominators use the REQUESTED
     ``n_bins`` as a fixed literal so both engines agree even when
     duplicate edges collapse realized bins.
 
@@ -294,7 +297,7 @@ def woe_iv(
     )
 
     s = float(smoothing)
-    edges = quantile_edges(df, value_col, n_bins)
+    edges = quantile_edges(df, value_col, n_bins, exact=exact_edges)
     binned = df.select(
         bucketize_by_edges(F.col(value_col), edges).alias("bin"),
         F.col(label_col).cast("long").alias("_y"),

@@ -309,6 +309,12 @@ def transition_backtest(
     unseen in training predict NULL and score 0 correct — the honest
     cold-start accounting.
 
+    Temporal hygiene: a pair counts only when BOTH turns fall in the
+    same fold — pairs straddling a fold boundary are dropped, so no
+    train pair's predicted event lands in an eval week (and vice
+    versa); the split is temporally disjoint on the PREDICTED event,
+    not just the conditioning one.
+
     Determinism: the argmax tie-breaks (count DESC, to_tool ASC) via
     one max_by-style struct ordering; counts exact.
 
@@ -322,7 +328,13 @@ def transition_backtest(
     pairs = (
         calls.select(fold.alias("_fold"), "conv_id", "ts", "turn_idx", "tool")
         .withColumn("_next", F.lead("tool").over(w))
-        .where(F.col("_next").isNotNull())
+        # both leads share the window spec → ONE Window node; pairs
+        # straddling a fold boundary are dropped (temporal hygiene)
+        .withColumn("_fold_next", F.lead("_fold").over(w))
+        .where(
+            F.col("_next").isNotNull()
+            & (F.col("_fold") == F.col("_fold_next"))
+        )
         .select("_fold", F.col("tool").alias("from_tool"), F.col("_next").alias("to_tool"))
     )
     # train and eval branches both read the pair stream — persist the

@@ -39,21 +39,23 @@ def quantile_edges(
     value_col: str,
     n_bins: int = 10,
     *,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> list[float]:
     """Quantile edges on the reference fold. Driver-side list of
     n_bins-1 interior edges.
 
-    ``exact=True`` (default) is the ``np.quantile`` analog — exact
-    linear-interpolated percentiles, matching the reference and the
-    DuckDB oracle bit-for-bit at round(6). The exact aggregate buffers
-    every value in one aggregation buffer, so at 10^12 rows it is an
-    executor OOM, not a slow query: pass ``exact=False`` there —
+    ``exact=False`` (DEFAULT — the scale path) uses
     ``approx_percentile`` (GK sketch, bounded memory ~O(accuracy),
-    mergeable map-side partials). Edge error ≤ 1/accuracy of rank
-    moves only boundary values between adjacent bins, which PSI's
-    clipped log-ratio absorbs (tolerance-checked in tests)."""
+    mergeable map-side partials): a bare call is safe at 10^12 rows.
+    Edge error ≤ 1/accuracy of rank moves only boundary values
+    between adjacent bins, which PSI's clipped log-ratio absorbs
+    (tolerance-checked in tests). ``exact=True`` is the
+    ``np.quantile`` analog — exact linear-interpolated percentiles,
+    matching the reference and the DuckDB oracle bit-for-bit at
+    round(6); it buffers every value in one aggregation buffer (an
+    executor OOM at 10^12 rows, not a slow query), so gates/oracles
+    request it explicitly and scale users never get it by accident."""
     ps = [i / n_bins for i in range(1, n_bins)]
     arr = ",".join(str(p) for p in ps)
     fn = (

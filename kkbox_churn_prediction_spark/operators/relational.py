@@ -85,18 +85,19 @@ def daily_engagement(turns: DataFrame) -> DataFrame:
 
 
 def session_length_percentiles(
-    session_aggs: DataFrame, *, exact: bool = True, accuracy: int = 10000
+    session_aggs: DataFrame, *, exact: bool = False, accuracy: int = 10000
 ) -> DataFrame:
     """A10 percentiles (reference ``PERCENTILE_CONT(0.5) WITHIN
     GROUP``, ``sql/04_kpi_metrics.sql:44-46``): median/p90 of session
     turn counts.
 
-    ``exact=True`` matches the reference's exactness (and the DuckDB
-    oracle) but buffers every value in one aggregation buffer — at
-    10^12 sessions that is an executor OOM. ``exact=False`` switches
-    to ``approx_percentile`` (GK sketch: bounded memory, map-side
-    mergeable partials) — the scale default, tolerance-checked against
-    the exact path in tests."""
+    ``exact=False`` (DEFAULT — the scale path) uses
+    ``approx_percentile`` (GK sketch: bounded memory, map-side
+    mergeable partials), tolerance-checked against the exact path in
+    tests — a bare call is safe at 10^12 sessions. ``exact=True``
+    matches the reference's exactness (and the DuckDB oracle) but
+    buffers every value in one aggregation buffer — an executor OOM
+    at scale — so the gate/oracle requests it explicitly."""
     if exact:
         med, p90 = "percentile(n_turns, 0.5)", "percentile(n_turns, 0.9)"
     else:

@@ -507,6 +507,14 @@ def daily_anomalies_deseasonalized(
     alarms every Monday under the raw z; deseasonalize first and only
     genuine departures from the weekday's own norm fire).
 
+    RETROSPECTIVE semantics: the weekday mean levels are computed over
+    the ENTIRE series, so each day's residual is demeaned using future
+    data — an offline backfill-audit view, not an online alarm (the
+    trailing z-score itself uses only prior days). For online
+    semantics, swap ``dow_means`` for an expanding per-weekday frame;
+    kept full-series here because the gate/oracle and the reference's
+    drift audits are offline.
+
     Determinism: weekday means are exact-integer ratios (Σ, n per dow
     as longs); residuals and the trailing mean/std run over
     day-ORDERED bounded frames (the daily_anomalies device).

@@ -483,3 +483,48 @@ def test_label_noise_screen_golden(spark):
     mid = spark.createDataFrame([(0.5, 1)] * 4, "p double, y int")
     r2 = label_noise_screen(mid, "y", "p").collect()[0]
     assert r2["flip_rate_pos"] is None and r2["flip_rate_neg"] is None
+
+
+def test_platt_calibration_binned_recovers_slope_and_is_monotone(spark):
+    """platt_calibration (per-fold binned Newton fit): on data whose
+    true calibration map is p' = sigmoid(2·logit(p)), the binned fit
+    recovers a ≈ 2 per fold, the map is strictly monotone in bin, and
+    (a, b) are constant within a fold."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        platt_calibration,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 6000
+    p = rng.uniform(0.02, 0.98, n)
+    logit = np.log(p / (1 - p))
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-2 * logit))).astype(int)
+    fold = np.where(rng.uniform(0, 1, n) < 0.5, "a", "b")
+    rows = [(float(p[i]), int(y[i]), str(fold[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "p double, y int, fold string")
+    out = platt_calibration(df, "fold", "y", "p", n_bins=20).collect()
+    assert len(out) == 40  # 2 folds × 20 bins (p spans all bins)
+    for f in ("a", "b"):
+        frows = sorted((r for r in out if r["fold"] == f), key=lambda r: r["bin"])
+        a_vals = {r["a"] for r in frows}
+        assert len(a_vals) == 1  # one fit per fold
+        assert frows[0]["a"] == pytest.approx(2.0, abs=0.5)
+        probs = [r["platt_prob"] for r in frows]
+        assert all(q2 > q1 for q1, q2 in zip(probs, probs[1:]))
+        assert all(0.0 < q < 1.0 for q in probs)
+
+
+def test_platt_calibration_degenerate_single_bin_keeps_init(spark):
+    """A fold whose probabilities all land in ONE bin has a singular
+    Hessian in the slope direction — the det-guard must keep the
+    (a=1, b=0) init instead of emitting NaN."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        platt_calibration,
+    )
+
+    rows = [(0.525, i % 2, "only") for i in range(50)]
+    df = spark.createDataFrame(rows, "p double, y int, fold string")
+    out = platt_calibration(df, "fold", "y", "p", n_bins=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert math.isfinite(r["platt_prob"]) and math.isfinite(r["a"])

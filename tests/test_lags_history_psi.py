@@ -117,7 +117,9 @@ def test_psi_matches_numpy_reference(spark):
 def test_quantile_edge_bucketizer(spark):
     pdf = pd.DataFrame({"v": np.arange(100, dtype=float)})
     df = spark.createDataFrame(pdf)
-    edges = quantile_edges(df, "v", n_bins=4)
+    # exact=True: this golden checks np.quantile-interpolated edges
+    # (the operator DEFAULT is the approx scale path)
+    edges = quantile_edges(df, "v", n_bins=4, exact=True)
     assert edges == pytest.approx([24.75, 49.5, 74.25])
     out = df.select(bucketize_by_edges(F.col("v"), edges).alias("b"))
     counts = {r["b"]: r["c"] for r in out.groupBy("b").agg(F.count("*").alias("c")).collect()}
@@ -349,3 +351,44 @@ def test_qq_shift_golden_and_approx(spark):
         df, "v", "fold", "ref", probs=(0.5,), exact=False
     ).collect()}
     assert abs(approx[0.5] - 10.0) <= 1.0
+
+
+def test_transition_backtest_drops_straddling_pairs(spark):
+    """ADVICE r2: a pair whose turns fall in different folds must not
+    count anywhere — neither as a train observation (its predicted
+    event is in an eval fold) nor as an eval one (its predicted event
+    was trainable). The split is temporally disjoint on the PREDICTED
+    event."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.lags import transition_backtest
+
+    t0 = datetime(2024, 1, 1)
+    # one conversation crossing the fold boundary at turn_idx 2:
+    #   train pair a->b (both turns train)
+    #   straddling pair b->c (train turn -> eval turn)  DROPPED
+    #   eval pair c->a (both turns eval)
+    rows = [
+        ("c1", 0, "assistant", "x", "a", t0),
+        ("c1", 1, "assistant", "x", "b", t0 + timedelta(minutes=1)),
+        ("c1", 2, "assistant", "x", "c", t0 + timedelta(minutes=2)),
+        ("c1", 3, "assistant", "x", "a", t0 + timedelta(minutes=3)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    fold = F.when(F.col("turn_idx") < 2, F.lit("train")).otherwise(F.lit("eval"))
+    out = {
+        (r["fold"], r["from_tool"]): r
+        for r in transition_backtest(
+            spark.createDataFrame(pdf), fold, train_fold="train"
+        ).collect()
+    }
+    # only the (eval, c) row exists; b->c never reached eval scoring
+    assert set(out) == {("eval", "c")}
+    r = out[("eval", "c")]
+    # train saw ONLY a->b, so from 'c' the model predicts NULL
+    assert r["predicted"] is None and r["n_eval"] == 1 and r["n_correct"] == 0

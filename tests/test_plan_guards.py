@@ -411,3 +411,37 @@ def test_label_rate_by_horizon_no_explode(spark):
     # sufficient-statistic row; a pre-agg horizon explode would add a
     # second one under the label grid
     assert plan.count("Generate") == 1
+
+
+def test_bare_percentile_operators_default_to_approx(spark):
+    """VERDICT r2 task #3: a BARE call to the percentile pair must
+    plan the bounded-memory GK sketch (approx_percentile), never the
+    single-buffer exact aggregate — the exact path is opt-in for
+    gates/oracles only. Guards the analyzed plan's aggregate exprs."""
+    import pandas as pd
+
+    from kkbox_churn_prediction_spark.operators.psi import quantile_edges
+    from kkbox_churn_prediction_spark.operators.relational import (
+        session_length_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"n_turns": [float(i) for i in range(100)], "v": range(100)})
+    )
+    # session_length_percentiles: inspect the analyzed plan of the
+    # bare call — the default must compile to approx_percentile
+    plan = (
+        session_length_percentiles(df)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    assert "approx_percentile" in plan
+    assert not re.search(r"(?<!approx_)percentile\(n_turns", plan)
+    # quantile_edges executes eagerly (driver-side edge list): assert
+    # on behavior — approx edges on integers are actual data values,
+    # never the interpolated fractions the exact path produces
+    edges = quantile_edges(df.selectExpr("CAST(v AS DOUBLE) v"), "v", n_bins=4)
+    assert all(float(e).is_integer() for e in edges)
