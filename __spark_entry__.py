@@ -538,6 +538,35 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(attach_media(_docs(spark, sf_dir)), target_w=256, target_h=144)
 
 
+def _q_media_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media token-cost estimation: 14px ViT-style tiles over the
+    256x144 letterbox geometry + a row-break token per tile row —
+    integer algebra after the (stubbed) decode, one Arrow pass."""
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        media_token_cost,
+    )
+
+    return media_token_cost(
+        attach_media(_docs(spark, sf_dir)), patch=14, target_w=256, target_h=144
+    )
+
+
+def _q_multimodal_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media assembly budgeting: per document, text
+    tokens + attached-media tokens and the number of 2048-token
+    context chunks the assembled document spans."""
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        media_token_cost,
+        multimodal_token_budget,
+    )
+
+    docs = _docs(spark, sf_dir)
+    costs = media_token_cost(attach_media(docs), patch=14, target_w=256, target_h=144)
+    return multimodal_token_budget(docs, costs, chunk_budget=2048)
+
+
 def _q_asof_entity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-entity-cutoff as-of variant (sort-merge path): each
     conversation's personal cutoff is the week boundary after its own
@@ -1221,6 +1250,62 @@ def _q_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return platt_calibration(_preds(spark, sf_dir), "fold", "y", "p", n_bins=20)
+
+
+def _q_platt_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fitted per-fold sigmoid map back to every prediction
+    (fit→apply loop, the Platt twin of isotonic_apply): broadcast the
+    folds×(a,b) fit; the stream never shuffles."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        platt_apply,
+        platt_calibration,
+    )
+
+    preds = _preds(spark, sf_dir)
+    fit = platt_calibration(preds, "fold", "y", "p", n_bins=20)
+    return platt_apply(preds, fit, "fold", "p").select(
+        "event_id", "fold", F.round("p", 6).alias("p"), "p_platt"
+    )
+
+
+def _q_error_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment error profile (reference ``src/error_analysis.py``
+    segment analysis): accuracy / mean prediction / actual rate per
+    score band — one hash agg on the band key."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        error_by_segment,
+    )
+
+    preds = _preds(spark, sf_dir)
+    band = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int")
+    return error_by_segment(preds, band, "y", "p", segment_name="band")
+
+
+def _q_hardest_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k misclassified exemplars per category (reference
+    ``src/error_analysis.py:245-280`` _find_hardest_examples) — three
+    TakeOrderedAndProject branches over the misclassified subset,
+    never a global sort."""
+    from kkbox_churn_prediction_spark.operators.error_analysis import (
+        hardest_examples,
+    )
+
+    return hardest_examples(_preds(spark, sf_dir), "event_id", "y", "p", k=20)
+
+
+def _q_confusion_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP/FN business-cost rollup vs the naive all-positive /
+    all-negative baselines (reference ``src/error_analysis.py:282-308``
+    _compute_business_impact) — one conditional-count aggregate."""
+    from kkbox_churn_prediction_spark.operators.error_analysis import (
+        confusion_costs,
+    )
+
+    return confusion_costs(_preds(spark, sf_dir), "y", "p")
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3707,7 +3792,6 @@ _DRIVER_CORE: tuple[str, ...] = (
     # rank machinery / distribution numerics
     "spearman_turns_textlen",
     "gini_activity",
-    "wasserstein_text_len",
     # experiments
     "did_turns",
     "cuped_turns",
@@ -3720,10 +3804,13 @@ _DRIVER_CORE: tuple[str, ...] = (
     # privacy
     "k_anonymity",
     "redact_pii",
+    # error-analysis tail reports
+    "hardest_examples",
     # drift
     "embedding_drift",
     "cusum_drift",
-    "psi_categorical",
+    # multimodal budgeting
+    "multimodal_token_budget",
     # ANN + embeddings
     "ann_recall",
     # folds + near-dup + streaming
@@ -3791,6 +3878,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "multimodal_features": _q_multimodal_features,
         "media_resize": _q_media_resize,
+        "media_token_cost": _q_media_token_cost,
+        "multimodal_token_budget": _q_multimodal_token_budget,
         # remaining relational inventory
         "quintile_stats": _q_quintile_stats,
         "sales_by_region": _q_sales_by_region,
@@ -3818,6 +3907,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_fold": _q_auc_by_fold,
         "isotonic_calibration": _q_isotonic_calibration,
         "platt_calibration": _q_platt_calibration,
+        "platt_apply": _q_platt_apply,
+        "error_by_segment": _q_error_by_segment,
+        "hardest_examples": _q_hardest_examples,
+        "confusion_costs": _q_confusion_costs,
         # transitive near-dup clustering
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
@@ -5387,6 +5480,78 @@ FROM geo
 """
 
 
+# per-media token cost (lock-step with multimodal.media_token_cost:
+# the media_resize letterbox geometry, then 14px tiles + one
+# row-break token per tile row; image kind charges one frame — all
+# integer algebra over the hash-derived fake-decode dims)
+_MEDIA_TOKEN_COST_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           {_byte_int_expr(8)} AS h
+    FROM documents
+),
+dims AS (
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(64 + h % 1024 AS INTEGER) AS src_w,
+           CAST(64 + (h // 1024) % 1024 AS INTEGER) AS src_h,
+           CAST(1 + (h // 1048576) % 300 AS INTEGER) AS n_frames
+    FROM b
+),
+geo AS (
+    SELECT media_id, kind, n_frames,
+           CASE WHEN src_w <= 0 OR src_h <= 0 THEN 0
+                WHEN src_w * 144 >= src_h * 256 THEN 256
+                ELSE GREATEST(1, (CAST(src_w AS BIGINT) * 144) // src_h)
+           END AS out_w,
+           CASE WHEN src_w <= 0 OR src_h <= 0 THEN 0
+                WHEN src_w * 144 >= src_h * 256
+                THEN GREATEST(1, (CAST(src_h AS BIGINT) * 256) // src_w)
+                ELSE 144
+           END AS out_h
+    FROM dims
+),
+tiles AS (
+    SELECT media_id, kind, out_w, out_h, n_frames,
+           (out_w + 13) // 14 AS tiles_x,
+           (out_h + 13) // 14 AS tiles_y,
+           CASE WHEN kind = 'image' THEN 1
+                WHEN kind = 'video' THEN CAST((GREATEST(n_frames - 1, 0) // 30) + 1 AS INTEGER)
+                ELSE 0 END AS n_sampled
+    FROM geo
+)
+SELECT media_id, kind,
+       CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+       n_frames, CAST(n_sampled AS INTEGER) AS n_sampled,
+       CAST(tiles_x AS INTEGER) AS tiles_x, CAST(tiles_y AS INTEGER) AS tiles_y,
+       CAST(tiles_x * tiles_y + tiles_y AS BIGINT) AS tokens_per_frame,
+       CAST((tiles_x * tiles_y + tiles_y) * n_sampled AS BIGINT) AS media_tokens
+FROM tiles
+"""
+
+# interleaved text+media budgeting (lock-step with
+# multimodal.multimodal_token_budget over the media_token_cost CTE:
+# whitespace text tokens + summed media tokens, ceil-div chunks)
+_MULTIMODAL_BUDGET_SQL = f"""
+WITH costs AS ({_MEDIA_TOKEN_COST_SQL}),
+per_doc AS (
+    SELECT media_id AS doc_id, CAST(SUM(media_tokens) AS BIGINT) AS media_tokens
+    FROM costs GROUP BY media_id
+),
+txt AS (
+    SELECT doc_id,
+           CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+'))
+                END AS BIGINT) AS text_tokens
+    FROM documents
+)
+SELECT t.doc_id, t.text_tokens,
+       CAST(COALESCE(p.media_tokens, 0) AS BIGINT) AS media_tokens,
+       CAST(t.text_tokens + COALESCE(p.media_tokens, 0) AS BIGINT) AS total_tokens,
+       CAST((t.text_tokens + COALESCE(p.media_tokens, 0) + 2047) // 2048 AS INTEGER)
+           AS n_chunks
+FROM txt t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
 # streaming closed-sessions oracle: batch sessions over (conv_id, ts)
 # minus each conversation's final (still-open-at-end-of-stream) session
 # streaming as-of depth (lock-step with streaming/asof.py: strictly-
@@ -5785,7 +5950,87 @@ SELECT p.fold, p.bin, p.n, p.avg_conf,
 FROM prof p JOIN iso i ON p.fold = i.fold AND p.bin = i.bin
 """
 
-def _platt_oracle(n_bins: int = 20, n_iter: int = 12) -> str:
+# per-segment error profile (lock-step with
+# calibration.error_by_segment over the gains band key: exact counts,
+# exact-dyadic SUM(p), one double division per rate)
+_ERROR_BY_SEGMENT_SQL = f"""
+WITH {_PRED_CTE},
+seg AS (
+    SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS band, y, p,
+           CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END AS c
+    FROM preds
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+       ROUND(SUM(p) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pred,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS actual_rate,
+       ROUND(1.0 - CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS error_rate
+FROM seg GROUP BY band
+"""
+
+# hardest misclassified exemplars (lock-step with
+# error_analysis.hardest_examples: wrongness/category filters on the
+# exact dyadic p, three ORDER BY/LIMIT branches with the event_id
+# tiebreak, rounding only on output)
+_HARDEST_EXAMPLES_SQL = f"""
+WITH {_PRED_CTE},
+base AS (
+    SELECT event_id, y, p,
+           CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred_binary,
+           abs(CAST(y AS DOUBLE) - p) AS error,
+           GREATEST(p, 1.0 - p) AS confidence
+    FROM preds
+),
+wrong AS (SELECT * FROM base WHERE pred_binary <> y),
+fneg AS (SELECT 'false_negative' AS category, * FROM wrong WHERE y = 1
+         ORDER BY p DESC, event_id ASC LIMIT 20),
+fpos AS (SELECT 'false_positive' AS category, * FROM wrong WHERE y = 0
+         ORDER BY p DESC, event_id ASC LIMIT 20),
+hconf AS (SELECT 'high_confidence_error' AS category, * FROM wrong
+          ORDER BY confidence DESC, event_id ASC LIMIT 20)
+SELECT category, event_id, y, ROUND(p, 6) AS p, pred_binary,
+       ROUND(error, 6) AS error, ROUND(confidence, 6) AS confidence
+FROM (SELECT * FROM fneg UNION ALL SELECT * FROM fpos
+      UNION ALL SELECT * FROM hconf)
+"""
+
+# FP/FN business-cost rollup (lock-step with
+# error_analysis.confusion_costs: four exact conditional counts,
+# fixed-shape double algebra, reference costs fp=10 / fn=50)
+_CONFUSION_COSTS_SQL = f"""
+WITH {_PRED_CTE},
+c AS (
+    SELECT
+      CAST(SUM(CASE WHEN p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      CAST(SUM(CASE WHEN p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM preds
+)
+SELECT tp, tn, fp, fn,
+       ROUND(CAST(fp AS DOUBLE) * 10.0, 6) AS total_fp_cost,
+       ROUND(CAST(fn AS DOUBLE) * 50.0, 6) AS total_fn_cost,
+       ROUND(CAST(fp AS DOUBLE) * 10.0 + CAST(fn AS DOUBLE) * 50.0, 6)
+           AS total_cost,
+       ROUND(CASE WHEN CAST(tn + fp AS DOUBLE) * 10.0 > 0
+                  THEN (CAST(fp AS DOUBLE) * 10.0 + CAST(fn AS DOUBLE) * 50.0)
+                       / (CAST(tn + fp AS DOUBLE) * 10.0)
+                  ELSE 0.0 END, 6) AS cost_vs_all_positive,
+       ROUND(CASE WHEN CAST(tp + fn AS DOUBLE) * 50.0 > 0
+                  THEN (CAST(fp AS DOUBLE) * 10.0 + CAST(fn AS DOUBLE) * 50.0)
+                       / (CAST(tp + fn AS DOUBLE) * 50.0)
+                  ELSE 0.0 END, 6) AS cost_vs_all_negative,
+       ROUND(LEAST(CAST(tn + fp AS DOUBLE) * 10.0,
+                   CAST(tp + fn AS DOUBLE) * 50.0)
+             - (CAST(fp AS DOUBLE) * 10.0 + CAST(fn AS DOUBLE) * 50.0), 6)
+           AS savings_vs_baseline
+FROM c
+"""
+
+
+def _platt_oracle(n_bins: int = 20, n_iter: int = 12, apply: bool = False) -> str:
     """Sigmoid-calibration oracle (lock-step with
     calibration.platt_calibration): the same binned profile as the
     isotonic oracle, then ``n_iter`` FIXED Newton iterations unrolled
@@ -5850,7 +6095,21 @@ it{k} AS (
                 ELSE b END AS b
     FROM s{k}
 )""")
-    parts.append(f"""
+    if apply:
+        # apply mode (lock-step with calibration.platt_apply): the
+        # 6dp-ROUNDED per-fold (a, b) — exactly the fit table the
+        # engine broadcasts — applied to every prediction as the same
+        # clip→logit→sigmoid expression shape
+        clip_p = "LEAST(GREATEST(p.p, 1e-15), 1.0 - 1e-15)"
+        parts.append(f"""
+SELECT p.event_id, p.fold, ROUND(p.p, 6) AS p,
+       ROUND(1.0 / (1.0 + exp(-(ROUND(i.a, 6)
+             * ln({clip_p} / (1.0 - {clip_p})) + ROUND(i.b, 6)))), 6)
+           AS p_platt
+FROM preds p JOIN it{int(n_iter)} i ON p.fold = i.fold
+""")
+    else:
+        parts.append(f"""
 SELECT px.fold, px.bin, px.n, px.avg_conf,
        ROUND(1.0 / (1.0 + exp(-(i.a * px.x + i.b))), 6) AS platt_prob,
        ROUND(i.a, 6) AS a, ROUND(i.b, 6) AS b
@@ -10287,6 +10546,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_ivf": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
+        "media_token_cost": _MEDIA_TOKEN_COST_SQL,
+        "multimodal_token_budget": _MULTIMODAL_BUDGET_SQL,
         "quintile_stats": _QUINTILE_SQL,
         "sales_by_region": _SALES_BY_REGION_SQL,
         "asof_entity_grid": _asof_entity_grid_oracle(),
@@ -10311,6 +10572,10 @@ def oracle_sql() -> dict[str, str]:
         "auc_by_fold": _AUC_SQL,
         "isotonic_calibration": _ISOTONIC_SQL,
         "platt_calibration": _platt_oracle(),
+        "platt_apply": _platt_oracle(apply=True),
+        "error_by_segment": _ERROR_BY_SEGMENT_SQL,
+        "hardest_examples": _HARDEST_EXAMPLES_SQL,
+        "confusion_costs": _CONFUSION_COSTS_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "curate_corpus": _curation_oracle(),
         "curation_report": _curation_report_oracle(),

@@ -653,6 +653,73 @@ def platt_calibration(
     )
 
 
+def platt_apply(
+    preds: DataFrame,
+    fit: DataFrame,
+    fold_col: str,
+    prob_col: str = "p",
+    out_col: str = "p_platt",
+) -> DataFrame:
+    """Apply a per-fold :func:`platt_calibration` fit back to every
+    prediction — the fit→apply loop completion, the sigmoid twin of
+    :func:`isotonic_apply`. The fit table collapses to one (fold, a,
+    b) row per fold and BROADCASTS; the prediction stream never
+    shuffles, and the map itself is one pure column expression
+    ``σ(a·logit(clip(p)) + b)``.
+    """
+    ab = fit.select(fold_col, "a", "b").distinct()
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(LOGLOSS_EPS)), F.lit(1.0 - LOGLOSS_EPS))
+    z = F.col("a") * F.log(pc / (1.0 - pc)) + F.col("b")
+    return (
+        preds.join(F.broadcast(ab), fold_col, "left")
+        .withColumn(out_col, F.round(1.0 / (1.0 + F.exp(-z)), 6))
+        .drop("a", "b")
+    )
+
+
+def error_by_segment(
+    preds: DataFrame,
+    segment: Column,
+    label_col: str,
+    prob_col: str,
+    *,
+    threshold: float = 0.5,
+    segment_name: str = "segment",
+) -> DataFrame:
+    """Per-segment error profile — the reference's segment analysis
+    (``src/error_analysis.py:210-243``: per feature-segment accuracy,
+    mean prediction, actual rate, error rate, worst segments first).
+    ``segment`` is any grouping expression (a score band, a feature
+    quartile, a fold…). Output per segment: ``(segment, n_samples,
+    accuracy, mean_pred, actual_rate, error_rate)``.
+
+    Determinism: counts exact longs; mean_pred is the only float mean
+    (the ratio of an exact dyadic sum in the gate's construction);
+    accuracy/rates are integer ratios. Shape: ONE hash agg on the
+    segment key.
+    """
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    correct = ((p >= F.lit(float(threshold))).cast("int") == y).cast("int")
+    g = preds.groupBy(segment.alias(segment_name)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(correct).cast("long").alias("_n_correct"),
+        F.sum(p).alias("_sum_p"),
+        F.sum(y).cast("long").alias("_n_pos"),
+    )
+    n = F.col("n_samples").cast("double")
+    acc = F.col("_n_correct").cast("double") / n
+    return g.select(
+        segment_name,
+        "n_samples",
+        F.round(acc, 6).alias("accuracy"),
+        F.round(F.col("_sum_p") / n, 6).alias("mean_pred"),
+        F.round(F.col("_n_pos").cast("double") / n, 6).alias("actual_rate"),
+        F.round(F.lit(1.0) - acc, 6).alias("error_rate"),
+    )
+
+
 def gains_table(
     preds: DataFrame,
     score_col: str = "p",

@@ -182,6 +182,129 @@ def resize_plan(
     )
 
 
+def media_token_cost(
+    media: DataFrame,
+    *,
+    patch: int = 14,
+    every_n: int = 30,
+    target_w: int = 256,
+    target_h: int = 144,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Per-media token-cost estimation at the documented resize
+    geometry — what a multimodal training-data pipeline budgets
+    sequence length with BEFORE decoding a single pixel.
+
+    Cost model (ViT-style, documented so the numbers are auditable):
+    the letterboxed output (:func:`resize_plan` geometry, integer
+    exact) is cut into ``patch``×``patch`` tiles —
+    ``tiles_x·tiles_y`` patch tokens plus one row-break token per
+    tile row — giving ``tokens_per_frame``. Images charge one frame;
+    videos charge every sampled frame at the
+    :func:`frame_sample_plan` cadence (frames 0, n, 2n, … →
+    ``(n_frames−1) div every_n + 1`` samples); other kinds charge 0.
+    ``media_tokens = tokens_per_frame · n_sampled``.
+
+    Everything after the (stubbed, Arrow-batched) decode is INTEGER
+    column algebra — exact cross-engine, hence oracle-checkable with
+    plain SQL. One decode pass: geometry and frame counts ride the
+    same :func:`extract_media_features` output; no second
+    mapInPandas.
+    """
+    tw, th, p = int(target_w), int(target_h), int(patch)
+    feats = extract_media_features(media, decode_fn)
+    ok = (F.col("width") > 0) & (F.col("height") > 0)
+    wide = F.col("width") * th >= F.col("height") * tw
+    out_w = (
+        F.when(~ok, F.lit(0))
+        .when(wide, F.lit(tw))
+        .otherwise(
+            F.greatest(F.lit(1), F.expr(f"CAST(width AS BIGINT) * {th} div height"))
+        )
+        .cast("int")
+    )
+    out_h = (
+        F.when(~ok, F.lit(0))
+        .when(wide, F.greatest(F.lit(1), F.expr(f"CAST(height AS BIGINT) * {tw} div width")))
+        .otherwise(F.lit(th))
+        .cast("int")
+    )
+    geo = feats.select(
+        "media_id", "kind", "n_frames", out_w.alias("out_w"), out_h.alias("out_h")
+    )
+    tiles_x = F.expr(f"(out_w + {p - 1}) div {p}").cast("int")
+    tiles_y = F.expr(f"(out_h + {p - 1}) div {p}").cast("int")
+    tpf = (tiles_x.cast("bigint") * tiles_y + tiles_y).cast("bigint")
+    n_sampled = (
+        F.when(F.col("kind") == "image", F.lit(1))
+        .when(
+            F.col("kind") == "video",
+            F.expr(
+                f"(greatest(n_frames - 1, 0) div {int(every_n)})"
+            ).cast("int")
+            + F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return geo.select(
+        "media_id",
+        "kind",
+        "out_w",
+        "out_h",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        n_sampled.alias("n_sampled"),
+        tiles_x.alias("tiles_x"),
+        tiles_y.alias("tiles_y"),
+        tpf.alias("tokens_per_frame"),
+        (tpf * n_sampled.cast("bigint")).cast("bigint").alias("media_tokens"),
+    )
+
+
+def multimodal_token_budget(
+    docs: DataFrame,
+    media_costs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_doc_col: str = "media_id",
+    chunk_budget: int = 2048,
+) -> DataFrame:
+    """Interleaved text+media assembly budgeting: per document, the
+    whitespace text tokens plus the summed :func:`media_token_cost`
+    of its attached media, and how many fixed-budget context chunks
+    the assembled document spans (``ceil(total / chunk_budget)``) —
+    the multimodal extension of ``pack_documents``' text-only
+    accounting. Output: ``(doc_id, text_tokens, media_tokens,
+    total_tokens, n_chunks)``.
+
+    Shape: media costs collapse to one row per document (hash agg on
+    the media→doc key), then ONE join onto the document stream;
+    integer algebra after. Documents with no media charge 0.
+    """
+    from kkbox_churn_prediction_spark.operators.textstats import token_count
+
+    per_doc = media_costs.groupBy(
+        F.col(media_doc_col).alias("_mdoc")
+    ).agg(F.sum("media_tokens").cast("bigint").alias("_media_tokens"))
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("text_tokens"),
+    )
+    j = base.join(per_doc, base[id_col] == per_doc["_mdoc"], "left")
+    media_tok = F.coalesce(F.col("_media_tokens"), F.lit(0).cast("bigint"))
+    total = (F.col("text_tokens") + media_tok).cast("bigint")
+    b = int(chunk_budget)
+    return j.select(
+        F.col(id_col),
+        "text_tokens",
+        media_tok.alias("media_tokens"),
+        total.alias("total_tokens"),
+        F.expr(f"CAST((text_tokens + coalesce(_media_tokens, 0) + {b - 1}) "
+               f"div {b} AS INT)").alias("n_chunks"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: expand (media_id, frame_no)
     rows for frames 0, n, 2n, … of each video's n_frames — the

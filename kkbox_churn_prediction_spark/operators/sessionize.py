@@ -124,6 +124,46 @@ def sessionize_chunked(
     return out.drop("_chunk", "_local_id", "_offset")
 
 
+# one window-task holding ~5M turn rows (~a few hundred MB of sort
+# state) is comfortably inside executor memory; a conversation larger
+# than that is exactly the mega-conversation case sessionize_chunked
+# exists for
+DEFAULT_MAX_CONV_ROWS = 5_000_000
+
+
+def sessionize_auto(
+    turns: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    *,
+    max_conv_rows: int = DEFAULT_MAX_CONV_ROWS,
+    chunk_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """:func:`sessionize` with the chunked escape hatch chosen
+    AUTOMATICALLY (VERDICT r2 task #7): one cheap pre-pass measures
+    the largest conversation (hash agg with map-side partials — a
+    per-conv count table and a 1-row max, NOT a sort), and if any
+    conversation exceeds ``max_conv_rows`` the equal-output
+    :func:`sessionize_chunked` runs instead of the single-window
+    version whose per-task state a mega-conversation would blow.
+
+    The pre-pass costs one extra scan + one conv-keyed aggregate
+    exchange; the alternative — discovering the skew as a straggling
+    or OOMing window task at 10^12 turns — costs the job. Callers
+    that already KNOW their layout (e.g. a bounded-span ingest) can
+    keep calling :func:`sessionize`/:func:`sessionize_chunked`
+    directly; both remain public.
+    """
+    biggest = (
+        turns.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()[0]
+    )
+    if biggest is not None and biggest > int(max_conv_rows):
+        return sessionize_chunked(turns, gap_seconds, chunk_seconds=chunk_seconds)
+    return sessionize(turns, gap_seconds)
+
+
 def session_aggregates(turns: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS) -> DataFrame:
     """One row per (conv_id, session_id): bounds, turn count, text
     stats, duration. Per-entity multi-stat hash agg (A1) at session

@@ -528,3 +528,60 @@ def test_platt_calibration_degenerate_single_bin_keeps_init(spark):
     assert len(out) == 1
     r = out[0]
     assert math.isfinite(r["platt_prob"]) and math.isfinite(r["a"])
+
+
+def test_platt_apply_matches_scalar_apply_and_is_monotone(spark):
+    """platt_apply (fit-table broadcast) must equal apply_platt with
+    the same fold's rounded (a, b) literals, and preserve order."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        apply_platt,
+        platt_apply,
+        platt_calibration,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    p = rng.uniform(0.02, 0.98, n)
+    logit = np.log(p / (1 - p))
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-2 * logit))).astype(int)
+    df = spark.createDataFrame(
+        [(float(p[i]), int(y[i]), "all") for i in range(n)],
+        "p double, y int, fold string",
+    )
+    fit = platt_calibration(df, "fold", "y", "p", n_bins=20)
+    a, b = fit.select("a", "b").first()
+    got = {
+        r["p"]: r["p_platt"] for r in platt_apply(df, fit, "fold", "p").collect()
+    }
+    want = {
+        r["p"]: round(r["p_calibrated"], 6)
+        for r in apply_platt(df, "p", a, b).collect()
+    }
+    assert got == pytest.approx(want, abs=1e-9)
+    ordered = [got[k] for k in sorted(got)]
+    assert all(v2 >= v1 for v1, v2 in zip(ordered, ordered[1:]))
+
+
+def test_error_by_segment_golden(spark):
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        error_by_segment,
+    )
+
+    rows = [
+        # band 0: two rows, one correct (y=0,p=0.4->pred 0 OK),
+        # one wrong (y=1,p=0.45->pred 0)
+        (0.40, 0), (0.45, 1),
+        # band 1: one row, correct
+        (0.90, 1),
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    seg = F.when(F.col("p") < 0.5, F.lit(0)).otherwise(F.lit(1))
+    out = {r["segment"]: r for r in error_by_segment(df, seg, "y", "p").collect()}
+    b0 = out[0]
+    assert b0["n_samples"] == 2 and b0["accuracy"] == 0.5
+    assert b0["mean_pred"] == round((0.40 + 0.45) / 2, 6)
+    assert b0["actual_rate"] == 0.5 and b0["error_rate"] == 0.5
+    b1 = out[1]
+    assert b1["n_samples"] == 1 and b1["accuracy"] == 1.0 and b1["error_rate"] == 0.0

@@ -96,3 +96,55 @@ def test_chunked_splits_mega_conversation_window(spark, boundary_turns):
         .toString()
     )
     assert "_chunk" in plan  # phase-1 window keyed by (conv_id, chunk)
+
+
+def test_auto_switch_picks_chunked_and_matches_single_pass(spark):
+    """sessionize_auto (VERDICT r2 task #7): with a max_conv_rows
+    guard any real conversation exceeds, the auto path must route to
+    the chunked variant (visible as the phase-2 stitch join in the
+    plan) and produce IDENTICAL session ids to plain sessionize."""
+    from kkbox_churn_prediction_spark.operators.sessionize import (
+        sessionize,
+        sessionize_auto,
+    )
+    from kkbox_churn_prediction_spark.sources.synth import (
+        clean_turns,
+        generate_transcripts,
+        to_spark,
+    )
+
+    turns = clean_turns(
+        to_spark(spark, generate_transcripts(n_convs=12, mean_turns=40, seed=23))
+    )
+    auto = sessionize_auto(turns, max_conv_rows=5, chunk_seconds=86400)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan  # the chunked path was chosen
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in sessionize(turns).collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"] for r in auto.collect()
+    }
+    assert got == want
+
+
+def test_auto_switch_keeps_plain_window_for_small_conversations(spark):
+    """Below the guard the auto path must stay the single-window plan
+    (no stitch join, no chunk key)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sessionize import sessionize_auto
+    from kkbox_churn_prediction_spark.sources.synth import (
+        clean_turns,
+        generate_transcripts,
+        to_spark,
+    )
+
+    turns = clean_turns(
+        to_spark(spark, generate_transcripts(n_convs=6, mean_turns=10, seed=29))
+    )
+    auto = sessionize_auto(turns, max_conv_rows=1_000_000)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" not in plan
+    assert auto.where(F.col("session_id").isNull()).count() == 0

@@ -398,3 +398,94 @@ def test_daily_anomalies_deseasonalized_kills_weekly_false_alarms(spark):
     assert not any(adj[k]["is_anomaly"] for k in monday_keys)
     # the genuine outage (Jan 25 = day index 24) still fires adjusted
     assert adj[25]["z_resid"] < 0
+
+
+def test_media_token_cost_image_and_video_golden(spark):
+    """Token-cost math golden, exercising the VIDEO sampling path the
+    driver gate (image-only attach_media) cannot: known dims via a
+    custom decode_fn, 14px tiles over the 256x144 letterbox, one
+    row-break token per tile row, frames sampled every 30."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_token_cost,
+    )
+
+    rows = [
+        # (media_id, kind, payload, mime, source_doc_id)
+        (1, "image", b"aa", "x", 1),   # decode -> 512x288 (wide: out 256x144)
+        (2, "video", b"bb", "x", 2),   # decode -> 100x200, 61 frames
+        (3, "audio", b"cc", "x", 3),   # charges 0
+    ]
+    dims = {1: (512, 288, 1), 2: (100, 200, 61), 3: (0, 0, 0)}
+
+    def decode(payload):
+        return dims[{b"aa": 1, b"bb": 2, b"cc": 3}[bytes(payload)]]
+
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA]), MEDIA_SCHEMA
+    )
+    out = {
+        r["media_id"]: r
+        for r in media_token_cost(media, patch=14, every_n=30,
+                                  target_w=256, target_h=144,
+                                  decode_fn=decode).collect()
+    }
+    img = out[1]
+    # 512x288 is exactly 16:9 -> letterbox to 256x144; tiles 19x11
+    assert (img["out_w"], img["out_h"]) == (256, 144)
+    assert (img["tiles_x"], img["tiles_y"]) == (19, 11)
+    assert img["tokens_per_frame"] == 19 * 11 + 11 == 220
+    assert img["n_sampled"] == 1 and img["media_tokens"] == 220
+    vid = out[2]
+    # 100x200 tall -> height binds: out 72x144 (100*144 div 200 = 72)
+    assert (vid["out_w"], vid["out_h"]) == (72, 144)
+    assert (vid["tiles_x"], vid["tiles_y"]) == (6, 11)
+    # 61 frames sampled every 30 -> frames 0,30,60 = 3 samples
+    assert vid["n_sampled"] == 3
+    assert vid["media_tokens"] == (6 * 11 + 11) * 3
+    aud = out[3]
+    assert aud["n_sampled"] == 0 and aud["media_tokens"] == 0
+
+
+def test_multimodal_token_budget_totals_and_chunks(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_token_cost,
+        multimodal_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "w " * 100), (3, "no media here")],
+        "doc_id long, text string",
+    )
+    # docs 1 and 2 carry one image each (512x288 -> 220 tokens); two
+    # media on doc 2 to check the per-doc SUM; doc 3 has none
+    rows = [(10, "image", b"aa", "x", 1), (20, "image", b"aa", "x", 2),
+            (21, "image", b"aa", "x", 2)]
+
+    def decode(payload):
+        return (512, 288, 1)
+
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA]), MEDIA_SCHEMA
+    )
+    # budget join keys on the media->doc link column
+    costs = media_token_cost(media, decode_fn=decode).join(
+        media.select("media_id", "source_doc_id"), "media_id"
+    ).drop("media_id").withColumnRenamed("source_doc_id", "media_id")
+    out = {
+        r["doc_id"]: r
+        for r in multimodal_token_budget(docs, costs, chunk_budget=256).collect()
+    }
+    assert out[1]["text_tokens"] == 3 and out[1]["media_tokens"] == 220
+    assert out[1]["total_tokens"] == 223 and out[1]["n_chunks"] == 1
+    assert out[2]["media_tokens"] == 440  # two attachments summed
+    assert out[2]["total_tokens"] == 100 + 440
+    assert out[2]["n_chunks"] == -(-540 // 256)  # ceil = 3
+    assert out[3]["media_tokens"] == 0 and out[3]["n_chunks"] == 1
