@@ -2740,6 +2740,17 @@ def _q_daily_anomalies_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_anomalies_deseasonalized(_conv(spark, sf_dir))
 
 
+def _q_daily_anomalies_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE weekday-adjusted anomalies: expanding prior-only
+    weekday means (no lookahead anywhere) — the deployable-alarm
+    sibling of daily_anomalies_adj's retrospective audit."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        daily_anomalies_online,
+    )
+
+    return daily_anomalies_online(_conv(spark, sf_dir))
+
+
 def _q_did_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences on per-conversation pre/post turn
     counts between hash-parity cohorts (a placebo design: DiD ≈ 0 is
@@ -4023,6 +4034,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariate_balance": _q_covariate_balance,
         "refusal_rate_weekly": _q_refusal_rate_weekly,
         "daily_anomalies_adj": _q_daily_anomalies_adj,
+        "daily_anomalies_online": _q_daily_anomalies_online,
         "did_turns": _q_did_turns,
         "asof_last_event": _q_asof_last_event,
         "asof_next_event": _q_asof_next_event,
@@ -10035,6 +10047,46 @@ SELECT d, n_turns,
 FROM scored
 """
 
+# online weekday-adjusted anomalies (lock-step with
+# windows.daily_anomalies_online: expanding PRIOR-only per-dow means
+# — ROWS ... 1 PRECEDING — exact-integer ratios; cold-start weekdays
+# emit residual 0; same trailing-z device)
+_DAILY_ANOMALIES_ONLINE_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY 1
+),
+dowed AS (SELECT d, n_turns, CAST(isodow(d) AS INTEGER) AS dow FROM daily),
+base AS (
+    SELECT d, n_turns,
+           CASE WHEN COUNT(n_turns) OVER wd > 0
+                THEN CAST(n_turns AS DOUBLE)
+                     - CAST(SUM(n_turns) OVER wd AS DOUBLE)
+                       / CAST(COUNT(n_turns) OVER wd AS DOUBLE)
+                ELSE 0.0 END AS resid
+    FROM dowed
+    WINDOW wd AS (PARTITION BY dow ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT d, n_turns, resid,
+           AVG(resid) OVER w AS mu,
+           STDDEV_SAMP(resid) OVER w AS sd,
+           COUNT(resid) OVER w AS n_prior
+    FROM base
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, n_turns,
+       ROUND(resid, 6) AS residual,
+       ROUND(COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                           THEN (resid - mu) / sd END, 0.0), 6) AS z_resid,
+       ABS(COALESCE(CASE WHEN n_prior >= 2 AND sd > 0
+                         THEN (resid - mu) / sd END, 0.0)) > 3.0 AS is_anomaly
+FROM scored
+"""
+
 # difference-in-differences (lock-step with abtest.diff_in_diff:
 # same pre/post midpoint split as cuped_turns, 'did'-salted arms,
 # EXACT hugeint sums, paired-delta Welch inference)
@@ -10676,6 +10728,7 @@ def oracle_sql() -> dict[str, str]:
         "covariate_balance": _COVARIATE_BALANCE_SQL,
         "refusal_rate_weekly": _REFUSAL_RATE_WEEKLY_SQL,
         "daily_anomalies_adj": _DAILY_ANOMALIES_ADJ_SQL,
+        "daily_anomalies_online": _DAILY_ANOMALIES_ONLINE_SQL,
         "did_turns": _DID_TURNS_SQL,
         "asof_last_event": _ASOF_LAST_EVENT_SQL,
         "asof_next_event": _ASOF_NEXT_EVENT_SQL,

@@ -553,3 +553,54 @@ def daily_anomalies_deseasonalized(
             "is_anomaly"
         ),
     )
+
+
+def daily_anomalies_online(
+    turns: DataFrame, trailing_days: int = 7, z_threshold: float = 3.0
+) -> DataFrame:
+    """ONLINE weekday-adjusted anomaly flags — the causal sibling of
+    :func:`daily_anomalies_deseasonalized`: each day's weekday level
+    is the EXPANDING mean of that weekday's PRIOR occurrences only
+    (no future data anywhere), so the alarm is deployable as-is.
+    Days whose weekday has no prior occurrence emit residual 0 / no
+    alarm (nothing to compare against — honest cold start).
+
+    Determinism: the expanding weekday mean is an exact-integer ratio
+    per row (cumulative Σ and count of longs over the day-ordered
+    bounded frame); the trailing z reuses the daily_anomalies device.
+
+    Shape: stream → daily agg (one corpus shuffle) → TWO windows over
+    the bounded daily series (per-weekday expanding frame, then the
+    global-day trailing frame) — both single-partition sorts are on
+    the calendar-bounded table (the daily_anomalies exemption).
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    dow = (F.weekday(F.col("d")) + F.lit(1)).cast("int")
+    wd = Window.partitionBy("_dow").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_dow = daily.withColumn("_dow", dow)
+    prior_sum = F.sum("n_turns").over(wd)
+    prior_cnt = F.count("n_turns").over(wd)
+    resid = F.when(
+        prior_cnt > 0,
+        F.col("n_turns").cast("double")
+        - prior_sum.cast("double") / prior_cnt.cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = with_dow.select("d", "n_turns", resid.alias("_resid"))
+    w = Window.orderBy("d").rowsBetween(-int(trailing_days), -1)
+    mu = F.avg("_resid").over(w)
+    sd = F.stddev_samp("_resid").over(w)
+    n_prior = F.count("_resid").over(w)
+    z = F.when((n_prior >= 2) & (sd > 0), (F.col("_resid") - mu) / sd)
+    return base.select(
+        "d",
+        "n_turns",
+        F.round(F.col("_resid"), 6).alias("residual"),
+        F.round(F.coalesce(z, F.lit(0.0)), 6).alias("z_resid"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(float(z_threshold))).alias(
+            "is_anomaly"
+        ),
+    )

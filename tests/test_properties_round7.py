@@ -131,3 +131,44 @@ def test_deseasonalized_fires_on_genuine_departure(spark):
         ).collect()
     }
     assert adj[_MONDAY + timedelta(days=outlier_idx)]["is_anomaly"]
+
+
+def test_online_anomalies_causal_and_fire_on_departure(spark):
+    """daily_anomalies_online: (1) on the perfectly periodic series it
+    behaves like the retrospective screen (zero alarms once every
+    weekday has priors — residuals exactly 0); (2) it is CAUSAL: an
+    outlier on the final day cannot change any earlier day's output
+    (the retrospective variant fails exactly this check); (3) the
+    outlier day itself alarms."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        daily_anomalies_deseasonalized,
+        daily_anomalies_online,
+    )
+
+    week = [10, 12, 10, 12, 10, 12, 100]
+    counts = [n + (i % 3) for i, n in enumerate(week * 4)]
+    turns_clean = _turns_from_daily_counts(spark, counts)
+    spiked = list(counts)
+    spiked[-1] = 500  # outlier on the LAST day only
+    turns_spiked = _turns_from_daily_counts(spark, spiked)
+
+    def by_day(df):
+        return {r["d"]: (r["residual"], r["z_resid"], r["is_anomaly"])
+                for r in df.collect()}
+
+    clean = by_day(daily_anomalies_online(turns_clean))
+    spike = by_day(daily_anomalies_online(turns_spiked))
+    last_day = max(spike)
+    # causality: every day BEFORE the outlier is bit-identical
+    for d in clean:
+        if d < last_day:
+            assert spike[d] == clean[d]
+    assert spike[last_day][2]  # the outlier day alarms
+    # the retrospective screen is NOT causal on the same data — its
+    # weekday means absorb the final-day outlier (this is the
+    # documented difference, not a bug)
+    retro_clean = by_day(daily_anomalies_deseasonalized(turns_clean))
+    retro_spike = by_day(daily_anomalies_deseasonalized(turns_spiked))
+    assert any(
+        retro_spike[d] != retro_clean[d] for d in retro_clean if d < last_day
+    )
