@@ -3754,6 +3754,74 @@ def _q_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum z between two hash-parity cohorts on
+    text length: value-histogram midranks (one hash agg + a bounded
+    global window), exact integer rank sums."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import mann_whitney_u
+
+    conv = _conv(spark, sf_dir)
+    grp = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("mw"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return mann_whitney_u(conv, F.length("text").cast("long"), grp)
+
+
+def _q_qte_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (p25/p50/p75) on text length
+    between hash-parity arms; gate requests the exact percentile
+    path for DuckDB quantile_cont parity (operator default is the
+    approx_percentile scale path)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import quantile_treatment_effect
+
+    conv = _conv(spark, sf_dir)
+    units = conv.select(
+        F.length("text").cast("long").alias("y"),
+        F.when(
+            F.pmod(stable_hash48(F.concat(F.lit("qte"), F.col("conv_id"))), F.lit(2))
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+    )
+    return quantile_treatment_effect(units, "arm", "y", (0.25, 0.5, 0.75), exact=True)
+
+
+def _q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW average treatment effect under CONFOUNDED assignment:
+    treatment probability rises with the per-conversation user-turn
+    count (the covariate), so the naive arm difference is biased and
+    the logistic-propensity reweighting corrects it. Binned-Newton
+    propensity fit on a <=21-row profile (the platt recipe)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import ipw_ate
+
+    conv = _conv(spark, sf_dir)
+    per = conv.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user"),
+    )
+    x = F.least(F.col("n_user"), F.lit(20))
+    t = (
+        F.pmod(stable_hash48(F.concat(F.lit("ipw"), F.col("conv_id"))), F.lit(100))
+        < F.lit(20) + F.lit(3) * x
+    ).cast("long")
+    units = per.select(t.alias("t"), F.col("n_turns").alias("y"), x.alias("x"))
+    return ipw_ate(units, "t", "y", "x", max_bin=20)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4085,6 +4153,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_tokens": _q_woe_tokens,
         "quantile_match_lengths": _q_quantile_match_lengths,
         "dialogue_pairs": _q_dialogue_pairs,
+        # round-3 continuation: causal / rank statistics
+        "mann_whitney": _q_mann_whitney,
+        "qte_text_len": _q_qte_text_len,
+        "ipw_ate": _q_ipw_ate,
     }
 
 
@@ -10549,6 +10621,197 @@ GROUP BY d.source
 """
 
 
+# Mann-Whitney (lock-step with abtest.mann_whitney_u: value-histogram
+# midranks — 2*midrank = 2*cum_before + t + 1 stays integer; exact
+# HUGEINT rank and tie sums, one fixed-shape double expression at
+# the end)
+_MANN_WHITNEY_SQL = f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT length(text) AS v,
+           CASE WHEN ({_H48.format(x="concat('mw', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g
+    FROM conversations WHERE text IS NOT NULL
+),
+hist AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+           CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+    FROM vals GROUP BY v
+),
+ranked AS (
+    SELECT t_a, t_b, t_a + t_b AS t,
+           CAST(COALESCE(SUM(t_a + t_b) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before
+    FROM hist
+),
+sums AS (
+    SELECT CAST(SUM(t_a) AS BIGINT) AS n_a,
+           CAST(SUM(t_b) AS BIGINT) AS n_b,
+           SUM(CAST(t_a AS HUGEINT)
+               * (2 * CAST(cum_before AS HUGEINT) + t + 1)) AS two_r_a,
+           SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+    FROM ranked
+),
+calc AS (
+    SELECT n_a, n_b,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+           CAST(two_r_a AS DOUBLE) / 2.0
+             - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+           CAST(tie_term AS DOUBLE) AS tie
+    FROM sums
+),
+calc2 AS (
+    SELECT n_a, n_b, na, nb, u_a,
+           na * nb / 2.0 AS mean_u,
+           na * nb / 12.0 * ((nn + 1.0) - tie / (nn * (nn - 1.0))) AS var_u
+    FROM calc
+)
+SELECT n_a, n_b,
+       ROUND(u_a, 6) AS u_a,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN u_a / (na * nb) ELSE 0.0 END, 6)
+           AS auc,
+       ROUND(CASE WHEN var_u > 0 THEN (u_a - mean_u) / sqrt(var_u)
+                  ELSE 0.0 END, 6) AS z_stat
+FROM calc2
+"""
+
+# QTE (lock-step with abtest.quantile_treatment_effect exact path:
+# quantile_cont both engines, per-arm single pass, 3-row melt)
+_QTE_SQL = f"""
+WITH {_CONV_CTE},
+units AS (
+    SELECT length(text) AS y,
+           CASE WHEN ({_H48.format(x="concat('qte', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm
+    FROM conversations WHERE text IS NOT NULL
+),
+per_arm AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(CAST(y AS DOUBLE), 0.25) AS q25,
+           quantile_cont(CAST(y AS DOUBLE), 0.5) AS q50,
+           quantile_cont(CAST(y AS DOUBLE), 0.75) AS q75
+    FROM units GROUP BY arm
+),
+melted AS (
+    SELECT CAST(0.25 AS DOUBLE) AS q, arm, n, q25 AS qv FROM per_arm
+    UNION ALL SELECT CAST(0.5 AS DOUBLE), arm, n, q50 FROM per_arm
+    UNION ALL SELECT CAST(0.75 AS DOUBLE), arm, n, q75 FROM per_arm
+),
+one AS (
+    SELECT q,
+           CAST(SUM(CASE WHEN arm = 'a' THEN n END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN n END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN arm = 'a' THEN qv END) AS q_a,
+           SUM(CASE WHEN arm = 'b' THEN qv END) AS q_b
+    FROM melted GROUP BY q
+)
+SELECT ROUND(q, 6) AS q, n_a, n_b,
+       ROUND(q_a, 6) AS q_a, ROUND(q_b, 6) AS q_b,
+       ROUND(q_b - q_a, 6) AS qte
+FROM one
+"""
+
+
+def _ipw_oracle(max_bin: int = 20, n_iter: int = 12) -> str:
+    """IPW-ATE oracle (lock-step with abtest.ipw_ate): the binned
+    propensity profile as exact integer stats, the 2-parameter Newton
+    logistic unrolled as chained CTEs from (a=0, b=0) with the same
+    det-guard, then the Hajek-weighted means as one pass over the
+    <=21-row profile with the identical clip expression shape."""
+    parts = [
+        f"WITH {_CONV_CTE},",
+        f"""
+per_conv AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT LEAST(n_user, {max_bin}) AS x, n_turns AS y,
+           CASE WHEN ({_H48.format(x="concat('ipw', conv_id)")}) % 100
+                     < 20 + 3 * LEAST(n_user, {max_bin})
+                THEN 1 ELSE 0 END AS t
+    FROM per_conv
+),
+prof AS (
+    SELECT LEAST(GREATEST(x, 0), {max_bin}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS n_t,
+           CAST(SUM(y * t) AS BIGINT) AS sy_t,
+           CAST(SUM(y * (1 - t)) AS BIGINT) AS sy_c
+    FROM units GROUP BY 1
+),
+px AS (
+    SELECT CAST(bin AS DOUBLE) AS x, CAST(n AS DOUBLE) AS nd,
+           CAST(n_t AS DOUBLE) AS ntd, CAST(sy_t AS DOUBLE) AS sytd,
+           CAST(sy_c AS DOUBLE) AS sycd
+    FROM prof
+),
+it0 AS (SELECT 0.0 AS a, 0.0 AS b)""",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        parts.append(f""",
+q{k} AS (
+    SELECT px.x, px.nd, px.ntd, i.a, i.b,
+           1.0 / (1.0 + exp(-(i.a * px.x + i.b))) AS q
+    FROM px CROSS JOIN it{k - 1} i
+),
+s{k} AS (
+    SELECT MAX(a) AS a, MAX(b) AS b,
+           SUM((nd * q - ntd) * x) AS g_a,
+           SUM(nd * q - ntd) AS g_b,
+           SUM(nd * q * (1.0 - q) * x * x) AS h_aa,
+           SUM(nd * q * (1.0 - q) * x) AS h_ab,
+           SUM(nd * q * (1.0 - q)) AS h_bb
+    FROM q{k}
+),
+it{k} AS (
+    SELECT CASE WHEN abs(h_aa * h_bb - h_ab * h_ab) >= 1e-12
+                THEN a - (h_bb * g_a - h_ab * g_b)
+                         / (h_aa * h_bb - h_ab * h_ab)
+                ELSE a END AS a,
+           CASE WHEN abs(h_aa * h_bb - h_ab * h_ab) >= 1e-12
+                THEN b - (h_aa * g_b - h_ab * g_a)
+                         / (h_aa * h_bb - h_ab * h_ab)
+                ELSE b END AS b
+    FROM s{k}
+)""")
+    parts.append(f""",
+wt AS (
+    SELECT px.*, i.a, i.b,
+           LEAST(GREATEST(1.0 / (1.0 + exp(-(i.a * px.x + i.b))), 0.01),
+                 1.0 - 0.01) AS e
+    FROM px CROSS JOIN it{int(n_iter)} i
+),
+fin AS (
+    SELECT MAX(a) AS a, MAX(b) AS b,
+           SUM(sytd / e) AS s1n, SUM(ntd / e) AS s1d,
+           SUM(sycd / (1.0 - e)) AS s0n, SUM((nd - ntd) / (1.0 - e)) AS s0d,
+           SUM(sytd) AS nv1n, SUM(ntd) AS nv1d,
+           SUM(sycd) AS nv0n, SUM(nd - ntd) AS nv0d
+    FROM wt
+),
+mus AS (
+    SELECT CAST(nv1d AS BIGINT) AS n_treat, CAST(nv0d AS BIGINT) AS n_ctrl,
+           a, b,
+           CASE WHEN s1d > 0 THEN s1n / s1d ELSE 0.0 END AS mu1,
+           CASE WHEN s0d > 0 THEN s0n / s0d ELSE 0.0 END AS mu0,
+           CASE WHEN nv1d > 0 THEN nv1n / nv1d ELSE 0.0 END AS m1n,
+           CASE WHEN nv0d > 0 THEN nv0n / nv0d ELSE 0.0 END AS m0n
+    FROM fin
+)
+SELECT n_treat, n_ctrl, ROUND(a, 6) AS a, ROUND(b, 6) AS b,
+       ROUND(mu1, 6) AS mu_treat, ROUND(mu0, 6) AS mu_ctrl,
+       ROUND(mu1 - mu0, 6) AS ate_ipw, ROUND(m1n - m0n, 6) AS ate_naive
+FROM mus
+""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -10787,4 +11050,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_tokens": _WOE_TOKENS_SQL,
         "quantile_match_lengths": _QUANTILE_MATCH_SQL,
         "dialogue_pairs": _DIALOGUE_PAIRS_SQL,
+        "mann_whitney": _MANN_WHITNEY_SQL,
+        "qte_text_len": _QTE_SQL,
+        "ipw_ate": _ipw_oracle(),
     }

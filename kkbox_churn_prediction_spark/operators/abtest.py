@@ -496,3 +496,278 @@ def diff_in_diff(
         F.round(did, 6).alias("did"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    metric: Column,
+    group: Column,
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two cohorts —
+    the nonparametric companion to :func:`welch_t_stats` for skewed
+    metrics (text lengths, latencies) where the t-test's mean is the
+    wrong summary. Emits ``(n_a, n_b, u_a, auc, z_stat)`` where
+    ``auc = U_a / (n_a·n_b)`` is the common-language effect size
+    (P(random a-draw > random b-draw), ties counted half) and ``z``
+    is the tie-corrected normal approximation.
+
+    Distributed shape: ranks are NEVER materialized per row. The
+    metric is reduced to a value histogram first — groupBy(value) →
+    (count_a, count_b), ONE hash agg — and midranks come from a
+    cumulative window over that bounded table (distinct metric
+    values, e.g. ≤ a few thousand text lengths), the same
+    value-histogram rank machine the Spearman/Gini family uses. At
+    10^12 rows the shuffle carries only the histogram.
+
+    Determinism: everything up to the final z expression is EXACT
+    integer arithmetic — ``2·midrank = 2·cum_before + t + 1`` is an
+    integer, so ``2·R_a`` accumulates as decimal(38,0); the tie
+    correction Σ(t³−t) likewise. U, AUC, z are then single
+    fixed-shape double expressions over those exact scalars.
+    """
+    dec = "decimal(38,0)"
+    hist = (
+        df.select(metric.alias("v"), group.alias("g"))
+        .where(F.col("v").isNotNull() & F.col("g").isin(group_a, group_b))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("t_a"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("t_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # bounded-table global window (value histogram), per the engine's
+    # global-window discipline — never over raw rows
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t_tot = (F.col("t_a") + F.col("t_b")).cast("long")
+    ranked = hist.select(
+        "t_a",
+        "t_b",
+        t_tot.alias("t"),
+        F.coalesce(F.sum(t_tot).over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    two_mid = (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1)).cast(dec)
+    sums = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        F.sum("t_b").cast("long").alias("n_b"),
+        F.sum(F.col("t_a").cast(dec) * two_mid).alias("two_r_a"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("two_r_a").cast("double") / F.lit(2.0) - na * (na + 1.0) / 2.0
+    mean_u = na * nb / 2.0
+    var_u = (
+        na
+        * nb
+        / 12.0
+        * ((nn + 1.0) - F.col("tie_term").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.when(var_u > 0, (u_a - mean_u) / F.sqrt(var_u)).otherwise(F.lit(0.0))
+    auc = F.when((na > 0) & (nb > 0), u_a / (na * nb)).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(auc, 6).alias("auc"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def quantile_treatment_effect(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Quantile treatment effects: per requested quantile, the
+    difference of the two arms' metric quantiles — what an A/B test
+    reports when the treatment moves the TAILS rather than the mean
+    (e.g. a latency fix that only helps p90). Output one row per
+    quantile: ``(q, n_a, n_b, q_a, q_b, qte)`` with ``qte = q_b −
+    q_a``.
+
+    Scale default is ``exact=False`` → ``approx_percentile`` (GK
+    sketch, mergeable partials, bounded memory at 10^12 rows); the
+    driver gate requests ``exact=True`` for hash parity with
+    DuckDB's ``quantile_cont`` (both linear-interpolating) — the
+    same two-path discipline as ``session_length_percentiles``.
+
+    Shape: ONE hash agg keyed by arm computes ALL quantiles in a
+    single pass (array form), then the |quantiles|-row melt and the
+    two-arm pivot run on a 2-row table.
+    """
+    qs = [float(q) for q in quantiles]
+    qlit = "array(" + ",".join(repr(q) for q in qs) + ")"
+    y = F.col(y_col).cast("double")
+    if exact:
+        agg = F.expr(f"percentile({y_col}, {qlit})").alias("qv")
+    else:
+        agg = F.percentile_approx(y, qs, F.lit(int(accuracy))).alias("qv")
+    per_arm = units.groupBy(F.col(arm_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), agg
+    )
+    melted = per_arm.select(
+        "g",
+        "n",
+        F.posexplode(F.col("qv")).alias("qi", "qval"),
+    )
+    one = melted.groupBy("qi").agg(
+        F.sum(F.when(F.col("g") == group_a, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == group_b, F.col("n"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == group_a, F.col("qval"))).alias("q_a"),
+        F.sum(F.when(F.col("g") == group_b, F.col("qval"))).alias("q_b"),
+    )
+    qmap = F.array(*[F.lit(q) for q in qs])
+    return one.select(
+        F.round(F.element_at(qmap, F.col("qi") + 1), 6).alias("q"),
+        "n_a",
+        "n_b",
+        F.round("q_a", 6).alias("q_a"),
+        F.round("q_b", 6).alias("q_b"),
+        F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
+    ).orderBy("q")
+
+
+def ipw_ate(
+    units: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    x_col: str = "x",
+    *,
+    max_bin: int = 40,
+    n_iter: int = 12,
+    eps: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect for
+    OBSERVATIONAL (confounded) assignment — the causal sibling of
+    :func:`cuped_adjusted`: when treatment probability depends on a
+    covariate ``x``, the naive arm-mean difference is biased; IPW
+    reweights each unit by 1/P(t|x) to recover the ATE (Horvitz–
+    Thompson 1952 / Rosenbaum–Rubin 1983, Hájek-normalized).
+
+    The propensity model is a logistic fit of ``t`` on the integer
+    covariate, fitted the same way :func:`~..operators.calibration.
+    platt_calibration` fits its sigmoid: the unit table collapses to
+    a ≤ ``max_bin+1``-row binned profile (ONE hash agg of exact
+    integer stats: n, Σt, Σy·t, Σy·(1−t) per bin), then a FIXED
+    ``n_iter``-step Newton solve runs on that tiny profile inside a
+    single ``applyInPandas`` group — never per-row Python, nothing
+    driver-side grows with data. Weighted means are combinations of
+    the per-bin integer sums with per-bin weights 1/e(x) — no float
+    accumulation over raw rows anywhere.
+
+    Output (one row): ``(n_treat, n_ctrl, a, b, mu_treat, mu_ctrl,
+    ate_ipw, ate_naive)`` — ``a/b`` the logistic slope/intercept,
+    ``ate_naive`` the unadjusted difference for contrast.
+
+    Determinism (cross-engine): exact integer profile → glibc
+    exp/ln in driver Python vs DuckDB, fixed iteration count with a
+    det-guard (no convergence break), ascending-bin accumulation,
+    6dp output rounding — the certified platt recipe.
+    """
+    import math
+
+    import pandas as pd
+
+    t = F.col(t_col).cast("long")
+    y = F.col(y_col).cast("long")
+    b_ = F.least(F.greatest(F.col(x_col).cast("long"), F.lit(0)), F.lit(int(max_bin)))
+    profile = (
+        units.select(b_.alias("bin"), t.alias("t"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("n_t"),
+            F.sum(F.col("y") * F.col("t")).cast("long").alias("sy_t"),
+            F.sum(F.col("y") * (F.lit(1) - F.col("t"))).cast("long").alias("sy_c"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    iters, clip = int(n_iter), float(eps)
+    schema = (
+        "n_treat bigint, n_ctrl bigint, a double, b double, "
+        "mu_treat double, mu_ctrl double, ate_ipw double, ate_naive double"
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        rows = [
+            (float(bn), float(n), float(nt), float(syt), float(syc))
+            for bn, n, nt, syt, syc in zip(
+                pdf["bin"], pdf["n"], pdf["n_t"], pdf["sy_t"], pdf["sy_c"]
+            )
+        ]
+        a, b = 0.0, 0.0
+        for _ in range(iters):
+            g_a = g_b = h_aa = h_ab = h_bb = 0.0
+            for x, n, nt, _syt, _syc in rows:
+                q = 1.0 / (1.0 + math.exp(-(a * x + b)))
+                r = n * q - nt
+                w = n * q * (1.0 - q)
+                g_a += r * x
+                g_b += r
+                h_aa += w * x * x
+                h_ab += w * x
+                h_bb += w
+            det = h_aa * h_bb - h_ab * h_ab
+            if abs(det) >= 1e-12:  # det-guard, NOT a convergence break
+                a = a - (h_bb * g_a - h_ab * g_b) / det
+                b = b - (h_aa * g_b - h_ab * g_a) / det
+        s1n = s1d = s0n = s0d = 0.0
+        nv1n = nv1d = nv0n = nv0d = 0.0
+        for x, n, nt, syt, syc in rows:
+            e = 1.0 / (1.0 + math.exp(-(a * x + b)))
+            e = min(max(e, clip), 1.0 - clip)
+            s1n += syt / e
+            s1d += nt / e
+            s0n += syc / (1.0 - e)
+            s0d += (n - nt) / (1.0 - e)
+            nv1n += syt
+            nv1d += nt
+            nv0n += syc
+            nv0d += n - nt
+        mu1 = s1n / s1d if s1d > 0 else 0.0
+        mu0 = s0n / s0d if s0d > 0 else 0.0
+        m1n = nv1n / nv1d if nv1d > 0 else 0.0
+        m0n = nv0n / nv0d if nv0d > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "n_treat": [int(nv1d)],
+                "n_ctrl": [int(nv0d)],
+                "a": [a],
+                "b": [b],
+                "mu_treat": [mu1],
+                "mu_ctrl": [mu0],
+                "ate_ipw": [mu1 - mu0],
+                "ate_naive": [m1n - m0n],
+            }
+        )
+
+    fitted = profile.groupBy("_g").applyInPandas(_fit, schema=schema)
+    return fitted.select(
+        "n_treat",
+        "n_ctrl",
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+        F.round("mu_treat", 6).alias("mu_treat"),
+        F.round("mu_ctrl", 6).alias("mu_ctrl"),
+        F.round("ate_ipw", 6).alias("ate_ipw"),
+        F.round("ate_naive", 6).alias("ate_naive"),
+    )
