@@ -3822,6 +3822,42 @@ def _q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_ate(units, "t", "y", "x", max_bin=20)
 
 
+def _q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast baseline scored with
+    MAE/RMSE/sMAPE/MASE over the daily activity series (date-key
+    self-joins on the bounded daily table; exact integer error
+    sums)."""
+    from kkbox_churn_prediction_spark.operators.windows import seasonal_naive_eval
+
+    return seasonal_naive_eval(_conv(spark, sf_dir), season_days=7)
+
+
+def _q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single least-squares changepoint on the daily series (binary
+    segmentation first split): prefix sums over the bounded daily
+    table score every candidate in one pass."""
+    from kkbox_churn_prediction_spark.operators.windows import binseg_changepoint
+
+    return binseg_changepoint(_conv(spark, sf_dir))
+
+
+def _q_pot_tail_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit (method of moments) on the
+    pooled inter-turn gaps; gate requests the exact p90 threshold
+    (operator default is the approx_percentile scale path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kkbox_churn_prediction_spark.operators.windows import pot_tail_fit
+
+    conv = _conv(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gaps = conv.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap")
+    )
+    return pot_tail_fit(gaps, "gap", threshold_q=0.9, exact=True)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4157,6 +4193,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _q_mann_whitney,
         "qte_text_len": _q_qte_text_len,
         "ipw_ate": _q_ipw_ate,
+        # round-3 continuation: forecast-eval / changepoint / tail-fit series
+        "seasonal_naive_eval": _q_seasonal_naive_eval,
+        "binseg_changepoint": _q_binseg_changepoint,
+        "pot_tail_gaps": _q_pot_tail_gaps,
     }
 
 
@@ -10812,6 +10852,152 @@ FROM mus
     return "".join(parts)
 
 
+# seasonal-naive forecast eval (lock-step with
+# windows.seasonal_naive_eval: date-key self-joins on the bounded
+# daily table, exact HUGEINT error sums, fixed-shape metric algebra)
+_SEASONAL_NAIVE_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM conversations GROUP BY 1
+),
+joined AS (
+    SELECT a.d, a.y, s.y AS y_hat, p.y AS y_prev
+    FROM daily a
+    LEFT JOIN daily s ON a.d = s.d + INTERVAL 7 DAY
+    LEFT JOIN daily p ON a.d = p.d + INTERVAL 1 DAY
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(y_hat) AS BIGINT) AS n_eval,
+           SUM(ABS(CAST(y AS HUGEINT) - y_hat)) AS sae,
+           SUM((CAST(y AS HUGEINT) - y_hat) * (CAST(y AS HUGEINT) - y_hat))
+               AS sse,
+           AVG(CASE WHEN y_hat IS NOT NULL AND y + y_hat > 0
+                    THEN 2.0 * ABS(CAST(y - y_hat AS DOUBLE))
+                         / CAST(y + y_hat AS DOUBLE) END) AS smape,
+           CAST(COUNT(y_prev) AS BIGINT) AS n1,
+           SUM(ABS(CAST(y AS HUGEINT) - y_prev)) AS sae1
+    FROM joined
+),
+calc AS (
+    SELECT n_days, n_eval, smape,
+           CASE WHEN n_eval > 0
+                THEN CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                ELSE 0.0 END AS mae,
+           CASE WHEN n_eval > 0
+                THEN sqrt(CAST(sse AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                ELSE 0.0 END AS rmse,
+           CASE WHEN n1 > 0
+                THEN CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS mae1
+    FROM stats
+)
+SELECT n_days, n_eval,
+       ROUND(mae, 6) AS mae,
+       ROUND(rmse, 6) AS rmse,
+       ROUND(COALESCE(smape, 0.0), 6) AS smape,
+       ROUND(CASE WHEN mae1 > 0 THEN mae / mae1 ELSE 0.0 END, 6) AS mase
+FROM calc
+"""
+
+# binary-segmentation first split (lock-step with
+# windows.binseg_changepoint: exact HUGEINT prefix sums over the daily
+# series, one fixed-shape cost expression per candidate, earliest-date
+# tiebreak)
+_BINSEG_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM conversations GROUP BY 1
+),
+pre AS (
+    SELECT d,
+           row_number() OVER (ORDER BY d) AS k,
+           SUM(CAST(y AS HUGEINT)) OVER (
+               ORDER BY d ROWS UNBOUNDED PRECEDING) AS s1,
+           SUM(CAST(y AS HUGEINT) * y) OVER (
+               ORDER BY d ROWS UNBOUNDED PRECEDING) AS s2,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           SUM(CAST(y AS HUGEINT)) OVER () AS t1,
+           SUM(CAST(y AS HUGEINT) * y) OVER () AS t2
+    FROM daily
+),
+scored AS (
+    SELECT d AS split_d, n AS n_days,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS _mean_l,
+           (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS _mean_r,
+           (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+           + ((CAST(t2 AS DOUBLE) - CAST(s2 AS DOUBLE))
+              - (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE))
+                * (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS _cost,
+           CAST(t2 AS DOUBLE)
+             - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS _sse_tot
+    FROM pre WHERE k < n
+)
+SELECT n_days, split_d, n_left, n_right,
+       ROUND(_mean_l, 6) AS mean_left,
+       ROUND(_mean_r, 6) AS mean_right,
+       ROUND(_sse_tot, 6) AS sse_total,
+       ROUND(_cost, 6) AS sse_split,
+       ROUND(_sse_tot - _cost, 6) AS sse_reduction
+FROM scored ORDER BY _cost, split_d LIMIT 1
+"""
+
+# POT/GPD moment tail fit (lock-step with windows.pot_tail_fit exact
+# path: quantile_cont threshold, exact HUGEINT excess moments via
+# the shifted-sum identities, fixed-shape moment-estimator algebra)
+_POT_TAIL_SQL = f"""
+WITH {_CONV_CTE},
+g AS (
+    SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY conv_id ORDER BY ts, turn_idx)) AS x
+    FROM conversations
+),
+vals AS (SELECT x FROM g WHERE x IS NOT NULL),
+thr AS (SELECT quantile_cont(x, 0.9) AS u FROM vals),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           MAX(u) AS u,
+           CAST(SUM(CASE WHEN x > u THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+           SUM(CASE WHEN x > u THEN CAST(x AS HUGEINT) END) AS sx,
+           SUM(CASE WHEN x > u THEN CAST(x AS HUGEINT) * x END) AS sxx
+    FROM vals CROSS JOIN thr
+),
+calc AS (
+    SELECT n_total, n_exceed, u,
+           CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE) - u AS m,
+           CAST(sxx AS DOUBLE)
+             - 2.0 * u * CAST(sx AS DOUBLE)
+             + CAST(n_exceed AS DOUBLE) * u * u AS sxx_c
+    FROM stats
+),
+calc2 AS (
+    SELECT n_total, n_exceed, u, m,
+           CASE WHEN n_exceed > 1
+                THEN (sxx_c - CAST(n_exceed AS DOUBLE) * m * m)
+                     / (CAST(n_exceed AS DOUBLE) - 1.0) END AS var
+    FROM calc
+)
+SELECT ROUND(u, 6) AS threshold,
+       n_total, n_exceed,
+       ROUND(COALESCE(m, 0.0), 6) AS mean_excess,
+       ROUND(COALESCE(var, 0.0), 6) AS var_excess,
+       ROUND(CASE WHEN var > 0 THEN 0.5 * (1.0 - m * m / var)
+                  ELSE 0.0 END, 6) AS xi,
+       ROUND(CASE WHEN var > 0 THEN 0.5 * m * (m * m / var + 1.0)
+                  ELSE COALESCE(m, 0.0) END, 6) AS sigma
+FROM calc2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -11053,4 +11239,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _MANN_WHITNEY_SQL,
         "qte_text_len": _QTE_SQL,
         "ipw_ate": _ipw_oracle(),
+        "seasonal_naive_eval": _SEASONAL_NAIVE_SQL,
+        "binseg_changepoint": _BINSEG_SQL,
+        "pot_tail_gaps": _POT_TAIL_SQL,
     }

@@ -604,3 +604,229 @@ def daily_anomalies_online(
             "is_anomaly"
         ),
     )
+
+
+def seasonal_naive_eval(
+    turns: DataFrame, season_days: int = 7
+) -> DataFrame:
+    """Forecast-baseline evaluation on the daily activity series: the
+    seasonal-naive predictor ``ŷ(d) = y(d − season_days)`` scored with
+    MAE / RMSE / sMAPE / MASE — the sanity floor every demand or
+    capacity forecast must beat (MASE = MAE relative to the naive-1
+    forecast, Hyndman & Koehler 2006), and the missing eval companion
+    to the engine's EWMA / anomaly / seasonality series family.
+
+    Shape: the raw stream collapses to ONE row per day (single hash
+    agg); forecasts come from DATE-key self-joins on that bounded
+    daily table (calendar-gap-safe — a missing day yields no forecast
+    rather than a silently shifted one), so nothing downstream of the
+    first agg scales with data.
+
+    Determinism: y is an integer count, so every |error| and squared
+    error is exact; sums accumulate as decimal(38,0) and each metric
+    is one fixed-shape double expression. Only sMAPE averages per-day
+    double ratios over the bounded daily table (6dp-rounded output).
+    """
+    dec = "decimal(38,0)"
+    # three branches (actuals + two forecast joins) read the daily
+    # table — persist the bounded series so the corpus aggregates once
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    ).persist()
+    season = daily.select(
+        (F.col("d") + F.expr(f"INTERVAL {int(season_days)} DAYS")).alias("d"),
+        F.col("y").alias("y_hat"),
+    )
+    prev = daily.select(
+        (F.col("d") + F.expr("INTERVAL 1 DAYS")).alias("d"),
+        F.col("y").alias("y_prev"),
+    )
+    joined = daily.join(season, "d", "left").join(prev, "d", "left")
+    e = (F.col("y") - F.col("y_hat")).cast(dec)
+    e1 = (F.col("y") - F.col("y_prev")).cast(dec)
+    sm_den = (F.col("y") + F.col("y_hat")).cast("double")
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("y_hat").cast("long").alias("n_eval"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(e * e).alias("sse"),
+        F.avg(
+            F.when(
+                F.col("y_hat").isNotNull() & (sm_den > 0),
+                F.lit(2.0) * F.abs(e.cast("double")) / sm_den,
+            )
+        ).alias("smape"),
+        F.count("y_prev").cast("long").alias("n1"),
+        F.sum(F.abs(e1)).alias("sae1"),
+    )
+    n = F.col("n_eval").cast("double")
+    mae = F.when(F.col("n_eval") > 0, F.col("sae").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    rmse = F.when(
+        F.col("n_eval") > 0, F.sqrt(F.col("sse").cast("double") / n)
+    ).otherwise(F.lit(0.0))
+    mae1 = F.when(
+        F.col("n1") > 0, F.col("sae1").cast("double") / F.col("n1").cast("double")
+    )
+    mase = F.when(mae1 > 0, mae / mae1).otherwise(F.lit(0.0))
+    return stats.select(
+        "n_days",
+        "n_eval",
+        F.round(mae, 6).alias("mae"),
+        F.round(rmse, 6).alias("rmse"),
+        F.round(F.coalesce(F.col("smape"), F.lit(0.0)), 6).alias("smape"),
+        F.round(mase, 6).alias("mase"),
+    )
+
+
+def binseg_changepoint(turns: DataFrame) -> DataFrame:
+    """Single least-squares changepoint on the daily activity series
+    (the first split of binary segmentation, Scott & Knott 1974 /
+    ruptures' ``l2`` cost): the day boundary that minimizes
+    ``SSE_left + SSE_right``, reported with both segment means and
+    the variance explained — the offline structural-break detector
+    next to the sequential :func:`cusum_changepoints`.
+
+    Shape: ONE hash agg to the bounded daily series, then prefix
+    sums over that tiny table (global window on provably bounded
+    data, the daily_anomalies discipline) score every candidate
+    split in one pass — O(days), never O(days²) — and a
+    TakeOrderedAndProject picks the argmin.
+
+    Determinism: prefix sums of y and y² stay exact decimal(38,0);
+    each candidate's cost is one fixed-shape double expression over
+    those exact scalars, identical in both engines, with the
+    earliest-date tiebreak on equal costs.
+    """
+    dec = "decimal(38,0)"
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col("y").cast(dec)
+    pre = daily.select(
+        F.col("d"),
+        F.row_number().over(Window.orderBy("d")).alias("k"),
+        F.sum(y).over(w).alias("s1"),
+        F.sum(y * y).over(w).alias("s2"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+        F.sum(y).over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t1"),
+        F.sum(y * y).over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t2"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    t1 = F.col("t1").cast("double")
+    t2 = F.col("t2").cast("double")
+    r1 = t1 - s1
+    r2 = t2 - s2
+    rk = nd - kd
+    sse_l = s2 - s1 * s1 / kd
+    sse_r = r2 - r1 * r1 / rk
+    sse_tot = t2 - t1 * t1 / nd
+    scored = pre.where(F.col("k") < F.col("n")).select(
+        F.col("d").alias("split_d"),
+        F.col("n").alias("n_days"),
+        F.col("k").cast("long").alias("n_left"),
+        (F.col("n") - F.col("k")).cast("long").alias("n_right"),
+        (s1 / kd).alias("_mean_l"),
+        (r1 / rk).alias("_mean_r"),
+        (sse_l + sse_r).alias("_cost"),
+        sse_tot.alias("_sse_tot"),
+    )
+    best = scored.orderBy("_cost", "split_d").limit(1)
+    return best.select(
+        "n_days",
+        "split_d",
+        "n_left",
+        "n_right",
+        F.round("_mean_l", 6).alias("mean_left"),
+        F.round("_mean_r", 6).alias("mean_right"),
+        F.round("_sse_tot", 6).alias("sse_total"),
+        F.round("_cost", 6).alias("sse_split"),
+        F.round(F.col("_sse_tot") - F.col("_cost"), 6).alias("sse_reduction"),
+    )
+
+
+def pot_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    threshold_q: float = 0.9,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Peaks-over-threshold tail fit: exceedances over the
+    ``threshold_q`` quantile fitted to a Generalized Pareto by the
+    method of moments (Hosking & Wallis 1987) — ``ξ = ½(1 − m²/s²)``,
+    ``σ = ½m(1 + m²/s²)`` from the mean/variance of excesses. The
+    latency/gap tail-heaviness audit: ξ > 0 flags a heavy
+    (power-law-like) tail that p99 sampling understates.
+
+    Scale default is ``exact=False`` → ``approx_percentile`` for the
+    threshold (GK sketch, mergeable); the gate requests ``exact=True``
+    for quantile_cont parity — the session_percentiles two-path
+    discipline. Excess moments are NEVER accumulated as per-row
+    floats: with the threshold ``u`` fixed, ``Σ(x−u) = Σx − n·u`` and
+    ``Σ(x−u)² = Σx² − 2uΣx + nu²`` ride exact decimal(38,0) integer
+    sums, so the whole fit is fixed-shape double algebra on five
+    exact scalars. ONE aggregation pass over the values after the
+    threshold probe.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("long")
+    vals = df.select(x.alias("x")).where(F.col("x").isNotNull())
+    if exact:
+        thr = vals.agg(
+            F.expr(f"percentile(x, {float(threshold_q)!r})").alias("u")
+        )
+    else:
+        thr = vals.agg(
+            F.percentile_approx(
+                F.col("x").cast("double"), float(threshold_q), F.lit(int(accuracy))
+            ).alias("u")
+        )
+    joined = vals.crossJoin(F.broadcast(thr))
+    exc = F.col("x") > F.col("u")
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.max("u").alias("u"),
+        F.sum(F.when(exc, 1).otherwise(0)).cast("long").alias("n_exceed"),
+        F.sum(F.when(exc, F.col("x").cast(dec))).alias("sx"),
+        F.sum(F.when(exc, F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+    )
+    n = F.col("n_exceed").cast("double")
+    u = F.col("u").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    m = sx / n - u
+    sxx_c = sxx - F.lit(2.0) * u * sx + n * u * u
+    var = F.when(F.col("n_exceed") > 1, (sxx_c - n * m * m) / (n - F.lit(1.0)))
+    ratio = m * m / var
+    xi = F.when(var > 0, F.lit(0.5) * (F.lit(1.0) - ratio)).otherwise(F.lit(0.0))
+    sigma = F.when(var > 0, F.lit(0.5) * m * (ratio + F.lit(1.0))).otherwise(
+        F.coalesce(m, F.lit(0.0))
+    )
+    return stats.select(
+        F.round(u, 6).alias("threshold"),
+        "n_total",
+        "n_exceed",
+        F.round(F.coalesce(m, F.lit(0.0)), 6).alias("mean_excess"),
+        F.round(F.coalesce(var, F.lit(0.0)), 6).alias("var_excess"),
+        F.round(xi, 6).alias("xi"),
+        F.round(sigma, 6).alias("sigma"),
+    )
