@@ -3858,6 +3858,64 @@ def _q_pot_tail_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pot_tail_fit(gaps, "gap", threshold_q=0.9, exact=True)
 
 
+def _q_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold single-parameter temperature scaling on the binned
+    prediction profile (1-D fixed-iteration Newton, platt recipe)."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        temperature_scaling,
+    )
+
+    return temperature_scaling(_preds(spark, sf_dir), "fold", "y", "p", n_bins=20)
+
+
+def _q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal interval around the per-role mean text-length
+    predictor: hash-parity cal/test split, order statistic from the
+    score value-histogram, achieved test coverage."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.calibration import conformal_interval
+
+    conv = _conv(spark, sf_dir)
+    labeled = conv.select(
+        "role",
+        F.length("text").cast("long").alias("y"),
+        F.when(
+            F.pmod(stable_hash48(F.concat(F.lit("conf"), F.col("conv_id"))), F.lit(2))
+            == 0,
+            F.lit("cal"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("sp"),
+    )
+    return conformal_interval(labeled, "role", "y", "sp", alpha=0.1)
+
+
+def _q_pinball_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of per-role quantile predictors
+    (tau = 0.1/0.5/0.9) fitted on the cal split, scored on test;
+    gate requests the exact-percentile fit path."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.calibration import pinball_loss
+
+    conv = _conv(spark, sf_dir)
+    labeled = conv.select(
+        "role",
+        F.length("text").cast("long").alias("y"),
+        F.when(
+            F.pmod(stable_hash48(F.concat(F.lit("pin"), F.col("conv_id"))), F.lit(2))
+            == 0,
+            F.lit("cal"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("sp"),
+    )
+    return pinball_loss(labeled, "role", "y", "sp", (0.1, 0.5, 0.9), exact=True)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4197,6 +4255,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_eval": _q_seasonal_naive_eval,
         "binseg_changepoint": _q_binseg_changepoint,
         "pot_tail_gaps": _q_pot_tail_gaps,
+        # round-3 continuation: calibration / uncertainty evaluation
+        "temperature_scaling": _q_temperature_scaling,
+        "conformal_interval": _q_conformal_interval,
+        "pinball_text_len": _q_pinball_text_len,
     }
 
 
@@ -10998,6 +11060,182 @@ FROM calc2
 """
 
 
+def _temp_oracle(n_bins: int = 20, n_iter: int = 12) -> str:
+    """Temperature-scaling oracle (lock-step with
+    calibration.temperature_scaling): the platt oracle's binned
+    profile, then the 1-D Newton unrolled as chained CTEs from a=1
+    with the same |h| det-guard."""
+    clip = "LEAST(GREATEST(avg_conf, 1e-6), 1.0 - 1e-6)"
+    parts = [
+        f"WITH {_PRED_CTE}, {_BINNED_CTE.format(n=n_bins)},",
+        f"""
+prof AS (
+    SELECT fold, bin, COUNT(*) AS n, ROUND(AVG(p), 6) AS avg_conf,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM binned WHERE bin IS NOT NULL GROUP BY fold, bin
+),
+px AS (
+    SELECT fold, bin, n, avg_conf,
+           CAST(n AS DOUBLE) AS nd, CAST(sum_y AS DOUBLE) AS syd,
+           ln(acc / (1.0 - acc)) AS x
+    FROM (SELECT *, {clip} AS acc FROM prof)
+),
+it0 AS (SELECT fold, 1.0 AS a FROM px GROUP BY fold)""",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        parts.append(f""",
+q{k} AS (
+    SELECT px.fold, px.x, px.nd, px.syd, i.a,
+           1.0 / (1.0 + exp(-(i.a * px.x))) AS q
+    FROM px JOIN it{k - 1} i ON px.fold = i.fold
+),
+s{k} AS (
+    SELECT fold, MAX(a) AS a,
+           SUM((nd * q - syd) * x) AS g,
+           SUM(nd * q * (1.0 - q) * x * x) AS h
+    FROM q{k} GROUP BY fold
+),
+it{k} AS (
+    SELECT fold,
+           CASE WHEN abs(h) >= 1e-12 THEN a - g / h ELSE a END AS a
+    FROM s{k}
+)""")
+    parts.append(f"""
+SELECT px.fold, px.bin, px.n, px.avg_conf,
+       ROUND(1.0 / (1.0 + exp(-(i.a * px.x))), 6) AS temp_prob,
+       ROUND(i.a, 6) AS a,
+       ROUND(CASE WHEN abs(i.a) >= 1e-12 THEN 1.0 / i.a ELSE 0.0 END, 6)
+           AS temperature
+FROM px JOIN it{int(n_iter)} i ON px.fold = i.fold
+""")
+    return "".join(parts)
+
+
+# split conformal (lock-step with calibration.conformal_interval:
+# per-role 6dp mean predictor on cal, score value-histogram, cum-rank
+# order statistic, coverage from the SAME histogram)
+_CONFORMAL_SQL = f"""
+WITH {_CONV_CTE},
+labeled AS (
+    SELECT role, length(text) AS y,
+           CASE WHEN ({_H48.format(x="concat('conf', conv_id)")}) % 2 = 0
+                THEN 'cal' ELSE 'test' END AS sp
+    FROM conversations
+),
+means AS (
+    SELECT role, ROUND(AVG(CAST(y AS DOUBLE)), 6) AS yhat
+    FROM labeled WHERE sp = 'cal' GROUP BY role
+),
+scored AS (
+    SELECT ABS(CAST(l.y AS DOUBLE) - m.yhat) AS s, l.sp
+    FROM labeled l JOIN means m ON l.role = m.role
+),
+hist AS (
+    SELECT s,
+           CAST(SUM(CASE WHEN sp = 'cal' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cal,
+           CAST(SUM(CASE WHEN sp = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+    FROM scored GROUP BY s
+),
+cum AS (
+    SELECT s, CAST(SUM(n_cal) OVER (
+        ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cal
+    FROM hist
+),
+tots AS (
+    SELECT CAST(SUM(n_cal) AS BIGINT) AS tot_cal,
+           CAST(SUM(n_test) AS BIGINT) AS tot_test,
+           MAX(s) AS max_s
+    FROM hist
+),
+kk AS (
+    SELECT tot_cal, tot_test, max_s,
+           CAST(CEIL((CAST(tot_cal AS DOUBLE) + 1) * CAST(0.9 AS DOUBLE))
+                AS BIGINT) AS k
+    FROM tots
+),
+qh AS (
+    SELECT MIN(s) AS _qhat FROM cum CROSS JOIN kk WHERE cum_cal >= k
+),
+j AS (
+    SELECT tot_cal AS n_cal, tot_test AS n_test, k,
+           COALESCE(_qhat, max_s) AS qhat
+    FROM kk CROSS JOIN qh
+),
+cov AS (
+    SELECT CAST(SUM(CASE WHEN h.s <= j.qhat THEN h.n_test ELSE 0 END)
+                AS BIGINT) AS n_cov
+    FROM hist h CROSS JOIN j
+)
+SELECT n_cal, n_test, k,
+       ROUND(qhat, 6) AS qhat,
+       ROUND(CASE WHEN n_test > 0 THEN CAST(n_cov AS DOUBLE)
+                       / CAST(n_test AS DOUBLE)
+                  ELSE 0.0 END, 6) AS coverage,
+       ROUND(2.0 * qhat, 6) AS mean_width
+FROM j CROSS JOIN cov
+"""
+
+
+def _pinball_oracle(taus: tuple = (0.1, 0.5, 0.9)) -> str:
+    """Pinball-loss oracle (lock-step with calibration.pinball_loss
+    exact path): per-role quantile_cont fit on cal, the exact
+    conditional integer sums on test, and the decomposed loss
+    expression with (1.0 - tau) formed in DOUBLE exactly as the
+    engine's Python computes it."""
+    qcols = ", ".join(
+        f"ROUND(quantile_cont(CAST(y AS DOUBLE), CAST({t!r} AS DOUBLE)), 6) AS q{i}"
+        for i, t in enumerate(taus)
+    )
+    sums = []
+    for i in range(len(taus)):
+        sums.append(f"""
+           CAST(SUM(CASE WHEN CAST(y AS DOUBLE) > q{i} THEN 1 ELSE 0 END)
+                AS BIGINT) AS no{i},
+           SUM(CASE WHEN CAST(y AS DOUBLE) > q{i}
+                    THEN CAST(y AS HUGEINT) END) AS so{i},
+           SUM(CASE WHEN NOT (CAST(y AS DOUBLE) > q{i})
+                    THEN CAST(y AS HUGEINT) END) AS su{i},
+           MAX(q{i}) AS q{i}""")
+    branches = []
+    for i, t in enumerate(taus):
+        branches.append(f"""
+SELECT role, CAST({t!r} AS DOUBLE) AS tau, ROUND(q{i}, 6) AS q_pred, n_eval,
+       ROUND(CASE WHEN n_eval > 0 THEN
+           (CAST({t!r} AS DOUBLE)
+              * (COALESCE(CAST(so{i} AS DOUBLE), 0.0)
+                 - CAST(no{i} AS DOUBLE) * q{i})
+            + (CAST(1.0 AS DOUBLE) - CAST({t!r} AS DOUBLE))
+              * ((CAST(n_eval AS DOUBLE) - CAST(no{i} AS DOUBLE)) * q{i}
+                 - COALESCE(CAST(su{i} AS DOUBLE), 0.0)))
+           / CAST(n_eval AS DOUBLE)
+           ELSE 0.0 END, 6) AS pinball
+FROM per""")
+    return f"""
+WITH {_CONV_CTE},
+labeled AS (
+    SELECT role, length(text) AS y,
+           CASE WHEN ({_H48.format(x="concat('pin', conv_id)")}) % 2 = 0
+                THEN 'cal' ELSE 'test' END AS sp
+    FROM conversations
+),
+fit AS (
+    SELECT role, {qcols}
+    FROM labeled WHERE sp = 'cal' GROUP BY role
+),
+test AS (
+    SELECT l.role, l.y, {", ".join(f"f.q{i}" for i in range(len(taus)))}
+    FROM labeled l JOIN fit f ON l.role = f.role WHERE l.sp = 'test'
+),
+per AS (
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_eval,{",".join(sums)}
+    FROM test GROUP BY role
+)
+{" UNION ALL ".join(branches)}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -11242,4 +11480,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_eval": _SEASONAL_NAIVE_SQL,
         "binseg_changepoint": _BINSEG_SQL,
         "pot_tail_gaps": _POT_TAIL_SQL,
+        "temperature_scaling": _temp_oracle(),
+        "conformal_interval": _CONFORMAL_SQL,
+        "pinball_text_len": _pinball_oracle(),
     }

@@ -926,3 +926,287 @@ def label_noise_screen(
         rate("n_pos_disagree", "n_conf_pos").alias("flip_rate_pos"),
         rate("n_neg_disagree", "n_conf_neg").alias("flip_rate_neg"),
     )
+
+
+def temperature_scaling(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 20,
+    *,
+    n_iter: int = 12,
+    closed: str = "right",
+) -> DataFrame:
+    """Per-fold single-parameter temperature scaling (Guo et al.,
+    ICML'17) — the third calibration map next to
+    :func:`isotonic_calibration` and :func:`platt_calibration`:
+    ``p' = σ(logit(p) / T)`` rescales confidence without changing the
+    ranking, the standard post-hoc fix for modern over-confident
+    models. Fitted as ``p' = σ(a·x)`` (``T = 1/a``) by a FIXED
+    ``n_iter``-step 1-D Newton on the same ≤ n_bins binned profile
+    the platt fit uses: groupBy(fold, bin) reduces any row count to
+    bin-sized data (ONE shuffle), the scalar solve runs per fold
+    inside ``applyInPandas`` on that tiny profile.
+
+    Determinism: integer bin stats + 6dp avg_conf, glibc exp/ln both
+    engines, ascending-bin accumulation, det-guarded fixed-count
+    Newton — the certified platt recipe, one parameter instead of
+    two.
+
+    Output per (fold, bin): ``(fold, bin, n, avg_conf, temp_prob, a,
+    temperature)``.
+    """
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        F.col(fold_col),
+        prob_bin(p, n_bins, closed=closed).alias("bin"),
+        y.alias("y"),
+        p.alias("p"),
+    ).where(F.col("bin").isNotNull())
+    profile = binned.groupBy(fold_col, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("avg_conf"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    out_schema = (
+        f"{fold_col} string, bin int, n bigint, avg_conf double, "
+        "temp_prob double, a double, temperature double"
+    )
+    iters = int(n_iter)
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        rows = []
+        for n, sy, ac in zip(pdf["n"], pdf["sum_y"], pdf["avg_conf"]):
+            acc = min(max(float(ac), 1e-6), 1.0 - 1e-6)
+            rows.append((float(n), float(sy), math.log(acc / (1.0 - acc))))
+        a = 1.0
+        for _ in range(iters):
+            g = h = 0.0
+            for nd, syd, x in rows:
+                q = 1.0 / (1.0 + math.exp(-(a * x)))
+                g += (nd * q - syd) * x
+                h += nd * q * (1.0 - q) * x * x
+            if abs(h) >= 1e-12:  # det-guard, NOT a convergence break
+                a = a - g / h
+        probs = [1.0 / (1.0 + math.exp(-(a * x))) for _, _, x in rows]
+        temp = 1.0 / a if abs(a) >= 1e-12 else 0.0
+        return pd.DataFrame(
+            {
+                fold_col: pdf[fold_col],
+                "bin": pdf["bin"],
+                "n": pdf["n"],
+                "avg_conf": pdf["avg_conf"],
+                "temp_prob": probs,
+                "a": [a] * len(rows),
+                "temperature": [temp] * len(rows),
+            }
+        )
+
+    fitted = profile.groupBy(fold_col).applyInPandas(_fit, schema=out_schema)
+    return fitted.select(
+        fold_col,
+        "bin",
+        "n",
+        "avg_conf",
+        F.round("temp_prob", 6).alias("temp_prob"),
+        F.round("a", 6).alias("a"),
+        F.round("temperature", 6).alias("temperature"),
+    )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    split_col: str,
+    *,
+    alpha: float = 0.1,
+    cal_value: str = "cal",
+    test_value: str = "test",
+) -> DataFrame:
+    """Split conformal prediction interval (Vovk et al. 2005 / Lei
+    et al. 2018): a per-group mean predictor is fitted on the
+    calibration split, the nonconformity score ``s = |y − ŷ|`` is
+    ranked there, and ``q̂`` = the ``⌈(n_cal+1)(1−α)⌉``-th smallest
+    calibration score gives the finite-sample-valid interval
+    ``ŷ ± q̂``; the test split then reports the achieved coverage —
+    the distribution-free uncertainty wrapper a production feature
+    pipeline puts around ANY point predictor.
+
+    Distributed shape: scores are never ranked per row. ONE pass
+    over the scored stream builds a (score → cal_count, test_count)
+    value histogram (the Mann-Whitney/rank-machine discipline); the
+    order statistic comes from a cumulative window over that bounded
+    table, and the test coverage is a filtered sum over the SAME
+    histogram — so both the quantile and the coverage are
+    histogram-sized work. Two corpus scans total (the per-group mean
+    probe, then the scoring pass — PSI edge-probe discipline).
+
+    Determinism: ŷ is 6dp-rounded per group, y is integer, so every
+    score is an exact 6dp rational; counts are integers; the rank
+    threshold ``⌈(n_cal+1)(1−α)⌉`` and the coverage ratio are single
+    fixed-shape double expressions.
+
+    Output (one row): ``(n_cal, n_test, k, qhat, coverage,
+    mean_width)``.
+    """
+    y = F.col(y_col).cast("double")
+    means = (
+        df.where(F.col(split_col) == cal_value)
+        .groupBy(group_col)
+        .agg(F.round(F.avg(y), 6).alias("_yhat"))
+    )
+    scored = df.join(F.broadcast(means), group_col).select(
+        F.abs(y - F.col("_yhat")).alias("s"), F.col(split_col).alias("_sp")
+    )
+    # the bounded score histogram feeds the quantile, the totals, and
+    # the coverage branches — persist it so the corpus scores ONCE
+    hist = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("_sp") == cal_value, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cal"),
+        F.sum(F.when(F.col("_sp") == test_value, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    ).persist()
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "s",
+        "n_cal",
+        "n_test",
+        F.sum("n_cal").over(w).cast("long").alias("cum_cal"),
+        F.sum("n_cal").over(tot).cast("long").alias("tot_cal"),
+        F.sum("n_test").over(tot).cast("long").alias("tot_test"),
+        F.max("s").over(tot).alias("max_s"),
+    )
+    k = F.ceil((F.col("tot_cal") + F.lit(1)) * F.lit(1.0 - float(alpha))).cast("long")
+    qualifying = cum.withColumn("_k", k).where(F.col("cum_cal") >= F.col("_k"))
+    qhat_row = qualifying.agg(
+        F.min("s").alias("_qhat"),
+    )
+    base = cum.agg(
+        F.max("tot_cal").alias("n_cal"),
+        F.max("tot_test").alias("n_test"),
+        F.max("max_s").alias("_max_s"),
+        F.ceil((F.max("tot_cal") + F.lit(1)) * F.lit(1.0 - float(alpha)))
+        .cast("long")
+        .alias("k"),
+    )
+    joined = base.crossJoin(F.broadcast(qhat_row)).withColumn(
+        "qhat", F.coalesce(F.col("_qhat"), F.col("_max_s"))
+    )
+    cov = hist.crossJoin(F.broadcast(joined.select("qhat"))).agg(
+        F.sum(F.when(F.col("s") <= F.col("qhat"), F.col("n_test")).otherwise(0))
+        .cast("long")
+        .alias("n_cov")
+    )
+    out = joined.crossJoin(F.broadcast(cov))
+    coverage = F.when(
+        F.col("n_test") > 0, F.col("n_cov").cast("double") / F.col("n_test")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_cal",
+        "n_test",
+        "k",
+        F.round("qhat", 6).alias("qhat"),
+        F.round(coverage, 6).alias("coverage"),
+        F.round(F.lit(2.0) * F.col("qhat"), 6).alias("mean_width"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    split_col: str,
+    taus: tuple[float, ...] = (0.1, 0.5, 0.9),
+    *,
+    exact: bool = False,
+    accuracy: int = 10000,
+    cal_value: str = "cal",
+    test_value: str = "test",
+) -> DataFrame:
+    """Quantile-forecast evaluation: per-group quantile predictors at
+    each ``tau`` are fitted on the calibration split and scored on
+    the test split with the pinball (quantile) loss — the proper
+    scoring rule for quantile predictions, completing the engine's
+    forecast-eval family (point forecasts → seasonal_naive_eval,
+    distributions → this).
+
+    Scale default ``exact=False`` → ``approx_percentile`` fit (the
+    two-path discipline); the gate requests ``exact=True``.
+
+    Shape: the fit is ONE hash agg per group computing all taus in a
+    single pass; the fitted quantiles broadcast back and the eval is
+    ONE agg per group of 4·|taus| conditional integer sums. The loss
+    decomposes as ``τ·Σ_{y>q}(y−q) + (1−τ)·Σ_{y≤q}(q−y)`` with
+    ``Σ(y−q) = Σy − n·q`` — exact bigint sums + fixed-shape double
+    algebra; no per-row float accumulation.
+
+    Output per (group, tau): ``(group, tau, q_pred, n_eval,
+    pinball)``.
+    """
+    ts = [float(t) for t in taus]
+    y = F.col(y_col).cast("long")
+    qlit = "array(" + ",".join(repr(t) for t in ts) + ")"
+    cal = df.where(F.col(split_col) == cal_value)
+    if exact:
+        agg = F.expr(f"percentile({y_col}, {qlit})").alias("_qv")
+    else:
+        agg = F.percentile_approx(
+            y.cast("double"), ts, F.lit(int(accuracy))
+        ).alias("_qv")
+    fit = cal.groupBy(group_col).agg(agg)
+    fit = fit.select(
+        group_col,
+        *[
+            F.round(F.element_at(F.col("_qv"), i + 1), 6).alias(f"_q{i}")
+            for i in range(len(ts))
+        ],
+    )
+    test = df.where(F.col(split_col) == test_value).join(
+        F.broadcast(fit), group_col
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_eval")]
+    for i in range(len(ts)):
+        q = F.col(f"_q{i}")
+        over = y.cast("double") > q
+        aggs += [
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias(f"_no{i}"),
+            F.sum(F.when(over, y.cast(dec))).alias(f"_so{i}"),
+            F.sum(F.when(~over, y.cast(dec))).alias(f"_su{i}"),
+            F.max(q).alias(f"_q{i}"),  # constant per group post-join
+        ]
+    # the group-sized sufficient-statistic table feeds one branch per
+    # tau — persist it so the test split aggregates ONCE
+    per = test.groupBy(group_col).agg(*aggs).persist()
+    rows = []
+    for i, t in enumerate(ts):
+        q = F.col(f"_q{i}")
+        n = F.col("n_eval").cast("double")
+        no = F.col(f"_no{i}").cast("double")
+        nu = n - no
+        so = F.coalesce(F.col(f"_so{i}").cast("double"), F.lit(0.0))
+        su = F.coalesce(F.col(f"_su{i}").cast("double"), F.lit(0.0))
+        loss = F.when(
+            F.col("n_eval") > 0,
+            (F.lit(t) * (so - no * q) + F.lit(1.0 - t) * (nu * q - su)) / n,
+        ).otherwise(F.lit(0.0))
+        rows.append(
+            per.select(
+                group_col,
+                F.lit(t).alias("tau"),
+                F.round(q, 6).alias("q_pred"),
+                F.col("n_eval"),
+                F.round(loss, 6).alias("pinball"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
