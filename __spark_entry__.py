@@ -3916,6 +3916,223 @@ def _q_pinball_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinball_loss(labeled, "role", "y", "sp", (0.1, 0.5, 0.9), exact=True)
 
 
+def _q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Cliff's delta between hash-parity
+    cohorts on text length — moments AND the dominance statistic
+    from ONE value-histogram pass (the Mann-Whitney rank machine)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import effect_sizes
+
+    conv = _conv(spark, sf_dir)
+    grp = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("es"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return effect_sizes(conv, F.length("text").cast("long"), grp)
+
+
+def _q_bh_fdr_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over per-event-type early-vs-late
+    share-drift z-tests (two-proportion, pooled SE; p via the shared
+    erf-polynomial normal tail) — the multiple-comparison layer the
+    per-slice drift readouts need."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import (
+        benjamini_hochberg,
+        normal_p_two_sided,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+    )
+    bounds = ev.agg(
+        F.min("us").cast("long").alias("mn"), F.max("us").cast("long").alias("mx")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("us")
+            <= F.floor((F.col("mn") + F.col("mx")) / F.lit(2)).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    agg = tagged.groupBy("event_type").agg(
+        F.sum("early").cast("long").alias("x1"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("x2"),
+    )
+    tot = agg.agg(
+        F.sum("x1").cast("long").alias("n1"), F.sum("x2").cast("long").alias("n2")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    r1 = F.col("x1").cast("double") / n1
+    r2 = F.col("x2").cast("double") / n2
+    phat = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2")).cast("double")
+    se = F.sqrt(phat * (F.lit(1.0) - phat) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    z = F.when(se > 0, (r1 - r2) / se).otherwise(F.lit(0.0))
+    p_table = agg.crossJoin(F.broadcast(tot)).select(
+        "event_type", normal_p_two_sided(z).alias("p_raw")
+    )
+    return benjamini_hochberg(p_table, "event_type", "p_raw", alpha=0.05)
+
+
+def _q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 200-permutation test of the conv-level total
+    text length between hash-assigned arms (pseudo-permutation k =
+    hash(salt‖unit‖'#'‖k) parity; add-one p-value)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import permutation_test
+
+    conv = _conv(spark, sf_dir)
+    return permutation_test(
+        conv,
+        F.col("conv_id"),
+        F.length("text").cast("long"),
+        n_perms=200,
+        salt="perm",
+    )
+
+
+def _q_msprt_daily_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mixture-SPRT p-value monitoring the daily
+    mean-text-length gap between hash-parity arms (σ²=τ²=25, log
+    space) — sequential testing beside the one-shot z/t gates."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import msprt_always_valid
+
+    conv = _conv(spark, sf_dir)
+    arm = F.pmod(
+        stable_hash48(F.concat(F.lit("msprt"), F.col("conv_id"))), F.lit(2)
+    )
+    daily = (
+        conv.where(F.col("text").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.length("text").cast("long").alias("yl"),
+            arm.alias("arm"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("yl")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("yl")).otherwise(0))
+            .cast("long")
+            .alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        )
+    )
+    series = daily.select(
+        "d",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("x"),
+    )
+    return msprt_always_valid(series, "d", "x", sigma2=25.0)
+
+
+def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily turn-count series: median
+    pairwise slope + median-residual intercept; the O(n²) self-join
+    runs only on the calendar-bounded daily table."""
+    from kkbox_churn_prediction_spark.operators.windows import theil_sen_daily
+
+    return theil_sen_daily(_conv(spark, sf_dir), exact=True)
+
+
+def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Levinson PACF (lags 1-4) of the daily series, unrolled
+    as fixed-shape expressions over the 6dp-rounded ACF profile —
+    the AR-order diagnostic beside daily_acf."""
+    from kkbox_churn_prediction_spark.operators.windows import pacf_daily
+
+    return pacf_daily(_conv(spark, sf_dir))
+
+
+def _q_tool_retry_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool retry-chain stats (consecutive same-tool calls in a
+    conversation): calls, retries, maximal chains, longest chain,
+    retry rate — the agent-loop flakiness readout."""
+    from kkbox_churn_prediction_spark.operators.lags import tool_retry_chains
+
+    return tool_retry_chains(_conv(spark, sf_dir))
+
+
+def _q_bradley_terry_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over roles from adjacent
+    turn pairs (longer text wins, deterministic ties), fitted with
+    20 unrolled MM iterations on the exact win-count profile —
+    byte-identical arithmetic DAG in the DuckDB oracle."""
+    from kkbox_churn_prediction_spark.operators.preference import (
+        bradley_terry,
+        preference_pairs_from_turns,
+    )
+
+    pairs = preference_pairs_from_turns(_conv(spark, sf_dir))
+    return bradley_terry(pairs, ["assistant", "system", "tool", "user"], n_iter=20)
+
+
+def _q_fairness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness readout of a deterministic proxy classifier
+    ('long doc' by char count) against a token-count ground truth,
+    per language: confusion counts, demographic-parity and
+    equalized-odds gaps vs the pooled rates."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.fairness import group_fairness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    label = (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 55).cast("int")
+    decision = (F.col("n_chars") >= 300).cast("int")
+    return group_fairness(docs, F.col("lang"), label, decision)
+
+
+def _q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column early-vs-late drift report over the raw events
+    table: row counts, null rates (+delta), exact distinct counts —
+    the schema-health audit beside the PSI family."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.profile import schema_drift_report
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull())
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    bounds = ev.agg(
+        F.min("us").cast("long").alias("mn"), F.max("us").cast("long").alias("mx")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "early",
+        F.col("us") <= F.floor((F.col("mn") + F.col("mx")) / F.lit(2)).cast("long"),
+    )
+    return schema_drift_report(
+        tagged, ["event_type", "value", "props", "user_id"], F.col("early")
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4259,6 +4476,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_scaling": _q_temperature_scaling,
         "conformal_interval": _q_conformal_interval,
         "pinball_text_len": _q_pinball_text_len,
+        # round-3 continuation: sequential / multiple-comparison inference
+        "effect_sizes_text_len": _q_effect_sizes,
+        "bh_fdr_event_mix": _q_bh_fdr_event_mix,
+        "permutation_test_convs": _q_permutation_test,
+        "msprt_daily_gap": _q_msprt_daily_gap,
+        # round-3 continuation: robust trend / AR diagnostics / agent loops
+        "theil_sen_trend": _q_theil_sen_trend,
+        "pacf_daily": _q_pacf_daily,
+        "tool_retry_chains": _q_tool_retry_chains,
+        "bradley_terry_roles": _q_bradley_terry_roles,
+        # round-3 continuation: fairness / schema health
+        "fairness_by_lang": _q_fairness_by_lang,
+        "schema_drift": _q_schema_drift,
     }
 
 
@@ -11236,6 +11466,650 @@ per AS (
 """
 
 
+# Effect sizes (lock-step with abtest.effect_sizes: ONE value
+# histogram feeds both the exact moment sums (HUGEINT Σv·t, Σv²·t ↔
+# Spark decimal(38,0)) and the Mann-Whitney midrank U; d/g/delta are
+# single fixed-shape double expressions at the end)
+_EFFECT_SIZES_SQL = f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT length(text) AS v,
+           CASE WHEN ({_H48.format(x="concat('es', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g
+    FROM conversations WHERE text IS NOT NULL
+),
+hist AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+           CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+    FROM vals GROUP BY v
+),
+ranked AS (
+    SELECT v, t_a, t_b, t_a + t_b AS t,
+           CAST(COALESCE(SUM(t_a + t_b) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before
+    FROM hist
+),
+sums AS (
+    SELECT CAST(SUM(t_a) AS BIGINT) AS n_a,
+           CAST(SUM(t_b) AS BIGINT) AS n_b,
+           SUM(CAST(v AS HUGEINT) * t_a) AS s_a,
+           SUM(CAST(v AS HUGEINT) * t_b) AS s_b,
+           SUM(CAST(v AS HUGEINT) * v * t_a) AS ss_a,
+           SUM(CAST(v AS HUGEINT) * v * t_b) AS ss_b,
+           SUM(CAST(t_a AS HUGEINT)
+               * (2 * CAST(cum_before AS HUGEINT) + t + 1)) AS two_r_a
+    FROM ranked
+),
+calc AS (
+    SELECT n_a, n_b,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+           CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb,
+           CAST(two_r_a AS DOUBLE) / 2.0
+             - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a
+    FROM sums
+),
+calc2 AS (
+    SELECT n_a, n_b, na, nb, u_a,
+           sa / na AS mean_a, sb / nb AS mean_b,
+           (ssa - sa * sa / na) / (na - 1.0) AS var_a,
+           (ssb - sb * sb / nb) / (nb - 1.0) AS var_b
+    FROM calc
+),
+calc3 AS (
+    SELECT *, ((na - 1.0) * var_a + (nb - 1.0) * var_b) / (na + nb - 2.0) AS sp2
+    FROM calc2
+),
+calc4 AS (
+    SELECT n_a, n_b, na, nb, u_a, mean_a, mean_b,
+           CASE WHEN sp2 > 0 THEN (mean_a - mean_b) / sqrt(sp2)
+                ELSE 0.0 END AS d
+    FROM calc3
+)
+SELECT n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(mean_a - mean_b, 6) AS mean_diff,
+       ROUND(d, 6) AS cohens_d,
+       ROUND(d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) AS hedges_g,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN 2.0 * u_a / (na * nb) - 1.0
+                  ELSE 0.0 END, 6) AS cliffs_delta
+FROM calc4
+"""
+
+
+def _p2_sql(x: str, t: str) -> str:
+    """The two-sided normal tail P(t)·e^(−x²) — the IDENTICAL
+    Horner-form A&S 7.1.26 polynomial the engine's
+    ``normal_p_two_sided`` evaluates (same parsed constants)."""
+    return (
+        f"{t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))) * exp(-({x} * {x}))"
+    )
+
+
+# BH-FDR over per-event-type early/late share-drift z-tests
+# (lock-step with abtest.benjamini_hochberg + normal_p_two_sided:
+# exact integer counts, pooled-SE z, erf-polynomial p, suffix-min
+# step-up over the bounded hypothesis table)
+_BH_FDR_SQL = f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+b AS (SELECT CAST(MIN(us) AS BIGINT) AS mn, CAST(MAX(us) AS BIGINT) AS mx FROM ev),
+tagged AS (
+    SELECT event_type,
+           CASE WHEN us <= CAST(floor((mn + mx) / 2) AS BIGINT)
+                THEN 1 ELSE 0 END AS early
+    FROM ev, b
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(early) AS BIGINT) AS x1,
+           CAST(SUM(1 - early) AS BIGINT) AS x2
+    FROM tagged GROUP BY event_type
+),
+tot AS (SELECT CAST(SUM(x1) AS BIGINT) AS n1, CAST(SUM(x2) AS BIGINT) AS n2 FROM agg),
+zt AS (
+    SELECT event_type,
+           CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1,
+           CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2,
+           CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS phat,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+    FROM agg, tot
+),
+zs AS (
+    SELECT event_type,
+           CASE WHEN sqrt(phat * (1.0 - phat) * (1.0 / n1d + 1.0 / n2d)) > 0
+                THEN (r1 - r2)
+                     / sqrt(phat * (1.0 - phat) * (1.0 / n1d + 1.0 / n2d))
+                ELSE 0.0 END AS z
+    FROM zt
+),
+px AS (
+    SELECT event_type, abs(z) / 1.4142135623730951 AS x FROM zs
+),
+pt AS (
+    SELECT event_type, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px
+),
+pv AS (
+    SELECT event_type, {_p2_sql("x", "t")} AS p_raw FROM pt
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pv),
+ranked AS (
+    SELECT event_type, p_raw,
+           row_number() OVER (ORDER BY p_raw, event_type) AS rank
+    FROM pv
+),
+adj AS (
+    SELECT event_type, rank, p_raw,
+           LEAST(1.0, MIN(p_raw * m / CAST(rank AS DOUBLE)) OVER (
+               ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           )) AS p_adj
+    FROM ranked, m
+)
+SELECT event_type,
+       CAST(rank AS INTEGER) AS rank,
+       ROUND(p_raw, 6) AS p_value,
+       ROUND(p_adj, 6) AS p_adj,
+       CAST(CASE WHEN p_adj <= 0.05 THEN 1 ELSE 0 END AS INTEGER) AS reject
+FROM adj
+"""
+
+# Deterministic permutation test (lock-step with
+# abtest.permutation_test: pseudo-permutation k reassigns by
+# hash(salt‖unit‖'#'‖k) parity; exact integer sums per (k, arm);
+# each Δ_k is one fixed-shape double so |Δ_k| ≥ |Δ_obs| agrees
+# bit-for-bit; add-one p-value)
+_PERMUTATION_SQL = f"""
+WITH {_CONV_CTE},
+units AS (
+    SELECT conv_id AS u, CAST(SUM(length(text)) AS BIGINT) AS y
+    FROM conversations WHERE conv_id IS NOT NULL AND text IS NOT NULL
+    GROUP BY conv_id
+),
+obs0 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+    FROM (SELECT y, ({_H48.format(x="concat('permobs', u)")}) % 2 AS arm FROM units)
+),
+obs AS (
+    SELECT n_units,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                ELSE 0.0 END AS obs_diff
+    FROM obs0
+),
+parm AS (
+    SELECT r.k, units.y,
+           ({_H48.format(x="concat('perm', u, '#', CAST(r.k AS VARCHAR))")}) % 2 AS arm
+    FROM units CROSS JOIN range(0, 200) r(k)
+),
+dk0 AS (
+    SELECT k,
+           CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+    FROM parm GROUP BY k
+),
+dk AS (
+    SELECT k,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                ELSE 0.0 END AS d_k
+    FROM dk0
+)
+SELECT obs.n_units,
+       CAST(200 AS INTEGER) AS n_perms,
+       ROUND(obs.obs_diff, 6) AS obs_diff,
+       CAST(SUM(CASE WHEN abs(d_k) >= abs(obs.obs_diff) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge,
+       ROUND((1.0 + CAST(SUM(CASE WHEN abs(d_k) >= abs(obs.obs_diff)
+                                  THEN 1 ELSE 0 END) AS DOUBLE)) / 201.0, 6)
+           AS p_value
+FROM dk, obs GROUP BY obs.n_units, obs.obs_diff
+"""
+
+# Always-valid mSPRT (lock-step with abtest.msprt_always_valid:
+# per-day exact integer arm sums → ONE double gap expression; running
+# sum/max over the day-ordered frame of the bounded daily table;
+# log-space Λ so large S_n never overflows; σ²=τ²=25 shared parsed
+# constants)
+_MSPRT_SQL = f"""
+WITH {_CONV_CTE},
+turns AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           length(text) AS yl,
+           ({_H48.format(x="concat('msprt', conv_id)")}) % 2 AS arm
+    FROM conversations WHERE text IS NOT NULL
+),
+daily AS (
+    SELECT d,
+           CAST(SUM(CASE WHEN arm = 1 THEN yl ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN arm = 0 THEN yl ELSE 0 END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+    FROM turns GROUP BY d
+),
+dx AS (
+    SELECT d,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                ELSE 0.0 END AS x
+    FROM daily
+),
+stepped AS (
+    SELECT d, x,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS nd,
+           SUM(x) OVER w AS s_n
+    FROM dx
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lam AS (
+    SELECT d, x, n, s_n,
+           0.5 * ln(25.0 / (25.0 + nd * 25.0))
+             + 25.0 * s_n * s_n / (2.0 * 25.0 * (25.0 + nd * 25.0)) AS log_lambda
+    FROM stepped
+)
+SELECT d,
+       ROUND(x, 6) AS x,
+       n,
+       ROUND(s_n, 6) AS s_n,
+       ROUND(log_lambda, 6) AS log_lambda,
+       ROUND(LEAST(1.0, exp(-MAX(log_lambda) OVER (
+           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ))), 6) AS p_always_valid
+FROM lam
+"""
+
+
+# Theil-Sen robust daily trend (lock-step with windows.theil_sen_daily
+# exact path: integer day-number/count deltas → ONE double division per
+# pair; quantile_cont ↔ Spark percentile over the calendar-bounded
+# pair table; intercept = median residual vs the fitted slope)
+_THEIL_SEN_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM conversations GROUP BY 1
+),
+days AS (
+    SELECT CAST(floor(epoch_us(d) / {86400 * 1_000_000}) AS BIGINT) AS dn, x
+    FROM daily
+),
+pairs AS (
+    SELECT CAST(a.x - b.x AS DOUBLE) / CAST(a.dn - b.dn AS DOUBLE) AS slope
+    FROM days a JOIN days b ON b.dn < a.dn
+),
+sl AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope, 0.5) AS m_slope
+    FROM pairs
+),
+resid AS (
+    SELECT n_pairs, m_slope,
+           CAST(x AS DOUBLE) - m_slope * CAST(dn AS DOUBLE) AS r
+    FROM days, sl
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       n_pairs,
+       ROUND(m_slope, 6) AS slope_per_day,
+       ROUND(quantile_cont(r, 0.5), 6) AS intercept
+FROM resid GROUP BY n_pairs, m_slope
+"""
+
+# PACF via Durbin-Levinson (lock-step with windows.pacf_daily: the
+# recursion is UNROLLED over the 6dp-ROUNDED lag-1..4 ACF profile —
+# identical rounded inputs into the identical expression DAG, so no
+# float-iteration divergence exists; NULL propagates past degenerate
+# 1-phi² denominators on both engines)
+_PACF_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT date_trunc('day', ts) AS d, COUNT(*) * 1.0 AS x
+    FROM conversations GROUP BY 1
+),
+mu AS (SELECT AVG(x) AS m FROM daily),
+dev AS (
+    SELECT d, x - m AS dv, row_number() OVER (ORDER BY d) AS rn
+    FROM daily CROSS JOIN mu
+),
+den AS (SELECT SUM(dv * dv) AS dn FROM dev),
+ks AS (SELECT unnest(generate_series(1, 4)) AS lag),
+acfpairs AS (
+    SELECT CAST(k.lag AS INTEGER) AS lag, a.dv * b.dv AS prod
+    FROM dev a JOIN ks k ON TRUE JOIN dev b ON a.rn = b.rn + k.lag
+),
+acf AS (
+    SELECT lag,
+           ROUND(CASE WHEN dn > 1e-12 THEN SUM(prod) / dn END, 6) AS acf
+    FROM acfpairs CROSS JOIN den GROUP BY lag, dn
+),
+prof AS (
+    SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+           MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+           MAX(CASE WHEN lag = 3 THEN acf END) AS r3,
+           MAX(CASE WHEN lag = 4 THEN acf END) AS r4
+    FROM acf
+),
+s1 AS (
+    SELECT r1, r2, r3, r4, r1 AS p11, 1.0 - r1 * r1 AS d1 FROM prof
+),
+s2a AS (
+    SELECT *, CASE WHEN abs(d1) > 1e-9 THEN (r2 - p11 * r1) / d1 END AS p22
+    FROM s1
+),
+s2 AS (
+    SELECT *, p11 - p22 * p11 AS p21, d1 * (1.0 - p22 * p22) AS d2 FROM s2a
+),
+s3a AS (
+    SELECT *, CASE WHEN abs(d2) > 1e-9
+                   THEN (r3 - (p21 * r2 + p22 * r1)) / d2 END AS p33
+    FROM s2
+),
+s3 AS (
+    SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32,
+           d2 * (1.0 - p33 * p33) AS d3
+    FROM s3a
+),
+s4 AS (
+    SELECT *, CASE WHEN abs(d3) > 1e-9
+                   THEN (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / d3 END AS p44
+    FROM s3
+)
+SELECT CAST(1 AS INTEGER) AS lag, r1 AS acf, ROUND(p11, 6) AS pacf FROM s4
+UNION ALL
+SELECT CAST(2 AS INTEGER), r2, ROUND(p22, 6) FROM s4
+UNION ALL
+SELECT CAST(3 AS INTEGER), r3, ROUND(p33, 6) FROM s4
+UNION ALL
+SELECT CAST(4 AS INTEGER), r4, ROUND(p44, 6) FROM s4
+"""
+
+# Tool retry chains (lock-step with lags.tool_retry_chains: lag over
+# tool turns only, run-id cumsum on the same per-conv ordering, exact
+# integer counters; NULL-lag first calls start chains on both engines)
+_TOOL_RETRY_SQL = f"""
+WITH {_CONV_CTE},
+calls AS (
+    SELECT conv_id, ts, turn_idx, tool FROM conversations WHERE tool IS NOT NULL
+),
+starts AS (
+    SELECT conv_id, ts, turn_idx, tool,
+           CASE WHEN lag(tool) OVER w = tool THEN 0 ELSE 1 END AS chain_start
+    FROM calls
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+runs AS (
+    SELECT conv_id, tool,
+           SUM(chain_start) OVER (
+               PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_id
+    FROM starts
+),
+run_lens AS (
+    SELECT conv_id, run_id, tool, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY 1, 2, 3
+),
+per_tool AS (
+    SELECT tool,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(MAX(run_len) AS BIGINT) AS max_chain_len,
+           CAST(SUM(run_len) AS BIGINT) AS n_calls
+    FROM run_lens GROUP BY tool
+)
+SELECT tool, n_calls,
+       CAST(n_calls - n_chains AS BIGINT) AS n_retries,
+       n_chains, max_chain_len,
+       ROUND(CAST(n_calls - n_chains AS DOUBLE) / CAST(n_calls AS DOUBLE), 6)
+           AS retry_rate
+FROM per_tool
+"""
+
+
+def _bt_oracle(items: tuple = ("assistant", "system", "tool", "user"),
+               n_iter: int = 20) -> str:
+    """Bradley-Terry oracle generator — unrolls the SAME fixed-order
+    MM iterations as ``preference.bradley_terry`` (win counts exact
+    BIGINT, denominator terms added in item-ascending order, mean-1
+    normalization each step, CASE-guarded zero denominators), so
+    both engines walk a byte-identical float trajectory."""
+    t = len(items)
+    idx = range(t)
+    w_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN winner = '{items[i]}' AND loser = '{items[j]}'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS w_{i}_{j}"
+        for i in idx for j in idx if i != j
+    )
+    win_cols = ",\n           ".join(
+        f"CAST({' + '.join(f'w_{i}_{j}' for j in idx if j != i)} AS BIGINT)"
+        f" AS win_{i}"
+        for i in idx
+    )
+    n_cols = ",\n           ".join(
+        f"CAST(w_{i}_{j} + w_{j}_{i} AS BIGINT) AS n_{i}_{j}"
+        for i in idx for j in idx if i < j
+    )
+    base_cols = ", ".join(
+        [f"win_{i}" for i in idx]
+        + [f"n_{i}_{j}" for i in idx for j in idx if i < j]
+    )
+    it_ctes = []
+    prev = "it0"
+    for s in range(1, n_iter + 1):
+        q_exprs = []
+        for i in idx:
+            terms = []
+            for j in idx:
+                if j == i:
+                    continue
+                a, b = min(i, j), max(i, j)
+                terms.append(f"CAST(n_{a}_{b} AS DOUBLE) / (p_{i} + p_{j})")
+            den = " + ".join(terms)
+            q_exprs.append(
+                f"CASE WHEN {den} > 1e-12"
+                f" THEN CAST(win_{i} AS DOUBLE) / ({den})"
+                f" ELSE p_{i} END AS q_{i}"
+            )
+        norm = f"(({' + '.join(f'q_{i}' for i in idx)}) / {float(t)})"
+        p_exprs = ", ".join(f"q_{i} / {norm} AS p_{i}" for i in idx)
+        it_ctes.append(
+            f"it{s}q AS (SELECT {base_cols}, "
+            + ", ".join(q_exprs)
+            + f" FROM {prev}),\n"
+            f"it{s} AS (SELECT {base_cols}, {p_exprs} FROM it{s}q)"
+        )
+        prev = f"it{s}"
+    match_sel = []
+    for i in idx:
+        msum = " + ".join(
+            f"n_{min(i, j)}_{max(i, j)}" for j in idx if j != i
+        )
+        match_sel.append(
+            f"SELECT '{items[i]}' AS item, win_{i} AS wins,"
+            f" CAST({msum} AS BIGINT) AS matches, p_{i} AS score FROM {prev}"
+        )
+    return f"""
+WITH {_CONV_CTE},
+stepped AS (
+    SELECT role, length(text) AS len,
+           lag(role) OVER w AS prev_role,
+           lag(length(text)) OVER w AS prev_len
+    FROM conversations WHERE text IS NOT NULL
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+prs AS (
+    SELECT CASE WHEN len > prev_len THEN role
+                WHEN prev_len > len THEN prev_role
+                ELSE LEAST(role, prev_role) END AS winner,
+           CASE WHEN len > prev_len THEN prev_role
+                WHEN prev_len > len THEN role
+                ELSE GREATEST(role, prev_role) END AS loser
+    FROM stepped
+    WHERE prev_role IS NOT NULL AND prev_role <> role
+),
+prof AS (
+    SELECT {w_cols}
+    FROM prs
+    WHERE winner IN ({", ".join(f"'{x}'" for x in items)})
+      AND loser IN ({", ".join(f"'{x}'" for x in items)})
+),
+tot AS (
+    SELECT {win_cols},
+           {n_cols}
+    FROM prof
+),
+it0 AS (SELECT {base_cols}, {", ".join(f"1.0 AS p_{i}" for i in idx)} FROM tot),
+{",".join(it_ctes)},
+longf AS (
+    {" UNION ALL ".join(match_sel)}
+)
+SELECT item, wins, matches,
+       ROUND(score, 6) AS bt_score,
+       CAST(row_number() OVER (ORDER BY score DESC, item) AS INTEGER) AS rank
+FROM longf
+"""
+
+
+# Group fairness (lock-step with fairness.group_fairness: exact
+# integer confusion counts per lang + pooled one-row totals; every
+# rate/gap is a single double expression; degenerate cohorts emit 0.0)
+_FAIRNESS_SQL = """
+WITH tagged AS (
+    SELECT lang AS grp,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 55
+                THEN 1 ELSE 0 END AS y,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS yhat
+    FROM documents
+    WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+),
+per AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM tagged GROUP BY grp
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS _n, CAST(SUM(tp) AS BIGINT) AS _tp,
+           CAST(SUM(fp) AS BIGINT) AS _fp, CAST(SUM(fn) AS BIGINT) AS _fn,
+           CAST(SUM(tn) AS BIGINT) AS _tn
+    FROM per
+),
+rates AS (
+    SELECT grp AS "group", n, tp, fp, fn, tn,
+           CASE WHEN n > 0 THEN CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE)
+                ELSE 0.0 END AS pos_rate,
+           CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                ELSE 0.0 END AS tpr,
+           CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)
+                ELSE 0.0 END AS fpr,
+           CASE WHEN _n > 0 THEN CAST(_tp + _fp AS DOUBLE) / CAST(_n AS DOUBLE)
+                ELSE 0.0 END AS o_pos,
+           CASE WHEN _tp + _fn > 0
+                THEN CAST(_tp AS DOUBLE) / CAST(_tp + _fn AS DOUBLE)
+                ELSE 0.0 END AS o_tpr,
+           CASE WHEN _fp + _tn > 0
+                THEN CAST(_fp AS DOUBLE) / CAST(_fp + _tn AS DOUBLE)
+                ELSE 0.0 END AS o_fpr
+    FROM per, tot
+)
+SELECT "group", n, tp, fp, fn, tn,
+       ROUND(pos_rate, 6) AS pos_rate,
+       ROUND(tpr, 6) AS tpr,
+       ROUND(fpr, 6) AS fpr,
+       ROUND(pos_rate - o_pos, 6) AS dp_gap,
+       ROUND(tpr - o_tpr, 6) AS tpr_gap,
+       ROUND(fpr - o_fpr, 6) AS fpr_gap
+FROM rates
+"""
+
+# Schema drift (lock-step with profile.schema_drift_report: stacked
+# long format, Expand-free two-phase exact NDV, counts pivoted per
+# column; string casts differ in format across engines but are
+# injective, so cardinalities agree)
+_SCHEMA_DRIFT_SQL = """
+WITH ev AS (
+    SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE ts IS NOT NULL
+),
+b AS (SELECT CAST(MIN(us) AS BIGINT) AS mn, CAST(MAX(us) AS BIGINT) AS mx FROM ev),
+longf AS (
+    SELECT CASE WHEN us <= CAST(floor((mn + mx) / 2) AS BIGINT)
+                THEN 1 ELSE 0 END AS early,
+           'event_type' AS col_name, CAST(event_type AS VARCHAR) AS v
+    FROM ev, b
+    UNION ALL
+    SELECT CASE WHEN us <= CAST(floor((mn + mx) / 2) AS BIGINT)
+                THEN 1 ELSE 0 END,
+           'value', CAST(value AS VARCHAR) FROM ev, b
+    UNION ALL
+    SELECT CASE WHEN us <= CAST(floor((mn + mx) / 2) AS BIGINT)
+                THEN 1 ELSE 0 END,
+           'props', CAST(props AS VARCHAR) FROM ev, b
+    UNION ALL
+    SELECT CASE WHEN us <= CAST(floor((mn + mx) / 2) AS BIGINT)
+                THEN 1 ELSE 0 END,
+           'user_id', CAST(user_id AS VARCHAR) FROM ev, b
+),
+stats AS (
+    SELECT col_name, early, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM longf GROUP BY 1, 2
+),
+ndv AS (
+    SELECT col_name, early, CAST(COUNT(*) AS BIGINT) AS ndv
+    FROM (SELECT DISTINCT col_name, early, v FROM longf WHERE v IS NOT NULL)
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT s.col_name, s.early, s.n, s.n_null,
+           CAST(COALESCE(d.ndv, 0) AS BIGINT) AS ndv
+    FROM stats s LEFT JOIN ndv d
+      ON s.col_name = d.col_name AND s.early = d.early
+),
+piv AS (
+    SELECT col_name,
+           CAST(COALESCE(MAX(CASE WHEN early = 1 THEN n END), 0) AS BIGINT) AS n_early,
+           CAST(COALESCE(MAX(CASE WHEN early = 0 THEN n END), 0) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN early = 1 THEN n_null END), 0) AS BIGINT) AS null_early,
+           CAST(COALESCE(MAX(CASE WHEN early = 0 THEN n_null END), 0) AS BIGINT) AS null_late,
+           CAST(COALESCE(MAX(CASE WHEN early = 1 THEN ndv END), 0) AS BIGINT) AS ndv_early,
+           CAST(COALESCE(MAX(CASE WHEN early = 0 THEN ndv END), 0) AS BIGINT) AS ndv_late
+    FROM j GROUP BY col_name
+)
+SELECT col_name AS "column", n_early, n_late,
+       ROUND(CASE WHEN n_early > 0
+                  THEN CAST(null_early AS DOUBLE) / CAST(n_early AS DOUBLE)
+                  ELSE 0.0 END, 6) AS null_rate_early,
+       ROUND(CASE WHEN n_late > 0
+                  THEN CAST(null_late AS DOUBLE) / CAST(n_late AS DOUBLE)
+                  ELSE 0.0 END, 6) AS null_rate_late,
+       ROUND(CASE WHEN n_early > 0
+                  THEN CAST(null_early AS DOUBLE) / CAST(n_early AS DOUBLE)
+                  ELSE 0.0 END
+             - CASE WHEN n_late > 0
+                    THEN CAST(null_late AS DOUBLE) / CAST(n_late AS DOUBLE)
+                    ELSE 0.0 END, 6) AS null_rate_delta,
+       ndv_early, ndv_late
+FROM piv
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -11483,4 +12357,14 @@ def oracle_sql() -> dict[str, str]:
         "temperature_scaling": _temp_oracle(),
         "conformal_interval": _CONFORMAL_SQL,
         "pinball_text_len": _pinball_oracle(),
+        "effect_sizes_text_len": _EFFECT_SIZES_SQL,
+        "bh_fdr_event_mix": _BH_FDR_SQL,
+        "permutation_test_convs": _PERMUTATION_SQL,
+        "msprt_daily_gap": _MSPRT_SQL,
+        "theil_sen_trend": _THEIL_SEN_SQL,
+        "pacf_daily": _PACF_SQL,
+        "tool_retry_chains": _TOOL_RETRY_SQL,
+        "bradley_terry_roles": _bt_oracle(),
+        "fairness_by_lang": _FAIRNESS_SQL,
+        "schema_drift": _SCHEMA_DRIFT_SQL,
     }

@@ -771,3 +771,313 @@ def ipw_ate(
         F.round("ate_ipw", 6).alias("ate_ipw"),
         F.round("ate_naive", 6).alias("ate_naive"),
     )
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided normal tail ``2·(1 − Φ(|z|))`` as one fixed-shape
+    double expression, via the Abramowitz–Stegun 7.1.26 erf
+    polynomial (max abs error 1.5e-7):
+
+        2·(1 − Φ(|z|)) = 1 − erf(|z|/√2) = P(t)·e^(−x²),
+        x = |z|/√2,  t = 1/(1 + 0.3275911·x)
+
+    Spark has no ``erf`` builtin, so the polynomial is spelled out —
+    and the DuckDB oracles spell out the IDENTICAL Horner form with
+    the SAME parsed double constants (√2 as the literal
+    1.4142135623730951, never ``sqrt(2)``), so both engines produce
+    bit-identical p-values from identical z. Per-row ``exp`` at
+    round(6) is the engine's established cross-engine-safe pattern
+    (dsir/platt_apply precedent).
+    """
+    x = F.abs(z) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    return poly * F.exp(-(x * x))
+
+
+def effect_sizes(
+    df: DataFrame,
+    metric: Column,
+    group: Column,
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Standardized effect sizes between two cohorts in ONE pass:
+    Cohen's d (pooled-SD mean difference), Hedges' g (small-sample
+    bias correction ``d·(1 − 3/(4N−9))``), and Cliff's delta (the
+    ordinal dominance statistic ``2·AUC − 1``). The reference reports
+    raw mean gaps per slice (``src/error_analysis.py:116-170``);
+    effect sizes are the scale-free companion every experiment
+    readout needs next to the p-value.
+
+    Distributed shape: the metric is reduced to a value histogram
+    (ONE hash agg, same machine as :func:`mann_whitney_u`), from
+    which BOTH the moment statistics (Σy, Σy² as exact decimals via
+    ``Σ v·t``, ``Σ v²·t``) and the rank statistic (U from midranks
+    over the bounded histogram) derive — moments and dominance in
+    the same plan, no second scan. At 10^12 rows the shuffle carries
+    only distinct metric values.
+
+    Determinism: every accumulation is exact integer/decimal; d, g,
+    delta are single fixed-shape double expressions at the end
+    (mirrored verbatim in the DuckDB oracle).
+    """
+    dec = "decimal(38,0)"
+    hist = (
+        df.select(metric.alias("v"), group.alias("g"))
+        .where(F.col("v").isNotNull() & F.col("g").isin(group_a, group_b))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("t_a"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("t_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # bounded-table global window (value histogram) — engine discipline
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t_tot = (F.col("t_a") + F.col("t_b")).cast("long")
+    ranked = hist.select(
+        "v",
+        "t_a",
+        "t_b",
+        t_tot.alias("t"),
+        F.coalesce(F.sum(t_tot).over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    vd = F.col("v").cast(dec)
+    two_mid = (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1)).cast(dec)
+    sums = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        F.sum("t_b").cast("long").alias("n_b"),
+        F.sum(vd * F.col("t_a").cast(dec)).alias("s_a"),
+        F.sum(vd * F.col("t_b").cast(dec)).alias("s_b"),
+        F.sum(vd * vd * F.col("t_a").cast(dec)).alias("ss_a"),
+        F.sum(vd * vd * F.col("t_b").cast(dec)).alias("ss_b"),
+        F.sum(F.col("t_a").cast(dec) * two_mid).alias("two_r_a"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("s_a").cast("double")
+    sb = F.col("s_b").cast("double")
+    mean_a = sa / na
+    mean_b = sb / nb
+    var_a = (F.col("ss_a").cast("double") - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (F.col("ss_b").cast("double") - sb * sb / nb) / (nb - F.lit(1.0))
+    sp2 = ((na - 1.0) * var_a + (nb - 1.0) * var_b) / (na + nb - 2.0)
+    d = F.when(sp2 > 0, (mean_a - mean_b) / F.sqrt(sp2)).otherwise(F.lit(0.0))
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0)))
+    u_a = F.col("two_r_a").cast("double") / F.lit(2.0) - na * (na + 1.0) / 2.0
+    delta = F.when(
+        (na > 0) & (nb > 0), F.lit(2.0) * u_a / (na * nb) - F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+        F.round(delta, 6).alias("cliffs_delta"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    key: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a BOUNDED table of
+    per-hypothesis p-values (one row per slice/tool/metric — the
+    multiple-comparison companion the reference's per-slice error
+    readouts lack). ``p_adj(i) = min_{j≥i} p(j)·m/j`` (step-up),
+    capped at 1; reject where ``p_adj ≤ alpha``.
+
+    Distributed shape: the input is an aggregate result (tens to
+    thousands of hypotheses), so the rank + suffix-min global windows
+    run over a bounded table — the engine's global-window discipline.
+    Ranks tie-break on the key for cross-engine determinism.
+    """
+    from pyspark.sql.window import Window
+
+    m = df.count()  # bounded aggregate table — count is cheap and exact
+    w_rank = Window.orderBy(p_col, key)
+    ranked = df.withColumn("rank", F.row_number().over(w_rank))
+    w_suffix = Window.orderBy("rank").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    raw = F.col(p_col) * F.lit(float(m)) / F.col("rank").cast("double")
+    adj = F.least(F.lit(1.0), F.min(raw).over(w_suffix))
+    return ranked.select(
+        key,
+        F.col("rank").cast("int").alias("rank"),
+        F.round(p_col, 6).alias("p_value"),
+        F.round(adj, 6).alias("p_adj"),
+        F.when(adj <= F.lit(alpha), 1).otherwise(0).cast("int").alias("reject"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    unit: Column,
+    metric: Column,
+    n_perms: int = 200,
+    salt: str = "perm",
+) -> DataFrame:
+    """Unit-level permutation test of a mean difference between two
+    hash-assigned arms, with DETERMINISTIC pseudo-permutations:
+    permutation ``k`` reassigns each unit by
+    ``stable_hash48(salt ∥ unit ∥ '#' ∥ k) % 2`` — no RNG, so both
+    engines replay the identical null ensemble. p-value is the
+    add-one estimator ``(1 + #{|Δ_k| ≥ |Δ_obs|}) / (K + 1)``.
+
+    Distributed shape: the metric is first reduced to ONE row per
+    unit (hash agg), then exploded ×K with ``sequence`` — the
+    shuffle after the explode is map-side combined down to K×2
+    partial sums per partition, so the exchange carries O(K) rows
+    regardless of input size. CPU is K× the unit table, NOT K× the
+    raw stream; at extreme unit counts the documented scale path is
+    hash-sampling units first (consistent sampling, same device as
+    ``capped_per_source``).
+
+    Determinism: per-(unit, k) arms are exact integer hashes; each
+    Δ_k is one fixed-shape double from exact integer sums; the
+    ``|Δ_k| ≥ |Δ_obs|`` comparison therefore agrees bit-for-bit
+    across engines.
+    """
+    units = (
+        df.select(unit.alias("u"), metric.alias("y"))
+        .where(F.col("u").isNotNull() & F.col("y").isNotNull())
+        .groupBy("u")
+        .agg(F.sum("y").cast("long").alias("y"))
+    )
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+
+    def arm(tag: Column) -> Column:
+        return F.pmod(stable_hash48(tag), F.lit(2))
+
+    def diff(arm_col: Column):
+        s1 = F.sum(F.when(arm_col == 1, F.col("y")).otherwise(0)).cast("long")
+        s0 = F.sum(F.when(arm_col == 0, F.col("y")).otherwise(0)).cast("long")
+        n1 = F.sum(F.when(arm_col == 1, 1).otherwise(0)).cast("long")
+        n0 = F.sum(F.when(arm_col == 0, 1).otherwise(0)).cast("long")
+        return s1, s0, n1, n0
+
+    def mean_diff(s1, s0, n1, n0) -> Column:
+        return F.when(
+            (n1 > 0) & (n0 > 0),
+            s1.cast("double") / n1.cast("double")
+            - s0.cast("double") / n0.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    units = units.persist()
+    obs_arm = arm(F.concat(F.lit(salt + "obs"), F.col("u")))
+    s1, s0, n1, n0 = diff(obs_arm)
+    obs = units.agg(
+        F.count("*").cast("long").alias("n_units"),
+        mean_diff(s1, s0, n1, n0).alias("obs_diff"),
+    )
+
+    perm = units.select(
+        "u",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("k"),
+    )
+    perm_arm = arm(
+        F.concat(F.lit(salt), F.col("u"), F.lit("#"), F.col("k").cast("string"))
+    )
+    s1, s0, n1, n0 = diff(perm_arm)
+    diffs = perm.groupBy("k").agg(mean_diff(s1, s0, n1, n0).alias("d_k"))
+
+    # one-row broadcast cross join (engine's tiny-aggregate pattern)
+    joined = diffs.crossJoin(F.broadcast(obs))
+    out = joined.agg(
+        F.first("n_units").alias("n_units"),
+        F.first("obs_diff").alias("_obs"),
+        F.sum(
+            F.when(F.abs(F.col("d_k")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge"),
+    )
+    k = float(n_perms)
+    return out.select(
+        "n_units",
+        F.lit(n_perms).cast("int").alias("n_perms"),
+        F.round("_obs", 6).alias("obs_diff"),
+        "n_ge",
+        F.round(
+            (F.lit(1.0) + F.col("n_ge").cast("double")) / F.lit(k + 1.0), 6
+        ).alias("p_value"),
+    )
+
+
+def msprt_always_valid(
+    daily: DataFrame,
+    order_col: str,
+    x_col: str,
+    sigma2: float,
+    tau2: float | None = None,
+) -> DataFrame:
+    """Mixture-SPRT always-valid p-value over an ordered (bounded)
+    effect series — the sequential-testing companion to the one-shot
+    z/t gates: a monitor may peek at EVERY step and the p-value
+    stays valid (Robbins mixture martingale; Johari et al.,
+    "Peeking at A/B tests", KDD'17 — public method).
+
+    With a N(0, τ²) mixture over the effect and known per-step noise
+    σ²:  log Λ_n = ½·ln(σ²/(σ²+nτ²)) + τ²·S_n²/(2σ²(σ²+nτ²)),
+    p_n = min(1, exp(−max_{s≤n} log Λ_s)), computed in log space so
+    large S_n never overflows.
+
+    Distributed shape: the input is a per-period aggregate (daily
+    effect series — calendar-bounded), so the running-sum and
+    running-max global windows ride the engine's bounded-table
+    discipline; float sums appear only inside ordered window frames
+    (EWMA precedent). σ², τ² are caller-supplied constants so both
+    engines share the exact parsed doubles.
+    """
+    if tau2 is None:
+        tau2 = sigma2
+    from pyspark.sql.window import Window
+
+    w_cum = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    n = F.count("*").over(w_cum).cast("double")
+    s = F.sum(x_col).over(w_cum)
+    denom = F.lit(sigma2) + n * F.lit(tau2)
+    log_lam = F.lit(0.5) * F.log(F.lit(sigma2) / denom) + F.lit(tau2) * s * s / (
+        F.lit(2.0) * F.lit(sigma2) * denom
+    )
+    stepped = daily.select(
+        order_col,
+        F.col(x_col).alias("x"),
+        n.cast("long").alias("n"),
+        s.alias("s_n"),
+        log_lam.alias("log_lambda"),
+    )
+    w_max = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    p = F.least(F.lit(1.0), F.exp(-F.max("log_lambda").over(w_max)))
+    return stepped.select(
+        order_col,
+        F.round("x", 6).alias("x"),
+        "n",
+        F.round("s_n", 6).alias("s_n"),
+        F.round("log_lambda", 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+    )

@@ -383,3 +383,66 @@ def transition_backtest(
             ).alias("accuracy"),
         )
     )
+
+
+def tool_retry_chains(conv: DataFrame) -> DataFrame:
+    """Per-tool retry-chain statistics over agent transcripts:
+    consecutive same-tool calls within a conversation are RETRIES
+    (the canonical agent-loop failure smell — a tool that is retried
+    in long runs is flaky or mis-prompted). Emits per tool:
+    ``n_calls``, ``n_retries`` (calls whose previous tool call in
+    the conv used the same tool), ``n_chains`` (maximal runs),
+    ``max_chain_len``, and ``retry_rate``.
+
+    Shape: ONE lag window partitioned by ``conv_id`` over tool turns
+    only (the stream thins before the shuffle), a run-id via
+    cumulative chain-start sum on the same window (no extra
+    exchange), then two hash aggs: (conv, run) → length, tool →
+    stats. All counters exact integers; the rate is one double
+    division.
+
+    Reference analog: the per-feature repeat/transition counts of
+    ``features/features_comprehensive.sql`` (consecutive-event
+    streaks), specialized to tool calls.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    calls = conv.where(F.col("tool").isNotNull()).select(
+        "conv_id", "ts", "turn_idx", "tool"
+    )
+    w_run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    starts = calls.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        "tool",
+        F.when(F.lag("tool").over(w) == F.col("tool"), 0)
+        .otherwise(1)
+        .alias("chain_start"),
+    )
+    runs = starts.select(
+        "conv_id",
+        "tool",
+        F.sum("chain_start").over(w_run).cast("long").alias("run_id"),
+    )
+    run_lens = runs.groupBy("conv_id", "run_id", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    per_tool = run_lens.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chains"),
+        F.max("run_len").cast("long").alias("max_chain_len"),
+        F.sum("run_len").cast("long").alias("n_calls"),
+    )
+    return per_tool.select(
+        "tool",
+        "n_calls",
+        (F.col("n_calls") - F.col("n_chains")).cast("long").alias("n_retries"),
+        "n_chains",
+        "max_chain_len",
+        F.round(
+            (F.col("n_calls") - F.col("n_chains")).cast("double")
+            / F.col("n_calls").cast("double"),
+            6,
+        ).alias("retry_rate"),
+    )

@@ -256,3 +256,83 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         )
         .withColumn("dev", F.round(F.col("freq") - F.col("expected"), 6))
     )
+
+
+def schema_drift_report(
+    df: DataFrame, cols: list[str], early: "F.Column"
+) -> DataFrame:
+    """Per-column data-quality drift between two halves of a table
+    (``early`` = boolean split indicator, typically a time midpoint):
+    row counts, null rates, and EXACT distinct-value counts per half,
+    plus the null-rate delta — the schema-health companion to the
+    distributional PSI family (a column whose null rate doubles or
+    whose cardinality collapses between halves breaks downstream
+    feature encoders long before PSI fires).
+
+    Shape: columns are STACKED into long format in one projection
+    (no per-column scans), then ONE (col, half, value) pre-aggregate
+    feeds the Expand-free exact-NDV count (the engine's two-phase
+    COUNT DISTINCT discipline) while a sibling (col, half) agg
+    carries counts/nulls; both pivot over the ≤2·|cols| row result.
+    Values are compared as strings — cast formatting differs across
+    engines but is injective, so cardinalities (all the report
+    needs) agree.
+    """
+    arms = [
+        F.struct(
+            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("v")
+        )
+        for c in cols
+    ]
+    long = df.select(
+        early.cast("int").alias("early"), F.explode(F.array(*arms)).alias("s")
+    ).select("early", F.col("s.col_name").alias("col_name"), F.col("s.v").alias("v"))
+    stats = long.groupBy("col_name", "early").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+    )
+    ndv = (
+        long.where(F.col("v").isNotNull())
+        .groupBy("col_name", "early", "v")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("col_name", "early")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+    )
+    j = stats.join(ndv, ["col_name", "early"], "left").select(
+        "col_name",
+        "early",
+        "n",
+        "n_null",
+        F.coalesce("ndv", F.lit(0)).cast("long").alias("ndv"),
+    )
+
+    def half(c: str, e: int):
+        return F.max(F.when(F.col("early") == e, F.col(c)))
+
+    piv = j.groupBy("col_name").agg(
+        F.coalesce(half("n", 1), F.lit(0)).cast("long").alias("n_early"),
+        F.coalesce(half("n", 0), F.lit(0)).cast("long").alias("n_late"),
+        F.coalesce(half("n_null", 1), F.lit(0)).cast("long").alias("null_early"),
+        F.coalesce(half("n_null", 0), F.lit(0)).cast("long").alias("null_late"),
+        F.coalesce(half("ndv", 1), F.lit(0)).cast("long").alias("ndv_early"),
+        F.coalesce(half("ndv", 0), F.lit(0)).cast("long").alias("ndv_late"),
+    )
+
+    def rate(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    r_e = rate("null_early", "n_early")
+    r_l = rate("null_late", "n_late")
+    return piv.select(
+        F.col("col_name").alias("column"),
+        "n_early",
+        "n_late",
+        F.round(r_e, 6).alias("null_rate_early"),
+        F.round(r_l, 6).alias("null_rate_late"),
+        F.round(r_e - r_l, 6).alias("null_rate_delta"),
+        "ndv_early",
+        "ndv_late",
+    )

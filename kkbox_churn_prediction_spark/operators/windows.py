@@ -830,3 +830,140 @@ def pot_tail_fit(
         F.round(xi, 6).alias("xi"),
         F.round(sigma, 6).alias("sigma"),
     )
+
+
+def theil_sen_daily(turns: DataFrame, exact: bool = True) -> DataFrame:
+    """Theil–Sen robust trend of the daily activity series: the
+    MEDIAN of all pairwise slopes ``(x_j − x_i)/(d_j − d_i)`` plus
+    the median-residual intercept — the outlier-proof companion to
+    ``activity_trend``'s OLS slope (one corrupted day moves OLS
+    arbitrarily; Theil–Sen tolerates ~29% corruption).
+
+    Shape: the stream collapses to one row per day (partial+final
+    hash agg); the O(n²) pairwise self-join runs ONLY on the
+    calendar-bounded daily table (90 days → ~4k pairs — the
+    daily_anomalies exemption), so input scale never touches the
+    quadratic term. Slopes are exact-integer ratios (count and
+    day-number deltas) evaluated as ONE double division each; the
+    median is ``percentile`` (exact, DuckDB ``quantile_cont``
+    parity) over the bounded pair table, or ``approx_percentile``
+    when ``exact=False`` for extreme series lengths.
+
+    Reference analog: the trend features the reference derives over
+    member activity windows (``features/features_comprehensive.sql``
+    trend ratios), made robust.
+    """
+    day_us = 86400 * 1_000_000
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    days = daily.select(
+        F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long").alias("dn"),
+        "x",
+    ).persist()  # referenced by BOTH pair sides and the residual pass —
+    # without the pin the corpus day-agg re-runs 3× (the re-derived-
+    # intermediate class of plan bug the spearman family hit)
+    a = days.alias("a")
+    b = days.alias("b")
+    pairs = a.join(b, F.col("b.dn") < F.col("a.dn")).select(
+        (
+            (F.col("a.x") - F.col("b.x")).cast("double")
+            / (F.col("a.dn") - F.col("b.dn")).cast("double")
+        ).alias("slope")
+    )
+    if exact:
+        med = F.expr("percentile(slope, 0.5)").alias("m_slope")
+    else:
+        med = F.percentile_approx("slope", 0.5, 10_000).alias("m_slope")
+    sl = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), med)
+    resid = days.crossJoin(F.broadcast(sl)).select(
+        "n_pairs",
+        "m_slope",
+        (F.col("x").cast("double") - F.col("m_slope") * F.col("dn").cast("double")).alias(
+            "r"
+        ),
+    )
+    if exact:
+        med_r = F.expr("percentile(r, 0.5)").alias("m_int")
+    else:
+        med_r = F.percentile_approx("r", 0.5, 10_000).alias("m_int")
+    return resid.groupBy("n_pairs", "m_slope").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"), med_r
+    ).select(
+        "n_days",
+        "n_pairs",
+        F.round("m_slope", 6).alias("slope_per_day"),
+        F.round("m_int", 6).alias("intercept"),
+    )
+
+
+def pacf_daily(turns: DataFrame, eps: float = 1e-9) -> DataFrame:
+    """Partial autocorrelation of the daily activity series at lags
+    1..4 via the Durbin–Levinson recursion UNROLLED as explicit
+    fixed-shape column expressions — PACF(k) isolates the direct
+    lag-k dependence the raw ACF smears (an AR(1) series shows
+    exponentially-decaying ACF at every lag but PACF cuts off after
+    lag 1 — the AR-order diagnostic for the forecasting gates).
+
+    Determinism (the binned-Newton recipe): the recursion runs on
+    the 6dp-ROUNDED ACF profile emitted by :func:`daily_acf` — both
+    engines feed identical rounded inputs into the identical
+    unrolled expression DAG (φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    …), so there is no float-iteration divergence to damp. Degenerate
+    denominators (|1 − φ²| ≤ eps: unit-root / constant series) yield
+    NULL from that order upward rather than exploding.
+
+    Shape: everything after the daily collapse runs on the ≤4-row
+    ACF profile pivoted to ONE row — broadcast-sized by construction.
+    """
+    acf = daily_acf(turns, max_lag=4)
+    prof = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    r1, r2, r3, r4 = (F.col(f"r{k}") for k in (1, 2, 3, 4))
+    p11 = r1
+    d1 = F.lit(1.0) - p11 * r1
+    step1 = prof.select(
+        "r1", "r2", "r3", "r4", p11.alias("p11"), d1.alias("d1")
+    )
+    p22 = F.when(F.abs(F.col("d1")) > eps, (r2 - F.col("p11") * r1) / F.col("d1"))
+    step2 = step1.select(
+        "*",
+        p22.alias("p22"),
+    )
+    step2 = step2.select(
+        "*",
+        (F.col("p11") - F.col("p22") * F.col("p11")).alias("p21"),
+        (F.col("d1") * (F.lit(1.0) - F.col("p22") * F.col("p22"))).alias("d2"),
+    )
+    p33 = F.when(
+        F.abs(F.col("d2")) > eps,
+        (r3 - (F.col("p21") * r2 + F.col("p22") * r1)) / F.col("d2"),
+    )
+    step3 = step2.select("*", p33.alias("p33"))
+    step3 = step3.select(
+        "*",
+        (F.col("p21") - F.col("p33") * F.col("p22")).alias("p31"),
+        (F.col("p22") - F.col("p33") * F.col("p21")).alias("p32"),
+        (F.col("d2") * (F.lit(1.0) - F.col("p33") * F.col("p33"))).alias("d3"),
+    )
+    p44 = F.when(
+        F.abs(F.col("d3")) > eps,
+        (r4 - (F.col("p31") * r3 + F.col("p32") * r2 + F.col("p33") * r1))
+        / F.col("d3"),
+    )
+    step4 = step3.select("*", p44.alias("p44"))
+    arms = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col(f"r{k}").alias("acf"),
+            F.round(F.col(f"p{k}{k}"), 6).alias("pacf"),
+        )
+        for k in (1, 2, 3, 4)
+    ]
+    return step4.select(F.explode(F.array(*arms)).alias("s")).select(
+        F.col("s.lag").alias("lag"), F.col("s.acf").alias("acf"), F.col("s.pacf").alias("pacf")
+    )
