@@ -4133,6 +4133,44 @@ def _q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the daily series at candidate periods
+    2-14 days (exact calendar-day phases; ordered-window float sums)
+    — the frequency-domain sibling of daily_acf, ranked by power."""
+    from kkbox_churn_prediction_spark.operators.windows import periodogram_daily
+
+    return periodogram_daily(_conv(spark, sf_dir))
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH banding vs the exact
+    trigram-Jaccard≥0.3 ground truth (same shingle order, same
+    hot-shingle cap) — measured banding quality, the dedup twin of
+    ann_recall."""
+    from kkbox_churn_prediction_spark.operators.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(
+        _docs(spark, sf_dir),
+        n=3,
+        threshold=0.3,
+        bands=4,
+        rows_per_band=2,
+        max_shingle_freq=100,
+    )
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assembly order: difficulty stages by exact n_chars
+    quartiles + a per-doc hash sort key (stage·2^48 + hash48) — the
+    windowless easy→hard schedule writers sort by."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_order(docs, F.col("n_chars"), n_stages=4, exact=True)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4489,6 +4527,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 continuation: fairness / schema health
         "fairness_by_lang": _q_fairness_by_lang,
         "schema_drift": _q_schema_drift,
+        # round-3 continuation: spectral / dedup-eval / curriculum
+        "periodogram_daily": _q_periodogram_daily,
+        "lsh_recall": _q_lsh_recall,
+        "curriculum_order": _q_curriculum_order,
     }
 
 
@@ -12110,6 +12152,120 @@ FROM piv
 """
 
 
+# Periodogram (lock-step with windows.periodogram_daily: exact
+# integer day offsets → identical cos/sin arguments; float term sums
+# over the day-ordered full-frame window of the bounded daily table —
+# the EWMA accumulation device; rank on the shared unrounded power)
+_PERIODOGRAM_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM conversations GROUP BY 1
+),
+days AS (
+    SELECT CAST(floor(epoch_us(d) / {86400 * 1_000_000}) AS BIGINT) AS dn, x
+    FROM daily
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(MIN(dn) AS BIGINT) AS dn0
+    FROM days
+),
+base AS (
+    SELECT dn, n_days,
+           CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS dev,
+           CAST(dn - dn0 AS BIGINT) AS t
+    FROM days, stats
+),
+terms AS (
+    SELECT dn, n_days, p.period,
+           dev * cos(6.283185307179586
+                     * (CAST(t AS DOUBLE) / CAST(p.period AS DOUBLE))) AS ct,
+           dev * sin(6.283185307179586
+                     * (CAST(t AS DOUBLE) / CAST(p.period AS DOUBLE))) AS st,
+           dev * dev AS d2
+    FROM base CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6, 7, 10, 14]) AS period) p
+),
+summed0 AS (
+    SELECT period, n_days,
+           SUM(ct) OVER w AS c, SUM(st) OVER w AS s, SUM(d2) OVER w AS ss
+    FROM terms
+    WINDOW w AS (PARTITION BY period ORDER BY dn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+summed AS (
+    SELECT period, MAX(n_days) AS n_days, MAX(c) AS c, MAX(s) AS s,
+           MAX(ss) AS ss
+    FROM summed0 GROUP BY period
+),
+calc AS (
+    SELECT period,
+           (c * c + s * s) / CAST(n_days AS DOUBLE) AS pw,
+           CASE WHEN ss > 0 THEN (c * c + s * s) / ss ELSE 0.0 END AS pn
+    FROM summed
+)
+SELECT CAST(period AS INTEGER) AS period,
+       ROUND(pw, 6) AS power,
+       ROUND(pn, 6) AS power_norm,
+       CAST(row_number() OVER (ORDER BY pw DESC, period) AS INTEGER) AS rank
+FROM calc
+"""
+
+# Curriculum order (lock-step with sampling.curriculum_order exact
+# path: quantile_cont quartile edges ↔ Spark percentile, stage =
+# 1 + Σ(score > e_k), windowless sort key stage·2^48 + hash48)
+_CURRICULUM_SQL = f"""
+WITH edges AS (
+    SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS e1,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS e2,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS e3
+    FROM documents
+),
+staged AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+           1 + (CASE WHEN CAST(n_chars AS DOUBLE) > e1 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) > e2 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) > e3 THEN 1 ELSE 0 END)
+               AS stage,
+           {_H48.format(x="concat('cur', CAST(doc_id AS VARCHAR))")} AS h
+    FROM documents, edges
+)
+SELECT doc_id, score, CAST(stage AS INTEGER) AS stage,
+       CAST(CAST(stage AS BIGINT) * 281474976710656 + h AS BIGINT) AS sort_key
+FROM staged
+"""
+
+
+# LSH banding recall/precision vs the exact Jaccard ground truth
+# (lock-step with dedup.lsh_recall_eval: wraps the two existing pair
+# oracles — identical shingle order, threshold, hot-shingle cap —
+# full-outer join + one exact count row)
+_LSH_RECALL_SQL = f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({_DEDUP_NGRAM_JACCARD_SQL})),
+c AS (SELECT doc_a, doc_b FROM ({_MINHASH_LSH_SQL})),
+j AS (
+    SELECT CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_c
+    FROM e FULL OUTER JOIN c
+      ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT CAST(SUM(in_e) AS BIGINT) AS n_true,
+       CAST(SUM(in_c) AS BIGINT) AS n_candidates,
+       CAST(SUM(in_e * in_c) AS BIGINT) AS n_common,
+       ROUND(CASE WHEN SUM(in_e) > 0
+                  THEN CAST(SUM(in_e * in_c) AS DOUBLE)
+                       / CAST(SUM(in_e) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS recall,
+       ROUND(CASE WHEN SUM(in_c) > 0
+                  THEN CAST(SUM(in_e * in_c) AS DOUBLE)
+                       / CAST(SUM(in_c) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS precision
+FROM j
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -12367,4 +12523,7 @@ def oracle_sql() -> dict[str, str]:
         "bradley_terry_roles": _bt_oracle(),
         "fairness_by_lang": _FAIRNESS_SQL,
         "schema_drift": _SCHEMA_DRIFT_SQL,
+        "periodogram_daily": _PERIODOGRAM_SQL,
+        "lsh_recall": _LSH_RECALL_SQL,
+        "curriculum_order": _CURRICULUM_SQL,
     }

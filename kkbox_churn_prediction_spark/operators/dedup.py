@@ -578,3 +578,61 @@ def duplicate_spans(
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
         )
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Quality evaluation of the MinHash-LSH banding against the
+    exact n-gram-Jaccard ground truth at the SAME shingle order:
+    recall = |candidates ∩ true pairs| / |true pairs| and precision
+    = |∩| / |candidates| — the tuning readout for (bands, rows) the
+    LSH S-curve promises (more bands → recall↑ precision↓). The ANN
+    twin is ``similarity.ann_recall``; this is the dedup-side
+    counterpart, so banding changes ship with measured recall, not
+    vibes.
+
+    Shape: both pair generators are the engine's existing bucketed
+    machines (capped shingle equi-join; band bucket-join — never
+    all-pairs); the evaluation itself is ONE full-outer join of two
+    result-sized pair tables + a single-row count agg.
+    """
+    exact = ngram_jaccard_pairs(
+        df, text_col, n, threshold, id_col, max_shingle_freq
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    cand = minhash_lsh_candidates(
+        df, text_col, n, bands, rows_per_band, id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+    j = exact.join(cand, ["doc_a", "doc_b"], "full")
+    out = j.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    )
+    recall = F.when(
+        F.col("n_true") > 0,
+        F.col("n_common").cast("double") / F.col("n_true").cast("double"),
+    ).otherwise(F.lit(0.0))
+    precision = F.when(
+        F.col("n_candidates") > 0,
+        F.col("n_common").cast("double") / F.col("n_candidates").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_true",
+        "n_candidates",
+        "n_common",
+        F.round(recall, 6).alias("recall"),
+        F.round(precision, 6).alias("precision"),
+    )

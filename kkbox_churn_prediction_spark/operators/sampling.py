@@ -430,3 +430,51 @@ def cluster_safe_split(
             sample_hash_bucket(F.col(cluster_col), salt) < F.lit(thr), "val"
         ).otherwise("train"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score: Column,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "cur",
+    exact: bool = False,
+) -> DataFrame:
+    """Curriculum ordering for training-data assembly: bucket
+    documents into difficulty STAGES by score quantiles (stage 1 =
+    lowest score = easiest), then define a deterministic
+    within-stage shuffle so each stage streams in hash order — the
+    standard easy→hard schedule with de-clumped sources.
+
+    Scale-first formulation: the curriculum position is a single
+    SORT KEY ``stage·2^48 + stable_hash48(salt ∥ id)`` — writers
+    ``sortWithinPartitions``/range-partition by it (the
+    ``zorder_keys`` pattern); NO global row-number window exists
+    anywhere, so the operator never funnels the corpus through one
+    partition. Stage edges come from ONE percentile aggregate
+    (quantile sketch by default; ``exact=True`` for oracle parity —
+    the engine's two-path percentile discipline) broadcast against
+    the stream.
+    """
+    qs = [i / n_stages for i in range(1, n_stages)]
+    qlit = "array(" + ", ".join(str(q) for q in qs) + ")"
+    scored = docs.select(F.col(id_col), score.alias("_score"))
+    if exact:
+        edges = scored.agg(F.expr(f"percentile(_score, {qlit})").alias("_edges"))
+    else:
+        edges = scored.agg(
+            F.percentile_approx("_score", qs, F.lit(10_000)).alias("_edges")
+        )
+    tagged = scored.crossJoin(F.broadcast(edges))
+    stage = F.lit(1)
+    for i in range(len(qs)):
+        stage = stage + F.when(
+            F.col("_score").cast("double") > F.element_at("_edges", i + 1), 1
+        ).otherwise(0)
+    h = stable_hash48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return tagged.select(
+        id_col,
+        F.col("_score").cast("long").alias("score"),
+        stage.cast("int").alias("stage"),
+        (stage.cast("long") * F.lit(1 << 48) + h).cast("long").alias("sort_key"),
+    )

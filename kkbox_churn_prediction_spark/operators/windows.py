@@ -967,3 +967,116 @@ def pacf_daily(turns: DataFrame, eps: float = 1e-9) -> DataFrame:
     return step4.select(F.explode(F.array(*arms)).alias("s")).select(
         F.col("s.lag").alias("lag"), F.col("s.acf").alias("acf"), F.col("s.pacf").alias("pacf")
     )
+
+
+def periodogram_daily(
+    turns: DataFrame, periods: tuple = (2, 3, 4, 5, 6, 7, 10, 14)
+) -> DataFrame:
+    """Discrete periodogram of the daily activity series at candidate
+    periods (days): spectral power ``I(p) = (C_p² + S_p²) / n`` with
+    ``C_p = Σ (x_t − x̄)·cos(2π·t/p)``, ``S_p`` the sine twin, plus
+    the scale-free share ``power_norm = (C²+S²)/Σ(x−x̄)²`` and a rank
+    — the frequency-domain sibling of ``daily_acf`` (a clean lag-7
+    rhythm shows up as the top-ranked period 7 regardless of
+    amplitude).
+
+    Determinism: phases use the exact integer CALENDAR-day offset
+    from the first day; cos/sin run on identical fixed-shape double
+    arguments on both engines (same libm, the ln/exp precedent), and
+    the float term sums accumulate over the DAY-ORDERED full-frame
+    window of the bounded daily table — the EWMA device, never an
+    unordered float agg.
+
+    Shape: one corpus day-agg; the per-period term table is
+    |periods|×|days| (calendar-bounded), summed in one ordered
+    window + collapse.
+    """
+    two_pi = 6.283185307179586
+    day_us = 86400 * 1_000_000
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    days = daily.select(
+        F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long").alias("dn"),
+        "x",
+    ).persist()  # referenced by the stats row AND the term table
+    stats = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.min("dn").cast("long").alias("dn0"),
+    )
+    base = days.crossJoin(F.broadcast(stats)).select(
+        "dn",
+        "n_days",
+        (
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("n_days").cast("double")
+        ).alias("dev"),
+        (F.col("dn") - F.col("dn0")).cast("long").alias("t"),
+    )
+    terms = base.select(
+        "dn",
+        "n_days",
+        "dev",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in periods])
+        ).alias("period"),
+        "t",
+    ).select(
+        "dn",
+        "n_days",
+        "period",
+        (
+            F.col("dev")
+            * F.cos(
+                F.lit(two_pi)
+                * (F.col("t").cast("double") / F.col("period").cast("double"))
+            )
+        ).alias("ct"),
+        (
+            F.col("dev")
+            * F.sin(
+                F.lit(two_pi)
+                * (F.col("t").cast("double") / F.col("period").cast("double"))
+            )
+        ).alias("st"),
+        (F.col("dev") * F.col("dev")).alias("d2"),
+    )
+    w_full = (
+        Window.partitionBy("period")
+        .orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    summed = terms.select(
+        "period",
+        "n_days",
+        F.sum("ct").over(w_full).alias("c"),
+        F.sum("st").over(w_full).alias("s"),
+        F.sum("d2").over(w_full).alias("ss"),
+    ).groupBy("period").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("c").alias("c"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    power = (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col(
+        "n_days"
+    ).cast("double")
+    norm = F.when(
+        F.col("ss") > 0,
+        (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("ss"),
+    ).otherwise(F.lit(0.0))
+    w_rank = Window.orderBy(F.col("_power").desc(), F.col("period"))
+    return (
+        summed.select(
+            "period",
+            power.alias("_power"),
+            norm.alias("_norm"),
+        )
+        .select(
+            "period",
+            F.round("_power", 6).alias("power"),
+            F.round("_norm", 6).alias("power_norm"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+    )
