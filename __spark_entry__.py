@@ -4171,6 +4171,55 @@ def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, F.col("n_chars"), n_stages=4, exact=True)
 
 
+def _q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM score + perplexity per document
+    (CCNet-style perplexity filtering statistic); continuation-type
+    counts come from the distinct-bigram table itself."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        kneser_ney_logprob_score,
+    )
+
+    return kneser_ney_logprob_score(_docs(spark, sf_dir))
+
+
+def _q_watermark_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit under simulated ingest jitter (hash-
+    deterministic 0-1h delay per event): late-record rate + depth
+    quantiles via the bucketed prefix-max machine — p99_late_us is
+    the withWatermark delay you'd configure."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.lags import out_of_order_depth
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .withColumn(
+            "arr",
+            F.col("us")
+            + F.pmod(
+                stable_hash48(
+                    F.concat(F.lit("wm"), F.col("event_id").cast("string"))
+                ),
+                F.lit(3600),
+            )
+            * F.lit(1_000_000),
+        )
+    )
+    return out_of_order_depth(
+        ev,
+        arrival=F.col("arr"),
+        event_ts_us=F.col("us"),
+        tiebreak=F.col("event_id"),
+        exact=True,
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4531,6 +4580,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_daily": _q_periodogram_daily,
         "lsh_recall": _q_lsh_recall,
         "curriculum_order": _q_curriculum_order,
+        # round-3 continuation: LM smoothing / event-time ops
+        "kn_bigram_logprob": _q_kn_bigram_logprob,
+        "watermark_depth": _q_watermark_depth,
     }
 
 
@@ -12266,6 +12318,108 @@ FROM j
 """
 
 
+# Kneser-Ney bigram LM (lock-step with
+# textstats.kneser_ney_logprob_score: exact integer count/type tables,
+# d=0.75 is exact in binary, ONE fixed-shape double per bigram type;
+# ppl exponentiates the 6dp-ROUNDED per-doc average on both engines)
+_KN_BIGRAM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOKS} AS ws FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+    FROM tok WHERE len(ws) >= 2
+),
+bcnt AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+split AS (
+    SELECT bigram, c12,
+           string_split(bigram, ' ')[1] AS w1,
+           string_split(bigram, ' ')[2] AS w2
+    FROM bcnt
+),
+ctx AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n1f
+    FROM split GROUP BY w1
+),
+pred AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM split GROUP BY w2),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bcnt),
+probs AS (
+    SELECT s.bigram,
+           LN(GREATEST(CAST(s.c12 AS DOUBLE) - 0.75, 0.0)
+                / CAST(ctx.c1 AS DOUBLE)
+              + (0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                * (CAST(pred.n1b AS DOUBLE) / CAST(types.b AS DOUBLE))) AS lp
+    FROM split s
+    JOIN ctx ON ctx.w1 = s.w1
+    JOIN pred ON pred.w2 = s.w2
+    CROSS JOIN types
+),
+per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_kn_logprob
+    FROM bg JOIN probs USING (bigram)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_kn_logprob,
+       ROUND(EXP(-avg_kn_logprob), 6) AS ppl
+FROM per
+"""
+
+# Watermark depth audit (lock-step with lags.out_of_order_depth:
+# integer floor-division range buckets (// ↔ DIV, never float),
+# strictly-before prefix max per bucket + carry-in over the bounded
+# bucket-maxima table; exact integer depths; quantile_cont ↔ exact
+# percentile over late depths)
+_WATERMARK_DEPTH_SQL = f"""
+WITH e AS (
+    SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             + (({_H48.format(x="concat('wm', CAST(event_id AS VARCHAR))")})
+                % 3600) * 1000000 AS arr
+    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+b AS (SELECT CAST(MIN(arr) AS BIGINT) AS mn, CAST(MAX(arr) AS BIGINT) AS mx FROM e),
+bk AS (
+    SELECT arr, us, event_id AS tb,
+           CAST(((arr - mn) * 256) // (mx - mn + 1) AS BIGINT) AS bkt
+    FROM e, b
+),
+wb AS (
+    SELECT us, bkt,
+           COALESCE(CAST(MAX(us) OVER (
+               PARTITION BY bkt ORDER BY arr, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), {-(1 << 62)}) AS wbm
+    FROM bk
+),
+pb AS (SELECT bkt, CAST(MAX(us) AS BIGINT) AS bmax FROM bk GROUP BY bkt),
+cr AS (
+    SELECT bkt,
+           COALESCE(CAST(MAX(bmax) OVER (
+               ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), {-(1 << 62)}) AS carry_max
+    FROM pb
+),
+d AS (SELECT us, GREATEST(wbm, carry_max) AS prior_max FROM wb JOIN cr USING (bkt)),
+l AS (SELECT CASE WHEN prior_max > us THEN prior_max - us END AS late_us FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(late_us) AS BIGINT) AS n_late,
+       ROUND(CAST(COUNT(late_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS late_rate,
+       CAST(COALESCE(MAX(late_us), 0) AS BIGINT) AS max_late_us,
+       ROUND(COALESCE(quantile_cont(late_us, 0.5), 0.0) / 1000000.0, 6)
+           AS p50_late_s,
+       ROUND(COALESCE(quantile_cont(late_us, 0.95), 0.0) / 1000000.0, 6)
+           AS p95_late_s,
+       ROUND(COALESCE(quantile_cont(late_us, 0.99), 0.0) / 1000000.0, 6)
+           AS p99_late_s
+FROM l
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -12526,4 +12680,6 @@ def oracle_sql() -> dict[str, str]:
         "periodogram_daily": _PERIODOGRAM_SQL,
         "lsh_recall": _LSH_RECALL_SQL,
         "curriculum_order": _CURRICULUM_SQL,
+        "kn_bigram_logprob": _KN_BIGRAM_SQL,
+        "watermark_depth": _WATERMARK_DEPTH_SQL,
     }

@@ -446,3 +446,115 @@ def tool_retry_chains(conv: DataFrame) -> DataFrame:
             6,
         ).alias("retry_rate"),
     )
+
+
+def out_of_order_depth(
+    df: DataFrame,
+    arrival: "F.Column",
+    event_ts_us: "F.Column",
+    tiebreak: "F.Column",
+    n_buckets: int = 256,
+    quantiles: tuple = (0.5, 0.95, 0.99),
+    exact: bool = False,
+) -> DataFrame:
+    """Watermark-tuning audit: for every record, how far BEHIND the
+    running event-time high-water mark it arrives — ``depth_e =
+    max(event_ts among records arriving strictly before e) −
+    event_ts_e`` — summarized as the late-record rate and depth
+    quantiles. ``p99_late_us`` IS the watermark delay you'd configure
+    on the streaming gates (``withWatermark``): anything smaller
+    drops ~1% of records as too-late.
+
+    Distributed shape (the engine's bucketed prefix machine, same
+    device as the Spearman rank prefix-sums): arrivals are
+    RANGE-bucketed by exact integer floor-division (``DIV``/``//`` —
+    never float division, which loses integer precision past 2^53),
+    the strictly-before prefix max runs per bucket (parallel
+    windows), and cross-bucket carry-in is a running max over the
+    ≤``n_buckets``-row maxima table — NO global window over raw
+    records. One summary row out; quantiles over late depths use the
+    two-path percentile discipline (``exact=True`` for oracle
+    parity).
+    """
+    base = df.select(
+        arrival.cast("long").alias("arr"),
+        event_ts_us.cast("long").alias("us"),
+        tiebreak.cast("long").alias("tb"),
+    ).where(
+        F.col("arr").isNotNull() & F.col("us").isNotNull() & F.col("tb").isNotNull()
+    )
+    bounds = base.agg(
+        F.min("arr").cast("long").alias("mn"), F.max("arr").cast("long").alias("mx")
+    )
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        "arr",
+        "us",
+        "tb",
+        F.expr(
+            f"CAST(((arr - mn) * {int(n_buckets)}) DIV (mx - mn + 1) AS BIGINT)"
+        ).alias("bkt"),
+    ).persist()  # feeds both the per-bucket maxima and the depth pass
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("arr", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_inf = -(1 << 62)
+    per_bucket = bucketed.groupBy("bkt").agg(F.max("us").cast("long").alias("bmax"))
+    w_prev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket.select(
+        "bkt",
+        F.coalesce(F.max("bmax").over(w_prev), F.lit(neg_inf))
+        .cast("long")
+        .alias("carry_max"),
+    )
+    depths = (
+        bucketed.withColumn(
+            "wb", F.coalesce(F.max("us").over(w_in), F.lit(neg_inf)).cast("long")
+        )
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            "us",
+            F.greatest("wb", "carry_max").alias("prior_max"),
+        )
+        .select(
+            F.when(
+                F.col("prior_max") > F.col("us"), F.col("prior_max") - F.col("us")
+            ).alias("late_us")
+        )
+    )
+    qlit = "array(" + ", ".join(str(q) for q in quantiles) + ")"
+    if exact:
+        qagg = F.expr(f"percentile(late_us, {qlit})").alias("_qs")
+    else:
+        qagg = F.percentile_approx(
+            "late_us", list(quantiles), F.lit(10_000)
+        ).alias("_qs")
+    out = depths.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("late_us").cast("long").alias("n_late"),
+        F.coalesce(F.max("late_us"), F.lit(0)).cast("long").alias("max_late_us"),
+        qagg,
+    )
+    cols = [
+        "n_events",
+        "n_late",
+        F.round(
+            F.col("n_late").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("late_rate"),
+        "max_late_us",
+    ]
+    # quantiles are reported in SECONDS: interpolated percentiles of
+    # ~1e9-µs values differ across engines in the last ulp (~1e-7 µs),
+    # which round(6) at µs scale exposes; dividing by 1e6 first pushes
+    # that wobble to ~1e-13 s — far below the 6dp contract. max stays
+    # an exact integer in µs.
+    for i, q in enumerate(quantiles):
+        cols.append(
+            F.round(
+                F.coalesce(F.element_at("_qs", i + 1), F.lit(0.0))
+                / F.lit(1_000_000.0),
+                6,
+            ).alias(f"p{int(round(q * 100))}_late_s")
+        )
+    return out.select(*cols)

@@ -1493,3 +1493,89 @@ def source_tf_cosine(
             ).alias("cosine"),
         )
     )
+
+
+def kneser_ney_logprob_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_tables: bool = True,
+) -> DataFrame:
+    """Kneser–Ney-smoothed bigram-LM quality score → ``(doc_id,
+    n_bigrams, avg_kn_logprob, ppl)`` — the modern-smoothing upgrade
+    of :func:`bigram_logprob_score` (interpolated KN is the standard
+    n-gram LM used for CCNet-style perplexity filtering of
+    pretraining corpora — public method, Kneser & Ney 1995):
+
+        p(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1)·N1+(·w2)/B
+
+    where ``N1+(w1·)``/``N1+(·w2)`` are distinct continuation /
+    predecessor TYPE counts and ``B`` the total bigram types — the
+    continuation distribution that makes "Francisco" cheap only
+    after "San". Per-doc perplexity ``exp(−avg ln p)`` is the filter
+    statistic.
+
+    Shape: identical to the bigram-LM two-level pattern — all
+    smoothing tables (bigram counts, context counts, continuation
+    type counts) reduce from the exploded streams map-side and join
+    TABLE-side (vocab-bounded); the corpus-sized bigram stream
+    touches ONE probe against the finished log-prob table. Type
+    counts are exact integers by construction (they come from the
+    distinct-bigram table itself, no Expand).
+    """
+    d = float(discount)
+    norm = normalize_text(F.col(text_col))
+    bg = df.select(
+        F.col(id_col), F.explode(all_word_ngrams(norm, 2)).alias("bigram")
+    )
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12")).persist()
+    split = bcnt.select(
+        "bigram",
+        "c12",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    ctx = split.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),  # N1+(w1·): type fan-out
+    )
+    pred = split.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")  # N1+(·w2): predecessors
+    )
+    types = bcnt.agg(F.count(F.lit(1)).cast("long").alias("_B"))
+    probs = (
+        split.join(ctx, "w1")
+        .join(pred, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "bigram",
+            F.log(
+                F.greatest(
+                    F.col("c12").cast("double") - F.lit(d), F.lit(0.0)
+                )
+                / F.col("c1").cast("double")
+                + (F.lit(d) * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+                * (F.col("n1b").cast("double") / F.col("_B").cast("double"))
+            ).alias("_lp"),
+        )
+    )
+    probs_side = F.broadcast(probs) if broadcast_tables else probs
+    scored = (
+        bg.join(probs_side, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            # round BEFORE exp: ppl = exp(−avg) amplifies sub-6dp
+            # summation wobble by the ppl magnitude, so both engines
+            # exponentiate the identical 6dp average instead
+            F.round(F.avg("_lp"), 6).alias("avg_kn_logprob"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "avg_kn_logprob",
+        F.round(F.exp(-F.col("avg_kn_logprob")), 6).alias("ppl"),
+    )
