@@ -4220,6 +4220,32 @@ def _q_watermark_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_brown_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double exponential smoothing of the daily series (both
+    passes are the exact staircase-EWMA device): trend-aware level
+    s1/s2 + one-step forecast 2·s1−s2 and its relative error."""
+    from kkbox_churn_prediction_spark.operators.windows import brown_double_daily
+
+    return brown_double_daily(_conv(spark, sf_dir), halving_days=3)
+
+
+def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL surface (SURVEY S3): register the transcript view
+    and answer with ``spark.sql`` directly — weekly role mix. Proves
+    a reference user can keep writing plain SQL against the engine."""
+    _conv(spark, sf_dir).createOrReplaceTempView("conversations_v")
+    return spark.sql(
+        """
+        SELECT role,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+               COUNT(*) AS n_turns,
+               CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+        FROM conversations_v
+        GROUP BY role, wk
+        """
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4583,6 +4609,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 continuation: LM smoothing / event-time ops
         "kn_bigram_logprob": _q_kn_bigram_logprob,
         "watermark_depth": _q_watermark_depth,
+        # round-3 continuation: trend forecasting / raw-SQL surface
+        "brown_double_daily": _q_brown_double,
+        "sql_weekly_role_mix": _q_sql_interface,
     }
 
 
@@ -12420,6 +12449,92 @@ FROM l
 """
 
 
+# Brown double smoothing (lock-step with windows.brown_double_daily:
+# the ewma_daily staircase pair-join device applied TWICE — bit-shift
+# weights, day-ordered full-frame window sums; the second pass
+# consumes the first pass's fixed-shape double levels)
+_BROWN_DOUBLE_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY 1
+),
+days AS (
+    SELECT d, CAST(floor(epoch_us(d) / {86400 * 1_000_000}) AS BIGINT) AS dn,
+           n_turns
+    FROM daily
+),
+p1 AS (
+    SELECT a.d, a.dn, a.n_turns, b.dn AS dni,
+           CASE WHEN CAST(floor((a.dn - b.dn) / 3) AS INTEGER) <= 62
+                THEN 1.0 / CAST(CAST(1 AS BIGINT)
+                                << CAST(floor((a.dn - b.dn) / 3) AS INTEGER)
+                           AS DOUBLE)
+                ELSE 0.0 END AS w,
+           CAST(b.n_turns AS DOUBLE) AS xi
+    FROM days a JOIN days b ON b.dn <= a.dn
+),
+s1t AS (
+    SELECT d, dn, n_turns, MAX(num) AS num, MAX(den) AS den FROM (
+        SELECT d, dn, n_turns,
+               SUM(w * xi) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS num,
+               SUM(w) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS den
+        FROM p1
+    ) GROUP BY d, dn, n_turns
+),
+s1 AS (SELECT d, dn, n_turns, num / den AS s1 FROM s1t),
+p2 AS (
+    SELECT a.d, a.dn, a.n_turns, a.s1, b.dn AS dni,
+           CASE WHEN CAST(floor((a.dn - b.dn) / 3) AS INTEGER) <= 62
+                THEN 1.0 / CAST(CAST(1 AS BIGINT)
+                                << CAST(floor((a.dn - b.dn) / 3) AS INTEGER)
+                           AS DOUBLE)
+                ELSE 0.0 END AS w,
+           b.s1 AS xi
+    FROM s1 a JOIN s1 b ON b.dn <= a.dn
+),
+s2t AS (
+    SELECT d, dn, n_turns, s1, MAX(num) AS num, MAX(den) AS den FROM (
+        SELECT d, dn, n_turns, s1,
+               SUM(w * xi) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS num,
+               SUM(w) OVER (PARTITION BY dn ORDER BY dni
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS den
+        FROM p2
+    ) GROUP BY d, dn, n_turns, s1
+),
+s2 AS (SELECT d, dn, n_turns, s1, num / den AS s2 FROM s2t),
+fc AS (
+    SELECT d, dn, n_turns, s1, s2,
+           2.0 * lag(s1) OVER (ORDER BY dn) - lag(s2) OVER (ORDER BY dn) AS f
+    FROM s2
+)
+SELECT d, n_turns,
+       ROUND(s1, 6) AS s1,
+       ROUND(s2, 6) AS s2,
+       ROUND(COALESCE(f, -1.0), 6) AS forecast,
+       ROUND(COALESCE(CASE WHEN f IS NOT NULL AND f <> 0
+                           THEN (CAST(n_turns AS DOUBLE) - f) / f END, 0.0), 6)
+           AS forecast_err
+FROM fc
+"""
+
+# Raw-SQL surface demo (S3): the engine-side query IS spark.sql text —
+# the oracle is the same statement over the conversations CTE
+_SQL_WEEKLY_ROLE_MIX = f"""
+WITH {_CONV_CTE}
+SELECT role,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM conversations
+GROUP BY role, wk
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -12682,4 +12797,6 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": _CURRICULUM_SQL,
         "kn_bigram_logprob": _KN_BIGRAM_SQL,
         "watermark_depth": _WATERMARK_DEPTH_SQL,
+        "brown_double_daily": _BROWN_DOUBLE_SQL,
+        "sql_weekly_role_mix": _SQL_WEEKLY_ROLE_MIX,
     }

@@ -1080,3 +1080,80 @@ def periodogram_daily(
             F.row_number().over(w_rank).cast("int").alias("rank"),
         )
     )
+
+
+def _staircase_smooth(
+    days: DataFrame, dn_col: str, val_col: str, halving: int, out_col: str
+) -> DataFrame:
+    """Apply the exact staircase-EWMA (the ``ewma_daily`` device:
+    ``w = 1/2^floor(Δ/h)`` bit-shift weights, day-ordered full-frame
+    window sums) to ANY bounded ``(dn, value)`` series — value may be
+    double (the second smoothing pass runs on the first pass's
+    levels). Preserves every input column and appends ``out_col``."""
+    past = days.select(
+        F.col(dn_col).alias("_dni"), F.col(val_col).alias("_xi")
+    )
+    pairs = days.join(past, F.col("_dni") <= F.col(dn_col)).withColumn(
+        "_k", F.floor((F.col(dn_col) - F.col("_dni")) / F.lit(int(halving))).cast("int")
+    )
+    wgt = F.when(
+        F.col("_k") <= 62,
+        F.lit(1.0) / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _k) AS DOUBLE)"),
+    ).otherwise(F.lit(0.0))
+    w_ord = (
+        Window.partitionBy(dn_col)
+        .orderBy("_dni")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    keep = [c for c in days.columns]
+    summed = pairs.select(
+        *keep,
+        F.sum(wgt * F.col("_xi").cast("double")).over(w_ord).alias("_num"),
+        F.sum(wgt).over(w_ord).alias("_den"),
+    ).groupBy(*keep).agg(F.max("_num").alias("_num"), F.max("_den").alias("_den"))
+    return summed.select(*keep, (F.col("_num") / F.col("_den")).alias(out_col))
+
+
+def brown_double_daily(
+    turns: DataFrame, halving_days: int = 3
+) -> DataFrame:
+    """Brown's double exponential smoothing of the daily turn count —
+    the TREND-aware forecaster completing the family (ewma_daily
+    tracks level only, so it lags any ramp; seasonal_naive handles
+    weekly shape): smooth the series (s1), smooth the smoothed
+    series (s2), and forecast ``ŷ_{t} = 2·s1_{t−1} − s2_{t−1}`` —
+    the double-smoothing estimate of level+slope one step out.
+
+    Determinism: BOTH passes are the exact staircase-EWMA device
+    (bit-shift weights, day-ordered full-frame window sums); the
+    second pass consumes the first pass's fixed-shape double levels,
+    so the float trajectory is pinned end to end (no libm pow
+    anywhere). The whole computation after the one corpus day-agg
+    runs on the calendar-bounded daily series.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    days = daily.select(
+        "d",
+        F.floor(F.unix_micros(F.col("d")) / F.lit(86400 * 1_000_000)).alias("_dn"),
+        "n_turns",
+    ).persist()
+    s1 = _staircase_smooth(days, "_dn", "n_turns", halving_days, "s1")
+    s2 = _staircase_smooth(s1, "_dn", "s1", halving_days, "s2")
+    w_prev = Window.orderBy("_dn")
+    fc = (
+        F.lit(2.0) * F.lag("s1").over(w_prev) - F.lag("s2").over(w_prev)
+    )
+    err = F.when(
+        fc.isNotNull() & (fc != 0),
+        (F.col("n_turns").cast("double") - fc) / fc,
+    )
+    return s2.select(
+        "d",
+        "n_turns",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round(F.coalesce(fc, F.lit(-1.0)), 6).alias("forecast"),
+        F.round(F.coalesce(err, F.lit(0.0)), 6).alias("forecast_err"),
+    )
