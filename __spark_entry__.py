@@ -4246,6 +4246,17 @@ def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed DBSCAN over embeddings: cores at ≥3 neighbors
+    with cosine ≥ 0.35, clusters = components of the core graph,
+    deterministic min-component border assignment, noise = −1."""
+    from kkbox_churn_prediction_spark.operators.components import lsh_dbscan
+
+    return lsh_dbscan(
+        _embs(spark, sf_dir), threshold=0.35, min_pts=3, bucket_bits=4
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4612,6 +4623,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 continuation: trend forecasting / raw-SQL surface
         "brown_double_daily": _q_brown_double,
         "sql_weekly_role_mix": _q_sql_interface,
+        # round-3 continuation: density clustering
+        "lsh_dbscan": _q_lsh_dbscan,
     }
 
 
@@ -12535,6 +12548,67 @@ GROUP BY role, wk
 """
 
 
+# LSH-DBSCAN (lock-step with components.lsh_dbscan: the
+# neardup_embedding pair oracle feeds degrees/cores; recursive-CTE
+# transitive closure on the core-core graph; deterministic
+# min-component border assignment; noise −1 over the full corpus)
+_LSH_DBSCAN_SQL = f"""
+WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM ({_NEARDUP_EMB_SQL})),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM prs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM prs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_nb FROM sym GROUP BY u),
+core AS (SELECT u AS node FROM deg WHERE n_nb >= 2),
+core_edges AS (
+    SELECT p.doc_a AS u, p.doc_b AS v
+    FROM prs p
+    JOIN core c1 ON c1.node = p.doc_a
+    JOIN core c2 ON c2.node = p.doc_b
+),
+cedges AS (
+    SELECT u, v FROM core_edges UNION SELECT v, u FROM core_edges
+),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN cedges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+core_comp AS (
+    SELECT c.node, COALESCE(k.component, c.node) AS component
+    FROM core c LEFT JOIN comp k ON k.node = c.node
+),
+border AS (
+    SELECT s.u AS node, MIN(cc.component) AS component
+    FROM sym s
+    JOIN core_comp cc ON cc.node = s.v
+    LEFT JOIN core k ON k.node = s.u
+    WHERE k.node IS NULL
+    GROUP BY s.u
+),
+lab AS (
+    SELECT b.vec_id,
+           CAST(COALESCE(cc.component, bd.component, -1) AS BIGINT) AS cluster,
+           CAST(CASE WHEN cc.node IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_core,
+           CAST(COALESCE(d.n_nb, 0) AS BIGINT) AS n_neighbors
+    FROM (SELECT vec_id FROM embeddings) b
+    LEFT JOIN core_comp cc ON cc.node = b.vec_id
+    LEFT JOIN border bd ON bd.node = b.vec_id
+    LEFT JOIN deg d ON d.u = b.vec_id
+),
+sizes AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM lab WHERE cluster <> -1 GROUP BY cluster
+)
+SELECT l.vec_id, l.cluster, l.is_core, l.n_neighbors,
+       CAST(COALESCE(s.cluster_size, 0) AS BIGINT) AS cluster_size
+FROM lab l LEFT JOIN sizes s USING (cluster)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -12799,4 +12873,5 @@ def oracle_sql() -> dict[str, str]:
         "watermark_depth": _WATERMARK_DEPTH_SQL,
         "brown_double_daily": _BROWN_DOUBLE_SQL,
         "sql_weekly_role_mix": _SQL_WEEKLY_ROLE_MIX,
+        "lsh_dbscan": _LSH_DBSCAN_SQL,
     }

@@ -454,3 +454,108 @@ def effective_sample_size(weighted_docs: DataFrame) -> DataFrame:
             F.col("n_docs").cast("double") - ess, 6
         ).alias("redundant_mass"),
     )
+
+
+def lsh_dbscan(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    min_pts: int = 3,
+    bucket_bits: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Density-based clustering of embeddings (DBSCAN semantics with
+    an LSH-bucketed ε-neighborhood): core points have ≥ ``min_pts``
+    neighbors at cosine ≥ ``threshold`` (the point itself counted),
+    clusters are connected components of the core-core graph, border
+    points attach to the MINIMUM component id among their core
+    neighbors (the deterministic stand-in for DBSCAN's order-dependent
+    first-found assignment), everything else is noise (cluster −1).
+    The clustering companion k-means can't be: no k, arbitrary
+    shapes, explicit noise — the right tool for dup-blob discovery
+    in embedding space.
+
+    Scale shape: ε-neighbor pairs come from the sign-LSH bucket join
+    (``dedup.embedding_cosine_pairs`` — never all-pairs; recall is
+    measured by the `lsh_recall`-style eval family), degrees and
+    border assignment are one hash agg each, and the component pass
+    is the engine's hash-min label propagation with localCheckpoint
+    lineage truncation. With bucketing the neighborhood graph is
+    approximate-recall: a cluster split across buckets can fragment —
+    the documented trade, tunable via ``bucket_bits``.
+
+    Output: ``(vec_id, cluster, is_core, n_neighbors, cluster_size)``
+    over the FULL input (noise rows carry cluster −1, size 0).
+    """
+    from kkbox_churn_prediction_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    pairs = (
+        embedding_cosine_pairs(emb, vec_col, threshold, id_col, bucket_bits)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
+    core = (
+        deg.where(F.col("n_nb") >= int(min_pts) - 1)
+        .select(F.col("u").alias("node"))
+        .persist()
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("node").alias("doc_a")), "doc_a")
+        .join(core.select(F.col("node").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(core_edges, max_iter=max_iter).select(
+        "node", "component"
+    )
+    core_comp = core.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    border = (
+        sym.join(
+            core_comp.select(
+                F.col("node").alias("v"), F.col("component").alias("_c")
+            ),
+            "v",
+        )
+        .join(core.select(F.col("node").alias("u")), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("_c").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+    base = emb.select(F.col(id_col).alias("node"))
+    lab = (
+        base.join(
+            core_comp.select("node", F.col("component").alias("_cc")), "node", "left"
+        )
+        .join(border.select("node", F.col("component").alias("_cb")), "node", "left")
+        .join(deg.select(F.col("u").alias("node"), "n_nb"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("_cc"), F.col("_cb"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+            F.when(F.col("_cc").isNotNull(), 1).otherwise(0).cast("int").alias(
+                "is_core"
+            ),
+            F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
+    sizes = (
+        lab.where(F.col("cluster") != -1)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return lab.join(sizes, "cluster", "left").select(
+        id_col,
+        "cluster",
+        "is_core",
+        "n_neighbors",
+        F.coalesce("cluster_size", F.lit(0)).cast("long").alias("cluster_size"),
+    )
