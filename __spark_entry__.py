@@ -4257,6 +4257,75 @@ def _q_lsh_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    over the 14-day survival labels (km_curve's additive sibling)."""
+    from kkbox_churn_prediction_spark.operators.survival import (
+        nelson_aalen,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return nelson_aalen(
+        survival_labels(
+            _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+        )
+    )
+
+
+def _q_rdd_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at turn_idx = 30 (bandwidth 20):
+    local linear fit of text length on each side, jump at the cutoff.
+    One conditional hash agg; exact integer sufficient statistics."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import (
+        regression_discontinuity,
+    )
+
+    return regression_discontinuity(
+        _conv(spark, sf_dir).withColumn(
+            "_y", F.expr("CAST(length(text) AS BIGINT)")
+        ),
+        running_col="turn_idx",
+        outcome_col="_y",
+        cutoff=30.0,
+        bandwidth=20.0,
+    )
+
+
+def _q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role freshness audit of the transcript stream: lag behind
+    the global high-water mark, trailing-7-day volume, stale flag.
+    Single scan (day-bucketed), windows on the post-agg frame."""
+    from kkbox_churn_prediction_spark.operators.profile import freshness_audit
+
+    return freshness_audit(
+        _conv(spark, sf_dir), group_col="role", recent_days=7, stale_hours=24
+    )
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over (day, role) transcript shards: bytes-desc
+    running-sum bin packing into ~1 KiB buckets (plan-only analog of
+    Iceberg rewrite_data_files), window on the shard profile only."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.layout import compaction_plan
+
+    shards = (
+        _conv(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("role"),
+        )
+        .agg(F.sum(F.expr("CAST(length(text) AS BIGINT)")).alias("bytes"))
+    )
+    return compaction_plan(
+        shards, key_cols=["day", "role"], bytes_col="bytes", target_bytes=1024
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4625,6 +4694,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_weekly_role_mix": _q_sql_interface,
         # round-3 continuation: density clustering
         "lsh_dbscan": _q_lsh_dbscan,
+        # round-3 continuation: hazard curve, RDD, ops audits
+        "nelson_aalen": _q_nelson_aalen,
+        "rdd_turns": _q_rdd_turns,
+        "freshness_audit": _q_freshness_audit,
+        "compaction_plan": _q_compaction_plan,
     }
 
 
@@ -12609,6 +12683,164 @@ FROM lab l LEFT JOIN sizes s USING (cluster)
 """
 
 
+# Nelson-Aalen cumulative hazard (lock-step with
+# operators/survival.py::nelson_aalen — km's per_t/n_risk core, then
+# ordered running sums of d/n and d/n², FH survival = exp(-H))
+_NELSON_AALEN_SQL = f"""
+WITH {_SURVIVAL_CORE},
+per_t AS (
+    SELECT duration_days AS t, COUNT(*) AS n_leaving, SUM(observed) AS n_event
+    FROM labels GROUP BY duration_days
+),
+curve AS (
+    SELECT t, n_event,
+           SUM(n_leaving) OVER ()
+             - COALESCE(SUM(n_leaving) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM per_t
+),
+run AS (
+    SELECT t, n_risk, n_event,
+           SUM(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+           SUM(CAST(n_event AS DOUBLE)
+               / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hv
+    FROM curve
+)
+SELECT CAST(t AS INTEGER) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_event AS BIGINT) AS n_event,
+       ROUND(h, 6) AS cum_hazard,
+       ROUND(hv, 6) AS hazard_var,
+       ROUND(EXP(-h), 6) AS fh_survival
+FROM run
+"""
+
+# Sharp RDD at turn_idx=30, bandwidth 20 (lock-step with
+# operators/abtest.py::regression_discontinuity: per-side OLS
+# sufficient statistics in ONE conditional agg — x, y, and their
+# products are integer-valued so the double sums are exact and
+# order-free — then identical closed-form intercept/slope algebra)
+_RDD_TURNS_SQL = f"""
+WITH {_CONV_CTE},
+pts AS (
+    SELECT CAST(turn_idx AS DOUBLE) - 30.0 AS x,
+           CAST(length(text) AS DOUBLE) AS y,
+           turn_idx >= 30 AS r
+    FROM conversations
+    WHERE ABS(CAST(turn_idx AS DOUBLE) - 30.0) <= 20.0
+),
+s AS (
+    SELECT
+        CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        SUM(CASE WHEN r THEN x ELSE 0.0 END) AS sx_r,
+        SUM(CASE WHEN r THEN y ELSE 0.0 END) AS sy_r,
+        SUM(CASE WHEN r THEN x * y ELSE 0.0 END) AS sxy_r,
+        SUM(CASE WHEN r THEN x * x ELSE 0.0 END) AS sxx_r,
+        CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        SUM(CASE WHEN NOT r THEN x ELSE 0.0 END) AS sx_l,
+        SUM(CASE WHEN NOT r THEN y ELSE 0.0 END) AS sy_l,
+        SUM(CASE WHEN NOT r THEN x * y ELSE 0.0 END) AS sxy_l,
+        SUM(CASE WHEN NOT r THEN x * x ELSE 0.0 END) AS sxx_l
+    FROM pts
+),
+fit AS (
+    SELECT n_l, n_r,
+        CASE WHEN CAST(n_l AS DOUBLE) * sxx_l - sx_l * sx_l <> 0
+             THEN (CAST(n_l AS DOUBLE) * sxy_l - sx_l * sy_l)
+                  / (CAST(n_l AS DOUBLE) * sxx_l - sx_l * sx_l)
+             ELSE 0.0 END AS b1_l,
+        CASE WHEN CAST(n_r AS DOUBLE) * sxx_r - sx_r * sx_r <> 0
+             THEN (CAST(n_r AS DOUBLE) * sxy_r - sx_r * sy_r)
+                  / (CAST(n_r AS DOUBLE) * sxx_r - sx_r * sx_r)
+             ELSE 0.0 END AS b1_r,
+        sx_l, sy_l, sx_r, sy_r
+    FROM s
+),
+ab AS (
+    SELECT n_l, n_r, b1_l, b1_r,
+        CASE WHEN n_l > 0 THEN (sy_l - b1_l * sx_l) / CAST(n_l AS DOUBLE)
+             ELSE 0.0 END AS b0_l,
+        CASE WHEN n_r > 0 THEN (sy_r - b1_r * sx_r) / CAST(n_r AS DOUBLE)
+             ELSE 0.0 END AS b0_r
+    FROM fit
+)
+SELECT n_l, n_r,
+       ROUND(b0_l, 6) AS intercept_left,
+       ROUND(b1_l, 6) AS slope_left,
+       ROUND(b0_r, 6) AS intercept_right,
+       ROUND(b1_r, 6) AS slope_right,
+       ROUND(b0_r - b0_l, 6) AS rd_effect
+FROM ab
+"""
+
+# Per-role freshness audit (lock-step with
+# operators/profile.py::freshness_audit: day-bucketed single scan,
+# global high-water marks, trailing-7-CALENDAR-day recent volume,
+# stale = lag > 24h; micros arithmetic exact)
+_FRESHNESS_AUDIT_SQL = f"""
+WITH {_CONV_CTE},
+per_day AS (
+    SELECT role, date_trunc('day', ts) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n, MAX(epoch_us(ts)) AS mx
+    FROM conversations GROUP BY role, date_trunc('day', ts)
+),
+per AS (
+    SELECT role, CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(mx) AS max_us, MAX(d) AS max_day
+    FROM per_day GROUP BY role
+),
+g AS (
+    SELECT role, n_rows, max_us, max_day,
+           MAX(max_us) OVER () AS gmax_us,
+           MAX(max_day) OVER () AS gmax_day
+    FROM per
+),
+recent AS (
+    SELECT pd.role, CAST(SUM(pd.n) AS BIGINT) AS rows_recent
+    FROM per_day pd, (SELECT MAX(d) AS gday FROM per_day) gg
+    WHERE pd.d >= gg.gday - INTERVAL 6 DAY AND pd.d <= gg.gday
+    GROUP BY pd.role
+)
+SELECT g.role, g.n_rows,
+       make_timestamp(g.max_us) AS max_ts,
+       ROUND(CAST(g.gmax_us - g.max_us AS DOUBLE) / 3600000000.0, 6) AS lag_hours,
+       CAST(COALESCE(r.rows_recent, 0) AS BIGINT) AS rows_recent,
+       CAST(CASE WHEN CAST(g.gmax_us - g.max_us AS DOUBLE) / 3600000000.0 > 24.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_stale
+FROM g LEFT JOIN recent r USING (role)
+"""
+
+# Compaction plan over (day, role) shards (lock-step with
+# operators/layout.py::compaction_plan: bytes-desc/key-asc total
+# order, bucket = floor(bytes-before / 1024), per-bucket rollup)
+_COMPACTION_PLAN_SQL = f"""
+WITH {_CONV_CTE},
+shards AS (
+    SELECT date_trunc('day', ts) AS day, role,
+           CAST(SUM(length(text)) AS BIGINT) AS bytes
+    FROM conversations GROUP BY date_trunc('day', ts), role
+),
+planned AS (
+    SELECT day, role, bytes,
+        CAST(FLOOR(CAST(COALESCE(SUM(bytes) OVER
+            (ORDER BY bytes DESC, day ASC, role ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / 1024.0) AS BIGINT) AS bucket
+    FROM shards
+),
+per_bucket AS (
+    SELECT bucket, CAST(SUM(bytes) AS BIGINT) AS bucket_bytes,
+           CAST(COUNT(*) AS BIGINT) AS bucket_files
+    FROM planned GROUP BY bucket
+)
+SELECT p.day, p.role, p.bytes, p.bucket, b.bucket_bytes, b.bucket_files
+FROM planned p JOIN per_bucket b USING (bucket)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -12874,4 +13106,8 @@ def oracle_sql() -> dict[str, str]:
         "brown_double_daily": _BROWN_DOUBLE_SQL,
         "sql_weekly_role_mix": _SQL_WEEKLY_ROLE_MIX,
         "lsh_dbscan": _LSH_DBSCAN_SQL,
+        "nelson_aalen": _NELSON_AALEN_SQL,
+        "rdd_turns": _RDD_TURNS_SQL,
+        "freshness_audit": _FRESHNESS_AUDIT_SQL,
+        "compaction_plan": _COMPACTION_PLAN_SQL,
     }

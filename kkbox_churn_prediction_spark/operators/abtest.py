@@ -1081,3 +1081,75 @@ def msprt_always_valid(
         F.round("log_lambda", 6).alias("log_lambda"),
         F.round(p, 6).alias("p_always_valid"),
     )
+
+
+def regression_discontinuity(
+    rows: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: fit a separate local
+    linear regression of ``outcome_col`` on the centered running
+    variable within ``bandwidth`` on each side of ``cutoff`` and
+    report the jump between the two fitted intercepts at the cutoff —
+    the standard quasi-experimental design when treatment switches on
+    deterministically at a threshold (reference backtest framing
+    ``src/backtest.py:309-313`` gives the temporal analog; RDD is its
+    cross-sectional sibling for threshold-assigned treatments such as
+    "long conversations get escalated").
+
+    Side convention: rows with ``running >= cutoff`` are the treated
+    (right) side, ``running < cutoff`` the control (left); rows
+    outside ``|running - cutoff| <= bandwidth`` are discarded.
+
+    Determinism/scale shape: the whole estimate is ONE conditional
+    hash aggregate producing the per-side OLS sufficient statistics
+    (N, Σx, Σy, Σxy, Σx²) and closed-form intercept/slope algebra on
+    the single result row — no iteration, no window, no second pass.
+    When running and outcome are integers the sums are exact
+    (BIGINT), so both engines derive the floats through an identical
+    expression tree and round(6) is safe.
+    """
+    x = (F.col(running_col).cast("double") - F.lit(float(cutoff))).alias("x")
+    y = F.col(outcome_col).cast("double")
+    side = rows.where(
+        F.abs(F.col(running_col).cast("double") - F.lit(float(cutoff)))
+        <= F.lit(float(bandwidth))
+    ).select(x, y.alias("y"), (F.col(running_col) >= F.lit(cutoff)).alias("_r"))
+
+    def _stats(flag: Column, tag: str) -> list[Column]:
+        z = lambda c: F.sum(F.when(flag, c).otherwise(F.lit(0.0)))
+        return [
+            F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"n_{tag}"),
+            z(F.col("x")).alias(f"sx_{tag}"),
+            z(F.col("y")).alias(f"sy_{tag}"),
+            z(F.col("x") * F.col("y")).alias(f"sxy_{tag}"),
+            z(F.col("x") * F.col("x")).alias(f"sxx_{tag}"),
+        ]
+
+    one = side.agg(*_stats(F.col("_r"), "r"), *_stats(~F.col("_r"), "l"))
+
+    def _fit(tag: str) -> tuple[Column, Column]:
+        n = F.col(f"n_{tag}").cast("double")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxy, sxx = F.col(f"sxy_{tag}"), F.col(f"sxx_{tag}")
+        det = n * sxx - sx * sx
+        slope = F.when(det != 0, (n * sxy - sx * sy) / det).otherwise(F.lit(0.0))
+        intercept = F.when(
+            F.col(f"n_{tag}") > 0, (sy - slope * sx) / n
+        ).otherwise(F.lit(0.0))
+        return intercept, slope
+
+    b0r, b1r = _fit("r")
+    b0l, b1l = _fit("l")
+    return one.select(
+        F.col("n_l"),
+        F.col("n_r"),
+        F.round(b0l, 6).alias("intercept_left"),
+        F.round(b1l, 6).alias("slope_left"),
+        F.round(b0r, 6).alias("intercept_right"),
+        F.round(b1r, 6).alias("slope_right"),
+        F.round(b0r - b0l, 6).alias("rd_effect"),
+    )

@@ -21,7 +21,7 @@ layout itself requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # spread-bits constants for 16 -> 32 bit dilation (classic Morton)
@@ -66,3 +66,49 @@ def zorder_layout(
         else out.repartitionByRange("zval")
     )
     return parted.sortWithinPartitions("zval")
+
+
+def compaction_plan(
+    shards: DataFrame,
+    key_cols: list[str],
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction plan: assign each shard (file/partition) to
+    an output bucket so each bucket totals ≈ ``target_bytes`` — the
+    maintenance pass every incrementally-written Iceberg transcript
+    table needs (thousands of per-commit files → 128 MB scan-sized
+    objects; this is ``rewrite_data_files`` expressed as plan-only
+    Spark algebra).
+
+    Deterministic packing rule (both engines can replay it): shards
+    sort by (bytes DESC, keys ASC); bucket = floor(running-bytes-
+    before-this-shard / target). Unlike greedy first-fit this is
+    order-stable and a single window pass; the trade is a bucket can
+    overflow by at most one shard — the standard streaming bin-pack
+    bound, fine for compaction where "≈target" is the goal.
+
+    Scale shape: the input is the per-shard PROFILE (one row per
+    file — millions of rows at most, post-``shard_profile`` agg), so
+    the single global-ordered window runs on the tiny frame, never on
+    the data itself. Output adds ``bucket``, per-bucket ``bucket_bytes``
+    and ``bucket_files`` so the rewrite job is directly schedulable.
+    """
+    order = [F.col(bytes_col).desc(), *[F.col(k).asc() for k in key_cols]]
+    w_prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    b = F.col(bytes_col).cast("long")
+    before = F.coalesce(F.sum(b).over(w_prev), F.lit(0).cast("long"))
+    planned = shards.select(
+        *key_cols,
+        b.alias("bytes"),
+        F.floor(before.cast("double") / F.lit(float(int(target_bytes))))
+        .cast("long")
+        .alias("bucket"),
+    )
+    per_bucket = planned.groupBy("bucket").agg(
+        F.sum("bytes").cast("long").alias("bucket_bytes"),
+        F.count(F.lit(1)).cast("long").alias("bucket_files"),
+    )
+    return planned.join(F.broadcast(per_bucket), "bucket").select(
+        *key_cols, "bytes", "bucket", "bucket_bytes", "bucket_files"
+    )

@@ -25,7 +25,7 @@ Distributed shape (two passes, NO Expand):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -335,4 +335,80 @@ def schema_drift_report(
         F.round(r_e - r_l, 6).alias("null_rate_delta"),
         "ndv_early",
         "ndv_late",
+    )
+
+
+def freshness_audit(
+    rows: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    recent_days: int = 7,
+    stale_hours: int = 24,
+) -> DataFrame:
+    """Per-group data-freshness audit: how far each group's newest
+    row lags the table's global high-water mark, plus trailing-window
+    volume — the first operational check on an incrementally-loaded
+    transcript/feature table (a stale source silently truncates every
+    as-of feature built on it, the failure mode the reference's
+    cutoff logic assumes away; cf. ``src/etl.py`` load ordering).
+
+    Output per group: ``n_rows``, ``max_ts``, ``lag_hours`` behind
+    the global max (exact integer-microsecond arithmetic, hours at
+    6dp), ``rows_recent`` = rows on the trailing ``recent_days``
+    CALENDAR days ending at the global max's day (day-bucketed so the
+    count rides the same single scan), and ``is_stale`` = lag_hours
+    > ``stale_hours``.
+
+    Scale shape: ONE scan — a hash aggregate to per-(group, day)
+    counts + max-micros (tiny post-agg frame: groups × active days),
+    then per-group rollup and the global high-water mark via windows
+    over that frame. No per-row second pass, no join.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    per_day = rows.groupBy(F.col(group_col), day.alias("_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max(us).alias("_mx"),
+    )
+    per = per_day.groupBy(group_col).agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.max("_mx").alias("_max_us"),
+        F.max(F.col("_day")).alias("_max_day"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_day"), F.col("_n")))
+        ).alias("_by_day"),
+    )
+    total = Window.partitionBy()
+    gmax_us = F.max("_max_us").over(total)
+    gmax_day = F.max("_max_day").over(total)
+    staged = per.select(
+        group_col,
+        "n_rows",
+        "_max_us",
+        "_by_day",
+        gmax_us.alias("_gmax_us"),
+        gmax_day.alias("_gmax_day"),
+    )
+    lo = F.col("_gmax_day") - F.expr(f"INTERVAL {int(recent_days) - 1} DAYS")
+    recent = F.aggregate(
+        F.filter(
+            F.map_entries(F.col("_by_day")),
+            lambda e: (e["key"] >= lo) & (e["key"] <= F.col("_gmax_day")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["value"],
+    )
+    lag_hours = (
+        (F.col("_gmax_us") - F.col("_max_us")).cast("double")
+        / F.lit(3_600_000_000.0)
+    )
+    return staged.select(
+        group_col,
+        "n_rows",
+        F.timestamp_micros(F.col("_max_us")).alias("max_ts"),
+        F.round(lag_hours, 6).alias("lag_hours"),
+        recent.alias("rows_recent"),
+        F.when(
+            lag_hours > F.lit(float(stale_hours)), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("is_stale"),
     )

@@ -102,6 +102,50 @@ def km_curve(labels: DataFrame) -> DataFrame:
     )
 
 
+def nelson_aalen(labels: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate over ``(duration_days,
+    observed)`` survival labels — the additive companion to
+    :func:`km_curve` (reference churn horizon logic
+    ``src/labels.py:111-146``; NA is the standard hazard-scale view
+    of the same retention process, and the input to Cox-style
+    diagnostics).
+
+    Per distinct duration t (ascending): ``H(t) = Σ_{i≤t} d_i/n_i``
+    with the Poisson-approximation variance ``Σ d_i/n_i²``, plus the
+    Fleming-Harrington survival ``exp(-H(t))`` (the small-sample
+    alternative to the KM product limit).
+
+    Scale/determinism shape is km_curve's exactly: one partial+final
+    hash agg collapses the labels to ≤horizon distinct durations;
+    every running sum is a window over that TINY time-ORDERED frame,
+    so float summation order is pinned and the curve costs the same
+    at 10^12 turns as at 10^4.
+    """
+    per_t = labels.groupBy(F.col("duration_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("observed").alias("n_event"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    n_risk = (
+        F.sum("n_leaving").over(total)
+        - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+    ).alias("n_risk")
+    curve = per_t.select("t", "n_event", n_risk)
+    d = F.col("n_event").cast("double")
+    n = F.col("n_risk").cast("double")
+    h = F.sum(d / n).over(w_run)
+    return curve.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round(h, 6).alias("cum_hazard"),
+        F.round(F.sum(d / (n * n)).over(w_run), 6).alias("hazard_var"),
+        F.round(F.exp(-h), 6).alias("fh_survival"),
+    )
+
+
 def logrank_test(
     labels: DataFrame,
     group_col: str = "cohort",
