@@ -4326,6 +4326,68 @@ def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca_power_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenpair of the embedding covariance by DISTRIBUTED
+    fixed-point power iteration (24 exact integer mat-vec steps on
+    the (i,j,cov) frame) — the scale path pca_project's driver-side
+    eigh can't take."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from kkbox_churn_prediction_spark.operators.spectral import (
+        power_iteration_top_eigen,
+    )
+
+    return power_iteration_top_eigen(
+        embedding_covariance(_embs(spark, sf_dir)), n_iter=24
+    )
+
+
+def _q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (k=5) on the cosine kNN graph — density-
+    relative outliers, LOF ≈ 1 in-cluster, ≫ 1 for sparse points."""
+    from kkbox_churn_prediction_spark.operators.similarity import lof_scores
+
+    return lof_scores(_embs(spark, sf_dir), k=5)
+
+
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule rollup per media: every-30th-frame
+    plan over the fake-decode n_frames (explode + hash agg; the
+    decode is the documented stub)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.multimodal import (
+        attach_media,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    media = attach_media(_docs(spark, sf_dir))
+    feats = extract_media_features(media).select("media_id", "n_frames")
+    plan = (
+        frame_sample_plan(media, every_n=30)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.max("frame_no").cast("int").alias("last_frame"),
+        )
+    )
+    return feats.join(plan, "media_id").select(
+        "media_id", "n_frames", "n_sampled", "last_frame"
+    )
+
+
+def _q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs under (length-bucket, first-token)
+    blocking; banded thresholded DP JVM-side, dist ≤ 20."""
+    from kkbox_churn_prediction_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(spark, sf_dir), max_dist=20, length_bucket=16
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4699,6 +4761,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdd_turns": _q_rdd_turns,
         "freshness_audit": _q_freshness_audit,
         "compaction_plan": _q_compaction_plan,
+        # round-3 continuation: spectral / density / media / chars
+        "pca_power_eigen": _q_pca_power_eigen,
+        "lof_outliers": _q_lof_outliers,
+        "video_frame_sample": _q_video_frame_sample,
+        "editdist_pairs": _q_editdist_pairs,
     }
 
 
@@ -12841,6 +12908,141 @@ FROM planned p JOIN per_bucket b USING (bucket)
 """
 
 
+def _power_iter_oracle(n_iter: int = 24) -> str:
+    """Unrolled fixed-point power iteration (lock-step with
+    operators/spectral.py::power_iteration_top_eigen): covariance
+    quantized to 1e-6 BIGINT units, vector to 1e-9 units, exact
+    integer mat-vec (HUGEINT squared-norm ↔ Spark decimal(38,0)),
+    one sqrt + one IEEE division per step — the chained-CTE device
+    of _platt_oracle, here to a bit-exact fixed point."""
+    ctes = ["""ev AS MATERIALIZED (
+    SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+    FROM (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+),
+cov AS MATERIALIZED (
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(ROUND(ROUND(covar_samp(a.v, b.v), 6) * 1000000.0) AS BIGINT) AS cq
+    FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+),
+v0 AS (
+    SELECT DISTINCT i AS j,
+           CAST(ROUND(1000000000.0
+                / SQRT(CAST((SELECT COUNT(DISTINCT dim) FROM ev) AS DOUBLE)))
+                AS BIGINT) AS vq
+    FROM cov
+)"""]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+    SELECT m.i, SUM(m.cq * v.vq) AS s
+    FROM cov m JOIN v{t-1} v ON v.j = m.j GROUP BY m.i
+),
+n{t} AS MATERIALIZED (
+    SELECT SQRT(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM s{t}
+),
+v{t} AS MATERIALIZED (
+    SELECT i AS j,
+           CAST(ROUND(CAST(s AS DOUBLE) / nrm * 1000000000.0) AS BIGINT) AS vq
+    FROM s{t}, n{t}
+)""")
+    last = f"v{n_iter}"
+    tail = f"""quad AS (
+    SELECT SUM(CAST(vi.vq AS HUGEINT) * m.cq * vj.vq) AS num
+    FROM cov m JOIN {last} vj ON vj.j = m.j JOIN {last} vi ON vi.j = m.i
+),
+den AS (SELECT SUM(CAST(vq AS HUGEINT) * vq) AS den FROM {last}),
+lam AS (
+    SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS eigenvalue
+    FROM quad, den
+),
+pvt AS (SELECT vq FROM {last} ORDER BY ABS(vq) DESC, j ASC LIMIT 1)
+SELECT CAST(v.j AS INTEGER) AS dim,
+       ROUND(CAST(CASE WHEN p.vq < 0 THEN -v.vq ELSE v.vq END AS DOUBLE)
+             / 1000000000.0, 6) AS loading,
+       ROUND(l.eigenvalue, 6) AS eigenvalue
+FROM {last} v, pvt p, lam l"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + tail
+
+
+_PCA_POWER_SQL = _power_iter_oracle(24)
+
+# LOF k=5 (lock-step with similarity.lof_scores: full brute-force
+# kNN on rounded cosine, kdist/reach/lrd/lof chain, ε-floored lrd)
+_LOF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+knn AS (
+    SELECT query_id AS a, neighbor_id AS b,
+           ROUND(1.0 - cosine, 6) AS dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+),
+edges AS (SELECT a, b, dist FROM knn WHERE rnk <= 5),
+kdist AS (SELECT a AS node, MAX(dist) AS kdist FROM edges GROUP BY a),
+reach AS (
+    SELECT e.a, e.b, GREATEST(e.dist, k.kdist) AS reach
+    FROM edges e JOIN kdist k ON k.node = e.b
+),
+lrd AS (
+    SELECT a,
+           CAST(COUNT(*) AS DOUBLE) / GREATEST(SUM(reach), 0.000000001) AS lrd,
+           CAST(COUNT(*) AS BIGINT) AS n_k
+    FROM reach GROUP BY a
+),
+agg AS (
+    SELECT r.a, SUM(l2.lrd) AS slb
+    FROM reach r JOIN lrd l2 ON l2.a = r.b GROUP BY r.a
+)
+SELECT g.a AS vec_id, l.n_k, ROUND(l.lrd, 6) AS lrd,
+       ROUND(g.slb / CAST(l.n_k AS DOUBLE) / l.lrd, 6) AS lof
+FROM agg g JOIN lrd l ON l.a = g.a
+"""
+
+# frame-sampling rollup (lock-step with multimodal.frame_sample_plan
+# at every_n=30 over the fake-decode n_frames; closed form of the
+# exploded sequence 0, 30, 60, …)
+_VIDEO_FRAME_SAMPLE_SQL = f"""
+WITH b AS (SELECT doc_id, {_byte_int_expr(8)} AS h FROM documents),
+f AS (
+    SELECT doc_id AS media_id,
+           CAST(1 + (h // 1048576) % 300 AS INTEGER) AS n_frames
+    FROM b
+)
+SELECT media_id, n_frames,
+       CAST((n_frames - 1) // 30 + 1 AS BIGINT) AS n_sampled,
+       CAST(((n_frames - 1) // 30) * 30 AS INTEGER) AS last_frame
+FROM f
+"""
+
+# Levenshtein near-dup pairs (lock-step with dedup.edit_distance_pairs:
+# (len//16, first-token) blocking, a<b, dist ≤ 20; DuckDB computes the
+# full distance where Spark's banded threshold DP early-exits — the
+# surviving rows and distances are identical)
+_EDITDIST_PAIRS_SQL = """
+WITH d AS (
+    SELECT doc_id, text,
+           CAST(length(text) // 16 AS BIGINT) AS lb,
+           split_part(text, ' ', 1) AS ft
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lb AS len_bucket,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+       ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / GREATEST(length(a.text), length(b.text), 1), 6) AS similarity
+FROM d a JOIN d b ON a.lb = b.lb AND a.ft = b.ft AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -13110,4 +13312,8 @@ def oracle_sql() -> dict[str, str]:
         "rdd_turns": _RDD_TURNS_SQL,
         "freshness_audit": _FRESHNESS_AUDIT_SQL,
         "compaction_plan": _COMPACTION_PLAN_SQL,
+        "pca_power_eigen": _PCA_POWER_SQL,
+        "lof_outliers": _LOF_SQL,
+        "video_frame_sample": _VIDEO_FRAME_SAMPLE_SQL,
+        "editdist_pairs": _EDITDIST_PAIRS_SQL,
     }

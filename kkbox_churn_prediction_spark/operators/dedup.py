@@ -636,3 +636,71 @@ def lsh_recall_eval(
         F.round(recall, 6).alias("recall"),
         F.round(precision, 6).alias("precision"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    length_bucket: int = 16,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-duplicate pairs — the
+    character-level sibling of ``ngram_jaccard_pairs`` (token-level)
+    and ``embedding_cosine_pairs`` (semantic): catches small in-place
+    edits (typo fixes, template fills) that shift every shingle but
+    few characters.
+
+    Blocking before distance: candidates must share
+    ``(floor(len/length_bucket), first token)`` — two docs within
+    ``max_dist`` edits differ by ≤ max_dist chars, so a generous
+    length bucket plus the cheap prefix key bounds the quadratic
+    blow-up to per-block cliques (the same capped-join discipline as
+    the shingle dedup family). The distance itself runs JVM-side with
+    Spark's THRESHOLDED ``levenshtein(l, r, k)`` — O(k·n) banded DP
+    with early exit instead of O(n²), the scale path — and the -1
+    over-threshold sentinel is filtered, which keeps surviving
+    distances byte-equal to an unthresholded oracle.
+
+    Output per unordered pair (a < b): block keys, ``edit_dist``, and
+    ``similarity = 1 − dist/max(len_a, len_b)`` (round 6).
+    """
+    side = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.floor(F.length(text_col) / F.lit(int(length_bucket))).alias("_lb"),
+        F.split_part(F.col(text_col), F.lit(" "), F.lit(1)).alias("_ft"),
+    )
+    a = side.select(
+        F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"), "_lb", "_ft"
+    )
+    b = side.select(
+        F.col("_id").alias("doc_b"), F.col("_t").alias("_tb"), "_lb", "_ft"
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
+    return (
+        a.join(b, ["_lb", "_ft"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_lb").cast("long").alias("len_bucket"),
+            dist.alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(
+                    F.length("_ta"), F.length("_tb"), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("similarity"),
+        )
+        .where(F.col("edit_dist") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_bucket",
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+            "similarity",
+        )
+    )

@@ -1054,3 +1054,68 @@ def ndcg_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+def lof_scores(
+    vectors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Local Outlier Factor over the embedding space: the DENSITY-
+    relative companion to ``centroid_distance_outliers`` (global) and
+    ``lsh_dbscan`` (binary noise flag) — LOF ≈ 1 inside a cluster of
+    any density, ≫ 1 for points whose neighborhood is sparser than
+    their neighbors' neighborhoods. Classic Breunig et al. 2000
+    semantics on the cosine-distance kNN graph:
+
+    - ``dist = 1 − cosine`` (cosine rounded 6 — the engine's
+      cross-engine similarity contract, so every downstream number
+      derives from identical inputs on both engines);
+    - ``kdist(b)`` = distance to b's k-th neighbor;
+    - ``reach(a,b) = max(dist(a,b), kdist(b))``;
+    - ``lrd(a) = k / Σ_b reach(a,b)`` (ε-floored denominator — exact
+      duplicates give zero reach);
+    - ``lof(a) = mean_b lrd(b) / lrd(a)``.
+
+    Scale shape: built entirely on the kNN edge list (n·k rows). The
+    gate uses exact ``brute_force_topk`` (n ≤ a few k vectors); at
+    corpus scale swap in ``lsh_bucketed_topk`` — every step after the
+    kNN is k-bounded joins + hash aggs, so the LOF pass itself never
+    exceeds O(n·k).
+    """
+    knn = brute_force_topk(vectors, vectors, k=k, vec_col=vec_col, id_col=id_col)
+    edges = knn.select(
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.round(F.lit(1.0) - F.col("cosine"), 6).alias("dist"),
+    ).persist()
+    kdist = edges.groupBy(F.col("a").alias("node")).agg(
+        F.max("dist").alias("kdist")
+    )
+    reach = edges.join(
+        F.broadcast(kdist.select(F.col("node").alias("b"), "kdist")), "b"
+    ).select("a", "b", F.greatest(F.col("dist"), F.col("kdist")).alias("reach"))
+    lrd = reach.groupBy("a").agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.greatest(F.sum("reach"), F.lit(1e-9))
+        ).alias("lrd"),
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+    )
+    lof = (
+        reach.select("a", "b")
+        .join(F.broadcast(lrd.select(F.col("a").alias("b"), F.col("lrd").alias("lrd_b"))), "b")
+        .groupBy("a")
+        .agg(F.sum("lrd_b").alias("_sum_lrd_b"))
+        .join(lrd, "a")
+        .select(
+            F.col("a").alias(id_col),
+            "n_k",
+            F.round("lrd", 6).alias("lrd"),
+            F.round(
+                F.col("_sum_lrd_b") / F.col("n_k").cast("double") / F.col("lrd"), 6
+            ).alias("lof"),
+        )
+    )
+    return lof
