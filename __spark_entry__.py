@@ -4388,6 +4388,78 @@ def _q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + block-level dedup rollup: rolling-
+    hash boundaries (window 16, mask 63) computed zero-shuffle inside
+    the row via higher-order functions; per-doc shared-block stats
+    from one chunk-frequency hash agg + one join."""
+    from kkbox_churn_prediction_spark.operators.chunking import (
+        cdc_chunk_docs,
+        cdc_dedup_stats,
+    )
+
+    return cdc_dedup_stats(cdc_chunk_docs(_docs(spark, sf_dir)))
+
+
+def _q_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-dominance Pareto frontier over (lexical quality =
+    distinct-word ratio, text length), both maximized — the corpus-
+    curation selection frontier, computed with the bucketed
+    prefix-max machine (no global sort of the data)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
+                "double"
+            )
+            / F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("quality"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    return pareto_frontier_2d(d, "quality", "text_len")
+
+
+def _q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the text-length center (k = 1.345·MAD,
+    15 IRLS steps on the exact integer value histogram — the robust
+    mean the winsorize/MAD family lacked)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.robust import huber_location
+
+    return huber_location(
+        _docs(spark, sf_dir).select(F.length("text").alias("text_len")),
+        "text_len",
+    )
+
+
+def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs over the supplier→part bipartite supply graph
+    (edge weight = lineitem count): which suppliers stock the parts
+    that well-stocked suppliers stock — the bipartite-SVD sibling of
+    supplier_pagerank, run in exact integer fixed-point."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.spectral import hits_scores
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    edges = li.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return hits_scores(edges, n_iter=12).select(
+        F.col("src").alias("supp_key"), "hub", "n_dst", "total_w"
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4766,6 +4838,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof_outliers": _q_lof_outliers,
         "video_frame_sample": _q_video_frame_sample,
         "editdist_pairs": _q_editdist_pairs,
+        "cdc_chunks": _q_cdc_chunks,
+        "pareto_docs": _q_pareto_docs,
+        "huber_location": _q_huber_location,
+        "hits_suppliers": _q_hits_suppliers,
     }
 
 
@@ -13043,6 +13119,193 @@ WHERE levenshtein(a.text, b.text) <= 20
 """
 
 
+# Content-defined chunking (lock-step with chunking.cdc_chunk_docs at
+# window=16, base=257, mod=2^31−1, mask=63: DuckDB computes the same
+# rolling hash by exploding chars and joining the 16 precomputed
+# base^j mod M offsets — Spark does it zero-shuffle in-row; identical
+# boundaries, identical md5 chunk addresses)
+_CDC_POWS = [pow(257, j, 2_147_483_647) for j in range(16)]
+_CDC_CHUNKS_SQL = f"""
+WITH chars AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS c
+    FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+),
+offs AS (SELECT unnest(range(0,16)) AS j,
+                unnest([{",".join(str(p) for p in _CDC_POWS)}]) AS p),
+h AS (
+    SELECT ch.doc_id, ch.i AS pos, SUM(c2.c * o.p) % 2147483647 AS h
+    FROM chars ch JOIN offs o ON TRUE JOIN chars c2
+      ON c2.doc_id = ch.doc_id AND c2.i = ch.i - o.j
+    WHERE ch.i >= 16
+    GROUP BY ch.doc_id, ch.i
+),
+bounds AS (
+    SELECT doc_id, pos FROM h WHERE h % 64 = 0
+    UNION SELECT doc_id, CAST(length(text) AS BIGINT) FROM documents
+),
+ck AS (
+    SELECT doc_id,
+           COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS s,
+           pos AS e
+    FROM bounds
+),
+ct AS (
+    SELECT ck.doc_id, e - s AS chunk_len,
+           md5(substr(d.text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER))) AS chunk_md5
+    FROM ck JOIN documents d ON d.doc_id = ck.doc_id WHERE e > s
+),
+freq AS (SELECT chunk_md5, COUNT(*) AS f FROM ct GROUP BY chunk_md5)
+SELECT ct.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS chunk_bytes,
+       CAST(SUM(CASE WHEN f >= 2 THEN chunk_len ELSE 0 END) AS BIGINT) AS shared_bytes,
+       ROUND(CAST(SUM(CASE WHEN f >= 2 THEN chunk_len ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(chunk_len) AS DOUBLE), 6) AS dup_byte_ratio
+FROM ct JOIN freq USING (chunk_md5)
+GROUP BY ct.doc_id
+"""
+
+# Pareto frontier (lock-step with skyline.pareto_frontier_2d over
+# (distinct-word-ratio quality, text length), both maximized; the
+# oracle uses the direct window formulation — per-quality maxima,
+# strict prefix max over greater quality)
+_PARETO_DOCS_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           ROUND(CAST(length(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / GREATEST(length(string_split(text,' ')), 1), 6) AS quality,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+),
+per_q AS (SELECT quality, MAX(text_len) AS maxlen FROM d GROUP BY quality),
+sky AS (
+    SELECT quality, maxlen,
+           MAX(maxlen) OVER (ORDER BY quality DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM per_q
+)
+SELECT d.doc_id, d.quality, d.text_len
+FROM d JOIN sky USING (quality)
+WHERE d.text_len = sky.maxlen AND (sky.pm IS NULL OR sky.maxlen > sky.pm)
+"""
+
+
+def _huber_oracle(n_iter: int = 15, k_mult: float = 1.345) -> str:
+    """Unrolled IRLS (lock-step with robust.huber_location): exact
+    integer histogram, median/MAD via DuckDB median() (the same
+    interpolated-percentile convention), k and mu quantized to 1e-9
+    between steps, fixed iteration count."""
+    ctes = ["""hist AS MATERIALIZED (
+    SELECT CAST(length(text) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1
+),
+med AS (SELECT median(CAST(length(text) AS BIGINT)) AS med FROM documents),
+madt AS (
+    SELECT median(ABS(CAST(length(text) AS BIGINT) - med)) AS mad
+    FROM documents, med
+),
+m0 AS (
+    SELECT CAST(ROUND(med * 1000000000.0) AS BIGINT) AS muq,
+           CAST(ROUND(mad * {k} * 1000000000.0) AS BIGINT) AS kq
+    FROM med, madt
+)""".format(k=repr(float(k_mult)))]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""m{t} AS MATERIALIZED (
+    SELECT CAST(ROUND(SUM(w * v * c) / SUM(w * c) * 1000000000.0) AS BIGINT) AS muq,
+           MIN(kq) AS kq
+    FROM (
+        SELECT h.v, h.c, m.kq,
+               CASE WHEN ABS(CAST(h.v AS DOUBLE) - CAST(m.muq AS DOUBLE)/1000000000.0)
+                         <= CAST(m.kq AS DOUBLE)/1000000000.0
+                    THEN 1.0
+                    ELSE (CAST(m.kq AS DOUBLE)/1000000000.0)
+                         / ABS(CAST(h.v AS DOUBLE) - CAST(m.muq AS DOUBLE)/1000000000.0)
+               END AS w
+        FROM hist h, m{t-1} m
+    )
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+stats AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           ROUND(CAST(SUM(v * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS mean
+    FROM hist
+)
+SELECT s.n, s.mean,
+       ROUND(med.med, 6) AS median,
+       ROUND(madt.mad, 6) AS mad,
+       ROUND(CAST(m.kq AS DOUBLE) / 1000000000.0, 6) AS k,
+       ROUND(CAST(m.muq AS DOUBLE) / 1000000000.0, 6) AS huber_mu,
+       CAST({n_iter} AS INTEGER) AS n_iter
+FROM stats s, med, madt, m{n_iter} m
+"""
+    )
+
+
+_HUBER_SQL = _huber_oracle(15)
+
+
+def _hits_oracle(n_iter: int = 12) -> str:
+    """Unrolled HITS fixed point (lock-step with
+    spectral.hits_scores over the supplier→part lineitem-count
+    graph): exact HUGEINT half-step mat-vecs, L2 norm + 1e-9
+    re-quantization per half-step — the _power_iter_oracle device on
+    the bipartite graph."""
+    ctes = ["""edges AS MATERIALIZED (
+    SELECT l_suppkey AS src, l_partkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+a0 AS (
+    SELECT DISTINCT dst,
+           CAST(ROUND(1000000000.0 / SQRT(CAST(
+               (SELECT COUNT(DISTINCT dst) FROM edges) AS DOUBLE))) AS BIGINT) AS aq
+    FROM edges
+)"""]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""hs{t} AS MATERIALIZED (
+    SELECT e.src, SUM(CAST(e.w AS HUGEINT) * a.aq) AS s
+    FROM edges e JOIN a{t-1} a USING (dst) GROUP BY e.src
+),
+hn{t} AS (SELECT SQRT(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM hs{t}),
+h{t} AS MATERIALIZED (
+    SELECT src,
+           CAST(ROUND(CAST(s AS DOUBLE) / nrm * 1000000000.0) AS BIGINT) AS hq
+    FROM hs{t}, hn{t}
+),
+as{t} AS MATERIALIZED (
+    SELECT e.dst, SUM(CAST(e.w AS HUGEINT) * h.hq) AS s
+    FROM edges e JOIN h{t} h USING (src) GROUP BY e.dst
+),
+an{t} AS (SELECT SQRT(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM as{t}),
+a{t} AS MATERIALIZED (
+    SELECT dst,
+           CAST(ROUND(CAST(s AS DOUBLE) / nrm * 1000000000.0) AS BIGINT) AS aq
+    FROM as{t}, an{t}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+deg AS (
+    SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst,
+           CAST(SUM(w) AS BIGINT) AS total_w
+    FROM edges GROUP BY src
+)
+SELECT h.src AS supp_key,
+       ROUND(CAST(h.hq AS DOUBLE) / 1000000000.0, 6) AS hub,
+       d.n_dst, d.total_w
+FROM h{n_iter} h JOIN deg d USING (src)
+"""
+    )
+
+
+_HITS_SQL = _hits_oracle(12)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -13316,4 +13579,8 @@ def oracle_sql() -> dict[str, str]:
         "lof_outliers": _LOF_SQL,
         "video_frame_sample": _VIDEO_FRAME_SAMPLE_SQL,
         "editdist_pairs": _EDITDIST_PAIRS_SQL,
+        "cdc_chunks": _CDC_CHUNKS_SQL,
+        "pareto_docs": _PARETO_DOCS_SQL,
+        "huber_location": _HUBER_SQL,
+        "hits_suppliers": _HITS_SQL,
     }

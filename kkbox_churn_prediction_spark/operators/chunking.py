@@ -70,3 +70,148 @@ def chunk_documents(
         end.alias("chunk_end"),
         (end - start).alias("chunk_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) — block-level dedup, the rsync/LLM-infra
+# complement of the document-level shingle dedup family.
+
+_CDC_BASE = 257
+_CDC_MOD = 2_147_483_647  # 2^31 − 1 (Mersenne; all mod sums fit BIGINT)
+
+
+def cdc_chunk_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    boundary_mask: int = 63,
+) -> DataFrame:
+    """Split each document into CONTENT-DEFINED chunks: a chunk
+    boundary falls after position ``i`` whenever the polynomial
+    rolling hash of the trailing ``window`` characters satisfies
+    ``h % (boundary_mask+1) == 0`` (expected chunk ≈ mask+1 chars);
+    the document end is always a boundary.
+
+    Why content-defined (vs fixed-size): inserting one character into
+    a document shifts EVERY fixed-size block after the edit, but only
+    the chunks overlapping the edit here — boundaries depend on local
+    content alone, so shared substrings between near-duplicate
+    documents resolve to byte-identical chunks and dedup at the block
+    level (the rsync / CAS-store / training-corpus block-dedup
+    property).
+
+    Distributed shape: the rolling hash is computed entirely INSIDE
+    the row with higher-order functions — ``transform`` over end
+    positions, ``aggregate`` over the ``window`` trailing chars with
+    precomputed ``base^j mod M`` literals — so chunking is a narrow
+    zero-shuffle projection in whole-stage codegen. No per-row Python,
+    no char-level explode (the DuckDB oracle explodes chars; Spark
+    never does). The only fan-out is the final chunk ``explode``
+    (≈ len/64 rows per doc).
+
+    Output: one row per chunk ``(doc_id, chunk_idx, chunk_len,
+    chunk_md5)``. ``chunk_md5`` is the content address — identical
+    text ⇒ identical chunk id on any engine.
+    """
+    w, mask_n = int(window), int(boundary_mask) + 1
+    pows = [pow(_CDC_BASE, j, _CDC_MOD) for j in range(w)]
+    pow_arr = F.array(*[F.lit(p) for p in pows])
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def _hash_at(i):
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.ascii(text.substr(i - j, F.lit(1))).cast("long")
+                * F.element_at(pow_arr, j + 1),
+            )
+            % F.lit(_CDC_MOD)
+        )
+
+    # boundary END positions (1-based): content boundaries ++ doc end.
+    # sequence(w, n) DESCENDS when n < w — guard short docs to an
+    # empty boundary list (they become one whole-doc chunk)
+    bound_pos = F.when(
+        n >= w,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(w), n),
+                lambda i: F.when(_hash_at(i) % mask_n == 0, i.cast("long")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    bounds = F.array_distinct(F.concat(bound_pos, F.array(n.cast("long"))))
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))),
+    )
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            bounds,
+            lambda s, e: F.struct(
+                s.alias("s"), (e - s).alias("len")
+            ),
+        ),
+        lambda p: p["len"] > 0,
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            text.alias("_t"),
+            F.posexplode(chunks).alias("chunk_idx", "_c"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("_c.len").cast("long").alias("chunk_len"),
+            F.md5(
+                F.col("_t").substr(
+                    (F.col("_c.s") + 1).cast("int"), F.col("_c.len").cast("int")
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Per-document block-level dedup rollup over a
+    :func:`cdc_chunk_docs` table: how many of the doc's chunks (and
+    bytes) also appear elsewhere in the corpus, and the corpus-wide
+    storage ratio those shared blocks imply.
+
+    ``shared`` means the chunk's content hash occurs ≥ 2 times in the
+    corpus (in other docs OR repeated within this one). One hash agg
+    builds the chunk-frequency table keyed by content address; one
+    broadcast-or-shuffle join flags each chunk — never all-pairs, and
+    the frequency table is at most corpus-bytes/expected-chunk-size
+    rows (the same discipline as the shingle-cap join).
+
+    Output per doc: ``(doc_id, n_chunks, n_shared_chunks,
+    chunk_bytes, shared_bytes, dup_byte_ratio)``.
+    """
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    flagged = chunks.join(freq, "chunk_md5").select(
+        "doc_id",
+        "chunk_len",
+        (F.col("_f") >= 2).cast("int").alias("_shared"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("_shared").cast("long").alias("n_shared_chunks"),
+        F.sum("chunk_len").cast("long").alias("chunk_bytes"),
+        F.sum(F.col("chunk_len") * F.col("_shared")).cast("long").alias("shared_bytes"),
+        F.round(
+            F.sum(F.col("chunk_len") * F.col("_shared")).cast("double")
+            / F.sum("chunk_len").cast("double"),
+            6,
+        ).alias("dup_byte_ratio"),
+    )

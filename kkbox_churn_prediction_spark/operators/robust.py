@@ -1,0 +1,174 @@
+"""Robust location estimation: Huber M-estimator via IRLS on the
+value histogram.
+
+The mean is shattered by one corrupted row in 10^12; the median wastes
+efficiency on clean data. The Huber estimator interpolates: quadratic
+loss inside ``k = k_mult · MAD``, linear outside, fit by iteratively
+reweighted least squares (k_mult = 1.345 ⇒ 95% Gaussian efficiency,
+Huber 1964). The curation use is the same as ``winsorize``/
+``mad_outliers`` (heavy-tailed engagement and length measures) but
+yields a single defensible center with a tuning constant.
+
+Determinism recipe (the binned-Newton discipline, see
+``calibration.platt_fit``): everything derives from the exact integer
+VALUE HISTOGRAM ``(value, count)`` — ONE partial+final hash agg over
+the corpus, bounded by the value domain. The median and MAD are
+interpolated weighted medians computed by integer cumsums on that
+histogram (convention-identical to ``percentile(x, 0.5)`` /
+DuckDB ``median``: index ``0.5·(n−1)``, linear interpolation). The
+IRLS then runs a FIXED iteration count (no convergence break), the
+estimate re-quantized to 1e-9 between steps so both engines enter
+every step with the identical float, IRLS's contraction damping the
+remaining summation-order wobble below the final 6dp rounding. The
+DuckDB oracle unrolls the identical steps as chained CTEs.
+
+Scale shape: the corpus is touched by exactly ONE hash agg; all later
+work (cumsum windows, 15 IRLS steps of broadcast-1-row + agg with
+``localCheckpoint`` keeping the plan flat) runs on the bounded
+histogram. No exact-percentile buffer ever sees raw rows — the
+scale-unsafe default the round-2 review flagged on the percentile
+family is structurally absent here.
+
+Reference parity anchor: the reference clips outliers with hard
+percentile caps (``features/features_comprehensive.sql`` one-sided
+clamps); this is the principled robust-center upgrade of that P5
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_Q = 1_000_000_000  # 1e-9 re-quantization grid between IRLS steps
+
+
+def _weighted_median(hist: DataFrame, v_col: str = "v", c_col: str = "c"):
+    """Interpolated median of the expanded multiset described by a
+    ``(value, count)`` histogram, as a 1-row DataFrame ``(med)``.
+
+    Exact-integer machinery: cumulative counts by value order (the
+    histogram is bounded, so the unpartitioned window is safe — the
+    distinct-event-times precedent), then ``vlo``/``vhi`` = values at
+    ranks ``floor/ceil(0.5·(n−1))`` and linear interpolation — the
+    percentile(0.5) convention on both engines.
+    """
+    w = Window.orderBy(v_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(v_col).alias("v"),
+        F.sum(c_col).over(w).alias("cum"),
+    )
+    n = hist.agg(F.sum(c_col).cast("long").alias("n"))
+    ranked = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "cum",
+        F.floor((F.col("n") - 1) / 2).alias("lo"),
+        (F.col("n") - 1 - F.floor((F.col("n") - 1) / 2)).alias("hi"),
+        ((F.col("n") - 1).cast("double") / 2).alias("idx"),
+    )
+    vlo = ranked.where(F.col("cum") > F.col("lo")).agg(
+        F.min("v").alias("vlo"), F.min("idx").alias("idx"), F.min("lo").alias("lo")
+    )
+    vhi = ranked.where(F.col("cum") > F.col("hi")).agg(F.min("v").alias("vhi"))
+    return vlo.crossJoin(F.broadcast(vhi)).select(
+        (
+            F.col("vlo").cast("double")
+            + (F.col("vhi") - F.col("vlo")).cast("double")
+            * (F.col("idx") - F.col("lo").cast("double"))
+        ).alias("med")
+    )
+
+
+def huber_location(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k_mult: float = 1.345,
+    n_iter: int = 15,
+) -> DataFrame:
+    """One-row Huber location report for an integer-valued column:
+    ``(n, mean, median, mad, k, huber_mu, n_iter)``.
+
+    Start point = median; scale = MAD (median absolute deviation).
+    Each IRLS step reweights every histogram bin with
+    ``w = min(1, k / |v − mu|)`` (w = 1 at v = mu) and recenters at
+    the weighted mean, rounded to the 1e-9 grid.
+    """
+    v = F.col(value_col).cast("long")
+    hist = (
+        df.select(v.alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    med = _weighted_median(hist).localCheckpoint()
+    # deviation histogram |v − med|: med is interpolated (may be .5);
+    # work on the 2x integer grid so the deviations stay exact
+    dev_hist = (
+        hist.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(
+                F.col("v") * 2 - F.round(F.col("med") * 2).cast("long")
+            ).alias("v"),
+            F.col("c"),
+        )
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _weighted_median(dev_hist).select(
+        (F.col("med") / 2).alias("mad")
+    )
+    # k on the 1e-9 grid so both engines carry the identical constant
+    mu = (
+        med.crossJoin(F.broadcast(mad))
+        .select(
+            F.round(F.col("med") * F.lit(float(_Q))).cast("long").alias("muq"),
+            F.round(F.col("mad") * F.lit(float(k_mult)) * F.lit(float(_Q)))
+            .cast("long")
+            .alias("kq"),
+            F.round(F.col("mad"), 6).alias("mad"),
+            F.round(F.col("med"), 6).alias("median"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(int(n_iter)):
+        joined = hist.crossJoin(F.broadcast(mu))
+        muf = F.col("muq").cast("double") / F.lit(float(_Q))
+        kf = F.col("kq").cast("double") / F.lit(float(_Q))
+        r = F.abs(F.col("v").cast("double") - muf)
+        w = F.when(r <= kf, F.lit(1.0)).otherwise(kf / r)
+        mu = joined.agg(
+            F.round(
+                F.sum(w * F.col("v") * F.col("c"))
+                / F.sum(w * F.col("c"))
+                * F.lit(float(_Q))
+            )
+            .cast("long")
+            .alias("muq"),
+            F.min("kq").alias("kq"),
+            F.min("mad").alias("mad"),
+            F.min("median").alias("median"),
+        ).localCheckpoint()
+
+    # n and mean from the histogram — Σv·c and Σc are exact integers,
+    # so the mean is one IEEE division (cross-engine identical)
+    stats = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("v") * F.col("c")).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("mean"),
+    )
+    return stats.crossJoin(F.broadcast(mu)).select(
+        "n",
+        "mean",
+        "median",
+        "mad",
+        F.round(F.col("kq").cast("double") / F.lit(float(_Q)), 6).alias("k"),
+        F.round(F.col("muq").cast("double") / F.lit(float(_Q)), 6).alias(
+            "huber_mu"
+        ),
+        F.lit(int(n_iter)).cast("int").alias("n_iter"),
+    )

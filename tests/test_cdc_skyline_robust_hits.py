@@ -1,0 +1,201 @@
+"""Round-3 continuation: CDC chunking, Pareto skyline, Huber IRLS,
+HITS fixed point."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kkbox_churn_prediction_spark.operators.chunking import (
+    cdc_chunk_docs,
+    cdc_dedup_stats,
+)
+from kkbox_churn_prediction_spark.operators.robust import huber_location
+from kkbox_churn_prediction_spark.operators.skyline import pareto_frontier_2d
+from kkbox_churn_prediction_spark.operators.spectral import (
+    hits_authorities,
+    hits_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ CDC
+def test_cdc_chunks_cover_text_exactly(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 8)]
+    out = cdc_chunk_docs(_docs(spark, rows)).collect()
+    assert sum(r.chunk_len for r in out) == len(rows[0][1])
+    assert [r.chunk_idx for r in sorted(out, key=lambda r: r.chunk_idx)] == list(
+        range(len(out))
+    )
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    rows = [(1, "tiny"), (2, "")]
+    out = cdc_chunk_docs(_docs(spark, rows)).collect()
+    # empty text -> zero chunks; short text -> one whole-doc chunk
+    assert len(out) == 1 and out[0].doc_id == 1 and out[0].chunk_len == 4
+
+
+def test_cdc_boundaries_are_content_local(spark):
+    # THE CDC property: a prefix edit only perturbs chunks up to the
+    # first boundary after the edit; the shared tail chunks are
+    # byte-identical between the two docs.
+    # varied (non-periodic) content — a repeated short phrase can
+    # legitimately produce zero boundaries (periodic hashes)
+    base = " ".join(f"w{(i * 2654435761) % 99991:x}" for i in range(160))
+    rows = [(1, base), (2, "EDIT-PREFIX " + base)]
+    out = cdc_chunk_docs(_docs(spark, rows)).collect()
+    a = set(r.chunk_md5 for r in out if r.doc_id == 1)
+    b = set(r.chunk_md5 for r in out if r.doc_id == 2)
+    assert len(a) >= 5  # varied text must actually chunk
+    shared = a & b
+    assert len(shared) >= len(a) - 2  # all but the head chunk(s) shared
+
+
+def test_cdc_dedup_stats_flags_duplicated_doc(spark):
+    base = "one two three four five six seven eight nine ten " * 10
+    rows = [(1, base), (2, base), (3, "completely different unshared text")]
+    stats = {r.doc_id: r for r in cdc_dedup_stats(cdc_chunk_docs(_docs(spark, rows))).collect()}
+    assert stats[1].dup_byte_ratio == 1.0 and stats[2].dup_byte_ratio == 1.0
+    assert stats[3].dup_byte_ratio == 0.0
+    assert stats[1].chunk_bytes == len(base)
+
+
+# ---------------------------------------------------------------- skyline
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, x double, y long")
+
+
+def test_pareto_no_survivor_dominated_and_extremes_present(spark):
+    rows = [
+        (i, float((i * 37) % 101) / 100.0, ((i * 61) % 997))
+        for i in range(300)
+    ]
+    out = pareto_frontier_2d(
+        _points(spark, rows), "x", "y", id_cols=("doc_id",)
+    ).collect()
+    pts = {(r.x, r.y) for r in out}
+    assert pts, "frontier must be non-empty"
+    # brute-force: nothing on the frontier is strictly dominated
+    for qx, qy in pts:
+        for _, x, y in rows:
+            assert not (
+                x >= qx and y >= qy and (x > qx or y > qy)
+            ), f"({qx},{qy}) dominated by ({x},{y})"
+    # global max of each axis always survives
+    mx = max(rows, key=lambda r: (r[1], r[2]))
+    my = max(rows, key=lambda r: (r[2], r[1]))
+    assert (mx[1], mx[2]) in pts and (my[1], my[2]) in pts
+
+
+def test_pareto_keeps_exact_ties(spark):
+    rows = [(1, 0.5, 10), (2, 0.5, 10), (3, 0.4, 5)]
+    out = pareto_frontier_2d(_points(spark, rows), "x", "y").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+
+
+def test_pareto_single_point(spark):
+    out = pareto_frontier_2d(_points(spark, [(7, 1.0, 3)]), "x", "y").collect()
+    assert len(out) == 1 and out[0].doc_id == 7
+
+
+# ------------------------------------------------------------------ huber
+def test_huber_resists_outliers(spark):
+    clean = [(float(100 + (i % 11) - 5),) for i in range(200)]
+    dirty = clean + [(100000.0,)] * 10
+    df = spark.createDataFrame(dirty, "v double")
+    r = huber_location(df, "v").collect()[0]
+    assert r.mean > 4000  # the mean is destroyed
+    assert abs(r.huber_mu - 100.0) < 2.0  # huber is not
+    assert r.n == 210 and r.n_iter == 15
+
+
+def test_huber_agrees_with_reference_irls(spark):
+    vals = [((i * 7) % 50 + (i % 3) * 17,) for i in range(500)]
+    df = spark.createDataFrame([(float(v[0]),) for v in vals], "v double")
+    r = huber_location(df, "v").collect()[0]
+
+    # plain python IRLS on the same histogram, same quantization
+    from collections import Counter
+
+    hist = Counter(int(v[0]) for v in vals)
+    xs = sorted(hist)
+    n = sum(hist.values())
+
+    def wmed(pairs):
+        ps = sorted(pairs)
+        tot = sum(c for _, c in ps)
+        idx = 0.5 * (tot - 1)
+        lo, hi = math.floor(idx), math.ceil(idx)
+        run = 0
+        vlo = vhi = None
+        for v, c in ps:
+            if vlo is None and run + c > lo:
+                vlo = v
+            if run + c > hi:
+                vhi = v
+                break
+            run += c
+        return vlo + (vhi - vlo) * (idx - lo)
+
+    med = wmed(hist.items())
+    mad = wmed([(abs(v - med), c) for v, c in hist.items()])
+    kq = round(mad * 1.345 * 1e9)
+    muq = round(med * 1e9)
+    for _ in range(15):
+        kf, muf = kq / 1e9, muq / 1e9
+        num = den = 0.0
+        for v in xs:
+            c = hist[v]
+            rr = abs(v - muf)
+            w = 1.0 if rr <= kf else kf / rr
+            num += w * v * c
+            den += w * c
+        muq = round(num / den * 1e9)
+    assert r.huber_mu == pytest.approx(muq / 1e9, abs=1e-6)
+    assert r.median == pytest.approx(med, abs=1e-6)
+    assert r.mad == pytest.approx(mad, abs=1e-6)
+
+
+# ------------------------------------------------------------------- HITS
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_hits_matches_numpy_svd(spark):
+    np = pytest.importorskip("numpy")
+    rows = []
+    for s in range(6):
+        for d in range(5):
+            w = ((s * 5 + d) * 7) % 4
+            if w:
+                rows.append((s, d, w))
+    hub = {r.src: r.hub for r in hits_scores(_edges(spark, rows), n_iter=40).collect()}
+    auth = {
+        r.dst: r.authority
+        for r in hits_authorities(_edges(spark, rows), n_iter=40).collect()
+    }
+    A = np.zeros((6, 5))
+    for s, d, w in rows:
+        A[s, d] = w
+    U, S, Vt = np.linalg.svd(A)
+    u, v = np.abs(U[:, 0]), np.abs(Vt[0])
+    for s in hub:
+        assert hub[s] == pytest.approx(u[s], abs=1e-4)
+    for d in auth:
+        assert auth[d] == pytest.approx(v[d], abs=1e-4)
+
+
+def test_hits_star_concentrates_authority(spark):
+    # every src links to dst 0; dst 1..3 each have one src
+    rows = [(s, 0, 1) for s in range(5)] + [(1, 1, 1), (2, 2, 1), (3, 3, 1)]
+    auth = {
+        r.dst: r.authority
+        for r in hits_authorities(_edges(spark, rows), n_iter=20).collect()
+    }
+    assert auth[0] > 0.9
+    assert all(auth[d] < 0.5 for d in (1, 2, 3))
