@@ -4460,6 +4460,56 @@ def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 char k-grams, window 8 — every
+    shared run ≥ 12 chars guaranteed caught) + per-doc cross-corpus
+    overlap rollup; selection runs zero-shuffle in-row."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap_stats,
+    )
+
+    return winnow_overlap_stats(
+        winnow_fingerprints(_docs(spark, sf_dir), k=5, window=8)
+    )
+
+
+def _q_esd_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD top-5 iterative outliers of the daily turn
+    count: remove-and-restudentize so one gross spike can't mask the
+    next (the masking fix the one-shot daily z screens lack)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.robust import esd_topk_outliers
+
+    daily = (
+        _conv(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return esd_topk_outliers(daily, "day", "n_turns", n_rounds=5).select(
+        "round", F.col("key").alias("day"), "value", "zscore"
+    )
+
+
+def _q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-neighborhood label agreement (cleanlab-style
+    mislabel screen): proxy label = sign of the first embedding
+    coordinate; k=5 cosine neighbors vote."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+
+    labeled = _embs(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        (F.element_at("embedding", 1) >= 0).cast("int").alias("label"),
+    )
+    return knn_label_consistency(labeled, k=5)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4842,6 +4892,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_docs": _q_pareto_docs,
         "huber_location": _q_huber_location,
         "hits_suppliers": _q_hits_suppliers,
+        "winnow_overlap": _q_winnow_overlap,
+        "esd_daily_outliers": _q_esd_daily_outliers,
+        "knn_label_agreement": _q_knn_label_agreement,
     }
 
 
@@ -13305,6 +13358,128 @@ FROM h{n_iter} h JOIN deg d USING (src)
 
 _HITS_SQL = _hits_oracle(12)
 
+# Winnowing (lock-step with textstats.winnow_fingerprints k=5 w=8 +
+# winnow_overlap_stats: forward polynomial k-gram hashes, min per
+# 8-window, distinct per doc, shared = in ≥2 distinct docs; DuckDB
+# explodes chars + windows — Spark selects in-row)
+_WINNOW_POWS = [pow(257, j, 2_147_483_647) for j in range(5)]
+_WINNOW_SQL = f"""
+WITH chars AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS c
+    FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+),
+offs AS (SELECT unnest(range(0,5)) AS j,
+                unnest([{",".join(str(p) for p in _WINNOW_POWS)}]) AS p),
+kg AS MATERIALIZED (
+    SELECT ch.doc_id, ch.i, SUM(c2.c * o.p) % 2147483647 AS h
+    FROM chars ch JOIN offs o ON TRUE JOIN chars c2
+      ON c2.doc_id = ch.doc_id AND c2.i = ch.i + o.j
+    JOIN documents d ON d.doc_id = ch.doc_id
+    WHERE ch.i <= length(d.text) - 4
+    GROUP BY ch.doc_id, ch.i
+),
+wm AS (
+    SELECT doc_id, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+           COUNT(*) OVER (PARTITION BY doc_id) AS L
+    FROM kg
+),
+fps AS (
+    SELECT DISTINCT doc_id, m AS fp FROM wm WHERE L >= 8 AND i <= L - 7
+    UNION
+    SELECT doc_id, MIN(h) AS fp FROM kg
+    GROUP BY doc_id HAVING COUNT(*) BETWEEN 1 AND 7
+),
+freq AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fps GROUP BY fp)
+SELECT fps.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+       ROUND(CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS share_ratio
+FROM fps JOIN freq USING (fp)
+GROUP BY fps.doc_id
+"""
+
+
+def _esd_oracle(n_rounds: int = 5) -> str:
+    """Unrolled generalized-ESD extraction (lock-step with
+    robust.esd_topk_outliers over the daily turn count): per round,
+    exact-integer (n, Σv, Σv²) on the remaining set, the identical
+    double expression tree for z, max-z pick with min-key tiebreak,
+    anti-join removal."""
+    parts = [f"""{_CONV_CTE},
+r0 AS MATERIALIZED (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS k,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM conversations GROUP BY 1
+)"""]
+    for t in range(1, n_rounds + 1):
+        parts.append(f"""s{t} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS a,
+           CAST(SUM(v*v) AS BIGINT) AS b
+    FROM r{t-1}
+),
+z{t} AS (
+    SELECT k, v,
+           ABS(CAST(v AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+           / SQRT((CAST(n AS DOUBLE) * CAST(b AS DOUBLE)
+                   - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z
+    FROM r{t-1}, s{t}
+),
+p{t} AS MATERIALIZED (
+    SELECT CAST({t} AS INTEGER) AS round, k, v, ROUND(z, 6) AS zscore
+    FROM z{t}, (SELECT MAX(z) AS mz FROM z{t})
+    WHERE z = mz ORDER BY k LIMIT 1
+),
+r{t} AS MATERIALIZED (
+    SELECT k, v FROM r{t-1} WHERE k NOT IN (SELECT k FROM p{t})
+)""")
+    tail = " UNION ALL ".join(
+        f"SELECT round, k AS day, v AS value, zscore FROM p{t}"
+        for t in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+# kNN label agreement (lock-step with similarity.knn_label_consistency
+# k=5 over the sign-of-first-coordinate proxy label; knn CTE shared
+# with the LOF oracle)
+_KNN_LABEL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+knn AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+),
+lbl AS (
+    SELECT vec_id, CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END AS label
+    FROM embeddings
+)
+SELECT k.query_id AS vec_id, lo.label,
+       CAST(COUNT(*) AS BIGINT) AS n_k,
+       CAST(SUM(CASE WHEN ln.label = lo.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       ROUND(CAST(SUM(CASE WHEN ln.label = lo.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS consistency,
+       CASE WHEN CAST(SUM(CASE WHEN ln.label = lo.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) <= 0.2
+            THEN 1 ELSE 0 END AS suspect
+FROM knn k
+JOIN lbl lo ON lo.vec_id = k.query_id
+JOIN lbl ln ON ln.vec_id = k.neighbor_id
+WHERE k.rnk <= 5
+GROUP BY k.query_id, lo.label
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -13583,4 +13758,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_docs": _PARETO_DOCS_SQL,
         "huber_location": _HUBER_SQL,
         "hits_suppliers": _HITS_SQL,
+        "winnow_overlap": _WINNOW_SQL,
+        "esd_daily_outliers": _esd_oracle(5),
+        "knn_label_agreement": _KNN_LABEL_SQL,
     }

@@ -172,3 +172,91 @@ def huber_location(
         ),
         F.lit(int(n_iter)).cast("int").alias("n_iter"),
     )
+
+
+def esd_topk_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Generalized-ESD-style iterative outlier extraction (Rosner
+    1983, the multi-outlier fix for the masking problem single-pass
+    z-scores have): ``n_rounds`` times, studentize the REMAINING
+    series and remove the most extreme point. Unlike a one-shot
+    ``|z| > 3`` screen (``mad_outliers``/``daily_anomalies``), a
+    gross outlier cannot inflate the std enough to hide a second one
+    — each removal re-estimates the scale.
+
+    Emitted per round: ``(round, key, value, zscore)`` — the critical-
+    value comparison (a t-quantile) is left to the caller so the
+    output stays cross-engine exact; callers threshold ``zscore``.
+
+    Determinism: the mean/std of each round derive from exact integer
+    sums (n, Σv, Σv²) — sample variance ``(n·Σv² − (Σv)²)/(n(n−1))``
+    has an exact-integer numerator, so both engines studentize with
+    bit-identical doubles; the argmax tiebreak is (|z| desc, key asc).
+
+    Scale shape: intended for BOUNDED series (daily rollups, per-group
+    profiles) — each round is one agg + one broadcast + one filter on
+    that table, ``localCheckpoint`` keeping the plan flat.
+    """
+    remaining = df.select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("long").alias("v")
+    ).localCheckpoint()
+    picks = []
+    for rnd in range(1, int(n_rounds) + 1):
+        stats = remaining.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+        )
+        mean = F.col("s1").cast("double") / F.col("n").cast("double")
+        var = (
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+        z = F.abs(F.col("v").cast("double") - mean) / F.sqrt(var)
+        scored = remaining.crossJoin(F.broadcast(stats)).select(
+            "k", "v", z.alias("z")
+        )
+        # argmax with a cross-engine tiebreak: exact-double max z,
+        # then smallest key (both reproducible on any engine — no
+        # engine-specific hash in the ordering)
+        maxz = scored.agg(F.max("z").alias("_mz"))
+        pick = (
+            scored.crossJoin(F.broadcast(maxz))
+            .where(F.col("z") == F.col("_mz"))
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("k").alias("key"),
+                        F.col("v").alias("value"),
+                        F.col("z").alias("z"),
+                    ),
+                    F.col("k"),
+                ).alias("p")
+            )
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("p.key").alias("key"),
+                F.col("p.value").cast("long").alias("value"),
+                F.round("p.z", 6).alias("zscore"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        pk = pick.select(F.col("key").alias("_pk"))
+        remaining = (
+            remaining.join(
+                F.broadcast(pk), remaining["k"] == F.col("_pk"), "left_anti"
+            )
+        ).localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1119,3 +1119,60 @@ def lof_scores(
         )
     )
     return lof
+
+
+def knn_label_consistency(
+    labeled: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-neighborhood label agreement — the cleanlab-style
+    mislabel screen the probability-based ``label_noise_screen``
+    can't do without a model: a point whose label disagrees with its
+    k nearest neighbors in embedding space is a labeling suspect
+    (or sits on a true class boundary).
+
+    Per point: its label, how many of its ``k`` cosine neighbors
+    share it, the agreement fraction, and a ``suspect`` flag
+    (agreement ≤ 1/k — at most one supporting neighbor). The kNN
+    edges come from :func:`brute_force_topk` at gate scale; at corpus
+    scale swap in :func:`lsh_bucketed_topk` — everything after the
+    kNN is one broadcast label join + one k-bounded hash agg, the
+    ``lof_scores`` discipline.
+    """
+    vecs = labeled.select(id_col, vec_col)
+    knn = brute_force_topk(vecs, vecs, k=k, vec_col=vec_col, id_col=id_col)
+    lbl = labeled.select(
+        F.col(id_col).alias("_n"), F.col(label_col).alias("_nl")
+    )
+    own = labeled.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    edges = knn.select("query_id", F.col("neighbor_id").alias("_n")).join(
+        F.broadcast(lbl), "_n"
+    )
+    agg = edges.join(F.broadcast(own), "query_id").groupBy(
+        "query_id", "label"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum((F.col("_nl") == F.col("label")).cast("int"))
+        .cast("long")
+        .alias("n_match"),
+    )
+    return agg.select(
+        F.col("query_id").alias(id_col),
+        "label",
+        "n_k",
+        "n_match",
+        F.round(
+            F.col("n_match").cast("double") / F.col("n_k").cast("double"), 6
+        ).alias("consistency"),
+        (
+            F.col("n_match").cast("double") / F.col("n_k").cast("double")
+            <= 1.0 / float(k)
+        )
+        .cast("int")
+        .alias("suspect"),
+    )

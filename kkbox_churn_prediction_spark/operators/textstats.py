@@ -1579,3 +1579,114 @@ def kneser_ney_logprob_score(
         "avg_kn_logprob",
         F.round(F.exp(-F.col("avg_kn_logprob")), 6).alias("ppl"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) — the
+# guarantee-based local fingerprinting :func:`fingerprint` reduces to a
+# single min-sketch: every shared substring of length ≥ w + k − 1 is
+# GUARANTEED to share at least one selected fingerprint.
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = 2_147_483_647
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprint table: one row per distinct selected
+    fingerprint per document ``(doc_id, fp)``.
+
+    Per document: polynomial hashes of all character ``k``-grams
+    (forward orientation, ``Σ ascii(c_{i+j})·B^j mod M`` — exact
+    integers, cross-engine identical), then the minimum hash of every
+    ``window`` consecutive k-grams, deduplicated. Documents shorter
+    than ``k`` chars contribute nothing; documents with fewer than
+    ``window`` k-grams contribute the single whole-doc minimum (the
+    one-window degenerate case).
+
+    Distributed shape: like ``chunking.cdc_chunk_docs``, the whole
+    selection runs IN-ROW with higher-order functions (``transform``
+    over k-gram positions, ``array_min(slice(...))`` per window,
+    ``array_distinct``) — zero shuffle, whole-stage codegen, no char
+    explode (the DuckDB oracle explodes chars; Spark never does). The
+    only fan-out is the final fingerprint ``explode``, ≈ 2/(w+1)
+    selected positions per char (the winnowing density bound).
+    """
+    kk, w = int(k), int(window)
+    pows = [pow(_WINNOW_BASE, j, _WINNOW_MOD) for j in range(kk)]
+    pow_arr = F.array(*[F.lit(p) for p in pows])
+    text = F.col(text_col)
+    n = F.length(text)
+    n_kg = n - kk + 1  # k-gram count
+
+    def _kgram_hash(i):
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(kk - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.ascii(text.substr(i + j, F.lit(1))).cast("long")
+                * F.element_at(pow_arr, j + 1),
+            )
+            % F.lit(_WINNOW_MOD)
+        )
+
+    hashes = F.when(
+        n >= kk, F.transform(F.sequence(F.lit(1), n_kg), _kgram_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    # materialize the hash array as a REAL column before windowing:
+    # inlining it would re-evaluate the full O(n·k) transform inside
+    # every per-window slice (O(n²·k) per doc — measured as a hang)
+    with_h = docs.select(
+        F.col(id_col).alias("doc_id"), hashes.alias("_h")
+    )
+    h = F.col("_h")
+    fps = F.when(
+        F.size(h) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - w + 1),
+                lambda s: F.array_min(F.slice(h, s, w)),
+            )
+        ),
+    ).otherwise(
+        F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return with_h.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_stats(fps: DataFrame) -> DataFrame:
+    """Per-document fingerprint-overlap rollup over a
+    :func:`winnow_fingerprints` table: ``(doc_id, n_fingerprints,
+    n_shared_fp, share_ratio)`` where a fingerprint is shared when it
+    appears in ≥ 2 DISTINCT documents.
+
+    One hash agg builds the fingerprint→doc-count table; one join
+    flags each fingerprint — the same never-all-pairs discipline as
+    the CDC and shingle dedup rollups, with the frequency table
+    bounded by the winnowing density (≈ 2/(w+1) of corpus chars).
+    """
+    freq = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("_d")
+    )
+    return (
+        fps.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.sum((F.col("_d") >= 2).cast("int")).cast("long").alias("n_shared_fp"),
+            F.round(
+                F.sum((F.col("_d") >= 2).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("share_ratio"),
+        )
+    )

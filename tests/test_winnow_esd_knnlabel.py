@@ -1,0 +1,110 @@
+"""Round-3 continuation: winnowing fingerprints, generalized-ESD
+extraction, kNN label consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from kkbox_churn_prediction_spark.operators.robust import esd_topk_outliers
+from kkbox_churn_prediction_spark.operators.similarity import (
+    knn_label_consistency,
+)
+from kkbox_churn_prediction_spark.operators.textstats import (
+    winnow_fingerprints,
+    winnow_overlap_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- winnowing
+def test_winnow_guarantee_shared_substring_shares_fp(spark):
+    # the winnowing guarantee: any shared run of >= w + k - 1 = 12
+    # chars yields at least one shared fingerprint
+    shared = "this exact phrase is shared verbatim between docs"
+    rows = [
+        (1, "unique prefix one %s and a tail" % shared),
+        (2, "other lead-in text %s closing words" % shared),
+        (3, "nothing in common with those at all here"),
+    ]
+    fps = winnow_fingerprints(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    rows = [(1, "abcdefg")]  # 3 k-grams < window -> one min fingerprint
+    fps = winnow_fingerprints(_docs(spark, rows)).collect()
+    assert len(fps) == 1
+    rows2 = [(1, "abc")]  # shorter than k -> nothing
+    assert winnow_fingerprints(_docs(spark, rows2)).collect() == []
+
+
+def test_winnow_overlap_stats_flags_duplicates(spark):
+    base = " ".join(f"tok{(i * 7919) % 1000:03d}" for i in range(60))
+    rows = [(1, base), (2, base), (3, "a wholly different set of words xyz")]
+    stats = {
+        r.doc_id: r
+        for r in winnow_overlap_stats(
+            winnow_fingerprints(_docs(spark, rows))
+        ).collect()
+    }
+    assert stats[1].share_ratio == 1.0 and stats[2].share_ratio == 1.0
+    assert stats[3].share_ratio == 0.0
+    assert stats[1].n_fingerprints == stats[2].n_fingerprints
+
+
+# ------------------------------------------------------------------- ESD
+def test_esd_unmasks_two_outliers(spark):
+    # two gross spikes: a one-shot z-screen is masked by the larger
+    # one inflating the std; ESD removes and re-studentizes
+    rows = [(i, 100 + (i % 7)) for i in range(60)]
+    rows[10] = (10, 10000)
+    rows[20] = (20, 9000)
+    df = spark.createDataFrame(rows, "k int, v long")
+    out = sorted(
+        esd_topk_outliers(df, "k", "v", n_rounds=3).collect(),
+        key=lambda r: r.round,
+    )
+    assert out[0].key == 10 and out[0].value == 10000
+    assert out[1].key == 20 and out[1].value == 9000
+    # round-2 z (after removing the 10000) must exceed round-1's
+    # masked z for the 9000 point
+    assert out[1].zscore > 3.0
+    assert out[2].value < 9000  # third pick is an ordinary point
+
+
+def test_esd_tiebreak_is_min_key(spark):
+    rows = [(1, 5), (2, 5), (3, 5), (4, 50), (5, 50)]
+    df = spark.createDataFrame(rows, "k int, v long")
+    out = sorted(
+        esd_topk_outliers(df, "k", "v", n_rounds=2).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.key for r in out] == [4, 5]  # equal z -> smaller key first
+
+
+# ----------------------------------------------------------- kNN labels
+def test_knn_label_consistency_flags_mislabels(spark):
+    # two tight clusters with consistent labels + one point in
+    # cluster A carrying cluster B's label
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.02 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [-1.0, 0.02 * i], 1))
+    rows.append((99, [1.0, 0.05], 1))  # mislabeled: sits in cluster A
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in knn_label_consistency(df, k=3).collect()}
+    assert out[99].suspect == 1 and out[99].n_match == 0
+    clean = [r for i, r in out.items() if i < 6]
+    # cluster-A points see the mislabel among neighbors at most once
+    assert all(r.consistency >= 0.6 for r in clean)
+    assert all(out[i].suspect == 0 for i in range(6, 12))
+    assert all(r.n_k == 3 for r in out.values())
