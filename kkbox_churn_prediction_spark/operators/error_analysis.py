@@ -173,3 +173,106 @@ def confusion_costs(
         ).alias("cost_vs_all_negative"),
         F.round(F.least(all_pos, all_neg) - total, 6).alias("savings_vs_baseline"),
     )
+
+
+def permutation_importance(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    feature_weights: dict[str, float],
+    *,
+    intercept: float = 0.0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Permutation feature importance (Breiman 2001) of a fixed
+    linear-sigmoid scorer: for each feature, break its row alignment
+    by a deterministic permutation, rescore, and report the AUC the
+    model loses — the model-agnostic "which signals carry the
+    ranking" readout (reference analog: the feature-importance table
+    of ``src/error_analysis.py``'s model report, recomputed without
+    retraining).
+
+    ``feature_weights`` maps feature column → weight; the score is
+    ``sigmoid(intercept + Σ w_f·f)`` rounded to 6dp (per-row exp at
+    round-6 — the platt_apply cross-engine precedent).
+
+    The permutation is deterministic and DISTRIBUTED: rows hash into
+    ``n_buckets`` buckets (``stable_hash48``), are ordered within
+    each bucket by an independent hash, and each bucket's feature
+    column is cyclically shifted by one (``lead`` + wraparound
+    ``first``) — a true permutation of the full column (a product of
+    bucket cycles) using only bucket-partitioned windows, never a
+    global sort.
+
+    All variants (base + one per feature) stack into ONE frame and
+    AUC is computed per variant by the tie-aware Mann-Whitney machine
+    (:func:`calibration.auc_ks_by_fold` — cumulative counts over
+    DISTINCT rounded scores, bounded windows). Output per variant:
+    ``(feature, n_pos, n_neg, auc, importance)`` with
+    ``importance = auc_base − auc`` (round 6; the ``base`` row pins 0).
+    """
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        auc_ks_by_fold,
+    )
+
+    feats = list(feature_weights)
+    idc = F.col(id_col).cast("string")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("int").alias("_y"),
+        *[F.col(f) for f in feats],
+        F.pmod(stable_hash48(F.concat(F.lit("pib"), idc)), F.lit(int(n_buckets)))
+        .alias("_bkt"),
+        stable_hash48(F.concat(F.lit("pir"), idc)).alias("_hk"),
+    ).persist()
+
+    def _score(cols: dict[str, Column]) -> Column:
+        lin = F.lit(float(intercept))
+        for f in feats:
+            lin = lin + F.lit(float(feature_weights[f])) * cols[f]
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6)
+
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("_bkt").orderBy("_hk", "_id")
+    wb_full = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    variants = []
+    cols0 = {f: F.col(f) for f in feats}
+    variants.append(
+        base.select(
+            F.lit("base").alias("variant"),
+            F.col("_y").alias("y"),
+            _score(cols0).alias("score"),
+        )
+    )
+    for pf in feats:
+        shifted = F.coalesce(
+            F.lead(pf, 1).over(wb), F.first(pf).over(wb_full)
+        )
+        cols = {f: (shifted if f == pf else F.col(f)) for f in feats}
+        variants.append(
+            base.select(
+                F.lit(pf).alias("variant"),
+                F.col("_y").alias("y"),
+                _score(cols).alias("score"),
+            )
+        )
+    stacked = variants[0]
+    for v in variants[1:]:
+        stacked = stacked.unionAll(v)
+    aucs = auc_ks_by_fold(stacked, "variant", "y", "score").select(
+        F.col("variant").alias("feature"), "n_pos", "n_neg", "auc"
+    )
+    base_auc = aucs.where(F.col("feature") == "base").select(
+        F.col("auc").alias("_base_auc")
+    )
+    return aucs.crossJoin(F.broadcast(base_auc)).select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(F.col("_base_auc") - F.col("auc"), 6).alias("importance"),
+    )
