@@ -14,11 +14,13 @@ only; the full per-query timing + delta maps are written to
 driver's tail capture).
 
 Measurement discipline: every query gets one warm run (plan
-compilation, classloading, page cache), then the BEST of two timed
-runs with a GC nudge in between — a single shared JVM accumulates
-garbage across ~40 query plans, and without this the tail queries
-absorb earlier queries' GC debt (observed 5-10× inflation on
-sub-second queries).
+compilation, classloading, page cache), then timed runs with a GC
+nudge first — a single shared JVM accumulates garbage across hundreds
+of query plans, and without this the tail queries absorb earlier
+queries' GC debt (observed 5-10× inflation on sub-second queries).
+The 50 driver-core gates take the BEST of two timed runs; the long
+tail takes one timed run (the 270+-gate surface pushed full
+best-of-2 past 18 min of wall clock).
 
 ``backfill_turns_per_sec`` at sf0.1 (100k turns) is fixed-overhead
 dominated (~30 stages of scheduling around ~0.1s of compute); the
@@ -210,9 +212,14 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    # wall-time budget: the gated surface passed 270 queries and a
+    # full warm+best-of-2 sweep crossed 18 min — risky against the
+    # driver's capture window. The 50 driver-core gates (the timings
+    # the compact line reports) keep the warm+best-of-2 discipline;
+    # the long tail gets warm+1 (still warm-measured, one rep).
+    for i, (name, fn) in enumerate(qs.items()):
         timings[name] = timed_best(
-            spark, lambda fn=fn: fn(spark, sf_dir)
+            spark, lambda fn=fn: fn(spark, sf_dir), reps=2 if i < 50 else 1
         )
 
     bulk_turns, bulk_rate, bulk_mode = bulk_backfill_rate(spark)

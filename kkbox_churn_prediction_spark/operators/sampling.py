@@ -478,3 +478,69 @@ def curriculum_order(
         stage.cast("int").alias("stage"),
         (stage.cast("long") * F.lit(1 << 48) + h).cast("long").alias("sort_key"),
     )
+
+
+def epoch_budget_plan(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    budget_multiple: float = 4.0,
+    decay: float = 0.71,
+    max_epochs: float = 16.0,
+) -> DataFrame:
+    """Data-constrained training-budget allocation (the
+    Muennighoff et al. 2023 "scaling data-constrained LMs" planning
+    readout): given a token budget of ``budget_multiple ×`` the
+    corpus, split it EVENLY across sources and report, per source,
+    how many epochs that buys and the diminishing-returns effective
+    token value ``unique · (1 − decay^epochs) / (1 − decay)``
+    (geometric per-epoch value decay — repeated data is worth less
+    each epoch; ``decay`` ≈ the paper's ~4-epoch half-life).
+
+    Small sources get many epochs (capped at ``max_epochs``) and poor
+    marginal utilization; large sources stay under-epoched — exactly
+    the tension a mixture designer rebalances (see
+    ``match_token_distribution`` for the DoReMi-style reweighting).
+
+    Scale shape: ONE hash agg over the corpus (per-source token
+    sums); every budget column is per-row double algebra on the
+    ≤ |sources| table with a 1-row broadcast of the corpus totals.
+
+    Output per source: ``(source, n_docs, unique_tokens,
+    alloc_tokens, epochs, effective_tokens, utilization)``.
+    """
+    from kkbox_churn_prediction_spark.functions.text import tokens
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("unique_tokens"),
+    )
+    totals = per.agg(
+        F.sum("unique_tokens").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    alloc = (
+        F.lit(float(budget_multiple))
+        * F.col("_total").cast("double")
+        / F.col("_k").cast("double")
+    )
+    epochs = F.least(
+        F.lit(float(max_epochs)),
+        alloc / F.col("unique_tokens").cast("double"),
+    )
+    d = F.lit(float(decay))
+    effective = (
+        F.col("unique_tokens").cast("double")
+        * (F.lit(1.0) - F.pow(d, epochs))
+        / (F.lit(1.0) - d)
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "unique_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(effective, 6).alias("effective_tokens"),
+        F.round(effective / alloc, 6).alias("utilization"),
+    )

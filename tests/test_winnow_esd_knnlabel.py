@@ -108,3 +108,25 @@ def test_knn_label_consistency_flags_mislabels(spark):
     assert all(r.consistency >= 0.6 for r in clean)
     assert all(out[i].suspect == 0 for i in range(6, 12))
     assert all(r.n_k == 3 for r in out.values())
+
+
+# ----------------------------------------------------------- epoch budget
+def test_epoch_budget_small_source_saturates(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        epoch_budget_plan,
+    )
+
+    rows = (
+        [(i, "big " * 400, "big_src") for i in range(50)]
+        + [(1000 + i, "tiny doc here", "tiny_src") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in epoch_budget_plan(df).collect()}
+    # even split: the tiny source hits the epoch cap with waste;
+    # the big source is under-epoched but well-utilized
+    assert out["tiny_src"].epochs == 16.0
+    assert out["big_src"].epochs < 2.1
+    assert out["big_src"].utilization > out["tiny_src"].utilization
+    # effective tokens never exceed the geometric-series ceiling
+    for r in out.values():
+        assert r.effective_tokens <= r.unique_tokens / (1 - 0.71) + 1e-6
