@@ -4568,6 +4568,18 @@ def _q_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_budget_plan(_docs(spark, sf_dir))
 
 
+def _q_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.9 pinball-regression trend of the daily turn count (how
+    the BUSY days grow — the capacity question OLS and Theil-Sen
+    can't answer), 12 unrolled IRLS steps on the bounded daily
+    table."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        quantile_trend_daily,
+    )
+
+    return quantile_trend_daily(_conv(spark, sf_dir), tau=0.9)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4955,6 +4967,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_agreement": _q_knn_label_agreement,
         "perm_importance": _q_perm_importance,
         "epoch_budget": _q_epoch_budget,
+        "quantile_trend": _q_quantile_trend,
     }
 
 
@@ -13576,6 +13589,76 @@ FROM per, tot
 """
 
 
+# Quantile (pinball) trend (lock-step with
+# windows.quantile_trend_daily tau=0.9: OLS start, 12 unrolled IRLS
+# steps on the calendar-bounded daily table, (a,b) re-quantized to
+# 1e-9 per step, identical weighted-normal-equation expression trees)
+def _quantile_trend_oracle(tau: float = 0.9, n_iter: int = 12) -> str:
+    q = 1_000_000_000
+    day_us = 86400 * 1_000_000
+    parts = [
+        f"""{_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM conversations GROUP BY 1
+),
+pts AS MATERIALIZED (
+    SELECT CAST(floor(epoch_us(d) / {day_us}) AS BIGINT)
+           - (SELECT MIN(CAST(floor(epoch_us(d) / {day_us}) AS BIGINT))
+              FROM daily) AS t,
+           x
+    FROM daily
+),
+f0 AS (
+    SELECT CAST(ROUND((swy - (sw * swty - swt * swy) / (sw * swtt - swt * swt)
+                       * swt) / sw * {q}.0) AS BIGINT) AS aq,
+           CAST(ROUND((sw * swty - swt * swy) / (sw * swtt - swt * swt)
+                      * {q}.0) AS BIGINT) AS bq
+    FROM (
+        SELECT SUM(w) AS sw, SUM(w * t) AS swt, SUM(w * t * t) AS swtt,
+               SUM(w * x) AS swy, SUM(w * t * x) AS swty
+        FROM (SELECT t, x, 1.0 AS w FROM pts)
+    )
+)"""
+    ]
+    resid = (
+        f"CAST(x AS DOUBLE) - CAST(aq AS DOUBLE) / {q}.0"
+        f" - CAST(bq AS DOUBLE) / {q}.0 * CAST(t AS DOUBLE)"
+    )
+    wexpr = (
+        f"CASE WHEN ({resid}) > 0 THEN {tau!r} / GREATEST(({resid}), 1e-06)"
+        f" ELSE {1.0 - tau!r} / GREATEST(-({resid}), 1e-06) END"
+    )
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+    SELECT CAST(ROUND((swy - (sw * swty - swt * swy) / (sw * swtt - swt * swt)
+                       * swt) / sw * {q}.0) AS BIGINT) AS aq,
+           CAST(ROUND((sw * swty - swt * swy) / (sw * swtt - swt * swt)
+                      * {q}.0) AS BIGINT) AS bq
+    FROM (
+        SELECT SUM(w) AS sw, SUM(w * t) AS swt, SUM(w * t * t) AS swtt,
+               SUM(w * x) AS swy, SUM(w * t * x) AS swty
+        FROM (SELECT t, x, {wexpr} AS w FROM pts, f{i-1})
+    )
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND({tau!r}, 6) AS tau,
+       ROUND(CAST(MIN(bq) AS DOUBLE) / {q}.0, 6) AS slope,
+       ROUND(CAST(MIN(aq) AS DOUBLE) / {q}.0, 6) AS intercept,
+       ROUND(AVG(CASE WHEN ({resid}) > 0 THEN {tau!r} * ({resid})
+                      ELSE {tau - 1.0!r} * ({resid}) END), 6) AS pinball_loss
+FROM pts, f{n_iter}
+"""
+    )
+
+
 # Permutation importance (lock-step with
 # error_analysis.permutation_importance over the conv-level proxy
 # scorer: same bucket-cyclic permutation from stable_hash48, same
@@ -13942,4 +14025,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_agreement": _KNN_LABEL_SQL,
         "perm_importance": _perm_importance_oracle(),
         "epoch_budget": _EPOCH_BUDGET_SQL,
+        "quantile_trend": _quantile_trend_oracle(0.9, 12),
     }

@@ -1157,3 +1157,105 @@ def brown_double_daily(
         F.round(F.coalesce(fc, F.lit(-1.0)), 6).alias("forecast"),
         F.round(F.coalesce(err, F.lit(0.0)), 6).alias("forecast_err"),
     )
+
+
+def quantile_trend_daily(
+    turns: DataFrame,
+    *,
+    tau: float = 0.9,
+    n_iter: int = 12,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Quantile (pinball) regression of the daily activity series:
+    the line ``a + b·t`` minimizing the τ-pinball loss — the
+    "capacity trend" readout (τ = 0.9 tracks how the BUSY days grow,
+    which mean/OLS and even Theil–Sen can't answer) fitted by
+    iteratively reweighted least squares: ``w = τ/max(r, ε)`` above
+    the line, ``(1−τ)/max(−r, ε)`` below (the classic IRLS
+    approximation of the quantile-loss subgradient).
+
+    Determinism (the huber_location recipe): the stream collapses to
+    the calendar-bounded daily table once (exact integer counts, day
+    numbers re-based at the min day); each of the fixed ``n_iter``
+    steps solves the 2×2 weighted normal equations from five
+    bounded-table sums and re-quantizes (a, b) to the 1e-9 grid, so
+    both engines enter every step with identical floats; the DuckDB
+    oracle unrolls identical CTEs. Start point: OLS (w ≡ 1, exact
+    integer moments).
+
+    Output (one row): ``(n_days, tau, slope, intercept,
+    pinball_loss)`` — slope in turns/day at the τ-quantile.
+    """
+    day_us = 86400 * 1_000_000
+    q = 1_000_000_000
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    mind = daily.agg(
+        F.min(F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long")).alias(
+            "m"
+        )
+    )
+    pts = (
+        daily.select(
+            F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long").alias("dn"),
+            "x",
+        )
+        .crossJoin(F.broadcast(mind))
+        .select((F.col("dn") - F.col("m")).alias("t"), "x")
+        .persist()
+    )
+
+    def _solve(weighted) -> "DataFrame":
+        """(aq, bq) from the weighted normal equations, 1e-9 grid."""
+        s = weighted.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("t")).alias("swt"),
+            F.sum(F.col("w") * F.col("t") * F.col("t")).alias("swtt"),
+            F.sum(F.col("w") * F.col("x")).alias("swy"),
+            F.sum(F.col("w") * F.col("t") * F.col("x")).alias("swty"),
+        )
+        den = F.col("sw") * F.col("swtt") - F.col("swt") * F.col("swt")
+        b = (F.col("sw") * F.col("swty") - F.col("swt") * F.col("swy")) / den
+        a = (F.col("swy") - b * F.col("swt")) / F.col("sw")
+        return s.select(
+            F.round(a * F.lit(float(q))).cast("long").alias("aq"),
+            F.round(b * F.lit(float(q))).cast("long").alias("bq"),
+        )
+
+    fit = _solve(
+        pts.select("t", "x", F.lit(1.0).alias("w"))
+    ).localCheckpoint()
+    tau_f, eps_f = float(tau), float(eps)
+    for _ in range(int(n_iter)):
+        joined = pts.crossJoin(F.broadcast(fit))
+        r = (
+            F.col("x").cast("double")
+            - F.col("aq").cast("double") / F.lit(float(q))
+            - F.col("bq").cast("double") / F.lit(float(q)) * F.col("t").cast("double")
+        )
+        w = F.when(
+            r > 0, F.lit(tau_f) / F.greatest(r, F.lit(eps_f))
+        ).otherwise(F.lit(1.0 - tau_f) / F.greatest(-r, F.lit(eps_f)))
+        fit = _solve(joined.select("t", "x", w.alias("w"))).localCheckpoint()
+
+    final = pts.crossJoin(F.broadcast(fit))
+    r = (
+        F.col("x").cast("double")
+        - F.col("aq").cast("double") / F.lit(float(q))
+        - F.col("bq").cast("double") / F.lit(float(q)) * F.col("t").cast("double")
+    )
+    pinball = F.when(r > 0, F.lit(tau_f) * r).otherwise(
+        F.lit(tau_f - 1.0) * r
+    )
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.lit(tau_f), 6).alias("tau"),
+        F.round(F.min(F.col("bq")).cast("double") / F.lit(float(q)), 6).alias(
+            "slope"
+        ),
+        F.round(F.min(F.col("aq")).cast("double") / F.lit(float(q)), 6).alias(
+            "intercept"
+        ),
+        F.round(F.avg(pinball), 6).alias("pinball_loss"),
+    )

@@ -130,3 +130,52 @@ def test_epoch_budget_small_source_saturates(spark):
     # effective tokens never exceed the geometric-series ceiling
     for r in out.values():
         assert r.effective_tokens <= r.unique_tokens / (1 - 0.71) + 1e-6
+
+
+# --------------------------------------------------------- quantile trend
+def test_quantile_trend_near_optimal_pinball(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import (
+        quantile_trend_daily,
+    )
+
+    # 100 days, base 100 + 3/day with +200 spikes every 10th day.
+    # NOTE the true tau=0.9 optimum here is NOT slope 3: the line
+    # weaves under the spike band (grid optimum ~ (a=300, b=1.0),
+    # loss 17.09) — assert near-optimality of the pinball loss, not
+    # a guessed slope.
+    base = datetime(2024, 1, 1)
+    daily = [100 + 3 * t + (200 if (t * 13) % 10 == 0 else 0) for t in range(100)]
+    rows = []
+    for t, n in enumerate(daily):
+        day = base + timedelta(days=t)
+        rows.extend((f"c{t}", day + timedelta(seconds=s)) for s in range(n))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    hi = quantile_trend_daily(df, tau=0.9).collect()[0]
+    lo = quantile_trend_daily(df, tau=0.1).collect()[0]
+    assert hi.n_days == 100 and hi.tau == 0.9
+
+    def pinball(a, b, tau):
+        s = 0.0
+        for t, x in enumerate(daily):
+            r = x - a - b * t
+            s += tau * r if r > 0 else (tau - 1.0) * r
+        return s / len(daily)
+
+    # grid optimum for this fixture (verified offline): ~17.09
+    grid_best = min(
+        pinball(a, b / 100.0, 0.9)
+        for b in range(50, 350, 5)
+        for a in range(50, 400, 10)
+    )
+    assert hi.pinball_loss <= grid_best * 1.05  # within 5% of optimal
+    assert abs(hi.pinball_loss - pinball(hi.intercept, hi.slope, 0.9)) < 1e-4
+    # the tau=0.9 line sits above the tau=0.1 line at mid-series
+    mid = 50
+    assert hi.intercept + hi.slope * mid > lo.intercept + lo.slope * mid
+    # coverage: most days at or below the upper-band line
+    below = sum(
+        1 for t, x in enumerate(daily) if x <= hi.intercept + hi.slope * t
+    )
+    assert below >= 75
