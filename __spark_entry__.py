@@ -4580,6 +4580,81 @@ def _q_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_trend_daily(_conv(spark, sf_dir), tau=0.9)
 
 
+def _q_pmi_top_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spectral factor of the PPMI term-term matrix over the 40
+    highest-df terms (the PMI-SVD word-embedding classic, Levy &
+    Goldberg 2014) — proves the distributed power iteration composes
+    beyond covariance: same exact-integer fixed point, new matrix."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+    from kkbox_churn_prediction_spark.operators.spectral import (
+        power_iteration_top_eigen,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(normalize_text(F.col("text"))))
+        ).alias("term"),
+    )
+    df_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # top-40 terms, deterministic (df desc, term asc); the global
+    # window runs on the post-limit 40-row table
+    top = (
+        df_t.orderBy(F.desc("df"), "term")
+        .limit(40)
+        .select(
+            "term",
+            "df",
+            (
+                F.row_number().over(W.orderBy(F.desc("df"), "term")) - 1
+            ).alias("idx"),
+        )
+    )
+    filtered = toks.join(F.broadcast(top), "term").select(
+        "doc_id", "idx", "df"
+    )
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    a = filtered.select(
+        "doc_id", F.col("idx").alias("i"), F.col("df").alias("df_i")
+    )
+    b = filtered.select(
+        "doc_id", F.col("idx").alias("j"), F.col("df").alias("df_j")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j", "df_i", "df_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ppmi = pairs.crossJoin(F.broadcast(n_docs)).select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.greatest(
+            F.lit(0.0),
+            F.round(
+                F.log(
+                    F.col("c").cast("double")
+                    * F.col("_d").cast("double")
+                    / (F.col("df_i").cast("double") * F.col("df_j").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cov"),
+    )
+    eig = power_iteration_top_eigen(ppmi, n_iter=24)
+    return eig.join(
+        F.broadcast(top.select(F.col("idx").alias("dim"), "term")), "dim"
+    ).select("term", F.col("dim").cast("int").alias("dim"), "loading", "eigenvalue")
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -4968,6 +5043,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_importance": _q_perm_importance,
         "epoch_budget": _q_epoch_budget,
         "quantile_trend": _q_quantile_trend,
+        "pmi_top_factor": _q_pmi_top_factor,
     }
 
 
@@ -13589,6 +13665,77 @@ FROM per, tot
 """
 
 
+# PPMI spectral factor (lock-step with _q_pmi_top_factor: top-40
+# df terms, doc-presence cooccurrence, PPMI rounded 6 → the
+# _power_iter_oracle integer fixed point on the new matrix)
+def _pmi_factor_oracle(n_iter: int = 24) -> str:
+    head = f"""toks AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+),
+dft AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+top AS MATERIALIZED (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term) - 1 AS idx
+    FROM dft ORDER BY df DESC, term LIMIT 40
+),
+filt AS (SELECT t.doc_id, p.idx, p.df FROM toks t JOIN top p USING (term)),
+prs AS (
+    SELECT a.idx AS i, b.idx AS j, a.df AS df_i, b.df AS df_j,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM filt a JOIN filt b ON a.doc_id = b.doc_id AND a.idx < b.idx
+    GROUP BY 1, 2, 3, 4
+),
+uppr AS (
+    SELECT i, j,
+           GREATEST(0.0, ROUND(LN(CAST(c AS DOUBLE) * CAST(D AS DOUBLE)
+               / (CAST(df_i AS DOUBLE) * CAST(df_j AS DOUBLE))), 6)) AS v
+    FROM prs, (SELECT CAST(COUNT(*) AS BIGINT) AS D FROM documents)
+),
+cov AS MATERIALIZED (
+    SELECT i, j, CAST(ROUND(v * 1000000.0) AS BIGINT) AS cq FROM uppr
+    UNION ALL
+    SELECT j, i, CAST(ROUND(v * 1000000.0) AS BIGINT) FROM uppr
+),
+v0 AS (
+    SELECT DISTINCT i AS j,
+           CAST(ROUND(1000000000.0
+                / SQRT(CAST((SELECT COUNT(DISTINCT i) FROM cov) AS DOUBLE)))
+                AS BIGINT) AS vq
+    FROM cov
+)"""
+    ctes = [head]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+    SELECT m.i, SUM(m.cq * v.vq) AS s
+    FROM cov m JOIN v{t-1} v ON v.j = m.j GROUP BY m.i
+),
+n{t} AS MATERIALIZED (
+    SELECT SQRT(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM s{t}
+),
+v{t} AS MATERIALIZED (
+    SELECT i AS j,
+           CAST(ROUND(CAST(s AS DOUBLE) / nrm * 1000000000.0) AS BIGINT) AS vq
+    FROM s{t}, n{t}
+)""")
+    last = f"v{n_iter}"
+    tail = f"""quad AS (
+    SELECT SUM(CAST(vi.vq AS HUGEINT) * m.cq * vj.vq) AS num
+    FROM cov m JOIN {last} vj ON vj.j = m.j JOIN {last} vi ON vi.j = m.i
+),
+den AS (SELECT SUM(CAST(vq AS HUGEINT) * vq) AS den FROM {last}),
+lam AS (
+    SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0 AS eigenvalue
+    FROM quad, den
+),
+pvt AS (SELECT vq FROM {last} ORDER BY ABS(vq) DESC, j ASC LIMIT 1)
+SELECT t.term, CAST(v.j AS INTEGER) AS dim,
+       ROUND(CAST(CASE WHEN p.vq < 0 THEN -v.vq ELSE v.vq END AS DOUBLE)
+             / 1000000000.0, 6) AS loading,
+       ROUND(l.eigenvalue, 6) AS eigenvalue
+FROM {last} v JOIN top t ON t.idx = v.j, pvt p, lam l"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + tail
+
+
 # Quantile (pinball) trend (lock-step with
 # windows.quantile_trend_daily tau=0.9: OLS start, 12 unrolled IRLS
 # steps on the calendar-bounded daily table, (a,b) re-quantized to
@@ -14026,4 +14173,5 @@ def oracle_sql() -> dict[str, str]:
         "perm_importance": _perm_importance_oracle(),
         "epoch_budget": _EPOCH_BUDGET_SQL,
         "quantile_trend": _quantile_trend_oracle(0.9, 12),
+        "pmi_top_factor": _pmi_factor_oracle(24),
     }

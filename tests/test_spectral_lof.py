@@ -122,3 +122,82 @@ def test_editdist_threshold_filters(spark):
     rows = [(1, "same start then wildly different tail x"), (2, "same start but another end qqqqqqqq")]
     out = edit_distance_pairs(_docs(spark, rows), max_dist=3).collect()
     assert out == []
+
+
+# --------------------------------------------------- PPMI spectral factor
+def test_pmi_factor_matches_numpy_on_synthetic_corpus(spark):
+    np = pytest.importorskip("numpy")
+    import math as _m
+
+    import __spark_entry__ as entry
+
+    # write a small corpus through the same gate path via a temp view?
+    # The gate reads parquet; exercise the same construction inline:
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+    from kkbox_churn_prediction_spark.operators.spectral import (
+        power_iteration_top_eigen,
+    )
+
+    # two 3-term cliques of different strength: {alpha,beta,zeta} in
+    # 2/3 of docs (weak PMI ln1.5), {gamma,delta,eps} in 1/3 (strong
+    # PMI ln3 → dominant λ = 2·ln3). Both cliques are 3-node so the
+    # spectrum's negative tail (−w) never rivals the top (2w) — a
+    # 2-node block has ±w and the "dominant" eigenpair is ambiguous,
+    # and equal-strength cliques give a degenerate pair: numpy's
+    # basis vector is then arbitrary
+    corpus = [
+        (
+            i,
+            "alpha beta zeta" if i % 3 != 2 else "gamma delta eps",
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(normalize_text(F.col("text"))))).alias(
+            "term"
+        ),
+    )
+    df_t = {r.term: r.c for r in toks.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    terms = sorted(df_t, key=lambda t: (-df_t[t], t))
+    idx = {t: i for i, t in enumerate(terms)}
+    D = len(corpus)
+    # python PPMI + numpy eigh reference
+    from collections import Counter
+
+    co = Counter()
+    for _, text in corpus:
+        ts = sorted(set(text.split()), key=lambda t: idx[t])
+        for a in range(len(ts)):
+            for b in range(a + 1, len(ts)):
+                co[(idx[ts[a]], idx[ts[b]])] += 1
+    d = len(terms)
+    M = np.zeros((d, d))
+    for (i, j), c in co.items():
+        v = max(0.0, round(_m.log(c * D / (df_t[terms[i]] * df_t[terms[j]])), 6))
+        M[i, j] = M[j, i] = round(v * 1e6) / 1e6
+    vals, vecs = np.linalg.eigh(M)
+    k = int(np.argmax(np.abs(vals)))
+    w = vecs[:, k]
+    if w[int(np.argmax(np.abs(w)))] < 0:
+        w = -w
+
+    # engine: same PPMI pairs through the distributed power iteration
+    pairs = []
+    for (i, j), c in co.items():
+        v = max(0.0, round(_m.log(c * D / (df_t[terms[i]] * df_t[terms[j]])), 6))
+        pairs.append((i, j, v))
+    mat = spark.createDataFrame(pairs, "dim_i int, dim_j int, cov double")
+    out = {
+        r.dim: r for r in power_iteration_top_eigen(mat, n_iter=40).collect()
+    }
+    got = np.array([out[i].loading for i in range(d) if i in out])
+    ref = np.array([w[i] for i in range(d) if i in out])
+    assert abs(float(np.dot(got, ref))) == pytest.approx(1.0, abs=1e-3)
+    assert out[min(out)].eigenvalue == pytest.approx(float(vals[k]), rel=1e-3)
