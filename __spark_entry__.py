@@ -4655,6 +4655,35 @@ def _q_pmi_top_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("term", F.col("dim").cast("int").alias("dim"), "loading", "eigenvalue")
 
 
+def _q_lsh_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the transitive near-dup partition on its
+    own MinHash-LSH pair graph — the "is this clustering better than
+    chance" audit for the dedup pipeline; exact-integer numerator,
+    one division."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+        modularity,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, bands=4, rows_per_band=2
+    ).persist()
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return modularity(pairs, comps, community_col="component")
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out trigram novelty per doc: share of its distinct
+    shingles appearing in no other document — the boilerplate signal
+    below any pairwise-similarity threshold."""
+    from kkbox_churn_prediction_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5044,6 +5073,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_budget": _q_epoch_budget,
         "quantile_trend": _q_quantile_trend,
         "pmi_top_factor": _q_pmi_top_factor,
+        "lsh_modularity": _q_lsh_modularity,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -13665,6 +13696,72 @@ FROM per, tot
 """
 
 
+# Modularity of the near-dup partition (lock-step with
+# components.modularity over the MinHash-LSH pair graph + the
+# recursive-CTE transitive closure of _DEDUP_COMPONENTS_SQL; the
+# score is ONE exact-integer expression over a common denominator)
+_LSH_MODULARITY_SQL = f"""
+WITH RECURSIVE pairs AS ({{lsh}}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS community FROM reach GROUP BY node),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+d_c AS (
+    SELECT c.community, CAST(SUM(g.d) AS BIGINT) AS dc
+    FROM deg g JOIN comp c USING (node) GROUP BY c.community
+),
+internal AS (
+    SELECT cu.community, CAST(COUNT(*) AS BIGINT) AS ec
+    FROM pairs p
+    JOIN comp cu ON cu.node = p.doc_a
+    JOIN comp cv ON cv.node = p.doc_b
+    WHERE cu.community = cv.community
+    GROUP BY cu.community
+),
+per_c AS (
+    SELECT d.community, d.dc, COALESCE(i.ec, 0) AS ec
+    FROM d_c d LEFT JOIN internal i USING (community)
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(ec) AS BIGINT) AS se,
+           CAST(SUM(dc * dc) AS BIGINT) AS sd2
+    FROM per_c
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes, m.m AS n_edges, s.n_communities,
+       ROUND(CAST(4 * m.m * s.se - s.sd2 AS DOUBLE)
+             / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity
+FROM sums s, m, nn
+"""
+
+# Leave-one-out n-gram novelty (lock-step with textstats.ngram_novelty
+# n=3: distinct trigram shingles, corpus df, df==1 share per doc)
+_NGRAM_NOVELTY_SQL = f"""
+WITH sh AS MATERIALIZED (
+    SELECT doc_id, unnest({_SHINGLES.format(toks=_TOKS, nm1=2)}) AS sh
+    FROM documents
+),
+dfsh AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN dfsh USING (sh)
+GROUP BY s.doc_id
+"""
+
+
 # PPMI spectral factor (lock-step with _q_pmi_top_factor: top-40
 # df terms, doc-presence cooccurrence, PPMI rounded 6 → the
 # _power_iter_oracle integer fixed point on the new matrix)
@@ -14174,4 +14271,6 @@ def oracle_sql() -> dict[str, str]:
         "epoch_budget": _EPOCH_BUDGET_SQL,
         "quantile_trend": _quantile_trend_oracle(0.9, 12),
         "pmi_top_factor": _pmi_factor_oracle(24),
+        "lsh_modularity": _LSH_MODULARITY_SQL.format(lsh=_MINHASH_LSH_SQL),
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
     }

@@ -559,3 +559,80 @@ def lsh_dbscan(
         "n_neighbors",
         F.coalesce("cluster_size", F.lit(0)).cast("long").alias("cluster_size"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community partition on an undirected
+    simple graph (one row per unordered edge): the standard "is this
+    clustering better than chance" score for a dedup/similarity
+    partition — Q = Σ_c [e_c/m − (d_c/2m)²].
+
+    Exactness: with integer edge counts the whole score collapses to
+    ONE integer expression over a common denominator,
+    ``Q = (4m·Σe_c − Σd_c²) / (4m²)`` — exact BIGINT numerator, a
+    single IEEE division, bit-identical on any engine and partition
+    layout (no per-community float sum at all).
+
+    Scale shape: two hash aggs (degrees, within-community edge
+    counts) + two membership joins; the per-community table is never
+    collected and the final reduce is a 1-row agg.
+    """
+    mem = membership.select(
+        F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
+    )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    d_c = (
+        deg.join(mem, "_n")
+        .groupBy("_c")
+        .agg(F.sum("_d").cast("long").alias("_dc"))
+    )
+    internal = (
+        e.join(mem.select(F.col("_n").alias("_u"), F.col("_c").alias("_cu")), "_u")
+        .join(mem.select(F.col("_n").alias("_v"), F.col("_c").alias("_cv")), "_v")
+        .where(F.col("_cu") == F.col("_cv"))
+        .groupBy(F.col("_cu").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ec"))
+    )
+    per_c = d_c.join(internal, "_c", "left").select(
+        "_c",
+        "_dc",
+        F.coalesce("_ec", F.lit(0)).cast("long").alias("_ec"),
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    sums = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("_ec").cast("long").alias("_se"),
+        F.sum(F.col("_dc") * F.col("_dc")).cast("long").alias("_sd2"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        sums.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            F.col("_m").alias("n_edges"),
+            "n_communities",
+            F.round(
+                (
+                    F.lit(4) * F.col("_m") * F.col("_se")
+                    - F.col("_sd2")
+                ).cast("double")
+                / (F.lit(4) * F.col("_m") * F.col("_m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )

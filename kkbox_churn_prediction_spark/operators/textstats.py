@@ -1690,3 +1690,51 @@ def winnow_overlap_stats(fps: DataFrame) -> DataFrame:
             ).alias("share_ratio"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leave-one-out n-gram novelty per document: the fraction of a
+    doc's DISTINCT word n-grams that appear in NO other document
+    (corpus document-frequency 1) — the per-doc originality signal
+    ``distinct_ngram_diversity`` (corpus-level) and
+    ``repetition_stats`` (intra-doc) can't give; low novelty marks
+    boilerplate/template members even when no single near-dup pair
+    crosses a similarity threshold.
+
+    Shape: one exploded distinct-shingle stream → shingle-df hash agg
+    → one join back + per-doc agg (the shingle-family discipline —
+    the df table is vocabulary-sized, never all-pairs). Documents
+    with fewer than ``n`` tokens have no shingles and are absent from
+    the output (both engines).
+    """
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        word_shingles,
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            word_shingles(normalize_text(F.col(text_col)), n)
+        ).alias("sh"),
+    )
+    df_sh = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(df_sh, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("int")).cast("long").alias("n_novel"),
+            F.round(
+                F.sum((F.col("_df") == 1).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -179,3 +179,51 @@ def test_quantile_trend_near_optimal_pinball(spark):
         1 for t, x in enumerate(daily) if x <= hi.intercept + hi.slope * t
     )
     assert below >= 75
+
+
+# ------------------------------------------------------------- modularity
+def test_modularity_two_cliques_vs_random_partition(spark):
+    from kkbox_churn_prediction_spark.operators.components import modularity
+
+    # two disjoint triangles: perfect partition -> Q = 1/2 exactly
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "doc_a long, doc_b long",
+    )
+    good = spark.createDataFrame(
+        [(n, 0 if n <= 3 else 1) for n in range(1, 7)], "node long, community long"
+    )
+    r = modularity(edges, good, community_col="community").collect()[0]
+    assert r.modularity == pytest.approx(0.5, abs=1e-9)
+    assert r.n_nodes == 6 and r.n_edges == 6 and r.n_communities == 2
+    # mixed partition scores strictly worse
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(1, 7)], "node long, community long"
+    )
+    rb = modularity(edges, bad, community_col="community").collect()[0]
+    assert rb.modularity < r.modularity
+
+
+def test_modularity_single_community_is_zero(spark):
+    from kkbox_churn_prediction_spark.operators.components import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    one = spark.createDataFrame([(n, 7) for n in (1, 2, 3)], "node long, community long")
+    r = modularity(edges, one, community_col="community").collect()[0]
+    assert r.modularity == pytest.approx(0.0, abs=1e-9)
+
+
+# ------------------------------------------------------------ ngram novelty
+def test_ngram_novelty_separates_copies_from_originals(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import ngram_novelty
+
+    base = " ".join(f"w{(i * 37) % 500}" for i in range(50))
+    uniq = " ".join(f"u{(i * 41) % 500} only here" for i in range(20))
+    rows = [(1, base), (2, base), (3, uniq)]
+    out = {r.doc_id: r for r in ngram_novelty(_docs(spark, rows), n=3).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0  # exact copies
+    assert out[3].novelty > 0.9  # original text
+    rows2 = [(1, "a b")]  # < n tokens -> absent
+    assert ngram_novelty(_docs(spark, rows2), n=3).collect() == []
