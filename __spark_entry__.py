@@ -4684,6 +4684,63 @@ def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def _q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: revenue by nation within ASIA
+    for 1996 orders where the supplier and customer share a nation
+    (the "local supplier" predicate). The deepest relational
+    composition on the surface — region→nation broadcast down the dim
+    chain, the two fact tables join on orderkey, the locality
+    predicate closes the snowflake. DECIMAL-exact revenue."""
+    from pyspark.sql import functions as F
+
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(5,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5075,6 +5132,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top_factor": _q_pmi_top_factor,
         "lsh_modularity": _q_lsh_modularity,
         "ngram_novelty": _q_ngram_novelty,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
     }
 
 
@@ -13696,6 +13754,29 @@ FROM per, tot
 """
 
 
+# TPC-H Q5 shape (lock-step with _q_q5_local_supplier_volume:
+# ASIA nations, 1996 orders, customer/supplier same-nation locality,
+# DECIMAL-exact revenue cast to double at the edge)
+_Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
 # Modularity of the near-dup partition (lock-step with
 # components.modularity over the MinHash-LSH pair graph + the
 # recursive-CTE transitive closure of _DEDUP_COMPONENTS_SQL; the
@@ -14273,4 +14354,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_top_factor": _pmi_factor_oracle(24),
         "lsh_modularity": _LSH_MODULARITY_SQL.format(lsh=_MINHASH_LSH_SQL),
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "q5_local_supplier_volume": _Q5_SQL,
     }
