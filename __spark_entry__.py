@@ -850,6 +850,47 @@ def _q_streaming_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_hopping_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #9: watermarked HOPPING-window
+    (2h window / 1h slide) activity counts in append mode — each
+    event lands in two overlapping epoch-aligned windows, finalized
+    independently at the watermark. Epoch-micros keys (A9 lesson);
+    closure = window_end ≤ max(ts) − delay, replayed by the oracle."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.drift import (
+        streaming_hopping_counts,
+    )
+
+    src, stage = _stage_stream_src(sf_dir)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("ts")
+    )
+    name = "eng_streaming_hopping"
+    q = (
+        streaming_hopping_counts(
+            stream, window="2 hours", slide="1 hour", watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def _q_streaming_cms_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #6: Count-Min frequency sketch
     as a streaming aggregation in COMPLETE mode — the agg state IS
@@ -5133,6 +5174,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_modularity": _q_lsh_modularity,
         "ngram_novelty": _q_ngram_novelty,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "streaming_hopping_rate": _q_streaming_hopping_rate,
     }
 
 
@@ -7435,6 +7477,27 @@ counts AS (
 SELECT window_start_us, role, n
 FROM counts CROSS JOIN maxts
 WHERE window_start_us + 3600000000 <= m - 3600000000
+"""
+
+_STREAMING_HOPPING_SQL = """
+WITH base AS (
+    SELECT ts FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+maxts AS (SELECT MAX(epoch_us(ts)) AS m FROM base),
+assigned AS (
+    -- hopping 2h/1h: each event belongs to 2 overlapping windows,
+    -- starts floor(us/S)*S and floor(us/S)*S - S (S = 1h)
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000
+                - k * 3600000000 AS BIGINT) AS window_start_us
+    FROM base, (SELECT unnest([0, 1]) AS k)
+),
+counts AS (
+    SELECT window_start_us, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY 1
+)
+SELECT window_start_us, n
+FROM counts CROSS JOIN maxts
+WHERE window_start_us + 7200000000 <= m - 3600000000
 """
 
 _STREAMING_ENRICHED_SQL = """
@@ -14355,4 +14418,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_modularity": _LSH_MODULARITY_SQL.format(lsh=_MINHASH_LSH_SQL),
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
+        "streaming_hopping_rate": _STREAMING_HOPPING_SQL,
     }

@@ -160,3 +160,35 @@ def srm_over_windows(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(threshold))).alias("srm"),
     )
+
+
+def streaming_hopping_counts(
+    stream: DataFrame,
+    *,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked HOPPING-window event counts in append mode:
+    ``F.window(ts, window, slide)`` assigns every event to
+    ``window/slide`` overlapping epoch-aligned windows, each
+    finalized independently when the watermark passes its end — the
+    smoothed-rate monitor tumbling windows can't give (a spike at a
+    tumbling boundary splits across two buckets; hops see it whole).
+
+    State per open window is one count; ``window/slide`` windows are
+    open per key at any watermark position — still bounded, still
+    reclaimed. Output: ``(window_start, window_end, n)`` finalized
+    rows.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )

@@ -198,3 +198,45 @@ def test_srm_over_windows_golden(spark):
     assert out[(1, "a")]["chi2"] == 64.0 and out[(1, "a")]["srm"]
     assert out[(2, "b")]["observed"] == 0 and out[(2, "b")]["srm"]
     assert out[(2, "b")]["expected"] == 20.0
+
+
+def test_streaming_hopping_counts_overlap_and_closure(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.drift import (
+        streaming_hopping_counts,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(minutes=30 * i),) for i in range(24)]  # 12h span
+    src = str(tmp_path / "hop_src")
+    spark.createDataFrame(rows, "ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp").parquet(src)
+    q = (
+        streaming_hopping_counts(
+            stream, window="2 hours", slide="1 hour", watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hop_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("hop_test").collect()
+    got = {
+        (r.window_start.hour if r.window_start.day == 1 else r.window_start.hour - 24): r.n
+        for r in out
+    }
+    # max ts = 11:30, watermark = 10:30 -> closed windows end <= 10:30
+    # i.e. 2h windows starting at -1h .. 8h
+    assert min(got) == -1 and max(got) == 8
+    # interior 2h windows hold 4 half-hourly events; the first holds 2
+    assert got[-1] == 2
+    assert all(got[h] == 4 for h in range(0, 9))
+    # every interior event is counted exactly twice across hops
+    assert sum(got.values()) == 2 + 9 * 4
