@@ -891,6 +891,36 @@ def _q_streaming_hopping_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of query-0's top-10 cosine
+    candidates (λ=0.7): greedy relevance-vs-redundancy tradeoff over
+    the result-sized candidate set — the context-selection step pure
+    top-k can't do."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_expr,
+        mmr_rerank,
+    )
+
+    embs = _embs(spark, sf_dir)
+    qvec = embs.where(F.col("vec_id") == 0)
+    cands = brute_force_topk(embs, qvec, k=10).select(
+        F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("rel")
+    ).persist()
+    cv = embs.join(
+        cands.select(F.col("cand_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    a = cv.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    b = cv.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine_expr("_va", "_vb"), 6).alias("sim"))
+    )
+    return mmr_rerank(cands, sims, k=10, lam=0.7)
+
+
 def _q_streaming_cms_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming gate #6: Count-Min frequency sketch
     as a streaming aggregation in COMPLETE mode — the agg state IS
@@ -5175,6 +5205,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "streaming_hopping_rate": _q_streaming_hopping_rate,
+        "mmr_rerank": _q_mmr_rerank,
     }
 
 
@@ -13840,6 +13871,63 @@ GROUP BY n.n_name
 """
 
 
+# MMR re-ranking (lock-step with similarity.mmr_rerank over query-0's
+# top-10 candidates, λ=0.7: greedy unrolled, identical float literals
+# — note 1−0.7 is 0.30000000000000004 in IEEE, reproduced verbatim)
+def _mmr_oracle(k: int = 10, lam: float = 0.7) -> str:
+    om = repr(1.0 - lam)
+    head = f"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+allsc AS (
+    SELECT neighbor_id, ROUND({_COS}, 6) AS rel
+    FROM v, q WHERE neighbor_id <> query_id
+),
+cands AS MATERIALIZED (
+    SELECT neighbor_id AS cand_id, rel FROM allsc
+    ORDER BY rel DESC, neighbor_id ASC LIMIT {k}
+),
+ca AS (SELECT e.vec_id AS a, e.embedding AS qe
+       FROM embeddings e JOIN cands c ON c.cand_id = e.vec_id),
+cb AS (SELECT e.vec_id AS b, e.embedding AS ne
+       FROM embeddings e JOIN cands c ON c.cand_id = e.vec_id),
+sims AS MATERIALIZED (
+    SELECT a, b, ROUND({_COS}, 6) AS sim FROM ca, cb WHERE a <> b
+),
+rem0 AS (SELECT cand_id, rel FROM cands)"""
+    parts = [head]
+    for i in range(1, k + 1):
+        if i == 1:
+            scored = f"sc{i} AS (SELECT cand_id, rel, {lam!r} * rel AS score FROM rem{i-1})"
+        else:
+            scored = f"""sc{i} AS (
+    SELECT r.cand_id, r.rel,
+           {lam!r} * r.rel - {om} * COALESCE(m.ms, 0.0) AS score
+    FROM rem{i-1} r LEFT JOIN (
+        SELECT s.a AS cand_id, MAX(s.sim) AS ms
+        FROM sims s JOIN sel{i-1} x ON s.b = x.cand_id GROUP BY s.a
+    ) m USING (cand_id)
+)"""
+        parts.append(scored)
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+    SELECT CAST({i} AS INTEGER) AS rank, cand_id, rel,
+           ROUND(score, 6) AS mmr_score
+    FROM sc{i}, (SELECT MAX(score) AS mx FROM sc{i})
+    WHERE score = mx ORDER BY cand_id LIMIT 1
+)"""
+        )
+        sel = " UNION ALL ".join(f"SELECT cand_id FROM p{j}" for j in range(1, i + 1))
+        parts.append(f"sel{i} AS (  {sel})")
+        parts.append(
+            f"rem{i} AS (SELECT cand_id, rel FROM rem{i-1} "
+            f"WHERE cand_id NOT IN (SELECT cand_id FROM p{i}))"
+        )
+    tail = " UNION ALL ".join(
+        f"SELECT rank, cand_id, rel, mmr_score FROM p{j}" for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
 # Modularity of the near-dup partition (lock-step with
 # components.modularity over the MinHash-LSH pair graph + the
 # recursive-CTE transitive closure of _DEDUP_COMPONENTS_SQL; the
@@ -14419,4 +14507,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
         "streaming_hopping_rate": _STREAMING_HOPPING_SQL,
+        "mmr_rerank": _mmr_oracle(10, 0.7),
     }

@@ -1176,3 +1176,91 @@ def knn_label_consistency(
         .cast("int")
         .alias("suspect"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a BOUNDED candidate set: greedily pick the candidate
+    maximizing ``λ·rel − (1−λ)·max_sim_to_selected`` — the
+    diversity-aware context-selection step a pure top-k can't do
+    (top-k hands the context window five paraphrases of one
+    document; MMR trades relevance for coverage).
+
+    Inputs: ``candidates(cand_id, rel)`` (relevance, rounded 6) and
+    ``sims(a, b, sim)`` — pairwise similarities over the candidate
+    set, both directions present (or symmetric pairs; missing pairs
+    count as 0). Greedy selection is inherently sequential, so this
+    operator is for RESULT-sized candidate sets (top-N of a retrieval
+    stage, N ≤ ~100): each of the ``k`` rounds is one join + one
+    1-row argmax on the N-row frame, ``localCheckpoint``-flattened —
+    the ESD remove-and-rescore discipline. Tiebreak: max score, then
+    min cand_id — cross-engine exact on round-6 inputs and literal λ.
+
+    Output: ``(rank, cand_id, rel, mmr_score)``, rank 1-based.
+    """
+    remaining = candidates.select("cand_id", "rel").localCheckpoint()
+    sim_pairs = sims.select(
+        F.col("a").alias("_sa"), F.col("b").alias("_sb"), F.col("sim")
+    ).persist()
+    picks = []
+    selected = None
+    lam_f = float(lam)
+    for rnd in range(1, int(k) + 1):
+        if selected is None:
+            scored = remaining.select(
+                "cand_id", "rel", (F.lit(lam_f) * F.col("rel")).alias("score")
+            )
+        else:
+            maxsim = (
+                sim_pairs.join(
+                    F.broadcast(selected.select(F.col("cand_id").alias("_sb"))),
+                    "_sb",
+                )
+                .groupBy(F.col("_sa").alias("cand_id"))
+                .agg(F.max("sim").alias("_ms"))
+            )
+            scored = remaining.join(maxsim, "cand_id", "left").select(
+                "cand_id",
+                "rel",
+                (
+                    F.lit(lam_f) * F.col("rel")
+                    - F.lit(1.0 - lam_f) * F.coalesce("_ms", F.lit(0.0))
+                ).alias("score"),
+            )
+        best = scored.agg(F.max("score").alias("_mx"))
+        pick = (
+            scored.crossJoin(F.broadcast(best))
+            .where(F.col("score") == F.col("_mx"))
+            .agg(
+                F.min_by(
+                    F.struct("cand_id", "rel", "score"), F.col("cand_id")
+                ).alias("p")
+            )
+            .select(
+                F.lit(rnd).cast("int").alias("rank"),
+                F.col("p.cand_id").alias("cand_id"),
+                F.col("p.rel").alias("rel"),
+                F.round("p.score", 6).alias("mmr_score"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        pk = pick.select("cand_id")
+        selected = (
+            pk if selected is None else selected.unionAll(pk)
+        ).localCheckpoint()
+        remaining = remaining.join(
+            F.broadcast(pick.select(F.col("cand_id").alias("_pc"))),
+            remaining["cand_id"] == F.col("_pc"),
+            "left_anti",
+        ).localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

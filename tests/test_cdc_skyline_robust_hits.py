@@ -199,3 +199,42 @@ def test_hits_star_concentrates_authority(spark):
     }
     assert auth[0] > 0.9
     assert all(auth[d] < 0.5 for d in (1, 2, 3))
+
+
+# -------------------------------------------------------------------- MMR
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import mmr_rerank
+
+    # c1 most relevant; c2 slightly less relevant but NEAR-DUPLICATE
+    # of c1; c3 less relevant but diverse -> MMR picks c1, then c3
+    cands = spark.createDataFrame(
+        [(1, 0.95), (2, 0.94), (3, 0.80)], "cand_id long, rel double"
+    )
+    sims = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 1, 0.99), (1, 3, 0.10), (3, 1, 0.10),
+         (2, 3, 0.12), (3, 2, 0.12)],
+        "a long, b long, sim double",
+    )
+    out = sorted(
+        mmr_rerank(cands, sims, k=3, lam=0.7).collect(), key=lambda r: r.rank
+    )
+    assert [r.cand_id for r in out] == [1, 3, 2]
+    assert out[0].mmr_score == pytest.approx(0.7 * 0.95, abs=1e-9)
+    # redundant c2's final score is penalized by its 0.99 sim to c1
+    assert out[2].mmr_score == pytest.approx(0.7 * 0.94 - 0.3 * 0.99, abs=1e-6)
+
+
+def test_mmr_with_lam_one_is_pure_topk(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(i, 1.0 - i * 0.1) for i in range(5)], "cand_id long, rel double"
+    )
+    sims = spark.createDataFrame(
+        [(a, b, 0.9) for a in range(5) for b in range(5) if a != b],
+        "a long, b long, sim double",
+    )
+    out = sorted(
+        mmr_rerank(cands, sims, k=5, lam=1.0).collect(), key=lambda r: r.rank
+    )
+    assert [r.cand_id for r in out] == [0, 1, 2, 3, 4]  # rel order untouched
