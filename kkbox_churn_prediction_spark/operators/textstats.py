@@ -1623,7 +1623,24 @@ def winnow_fingerprints(
     pow_arr = F.array(*[F.lit(p) for p in pows])
     text = F.col(text_col)
     n = F.length(text)
-    n_kg = n - kk + 1  # k-gram count
+
+    # STAGE 1: char codes as one int-array column — hashing k chars
+    # per position via string substr costs k·n string slices per doc;
+    # element_at on the staged array is n slices + k·n long reads
+    # (the cdc_chunk_docs lesson, ~5× here)
+    codes = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    with_codes = docs.select(
+        F.col(id_col).alias("doc_id"), codes.alias("_codes")
+    )
+    carr = F.col("_codes")
+    n2 = F.size(carr)
+    n_kg = n2 - kk + 1  # k-gram count
 
     def _kgram_hash(i):
         return (
@@ -1631,20 +1648,20 @@ def winnow_fingerprints(
                 F.sequence(F.lit(0), F.lit(kk - 1)),
                 F.lit(0).cast("long"),
                 lambda acc, j: acc
-                + F.ascii(text.substr(i + j, F.lit(1))).cast("long")
+                + F.element_at(carr, (i + j).cast("int"))
                 * F.element_at(pow_arr, j + 1),
             )
             % F.lit(_WINNOW_MOD)
         )
 
     hashes = F.when(
-        n >= kk, F.transform(F.sequence(F.lit(1), n_kg), _kgram_hash)
+        n2 >= kk, F.transform(F.sequence(F.lit(1), n_kg), _kgram_hash)
     ).otherwise(F.array().cast("array<long>"))
-    # materialize the hash array as a REAL column before windowing:
+    # STAGE 2: the hash array as a REAL column before windowing:
     # inlining it would re-evaluate the full O(n·k) transform inside
     # every per-window slice (O(n²·k) per doc — measured as a hang)
-    with_h = docs.select(
-        F.col(id_col).alias("doc_id"), hashes.alias("_h")
+    with_h = with_codes.select(
+        "doc_id", hashes.alias("_h")
     )
     h = F.col("_h")
     fps = F.when(

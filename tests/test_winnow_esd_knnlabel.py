@@ -101,7 +101,7 @@ def test_knn_label_consistency_flags_mislabels(spark):
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
-    out = {r.vec_id: r for r in knn_label_consistency(df, k=3).collect()}
+    out = {r.vec_id: r for r in knn_label_consistency(df, k=3, method="brute").collect()}
     assert out[99].suspect == 1 and out[99].n_match == 0
     clean = [r for i, r in out.items() if i < 6]
     # cluster-A points see the mislabel among neighbors at most once
