@@ -891,6 +891,36 @@ def _q_streaming_hopping_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: deletion list =
+    customers with custkey ≡ 0 (mod 97); the cascade walks
+    customer→orders→lineitem by foreign key (one semi-join per hop)
+    and reports per-table affected rows/share — the erasure-job
+    sizing pass."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.privacy import (
+        deletion_cascade_audit,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dele = cust.where(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    return deletion_cascade_audit(
+        {"customer": cust, "orders": orders, "lineitem": li},
+        dele,
+        [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+        root_table="customer",
+        root_key="c_custkey",
+    )
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking of query-0's top-10 cosine
     candidates (λ=0.7): greedy relevance-vs-redundancy tradeoff over
@@ -5208,6 +5238,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "streaming_hopping_rate": _q_streaming_hopping_rate,
         "mmr_rerank": _q_mmr_rerank,
+        "deletion_cascade": _q_deletion_cascade,
     }
 
 
@@ -13879,6 +13910,36 @@ GROUP BY n.n_name
 """
 
 
+# Deletion-cascade audit (lock-step with
+# privacy.deletion_cascade_audit over customer->orders->lineitem,
+# deletion list custkey % 97 == 0)
+_DELETION_CASCADE_SQL = """
+WITH dele AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),
+aff_cust AS (SELECT * FROM customer WHERE c_custkey IN (SELECT key FROM dele)),
+aff_ord AS (SELECT * FROM orders
+            WHERE o_custkey IN (SELECT DISTINCT c_custkey FROM aff_cust)),
+aff_li AS (SELECT * FROM lineitem
+           WHERE l_orderkey IN (SELECT DISTINCT o_orderkey FROM aff_ord))
+SELECT 'customer' AS "table",
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_total,
+       CAST((SELECT COUNT(*) FROM aff_cust) AS BIGINT) AS rows_affected,
+       ROUND(CAST((SELECT COUNT(*) FROM aff_cust) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 6) AS share
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_ord) AS BIGINT),
+       ROUND(CAST((SELECT COUNT(*) FROM aff_ord) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_li) AS BIGINT),
+       ROUND(CAST((SELECT COUNT(*) FROM aff_li) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+"""
+
+
 # MMR re-ranking (lock-step with similarity.mmr_rerank over query-0's
 # top-10 candidates, λ=0.7: greedy unrolled, identical float literals
 # — note 1−0.7 is 0.30000000000000004 in IEEE, reproduced verbatim)
@@ -14516,4 +14577,5 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": _Q5_SQL,
         "streaming_hopping_rate": _STREAMING_HOPPING_SQL,
         "mmr_rerank": _mmr_oracle(10, 0.7),
+        "deletion_cascade": _DELETION_CASCADE_SQL,
     }

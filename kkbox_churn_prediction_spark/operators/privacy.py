@@ -185,3 +185,86 @@ def k_anonymity_summary(audit: DataFrame) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("n_entities").cast("long").alias("dataset_k"),
     )
+
+
+def deletion_cascade_audit(
+    tables: dict[str, DataFrame],
+    deletion_keys: DataFrame,
+    links: list[tuple[str, str, str, str]],
+    *,
+    root_table: str,
+    root_key: str,
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion-key list
+    for ``root_table``, walk the foreign-key ``links`` — each entry
+    ``(child_table, child_fk, parent_table, parent_key)`` — and report
+    per table how many rows the cascade reaches (the plan a DSAR /
+    GDPR erasure job executes, sized before touching anything).
+
+    Traversal is breadth-first over the link graph: affected keys of
+    a parent define affected rows of each child via one semi-join;
+    children's own keys then propagate further. Every hop is one
+    equi-join against a key set bounded by the deletion list's reach
+    — no full-table materialization, and the output is one row per
+    table ``(table, rows_total, rows_affected, share)``.
+
+    Reference analog: the reference's per-member train/test carve
+    touches the same msno across every raw table
+    (``src/labels.py``); erasure is the same key walk with deletes.
+    """
+    affected: dict[str, DataFrame] = {
+        root_table: tables[root_table]
+        .join(
+            F.broadcast(deletion_keys.select(F.col("key").alias(root_key))),
+            root_key,
+            "left_semi",
+        )
+        .persist()
+    }
+    # BFS: a link becomes resolvable once its parent is reached
+    pending = list(links)
+    while pending:
+        progressed = False
+        for link in list(pending):
+            child, child_fk, parent, parent_key = link
+            if parent not in affected or child in affected:
+                continue
+            keys = affected[parent].select(
+                F.col(parent_key).alias(child_fk)
+            ).distinct()
+            affected[child] = (
+                tables[child].join(keys, child_fk, "left_semi").persist()
+            )
+            pending.remove(link)
+            progressed = True
+        if not progressed:
+            break  # unreachable links (no path from the root) are skipped
+    frames = []
+    for name, df in tables.items():
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("rows_total"))
+        hit = (
+            affected[name].agg(F.count(F.lit(1)).cast("long").alias("rows_affected"))
+            if name in affected
+            else None
+        )
+        row = total.crossJoin(
+            F.broadcast(hit)
+            if hit is not None
+            else F.broadcast(
+                total.select(F.lit(0).cast("long").alias("rows_affected"))
+            )
+        ).select(
+            F.lit(name).alias("table"),
+            "rows_total",
+            "rows_affected",
+            F.round(
+                F.col("rows_affected").cast("double")
+                / F.col("rows_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -227,3 +227,43 @@ def test_ngram_novelty_separates_copies_from_originals(spark):
     assert out[3].novelty > 0.9  # original text
     rows2 = [(1, "a b")]  # < n tokens -> absent
     assert ngram_novelty(_docs(spark, rows2), n=3).collect() == []
+
+
+# ------------------------------------------------------- deletion cascade
+def test_deletion_cascade_reaches_linked_rows_only(spark):
+    from kkbox_churn_prediction_spark.operators.privacy import (
+        deletion_cascade_audit,
+    )
+
+    users = spark.createDataFrame([(i,) for i in range(10)], "uid long")
+    orders = spark.createDataFrame(
+        [(100 + i, i % 10) for i in range(30)], "oid long, uid long"
+    )
+    items = spark.createDataFrame(
+        [(1000 + i, 100 + i % 30) for i in range(90)], "iid long, oid long"
+    )
+    dele = spark.createDataFrame([(3,), (7,)], "key long")
+    out = {
+        r.table: r
+        for r in deletion_cascade_audit(
+            {"users": users, "orders": orders, "items": items},
+            dele,
+            [("orders", "uid", "users", "uid"), ("items", "oid", "orders", "oid")],
+            root_table="users",
+            root_key="uid",
+        ).collect()
+    }
+    assert out["users"].rows_affected == 2
+    assert out["orders"].rows_affected == 6  # 3 orders per user
+    assert out["items"].rows_affected == 18  # 3 items per order
+    assert out["items"].share == 0.2
+    # a table with no path from the root reports 0 affected
+    out2 = deletion_cascade_audit(
+        {"users": users, "lonely": items},
+        dele,
+        [],
+        root_table="users",
+        root_key="uid",
+    ).collect()
+    lon = [r for r in out2 if r.table == "lonely"][0]
+    assert lon.rows_affected == 0 and lon.share == 0.0
