@@ -4844,6 +4844,48 @@ def _q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-active conversations per day (WAU-style)
+    + same-day actives + stickiness, via the interval-cover rewrite —
+    two hash aggs on entity-day keys, no range join, no Expand."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        rolling_active_entities,
+    )
+
+    return rolling_active_entities(_conv(spark, sf_dir), window_days=7)
+
+
+def _q_ccf_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of user vs assistant daily volume at lags
+    −7..+7 (lead/lag diagnostic; daily_acf's two-series sibling).
+    One conditional-agg day collapse, then bounded-series algebra."""
+    from kkbox_churn_prediction_spark.operators.windows import ccf_daily
+
+    return ccf_daily(_conv(spark, sf_dir), "user", "assistant", max_lag=7)
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend significance on the daily series
+    (tie-corrected variance, continuity-corrected z, tau-b) — the
+    p-value companion to theil_sen_trend's slope."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        mann_kendall_daily,
+    )
+
+    return mann_kendall_daily(_conv(spark, sf_dir))
+
+
+def _q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound + Good–Turing sample
+    coverage from singleton/doubleton counts (capture–recapture
+    complement to heaps_law's growth-curve extrapolation)."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        vocab_richness,
+    )
+
+    return vocab_richness(_docs(spark, sf_dir))
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5239,6 +5281,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hopping_rate": _q_streaming_hopping_rate,
         "mmr_rerank": _q_mmr_rerank,
         "deletion_cascade": _q_deletion_cascade,
+        "rolling_active_7d": _q_rolling_active,
+        "ccf_user_assistant": _q_ccf_roles,
+        "mann_kendall_daily": _q_mann_kendall,
+        "vocab_richness": _q_vocab_richness,
     }
 
 
@@ -14288,6 +14334,186 @@ FROM aucs a, (SELECT auc FROM aucs WHERE feature = 'base') b
     )
 
 
+# Rolling 7-day distinct-active conversations (lock-step with
+# windows.rolling_active_entities: interval-cover rewrite — distinct
+# entity-days exploded to the <=7 window-END days each covers, second
+# dedup, per-end-day counts; reported days bounded by the corpus max)
+_ROLLING_ACTIVE_SQL = f"""
+WITH {_CONV_CTE},
+pairs AS (
+    SELECT DISTINCT conv_id,
+           CAST(floor(epoch_us(date_trunc('day', ts)) / 86400000000)
+                AS BIGINT) AS dn
+    FROM conversations
+),
+mx AS (SELECT max(dn) AS m FROM pairs),
+cover AS (
+    SELECT DISTINCT conv_id, dn + o AS cd
+    FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) r
+    WHERE dn + o <= (SELECT m FROM mx)
+),
+win AS (
+    SELECT cd, CAST(COUNT(*) AS BIGINT) AS active_window
+    FROM cover GROUP BY cd
+),
+day AS (
+    SELECT dn AS cd, CAST(COUNT(*) AS BIGINT) AS active_day
+    FROM pairs GROUP BY dn
+)
+SELECT epoch_ms(win.cd * 86400000) AS d,
+       COALESCE(day.active_day, 0) AS active_day,
+       win.active_window,
+       ROUND(COALESCE(day.active_day, 0)
+             / CAST(win.active_window AS DOUBLE), 6) AS stickiness
+FROM win LEFT JOIN day ON win.cd = day.cd
+"""
+
+# Daily cross-correlation user vs assistant (lock-step with
+# windows.ccf_daily: one conditional-agg day collapse, full-series
+# means/denominators, observation lags over the day-ordered series,
+# positive lag = assistant series lagged, negative = user lagged)
+_CCF_ROLES_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS a,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS b
+    FROM conversations GROUP BY 1
+),
+mu AS (SELECT avg(a) AS ma, avg(b) AS mb FROM daily),
+dev AS (
+    SELECT d, a - (SELECT ma FROM mu) AS da, b - (SELECT mb FROM mu) AS db
+    FROM daily
+),
+den AS (SELECT SUM(da * da) AS dena, SUM(db * db) AS denb FROM dev),
+lagd AS (
+    SELECT d, da, db,
+           lag(db, 1) OVER w AS lb1,
+           lag(db, 2) OVER w AS lb2,
+           lag(db, 3) OVER w AS lb3,
+           lag(db, 4) OVER w AS lb4,
+           lag(db, 5) OVER w AS lb5,
+           lag(db, 6) OVER w AS lb6,
+           lag(db, 7) OVER w AS lb7,
+           lag(da, 1) OVER w AS la1,
+           lag(da, 2) OVER w AS la2,
+           lag(da, 3) OVER w AS la3,
+           lag(da, 4) OVER w AS la4,
+           lag(da, 5) OVER w AS la5,
+           lag(da, 6) OVER w AS la6,
+           lag(da, 7) OVER w AS la7
+    FROM dev WINDOW w AS (ORDER BY d)
+),
+stack AS (
+    SELECT 0 AS "lag", da * db AS prod FROM lagd
+    UNION ALL
+    SELECT 1, da * lb1 FROM lagd
+    UNION ALL
+    SELECT -1, db * la1 FROM lagd
+    UNION ALL
+    SELECT 2, da * lb2 FROM lagd
+    UNION ALL
+    SELECT -2, db * la2 FROM lagd
+    UNION ALL
+    SELECT 3, da * lb3 FROM lagd
+    UNION ALL
+    SELECT -3, db * la3 FROM lagd
+    UNION ALL
+    SELECT 4, da * lb4 FROM lagd
+    UNION ALL
+    SELECT -4, db * la4 FROM lagd
+    UNION ALL
+    SELECT 5, da * lb5 FROM lagd
+    UNION ALL
+    SELECT -5, db * la5 FROM lagd
+    UNION ALL
+    SELECT 6, da * lb6 FROM lagd
+    UNION ALL
+    SELECT -6, db * la6 FROM lagd
+    UNION ALL
+    SELECT 7, da * lb7 FROM lagd
+    UNION ALL
+    SELECT -7, db * la7 FROM lagd
+)
+SELECT "lag", CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN (SELECT dena FROM den) > 1e-12
+                   AND (SELECT denb FROM den) > 1e-12
+             THEN SUM(prod) / sqrt((SELECT dena FROM den)
+                                   * (SELECT denb FROM den)) END, 6) AS ccf
+FROM stack WHERE prod IS NOT NULL GROUP BY "lag"
+"""
+
+# Mann-Kendall trend test (lock-step with windows.mann_kendall_daily:
+# pair scan over the bounded daily series only, tie-corrected
+# variance, continuity-corrected z, tau-b with the time side tie-free)
+_MANN_KENDALL_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM conversations GROUP BY 1
+),
+s AS (
+    SELECT CAST(SUM(SIGN(CAST(j.x AS DOUBLE) - i.x)) AS BIGINT) AS s_stat
+    FROM daily i JOIN daily j ON i.d < j.d
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+    SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tv,
+           SUM(t * (t - 1) / 2) AS tt
+    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM daily GROUP BY x)
+),
+one AS (
+    SELECT n_days, s_stat, tv, tt,
+           (CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) - tv)
+             / 18.0 AS vs,
+           CAST(n_days AS DOUBLE) * (n_days - 1) / 2 AS dp
+    FROM n, s, ties
+)
+SELECT n_days, s_stat,
+       ROUND(vs, 6) AS var_s,
+       ROUND(CASE WHEN vs <= 0 THEN 0.0
+                  WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(vs)
+                  WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(vs)
+                  ELSE 0.0 END, 6) AS z_stat,
+       ROUND(CASE WHEN sqrt(dp * (dp - tt)) > 0
+                  THEN CAST(s_stat AS DOUBLE) / sqrt(dp * (dp - tt))
+                  ELSE 0.0 END, 6) AS tau_b
+FROM one
+"""
+
+# Chao1 richness + Good-Turing coverage (lock-step with
+# textstats.vocab_richness: the zipf_stats normalize+tokenize device,
+# bias-corrected chao1 = V + f1(f1-1)/(2(f2+1)), coverage = 1 - f1/N)
+_VOCAB_RICHNESS_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+    WHERE word IS NOT NULL AND word <> ''
+    GROUP BY 1
+),
+one AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM words
+)
+SELECT total_tokens, vocab_size, f1, f2,
+       ROUND(vocab_size + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)),
+             6) AS chao1,
+       ROUND(CASE WHEN total_tokens > 0
+                  THEN 1.0 - CAST(f1 AS DOUBLE) / total_tokens END,
+             6) AS coverage
+FROM one
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -14578,4 +14804,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hopping_rate": _STREAMING_HOPPING_SQL,
         "mmr_rerank": _mmr_oracle(10, 0.7),
         "deletion_cascade": _DELETION_CASCADE_SQL,
+        "rolling_active_7d": _ROLLING_ACTIVE_SQL,
+        "ccf_user_assistant": _CCF_ROLES_SQL,
+        "mann_kendall_daily": _MANN_KENDALL_SQL,
+        "vocab_richness": _VOCAB_RICHNESS_SQL,
     }

@@ -1755,3 +1755,53 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size and
+    the Good–Turing sample-coverage estimate — how much vocabulary the
+    corpus has NOT seen yet (the capture–recapture complement to
+    :func:`heaps_law_fit`, which extrapolates the growth curve; Chao1
+    lower-bounds the asymptote from singleton/doubleton counts alone:
+    Chao 1984, Good 1953).
+
+    One row: ``(total_tokens, vocab_size, f1, f2, chao1, coverage)``
+    with the bias-corrected estimator ``chao1 = V + f1·(f1−1)/(2·(f2+1))``
+    (defined even when no doubletons exist) and Good–Turing coverage
+    ``1 − f1/N`` (the probability the next token is a seen word).
+
+    Shape: the corpus collapses to word counts in one map-side-combined
+    shuffle (the zipf_stats device, same normalize+tokenize so the two
+    gates read one vocabulary); everything else is ONE one-row agg over
+    the vocab-sized count table — no ranks, no windows, no second pass.
+    """
+    words = (
+        df.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    one = words.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("vocab_size") + f1 * (f1 - 1) / (2 * (f2 + 1))
+    cov = F.lit(1.0) - f1 / F.col("total_tokens")
+    return one.select(
+        "total_tokens",
+        "vocab_size",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.when(F.col("total_tokens") > 0, cov), 6).alias("coverage"),
+    )

@@ -1259,3 +1259,244 @@ def quantile_trend_daily(
         ),
         F.round(F.avg(pinball), 6).alias("pinball_loss"),
     )
+
+
+def rolling_active_entities(
+    turns: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Per calendar day, the count of DISTINCT conversations active in
+    the trailing ``window_days``-day window ending that day (WAU-style
+    rolling actives), alongside the same-day distinct count and the
+    stickiness ratio ``active_day / active_window`` — the engagement
+    denominator every retention / churn dashboard needs next to
+    ``daily_engagement`` (which counts turns, not entities).
+
+    Semantics: a conversation is active-in-window on day D iff it has
+    at least one turn on some day in ``(D − window_days, D]`` (calendar
+    days from ``date_trunc('day', ts)``); reported days run through the
+    corpus's last active day, so warm-up days at the head carry
+    partial windows (the standard dashboard convention) and gap days
+    INSIDE a window still get a row (``active_day = 0``).
+
+    Shape — the interval-cover rewrite, NOT a range join: the naive
+    formulation (day grid ⋈ turns ON d−w < ts ≤ d, COUNT DISTINCT) is
+    a theta-join that replicates the full turn stream per covered day
+    and then pays an Expand for the distinct. Instead: (1) dedup to
+    distinct (conv_id, day) pairs — one partial+final hash agg that
+    collapses 10^12 turns to entity-days; (2) explode each active day
+    into the ≤``window_days`` window-END days it covers (bounded
+    fan-out, a generator not a shuffle); (3) dedup (conv_id, end_day)
+    — a second hash agg — and count per end day. Every stage is a
+    map-side-combinable agg on keys far smaller than the stream; no
+    window function, no Expand, no per-day replication of raw turns.
+    The one-row max-day bound rides a broadcast.
+    """
+    pairs = turns.select(
+        "conv_id",
+        F.floor(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(DAY_US)
+        ).alias("_dn"),
+    ).distinct()
+    mx = pairs.agg(F.max("_dn").alias("_mx"))
+    cover = (
+        pairs.select(
+            "conv_id",
+            F.explode(
+                F.sequence(
+                    F.col("_dn"), F.col("_dn") + F.lit(int(window_days) - 1)
+                )
+            ).alias("_cd"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("_cd") <= F.col("_mx"))
+        .select("conv_id", "_cd")
+        .distinct()
+    )
+    win = cover.groupBy("_cd").agg(
+        F.count(F.lit(1)).cast("long").alias("active_window")
+    )
+    day = pairs.groupBy(F.col("_dn").alias("_cd")).agg(
+        F.count(F.lit(1)).cast("long").alias("active_day")
+    )
+    a1 = F.coalesce(F.col("active_day"), F.lit(0)).cast("long")
+    return win.join(day, "_cd", "left").select(
+        F.timestamp_seconds(F.col("_cd") * F.lit(86_400)).alias("d"),
+        a1.alias("active_day"),
+        "active_window",
+        F.round(
+            a1.cast("double") / F.col("active_window"), 6
+        ).alias("stickiness"),
+    )
+
+
+def ccf_daily(
+    turns: DataFrame,
+    role_a: str = "user",
+    role_b: str = "assistant",
+    max_lag: int = 7,
+    *,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Sample CROSS-correlation between two roles' daily turn-count
+    series at lags −``max_lag``..+``max_lag`` — does assistant volume
+    track user volume same-day, or echo it a day late? (daily_acf is
+    the self-correlation special case; the CCF pair is the standard
+    lead/lag diagnostic before reading any causal story into two
+    co-trending series.)
+
+    Estimator: ``ccf(k) = Σ(a_t−ā)(b_{t−k}−b̄) / √(Σ(a−ā)²·Σ(b−b̄)²)``
+    with full-series means and denominators (the textbook plug-in);
+    positive k = b leads by k observations, negative k = a leads.
+    Lags are OBSERVATION lags over the ordered day series (gap days
+    absent, not zero — the daily_acf contract; densify via
+    :mod:`operators.resample` first for calendar-lag semantics).
+
+    Shape: one partial+final day agg collapses the stream (both role
+    series in a single conditional-agg pass, A6 device); everything
+    after runs on the calendar-bounded daily series (daily_anomalies
+    exemption for the day-ordered window), means/denominators ride
+    one-row broadcasts, and the per-lag products stack through ONE
+    explode so all 2·max_lag+1 lags share a single window sort.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("role") == role_a, 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("role") == role_b, 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+    )
+    mu = daily.agg(F.avg("a").alias("_ma"), F.avg("b").alias("_mb"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "d",
+        (F.col("a") - F.col("_ma")).alias("da"),
+        (F.col("b") - F.col("_mb")).alias("db"),
+    )
+    den = dev.agg(
+        F.sum(F.col("da") * F.col("da")).alias("_dena"),
+        F.sum(F.col("db") * F.col("db")).alias("_denb"),
+    )
+    w = Window.orderBy("d")
+    ks = list(range(0, int(max_lag) + 1))
+    wide = dev.select(
+        "da",
+        "db",
+        *[F.lag("db", k).over(w).alias(f"_lb{k}") for k in ks if k > 0],
+        *[F.lag("da", k).over(w).alias(f"_la{k}") for k in ks if k > 0],
+    )
+    arms = [
+        F.struct(
+            F.lit(0).alias("lag"), (F.col("da") * F.col("db")).alias("prod")
+        )
+    ]
+    for k in ks:
+        if k == 0:
+            continue
+        arms.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                (F.col("da") * F.col(f"_lb{k}")).alias("prod"),
+            )
+        )
+        arms.append(
+            F.struct(
+                F.lit(-k).alias("lag"),
+                (F.col("db") * F.col(f"_la{k}")).alias("prod"),
+            )
+        )
+    stacked = (
+        wide.select(F.explode(F.array(*arms)).alias("s"))
+        .select(F.col("s.lag").alias("lag"), F.col("s.prod").alias("prod"))
+        .where(F.col("prod").isNotNull())
+    )
+    out = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("prod").alias("_num"),
+    )
+    return out.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when(
+                (F.col("_dena") > eps) & (F.col("_denb") > eps),
+                F.col("_num") / F.sqrt(F.col("_dena") * F.col("_denb")),
+            ),
+            6,
+        ).alias("ccf"),
+    )
+
+
+def mann_kendall_daily(turns: DataFrame) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily turn-count series
+    — the nonparametric companion to :func:`theil_sen_daily` (which
+    gives the slope; this gives the significance): ``S = Σ_{i<j}
+    sign(x_j − x_i)``, tie-corrected variance ``Var(S) = [n(n−1)(2n+5)
+    − Σ_t t(t−1)(2t+5)]/18``, continuity-corrected z, and Kendall's
+    tau-b (time side has no ties, so the tie product keeps only the
+    value-side term). One row: ``(n_days, s_stat, var_s, z_stat,
+    tau_b)``.
+
+    Shape: the stream collapses to one row per day first; the O(n²)
+    pair scan is an inequality self-join of the calendar-bounded daily
+    series ONLY (the daily_anomalies exemption — 3 years ≈ 1100 days ≈
+    600k pairs), never of raw turns. Tie counts are a second tiny agg
+    on the same daily frame; the three one-row frames meet through
+    broadcast cross joins.
+    """
+    daily = (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .persist()
+    )
+    li = daily.select(
+        F.col("d").alias("di"), F.col("x").alias("xi")
+    )
+    lj = daily.select(
+        F.col("d").alias("dj"), F.col("x").alias("xj")
+    )
+    s = (
+        li.join(lj, F.col("di") < F.col("dj"))
+        .agg(
+            F.sum(
+                F.signum(F.col("xj").cast("double") - F.col("xi"))
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("_tv"),
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("_tt"),
+        )
+    )
+    one = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+    )
+    nd = F.col("n_days").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("_tv")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(var_s <= 0, F.lit(0.0))
+        .when(sd > 0, (sd - 1) / F.sqrt(var_s))
+        .when(sd < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    d_pairs = nd * (nd - 1) / 2
+    tau_den = F.sqrt(d_pairs * (d_pairs - F.col("_tt")))
+    tau = F.when(tau_den > 0, sd / tau_den).otherwise(F.lit(0.0))
+    return one.select(
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(tau, 6).alias("tau_b"),
+    )
