@@ -4886,6 +4886,38 @@ def _q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_richness(_docs(spark, sf_dir))
 
 
+def _q_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite daily decomposition: rolling-median trend + weekday
+    seasonal + remainder (what anomaly alarms should fire on) — all
+    windows on the calendar-bounded daily series."""
+    from kkbox_churn_prediction_spark.operators.windows import stl_daily
+
+    return stl_daily(_conv(spark, sf_dir))
+
+
+def _q_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective-sample-size health check of source-balancing
+    weights over documents (ESS, ESS fraction, max-weight share, CV)
+    — the weights audit every weighted estimator needs."""
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        balance_weights,
+        weight_diagnostics,
+    )
+
+    return weight_diagnostics(
+        balance_weights(_docs(spark, sf_dir), "source"), "weight"
+    )
+
+
+def _q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for conv_id: hot-key ceiling vs mean,
+    exact p99 key size off the counts-of-counts table, and the
+    salt-bucket recommendation."""
+    from kkbox_churn_prediction_spark.operators.skew import skew_diagnosis
+
+    return skew_diagnosis(_conv(spark, sf_dir), "conv_id")
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5285,6 +5317,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_user_assistant": _q_ccf_roles,
         "mann_kendall_daily": _q_mann_kendall,
         "vocab_richness": _q_vocab_richness,
+        "stl_daily": _q_stl_daily,
+        "weight_ess": _q_weight_ess,
+        "skew_diagnosis": _q_skew_diagnosis,
     }
 
 
@@ -14514,6 +14549,100 @@ FROM one
 
 
 
+# STL-lite decomposition (lock-step with windows.stl_daily: centered
+# 7-point rolling-MEDIAN trend with partial edge windows, full-series
+# per-isodow seasonal means of the detrended series — NOT centered —
+# remainder = n - trend - seasonal)
+_STL_DAILY_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY 1
+),
+tr AS (
+    SELECT d, n_turns, CAST(isodow(d) AS INTEGER) AS iso_dow,
+           median(CAST(n_turns AS DOUBLE)) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ) AS trend
+    FROM daily
+),
+se AS (
+    SELECT d, n_turns, iso_dow, trend,
+           avg(n_turns - trend) OVER (PARTITION BY iso_dow) AS seasonal
+    FROM tr
+)
+SELECT d, n_turns, iso_dow,
+       ROUND(trend, 6) AS trend,
+       ROUND(seasonal, 6) AS seasonal,
+       ROUND(n_turns - trend - seasonal, 6) AS remainder
+FROM se
+"""
+
+# Balancing-weight ESS (lock-step with sampling.balance_weights +
+# weight_diagnostics: w = N/(K*n_source), Kish ESS = (Sum w)^2/Sum w^2,
+# cv floor-guarded at 0)
+_WEIGHT_ESS_SQL = """
+WITH sizes AS (SELECT source, COUNT(*) AS ng FROM documents GROUP BY 1),
+tot AS (
+    SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+    FROM sizes
+),
+w AS (
+    SELECT CAST(n AS DOUBLE) / (k * ng) AS w
+    FROM documents d JOIN sizes USING (source), tot
+),
+one AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(w) AS sw, SUM(w * w) AS sww, MAX(w) AS mw
+    FROM w
+)
+SELECT n_rows,
+       ROUND(sw, 6) AS sum_w,
+       ROUND(sw * sw / sww, 6) AS ess,
+       ROUND(sw * sw / sww / n_rows, 6) AS ess_frac,
+       ROUND(mw / sw, 6) AS max_w_share,
+       ROUND(sqrt(CASE WHEN n_rows * sww / (sw * sw) - 1 > 0
+                       THEN n_rows * sww / (sw * sw) - 1
+                       ELSE 0 END), 6) AS cv_w
+FROM one
+"""
+
+# Shuffle-key skew report (lock-step with skew.skew_diagnosis: exact
+# lower-inverse-CDF p99 over the cumulative counts-of-counts table,
+# salt recommendation = ceil(max/mean))
+_SKEW_DIAGNOSIS_SQL = f"""
+WITH {_CONV_CTE},
+counts AS (SELECT conv_id, COUNT(*) AS c FROM conversations GROUP BY 1),
+cc AS (SELECT c, COUNT(*) AS k FROM counts GROUP BY 1),
+cum AS (
+    SELECT c, k, SUM(k) OVER (
+        ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+    FROM cc
+),
+tot AS (
+    SELECT CAST(SUM(c * k) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_count
+    FROM cc
+),
+p99 AS (
+    SELECT CAST(MIN(c) AS BIGINT) AS p99_count
+    FROM cum, tot WHERE CAST(cum AS DOUBLE) >= 0.99 * n_keys
+)
+SELECT n_rows, n_keys, max_count, p99_count,
+       ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_count,
+       ROUND(max_count / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+         AS max_to_mean,
+       ROUND(p99_count / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+         AS p99_to_mean,
+       CAST(CEIL(max_count / (CAST(n_rows AS DOUBLE) / n_keys)) AS BIGINT)
+         AS salt_buckets
+FROM tot, p99
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -14808,4 +14937,7 @@ def oracle_sql() -> dict[str, str]:
         "ccf_user_assistant": _CCF_ROLES_SQL,
         "mann_kendall_daily": _MANN_KENDALL_SQL,
         "vocab_richness": _VOCAB_RICHNESS_SQL,
+        "stl_daily": _STL_DAILY_SQL,
+        "weight_ess": _WEIGHT_ESS_SQL,
+        "skew_diagnosis": _SKEW_DIAGNOSIS_SQL,
     }

@@ -544,3 +544,72 @@ def epoch_budget_plan(
         F.round(effective, 6).alias("effective_tokens"),
         F.round(effective / alloc, 6).alias("utilization"),
     )
+
+
+def balance_weights(
+    df: DataFrame, group_col: str = "source", weight_col: str = "weight"
+) -> DataFrame:
+    """Inverse-frequency balancing weights ``w_i = N / (K · n_g(i))``
+    (each of the K groups gets equal total weight; weights average to
+    1 over the corpus) — the standard source-rebalancing weighting
+    before loss-weighted training or weighted sampling when the
+    group mix is skewed.
+
+    Shape: group sizes are one map-side-combined agg (K rows) joined
+    back via broadcast; the corpus never shuffles.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    tot = sizes.agg(
+        F.sum("_ng").alias("_n"), F.count(F.lit(1)).alias("_k")
+    )
+    return (
+        df.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            weight_col,
+            F.col("_n").cast("double")
+            / (F.col("_k") * F.col("_ng")).cast("double"),
+        )
+        .drop("_ng", "_n", "_k")
+    )
+
+
+def weight_diagnostics(
+    df: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """Importance/sampling-weight health in ONE row — the check every
+    weighted estimator (DSIR, IPW, distribution matching, balancing)
+    needs before its weights are trusted: Kish effective sample size
+    ``ESS = (Σw)²/Σw²``, its fraction of n (1.0 = unweighted; a small
+    fraction means a few rows dominate), the largest single weight's
+    share of the total, and the coefficient of variation of the
+    weights (``ESS/n = 1/(1+cv²)`` — the two are consistency-checked
+    by construction).
+
+    Shape: one partial+final agg over the weight column (four
+    algebraic moments), nothing else — scale-free.
+    """
+    w = F.col(weight_col).cast("double")
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * w).alias("_sww"),
+        F.max(w).alias("_mw"),
+    )
+    ess = F.col("_sw") * F.col("_sw") / F.col("_sww")
+    cv2 = (
+        F.col("n_rows").cast("double")
+        * F.col("_sww")
+        / (F.col("_sw") * F.col("_sw"))
+        - 1
+    )
+    return one.select(
+        "n_rows",
+        F.round("_sw", 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_rows"), 6).alias("ess_frac"),
+        F.round(F.col("_mw") / F.col("_sw"), 6).alias("max_w_share"),
+        F.round(
+            F.sqrt(F.when(cv2 > 0, cv2).otherwise(F.lit(0.0))), 6
+        ).alias("cv_w"),
+    )

@@ -122,3 +122,60 @@ def salted_join(
         "*", F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt")
     )
     return big_s.join(small_s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skew_diagnosis(
+    turns: DataFrame, key_col: str = "conv_id", *, target_p: float = 0.99
+) -> DataFrame:
+    """ONE-row skew report for a prospective shuffle key — the
+    measurement that decides whether a join/window on ``key_col``
+    needs the mitigations above BEFORE the job ships: per-key row
+    counts, the hot-key ceiling vs the mean, the p99 key size, and
+    the salt-bucket recommendation ``ceil(max_count / mean_count)``
+    (how many average-key-sized slices the hottest key must split
+    into for balanced reducers).
+
+    Exactness at scale: per-key counts are one map-side-combined agg;
+    they immediately collapse to the COUNTS-OF-COUNTS table (distinct
+    count value → number of keys), which is tiny even when the key
+    space is billions (bounded by the number of DISTINCT sizes), so
+    the p99 is an EXACT lower-inverse-CDF over a cumulative sum on
+    that bounded table — no approx sketch, no sort of the key table.
+    """
+    counts = turns.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    cc = counts.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cc.select(
+        "c", "k", F.sum("k").over(wc).alias("_cum")
+    )
+    tot = cc.agg(
+        F.sum(F.col("c") * F.col("k")).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("_cum").cast("double")
+            >= F.lit(float(target_p)) * F.col("n_keys")
+        )
+        .agg(F.min("c").cast("long").alias("p99_count"))
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    return (
+        tot.crossJoin(F.broadcast(p99))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_count",
+            "p99_count",
+            F.round(mean, 6).alias("mean_count"),
+            F.round(F.col("max_count") / mean, 6).alias("max_to_mean"),
+            F.round(F.col("p99_count") / mean, 6).alias("p99_to_mean"),
+            F.ceil(F.col("max_count") / mean)
+            .cast("long")
+            .alias("salt_buckets"),
+        )
+    )

@@ -1500,3 +1500,66 @@ def mann_kendall_daily(turns: DataFrame) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def stl_daily(turns: DataFrame, *, half_window: int = 3) -> DataFrame:
+    """Deterministic STL-lite decomposition of the daily turn-count
+    series into trend + weekday seasonal + remainder — the per-day
+    companion to :func:`dow_seasonality`'s one-number strength: trend
+    is the centered ``2·half_window+1``-point rolling MEDIAN (robust
+    to single-day spikes, unlike a rolling mean), seasonal is the
+    per-ISO-weekday mean of the detrended series (full-series
+    retrospective means, the dow_seasonality convention — NOT centered
+    to sum zero across the week; remainder absorbs the offset), and
+    ``remainder = n_turns − trend − seasonal`` is what anomaly alarms
+    should actually fire on.
+
+    Determinism: the rolling median runs over integer day counts cast
+    to double — exact halves on even edge windows in both engines —
+    and edge days use the partial window (ROWS frame semantics, same
+    in DuckDB). Weekday keys via ``weekday()+1 == isodow`` (the
+    dow_seasonality parity device).
+
+    Shape: one corpus day-agg; every window after that rides the
+    calendar-bounded daily series (daily_anomalies exemption) — the
+    rolling median over a ≤7-row frame and the 7-key dow means never
+    touch raw turns.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    hw = int(half_window)
+    w7 = Window.orderBy("d").rowsBetween(-hw, hw)
+    # Spark rejects median() with a window frame; the frame is ≤7 rows,
+    # so sort the collected frame and average the two middles (exactly
+    # DuckDB's interpolated median — identical on odd counts too)
+    arr = F.array_sort(
+        F.collect_list(F.col("n_turns").cast("double")).over(w7)
+    )
+    nn = F.size(arr)
+    lo = F.element_at(arr, F.floor((nn + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(nn / 2) + 1).cast("int"))
+    with_trend = daily.select(
+        "d",
+        "n_turns",
+        (F.weekday(F.col("d")) + F.lit(1)).cast("int").alias("iso_dow"),
+        ((lo + hi) / 2).alias("trend"),
+    )
+    wd = Window.partitionBy("iso_dow")
+    out = with_trend.select(
+        "d",
+        "n_turns",
+        "iso_dow",
+        "trend",
+        F.avg(F.col("n_turns") - F.col("trend")).over(wd).alias("seasonal"),
+    )
+    return out.select(
+        "d",
+        "n_turns",
+        "iso_dow",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("n_turns") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("remainder"),
+    )
