@@ -558,7 +558,9 @@ def balance_weights(
     Shape: group sizes are one map-side-combined agg (K rows) joined
     back via broadcast; the corpus never shuffles.
     """
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    # sizes feeds both the broadcast join and the (N, K) totals — pin
+    # the K-row table so the corpus group-count runs once
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng")).persist()
     tot = sizes.agg(
         F.sum("_ng").alias("_n"), F.count(F.lit(1)).alias("_k")
     )

@@ -1291,12 +1291,22 @@ def rolling_active_entities(
     window function, no Expand, no per-day replication of raw turns.
     The one-row max-day bound rides a broadcast.
     """
-    pairs = turns.select(
-        "conv_id",
-        F.floor(
-            F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(DAY_US)
-        ).alias("_dn"),
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # pairs feeds three consumers (max-day bound, cover explode, same-day
+    # counts) — pin the entity-day table so the corpus scan+dedup runs
+    # once (entity-days ≪ turns; evictable MEMORY_AND_DISK, the zipf
+    # vocab-persist rationale)
+    pairs = (
+        turns.select(
+            "conv_id",
+            F.floor(
+                F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(DAY_US)
+            ).alias("_dn"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mx = pairs.agg(F.max("_dn").alias("_mx"))
     cover = (
         pairs.select(
@@ -1358,13 +1368,20 @@ def ccf_daily(
     one-row broadcasts, and the per-lag products stack through ONE
     explode so all 2·max_lag+1 lags share a single window sort.
     """
-    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
-        F.sum(F.when(F.col("role") == role_a, 1).otherwise(0))
-        .cast("double")
-        .alias("a"),
-        F.sum(F.when(F.col("role") == role_b, 1).otherwise(0))
-        .cast("double")
-        .alias("b"),
+    # daily feeds the means, the deviations, and (through dev) the
+    # denominators and lag stack — pin the calendar-bounded series so
+    # the corpus collapse runs once
+    daily = (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("role") == role_a, 1).otherwise(0))
+            .cast("double")
+            .alias("a"),
+            F.sum(F.when(F.col("role") == role_b, 1).otherwise(0))
+            .cast("double")
+            .alias("b"),
+        )
+        .persist()
     )
     mu = daily.agg(F.avg("a").alias("_ma"), F.avg("b").alias("_mb"))
     dev = daily.crossJoin(F.broadcast(mu)).select(
