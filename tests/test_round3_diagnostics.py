@@ -157,3 +157,53 @@ def test_skew_diagnosis_uniform_keys_need_no_salt(spark):
     assert r["max_to_mean"] == pytest.approx(1.0, abs=1e-9)
     assert r["salt_buckets"] == 1
     assert r["p99_count"] == r["max_count"] == 5
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_matches_zlib_exactly(spark):
+    import zlib
+
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[i]["raw_bytes"] == len(raw)
+        assert got[i]["compressed_bytes"] == comp
+        expect = comp / max(len(raw), 1)
+        assert got[i]["ratio"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    natural = (
+        "Measurement beats intuition when the corpus is large; every "
+        "screen in the pipeline exists because a failure mode slipped "
+        "past the previous one and someone traced it back."
+    )
+    boiler = "click here to subscribe " * 40
+    df = spark.createDataFrame(
+        [(0, natural), (1, boiler)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert not got[0]["low_entropy"]
+    assert got[1]["low_entropy"]
+    assert got[1]["ratio"] < got[0]["ratio"]
