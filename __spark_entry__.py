@@ -4931,6 +4931,15 @@ def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir))
 
 
+def _q_granger_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 lead/lag F-test between user and assistant
+    daily volumes, both directions — exact-integer sufficient
+    statistics, closed-form 2×2 normal equations, no iterative fit."""
+    from kkbox_churn_prediction_spark.operators.windows import granger_daily
+
+    return granger_daily(_conv(spark, sf_dir), "user", "assistant")
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5334,6 +5343,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weight_ess": _q_weight_ess,
         "skew_diagnosis": _q_skew_diagnosis,
         "compression_ratio": _q_compression_ratio,
+        "granger_roles": _q_granger_roles,
     }
 
 
@@ -14657,6 +14667,53 @@ FROM tot, p99
 """
 
 
+# Granger lag-1 lead/lag F-test (lock-step with windows.granger_daily:
+# exact integer sufficient statistics over the lagged daily frame,
+# closed-form 2x2 normal equations, singular-design/m<=3 NULL guards)
+_GRANGER_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM conversations GROUP BY 1
+),
+lagged AS (
+    SELECT * FROM (
+        SELECT a, b,
+               lag(a) OVER (ORDER BY d) AS al,
+               lag(b) OVER (ORDER BY d) AS bl
+        FROM daily
+    ) WHERE al IS NOT NULL
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           SUM(a) AS s_a, SUM(b) AS s_b, SUM(al) AS s_al, SUM(bl) AS s_bl,
+           SUM(a * a) AS s_aa, SUM(b * b) AS s_bb,
+           SUM(al * al) AS s_alal, SUM(bl * bl) AS s_blbl,
+           SUM(al * bl) AS s_albl,
+           SUM(a * al) AS s_aal, SUM(a * bl) AS s_abl,
+           SUM(b * al) AS s_bal, SUM(b * bl) AS s_bbl
+    FROM lagged
+),
+momd AS (SELECT *, CAST(m AS DOUBLE) AS md FROM mom)
+SELECT 'a_to_b' AS direction, m AS n_obs,
+       ROUND((CASE WHEN (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) / (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) END), 6) AS rss_r,
+       ROUND((CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - ((((CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) + (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md)) END), 6) AS rss_u,
+       ROUND(CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) END, 6) AS cross_coef,
+       ROUND((CASE WHEN m > 3 AND (CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - ((((CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) + (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md)) END) IS NOT NULL AND (CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - ((((CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) + (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md)) END) > 0 THEN ((CASE WHEN (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) / (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) END) - (CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - ((((CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) + (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md)) END)) / ((CASE WHEN ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) > 0 THEN (CAST(s_bb AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / md) - ((((CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) + (((CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_bbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_b AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md)) / ((CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_al AS DOUBLE) / md))) * (CAST(s_bal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_b AS DOUBLE) / md)) END) / (md - 3)) END), 6) AS f_stat
+FROM momd
+UNION ALL
+SELECT 'b_to_a' AS direction, m AS n_obs,
+       ROUND((CASE WHEN (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) / (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) END), 6) AS rss_r,
+       ROUND((CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - ((((CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) + (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md)) END), 6) AS rss_u,
+       ROUND(CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) END, 6) AS cross_coef,
+       ROUND((CASE WHEN m > 3 AND (CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - ((((CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) + (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md)) END) IS NOT NULL AND (CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - ((((CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) + (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md)) END) > 0 THEN ((CASE WHEN (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) / (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) END) - (CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - ((((CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) + (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md)) END)) / ((CASE WHEN ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) > 0 THEN (CAST(s_aa AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / md) - ((((CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) + (((CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) - (CAST(s_aal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_a AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md)) / ((CAST(s_alal AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_al AS DOUBLE) / md) * (CAST(s_blbl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) - (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md) * (CAST(s_albl AS DOUBLE) - CAST(s_al AS DOUBLE) * CAST(s_bl AS DOUBLE) / md))) * (CAST(s_abl AS DOUBLE) - CAST(s_bl AS DOUBLE) * CAST(s_a AS DOUBLE) / md)) END) / (md - 3)) END), 6) AS f_stat
+FROM momd
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -14954,4 +15011,5 @@ def oracle_sql() -> dict[str, str]:
         "stl_daily": _STL_DAILY_SQL,
         "weight_ess": _WEIGHT_ESS_SQL,
         "skew_diagnosis": _SKEW_DIAGNOSIS_SQL,
+        "granger_roles": _GRANGER_SQL,
     }

@@ -1580,3 +1580,117 @@ def stl_daily(turns: DataFrame, *, half_window: int = 3) -> DataFrame:
             F.col("n_turns") - F.col("trend") - F.col("seasonal"), 6
         ).alias("remainder"),
     )
+
+
+def granger_daily(
+    turns: DataFrame,
+    role_a: str = "user",
+    role_b: str = "assistant",
+) -> DataFrame:
+    """Granger-style lead/lag F-test (lag order 1) between two roles'
+    daily series — the inferential companion to :func:`ccf_daily`'s
+    descriptive peak: does yesterday's A volume improve today's B
+    forecast beyond B's own yesterday? Two rows, one per direction
+    (``a_to_b``, ``b_to_a``): observation count, restricted RSS
+    (y ~ 1 + y_lag), unrestricted RSS (y ~ 1 + y_lag + x_lag), the
+    cross-lag coefficient, and ``F = (RSS_r − RSS_u)/(RSS_u/(m−3))``.
+
+    Determinism: the lagged frame holds INTEGER day counts, so every
+    sufficient statistic (Σx, Σx², Σxy …) is an exact decimal sum; both
+    engines then run the identical closed-form 2×2 normal-equation
+    algebra in doubles — no iterative fit, no float accumulation over
+    rows. Degenerate guards: a singular design (zero variance in a
+    predictor) or m ≤ 3 yields NULL F rather than a division blow-up.
+
+    Shape: ONE conditional-agg day collapse (persisted), one
+    day-ordered lag projection on the calendar-bounded daily series
+    (daily_anomalies exemption), ONE exact-moment agg, then pure
+    scalar algebra stacked into the two direction rows via explode.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("role") == role_a, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("role") == role_b, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+        .persist()
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "a",
+        "b",
+        F.lag("a").over(w).alias("al"),
+        F.lag("b").over(w).alias("bl"),
+    ).where(F.col("al").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        *[
+            F.sum(F.col(c).cast(dec)).alias(f"s_{c}")
+            for c in ("a", "b", "al", "bl")
+        ],
+        *[
+            F.sum((F.col(x).cast(dec) * F.col(y).cast(dec))).alias(
+                f"s_{x}{y}"
+            )
+            for x, y in (
+                ("a", "a"),
+                ("b", "b"),
+                ("al", "al"),
+                ("bl", "bl"),
+                ("al", "bl"),
+                ("a", "al"),
+                ("a", "bl"),
+                ("b", "al"),
+                ("b", "bl"),
+            )
+        ],
+    )
+
+    def direction(y, yl, xl):
+        md = F.col("m").cast("double")
+
+        def cen(sxy, sx, sy):
+            return F.col(sxy).cast("double") - (
+                F.col(sx).cast("double") * F.col(sy).cast("double") / md
+            )
+
+        syy = cen(f"s_{y}{y}", f"s_{y}", f"s_{y}")
+        s11 = cen(f"s_{yl}{yl}", f"s_{yl}", f"s_{yl}")
+        s22 = cen(f"s_{xl}{xl}", f"s_{xl}", f"s_{xl}")
+        # moment keys are stored in canonical (al, bl) / (a, ...) order —
+        # normalize lookups for the cross terms
+        def key(x, z):
+            return f"s_{x}{z}" if f"s_{x}{z}" in mom.columns else f"s_{z}{x}"
+
+        s12 = cen(key(yl, xl), f"s_{yl}", f"s_{xl}")
+        s1y = cen(key(y, yl), f"s_{yl}", f"s_{y}")
+        s2y = cen(key(y, xl), f"s_{xl}", f"s_{y}")
+        rss_r = F.when(s11 > 0, syy - s1y * s1y / s11)
+        det = s11 * s22 - s12 * s12
+        b1 = (s1y * s22 - s2y * s12) / det
+        b2 = (s2y * s11 - s1y * s12) / det
+        rss_u = F.when(det > 0, syy - (b1 * s1y + b2 * s2y))
+        fstat = F.when(
+            (F.col("m") > 3) & rss_u.isNotNull() & (rss_u > 0),
+            (rss_r - rss_u) / (rss_u / (md - 3)),
+        )
+        return F.struct(
+            F.lit(f"{xl[0]}_to_{y}").alias("direction"),
+            F.col("m").alias("n_obs"),
+            F.round(rss_r, 6).alias("rss_r"),
+            F.round(rss_u, 6).alias("rss_u"),
+            F.round(F.when(det > 0, b2), 6).alias("cross_coef"),
+            F.round(fstat, 6).alias("f_stat"),
+        )
+
+    both = mom.select(
+        F.explode(
+            F.array(direction("b", "bl", "al"), direction("a", "al", "bl"))
+        ).alias("g")
+    )
+    return both.select("g.*")

@@ -219,3 +219,78 @@ def test_vocab_richness_chao1_at_least_observed(spark):
     r = vocab_richness(_docs(spark, texts)).collect()[0]
     assert r["chao1"] >= r["vocab_size"]
     assert 0.0 <= r["coverage"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# granger_daily
+# ---------------------------------------------------------------------------
+
+
+def test_granger_detects_lagged_dependence_direction(spark):
+    from kkbox_churn_prediction_spark.operators.windows import granger_daily
+
+    # b today = a yesterday + small noise: a→b should dominate b→a
+    a = [3, 9, 2, 8, 4, 7, 1, 9, 3, 8, 2, 7, 5, 9]
+    noise = [1, 0, 1, 0, 0, 1, 0, 1, 1, 0, 1, 0, 0, 1]
+    b = [5] + [x + e for x, e in zip(a[:-1], noise[1:])]
+    t = _role_turns(spark, a, b)
+    out = {r["direction"]: r for r in granger_daily(t).collect()}
+    assert set(out) == {"a_to_b", "b_to_a"}
+    assert out["a_to_b"]["n_obs"] == len(a) - 1
+    assert out["a_to_b"]["f_stat"] is not None
+    assert out["a_to_b"]["f_stat"] > 10 * max(out["b_to_a"]["f_stat"] or 0.0, 0.1)
+    # near-copy → tiny unrestricted RSS in the a→b direction
+    assert out["a_to_b"]["rss_u"] < out["a_to_b"]["rss_r"] / 10
+
+
+def test_granger_perfect_copy_null_guards_infinite_f(spark):
+    from kkbox_churn_prediction_spark.operators.windows import granger_daily
+
+    # b today = a yesterday EXACTLY: rss_u is 0, so F is infinite and the
+    # division guard must yield NULL rather than a blow-up.
+    a = [3, 9, 2, 8, 4, 7, 1, 9, 3, 8, 2, 7, 5, 9]
+    b = [5] + a[:-1]
+    t = _role_turns(spark, a, b)
+    out = {r["direction"]: r for r in granger_daily(t).collect()}
+    assert out["a_to_b"]["rss_u"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a_to_b"]["f_stat"] is None
+
+
+def test_granger_matches_numpy_least_squares(spark):
+    import numpy as np
+
+    from kkbox_churn_prediction_spark.operators.windows import granger_daily
+
+    a = [4, 7, 3, 9, 5, 6, 2, 8, 4, 7]
+    b = [6, 3, 8, 4, 9, 2, 7, 5, 8, 3]
+    t = _role_turns(spark, a, b)
+    out = {r["direction"]: r for r in granger_daily(t).collect()}
+
+    av, bv = np.array(a, float), np.array(b, float)
+    y, yl, xl = bv[1:], bv[:-1], av[:-1]
+    one = np.ones_like(y)
+    Xu = np.column_stack([one, yl, xl])
+    Xr = np.column_stack([one, yl])
+    rss = lambda X: float(
+        np.sum((y - X @ np.linalg.lstsq(X, y, rcond=None)[0]) ** 2)
+    )
+    rss_u, rss_r = rss(Xu), rss(Xr)
+    m = len(y)
+    f = (rss_r - rss_u) / (rss_u / (m - 3))
+    g = out["a_to_b"]
+    assert g["rss_r"] == pytest.approx(rss_r, abs=1e-4)
+    assert g["rss_u"] == pytest.approx(rss_u, abs=1e-4)
+    assert g["f_stat"] == pytest.approx(f, abs=1e-3)
+
+
+def test_granger_constant_predictor_is_null_guarded(spark):
+    from kkbox_churn_prediction_spark.operators.windows import granger_daily
+
+    # constant a series → singular design in both directions' cross term
+    a = [5] * 10
+    b = [3, 7, 2, 8, 4, 6, 1, 9, 5, 2]
+    t = _role_turns(spark, a, b)
+    out = {r["direction"]: r for r in granger_daily(t).collect()}
+    # det = 0 when a predictor has zero variance → NULL rss_u / f_stat
+    assert out["a_to_b"]["rss_u"] is None
+    assert out["a_to_b"]["f_stat"] is None
