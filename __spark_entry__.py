@@ -4932,6 +4932,35 @@ def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir))
 
 
+def _q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing of the daily turn count
+    (α=1/4, β=1/8): a genuine two-state RECURSION on the 1e-9 long
+    grid — level and slope adapt at independent rates, unlike Brown's
+    single-constant closed form. Sequential by nature, so the fit
+    runs as one applyInPandas group over the calendar-bounded daily
+    table (the per-fold PAV exemption)."""
+    from kkbox_churn_prediction_spark.operators.windows import (
+        holt_linear_daily,
+    )
+
+    return holt_linear_daily(_conv(spark, sf_dir))
+
+
+def _q_kruskal_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the four roles on text length — the
+    k-sample nonparametric ANOVA completing the Mann–Whitney family.
+    Ranks never materialize per row: one (value, group) histogram
+    agg, midranks from the bounded distinct-value table, exact
+    integer 2·R_g sums."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import kruskal_wallis
+
+    return kruskal_wallis(
+        _conv(spark, sf_dir), F.length("text"), F.col("role")
+    )
+
+
 def _q_granger_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Granger-style lag-1 lead/lag F-test between user and assistant
     daily volumes, both directions — exact-integer sufficient
@@ -5345,6 +5374,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_diagnosis": _q_skew_diagnosis,
         "compression_ratio": _q_compression_ratio,
         "granger_roles": _q_granger_roles,
+        "holt_linear": _q_holt_linear,
+        "kruskal_roles": _q_kruskal_roles,
     }
 
 
@@ -14715,6 +14746,107 @@ FROM momd
 
 
 
+# Holt linear smoothing (lock-step with windows.holt_linear_daily:
+# states on the exact 1e-9 long grid, round-half-away re-quantization
+# per step via a recursive CTE, alpha=1/4 beta=1/8 exact binary
+# fractions; init l0=y0, b0=y1-y0)
+_HOLT_LINEAR_SQL = f"""
+WITH RECURSIVE {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM conversations GROUP BY 1
+),
+idx AS (SELECT d, y, row_number() OVER (ORDER BY d) - 1 AS i FROM daily),
+hw(i, lq, bq) AS (
+    SELECT 0, y * 1000000000,
+           COALESCE((SELECT y FROM idx WHERE i = 1) - y, 0) * 1000000000
+    FROM idx WHERE i = 0
+    UNION ALL
+    SELECT x.i,
+        CAST(ROUND((0.25 * CAST(x.y AS DOUBLE)
+            + 0.75 * (CAST(h.lq AS DOUBLE) / 1e9 + CAST(h.bq AS DOUBLE) / 1e9)) * 1e9) AS BIGINT),
+        CAST(ROUND((0.125 * (CAST(CAST(ROUND((0.25 * CAST(x.y AS DOUBLE)
+            + 0.75 * (CAST(h.lq AS DOUBLE) / 1e9 + CAST(h.bq AS DOUBLE) / 1e9)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+            - CAST(h.lq AS DOUBLE) / 1e9)
+            + 0.875 * CAST(h.bq AS DOUBLE) / 1e9) * 1e9) AS BIGINT)
+    FROM hw h JOIN idx x ON x.i = h.i + 1
+)
+SELECT x.d, x.y AS n_turns,
+       ROUND(CAST(c.lq AS DOUBLE) / 1e9, 6) AS level,
+       ROUND(CAST(c.bq AS DOUBLE) / 1e9, 6) AS trend,
+       CASE WHEN x.i = 0 THEN -1.0
+            ELSE ROUND(CAST(p.lq AS DOUBLE) / 1e9 + CAST(p.bq AS DOUBLE) / 1e9, 6) END AS forecast,
+       CASE WHEN x.i = 0 THEN 0.0
+            ELSE ROUND(CAST(x.y AS DOUBLE)
+                 - (CAST(p.lq AS DOUBLE) / 1e9 + CAST(p.bq AS DOUBLE) / 1e9), 6) END AS forecast_err
+FROM idx x
+JOIN hw c ON c.i = x.i
+LEFT JOIN hw p ON p.i = x.i - 1
+"""
+
+
+# Kruskal-Wallis H (lock-step with abtest.kruskal_wallis: value
+# histogram midranks, exact integer 2*midrank / 2*R_g / tie sums,
+# identical double expression shapes)
+_KRUSKAL_SQL = f"""
+WITH {_CONV_CTE},
+gv AS (
+    SELECT CAST(length(text) AS BIGINT) AS v, role AS grp,
+           CAST(COUNT(*) AS BIGINT) AS t_gv
+    FROM conversations
+    WHERE text IS NOT NULL AND role IS NOT NULL
+    GROUP BY 1, 2
+),
+hist AS (SELECT v, CAST(SUM(t_gv) AS BIGINT) AS t FROM gv GROUP BY v),
+ranked AS (
+    SELECT v, t,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM hist
+),
+pg AS (
+    SELECT grp, CAST(SUM(t_gv) AS BIGINT) AS n,
+           SUM(CAST(t_gv AS HUGEINT) * (2 * CAST(cb AS HUGEINT) + t + 1)) AS two_r
+    FROM gv JOIN ranked USING (v) GROUP BY grp
+),
+tot AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+           SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+    FROM ranked
+),
+kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups FROM pg),
+srr AS (
+    SELECT SUM((CAST(two_r AS DOUBLE) / 2.0) * (CAST(two_r AS DOUBLE) / 2.0)
+               / CAST(n AS DOUBLE)) AS s_rr
+    FROM pg
+),
+stats AS (
+    SELECT n_total, k_groups,
+           ROUND(12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * s_rr
+                 - 3.0 * (CAST(n_total AS DOUBLE) + 1.0), 6) AS h_stat,
+           ROUND(1.0 - CAST(tie_term AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    - CAST(n_total AS DOUBLE)), 6) AS tie_correction,
+           ROUND(CASE WHEN (1.0 - CAST(tie_term AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    - CAST(n_total AS DOUBLE))) > 0
+                 THEN (12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * s_rr
+                       - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(tie_term AS DOUBLE)
+                         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                            - CAST(n_total AS DOUBLE)))
+                 ELSE 0.0 END, 6) AS h_corrected,
+           CAST(k_groups - 1 AS BIGINT) AS dof
+    FROM tot, kc, srr
+)
+SELECT g.grp, g.n,
+       ROUND(CAST(g.two_r AS DOUBLE) / 2.0 / CAST(g.n AS DOUBLE), 6) AS mean_rank,
+       s.n_total, s.k_groups, s.h_stat, s.tie_correction, s.h_corrected, s.dof
+FROM pg g CROSS JOIN stats s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -15013,4 +15145,6 @@ def oracle_sql() -> dict[str, str]:
         "weight_ess": _WEIGHT_ESS_SQL,
         "skew_diagnosis": _SKEW_DIAGNOSIS_SQL,
         "granger_roles": _GRANGER_SQL,
+        "holt_linear": _HOLT_LINEAR_SQL,
+        "kruskal_roles": _KRUSKAL_SQL,
     }

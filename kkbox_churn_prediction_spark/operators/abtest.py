@@ -1153,3 +1153,129 @@ def regression_discontinuity(
         F.round(b1r, 6).alias("slope_right"),
         F.round(b0r - b0l, 6).alias("rd_effect"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    metric: Column,
+    group: Column,
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups — the k-sample
+    generalization of :func:`mann_whitney_u` (and the nonparametric
+    ANOVA): are the k cohorts' metric distributions stochastically
+    identical? ``H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)`` over
+    pooled midranks, divided by the tie correction
+    ``C = 1 − Σ(t³−t)/(N³−N)``; H ~ χ²(k−1) under the null.
+
+    Distributed shape (the mann_whitney value-histogram rank
+    machine, long-format for dynamic k): ranks are NEVER
+    materialized per row — ONE hash agg builds the (value, group)
+    count table, the value-marginal histogram gives midranks via a
+    cumulative window over the bounded distinct-value table, and one
+    join + one agg per group collapses to k rows. At 10^12 rows the
+    shuffles carry only histograms.
+
+    Determinism: ``2·midrank = 2·cum_before + t + 1`` and
+    ``2·R_g = Σ t_gv·two_mid`` are exact integers (decimal(38,0));
+    the tie term Σ(t³−t) likewise. H, C and the per-group mean ranks
+    are then single fixed-shape double expressions over those exact
+    scalars, rounded to 6dp.
+
+    Output: one row per group ``(grp, n, mean_rank, n_total,
+    k_groups, h_stat, tie_correction, h_corrected, dof)`` — the
+    shared statistics are repeated on every row so the frame is
+    self-contained (and trivially reducible to the one-row summary).
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    gv = (
+        df.select(metric.alias("v"), group.alias("grp"))
+        .where(F.col("v").isNotNull() & F.col("grp").isNotNull())
+        .groupBy("v", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_gv"))
+        .persist()
+    )
+    hist = gv.groupBy("v").agg(F.sum("t_gv").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded-table global window (distinct metric values), per the
+    # engine's global-window discipline — never over raw rows; the
+    # ranked histogram feeds two consumers (per-group join + totals),
+    # so pin it like gv
+    ranked = hist.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    ).persist()
+    two_mid = (
+        F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1)
+    ).cast(dec)
+    per_group = (
+        gv.join(ranked.select("v", two_mid.alias("two_mid")), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("t_gv").cast("long").alias("n"),
+            F.sum(F.col("t_gv").cast(dec) * F.col("two_mid")).alias(
+                "two_r"
+            ),
+        )
+        .persist()  # k rows; read by k-count, H-sum, and the output
+    )
+    totals = ranked.agg(
+        F.sum("t").cast("long").alias("n_total"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie_term"),
+    )
+    k_cnt = per_group.agg(F.count(F.lit(1)).cast("long").alias("k_groups"))
+    joined = per_group.crossJoin(F.broadcast(totals)).crossJoin(
+        F.broadcast(k_cnt)
+    )
+    nn = F.col("n_total").cast("double")
+    r_g = F.col("two_r").cast("double") / F.lit(2.0)
+    # Σ_g R_g²/n_g needs the sum over groups — one more bounded agg
+    h_sum = joined.agg(
+        F.max("n_total").alias("n_total"),
+        F.max("tie_term").alias("tie_term"),
+        F.max("k_groups").alias("k_groups"),
+        F.sum(r_g * r_g / F.col("n").cast("double")).alias("s_rr"),
+    )
+    h_raw = (
+        F.lit(12.0) / (nn * (nn + 1.0)) * F.col("s_rr")
+        - 3.0 * (nn + 1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        nn * nn * nn - nn
+    )
+    stats = h_sum.select(
+        "n_total",
+        "k_groups",
+        F.round(h_raw, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(
+            F.when(corr > 0, h_raw / corr).otherwise(F.lit(0.0)), 6
+        ).alias("h_corrected"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("dof"),
+    )
+    return (
+        joined.select(
+            "grp",
+            "n",
+            F.round(r_g / F.col("n").cast("double"), 6).alias("mean_rank"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            "n",
+            "mean_rank",
+            "n_total",
+            "k_groups",
+            "h_stat",
+            "tie_correction",
+            "h_corrected",
+            "dof",
+        )
+    )

@@ -1694,3 +1694,116 @@ def granger_daily(
         ).alias("g")
     )
     return both.select("g.*")
+
+
+def holt_linear_daily(
+    turns: DataFrame,
+    *,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+) -> DataFrame:
+    """Holt's linear (double-parameter) exponential smoothing of the
+    daily turn count — the RECURSIVE level+trend tracker completing
+    the forecasting family: unlike :func:`brown_double_daily` (one
+    smoothing constant, closed-form staircase sums), Holt keeps two
+    coupled states ``l_t = α·y_t + (1−α)·(l_{t−1}+b_{t−1})`` and
+    ``b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}``, so level and slope
+    adapt at independent rates — the standard operational-forecasting
+    recursion (Holt 1957/2004).
+
+    Determinism (the quantile_trend_daily long-grid device, applied
+    per STEP of a genuine recursion): both states live on the exact
+    1e-9 integer grid — after every update the new level/trend are
+    re-quantized via round-half-away-from-zero into BIGINTs, and the
+    next step reads them back as ``q/1e9`` doubles — so both engines
+    enter every step with bit-identical floats. α=1/4 and β=1/8 are
+    exact binary fractions; ``y`` is an exact integer count; all
+    quantized magnitudes stay ≪ 2^52 where the floor(x+0.5) /
+    round-ties-away forms coincide. Init: ``l_0 = y_0``,
+    ``b_0 = y_1 − y_0`` (0 for a one-day series) — exact integers.
+
+    Distributed shape: ONE corpus day-collapse (exact integer
+    counts); the recursion itself is inherently SEQUENTIAL in t, so
+    it runs as a single ``applyInPandas`` group over the
+    calendar-bounded daily table (same bounded-table exemption as the
+    per-fold PAV fit — days grow with the calendar, not the corpus;
+    at 10^12 turns this table is still ≤ a few thousand rows). The
+    day column rides through as an exact epoch-day LONG and is
+    re-attached by one bounded-table join, so no timestamp crosses
+    the Arrow boundary.
+
+    Output per day: ``(d, n_turns, level, trend, forecast,
+    forecast_err)`` — forecast is the one-step-ahead
+    ``l_{t−1} + b_{t−1}`` (−1.0 sentinel for the first day, the
+    brown_double_daily convention), err relative to the observation.
+    """
+    day_us = 86400 * 1_000_000
+    af, bf = float(alpha), float(beta)
+    daily = (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            "d",
+            F.floor(F.unix_micros(F.col("d")) / F.lit(day_us))
+            .cast("long")
+            .alias("dn"),
+            "n_turns",
+        )
+        .persist()
+    )
+
+    def fit(pdf):
+        import math
+
+        import pandas as pd
+
+        def q(x: float) -> int:
+            return (
+                int(math.floor(x * 1e9 + 0.5))
+                if x >= 0
+                else -int(math.floor(-x * 1e9 + 0.5))
+            )
+
+        pdf = pdf.sort_values("dn").reset_index(drop=True)
+        ys = pdf["n_turns"].astype("int64").tolist()
+        lq = ys[0] * 1_000_000_000
+        bq = (ys[1] - ys[0]) * 1_000_000_000 if len(ys) > 1 else 0
+        levels, trends, fcs, errs = [float(ys[0])], [bq / 1e9], [-1.0], [0.0]
+        for y in ys[1:]:
+            l_prev, b_prev = lq / 1e9, bq / 1e9
+            fc = l_prev + b_prev
+            l_new_q = q(af * float(y) + (1.0 - af) * (l_prev + b_prev))
+            l_new = l_new_q / 1e9
+            b_new_q = q(bf * (l_new - l_prev) + (1.0 - bf) * b_prev)
+            lq, bq = l_new_q, b_new_q
+            levels.append(l_new)
+            trends.append(b_new_q / 1e9)
+            fcs.append(fc)
+            errs.append(float(y) - fc)
+        return pd.DataFrame(
+            {
+                "dn": pdf["dn"],
+                "level": levels,
+                "trend": trends,
+                "forecast": fcs,
+                "forecast_err": errs,
+            }
+        )
+
+    states = (
+        daily.select("dn", "n_turns")
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            fit,
+            schema="dn long, level double, trend double, "
+            "forecast double, forecast_err double",
+        )
+    )
+    return daily.join(states, "dn").select(
+        "d",
+        "n_turns",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("forecast_err", 6).alias("forecast_err"),
+    )
