@@ -201,3 +201,30 @@ def test_pmi_factor_matches_numpy_on_synthetic_corpus(spark):
     ref = np.array([w[i] for i in range(d) if i in out])
     assert abs(float(np.dot(got, ref))) == pytest.approx(1.0, abs=1e-3)
     assert out[min(out)].eigenvalue == pytest.approx(float(vals[k]), rel=1e-3)
+
+
+def test_power_iteration_driver_and_distributed_identical(spark):
+    # the auto-switch must be invisible: same exact integer fixed
+    # point, bit-identical loadings/eigenvalue in both modes
+    rows = [
+        (0, 0, 4.0), (0, 1, 1.2), (0, 2, -0.7), (0, 3, 0.3),
+        (1, 1, 3.1), (1, 2, 0.9), (1, 3, -0.4),
+        (2, 2, 2.6), (2, 3, 0.05),
+        (3, 3, 1.9),
+    ]
+    cov = spark.createDataFrame(rows, "dim_i int, dim_j int, cov double")
+    a = power_iteration_top_eigen(cov, 12, mode="driver").collect()
+    b = power_iteration_top_eigen(cov, 12, mode="distributed").collect()
+    da = {r["dim"]: (r["loading"], r["eigenvalue"]) for r in a}
+    db = {r["dim"]: (r["loading"], r["eigenvalue"]) for r in b}
+    assert da == db
+
+
+def test_power_iteration_auto_picks_driver_for_small(spark):
+    rows = [(0, 0, 2.0), (0, 1, 0.5), (1, 1, 1.0)]
+    cov = spark.createDataFrame(rows, "dim_i int, dim_j int, cov double")
+    out = power_iteration_top_eigen(cov, 8).collect()  # auto
+    ref = power_iteration_top_eigen(cov, 8, mode="distributed").collect()
+    assert {r["dim"]: r["loading"] for r in out} == {
+        r["dim"]: r["loading"] for r in ref
+    }
