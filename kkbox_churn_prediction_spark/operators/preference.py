@@ -41,6 +41,8 @@ def bradley_terry(
     items: Sequence[str],
     n_iter: int = 20,
     eps: float = 1e-12,
+    *,
+    mode: str = "driver",
 ) -> DataFrame:
     """Fit Bradley–Terry strengths from a (winner, loser) pair table.
 
@@ -49,8 +51,23 @@ def bradley_terry(
     one row per item: ``(item, wins, matches, bt_score, rank)`` with
     scores normalized to mean 1 and rank 1 = strongest
     (item-ascending tiebreak).
+
+    Execution modes (bit-identical, pytest-asserted): the pairwise
+    profile is ONE bounded row (t×t exact integer win counts for an
+    explicitly closed item universe), so ``mode="driver"`` (default)
+    collects it once and replays the MM iteration in Python doubles —
+    the identical IEEE operations in the identical order, so the
+    trajectory is bit-equal — then ranks/rounds in Spark.
+    ``mode="distributed"`` keeps the all-symbolic column iteration;
+    correct but its 20 nested projections make Catalyst compile a
+    huge expression tree (measured 6.7s vs 0.6s at sf0.1 for t=4 —
+    the cost is plan compilation, not data).
     """
     items = list(items)
+    if mode == "driver":
+        return _bradley_terry_driver(
+            pairs, items, int(n_iter), float(eps)
+        )
     t = len(items)
     idx = range(t)
     prof = pairs.where(
@@ -141,6 +158,84 @@ def bradley_terry(
     ]
     long = cur.select(F.explode(F.array(*arms)).alias("s")).select(
         "s.item", "s.wins", "s.matches", F.col("s._score").alias("_score")
+    )
+    w_rank = Window.orderBy(F.col("_score").desc(), F.col("item"))
+    return long.select(
+        "item",
+        "wins",
+        "matches",
+        F.round("_score", 6).alias("bt_score"),
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    )
+
+
+def _bradley_terry_driver(
+    pairs: DataFrame,
+    items: list,
+    n_iter: int,
+    eps: float,
+) -> DataFrame:
+    """Driver-side replay of :func:`bradley_terry`'s MM iteration over
+    the collected one-row profile — identical IEEE double operations
+    in identical order (term-by-term left-to-right sums, the same
+    when/otherwise guards), so the score trajectory is bit-equal to
+    the symbolic column iteration. Rank + 6dp rounding run in Spark."""
+    spark = pairs.sparkSession
+    t = len(items)
+    idx = range(t)
+    prof = pairs.where(
+        F.col("winner").isin(*items) & F.col("loser").isin(*items)
+    ).agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("winner") == items[i])
+                    & (F.col("loser") == items[j]),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"w_{i}_{j}")
+            for i in idx
+            for j in idx
+            if i != j
+        ]
+    )
+    row = prof.collect()[0]
+    w = {(i, j): int(row[f"w_{i}_{j}"]) for i in idx for j in idx if i != j}
+    wins = {i: sum(w[(i, j)] for j in idx if j != i) for i in idx}
+    n = {
+        (i, j): w[(i, j)] + w[(j, i)]
+        for i in idx
+        for j in idx
+        if i < j
+    }
+
+    def n_of(i: int, j: int) -> int:
+        a, b = min(i, j), max(i, j)
+        return n[(a, b)]
+
+    p = {i: 1.0 for i in idx}
+    for _ in range(n_iter):
+        q = {}
+        for i in idx:
+            denom = None
+            for j in idx:
+                if j == i:
+                    continue
+                term = float(n_of(i, j)) / (p[i] + p[j])
+                denom = term if denom is None else denom + term
+            q[i] = float(wins[i]) / denom if denom > eps else p[i]
+        s = None
+        for i in idx:
+            s = q[i] if s is None else s + q[i]
+        norm = s / float(t)
+        p = {i: q[i] / norm for i in idx}
+
+    matches = {i: sum(n_of(i, j) for j in idx if j != i) for i in idx}
+    long = spark.createDataFrame(
+        [(items[i], wins[i], matches[i], p[i]) for i in idx],
+        "item string, wins long, matches long, _score double",
     )
     w_rank = Window.orderBy(F.col("_score").desc(), F.col("item"))
     return long.select(

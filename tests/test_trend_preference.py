@@ -158,3 +158,15 @@ def test_preference_pairs_winner_logic(spark):
     assert ("assistant", "user") in got
     assert ("user", "assistant") in got
     assert len(got) == 3
+
+
+def test_bradley_terry_driver_and_distributed_identical(spark):
+    rows = [
+        ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "a"), ("b", "a"), ("a", "c"), ("a", "b"),
+    ]
+    pairs = spark.createDataFrame(rows, "winner string, loser string")
+    items = ["a", "b", "c"]
+    d = bradley_terry(pairs, items, mode="driver").collect()
+    s = bradley_terry(pairs, items, mode="distributed").collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, s))
