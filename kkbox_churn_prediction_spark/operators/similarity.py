@@ -1214,6 +1214,7 @@ def mmr_rerank(
     *,
     k: int = 10,
     lam: float = 0.7,
+    mode: str = "driver",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) of a BOUNDED candidate set: greedily pick the candidate
@@ -1233,7 +1234,20 @@ def mmr_rerank(
     min cand_id — cross-engine exact on round-6 inputs and literal λ.
 
     Output: ``(rank, cand_id, rel, mmr_score)``, rank 1-based.
+
+    Execution modes (bit-identical, pytest-asserted): the candidate
+    set is RESULT-sized by contract, so ``mode="driver"`` (default)
+    collects it once and runs the greedy loop in Python — the same
+    IEEE score expression and the same (max score, min cand_id)
+    tiebreak, and since every comparison is a max (not a sum) there
+    is no accumulation-order sensitivity. ``mode="distributed"``
+    keeps the per-round join/argmax jobs (measured 5.8s vs ~1s at
+    sf0.1 — per-round scheduling, not data).
     """
+    if mode == "driver":
+        return _mmr_rerank_driver(
+            candidates, sims, k=int(k), lam=float(lam)
+        )
     remaining = candidates.select("cand_id", "rel").localCheckpoint()
     sim_pairs = sims.select(
         F.col("a").alias("_sa"), F.col("b").alias("_sb"), F.col("sim")
@@ -1294,3 +1308,73 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _mmr_rerank_driver(
+    candidates: DataFrame,
+    sims: DataFrame,
+    *,
+    k: int,
+    lam: float,
+) -> DataFrame:
+    """Driver-side replay of :func:`mmr_rerank`'s greedy loop over the
+    collected result-sized candidate set — identical score expression
+    ``λ·rel − (1−λ)·max(sim to selected, else 0.0)`` and identical
+    (max score, min cand_id) tiebreak; 6dp rounding runs in Spark on
+    the shipped raw doubles."""
+    from pyspark.sql import types as T
+
+    spark = candidates.sparkSession
+    cand_field = candidates.schema["cand_id"]
+    cand = [
+        (r["cand_id"], float(r["rel"]))
+        for r in candidates.select("cand_id", "rel").collect()
+    ]
+    # directed pairs exactly as given (the distributed join's view);
+    # duplicates collapse by max like the groupBy-max does
+    sim: dict[tuple, float] = {}
+    for r in sims.select("a", "b", "sim").collect():
+        key = (r["a"], r["b"])
+        v = float(r["sim"])
+        if key not in sim or v > sim[key]:
+            sim[key] = v
+    remaining = dict(cand)
+    selected: list = []
+    rows = []
+    lam_f = float(lam)
+    for rnd in range(1, int(k) + 1):
+        if not remaining:
+            break
+        best_id, best_score, best_rel = None, None, None
+        for cid, rel in remaining.items():
+            if not selected:
+                score = lam_f * rel
+            else:
+                present = [
+                    sim[(cid, s)] for s in selected if (cid, s) in sim
+                ]
+                # max over PRESENT pairs only; 0.0 when none (the
+                # left-join coalesce semantics — sims may be negative)
+                ms = max(present) if present else 0.0
+                score = lam_f * rel - (1.0 - lam_f) * ms
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and cid < best_id)
+            ):
+                best_id, best_score, best_rel = cid, score, rel
+        rows.append((rnd, best_id, best_rel, best_score))
+        selected.append(best_id)
+        del remaining[best_id]
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cand_id", cand_field.dataType),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+    raw = spark.createDataFrame(rows, schema)
+    return raw.select(
+        "rank", "cand_id", "rel", F.round("_raw", 6).alias("mmr_score")
+    )

@@ -253,3 +253,34 @@ def test_cdc_arrow_and_sql_impls_identical(spark):
     s = cdc_chunk_docs(d, impl="sql")
     assert a.exceptAll(s).count() == 0
     assert s.exceptAll(a).count() == 0
+
+
+def test_mmr_driver_and_distributed_identical(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 0.9), (2, 0.85), (3, 0.8), (4, 0.7), (5, 0.6)],
+        "cand_id long, rel double",
+    )
+    # includes NEGATIVE sims and a candidate with sims to only some
+    # selected items — the present-pairs-only max semantics
+    sims = spark.createDataFrame(
+        [
+            (1, 2, 0.95), (2, 1, 0.95),
+            (1, 3, -0.4), (3, 1, -0.4),
+            (2, 3, 0.2), (3, 2, 0.2),
+            (4, 1, -0.8),
+            (5, 2, 0.5), (2, 5, 0.5),
+        ],
+        "a long, b long, sim double",
+    )
+    d = sorted(
+        map(tuple, mmr_rerank(cands, sims, k=4, lam=0.7, mode="driver").collect())
+    )
+    s = sorted(
+        map(
+            tuple,
+            mmr_rerank(cands, sims, k=4, lam=0.7, mode="distributed").collect(),
+        )
+    )
+    assert d == s
