@@ -284,3 +284,23 @@ def test_mmr_driver_and_distributed_identical(spark):
         )
     )
     assert d == s
+
+
+def test_hits_driver_and_distributed_identical(spark):
+    rows = [
+        (1, 10, 3), (1, 11, 1), (2, 10, 2), (2, 12, 5),
+        (3, 11, 4), (3, 12, 1), (3, 13, 2), (4, 13, 7),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    hd = sorted(map(tuple, hits_scores(edges, 12, mode="driver").collect()))
+    hs = sorted(
+        map(tuple, hits_scores(edges, 12, mode="distributed").collect())
+    )
+    assert hd == hs
+    ad = sorted(
+        map(tuple, hits_authorities(edges, 12, mode="driver").collect())
+    )
+    as_ = sorted(
+        map(tuple, hits_authorities(edges, 12, mode="distributed").collect())
+    )
+    assert ad == as_
