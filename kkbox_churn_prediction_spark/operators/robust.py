@@ -85,6 +85,8 @@ def huber_location(
     *,
     k_mult: float = 1.345,
     n_iter: int = 15,
+    mode: str = "auto",
+    max_driver_bins: int = 65536,
 ) -> DataFrame:
     """One-row Huber location report for an integer-valued column:
     ``(n, mean, median, mad, k, huber_mu, n_iter)``.
@@ -93,15 +95,42 @@ def huber_location(
     Each IRLS step reweights every histogram bin with
     ``w = min(1, k / |v − mu|)`` (w = 1 at v = mu) and recenters at
     the weighted mean, rounded to the 1e-9 grid.
+
+    Execution modes (the sessionize-auto-switch pattern — equal
+    outputs, pytest-asserted): the corpus is reduced to the exact
+    integer value histogram by ONE hash agg either way.
+    ``mode="driver"`` collects that bounded histogram once and
+    replays the identical quantized median/MAD/IRLS in Python doubles
+    — one Spark job instead of ~``n_iter + 5``. ``mode="distributed"``
+    keeps every step on the cluster. ``mode="auto"`` (default)
+    collects up to ``max_driver_bins + 1`` bins and replays
+    driver-side when the value domain fits (text lengths, counts and
+    latencies live in ≤ tens of thousands of distinct values no
+    matter the row count), falling back to distributed otherwise.
     """
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
     v = F.col(value_col).cast("long")
-    hist = (
+    hist_plan = (
         df.select(v.alias("v"))
         .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    if mode != "distributed":
+        rows = (
+            hist_plan.limit(int(max_driver_bins) + 1).collect()
+            if mode == "auto"
+            else hist_plan.collect()
+        )
+        if mode == "driver" or len(rows) <= int(max_driver_bins):
+            return _huber_location_driver(
+                df.sparkSession,
+                [(int(r["v"]), int(r["c"])) for r in rows],
+                float(k_mult),
+                int(n_iter),
+            )
+    hist = hist_plan.persist()
     med = _weighted_median(hist).localCheckpoint()
     # deviation histogram |v − med|: med is interpolated (may be .5);
     # work on the 2x integer grid so the deviations stay exact
@@ -172,6 +201,85 @@ def huber_location(
         ),
         F.lit(int(n_iter)).cast("int").alias("n_iter"),
     )
+
+
+def _rhu(x: float) -> float:
+    """``F.round`` / DuckDB ``ROUND`` semantics (HALF_UP, away from
+    zero) — Python's built-in ``round`` is banker's."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _huber_location_driver(
+    spark, bins: list, k_mult: float, n_iter: int
+) -> DataFrame:
+    """Driver-side replay of :func:`huber_location` over the collected
+    integer value histogram — the identical interpolated weighted
+    medians (same floor/ceil rank convention), the identical HALF_UP
+    1e-9 re-quantization between IRLS steps, sums in sorted-value
+    order; term-for-term the expression tree the symbolic column
+    iteration evaluates, through the quantization grid that carries
+    the cross-engine contract vs the DuckDB oracle."""
+    q_ = float(_Q)
+    schema = (
+        "n long, mean double, median double, mad double, k double, "
+        "huber_mu double, n_iter int"
+    )
+    if not bins:  # empty column: the distributed agg's null row
+        return spark.createDataFrame(
+            [(None, None, None, None, None, None, int(n_iter))], schema
+        )
+    bins = sorted(bins)
+
+    def wmed(h: list) -> float:
+        n = sum(c for _, c in h)
+        lo = (n - 1) // 2
+        hi = (n - 1) - lo
+        idx = (n - 1) / 2.0
+        cum = 0
+        vlo = vhi = None
+        for v, c in h:
+            cum += c
+            if vlo is None and cum > lo:
+                vlo = v
+            if vhi is None and cum > hi:
+                vhi = v
+                break
+        return float(vlo) + float(vhi - vlo) * (idx - float(lo))
+
+    med = wmed(bins)
+    med2 = int(_rhu(med * 2))
+    dev: dict = {}
+    for v, c in bins:
+        k = abs(v * 2 - med2)
+        dev[k] = dev.get(k, 0) + c
+    mad = wmed(sorted(dev.items())) / 2
+    muq = int(_rhu(med * q_))
+    kq = int(_rhu(mad * k_mult * q_))
+    for _ in range(int(n_iter)):
+        muf = float(muq) / q_
+        kf = float(kq) / q_
+        num = den = 0.0
+        for v, c in bins:
+            r = abs(float(v) - muf)
+            w = 1.0 if r <= kf else kf / r
+            num += w * float(v) * float(c)
+            den += w * float(c)
+        muq = int(_rhu(num / den * q_))
+
+    n = sum(c for _, c in bins)
+    sv = sum(v * c for v, c in bins)  # exact integer Σv·c
+    row = (
+        n,
+        _rhu(float(sv) / float(n) * 1e6) / 1e6,
+        _rhu(med * 1e6) / 1e6,
+        _rhu(mad * 1e6) / 1e6,
+        _rhu(float(kq) / q_ * 1e6) / 1e6,
+        _rhu(float(muq) / q_ * 1e6) / 1e6,
+        int(n_iter),
+    )
+    return spark.createDataFrame([row], schema)
 
 
 def esd_topk_outliers(

@@ -27,8 +27,17 @@ parallel, no per-entity ordering needed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _round_half_up(x: float) -> float:
+    """``F.round`` / DuckDB ``ROUND`` semantics (HALF_UP, away from
+    zero) — Python's built-in ``round`` is banker's and would diverge
+    on exact .5 grid points."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
 DAY_US = 86_400_000_000  # one UTC day in microseconds
 
@@ -1165,6 +1174,8 @@ def quantile_trend_daily(
     tau: float = 0.9,
     n_iter: int = 12,
     eps: float = 1e-6,
+    mode: str = "auto",
+    max_driver_days: int = 65536,
 ) -> DataFrame:
     """Quantile (pinball) regression of the daily activity series:
     the line ``a + b·t`` minimizing the τ-pinball loss — the
@@ -1183,9 +1194,23 @@ def quantile_trend_daily(
     oracle unrolls identical CTEs. Start point: OLS (w ≡ 1, exact
     integer moments).
 
+    Execution modes (the sessionize-auto-switch pattern — equal
+    outputs, pytest-asserted): ``mode="driver"`` collects the
+    calendar-bounded ``(t, x)`` daily table ONCE and replays the
+    identical quantized IRLS in Python doubles — one Spark job
+    instead of ``n_iter + 2``, the right shape because the iterate is
+    day-count-sized by construction (a DECADE of days is ~3.7k rows).
+    ``mode="distributed"`` keeps the per-step normal-equation sums on
+    the cluster (the prior shape). ``mode="auto"`` (default) collects
+    up to ``max_driver_days + 1`` rows and replays driver-side when
+    the table fits (≈179 years of days at the default), falling back
+    to distributed otherwise.
+
     Output (one row): ``(n_days, tau, slope, intercept,
     pinball_loss)`` — slope in turns/day at the τ-quantile.
     """
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
     day_us = 86400 * 1_000_000
     q = 1_000_000_000
     daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
@@ -1196,12 +1221,31 @@ def quantile_trend_daily(
             "m"
         )
     )
-    pts = (
-        daily.select(
-            F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long").alias("dn"),
-            "x",
+    dn_plan = daily.select(
+        F.floor(F.unix_micros(F.col("d")) / F.lit(day_us)).cast("long").alias("dn"),
+        "x",
+    )
+    if mode != "distributed":
+        # ONE scan: collect the un-rebased (day, x) table (limit(max+1)
+        # makes the collect the size probe too) and rebase driver-side
+        # — the exact integer subtraction the mind crossJoin performs
+        rows = (
+            dn_plan.limit(int(max_driver_days) + 1).collect()
+            if mode == "auto"
+            else dn_plan.collect()
         )
-        .crossJoin(F.broadcast(mind))
+        if mode == "driver" or len(rows) <= int(max_driver_days):
+            base = min((int(r["dn"]) for r in rows), default=0)
+            return _quantile_trend_driver(
+                turns.sparkSession,
+                [(int(r["dn"]) - base, int(r["x"])) for r in rows],
+                float(tau),
+                float(eps),
+                int(n_iter),
+                q,
+            )
+    pts = (
+        dn_plan.crossJoin(F.broadcast(mind))
         .select((F.col("dn") - F.col("m")).alias("t"), "x")
         .persist()
     )
@@ -1259,6 +1303,73 @@ def quantile_trend_daily(
         ),
         F.round(F.avg(pinball), 6).alias("pinball_loss"),
     )
+
+
+def _quantile_trend_driver(
+    spark,
+    pts: list,
+    tau_f: float,
+    eps_f: float,
+    n_iter: int,
+    q: int,
+) -> DataFrame:
+    """Driver-side replay of :func:`quantile_trend_daily`'s quantized
+    IRLS over the collected calendar-bounded daily table — the same
+    weighted-normal-equation expression tree term-for-term (sums in
+    sorted-day order, HALF_UP 1e-9 re-quantization between steps), so
+    the (aq, bq) trajectory matches the symbolic column iteration
+    through the quantization grid that already carries the
+    cross-engine contract vs the DuckDB oracle."""
+    schema = (
+        "n_days long, tau double, slope double, intercept double, "
+        "pinball_loss double"
+    )
+    if not pts:  # empty series: the distributed agg's null row
+        return spark.createDataFrame(
+            [(0, _round_half_up(tau_f * 1e6) / 1e6, None, None, None)], schema
+        )
+    pts = sorted(pts)
+
+    def solve(ws: list) -> tuple:
+        sw = swt = swtt = swy = swty = 0.0
+        for (t, x), w in zip(pts, ws):
+            sw += w
+            swt += w * t
+            swtt += w * t * t
+            swy += w * x
+            swty += w * t * x
+        den = sw * swtt - swt * swt
+        b = (sw * swty - swt * swy) / den
+        a = (swy - b * swt) / sw
+        return (
+            int(_round_half_up(a * float(q))),
+            int(_round_half_up(b * float(q))),
+        )
+
+    aq, bq = solve([1.0] * len(pts))
+    for _ in range(int(n_iter)):
+        ws = []
+        for t, x in pts:
+            r = float(x) - aq / float(q) - bq / float(q) * float(t)
+            ws.append(
+                tau_f / max(r, eps_f)
+                if r > 0
+                else (1.0 - tau_f) / max(-r, eps_f)
+            )
+        aq, bq = solve(ws)
+
+    loss = 0.0
+    for t, x in pts:
+        r = float(x) - aq / float(q) - bq / float(q) * float(t)
+        loss += tau_f * r if r > 0 else (tau_f - 1.0) * r
+    row = (
+        len(pts),
+        _round_half_up(tau_f * 1e6) / 1e6,
+        _round_half_up(bq / float(q) * 1e6) / 1e6,
+        _round_half_up(aq / float(q) * 1e6) / 1e6,
+        _round_half_up(loss / len(pts) * 1e6) / 1e6,
+    )
+    return spark.createDataFrame([row], schema)
 
 
 def rolling_active_entities(

@@ -304,3 +304,21 @@ def test_hits_driver_and_distributed_identical(spark):
         map(tuple, hits_authorities(edges, 12, mode="distributed").collect())
     )
     assert ad == as_
+
+def test_huber_driver_and_distributed_identical(spark):
+    vals = [(float((i * 7) % 50 + (i % 3) * 17),) for i in range(500)]
+    df = spark.createDataFrame(vals, "v double")
+    d = huber_location(df, "v", mode="driver").collect()
+    s = huber_location(df, "v", mode="distributed").collect()
+    assert list(map(tuple, d)) == list(map(tuple, s))
+    # auto with a tiny bin budget falls back to the distributed path
+    a = huber_location(df, "v", mode="auto", max_driver_bins=3).collect()
+    assert list(map(tuple, a)) == list(map(tuple, s))
+
+
+def test_huber_empty_input_both_modes(spark):
+    df = spark.createDataFrame([], "v double")
+    d = huber_location(df, "v", mode="driver").collect()[0]
+    s = huber_location(df, "v", mode="distributed").collect()[0]
+    assert d.n is None and s.n is None
+    assert d.n_iter == s.n_iter == 15

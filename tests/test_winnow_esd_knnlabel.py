@@ -282,3 +282,27 @@ def test_winnow_arrow_and_sql_impls_identical(spark):
     s = winnow_fingerprints(d, k=5, window=8, impl="sql")
     assert a.exceptAll(s).count() == 0
     assert s.exceptAll(a).count() == 0
+
+
+def test_quantile_trend_driver_and_distributed_identical(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import (
+        quantile_trend_daily,
+    )
+
+    base = datetime(2024, 1, 1)
+    daily = [100 + 3 * t + (200 if (t * 13) % 10 == 0 else 0) for t in range(60)]
+    rows = []
+    for t, n in enumerate(daily):
+        day = base + timedelta(days=t)
+        rows.extend((f"c{t}", day + timedelta(seconds=s)) for s in range(n))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    for tau in (0.9, 0.5, 0.1):
+        d = quantile_trend_daily(df, tau=tau, mode="driver").collect()
+        s = quantile_trend_daily(df, tau=tau, mode="distributed").collect()
+        assert list(map(tuple, d)) == list(map(tuple, s))
+    # auto with a tiny day budget falls back to the distributed path
+    a = quantile_trend_daily(df, tau=0.9, mode="auto", max_driver_days=3).collect()
+    s = quantile_trend_daily(df, tau=0.9, mode="distributed").collect()
+    assert list(map(tuple, a)) == list(map(tuple, s))
