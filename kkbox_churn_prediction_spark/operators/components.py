@@ -124,6 +124,12 @@ def connected_components(
     )
 
 
+# past this many (distinct, symmetrized) edges the power iteration
+# stays distributed — the autoBroadcastJoinThreshold idea applied to
+# fixed-point iteration, same threshold discipline as HITS
+_PAGERANK_DRIVER_MAX_EDGES = 2_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -132,6 +138,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     undirected: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
     """Distributed PageRank by power iteration → ``(node, rank)``.
 
@@ -159,8 +166,43 @@ def pagerank(
     standard iterative-graph shape (GraphX/Pregel cache per
     superstep); at 100 TB the persists spill via MEMORY_AND_DISK
     rather than re-reading the corpus per round.
+
+    Execution modes (equal outputs at the gate's 1e-9 rounding,
+    pytest-asserted): ``mode="driver"`` Arrow-collects the RAW input
+    edge list in ONE scan — no distributed symmetrize/distinct/count
+    jobs at all (those shuffles were the measured cost, not the
+    3-round iteration) — dedupes and symmetrizes vectorized in
+    pandas, and replays the identical power iteration as numpy
+    scatter-sums; every round's float sums agree with the distributed
+    hash agg (and the SQL oracle's sequential sums) to ~1e-15
+    relative, far inside the 1e-9 grid both gates round to.
+    ``mode="distributed"`` keeps the two-shuffle dataflow above.
+    ``mode="auto"`` (default) bounds the one collect with
+    ``limit(max+1)`` (the collect IS the size probe, pre-dedup, so
+    conservative) and picks driver when the input fits under
+    ``_PAGERANK_DRIVER_MAX_EDGES`` — past it, distributed is the
+    web-scale path, unchanged.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
+    raw = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if mode != "distributed":
+        probe = (
+            raw.limit(_PAGERANK_DRIVER_MAX_EDGES + 1)
+            if mode == "auto"
+            else raw
+        )
+        tbl = probe.toArrow()
+        if mode == "driver" or tbl.num_rows <= _PAGERANK_DRIVER_MAX_EDGES:
+            return _pagerank_driver(
+                edges.sparkSession,
+                tbl,
+                raw.schema,
+                float(damping),
+                int(iters),
+                undirected,
+            )
+    e = raw
     if undirected:
         e = e.unionAll(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
@@ -189,6 +231,75 @@ def pagerank(
             ((1.0 - d) / F.col("_n") + d * F.col("_in")).alias("rank"),
         ).localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_driver(
+    spark,
+    tbl,
+    schema_in,
+    damping: float,
+    iters: int,
+    undirected: bool,
+) -> DataFrame:
+    """Driver-side replay of :func:`pagerank` over the RAW collected
+    edge list (one Arrow scan — symmetrize and distinct happen here in
+    pandas, not as distributed shuffles): numpy scatter-sums per
+    round, edges iterated in sorted order (deterministic float sums).
+    Semantics are join-for-join the distributed dataflow — out-degree
+    over the distinct symmetrized list, uniform init over out-degree
+    nodes, and the per-round presence rule (a node carries a rank
+    after round t iff it received inflow in round t), so directed
+    dropout matches too.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    node_type = schema_in["_s"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    # Arrow transfer + vectorized factorize — a Row-object collect and
+    # a per-edge Python loop cost more than the distributed iteration
+    # they replace (measured at ~1M edges)
+    pdf = tbl.to_pandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    if undirected:
+        pdf = pd.concat(
+            [pdf, pdf.rename(columns={"_s": "_d", "_d": "_s"})],
+            ignore_index=True,
+        )
+    pdf = pdf.drop_duplicates(ignore_index=True)
+    pdf = pdf.sort_values(["_s", "_d"], kind="mergesort", ignore_index=True)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["_s"], pdf["_d"]], ignore_index=True), sort=False
+    )
+    srcs = codes[: len(pdf)].astype(np.int64)
+    dsts = codes[len(pdf):].astype(np.int64)
+    m = len(uniques)
+    deg = np.bincount(srcs, minlength=m).astype(np.float64)
+    has_out = deg > 0
+    n = int(has_out.sum())
+    rank = np.where(has_out, 1.0 / n, 0.0)
+    present = has_out.copy()
+    d = float(damping)
+    for _ in range(int(iters)):
+        ok = present & has_out
+        share = np.zeros(m)
+        share[ok] = rank[ok] / deg[ok]
+        mask = ok[srcs]
+        inflow = np.zeros(m)
+        np.add.at(inflow, dsts[mask], share[srcs[mask]])
+        present = np.zeros(m, dtype=bool)
+        present[dsts[mask]] = True
+        rank = (1.0 - d) / n + d * inflow
+    names = pd.Index(uniques).tolist()  # python natives for createDataFrame
+    out = [(names[i], float(rank[i])) for i in np.flatnonzero(present)]
+    return spark.createDataFrame(out, schema)
 
 
 def triangle_stats(

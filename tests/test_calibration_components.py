@@ -585,3 +585,47 @@ def test_error_by_segment_golden(spark):
     assert b0["actual_rate"] == 0.5 and b0["error_rate"] == 0.5
     b1 = out[1]
     assert b1["n_samples"] == 1 and b1["accuracy"] == 1.0 and b1["error_rate"] == 0.0
+
+
+def test_pagerank_driver_and_distributed_agree(spark):
+    from kkbox_churn_prediction_spark.operators.components import pagerank
+
+    # irregular undirected graph: two hubs, a chain, an isolated pair
+    rows = (
+        [("h1", f"a{i}") for i in range(6)]
+        + [("h2", f"a{i}") for i in range(3, 9)]
+        + [("a0", "a1"), ("c1", "c2"), ("c2", "c3"), ("p1", "p2")]
+    )
+    edges = spark.createDataFrame(rows, ["src", "dst"]).repartition(8)
+    dd = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=4, mode="driver").collect()
+    }
+    ds = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=4, mode="distributed").collect()
+    }
+    assert set(dd) == set(ds)
+    for k in dd:
+        assert abs(dd[k] - ds[k]) < 1e-12, k
+    assert abs(sum(dd.values()) - 1.0) < 1e-12
+
+    # DIRECTED dropout semantics: a sink node receives rank but sends
+    # none; a pure source drops out of the frame after round 1
+    dedges = spark.createDataFrame(
+        [("s", "m"), ("m", "t"), ("t", "m")], ["src", "dst"]
+    )
+    for it in (1, 2, 3):
+        dr = sorted(
+            (r["node"], round(r["rank"], 12))
+            for r in pagerank(
+                dedges, iters=it, undirected=False, mode="driver"
+            ).collect()
+        )
+        sr = sorted(
+            (r["node"], round(r["rank"], 12))
+            for r in pagerank(
+                dedges, iters=it, undirected=False, mode="distributed"
+            ).collect()
+        )
+        assert dr == sr, it
