@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# same threshold discipline as the PageRank/HITS fixed points below:
+# under this many collected edge rows the min-label fixpoint runs as
+# numpy gather-mins on the driver (exact integer semantics — output is
+# hash-identical to the distributed rounds); past it the join+agg
+# iteration is the web-scale path
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -37,6 +45,7 @@ def connected_components(
     *,
     algorithm: str = "hashmin",
     max_iter: int = 25,
+    mode: str = "auto",
 ) -> DataFrame:
     """(node, component, component_size) for every node that appears
     in ``edges``; ``component`` is the minimum node id reachable via
@@ -52,9 +61,29 @@ def connected_components(
     Raises after ``max_iter`` rounds without a fixpoint (a hash-min
     run on a high-diameter graph should fail loudly and be rerun
     with doubling, not silently truncate clusters).
+
+    Execution modes (outputs hash-identical — min ids and counts are
+    exact integers, pytest-asserted): ``mode="driver"`` Arrow-collects
+    the raw pair list in ONE scan and runs the min-label fixpoint as
+    numpy gather-mins with pointer jumping (O(log n) rounds, so chains
+    converge too — no max_iter failure mode on this path).
+    ``mode="distributed"`` keeps the join+agg rounds above.
+    ``mode="auto"`` (default) bounds the collect with ``limit(max+1)``
+    and picks driver under ``_CC_DRIVER_MAX_EDGES`` collected rows —
+    past it, the distributed rounds are the web-scale path, unchanged.
     """
     if algorithm not in ("hashmin", "doubling"):  # pragma: no cover
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if mode != "distributed":
+        probe = (
+            raw.limit(_CC_DRIVER_MAX_EDGES + 1) if mode == "auto" else raw
+        )
+        tbl = probe.toArrow()
+        if mode == "driver" or tbl.num_rows <= _CC_DRIVER_MAX_EDGES:
+            return _cc_driver(edges.sparkSession, tbl, raw.schema)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -122,6 +151,56 @@ def connected_components(
             "component_size",
         )
     )
+
+
+def _cc_driver(spark, tbl, schema_in) -> DataFrame:
+    """Driver-side replay of :func:`connected_components` over the
+    Arrow-collected raw pair list. ``factorize(sort=True)`` makes code
+    order equal value order, so min-code = min-id and the final labels
+    are exactly the distributed fixpoint's; pointer jumping compresses
+    chains in O(log n) vectorized rounds. All-integer — output is
+    hash-identical to the distributed path, not merely close.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    node_type = schema_in["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("component", node_type),
+            T.StructField("component_size", T.LongType(), False),
+        ]
+    )
+    pdf = tbl.to_pandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=True
+    )
+    us = codes[: len(pdf)].astype(np.int64)
+    vs = codes[len(pdf):].astype(np.int64)
+    m = len(uniques)
+    label = np.arange(m, dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, us, label[vs])
+        np.minimum.at(new, vs, label[us])
+        while True:  # pointer jump to full compression
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    sizes = np.bincount(label, minlength=m)
+    names = pd.Index(uniques).tolist()  # python natives for createDataFrame
+    out = [
+        (names[i], names[label[i]], int(sizes[label[i]])) for i in range(m)
+    ]
+    return spark.createDataFrame(out, schema)
 
 
 # past this many (distinct, symmetrized) edges the power iteration

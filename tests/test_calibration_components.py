@@ -629,3 +629,28 @@ def test_pagerank_driver_and_distributed_agree(spark):
             ).collect()
         )
         assert dr == sr, it
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+
+    # blob + LONG chain (exercises pointer jumping) + self-loop + pair
+    rows = (
+        [("b0", f"b{i}") for i in range(1, 5)]
+        + [(f"c{i}", f"c{i+1}") for i in range(12)]  # 13-node chain
+        + [("z", "z"), ("p", "q")]
+    )
+    edges = spark.createDataFrame(rows, ["doc_a", "doc_b"]).repartition(8)
+    dd = sorted(
+        map(tuple, connected_components(edges, mode="driver").collect())
+    )
+    ds = sorted(
+        map(tuple, connected_components(edges, mode="distributed").collect())
+    )
+    assert dd == ds and len(dd) == 5 + 13 + 1 + 2
+    by_node = dict((n, (c, s)) for n, c, s in dd)
+    assert by_node["c12"] == ("c0", 13)  # chain closed transitively
+    assert by_node["z"] == ("z", 1)
+    assert by_node["b3"] == ("b0", 5)
