@@ -140,25 +140,55 @@ def hashed_cross(
     return F.pmod(stable_hash48(joined), F.lit(int(buckets)))
 
 
+# under this many DISTINCT values the prefix sum replays driver-side
+# off one Arrow collect (exact integer counts — hash-identical); past
+# it the bucketed distributed machinery below is the web-scale path.
+# Same threshold discipline as the components/pagerank fixed points.
+_RANK_DRIVER_MAX_VALUES = 2_000_000
+
+
 def value_rank_components(
-    df: DataFrame, value_col: str, *, n_buckets: int = 256
+    df: DataFrame, value_col: str, *, n_buckets: int = 256, mode: str = "auto"
 ) -> DataFrame:
     """The distributed prefix-sum rank machinery shared by
-    :func:`rank_normalize` and ``rhythm.gini_concentration``: collapse
-    to the distinct-value table with counts, bucket it by
+    :func:`rank_normalize`, ``rhythm.gini_concentration``,
+    ``association.spearman_corr`` and ``textstats.zipf_stats``:
+    collapse to the distinct-value table with counts, bucket it by
     approx-quantile edges, and compute each value's 0-based count of
     strictly-smaller rows → ``(value_col, _cnt, _before)``.
 
     Per-bucket cumulative sums run in parallel across buckets; the
     cross-bucket carry is a window over the ≤ ``n_buckets``-row
     offsets table (broadcast back). Never a single-partition sort of
-    the data — the round-1 ntile lesson."""
+    the data — the round-1 ntile lesson.
+
+    Execution modes (outputs hash-identical — counts and prefix sums
+    are exact integers, pytest-asserted): ``mode="driver"``
+    Arrow-collects the distinct-value table in ONE scan and replays
+    the prefix sum as a pandas sort + cumsum, skipping the
+    quantile-edge probe action and both window passes; the result is
+    a value-bounded local relation Catalyst broadcasts into the
+    join-back. ``mode="auto"`` (default) bounds the collect with
+    ``limit(max+1)`` and picks driver under
+    ``_RANK_DRIVER_MAX_VALUES`` distinct values. ``mode="distributed"``
+    keeps the bucketed machinery — the web-scale path, unchanged."""
     from kkbox_churn_prediction_spark.operators.psi import (
         bucketize_by_edges,
         quantile_edges,
     )
 
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
     vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    if mode != "distributed":
+        probe = (
+            vals.limit(_RANK_DRIVER_MAX_VALUES + 1) if mode == "auto" else vals
+        )
+        tbl = probe.toArrow()
+        if mode == "driver" or tbl.num_rows <= _RANK_DRIVER_MAX_VALUES:
+            return _rank_components_driver(
+                df.sparkSession, tbl, vals.schema, value_col
+            )
     edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
     bucketed = vals.withColumn(
         "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
@@ -179,6 +209,46 @@ def value_rank_components(
         .withColumn("_before", F.col("_off") + F.col("_local"))
         .select(value_col, "_cnt", "_before")
     )
+
+
+def _rank_components_driver(spark, tbl, schema_in, value_col: str) -> DataFrame:
+    """Driver-side replay of :func:`value_rank_components` over the
+    Arrow-collected distinct-value table: sort ascending with Spark's
+    ordering (NULL first, NaN last) and take the shifted cumulative
+    count. All-integer — hash-identical to the distributed windows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            schema_in[value_col],
+            T.StructField("_cnt", T.LongType(), False),
+            T.StructField("_before", T.LongType(), False),
+        ]
+    )
+    if tbl.num_rows == 0:
+        return spark.createDataFrame([], schema)
+    # Arrow keeps SQL NULL distinct from float NaN; to_pandas conflates
+    # them, so take the validity mask first. Ordering mirrors the
+    # distributed machinery: numbers ascending, then NULL, then NaN
+    # (both land in the when-chain's overflow bucket — NULL comparisons
+    # and NaN comparisons are never <= an edge — where the in-bucket
+    # window puts NULL first)
+    valid = tbl.column(value_col).is_valid().to_pandas().to_numpy()
+    pdf = tbl.to_pandas()
+    isna = pdf[value_col].isna().to_numpy()
+    pdf["_ord"] = (~valid) * 1 + (isna & valid) * 2
+    pdf = pdf.sort_values(["_ord", value_col], kind="mergesort")
+    pdf["_before"] = pdf["_cnt"].cumsum() - pdf["_cnt"]
+    # values come from the Arrow column (exact types, None for NULL —
+    # pandas would promote int-with-null to float), reordered by the
+    # sort's original-index permutation
+    arrow_vals = tbl.column(value_col).to_pylist()
+    out = [
+        (arrow_vals[i], int(c), int(b))
+        for i, c, b in zip(pdf.index, pdf["_cnt"], pdf["_before"])
+    ]
+    return spark.createDataFrame(out, schema)
 
 
 def rank_normalize(

@@ -294,3 +294,29 @@ def test_eb_shrunk_rates_degenerate_falls_back(spark):
     df = spark.createDataFrame(rows, "g string, hit int")
     out = eb_shrunk_rates(df, "g", "hit").collect()
     assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
+
+
+def test_value_rank_components_driver_and_distributed_agree(spark):
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        value_rank_components,
+    )
+
+    # heavy ties, negatives, a null, irregular spacing
+    rows = [(v,) for v in [3, 1, 1, 1, 7, -2, 7, 0, 0, 42, -2, 3, 3, None]]
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    dd = sorted(
+        ((r["v"], r["_cnt"], r["_before"]) for r in
+         value_rank_components(df, "v", mode="driver").collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    ds = sorted(
+        ((r["v"], r["_cnt"], r["_before"]) for r in
+         value_rank_components(df, "v", mode="distributed").collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert dd == ds
+    by_v = {t[0]: t for t in dd}
+    # ascending, NULL in the overflow bucket (last): -2,-2,0,0 < 1
+    assert by_v[1] == (1, 3, 4)
+    assert by_v[42] == (42, 1, 12)
+    assert by_v[None] == (None, 1, 13)
