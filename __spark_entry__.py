@@ -4970,6 +4970,156 @@ def _q_granger_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_daily(_conv(spark, sf_dir), "user", "assistant")
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule screen per source: pass counts
+    for word-count / mean-word-length / punctuation / alpha-word /
+    duplicate-word rules plus the all-rules pass share — pure JVM
+    column exprs (array_distinct on the bounded token array, no
+    explode), one hash agg."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
+def _q_circadian_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular hour-of-day statistics per role (resultant mean hour,
+    concentration R, circular std) — the cyclic-feature encoding the
+    arithmetic mean gets wrong; two trig columns + one hash agg."""
+    from kkbox_churn_prediction_spark.operators.rhythm import circadian_profile
+
+    return circadian_profile(_conv(spark, sf_dir))
+
+
+def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the role-transition chain: one lag +
+    a |roles|² count agg, then an exact INTEGER-grid power iteration
+    over that bounded profile table (driver replay, bit-identical
+    cross-engine — the Holt/EWMA quantization discipline applied to
+    the chain fixpoint)."""
+    from kkbox_churn_prediction_spark.operators.lags import markov_stationary
+
+    return markov_stationary(_conv(spark, sf_dir))
+
+
+def _q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian two-arm binary test on the hash-parity cohorts
+    (success = conversation ever hit an error tool event): exact
+    P(p_B > p_A) under Beta(1,1) priors via the Cook finite sum over
+    the 4-count profile row — the decision quantity next to the
+    frequentist two-proportion z."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import bayes_ab_binary
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.max(F.when(F.col("tool") == "error", 1).otherwise(0)).alias("succ")
+    )
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2))
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return bayes_ab_binary(units.select(arm.alias("arm"), "succ"), "arm", "succ")
+
+
+def _q_dp_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy role counts via the Laplace mechanism with
+    hash-seeded (deterministic, idempotent re-release) noise — one
+    hash agg + |roles| scalar exprs; true counts never leave the
+    plan."""
+    from kkbox_churn_prediction_spark.operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(_conv(spark, sf_dir), "role", epsilon=1.0)
+
+
+def _q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone (k=3) of the customer↔supplier trade graph:
+    iterative degree peel to a fixpoint (driver bincount replay under
+    2M edges, join+semi-join rounds with localCheckpoint past it) —
+    the dense-subgraph sibling of the PageRank/components family."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.components import k_core
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, "src", "dst", k=3)
+
+
+def _q_levene_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    test on text length across roles — the spread-equality assumption
+    check next to Welch/Kruskal: per-group exact median agg, join
+    back, one algebraic moment agg, scalar F on the k-row table."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import brown_forsythe
+
+    return brown_forsythe(
+        _conv(spark, sf_dir), F.length("text").cast("double"), F.col("role")
+    )
+
+
+def _q_trend_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: is the error-tool rate drifting
+    monotonically across calendar weeks? One conditional agg to the
+    per-week (n, successes) table, scalar algebra on that bounded
+    table — the inferential companion to the weekly-rate chart."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import cochran_armitage
+
+    conv = _conv(spark, sf_dir)
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7
+    ).cast("double")
+    succ = F.when(F.col("tool") == "error", 1).otherwise(0)
+    return cochran_armitage(conv, week, succ)
+
+
+def _q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential mean-shift alarm on the daily volume
+    share — the running-minimum drift detector completing the
+    CUSUM/EWMA family; pure window algebra on the exact integer grid
+    over the bounded daily table (no recursion, no applyInPandas)."""
+    from kkbox_churn_prediction_spark.operators.windows import page_hinkley_daily
+
+    return page_hinkley_daily(_conv(spark, sf_dir))
+
+
+def _q_bloom_filter_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing audit: build the distributed 4096-bit/3-hash
+    bitmap over the conv_id key set (groupBy-word bit_or), probe with
+    5000 disjoint keys, report fill ratio + predicted vs measured
+    false-positive rate — the pre-flight for pushing a Bloom
+    pre-filter into a 100 TB join/decontamination scan."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sketches import bloom_filter_audit
+
+    conv = _conv(spark, sf_dir)
+    probes = spark.range(5000).select(
+        F.concat(F.lit("probe:"), F.col("id")).alias("p")
+    )
+    return bloom_filter_audit(conv.select("conv_id"), "conv_id", probes, "p")
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5376,6 +5526,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_roles": _q_granger_roles,
         "holt_linear": _q_holt_linear,
         "kruskal_roles": _q_kruskal_roles,
+        "gopher_quality": _q_gopher_quality,
+        "circadian_roles": _q_circadian_roles,
+        "markov_stationary": _q_markov_stationary,
+        "bayes_ab": _q_bayes_ab,
+        "dp_role_counts": _q_dp_role_counts,
+        "kcore_suppliers": _q_kcore_suppliers,
+        "levene_roles": _q_levene_roles,
+        "trend_error_rate": _q_trend_error_rate,
+        "page_hinkley_daily": _q_page_hinkley_daily,
+        "bloom_filter_fpp": _q_bloom_filter_fpp,
     }
 
 
@@ -14847,6 +15007,421 @@ FROM pg g CROSS JOIN stats s
 """
 
 
+# Gopher-style rule screen (lock-step with textstats.gopher_quality_flags:
+# whitespace tokens of the normalized text, identical double ratio
+# expressions, flag product for the all-rules pass)
+_GOPHER_SQL = f"""
+WITH base AS (
+    SELECT source,
+           len({_TOKS}) AS nw,
+           length(replace({_NORM}, ' ', '')) * 1.0
+               / greatest(len({_TOKS}), 1) AS mean_wlen,
+           length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) * 1.0
+               / greatest(len({_TOKS}), 1) AS alpha_ratio,
+           1.0 - len(list_distinct({_TOKS})) * 1.0
+               / greatest(len({_TOKS}), 1) AS dup_ratio
+    FROM documents
+),
+flags AS (
+    SELECT source,
+           CASE WHEN nw BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS f_words,
+           CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS f_wlen,
+           CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS f_punct,
+           CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN dup_ratio <= 0.6 THEN 1 ELSE 0 END AS f_dup
+    FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_words) AS BIGINT) AS pass_word_count,
+       CAST(SUM(f_wlen) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(f_punct) AS BIGINT) AS pass_punct_ratio,
+       CAST(SUM(f_alpha) AS BIGINT) AS pass_alpha_words,
+       CAST(SUM(f_dup) AS BIGINT) AS pass_dup_words,
+       CAST(SUM(f_words * f_wlen * f_punct * f_alpha * f_dup) AS BIGINT) AS pass_all,
+       ROUND(SUM(f_words * f_wlen * f_punct * f_alpha * f_dup) * 1.0
+             / COUNT(*), 6) AS pass_all_share
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+# Circular hour-of-day stats (lock-step with rhythm.circadian_profile:
+# integer hour/minute/second folded to fractional hours, identical
+# double literals for the 2*pi/24 phase factor and its inverse)
+_CIRCADIAN_SQL = f"""
+WITH {_CONV_CTE},
+agg AS (
+    SELECT role,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(sin((hour(ts) + minute(ts) / 60.0 + second(ts) / 3600.0)
+                   * 0.2617993877991494)) AS s_sin,
+           SUM(cos((hour(ts) + minute(ts) / 60.0 + second(ts) / 3600.0)
+                   * 0.2617993877991494)) AS s_cos
+    FROM conversations
+    WHERE role IS NOT NULL
+    GROUP BY role
+)
+SELECT role, n,
+       ROUND(fmod(fmod(atan2(s_sin, s_cos) * 3.8197186342054885, 24.0)
+                  + 24.0, 24.0), 6) AS mean_hour,
+       ROUND(sqrt(s_sin * s_sin + s_cos * s_cos) / n, 6) AS resultant_r,
+       ROUND(sqrt(-2.0 * ln(greatest(
+           sqrt(s_sin * s_sin + s_cos * s_cos) / n, 1e-300))), 6) AS circ_std
+FROM agg
+ORDER BY role
+"""
+
+
+def _markov_sql(n_iter: int = 40, grid: int = 1_000_000_000) -> str:
+    """Unrolled integer-grid power iteration (lock-step with
+    lags.markov_stationary: the same two-pass state restriction,
+    half-away quantization via (2x+d)//(2d), HUGEINT products so
+    every step is exact integer arithmetic — bit-identical to the
+    driver replay)."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"s{i} AS MATERIALIZED (\n"
+            f"    SELECT t.t AS state,\n"
+            f"           (2 * SUM(CAST(p.s AS HUGEINT) * t.pcq) + {grid})\n"
+            f"               // (2 * CAST({grid} AS HUGEINT)) AS s\n"
+            f"    FROM s{i - 1} p JOIN trans t ON t.f = p.state\n"
+            f"    GROUP BY 1\n"
+            f")"
+        )
+    return f"""
+WITH {_CONV_CTE},
+pairs AS (
+    SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS f,
+           role AS t
+    FROM conversations
+),
+cnt AS (
+    SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs WHERE f IS NOT NULL GROUP BY 1, 2
+),
+froms1 AS (SELECT DISTINCT f FROM cnt),
+kept1 AS (SELECT c.f, c.t, c.n FROM cnt c JOIN froms1 x ON c.t = x.f),
+outn AS MATERIALIZED (SELECT f, SUM(n) AS n_out FROM kept1 GROUP BY f),
+trans AS MATERIALIZED (
+    SELECT k.f, k.t,
+           (2 * CAST(k.n AS HUGEINT) * {grid} + o.n_out)
+               // (2 * CAST(o.n_out AS HUGEINT)) AS pcq
+    FROM kept1 k
+    JOIN outn o ON k.f = o.f
+    JOIN outn o2 ON k.t = o2.f
+),
+s0 AS (
+    SELECT f AS state,
+           (2 * CAST({grid} AS HUGEINT) + (SELECT COUNT(*) FROM outn))
+               // (2 * (SELECT COUNT(*) FROM outn)) AS s
+    FROM outn
+),
+{",".join(steps)}
+SELECT o.f AS state,
+       CAST(o.n_out AS BIGINT) AS n_out,
+       CAST(COALESCE(fin.s, 0) AS BIGINT) AS mass_q,
+       CAST((2 * CAST(COALESCE(fin.s, 0) AS HUGEINT) * 1000000 + tot.t)
+            // (2 * tot.t) AS DOUBLE) / 1e6 AS pi
+FROM outn o
+LEFT JOIN s{n_iter} fin ON fin.state = o.f,
+     (SELECT SUM(s) AS t FROM s{n_iter}) tot
+ORDER BY state
+"""
+
+
+# Bayesian two-arm binary (lock-step with abtest.bayes_ab_binary:
+# Cook's finite sum with lgamma-integer beta functions; posterior
+# means on the exact 1e-6 integer grid; succ = conv ever errored)
+_BAYES_AB_SQL = f"""
+WITH {_CONV_CTE},
+perconv AS (
+    SELECT conv_id,
+           MAX(CASE WHEN tool = 'error' THEN 1 ELSE 0 END) AS succ
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           succ
+    FROM perconv
+),
+counts AS (
+    SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 'a' THEN succ ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN succ ELSE 0 END) AS BIGINT) AS s_b
+    FROM units
+),
+params AS (
+    SELECT n_a, s_a, n_b, s_b,
+           s_a + 1 AS aa, n_a - s_a + 1 AS ba,
+           s_b + 1 AS ab2, n_b - s_b + 1 AS bb
+    FROM counts
+),
+prob AS (
+    SELECT SUM(exp(
+        (lgamma(p.aa + g.i) + lgamma(p.ba + p.bb)
+             - lgamma(p.aa + g.i + p.ba + p.bb))
+        - ln(p.bb + g.i)
+        - (lgamma(1 + g.i) + lgamma(p.bb) - lgamma(1 + g.i + p.bb))
+        - (lgamma(p.aa) + lgamma(p.ba) - lgamma(p.aa + p.ba))
+    )) AS pr
+    FROM params p, generate_series(0, 1000000) g(i)
+    WHERE g.i < p.ab2
+)
+SELECT p.n_a, p.s_a, p.n_b, p.s_b,
+       CAST((2 * CAST(p.aa AS HUGEINT) * 1000000 + (p.aa + p.ba))
+            // (2 * (p.aa + p.ba)) AS DOUBLE) / 1e6 AS post_mean_a,
+       CAST((2 * CAST(p.ab2 AS HUGEINT) * 1000000 + (p.ab2 + p.bb))
+            // (2 * (p.ab2 + p.bb)) AS DOUBLE) / 1e6 AS post_mean_b,
+       ROUND(prob.pr, 6) AS prob_b_beats_a
+FROM params p, prob
+"""
+
+
+# Seeded-Laplace DP counts (lock-step with privacy.dp_noisy_counts:
+# u = stable_hash48('dp:' || grp)/2^48, inverse-CDF deviate, clamp 0)
+_DP_ROLE_SQL = f"""
+WITH {_CONV_CTE},
+cnt AS (
+    SELECT role AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM conversations WHERE role IS NOT NULL GROUP BY role
+),
+noise AS (
+    SELECT grp, n,
+           ({_H48.format(x="concat('dp', ':', CAST(grp AS VARCHAR))")})
+               / 281474976710656.0 AS u
+    FROM cnt
+)
+SELECT grp AS role,
+       ROUND(greatest(
+           CAST(n AS DOUBLE)
+           + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))),
+           0.0), 6) AS noisy_count,
+       1.0 AS epsilon
+FROM noise
+ORDER BY role
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled degree-peel rounds (lock-step with components.k_core:
+    symmetrized simple graph, drop-below-k per round; extra rounds
+    past the fixpoint are no-ops, so a generous unroll is safe)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"e{i} AS MATERIALIZED (\n"
+            f"    SELECT e.u, e.v FROM e{i - 1} e\n"
+            f"    JOIN (SELECT u FROM e{i - 1} GROUP BY u\n"
+            f"          HAVING COUNT(*) >= {k}) du USING (u)\n"
+            f"    JOIN (SELECT u AS v FROM e{i - 1} GROUP BY u\n"
+            f"          HAVING COUNT(*) >= {k}) dv USING (v)\n"
+            f")"
+        )
+    return f"""
+WITH e0 AS MATERIALIZED (
+    SELECT u, v FROM (
+        SELECT concat('c', o_custkey) AS u, concat('s', l_suppkey) AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        UNION
+        SELECT concat('s', l_suppkey) AS u, concat('c', o_custkey) AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ) WHERE u <> v
+),
+{",".join(steps)}
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{rounds}
+GROUP BY u
+ORDER BY node
+"""
+
+
+# Brown–Forsythe (lock-step with abtest.brown_forsythe: quantile_cont
+# == Spark exact percentile; identical double algebra for the F)
+_LEVENE_SQL = f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT role AS g, CAST(length(text) AS DOUBLE) AS v
+    FROM conversations
+    WHERE text IS NOT NULL AND role IS NOT NULL
+),
+meds AS (SELECT g, quantile_cont(v, 0.5) AS med FROM vals GROUP BY g),
+mom AS (
+    SELECT v.g, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(abs(v.v - m.med)) AS s1,
+           SUM(abs(v.v - m.med) * abs(v.v - m.med)) AS s2
+    FROM vals v JOIN meds m ON v.g = m.g
+    GROUP BY v.g
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k_groups,
+           SUM(s1) AS t1,
+           SUM(s2 - s1 * s1 / n) AS ssw,
+           SUM(s1 * s1 / n) AS szb
+    FROM mom
+)
+SELECT m.g AS grp, m.n,
+       ROUND(m.s1 / m.n, 6) AS mean_abs_dev,
+       t.n_total, t.k_groups,
+       CAST(t.k_groups - 1 AS BIGINT) AS df1,
+       CAST(t.n_total - t.k_groups AS BIGINT) AS df2,
+       ROUND(CASE WHEN t.ssw > 0 AND t.k_groups - 1 > 0
+                       AND t.n_total - t.k_groups > 0
+                  THEN ((t.szb - t.t1 * t.t1 / t.n_total)
+                            / (t.k_groups - 1))
+                       / (t.ssw / (t.n_total - t.k_groups)) END, 6) AS f_stat
+FROM mom m CROSS JOIN tot t
+ORDER BY grp
+"""
+
+
+# Cochran–Armitage (lock-step with abtest.cochran_armitage: identical
+# per-score conditional agg + scalar trend algebra; week scores
+# anchored at 2024-01-01)
+_TREND_ERROR_SQL = f"""
+WITH {_CONV_CTE},
+scored AS (
+    SELECT CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7) AS DOUBLE) AS w,
+           CAST(CASE WHEN tool = 'error' THEN 1 ELSE 0 END AS BIGINT) AS s
+    FROM conversations
+),
+per AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS succ
+    FROM scored WHERE w IS NOT NULL GROUP BY w
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(succ) AS BIGINT) AS s_total,
+           SUM(CAST(n AS DOUBLE) * w) AS nw,
+           SUM(CAST(n AS DOUBLE) * w * w) AS nww,
+           SUM(CAST(succ AS DOUBLE) * w) AS sw
+    FROM per
+)
+SELECT p.w AS score, p.n, p.succ,
+       ROUND(CAST(p.succ AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS rate,
+       t.n_total, t.s_total,
+       ROUND(t.sw - (CAST(t.s_total AS DOUBLE) / t.n_total) * t.nw, 6) AS t_stat,
+       ROUND((CAST(t.s_total AS DOUBLE) / t.n_total)
+             * (1.0 - CAST(t.s_total AS DOUBLE) / t.n_total)
+             * (t.nww - t.nw * t.nw / t.n_total), 6) AS var_t,
+       ROUND(CASE WHEN (CAST(t.s_total AS DOUBLE) / t.n_total)
+                       * (1.0 - CAST(t.s_total AS DOUBLE) / t.n_total)
+                       * (t.nww - t.nw * t.nw / t.n_total) > 0
+                  THEN (t.sw - (CAST(t.s_total AS DOUBLE) / t.n_total) * t.nw)
+                       / sqrt((CAST(t.s_total AS DOUBLE) / t.n_total)
+                              * (1.0 - CAST(t.s_total AS DOUBLE) / t.n_total)
+                              * (t.nww - t.nw * t.nw / t.n_total))
+                  ELSE 0.0 END, 6) AS z_trend
+FROM per p CROSS JOIN tot t
+ORDER BY score
+"""
+
+
+# Page–Hinkley (lock-step with windows.page_hinkley_daily: share and
+# running mean on the exact 1e9 integer grid, half-away divisions as
+# (2x+d)//(2d); lam=0.02 -> 20,000,000 on the grid)
+_PAGE_HINKLEY_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations WHERE ts IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(n_turns) AS t FROM daily),
+sq AS (
+    SELECT d, n_turns,
+           (2 * CAST(n_turns AS HUGEINT) * 1000000000 + t.t)
+               // (2 * CAST(t.t AS HUGEINT)) AS sq
+    FROM daily, tot t
+),
+cm AS (
+    SELECT d, n_turns, sq,
+           row_number() OVER (ORDER BY d) AS t,
+           SUM(sq) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+    FROM sq
+),
+dev AS (
+    SELECT d, n_turns,
+           sq - ((2 * cum + t) // (2 * CAST(t AS HUGEINT))) AS dv
+    FROM cm
+),
+m AS (
+    SELECT d, n_turns,
+           SUM(dv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS mm
+    FROM dev
+),
+ph AS (
+    SELECT d, n_turns,
+           mm - MIN(mm) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS phq
+    FROM m
+)
+SELECT d, n_turns,
+       CAST((2 * phq * 1000000 + 1000000000)
+            // (2 * CAST(1000000000 AS HUGEINT)) AS DOUBLE) / 1e6 AS ph,
+       CAST(CASE WHEN phq > 20000000 THEN 1 ELSE 0 END AS INT) AS alarm_flag
+FROM ph
+ORDER BY d
+"""
+
+
+# Bloom-filter audit (lock-step with sketches.bloom_filter_audit:
+# k independent md5 slot hashes, 32-bit word packing, identical
+# fill/pow/ratio algebra; probes = 'probe:0'..'probe:4999')
+_BLOOM_SQL = f"""
+WITH {_CONV_CTE},
+keys AS (SELECT DISTINCT conv_id AS k FROM conversations),
+kpos AS (
+    SELECT ({_H48.format(x="concat(k, '#', CAST(g.i AS VARCHAR))")}) % 4096 AS idx
+    FROM keys, generate_series(0, 2) g(i)
+),
+words AS (
+    SELECT idx // 32 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS bits
+    FROM kpos GROUP BY 1
+),
+kstats AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+           (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM words) AS bits_set
+),
+probes AS (
+    SELECT concat('probe:', CAST(g.i AS VARCHAR)) AS p
+    FROM generate_series(0, 4999) g(i)
+),
+ppos AS (
+    SELECT p,
+           ({_H48.format(x="concat(p, '#', CAST(g2.i AS VARCHAR))")}) % 4096 AS idx
+    FROM probes, generate_series(0, 2) g2(i)
+),
+hits AS (
+    SELECT p,
+           MIN(CAST((COALESCE(w.bits, 0) >> CAST(idx % 32 AS INTEGER)) & 1 AS INT)) AS pass
+    FROM ppos LEFT JOIN words w ON w.word = idx // 32
+    GROUP BY p
+),
+pstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(pass) AS BIGINT) AS n_false_pos
+    FROM hits
+)
+SELECT k.n_keys,
+       CAST(4096 AS BIGINT) AS m_bits,
+       CAST(3 AS BIGINT) AS k_hashes,
+       k.bits_set,
+       ROUND(k.bits_set / 4096.0, 6) AS fill_ratio,
+       ROUND(pow(k.bits_set / 4096.0, 3.0), 6) AS predicted_fpp,
+       p.n_probes, p.n_false_pos,
+       ROUND(p.n_false_pos * 1.0 / p.n_probes, 6) AS measured_fpp
+FROM kstats k, pstats p
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -15147,4 +15722,14 @@ def oracle_sql() -> dict[str, str]:
         "granger_roles": _GRANGER_SQL,
         "holt_linear": _HOLT_LINEAR_SQL,
         "kruskal_roles": _KRUSKAL_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "circadian_roles": _CIRCADIAN_SQL,
+        "markov_stationary": _markov_sql(),
+        "bayes_ab": _BAYES_AB_SQL,
+        "dp_role_counts": _DP_ROLE_SQL,
+        "kcore_suppliers": _kcore_sql(),
+        "levene_roles": _LEVENE_SQL,
+        "trend_error_rate": _TREND_ERROR_SQL,
+        "page_hinkley_daily": _PAGE_HINKLEY_SQL,
+        "bloom_filter_fpp": _BLOOM_SQL,
     }

@@ -1279,3 +1279,236 @@ def kruskal_wallis(
             "dof",
         )
     )
+
+
+def bayes_ab_binary(
+    units: DataFrame,
+    arm_col,
+    success_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+    alpha0: int = 1,
+    beta0: int = 1,
+) -> DataFrame:
+    """Bayesian two-arm binary test: exact posterior probability that
+    arm B's rate beats arm A's under independent Beta(alpha0, beta0)
+    priors — the decision quantity Bayesian experiment platforms
+    report instead of a p-value. Uses the closed-form finite sum
+
+        P(p_B > p_A) = sum_{i=0}^{aB-1} B(aA+i, bA+bB)
+                       / ((bB+i) * B(1+i, bB) * B(aA, bA))
+
+    (Cook 2005, "Exact calculation of beta inequalities") with all
+    beta functions via lgamma of INTEGER arguments.
+
+    Shape: ONE conditional agg to the 4-count profile row (s_a, n_a,
+    s_b, n_b — the two_proportion_z scan), then the sum runs on the
+    driver over that bounded row (the Bradley-Terry replay pattern):
+    the term count is aB = s_B + alpha0, data-sized, so the exact sum
+    is the small-to-mid-count path; at web scale the normal
+    approximation (:func:`two_proportion_z`) is the cheap screen and
+    this is the confirmatory rerun on the aggregated counts (which
+    are TINY — the sum never touches row data).
+    """
+    import math
+
+    g = F.col("_arm")
+    s = F.col("_succ")
+    one = (
+        units.select(
+            F.col(arm_col).alias("_arm") if isinstance(arm_col, str) else arm_col.alias("_arm"),
+            F.col(success_col).alias("_succ") if isinstance(success_col, str) else success_col.alias("_succ"),
+        )
+        .agg(
+            F.count(F.when(g == arm_a, 1)).cast("long").alias("n_a"),
+            F.count(F.when(g == arm_b, 1)).cast("long").alias("n_b"),
+            F.sum(F.when(g == arm_a, s).otherwise(F.lit(0))).cast("long").alias("s_a"),
+            F.sum(F.when(g == arm_b, s).otherwise(F.lit(0))).cast("long").alias("s_b"),
+        )
+        .collect()[0]
+    )
+    n_a, n_b, s_a, s_b = one["n_a"], one["n_b"], one["s_a"], one["s_b"]
+    aA = s_a + alpha0
+    bA = n_a - s_a + beta0
+    aB = s_b + alpha0
+    bB = n_b - s_b + beta0
+
+    def _lbeta(x: int, y: int) -> float:
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    lb_a = _lbeta(aA, bA)
+    prob = 0.0
+    for i in range(aB):
+        prob += math.exp(
+            _lbeta(aA + i, bA + bB) - math.log(bB + i) - _lbeta(1 + i, bB) - lb_a
+        )
+    spark = units.sparkSession
+
+    def _q6(num: int, den: int) -> float:
+        # half-away-from-zero on the 1e-6 grid via integer math —
+        # bit-identical to SQL ROUND(num/den, 6) for exact ratios
+        return ((2 * num * 1_000_000 + den) // (2 * den)) / 1e6
+
+    row = (
+        n_a,
+        s_a,
+        n_b,
+        s_b,
+        _q6(aA, aA + bA),
+        _q6(aB, aB + bB),
+        round(prob, 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_a bigint, s_a bigint, n_b bigint, s_b bigint, "
+        "post_mean_a double, post_mean_b double, prob_b_beats_a double",
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col,
+    group_col,
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test (Levene with the
+    robust MEDIAN center): do the groups share a spread? The
+    assumption check that belongs next to the location tests
+    (Welch/Kruskal–Wallis) — equal-variance conclusions from either
+    are fragile when this rejects.
+
+    Statistic: one-way ANOVA F on the absolute deviations
+    ``z_ij = |x_ij - median_j|``. Per-group rows carry (n, mean |dev|);
+    the shared F/df ride every row (the kruskal_wallis output shape).
+
+    Shape: per-group exact ``percentile(x, 0.5)`` agg (the A10
+    discipline; ``exact=False`` flips to the GK approx_percentile
+    sketch for 10^12-row groups) → k-row median table joined back on
+    the group key (AQE reuses the partitioning) → ONE algebraic
+    moment agg (n, Σz, Σz²) per group → scalar algebra on the k-row
+    table. No second sort, no window.
+    """
+    v = F.col("_v")
+    g = F.col("_g")
+    base = df.select(
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("_v"),
+        (F.col(group_col) if isinstance(group_col, str) else group_col).alias("_g"),
+    ).where(v.isNotNull() & g.isNotNull())
+    med_expr = (
+        "percentile(_v, 0.5)"
+        if exact
+        else f"approx_percentile(_v, 0.5, {int(accuracy)})"
+    )
+    meds = base.groupBy("_g").agg(F.expr(med_expr).alias("_med"))
+    moments = (
+        base.join(meds, "_g")
+        .withColumn("_z", F.abs(v - F.col("_med")))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_z").alias("s1"),
+            F.sum(F.col("_z") * F.col("_z")).alias("s2"),
+        )
+    )
+    tot = moments.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("s1").alias("t1"),
+        # within-group SS: Σ_j (s2_j − s1_j²/n_j)
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("ssw"),
+        # Σ_j n_j·z̄_j² = Σ_j s1_j²/n_j  (between-SS needs it)
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("szb"),
+    )
+    nt = F.col("n_total").cast("double")
+    ssb = F.col("szb") - F.col("t1") * F.col("t1") / nt
+    df1 = F.col("k_groups") - F.lit(1)
+    df2 = F.col("n_total") - F.col("k_groups")
+    f_stat = F.when(
+        (F.col("ssw") > 0) & (df1 > 0) & (df2 > 0),
+        (ssb / df1.cast("double")) / (F.col("ssw") / df2.cast("double")),
+    )
+    stats = tot.select(
+        "n_total",
+        "k_groups",
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+    per_group = moments.select(
+        F.col("_g").alias("grp"),
+        "n",
+        F.round(F.col("s1") / F.col("n").cast("double"), 6).alias("mean_abs_dev"),
+    )
+    return per_group.crossJoin(F.broadcast(stats)).orderBy("grp")
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col,
+    success_col,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary rate monotonically
+    drifting across ORDERED groups (weeks, doses, cohorts)? The
+    inferential companion to a weekly-rate chart — chi-square asks
+    "any difference", this asks "a trend in score order", with far
+    more power against monotone alternatives.
+
+    z = Σ_i s_i(w_i - w̄·) centered form:
+    T = Σ_i (s_i - n_i·p̄)·w_i,  Var(T) = p̄(1-p̄)·(Σ n_i w_i² - (Σ n_i w_i)²/N)
+
+    Shape: ONE conditional agg to per-score (n_i, s_i) — bounded by
+    the score domain — then scalar algebra on that tiny table.
+    Output: per-score rows (score, n, successes, rate) plus the
+    shared z/T/variance riding each row.
+    """
+    w = F.col("_w")
+    s = F.col("_s")
+    base = df.select(
+        (F.col(score_col) if isinstance(score_col, str) else score_col)
+        .cast("double")
+        .alias("_w"),
+        (F.col(success_col) if isinstance(success_col, str) else success_col)
+        .cast("long")
+        .alias("_s"),
+    ).where(w.isNotNull() & s.isNotNull())
+    per = base.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s).cast("long").alias("succ"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("succ").cast("long").alias("s_total"),
+        F.sum(F.col("n").cast("double") * w).alias("nw"),
+        F.sum(F.col("n").cast("double") * w * w).alias("nww"),
+        F.sum(F.col("succ").cast("double") * w).alias("sw"),
+    )
+    nt = F.col("n_total").cast("double")
+    pbar = F.col("s_total").cast("double") / nt
+    t_stat = F.col("sw") - pbar * F.col("nw")
+    var_t = pbar * (F.lit(1.0) - pbar) * (
+        F.col("nww") - F.col("nw") * F.col("nw") / nt
+    )
+    z = F.when(var_t > 0, t_stat / F.sqrt(var_t)).otherwise(F.lit(0.0))
+    stats = tot.select(
+        "n_total",
+        "s_total",
+        F.round(t_stat, round_to).alias("t_stat"),
+        F.round(var_t, round_to).alias("var_t"),
+        F.round(z, round_to).alias("z_trend"),
+    )
+    per_rows = per.select(
+        F.col("_w").alias("score"),
+        "n",
+        "succ",
+        F.round(F.col("succ").cast("double") / F.col("n").cast("double"), round_to).alias(
+            "rate"
+        ),
+    )
+    return per_rows.crossJoin(F.broadcast(stats)).orderBy("score")

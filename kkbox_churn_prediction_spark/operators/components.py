@@ -826,3 +826,122 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+_KCORE_DRIVER_MAX_EDGES = 2_000_000
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    *,
+    k: int = 2,
+    max_iter: int = 50,
+    mode: str = "auto",
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph in which every node
+    keeps degree >= k after iteratively peeling lower-degree nodes —
+    the standard "dense backbone" extraction (Seidman 1983) that
+    separates structurally-embedded dup clusters / trading hubs from
+    peripheral one-off links. Output: ``(node, core_degree)`` for
+    surviving nodes, where core_degree is the node's degree INSIDE the
+    k-core (>= k by construction).
+
+    Semantics: edges are symmetrized and de-duplicated (undirected
+    simple graph, like :func:`connected_components`); peeling repeats
+    until a fixpoint — each round removes every node whose current
+    degree is < k, which can cascade (a chain peels end-in).
+
+    Execution modes (exact integer output, hash-identical):
+    ``mode="driver"`` Arrow-collects the pair list once and peels with
+    numpy bincount rounds; ``mode="distributed"`` runs per-round
+    degree agg + two LEFT SEMI joins with ``localCheckpoint`` lineage
+    truncation (the connected-components discipline — one action per
+    round); ``mode="auto"`` bounds the collect with limit(max+1) and
+    picks driver under ``_KCORE_DRIVER_MAX_EDGES`` rows. Raises after
+    ``max_iter`` distributed rounds without a fixpoint (peeling
+    terminates in <= |V| rounds; a loud failure beats a truncated
+    core).
+    """
+    if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = edges.sparkSession
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if mode != "distributed":
+        probe = raw.limit(_KCORE_DRIVER_MAX_EDGES + 1) if mode == "auto" else raw
+        tbl = probe.toArrow()
+        if mode == "driver" or tbl.num_rows <= _KCORE_DRIVER_MAX_EDGES:
+            return _k_core_driver(spark, tbl, k)
+    sym = (
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))  # simple graph: drop self-loops
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    for _ in range(max_iter):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("u")
+        nxt = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        sym = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} rounds"
+        )
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def _k_core_driver(spark, tbl, k: int) -> DataFrame:
+    """Exact peel over the collected pair list: id-factorize both
+    endpoint columns, symmetrize + dedup, then numpy bincount rounds
+    until stable — integer degrees, so output is hash-identical to
+    the distributed rounds (pytest-asserted)."""
+    import numpy as np
+
+    ucol = np.asarray(tbl.column(0).to_pylist(), dtype=object)
+    vcol = np.asarray(tbl.column(1).to_pylist(), dtype=object)
+    names, inv = np.unique(np.concatenate([ucol, vcol]), return_inverse=True)
+    a = inv[: len(ucol)]
+    b = inv[len(ucol):]
+    # undirected simple graph: canonical order + dedup, drop loops
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    n = len(names)
+    alive_edge = np.ones(len(pairs), dtype=bool)
+    while True:
+        deg = np.bincount(pairs[alive_edge, 0], minlength=n) + np.bincount(
+            pairs[alive_edge, 1], minlength=n
+        )
+        bad = deg < k
+        drop = alive_edge & (bad[pairs[:, 0]] | bad[pairs[:, 1]])
+        if not drop.any():
+            break
+        alive_edge &= ~drop
+    deg = np.bincount(pairs[alive_edge, 0], minlength=n) + np.bincount(
+        pairs[alive_edge, 1], minlength=n
+    )
+    rows = [
+        (str(names[i]), int(deg[i])) for i in np.nonzero(deg >= k)[0]
+    ]
+    out = spark.createDataFrame(
+        rows or [(None, None)], "node string, core_degree bigint"
+    )
+    if not rows:
+        out = out.where(F.col("node").isNotNull())
+    return out.orderBy("node")

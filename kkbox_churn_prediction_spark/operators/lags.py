@@ -558,3 +558,70 @@ def out_of_order_depth(
             ).alias(f"p{int(round(q * 100))}_late_s")
         )
     return out.select(*cols)
+
+
+def markov_stationary(
+    turns: DataFrame,
+    state_col: str = "role",
+    *,
+    n_iter: int = 40,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Stationary distribution of the first-order turn-to-turn state
+    chain (where does the dialogue SPEND its time — the long-run
+    role mix implied by the transition structure, as opposed to
+    :func:`role_transitions`' one-step view).
+
+    Semantics: restrict to states with >=1 outgoing transition, drop
+    transitions into states outside that set, renormalize rows, then
+    run ``n_iter`` power-iteration steps from the uniform vector with
+    EVERY quantity held on an integer grid (probabilities and state
+    mass quantized to ``grid``; products/sums are exact integers;
+    re-quantization rounds half away from zero). Integer arithmetic
+    makes the result bit-identical across engines and partitionings —
+    the same trick as the Holt/EWMA oracles' 1e-9 grid.
+
+    Shape: ONE lag over the conv-ordered window + a |states|² count
+    agg (the bounded profile-row pattern: Bradley-Terry, PageRank
+    driver replays); the iteration itself runs on the driver over
+    that bounded table with arbitrary-precision Python ints. Output:
+    ``(state, n_out, mass_q, pi)`` — |states| rows.
+    """
+    trans = role_transitions(turns, state_col).select(
+        "from_state", "to_state", "n"
+    )
+    rows = trans.collect()  # bounded: |states|^2
+    froms = sorted({r["from_state"] for r in rows})
+    keep = set(froms)
+    # restrict + renormalize over kept targets
+    out_n: dict[str, int] = {s: 0 for s in froms}
+    edges: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["to_state"] in keep:
+            edges[(r["from_state"], r["to_state"])] = int(r["n"])
+            out_n[r["from_state"]] += int(r["n"])
+    froms = [s for s in froms if out_n[s] > 0]
+    keep = set(froms)
+    edges = {k: v for k, v in edges.items() if k[0] in keep and k[1] in keep}
+
+    def _q(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)  # round half away (nonneg)
+
+    pcq = {k: _q(v * grid, out_n[k[0]]) for k, v in edges.items()}
+    s = {st: _q(grid, len(froms)) for st in froms}
+    for _ in range(n_iter):
+        nxt = {st: 0 for st in froms}
+        for (a, b), p in pcq.items():
+            nxt[b] += s[a] * p
+        s = {st: _q(v, grid) for st, v in nxt.items()}
+    total = sum(s.values())
+    spark = turns.sparkSession
+    # pi on the integer grid too (half-away), so the double is the
+    # exact quotient of two small ints — bit-identical cross-engine
+    data = [
+        (st, out_n[st], s[st], _q(s[st] * 1_000_000, total) / 1e6)
+        for st in froms
+    ]
+    return spark.createDataFrame(
+        data, "state string, n_out bigint, mass_q bigint, pi double"
+    ).orderBy("state")

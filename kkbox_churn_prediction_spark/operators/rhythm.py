@@ -295,3 +295,47 @@ def weekly_bounce_rate(turns: DataFrame) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+def circadian_profile(turns: DataFrame, group_col: str = "role") -> DataFrame:
+    """Per-group circular statistics of the hour-of-day: resultant
+    mean hour (the atan2 of summed unit phasors), resultant length R
+    (concentration: 1 = all activity at one instant, 0 = uniform over
+    the clock), and circular standard deviation sqrt(-2 ln R) — the
+    correct average for cyclic features, where the arithmetic mean of
+    {23h, 1h} would say noon instead of midnight.
+
+    The cyclical sin/cos encoding is the standard feature-eng
+    treatment of clock/calendar fields (the reference encodes raw
+    month ints at features/features_comprehensive.sql:317-321; phasor
+    encoding is its periodic completion). Shape: two trig columns +
+    ONE hash agg by group; output is |groups| rows. Minutes/seconds
+    are folded in (fractional hour) so the phase is exact wall-clock.
+    """
+    frac_hour = (
+        F.hour("ts").cast("double")
+        + F.minute("ts").cast("double") / F.lit(60.0)
+        + F.second("ts").cast("double") / F.lit(3600.0)
+    )
+    theta = frac_hour * F.lit(2.0 * 3.141592653589793 / 24.0)
+    agg = turns.where(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.sin(theta)).alias("s_sin"),
+        F.sum(F.cos(theta)).alias("s_cos"),
+    )
+    r = F.sqrt(F.col("s_sin") * F.col("s_sin") + F.col("s_cos") * F.col("s_cos")) / F.col(
+        "n"
+    ).cast("double")
+    mean_theta = F.atan2(F.col("s_sin"), F.col("s_cos"))
+    mean_hour = F.pmod(mean_theta * F.lit(24.0 / (2.0 * 3.141592653589793)), F.lit(24.0))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(mean_hour, 6).alias("mean_hour"),
+        F.round(r, 6).alias("resultant_r"),
+        F.round(F.sqrt(-2.0 * F.log(F.greatest(r, F.lit(1e-300)))), 6).alias(
+            "circ_std"
+        ),
+    ).orderBy(group_col)

@@ -161,3 +161,106 @@ def binned_quantile_rollup(
             6,
         ).alias("est"),
     )
+
+
+def bloom_filter_audit(
+    keys: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a key set as a DISTRIBUTED bitmap and
+    measure its false-positive rate against a disjoint probe set —
+    the sizing audit run before shipping the filter into a join
+    pruning / decontamination / blocklist path (the engine's
+    shingle-hash anti-joins are exact; a Bloom pre-filter is what
+    you'd push to the scan at 100 TB).
+
+    Bitmap = ``m_bits`` bits packed 32-per-word: each key sets
+    ``k_hashes`` positions via ``stable_hash48(key || '#' || i) mod
+    m`` — k INDEPENDENT md5 draws per key, engine-portable. (NOT the
+    affine MinHash family ``a_i·h+b_i``: affine maps of one base hash
+    collide on ALL k slots whenever the base hashes collide mod m,
+    which degrades the filter to a single-hash FPP — measured 0.0037
+    vs the predicted 1e-6 before this was caught.) The build is ONE
+    groupBy(word).bit_or(mask) over exploded positions — mergeable
+    map-side like any agg; the probe side joins the (m/32)-row word
+    table (broadcast) and ANDs its k bits. Output is ONE summary row:
+    fill ratio, predicted FPP = fill^k, and the measured probe FPP
+    (probes are constructed disjoint from keys, so every pass is a
+    false positive).
+    """
+    from ..functions.text import stable_hash48
+
+    def positions(col: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+            lambda i: F.pmod(
+                stable_hash48(F.concat(col, F.lit("#"), i.cast("string"))),
+                F.lit(m_bits),
+            ).cast("int"),
+        )
+
+    kd = keys.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    built = (
+        kd.select(F.explode(positions(F.col("_k"))).alias("_idx"))
+        .select(
+            (F.col("_idx") / 32).cast("int").alias("_word"),
+            F.expr("shiftleft(1L, _idx % 32)").alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    key_stats = kd.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).crossJoin(
+        F.broadcast(
+            built.agg(F.sum(F.bit_count("_bits")).cast("long").alias("bits_set"))
+        )
+    )
+    pd_ = probes.select(F.col(probe_col).cast("string").alias("_p")).distinct()
+    probed = (
+        pd_.select("_p", F.explode(positions(F.col("_p"))).alias("_idx"))
+        .select(
+            "_p",
+            (F.col("_idx") / 32).cast("int").alias("_word"),
+            (F.col("_idx") % 32).cast("int").alias("_bit"),
+        )
+        .join(
+            F.broadcast(built.withColumnRenamed("_word", "_bw")),
+            F.col("_word") == F.col("_bw"),
+            "left",
+        )
+        .select(
+            "_p",
+            F.expr(
+                "CAST(shiftright(coalesce(_bits, 0L), _bit) & 1L AS INT)"
+            ).alias("_hit"),
+        )
+        .groupBy("_p")
+        .agg(F.min("_hit").alias("_pass"))
+    )
+    probe_stats = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("_pass").cast("long").alias("n_false_pos"),
+    )
+    fill = F.col("bits_set").cast("double") / F.lit(float(m_bits))
+    return (
+        key_stats.crossJoin(F.broadcast(probe_stats))
+        .select(
+            "n_keys",
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k_hashes).cast("long").alias("k_hashes"),
+            "bits_set",
+            F.round(fill, 6).alias("fill_ratio"),
+            F.round(F.pow(fill, F.lit(float(k_hashes))), 6).alias("predicted_fpp"),
+            "n_probes",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.col("n_probes").cast("double"),
+                6,
+            ).alias("measured_fpp"),
+        )
+    )

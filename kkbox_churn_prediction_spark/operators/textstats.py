@@ -1970,3 +1970,86 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_alpha_word_ratio: float = 0.8,
+    max_dup_word_ratio: float = 0.6,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition+shape rule screen
+    (Rae et al. 2021 §A1.1; the rule family the reference's
+    range-clamp cleaning P5 applies to demographics, applied to
+    text): per-source pass counts for each rule plus the share of
+    docs passing ALL rules.
+
+    Rules (per doc, whitespace tokens): word count in
+    [min_words, max_words]; mean word length in [3, 10]; punctuation
+    ratio <= 0.2 of chars; share of words containing an alphabetic
+    char >= 0.8; duplicate-word ratio (1 - distinct/total) <= 0.6.
+
+    Shape: pure JVM column expressions per doc (array_distinct on the
+    bounded token array, no explode), ONE hash agg by source — the
+    same single-scan discipline as ``text_quality``. 100 TB story:
+    map-side partials; output is |sources| rows.
+    """
+    from ..functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    n_words = F.size(toks)
+    nw_d = n_words.cast("double")
+    mean_wlen = (
+        F.length(F.regexp_replace(normalize_text(F.col(text_col)), r"\s", ""))
+        / F.greatest(nw_d, F.lit(1.0))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+        / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / F.greatest(nw_d, F.lit(1.0))
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        nw_d, F.lit(1.0)
+    )
+    r_words = n_words.between(min_words, max_words)
+    r_wlen = (mean_wlen >= F.lit(min_mean_word_len)) & (
+        mean_wlen <= F.lit(max_mean_word_len)
+    )
+    r_punct = punct_ratio <= F.lit(max_punct_ratio)
+    r_alpha = alpha_ratio >= F.lit(min_alpha_word_ratio)
+    r_dup = dup_ratio <= F.lit(max_dup_word_ratio)
+    flags = docs.select(
+        F.col(source_col).alias("source"),
+        r_words.cast("int").alias("f_words"),
+        r_wlen.cast("int").alias("f_wlen"),
+        r_punct.cast("int").alias("f_punct"),
+        r_alpha.cast("int").alias("f_alpha"),
+        r_dup.cast("int").alias("f_dup"),
+        (r_words & r_wlen & r_punct & r_alpha & r_dup).cast("int").alias("f_all"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("f_words").cast("bigint").alias("pass_word_count"),
+            F.sum("f_wlen").cast("bigint").alias("pass_mean_word_len"),
+            F.sum("f_punct").cast("bigint").alias("pass_punct_ratio"),
+            F.sum("f_alpha").cast("bigint").alias("pass_alpha_words"),
+            F.sum("f_dup").cast("bigint").alias("pass_dup_words"),
+            F.sum("f_all").cast("bigint").alias("pass_all"),
+            F.round(
+                F.sum("f_all").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pass_all_share"),
+        )
+        .orderBy("source")
+    )

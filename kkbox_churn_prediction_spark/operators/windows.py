@@ -1918,3 +1918,75 @@ def holt_linear_daily(
         F.round("forecast", 6).alias("forecast"),
         F.round("forecast_err", 6).alias("forecast_err"),
     )
+
+
+def page_hinkley_daily(
+    turns: DataFrame,
+    *,
+    delta: float = 0.0,
+    lam: float = 0.02,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Page–Hinkley sequential change detector on the daily volume
+    share — the classic online mean-shift alarm completing the drift
+    family (CUSUM tracks cumulative sign drift, EWMA a smoothed
+    level; PH tracks the gap between the cumulative deviation and
+    its running minimum, which reacts to sustained upward shifts).
+
+    Scale-free: daily counts are normalized to share-of-total before
+    detection, so ``lam`` means "share points" at any data size.
+    EVERY quantity lives on an integer grid (shares, running means,
+    deviations quantized to ``grid`` with half-away rounding), so the
+    output is bit-identical across engines and partitionings — and
+    the whole recursion collapses to WINDOW ALGEBRA: running mean =
+    quantized prefix-sum/t, m_t = prefix-sum of deviations, PH_t =
+    m_t − prefix-min(m) — no applyInPandas, no driver loop.
+
+    Shape: ONE corpus day-collapse, then three window functions over
+    the BOUNDED daily table (the ewma_daily/holt discipline). Output:
+    (d, n_turns, ph, alarm_flag) per day.
+    """
+    daily = (
+        turns.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+    tot = daily.agg(F.sum("n_turns").cast("long").alias("_tot"))
+    # share_q = round_half_away(n * grid / total) via LONG `div` —
+    # never a double division, so no 2^53 precision cliff at scale
+    share_q = F.expr(
+        f"(2L * n_turns * {grid}L + _tot) div (2L * _tot)"
+    ).cast("long")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    based = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "n_turns", share_q.alias("_sq")
+    )
+    t = F.row_number().over(Window.orderBy("d"))
+    cum = F.sum("_sq").over(w)
+    based = based.select(
+        "d", "n_turns", "_sq", t.cast("long").alias("_t"), cum.alias("_cum")
+    )
+    # quantized running mean (exact integer half-away division)
+    mean_q = F.expr("(2L * _cum + _t) div (2L * _t)").cast("long")
+    delta_q = F.lit(int(round(delta * grid))).cast("long")
+    dev = F.col("_sq") - mean_q - delta_q
+    based = based.select("d", "n_turns", dev.alias("_dev"))
+    m = F.sum("_dev").over(w)
+    based = based.select("d", "n_turns", m.alias("_m"))
+    runmin = F.min("_m").over(w)
+    ph_q = F.col("_m") - runmin
+    lam_q = F.lit(int(round(lam * grid))).cast("long")
+    based = based.select("d", "n_turns", ph_q.alias("_phq"))
+    # 6-dp rounding ON THE INTEGER GRID (half-away): rounding the
+    # inexact double phq/grid instead diverges across engines exactly
+    # at .5 boundaries (Spark rounds the shortest-decimal rendering,
+    # DuckDB the binary value)
+    ph6 = F.expr(
+        f"(2L * _phq * 1000000L + {grid}L) div (2L * {grid}L)"
+    ).cast("double") / F.lit(1e6)
+    return based.select(
+        "d",
+        "n_turns",
+        ph6.alias("ph"),
+        (F.col("_phq") > lam_q).cast("int").alias("alarm_flag"),
+    ).orderBy("d")

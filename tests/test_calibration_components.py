@@ -269,9 +269,13 @@ def test_components_doubling_handles_long_chains(spark):
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(59)],
         "doc_a string, doc_b string",
     )
+    # pin the distributed rounds: auto mode resolves a 59-edge graph on
+    # the driver via pointer jumping, which converges on any diameter
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=12)
-    got = connected_components(edges, algorithm="doubling", max_iter=12).collect()
+        connected_components(edges, max_iter=12, mode="distributed")
+    got = connected_components(
+        edges, algorithm="doubling", max_iter=12, mode="distributed"
+    ).collect()
     assert len(got) == 60
     assert {r["component"] for r in got} == {"n000"}
     assert all(r["component_size"] == 60 for r in got)

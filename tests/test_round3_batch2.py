@@ -1,0 +1,283 @@
+"""Unit goldens for the round-3 batch-2 operators: Gopher rule
+screen, circular hour stats, Markov stationary distribution,
+Bayesian A/B, seeded-DP counts, and k-core peeling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gopher_quality_flags_rules(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "s1"),                       # passes everything
+            (2, "word " * 30, "s1"),               # dup ratio 29/30 > 0.6
+            (3, "aa bb cc", "s2"),                 # too few words
+            (4, ("!!!! " * 25) + good, "s2"),      # punct ratio high
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in gopher_quality_flags(docs, min_words=20).collect()
+    }
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["pass_word_count"] == 2
+    assert got["s1"]["pass_dup_words"] == 1  # doc 2 fails dup rule
+    assert got["s1"]["pass_all"] == 1
+    assert got["s2"]["pass_word_count"] == 1  # doc 3 too short
+    assert got["s2"]["pass_punct_ratio"] == 1  # doc 4 fails punct
+    assert got["s2"]["pass_all"] == 0
+    assert got["s1"]["pass_all_share"] == 0.5
+
+
+def test_circadian_profile_concentrated_and_split(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import circadian_profile
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # 'tight': everything at 09:00 exactly -> R = 1, mean_hour = 9
+        *[("c", i, "tight", base + dt.timedelta(days=i, hours=9)) for i in range(8)],
+        # 'split': half at 00:00, half at 12:00 -> resultant cancels, R ~ 0
+        *[("c", 100 + i, "split", base + dt.timedelta(days=i)) for i in range(4)],
+        *[("c", 200 + i, "split", base + dt.timedelta(days=i, hours=12)) for i in range(4)],
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {r["role"]: r for r in circadian_profile(df).collect()}
+    assert got["tight"]["mean_hour"] == pytest.approx(9.0, abs=1e-6)
+    assert got["tight"]["resultant_r"] == pytest.approx(1.0, abs=1e-6)
+    assert got["tight"]["circ_std"] == pytest.approx(0.0, abs=1e-3)
+    assert got["split"]["resultant_r"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_markov_stationary_two_state_golden(spark):
+    from kkbox_churn_prediction_spark.operators.lags import markov_stationary
+
+    # chain: a->a and a->b equally; b->a always.
+    # stationary: pi_a = 2/3, pi_b = 1/3
+    base = dt.datetime(2024, 1, 1)
+    seq = "aabab" * 40 + "a"  # observed transitions approximate the matrix
+    # build the exact transition counts instead: 2 convs hand-crafted
+    rows = []
+    # conv1: a a b a  -> a->a, a->b, b->a
+    for i, s in enumerate("aaba"):
+        rows.append(("c1", i, s, base + dt.timedelta(minutes=i)))
+    # conv2: a b a    -> a->b, b->a
+    for i, s in enumerate("aba"):
+        rows.append(("c2", i, s, base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    # counts: a->a 1, a->b 2, b->a 2 => P(a->a)=1/3, P(a->b)=2/3, P(b->a)=1
+    # stationary: pi_a = 3/7? solve: pi_a = pi_a/3 + pi_b, pi_b = 2*pi_a/3
+    # -> pi_a = 0.6, pi_b = 0.4
+    got = {r["state"]: r for r in markov_stationary(df).collect()}
+    assert got["a"]["pi"] == pytest.approx(0.6, abs=1e-5)
+    assert got["b"]["pi"] == pytest.approx(0.4, abs=1e-5)
+    assert got["a"]["n_out"] == 3 and got["b"]["n_out"] == 2
+    del seq
+
+
+def test_bayes_ab_binary_matches_grid_integration(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import bayes_ab_binary
+
+    units = spark.createDataFrame(
+        [("a", 1)] * 8 + [("a", 0)] * 12 + [("b", 1)] * 14 + [("b", 0)] * 6,
+        "arm string, succ int",
+    )
+    row = bayes_ab_binary(units, "arm", "succ").collect()[0]
+    assert (row["n_a"], row["s_a"], row["n_b"], row["s_b"]) == (20, 8, 20, 14)
+    # independent check: dense-grid numeric integration of
+    # P(p_b > p_a), p_a ~ Beta(9,13), p_b ~ Beta(15,7)
+    from math import lgamma
+
+    def beta_pdf(x, a, b):
+        ln = (
+            lgamma(a + b) - lgamma(a) - lgamma(b)
+            + (a - 1) * np.log(x) + (b - 1) * np.log(1 - x)
+        )
+        return np.exp(ln)
+
+    xs = np.linspace(1e-9, 1 - 1e-9, 20001)
+    pa = beta_pdf(xs, 9, 13)
+    pb = beta_pdf(xs, 15, 7)
+    cdf_a = np.cumsum(pa) * (xs[1] - xs[0])  # P(p_a <= x)
+    prob = np.trapz(pb * cdf_a, xs)
+    assert row["prob_b_beats_a"] == pytest.approx(prob, abs=2e-4)
+    assert row["post_mean_a"] == pytest.approx(9 / 22, abs=1e-6)
+    assert row["post_mean_b"] == pytest.approx(15 / 22, abs=1e-6)
+
+
+def test_dp_noisy_counts_deterministic_and_clamped(spark):
+    from kkbox_churn_prediction_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 3, "role string"
+    )
+    a = dp_noisy_counts(df, "role", epsilon=1.0).collect()
+    b = dp_noisy_counts(df, "role", epsilon=1.0).collect()
+    assert a == b  # seeded: idempotent re-release
+    for r in a:
+        assert r["noisy_count"] >= 0.0
+        true = 50 if r["role"] == "x" else 3
+        assert abs(r["noisy_count"] - true) > 1e-9  # noise actually applied
+        assert abs(r["noisy_count"] - true) < 30  # Laplace(1) tail sanity
+    # tighter epsilon -> bigger deviation for the same seed
+    wide = {
+        r["role"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, "role", epsilon=0.1).collect()
+    }
+    narrow = {r["role"]: r["noisy_count"] for r in a}
+    assert abs(wide["x"] - 50) > abs(narrow["x"] - 50)
+
+
+def test_k_core_triangle_with_pendant(spark):
+    from kkbox_churn_prediction_spark.operators.components import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["node"]: r["core_degree"] for r in k_core(edges, k=2).collect()}
+    # pendant chain c-d-e peels away (cascade), triangle survives
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # whole graph dissolves at k=3
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_driver_matches_distributed(spark):
+    from kkbox_churn_prediction_spark.operators.components import k_core
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i}" for i in range(60)]
+    pairs = {
+        (nodes[rng.integers(60)], nodes[rng.integers(60)]) for _ in range(160)
+    }
+    pairs = [(u, v) for u, v in pairs if u != v]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    a = sorted(map(tuple, k_core(df, k=3, mode="driver").collect()))
+    b = sorted(map(tuple, k_core(df, k=3, mode="distributed").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_brown_forsythe_separates_spreads(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import brown_forsythe
+
+    # narrow: |dev| = 1 for all; wide: |dev| = 10 for all
+    rows = [("n", 9.0), ("n", 11.0)] * 10 + [("w", 0.0), ("w", 20.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brown_forsythe(df, "v", "g").collect()
+    by = {r["grp"]: r for r in out}
+    assert by["n"]["mean_abs_dev"] == pytest.approx(1.0)
+    assert by["w"]["mean_abs_dev"] == pytest.approx(10.0)
+    # all z within group identical -> ssw = 0 -> f undefined (NULL)
+    assert out[0]["f_stat"] is None
+    # jitter one value so ssw > 0; F should be large
+    rows[0] = ("n", 9.5)
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    f = brown_forsythe(df2, "v", "g").collect()[0]["f_stat"]
+    assert f is not None and f > 100
+    # identical spreads -> F ~ 0
+    same = [("a", float(v)) for v in (1, 2, 3)] * 10 + [
+        ("b", float(v)) for v in (11, 12, 13)
+    ] * 10
+    f0 = brown_forsythe(
+        spark.createDataFrame(same, "g string, v double"), "v", "g"
+    ).collect()[0]["f_stat"]
+    assert f0 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cochran_armitage_trend_direction(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import cochran_armitage
+
+    # rates rise with score: 10% -> 50% -> 90%
+    rows = (
+        [(0.0, 1)] * 1 + [(0.0, 0)] * 9
+        + [(1.0, 1)] * 5 + [(1.0, 0)] * 5
+        + [(2.0, 1)] * 9 + [(2.0, 0)] * 1
+    )
+    df = spark.createDataFrame(rows, "w double, s int")
+    out = cochran_armitage(df, "w", "s").collect()
+    assert out[0]["z_trend"] > 3  # strong positive trend
+    rates = {r["score"]: r["rate"] for r in out}
+    assert rates == {0.0: 0.1, 1.0: 0.5, 2.0: 0.9}
+    # flat rates -> z ~ 0
+    flat = [(float(k), v) for k in range(3) for v in ([1] * 5 + [0] * 5)]
+    z0 = cochran_armitage(
+        spark.createDataFrame(flat, "w double, s int"), "w", "s"
+    ).collect()[0]["z_trend"]
+    assert z0 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_page_hinkley_flat_vs_shift(spark):
+    import datetime as dt
+
+    from kkbox_churn_prediction_spark.operators.windows import page_hinkley_daily
+
+    base = dt.datetime(2024, 1, 1)
+    # flat 20 days at 10/day: shares constant -> ph stays ~0, no alarm
+    flat = [
+        ("c", i * 100 + j, "user", base + dt.timedelta(days=i, minutes=j))
+        for i in range(20)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(
+        flat, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = page_hinkley_daily(df).collect()
+    assert all(r["alarm_flag"] == 0 for r in out)
+    assert max(abs(r["ph"]) for r in out) < 1e-6
+    # level shift: 10 days at 10/day then 10 days at 100/day -> alarm fires
+    shift = [
+        ("c", i * 1000 + j, "user", base + dt.timedelta(days=i, minutes=j))
+        for i in range(20)
+        for j in range(10 if i < 10 else 100)
+    ]
+    df2 = spark.createDataFrame(
+        shift, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out2 = page_hinkley_daily(df2).collect()
+    assert any(r["alarm_flag"] == 1 for r in out2)
+    # alarms only on/after the shift day
+    first_alarm = min(r["d"] for r in out2 if r["alarm_flag"] == 1)
+    assert first_alarm >= base + dt.timedelta(days=10)
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fpp(spark):
+    from kkbox_churn_prediction_spark.operators.sketches import bloom_filter_audit
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    # probing with the MEMBER set: a Bloom filter never false-negatives,
+    # so every probe must pass -> measured rate 1.0
+    members = bloom_filter_audit(
+        keys, "key", keys.withColumnRenamed("key", "p"), "p",
+        m_bits=4096, k_hashes=3,
+    ).collect()[0]
+    assert members["measured_fpp"] == 1.0
+    assert members["n_keys"] == 200
+    # disjoint probes: measured FPP should be near fill^k
+    probes = spark.range(4000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("p")
+    )
+    disj = bloom_filter_audit(
+        keys, "key", probes, "p", m_bits=4096, k_hashes=3
+    ).collect()[0]
+    assert 0.0 < disj["fill_ratio"] < 0.25
+    assert disj["measured_fpp"] <= 5 * max(disj["predicted_fpp"], 1e-4)
