@@ -5120,6 +5120,47 @@ def _q_bloom_filter_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter_audit(conv.select("conv_id"), "conv_id", probes, "p")
 
 
+def _q_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen on per-conversation daily turn counts by
+    ISO weekday: variance-to-mean ratio per weekday — the Poisson-
+    assumption QA every rate/anomaly threshold over these counts
+    silently depends on. One count agg + one moment agg."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import dispersion_test
+
+    conv = _conv(spark, sf_dir)
+    counts = conv.groupBy(
+        "conv_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return dispersion_test(
+        counts, "c", (F.expr("weekday(d)") + F.lit(1)).cast("int")
+    )
+
+
+def _q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the hash-parity cohorts: pooled
+    error-rate difference vs per-role stratum differences, with the
+    opposing-strata count and the reversal flag — the aggregation-
+    trap audit for any observational A/B readout. One conditional
+    agg to the (role × 4-count) table + two tiny rollups."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.association import (
+        simpsons_paradox_screen,
+    )
+
+    conv = _conv(spark, sf_dir)
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2))
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    out = F.when(F.col("tool") == "error", 1).otherwise(0)
+    return simpsons_paradox_screen(conv, arm, out, F.col("role"))
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5536,6 +5577,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_error_rate": _q_trend_error_rate,
         "page_hinkley_daily": _q_page_hinkley_daily,
         "bloom_filter_fpp": _q_bloom_filter_fpp,
+        "dispersion_daily": _q_dispersion_daily,
+        "simpsons_check": _q_simpsons_check,
     }
 
 
@@ -15422,6 +15465,95 @@ FROM kstats k, pstats p
 """
 
 
+# Overdispersion (lock-step with association.dispersion_test:
+# identical co-moment variance algebra; ISO dow = weekday(d)+1 =
+# isodow(d), the activity_clock convention)
+_DISPERSION_SQL = f"""
+WITH {_CONV_CTE},
+cd AS (
+    SELECT conv_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM conversations GROUP BY 1, 2
+),
+vals AS (
+    SELECT CAST(isodow(d) AS INTEGER) AS grp, CAST(c AS DOUBLE) AS v
+    FROM cd
+),
+agg AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(v) AS s1, SUM(v * v) AS s2
+    FROM vals GROUP BY grp
+)
+SELECT grp, n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND(CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END, 6) AS variance,
+       ROUND(CASE WHEN s1 / n > 0 THEN
+             (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END) / (s1 / n)
+             END, 6) AS vmr,
+       ROUND((n - 1.0) * (CASE WHEN s1 / n > 0 THEN
+             (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END) / (s1 / n)
+             END), 6) AS chi2_stat,
+       CASE WHEN (CASE WHEN s1 / n > 0 THEN
+             (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END) / (s1 / n)
+             END) > 1.5 THEN 1 ELSE 0 END AS overdispersed_flag
+FROM agg
+ORDER BY grp
+"""
+
+
+# Simpson screen (lock-step with association.simpsons_paradox_screen:
+# per-stratum 4-count conditional agg, rounded-diff signs, pooled
+# rollup, opposing-strata count, all-opposing reversal flag)
+_SIMPSONS_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g,
+           CAST(CASE WHEN tool = 'error' THEN 1 ELSE 0 END AS BIGINT) AS y,
+           CAST(role AS VARCHAR) AS s
+    FROM conversations
+    WHERE role IS NOT NULL
+),
+per AS (
+    SELECT s AS stratum,
+           CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN g = 'a' THEN y ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN g = 'b' THEN y ELSE 0 END) AS BIGINT) AS s_b
+    FROM base GROUP BY s
+),
+rated AS (
+    SELECT stratum, n_a, s_a, n_b, s_b,
+           ROUND(CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) ELSE 0.0 END, 6) AS rate_a,
+           ROUND(CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) ELSE 0.0 END, 6) AS rate_b,
+           ROUND((CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) ELSE 0.0 END)
+                 - (CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) ELSE 0.0 END), 6) AS diff
+    FROM per
+),
+signed AS (SELECT *, sign(diff) AS sgn FROM rated),
+pooled AS (
+    SELECT ROUND((CASE WHEN SUM(n_b) > 0 THEN SUM(s_b) / CAST(SUM(n_b) AS DOUBLE) ELSE 0.0 END)
+                 - (CASE WHEN SUM(n_a) > 0 THEN SUM(s_a) / CAST(SUM(n_a) AS DOUBLE) ELSE 0.0 END),
+                 6) AS pooled_diff
+    FROM per
+),
+psigned AS (SELECT pooled_diff, sign(pooled_diff) AS psgn FROM pooled),
+flags AS (
+    SELECT CAST(SUM(CASE WHEN s.sgn * p.psgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opposing_strata,
+           CAST(SUM(CASE WHEN s.sgn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_strata
+    FROM signed s CROSS JOIN psigned p
+)
+SELECT s.stratum, s.n_a, s.s_a, s.n_b, s.s_b, s.rate_a, s.rate_b, s.diff,
+       p.pooled_diff,
+       f.n_opposing_strata,
+       CAST(CASE WHEN p.psgn <> 0 AND f.n_signed_strata > 0
+                      AND f.n_opposing_strata = f.n_signed_strata
+                 THEN 1 ELSE 0 END AS INT) AS paradox_flag
+FROM signed s CROSS JOIN psigned p CROSS JOIN flags f
+ORDER BY s.stratum
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -15732,4 +15864,6 @@ def oracle_sql() -> dict[str, str]:
         "trend_error_rate": _TREND_ERROR_SQL,
         "page_hinkley_daily": _PAGE_HINKLEY_SQL,
         "bloom_filter_fpp": _BLOOM_SQL,
+        "dispersion_daily": _DISPERSION_SQL,
+        "simpsons_check": _SIMPSONS_SQL,
     }

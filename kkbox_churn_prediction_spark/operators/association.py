@@ -351,3 +351,150 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (den_x > 0) & (den_y > 0), num / (F.sqrt(den_x) * F.sqrt(den_y))
     ).otherwise(F.lit(0.0))
     return one.select("n", F.round(rho, 6).alias("spearman"))
+
+
+def dispersion_test(
+    df: DataFrame,
+    count_col,
+    group_col,
+) -> DataFrame:
+    """Overdispersion check for count data: per-group variance-to-mean
+    ratio (index of dispersion) plus the chi-square-shaped statistic
+    ``(n-1)·VMR`` — the screen that tells you whether per-entity
+    counts are Poisson-like (VMR ≈ 1) or clumped/bursty (VMR ≫ 1),
+    i.e. whether Poisson rates, CIs, and anomaly thresholds built on
+    them can be trusted. Counts over conversations are almost always
+    overdispersed; quantifying it per segment is the QA step.
+
+    Shape: ONE algebraic agg per group (n, Σx, Σx²) → scalar algebra.
+    Sample variance via the co-moment identity with the same zero
+    guards as the Welch machinery.
+    """
+    v = F.col("_v")
+    g = F.col("_g")
+    base = df.select(
+        (F.col(count_col) if isinstance(count_col, str) else count_col)
+        .cast("double")
+        .alias("_v"),
+        (F.col(group_col) if isinstance(group_col, str) else group_col).alias("_g"),
+    ).where(v.isNotNull() & g.isNotNull())
+    agg = base.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0)),
+    )
+    vmr = F.when(mean > 0, var / mean)
+    return agg.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(vmr, 6).alias("vmr"),
+        F.round((n - F.lit(1.0)) * vmr, 6).alias("chi2_stat"),
+        F.when(vmr > F.lit(1.5), F.lit(1)).otherwise(F.lit(0)).alias(
+            "overdispersed_flag"
+        ),
+    ).orderBy("grp")
+
+
+def simpsons_paradox_screen(
+    df: DataFrame,
+    group_col,
+    outcome_col,
+    stratum_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Simpson's-paradox screen: does the pooled A-vs-B rate
+    difference DISAGREE in sign with the stratum-level differences?
+    The classic aggregation trap in observational comparisons — a
+    pooled "B is better" can reverse inside every stratum when the
+    strata are imbalanced. Output: per-stratum rows (rates, diff,
+    stratum share) plus the pooled diff, the count of strata whose
+    sign contradicts the pooled sign, and the paradox flag (pooled
+    sign nonzero AND every nonzero stratum diff opposes it).
+
+    Shape: ONE conditional agg to the (stratum × 4-count) table —
+    bounded by the stratum domain — then scalar algebra + one tiny
+    rollup; the same bounded-profile discipline as the A/B family.
+    """
+    g = F.col("_g")
+    y = F.col("_y")
+    base = df.select(
+        (F.col(group_col) if isinstance(group_col, str) else group_col).alias("_g"),
+        (F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col)
+        .cast("long")
+        .alias("_y"),
+        (F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col)
+        .cast("string")
+        .alias("_s"),
+    ).where(g.isNotNull() & y.isNotNull() & F.col("_s").isNotNull())
+    per = base.groupBy(F.col("_s").alias("stratum")).agg(
+        F.count(F.when(g == arm_a, 1)).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_a, y).otherwise(F.lit(0))).cast("long").alias("s_a"),
+        F.count(F.when(g == arm_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_b, y).otherwise(F.lit(0))).cast("long").alias("s_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    rate_a = F.when(F.col("n_a") > 0, F.col("s_a") / na).otherwise(F.lit(0.0))
+    rate_b = F.when(F.col("n_b") > 0, F.col("s_b") / nb).otherwise(F.lit(0.0))
+    diff = rate_b - rate_a
+    per = per.select(
+        "stratum", "n_a", "s_a", "n_b", "s_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(diff, 6).alias("diff"),
+        F.signum(F.round(diff, 6)).alias("_sign"),
+    )
+    pooled = per.agg(
+        F.sum("n_a").cast("long").alias("_pna"),
+        F.sum("s_a").cast("long").alias("_psa"),
+        F.sum("n_b").cast("long").alias("_pnb"),
+        F.sum("s_b").cast("long").alias("_psb"),
+    )
+    p_rate_a = F.when(
+        F.col("_pna") > 0, F.col("_psa") / F.col("_pna").cast("double")
+    ).otherwise(F.lit(0.0))
+    p_rate_b = F.when(
+        F.col("_pnb") > 0, F.col("_psb") / F.col("_pnb").cast("double")
+    ).otherwise(F.lit(0.0))
+    pooled = pooled.select(
+        F.round(p_rate_b - p_rate_a, 6).alias("pooled_diff"),
+        F.signum(F.round(p_rate_b - p_rate_a, 6)).alias("_psign"),
+    )
+    joined = per.crossJoin(F.broadcast(pooled))
+    flags = joined.agg(
+        F.sum(
+            F.when(
+                (F.col("_sign") * F.col("_psign") < 0), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_opposing_strata"),
+        F.sum(F.when(F.col("_sign") != 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_signed_strata"),
+    )
+    flags = flags.select(
+        "n_opposing_strata",
+        "n_signed_strata",
+    )
+    out = joined.crossJoin(F.broadcast(flags))
+    paradox = (
+        (F.col("_psign") != 0)
+        & (F.col("n_signed_strata") > 0)
+        & (F.col("n_opposing_strata") == F.col("n_signed_strata"))
+    )
+    return out.select(
+        "stratum", "n_a", "s_a", "n_b", "s_b",
+        "rate_a", "rate_b", "diff",
+        "pooled_diff",
+        "n_opposing_strata",
+        paradox.cast("int").alias("paradox_flag"),
+    ).orderBy("stratum")

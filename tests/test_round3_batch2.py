@@ -281,3 +281,60 @@ def test_bloom_filter_no_false_negatives_and_sane_fpp(spark):
     ).collect()[0]
     assert 0.0 < disj["fill_ratio"] < 0.25
     assert disj["measured_fpp"] <= 5 * max(disj["predicted_fpp"], 1e-4)
+
+
+def test_dispersion_test_poisson_vs_clumped(spark):
+    from kkbox_churn_prediction_spark.operators.association import dispersion_test
+
+    # 'const': every count 5 -> variance 0 -> VMR 0 (underdispersed)
+    # 'clumped': half 0, half 10 -> mean 5, var ~ 26 -> VMR ~ 5
+    rows = [("const", 5.0)] * 20 + [("clumped", 0.0)] * 10 + [("clumped", 10.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["grp"]: r for r in dispersion_test(df, "v", "g").collect()}
+    assert got["const"]["vmr"] == pytest.approx(0.0)
+    assert got["const"]["overdispersed_flag"] == 0
+    assert got["clumped"]["mean"] == pytest.approx(5.0)
+    assert got["clumped"]["variance"] == pytest.approx(500 / 19)
+    assert got["clumped"]["vmr"] == pytest.approx(100 / 19, abs=1e-5)
+    assert got["clumped"]["overdispersed_flag"] == 1
+
+
+def test_simpsons_paradox_screen_detects_reversal(spark):
+    from kkbox_churn_prediction_spark.operators.association import (
+        simpsons_paradox_screen,
+    )
+
+    # classic reversal: B beats A inside BOTH strata, but A pools higher
+    # stratum s1 (easy): a: 90/100, b: 190/200 (b better by .05)
+    # stratum s2 (hard): a: 10/100,  b: 1/8    (b better: .125 vs .1)
+    rows = (
+        [("a", 1, "s1")] * 90 + [("a", 0, "s1")] * 10
+        + [("b", 1, "s1")] * 190 + [("b", 0, "s1")] * 10
+        + [("a", 1, "s2")] * 10 + [("a", 0, "s2")] * 90
+        + [("b", 1, "s2")] * 1 + [("b", 0, "s2")] * 7
+    )
+    # pooled: a = 100/200 = .5 ; b = 191/208 ~ .918 -> no reversal here;
+    # flip roles: make A pooled-better while B wins per-stratum
+    df = spark.createDataFrame(rows, "g string, y int, s string")
+    out = simpsons_paradox_screen(df, "g", "y", "s").collect()
+    by = {r["stratum"]: r for r in out}
+    assert by["s1"]["diff"] > 0 and by["s2"]["diff"] > 0
+    assert out[0]["paradox_flag"] == 0  # same sign pooled -> no paradox
+
+    # force the reversal: B wins in each stratum but is concentrated in
+    # the hard stratum -> pooled B below pooled A
+    rows2 = (
+        [("a", 1, "easy")] * 93 + [("a", 0, "easy")] * 7      # a easy .93
+        + [("b", 1, "easy")] * 10 + [("b", 0, "easy")] * 0    # b easy 1.0
+        + [("a", 1, "hard")] * 1 + [("a", 0, "hard")] * 9     # a hard .1
+        + [("b", 1, "hard")] * 30 + [("b", 0, "hard")] * 170  # b hard .15
+    )
+    # pooled: a = 94/110 ~ .855 ; b = 40/210 ~ .19 -> pooled favors A,
+    # strata favor B -> paradox
+    df2 = spark.createDataFrame(rows2, "g string, y int, s string")
+    out2 = simpsons_paradox_screen(df2, "g", "y", "s").collect()
+    by2 = {r["stratum"]: r for r in out2}
+    assert by2["easy"]["diff"] > 0 and by2["hard"]["diff"] > 0
+    assert out2[0]["pooled_diff"] < 0
+    assert out2[0]["n_opposing_strata"] == 2
+    assert out2[0]["paradox_flag"] == 1
