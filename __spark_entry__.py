@@ -5161,6 +5161,18 @@ def _q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpsons_paradox_screen(conv, arm, out, F.col("role"))
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive-seasonal smoothing of the daily series
+    (period 7, α=1/4 β=1/8 γ=1/4): the level+trend+seasonal recursion
+    completing the Brown/Holt family — per-step 1e-9 integer-grid
+    states (seasonal m-vector carried as a LIST through the oracle's
+    recursive CTE), one applyInPandas group over the bounded daily
+    table."""
+    from kkbox_churn_prediction_spark.operators.windows import holt_winters_daily
+
+    return holt_winters_daily(_conv(spark, sf_dir))
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5579,6 +5591,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_fpp": _q_bloom_filter_fpp,
         "dispersion_daily": _q_dispersion_daily,
         "simpsons_check": _q_simpsons_check,
+        "holt_winters": _q_holt_winters,
     }
 
 
@@ -15554,6 +15567,104 @@ ORDER BY s.stratum
 """
 
 
+def _holt_winters_sql(
+    alpha: str = "0.25", beta: str = "0.125", gamma: str = "0.25", m: int = 7
+) -> str:
+    """Holt–Winters additive oracle (lock-step with
+    windows.holt_winters_daily): the Holt recursive-CTE device with
+    the m seasonal states carried as a LIST through the recursion;
+    every state re-quantized to the 1e-9 grid per step (sign-aware
+    half-away), output 6-dp rounded on the grid."""
+
+    def Q(v: str) -> str:
+        # round-half-away x -> 1e-9-grid BIGINT (the applyInPandas q())
+        return (
+            f"(CASE WHEN ({v}) >= 0 THEN CAST(floor(({v}) * 1e9 + 0.5) AS BIGINT)"
+            f" ELSE -CAST(floor(-({v}) * 1e9 + 0.5) AS BIGINT) END)"
+        )
+
+    def Q6(xq: str) -> str:
+        # 6-dp half-away of a grid integer, exact integer math
+        return (
+            f"(CASE WHEN ({xq}) >= 0 THEN "
+            f"CAST((2 * CAST(({xq}) AS HUGEINT) * 1000000 + 1000000000)"
+            f" // 2000000000 AS DOUBLE) / 1e6 ELSE "
+            f"-(CAST((2 * CAST(-({xq}) AS HUGEINT) * 1000000 + 1000000000)"
+            f" // 2000000000 AS DOUBLE) / 1e6) END)"
+        )
+
+    # recursion-step expressions (identical float shapes to the Python)
+    l_prev = "CAST(h.lq AS DOUBLE) / 1e9"
+    b_prev = "CAST(h.bq AS DOUBLE) / 1e9"
+    s_old = "CAST(h.seas[1] AS DOUBLE) / 1e9"
+    l_new_q = Q(
+        f"{alpha} * (CAST(x.y AS DOUBLE) - {s_old})"
+        f" + (1.0 - {alpha}) * ({l_prev} + {b_prev})"
+    )
+    l_new = f"CAST({l_new_q} AS DOUBLE) / 1e9"
+    b_new_q = Q(
+        f"{beta} * ({l_new} - {l_prev}) + (1.0 - {beta}) * {b_prev}"
+    )
+    s_new_q = Q(
+        f"{gamma} * (CAST(x.y AS DOUBLE) - {l_new}) + (1.0 - {gamma}) * {s_old}"
+    )
+    # forecast from the PREVIOUS state row p (state after step i-1)
+    fc = (
+        "CAST(p.lq AS DOUBLE) / 1e9 + CAST(p.bq AS DOUBLE) / 1e9"
+        " + CAST(p.seas[1] AS DOUBLE) / 1e9"
+    )
+    return f"""
+WITH RECURSIVE {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM conversations GROUP BY 1
+),
+idx AS (SELECT d, y, row_number() OVER (ORDER BY d) - 1 AS i FROM daily),
+sums AS (
+    SELECT (SELECT SUM(y) FROM idx WHERE i < {m}) AS s1,
+           (SELECT SUM(y) FROM idx WHERE i >= {m} AND i < {2 * m}) AS s2
+),
+init AS (
+    SELECT (2 * s1 * 1000000000 + {m}) // (2 * {m}) AS lq0,
+           (CASE WHEN s2 - s1 >= 0
+                 THEN (2 * (s2 - s1) * 1000000000 + {m * m}) // (2 * {m * m})
+                 ELSE -((2 * (s1 - s2) * 1000000000 + {m * m}) // (2 * {m * m}))
+            END) AS bq0
+    FROM sums
+),
+seas0 AS (
+    SELECT list(x.y * 1000000000 - init.lq0 ORDER BY x.i) AS s
+    FROM idx x, init WHERE x.i < {m}
+),
+hw(i, lq, bq, seas) AS (
+    SELECT {m - 1}, init.lq0, init.bq0, seas0.s FROM init, seas0
+    UNION ALL
+    SELECT x.i,
+           {l_new_q},
+           {b_new_q},
+           h.seas[2:{m}] || [{s_new_q}]
+    FROM hw h JOIN idx x ON x.i = h.i + 1
+)
+SELECT x.d, x.y AS n_turns,
+       CASE WHEN x.i < {m} THEN {Q6("init.lq0")}
+            ELSE {Q6("c.lq")} END AS level,
+       CASE WHEN x.i < {m} THEN {Q6("init.bq0")}
+            ELSE {Q6("c.bq")} END AS trend,
+       CASE WHEN x.i < {m} THEN {Q6("x.y * 1000000000 - init.lq0")}
+            ELSE {Q6(f"c.seas[{m}]")} END AS seasonal,
+       CASE WHEN x.i < {m} THEN -1.0
+            ELSE {Q6(Q(fc))} END AS forecast,
+       CASE WHEN x.i < {m} THEN 0.0
+            ELSE {Q6(Q(f"CAST(x.y AS DOUBLE) - ({fc})"))} END AS forecast_err
+FROM idx x
+CROSS JOIN init
+LEFT JOIN hw c ON c.i = x.i AND x.i >= {m}
+LEFT JOIN hw p ON p.i = x.i - 1 AND x.i >= {m}
+ORDER BY x.d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -15866,4 +15977,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter_fpp": _BLOOM_SQL,
         "dispersion_daily": _DISPERSION_SQL,
         "simpsons_check": _SIMPSONS_SQL,
+        "holt_winters": _holt_winters_sql(),
     }

@@ -1990,3 +1990,137 @@ def page_hinkley_daily(
         ph6.alias("ph"),
         (F.col("_phq") > lam_q).cast("int").alias("alarm_flag"),
     ).orderBy("d")
+
+
+def holt_winters_daily(
+    turns: DataFrame,
+    *,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+    period: int = 7,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE-seasonal smoothing of the daily turn
+    count (period = 7, the weekly rhythm): the three-state recursion
+    completing the forecasting family — Brown (one constant), Holt
+    (level+trend), and now level+trend+seasonal:
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(y_t − l_t) + (1−γ) s_{t−m}
+        ŷ_t = l_{t−1} + b_{t−1} + s_{t−m}
+
+    Init (needs ≥ 2·period days, else a LOUD ValueError): l = mean of
+    week 1, b = (mean week 2 − mean week 1)/m, s_i = y_i − mean
+    week 1 — the standard simple initialization.
+
+    Determinism: the holt_linear_daily per-step 1e-9 integer-grid
+    re-quantization, extended to the m-vector of seasonal states
+    (the oracle carries them as a LIST through a recursive CTE);
+    α, β, γ are exact binary fractions; output values are 6-dp
+    rounded ON THE GRID (sign-aware half-away), so engines agree
+    bit-for-bit. Shape: ONE corpus day-collapse, recursion as a
+    single applyInPandas group over the calendar-bounded daily table
+    (epoch-day longs across Arrow), day re-attached by a bounded
+    join.
+    """
+    day_us = 86400 * 1_000_000
+    af, bf, gf, m = float(alpha), float(beta), float(gamma), int(period)
+    daily = (
+        turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            "d",
+            F.floor(F.unix_micros(F.col("d")) / F.lit(day_us))
+            .cast("long")
+            .alias("dn"),
+            "n_turns",
+        )
+        .persist()
+    )
+    n_days = daily.count()
+    if n_days < 2 * m:
+        raise ValueError(
+            f"holt_winters_daily needs >= {2 * m} days, got {n_days}"
+        )
+
+    def fit(pdf):
+        import math
+
+        import pandas as pd
+
+        def q(x: float) -> int:
+            return (
+                int(math.floor(x * 1e9 + 0.5))
+                if x >= 0
+                else -int(math.floor(-x * 1e9 + 0.5))
+            )
+
+        def q6(xq: int) -> float:
+            # 6-dp half-away rounding of a 1e-9-grid integer, done in
+            # exact integer math (the page_hinkley boundary fix)
+            if xq >= 0:
+                return ((2 * xq * 1_000_000 + 1_000_000_000)
+                        // 2_000_000_000) / 1e6
+            return -(((2 * -xq * 1_000_000 + 1_000_000_000)
+                      // 2_000_000_000) / 1e6)
+
+        def qdiv(num: int, den: int) -> int:
+            # half-away integer division, sign-aware
+            if num >= 0:
+                return (2 * num + den) // (2 * den)
+            return -((2 * -num + den) // (2 * den))
+
+        pdf = pdf.sort_values("dn").reset_index(drop=True)
+        ys = pdf["n_turns"].astype("int64").tolist()
+        G = 1_000_000_000
+        s1 = sum(ys[:m])
+        s2 = sum(ys[m : 2 * m])
+        lq = qdiv(s1 * G, m)
+        bq = qdiv((s2 - s1) * G, m * m)
+        seas = [y * G - lq for y in ys[:m]]
+        lvl, trd, sea, fcs, errs = [], [], [], [], []
+        for t, y in enumerate(ys):
+            if t < m:
+                lvl.append(q6(lq))
+                trd.append(q6(bq))
+                sea.append(q6(seas[t]))
+                fcs.append(-1.0)
+                errs.append(0.0)
+                continue
+            l_prev, b_prev = lq / 1e9, bq / 1e9
+            s_old_q = seas[0]
+            s_old = s_old_q / 1e9
+            fc = l_prev + b_prev + s_old
+            l_new_q = q(af * (float(y) - s_old) + (1.0 - af) * (l_prev + b_prev))
+            l_new = l_new_q / 1e9
+            b_new_q = q(bf * (l_new - l_prev) + (1.0 - bf) * b_prev)
+            s_new_q = q(gf * (float(y) - l_new) + (1.0 - gf) * s_old)
+            seas = seas[1:] + [s_new_q]
+            lq, bq = l_new_q, b_new_q
+            lvl.append(q6(lq))
+            trd.append(q6(bq))
+            sea.append(q6(s_new_q))
+            fcs.append(q6(q(fc)))
+            errs.append(q6(q(float(y) - fc)))
+        return pd.DataFrame(
+            {
+                "dn": pdf["dn"],
+                "n_turns": pdf["n_turns"],
+                "level": lvl,
+                "trend": trd,
+                "seasonal": sea,
+                "forecast": fcs,
+                "forecast_err": errs,
+            }
+        )
+
+    fitted = daily.select("dn", "n_turns").groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, pdf: fit(pdf),
+        "dn long, n_turns long, level double, trend double, "
+        "seasonal double, forecast double, forecast_err double",
+    )
+    out = fitted.join(daily.select("d", "dn"), "dn").select(
+        "d", "n_turns", "level", "trend", "seasonal", "forecast", "forecast_err"
+    )
+    return out.orderBy("d")

@@ -338,3 +338,34 @@ def test_simpsons_paradox_screen_detects_reversal(spark):
     assert out2[0]["pooled_diff"] < 0
     assert out2[0]["n_opposing_strata"] == 2
     assert out2[0]["paradox_flag"] == 1
+
+
+def test_holt_winters_periodic_series_zero_error(spark):
+    import datetime as dt
+
+    from kkbox_churn_prediction_spark.operators.windows import holt_winters_daily
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [10, 30, 20, 40, 15, 25, 35]  # exact weekly periodicity
+    rows = [
+        ("c", d * 10000 + j, "user", base + dt.timedelta(days=d, minutes=j))
+        for d in range(21)
+        for j in range(pattern[d % 7])
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = holt_winters_daily(df).collect()
+    assert len(out) == 21
+    # week-1 mean = 25; b0 = 0; seasonals = pattern - 25 -> forecasts
+    # from day 8 onward are exact, so every error is 0
+    for r in out[7:]:
+        assert r["forecast_err"] == pytest.approx(0.0, abs=1e-6)
+        assert r["trend"] == pytest.approx(0.0, abs=1e-6)
+        assert r["level"] == pytest.approx(25.0, abs=1e-6)
+    # loud failure under 2 periods of data
+    with pytest.raises(ValueError, match="needs >= 14 days"):
+        short = spark.createDataFrame(
+            rows[:50], "conv_id string, turn_idx int, role string, ts timestamp"
+        )
+        holt_winters_daily(short).collect()
