@@ -445,3 +445,46 @@ def test_bare_percentile_operators_default_to_approx(spark):
     # never the interpolated fractions the exact path produces
     edges = quantile_edges(df.selectExpr("CAST(v AS DOUBLE) v"), "v", n_bins=4)
     assert all(float(e).is_integer() for e in edges)
+
+
+def test_gopher_quality_no_explode_prunes_columns(spark):
+    """gopher_quality: all five rules are per-row array exprs — no
+    Generate (explode) anywhere, and the scan must not read the
+    unused doc columns."""
+    plan = _plan(spark, "gopher_quality")
+    assert "Generate" not in plan
+    assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_dispersion_and_trend_gates_are_window_free(spark):
+    """dispersion_daily / trend_error_rate / simpsons_check /
+    circadian_roles: pure agg pipelines — a Window here would mean
+    someone reintroduced a sort-based rewrite."""
+    for name in ("dispersion_daily", "trend_error_rate",
+                 "simpsons_check", "circadian_roles"):
+        assert "Window" not in _plan(spark, name), name
+
+
+def test_page_hinkley_reads_only_ts_no_joins(spark):
+    """page_hinkley_daily: day-collapse then bounded-table windows —
+    the corpus scan must prune to the timestamp (no text/props) and
+    the only join is the broadcast of the 1-row total."""
+    plan = _plan(spark, "page_hinkley_daily")
+    assert "props" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    """bloom_filter_fpp: the probe side must join the word table as a
+    BROADCAST (it is m/32 rows); a shuffled join here would shuffle
+    the full probe set at scale."""
+    plan = _final_plan(spark, "bloom_filter_fpp")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_levene_no_window_joins_on_group_key(spark):
+    """levene_roles: percentile agg + join-back + moment agg — no
+    Window machinery."""
+    plan = _plan(spark, "levene_roles")
+    assert "Window" not in plan
