@@ -5173,6 +5173,29 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_daily(_conv(spark, sf_dir))
 
 
+def _q_theil_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-conversation turn counts — the
+    additively-decomposable sibling of gini_activity, as ONE
+    algebraic agg over (n, Σx, Σ x·ln x); no ranks, no windows."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.rhythm import theil_index
+
+    counts = _conv(spark, sf_dir).groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    return theil_index(counts, "n_turns")
+
+
+def _q_hhi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the document corpus
+    across sources (+ effective source count 1/HHI) — the one-number
+    data-mixture diagnostic; one bounded group agg + a 1-row reduce."""
+    from kkbox_churn_prediction_spark.operators.rhythm import hhi_concentration
+
+    return hhi_concentration(_docs(spark, sf_dir), "source")
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5592,6 +5615,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_daily": _q_dispersion_daily,
         "simpsons_check": _q_simpsons_check,
         "holt_winters": _q_holt_winters,
+        "theil_activity": _q_theil_activity,
+        "hhi_sources": _q_hhi_sources,
     }
 
 
@@ -15665,6 +15690,55 @@ ORDER BY x.d
 """
 
 
+# Theil T (lock-step with rhythm.theil_index: one-pass algebraic
+# form over per-conv counts; x>0 guard on the x·ln x term)
+_THEIL_SQL = f"""
+WITH {_CONV_CTE},
+counts AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM conversations GROUP BY conv_id
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(n_turns AS DOUBLE)) AS s1,
+           SUM(CASE WHEN n_turns > 0
+                    THEN CAST(n_turns AS DOUBLE) * ln(CAST(n_turns AS DOUBLE))
+                    ELSE 0.0 END) AS sxlx
+    FROM counts
+)
+SELECT n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND(CASE WHEN n > 0 AND s1 / n > 0
+                  THEN sxlx / (n * (s1 / n)) - ln(s1 / n) END, 6) AS theil_t,
+       ROUND(CASE WHEN n > 1
+                  THEN (CASE WHEN n > 0 AND s1 / n > 0
+                             THEN sxlx / (n * (s1 / n)) - ln(s1 / n) END)
+                       / ln(CAST(n AS DOUBLE))
+                  ELSE 0.0 END, 6) AS theil_norm
+FROM agg
+"""
+
+
+# HHI (lock-step with rhythm.hhi_concentration)
+_HHI_SQL = """
+WITH per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS ss
+    FROM per
+)
+SELECT n_rows, n_groups,
+       ROUND(ss / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi,
+       ROUND(1.0 / (ss / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))), 6)
+           AS effective_groups
+FROM tot
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -15978,4 +16052,6 @@ def oracle_sql() -> dict[str, str]:
         "dispersion_daily": _DISPERSION_SQL,
         "simpsons_check": _SIMPSONS_SQL,
         "holt_winters": _holt_winters_sql(),
+        "theil_activity": _THEIL_SQL,
+        "hhi_sources": _HHI_SQL,
     }

@@ -339,3 +339,71 @@ def circadian_profile(turns: DataFrame, group_col: str = "role") -> DataFrame:
             "circ_std"
         ),
     ).orderBy(group_col)
+
+
+def theil_index(df: DataFrame, value_col: str) -> DataFrame:
+    """Theil T inequality index of ``value_col`` across rows — the
+    entropy-based member of the concentration family (Gini weights
+    rank gaps; Theil is additively DECOMPOSABLE across subgroups,
+    which is why source-mix audits prefer it). 0 = perfectly even;
+    ln(n) = one row holds everything.
+
+    Algebraic one-pass form (no ranks, unlike Gini):
+    ``T = Σ x·ln(x) / (n·μ) − ln(μ)`` with μ = Σx/n — ONE hash agg
+    over (n, Σx, Σ x·ln x); zero-valued rows contribute 0 (x·ln x → 0
+    limit, guarded). Output: (n, mean, theil_t, theil_norm) where
+    theil_norm = T/ln(n) ∈ [0,1].
+    """
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & (x >= 0))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))).alias("sxlx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    t = F.when(
+        (F.col("n") > 0) & (mu > 0),
+        F.col("sxlx") / (n * mu) - F.log(mu),
+    )
+    return agg.select(
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(t, 6).alias("theil_t"),
+        F.round(
+            F.when(F.col("n") > 1, t / F.log(n)).otherwise(F.lit(0.0)), 6
+        ).alias("theil_norm"),
+    )
+
+
+def hhi_concentration(df: DataFrame, group_col: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of rows across ``group_col``
+    values — Σ share² over the bounded group table (1/k = perfectly
+    even across k groups, 1 = single group). The market-concentration
+    summary applied to corpus source mix / tool usage: the first
+    number a data-mixture review asks for, with the effective number
+    of groups 1/HHI as its readable inverse.
+
+    Shape: ONE hash agg to the group table, one 1-row reduce —
+    bounded by the group domain at any corpus size.
+    """
+    per = df.where(F.col(group_col).isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tot = per.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("_c").cast("double") * F.col("_c").cast("double")).alias(
+            "_ss"
+        ),
+    )
+    hhi = F.col("_ss") / (
+        F.col("n_rows").cast("double") * F.col("n_rows").cast("double")
+    )
+    return tot.select(
+        "n_rows",
+        "n_groups",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_groups"),
+    )

@@ -369,3 +369,32 @@ def test_holt_winters_periodic_series_zero_error(spark):
             rows[:50], "conv_id string, turn_idx int, role string, ts timestamp"
         )
         holt_winters_daily(short).collect()
+
+
+def test_theil_index_even_vs_concentrated(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import theil_index
+
+    even = spark.createDataFrame([(float(5),)] * 10, "v double")
+    t0 = theil_index(even, "v").collect()[0]
+    assert t0["theil_t"] == pytest.approx(0.0, abs=1e-9)
+    assert t0["theil_norm"] == pytest.approx(0.0, abs=1e-9)
+    # one row holds everything -> T = ln(n)
+    conc = spark.createDataFrame([(100.0,)] + [(0.0,)] * 9, "v double")
+    t1 = theil_index(conc, "v").collect()[0]
+    assert t1["theil_t"] == pytest.approx(np.log(10), abs=1e-6)
+    assert t1["theil_norm"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hhi_even_vs_single_group(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import hhi_concentration
+
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], "source string"
+    )
+    h = hhi_concentration(even, "source").collect()[0]
+    assert h["hhi"] == pytest.approx(0.25, abs=1e-9)
+    assert h["effective_groups"] == pytest.approx(4.0, abs=1e-6)
+    single = spark.createDataFrame([("only",)] * 50, "source string")
+    h1 = hhi_concentration(single, "source").collect()[0]
+    assert h1["hhi"] == pytest.approx(1.0)
+    assert h1["n_groups"] == 1
