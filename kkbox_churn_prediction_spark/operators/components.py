@@ -911,12 +911,19 @@ def _k_core_driver(spark, tbl, k: int) -> DataFrame:
     until stable — integer degrees, so output is hash-identical to
     the distributed rounds (pytest-asserted)."""
     import numpy as np
+    import pandas as pd
 
-    ucol = np.asarray(tbl.column(0).to_pylist(), dtype=object)
-    vcol = np.asarray(tbl.column(1).to_pylist(), dtype=object)
-    names, inv = np.unique(np.concatenate([ucol, vcol]), return_inverse=True)
-    a = inv[: len(ucol)]
-    b = inv[len(ucol):]
+    # factorize both endpoint columns in one C-speed pass (the
+    # _cc_driver discipline) — np.unique over object arrays is ~10x
+    # slower at the 500k-edge scale this replay targets
+    pdf = tbl.to_pandas()
+    both = pd.concat(
+        [pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True
+    )
+    inv, names = pd.factorize(both, sort=True)
+    n_edges_in = len(pdf)
+    a = inv[:n_edges_in]
+    b = inv[n_edges_in:]
     # undirected simple graph: canonical order + dedup, drop loops
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
