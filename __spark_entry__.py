@@ -5196,6 +5196,21 @@ def _q_hhi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hhi_concentration(_docs(spark, sf_dir), "source")
 
 
+def _q_ab_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test WITH its two-sided normal p-value via the
+    engine-portable A&S 26.2.17 CDF polynomial (functions/stats.py) —
+    closing the z-but-no-p gap across the test-statistic families;
+    same fixed double expression shape in both engines."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p
+
+    base = _q_proportion_tool_use(spark, sf_dir)
+    return base.withColumn(
+        "p_two", F.round(two_sided_p(F.col("z_stat")), 6)
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5617,6 +5632,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": _q_holt_winters,
         "theil_activity": _q_theil_activity,
         "hhi_sources": _q_hhi_sources,
+        "ab_pvalue": _q_ab_pvalue,
     }
 
 
@@ -15739,6 +15755,17 @@ FROM tot
 """
 
 
+def _ab_pvalue_sql() -> str:
+    """proportion_tool_use oracle wrapped with the lock-step A&S
+    normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p_sql
+
+    return (
+        f"SELECT *, ROUND({two_sided_p_sql('z_stat')}, 6) AS p_two "
+        f"FROM ({_PROPORTION_TOOL_USE_SQL})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -16054,4 +16081,5 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters": _holt_winters_sql(),
         "theil_activity": _THEIL_SQL,
         "hhi_sources": _HHI_SQL,
+        "ab_pvalue": _ab_pvalue_sql(),
     }

@@ -398,3 +398,30 @@ def test_hhi_even_vs_single_group(spark):
     h1 = hhi_concentration(single, "source").collect()[0]
     assert h1["hhi"] == pytest.approx(1.0)
     assert h1["n_groups"] == 1
+
+
+def test_normal_cdf_accuracy_and_pvalue(spark):
+    """The A&S 26.2.17 polynomial must track the true normal CDF to
+    its documented 7.5e-8 bound across the practical z range."""
+    from math import erf, sqrt
+
+    from kkbox_churn_prediction_spark.functions.stats import (
+        normal_cdf,
+        two_sided_p,
+    )
+
+    zs = [-4.0, -2.5, -1.96, -1.0, -0.1, 0.0, 0.1, 1.0, 1.645, 1.96, 2.5, 4.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: (r["cdf"], r["p"])
+        for r in df.select(
+            "z",
+            normal_cdf(F.col("z")).alias("cdf"),
+            two_sided_p(F.col("z")).alias("p"),
+        ).collect()
+    }
+    for z in zs:
+        true_cdf = 0.5 * (1 + erf(z / sqrt(2)))
+        assert got[z][0] == pytest.approx(true_cdf, abs=1e-7)
+        assert got[z][1] == pytest.approx(2 * (1 - 0.5 * (1 + erf(abs(z) / sqrt(2)))), abs=2e-7)
+    assert got[1.96][1] == pytest.approx(0.05, abs=1e-3)
