@@ -5211,6 +5211,28 @@ def _q_ab_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_yuen_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean robust two-sample test on text length
+    between the hash-parity cohorts (quantile-winsorized variant) —
+    the outlier-proof replacement for the Welch gate; per-arm exact
+    percentile agg → broadcast 2-row quantile table → one conditional
+    moment agg → scalar algebra, p via the portable normal CDF."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import yuen_trimmed_test
+
+    conv = _conv(spark, sf_dir)
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2))
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return yuen_trimmed_test(
+        conv, F.length("text").cast("double"), arm
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5633,6 +5655,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_activity": _q_theil_activity,
         "hhi_sources": _q_hhi_sources,
         "ab_pvalue": _q_ab_pvalue,
+        "yuen_text_len": _q_yuen_text_len,
     }
 
 
@@ -15755,6 +15778,85 @@ FROM tot
 """
 
 
+def _yuen_sql(trim: float = 0.2) -> str:
+    """Yuen trimmed test oracle (lock-step with abtest.yuen_trimmed_test:
+    quantile_cont boundaries, identical winsorized-moment and
+    Welch–Satterthwaite double algebra, portable-CDF p-value)."""
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p_sql
+
+    def d(side: str) -> str:
+        n = f"CAST(n_{side} AS DOUBLE)"
+        h = f"CAST(h_{side} AS DOUBLE)"
+        var_w = (
+            f"(CASE WHEN n_{side} > 1 THEN "
+            f"(sww_{side} - sw_{side} * sw_{side} / {n}) / ({n} - 1.0) END)"
+        )
+        return (
+            f"(CASE WHEN h_{side} > 1 THEN {var_w} * ({n} - 1.0)"
+            f" / ({h} * ({h} - 1.0)) END)"
+        )
+
+    d_a, d_b = d("a"), d("b")
+    m_a = "st_a / CAST(h_a AS DOUBLE)"
+    m_b = "st_b / CAST(h_b AS DOUBLE)"
+    t = (
+        f"(CASE WHEN ({d_a} + {d_b}) > 0 THEN"
+        f" ({m_a} - {m_b}) / sqrt({d_a} + {d_b}) END)"
+    )
+    dof = (
+        f"(CASE WHEN ({d_a} > 0 OR {d_b} > 0) THEN"
+        f" ({d_a} + {d_b}) * ({d_a} + {d_b})"
+        f" / ({d_a} * {d_a} / greatest(CAST(h_a AS DOUBLE) - 1.0, 1.0)"
+        f"  + {d_b} * {d_b} / greatest(CAST(h_b AS DOUBLE) - 1.0, 1.0)) END)"
+    )
+    return f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g,
+           CAST(length(text) AS DOUBLE) AS v
+    FROM conversations
+    WHERE text IS NOT NULL
+),
+qs AS (
+    SELECT g, quantile_cont(v, {trim}) AS qlo,
+           quantile_cont(v, {1.0 - trim}) AS qhi
+    FROM vals GROUP BY g
+),
+mom AS (
+    SELECT v.g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v.v >= q.qlo AND v.v <= q.qhi THEN 1 ELSE 0 END) AS BIGINT) AS h,
+           SUM(CASE WHEN v.v >= q.qlo AND v.v <= q.qhi THEN v.v ELSE 0.0 END) AS st,
+           SUM(greatest(least(v.v, q.qhi), q.qlo)) AS sw,
+           SUM(greatest(least(v.v, q.qhi), q.qlo)
+               * greatest(least(v.v, q.qhi), q.qlo)) AS sww
+    FROM vals v JOIN qs q ON v.g = q.g
+    GROUP BY v.g
+),
+one AS (
+    SELECT MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+           MAX(CASE WHEN g = 'a' THEN h END) AS h_a,
+           MAX(CASE WHEN g = 'a' THEN st END) AS st_a,
+           MAX(CASE WHEN g = 'a' THEN sw END) AS sw_a,
+           MAX(CASE WHEN g = 'a' THEN sww END) AS sww_a,
+           MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+           MAX(CASE WHEN g = 'b' THEN h END) AS h_b,
+           MAX(CASE WHEN g = 'b' THEN st END) AS st_b,
+           MAX(CASE WHEN g = 'b' THEN sw END) AS sw_b,
+           MAX(CASE WHEN g = 'b' THEN sww END) AS sww_b
+    FROM mom
+)
+SELECT n_a, h_a, n_b, h_b,
+       ROUND({m_a}, 6) AS mean_trim_a,
+       ROUND({m_b}, 6) AS mean_trim_b,
+       ROUND({t}, 6) AS t_stat,
+       ROUND({dof}, 6) AS dof,
+       ROUND({two_sided_p_sql(f"ROUND({t}, 6)")}, 6) AS p_normal
+FROM one
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16082,4 +16184,5 @@ def oracle_sql() -> dict[str, str]:
         "theil_activity": _THEIL_SQL,
         "hhi_sources": _HHI_SQL,
         "ab_pvalue": _ab_pvalue_sql(),
+        "yuen_text_len": _yuen_sql(),
     }

@@ -1512,3 +1512,115 @@ def cochran_armitage(
         ),
     )
     return per_rows.crossJoin(F.broadcast(stats)).orderBy("score")
+
+
+def yuen_trimmed_test(
+    units: DataFrame,
+    value_col,
+    arm_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+    trim: float = 0.2,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test (Yuen 1974), the robust
+    replacement for Welch when tails/outliers poison the means:
+    compare γ-trimmed means with winsorized variances.
+
+    Semantics note: this is the QUANTILE-winsorized variant (the
+    ``winsorize_value`` convention) — the trim boundaries are the
+    per-arm γ/1−γ quantiles, the trimmed mean averages values inside
+    [q_lo, q_hi], and the winsorized variance is the variance of
+    values clamped to that range; with heavy ties the kept count h
+    can differ from the order-statistic ⌊γn⌋ formulation (documented,
+    deterministic, SQL-expressible — exact order-statistic trimming
+    would need a global rank). t = (m̄₁−m̄₂)/√(d₁+d₂) with
+    dᵢ = s²_wᵢ (nᵢ−1) / (hᵢ(hᵢ−1)); Welch–Satterthwaite df; p via
+    the portable normal CDF (functions/stats.py).
+
+    Shape: per-arm exact ``percentile`` agg (A10 discipline,
+    ``exact=False`` → GK sketch) → broadcast the 2-row quantile table
+    → ONE conditional moment agg → scalar algebra. One corpus scan
+    after the quantile pass.
+    """
+    from ..functions.stats import two_sided_p
+
+    v = F.col("_v")
+    g = F.col("_g")
+    base = units.select(
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("_v"),
+        (F.col(arm_col) if isinstance(arm_col, str) else arm_col).alias("_g"),
+    ).where(v.isNotNull() & g.isin(arm_a, arm_b))
+    lo_e = (
+        f"percentile(_v, {trim})" if exact else f"approx_percentile(_v, {trim}, {accuracy})"
+    )
+    hi_e = (
+        f"percentile(_v, {1.0 - trim})"
+        if exact
+        else f"approx_percentile(_v, {1.0 - trim}, {accuracy})"
+    )
+    qs = base.groupBy("_g").agg(
+        F.expr(lo_e).alias("_qlo"), F.expr(hi_e).alias("_qhi")
+    )
+    j = base.join(F.broadcast(qs), "_g")
+    w = F.greatest(F.least(v, F.col("_qhi")), F.col("_qlo"))
+    kept = (v >= F.col("_qlo")) & (v <= F.col("_qhi"))
+    mom = j.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(kept.cast("long")).cast("long").alias("h"),
+        F.sum(F.when(kept, v).otherwise(F.lit(0.0))).alias("st"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sww"),
+    )
+    a = mom.where(F.col("_g") == arm_a).drop("_g")
+    b = mom.where(F.col("_g") == arm_b).drop("_g")
+    one = a.select(
+        F.col("n").alias("n_a"), F.col("h").alias("h_a"),
+        F.col("st").alias("st_a"), F.col("sw").alias("sw_a"),
+        F.col("sww").alias("sww_a"),
+    ).crossJoin(
+        F.broadcast(
+            b.select(
+                F.col("n").alias("n_b"), F.col("h").alias("h_b"),
+                F.col("st").alias("st_b"), F.col("sw").alias("sw_b"),
+                F.col("sww").alias("sww_b"),
+            )
+        )
+    )
+
+    def _d(nc, hc, swc, swwc):
+        n = F.col(nc).cast("double")
+        h = F.col(hc).cast("double")
+        var_w = F.when(
+            F.col(nc) > 1,
+            (F.col(swwc) - F.col(swc) * F.col(swc) / n) / (n - F.lit(1.0)),
+        )
+        return F.when(
+            (F.col(hc) > 1), var_w * (n - F.lit(1.0)) / (h * (h - F.lit(1.0)))
+        )
+
+    m_a = F.col("st_a") / F.col("h_a").cast("double")
+    m_b = F.col("st_b") / F.col("h_b").cast("double")
+    d_a = _d("n_a", "h_a", "sw_a", "sww_a")
+    d_b = _d("n_b", "h_b", "sw_b", "sww_b")
+    t = F.when((d_a + d_b) > 0, (m_a - m_b) / F.sqrt(d_a + d_b))
+    dof = F.when(
+        (d_a > 0) | (d_b > 0),
+        (d_a + d_b) * (d_a + d_b)
+        / (
+            d_a * d_a / F.greatest(F.col("h_a").cast("double") - 1.0, F.lit(1.0))
+            + d_b * d_b / F.greatest(F.col("h_b").cast("double") - 1.0, F.lit(1.0))
+        ),
+    )
+    return one.select(
+        "n_a", "h_a", "n_b", "h_b",
+        F.round(m_a, 6).alias("mean_trim_a"),
+        F.round(m_b, 6).alias("mean_trim_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        F.round(two_sided_p(F.round(t, 6)), 6).alias("p_normal"),
+    )

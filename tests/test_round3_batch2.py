@@ -425,3 +425,32 @@ def test_normal_cdf_accuracy_and_pvalue(spark):
         assert got[z][0] == pytest.approx(true_cdf, abs=1e-7)
         assert got[z][1] == pytest.approx(2 * (1 - 0.5 * (1 + erf(abs(z) / sqrt(2)))), abs=2e-7)
     assert got[1.96][1] == pytest.approx(0.05, abs=1e-3)
+
+
+def test_yuen_robust_to_outliers_where_welch_is_not(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import (
+        welch_t_stats,
+        yuen_trimmed_test,
+    )
+
+    rng = np.random.default_rng(5)
+    # identical central distributions; arm b gets 3 monster outliers
+    a_vals = [float(v) for v in rng.normal(50, 5, 200)]
+    b_vals = [float(v) for v in rng.normal(50, 5, 200)] + [5000.0, 6000.0, 7000.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    y = yuen_trimmed_test(df, "v", "arm").collect()[0]
+    # trimmed means nearly equal despite the outliers
+    assert abs(y["mean_trim_a"] - y["mean_trim_b"]) < 2.0
+    assert abs(y["t_stat"]) < 2.5
+    w = welch_t_stats(df, F.col("v"), F.col("arm")).collect()[0]
+    # Welch's mean gap is dragged by the outliers; Yuen's is not
+    welch_gap = abs(w["mean_a"] - w["mean_b"])
+    assert welch_gap > 20 * abs(y["mean_trim_a"] - y["mean_trim_b"])
+    # sanity: a genuine location shift IS detected by Yuen
+    rows2 = [("a", v) for v in a_vals] + [("b", v + 10.0) for v in a_vals]
+    y2 = yuen_trimmed_test(
+        spark.createDataFrame(rows2, "arm string, v double"), "v", "arm"
+    ).collect()[0]
+    assert y2["t_stat"] < -10
+    assert y2["p_normal"] < 1e-4
