@@ -5233,6 +5233,35 @@ def _q_yuen_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's calibration Z test over the deterministic
+    prediction table — the significance companion to calibration_ece:
+    ONE algebraic agg (no bins), p via the portable normal CDF."""
+    from kkbox_churn_prediction_spark.operators.calibration import spiegelhalter_z
+
+    return spiegelhalter_z(_preds(spark, sf_dir), "y", "p")
+
+
+def _q_standardized_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization: arm B's error rate re-weighted to arm
+    A's role mix — the FIX for the Simpson trap `simpsons_check`
+    detects (raw vs adjusted differences side by side); one bounded
+    conditional agg + a 1-row reduce."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import standardized_rates
+
+    conv = _conv(spark, sf_dir)
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("ab"), F.col("conv_id"))), F.lit(2))
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    out = F.when(F.col("tool") == "error", 1).otherwise(0)
+    return standardized_rates(conv, arm, out, F.col("role"))
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5656,6 +5685,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_sources": _q_hhi_sources,
         "ab_pvalue": _q_ab_pvalue,
         "yuen_text_len": _q_yuen_text_len,
+        "spiegelhalter_cal": _q_spiegelhalter,
+        "standardized_rates": _q_standardized_rates,
     }
 
 
@@ -15857,6 +15888,76 @@ FROM one
 """
 
 
+def _spiegelhalter_sql() -> str:
+    """Spiegelhalter Z oracle (lock-step with
+    calibration.spiegelhalter_z over the shared _PRED_CTE)."""
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p_sql
+
+    z = "(CASE WHEN var > 0 THEN num / sqrt(var) END)"
+    return f"""
+WITH {_PRED_CTE}
+, agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM((y - p) * (1.0 - 2.0 * p)) AS num,
+           SUM((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p)) AS var
+    FROM preds WHERE y IS NOT NULL AND p IS NOT NULL
+)
+SELECT n,
+       ROUND(num, 6) AS sum_resid,
+       ROUND({z}, 6) AS z_stat,
+       ROUND({two_sided_p_sql(f"ROUND({z}, 6)")}, 6) AS p_two
+FROM agg
+"""
+
+
+# direct standardization (lock-step with abtest.standardized_rates:
+# per-stratum 4-counts, arm-A weights, pooled-B small-cell fallback)
+_STANDARDIZED_SQL = f"""
+WITH {_CONV_CTE},
+base AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('ab', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g,
+           CAST(CASE WHEN tool = 'error' THEN 1 ELSE 0 END AS BIGINT) AS y,
+           CAST(role AS VARCHAR) AS s
+    FROM conversations
+    WHERE role IS NOT NULL
+),
+per AS (
+    SELECT s,
+           CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN g = 'a' THEN y ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN g = 'b' THEN y ELSE 0 END) AS BIGINT) AS s_b
+    FROM base GROUP BY s
+),
+tot AS (
+    SELECT CAST(SUM(n_a) AS BIGINT) AS t_na, CAST(SUM(s_a) AS BIGINT) AS t_sa,
+           CAST(SUM(n_b) AS BIGINT) AS t_nb, CAST(SUM(s_b) AS BIGINT) AS t_sb
+    FROM per
+),
+std AS (
+    SELECT SUM((CAST(p.n_a AS DOUBLE) / CAST(t.t_na AS DOUBLE))
+               * (CASE WHEN p.n_b > 0 THEN p.s_b / CAST(p.n_b AS DOUBLE)
+                       ELSE (CASE WHEN t.t_nb > 0
+                                  THEN t.t_sb / CAST(t.t_nb AS DOUBLE)
+                                  ELSE 0.0 END) END)) AS rate_b_std,
+           MAX(t.t_na) AS n_a, MAX(t.t_sa) AS s_a,
+           MAX(t.t_nb) AS n_b, MAX(t.t_sb) AS s_b
+    FROM per p CROSS JOIN tot t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) ELSE 0.0 END, 6) AS rate_a,
+       ROUND(CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) ELSE 0.0 END, 6) AS rate_b,
+       ROUND(rate_b_std, 6) AS rate_b_std,
+       ROUND((CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) ELSE 0.0 END)
+             - (CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) ELSE 0.0 END), 6) AS diff_raw,
+       ROUND(rate_b_std
+             - (CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) ELSE 0.0 END), 6) AS diff_std
+FROM std
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16185,4 +16286,6 @@ def oracle_sql() -> dict[str, str]:
         "hhi_sources": _HHI_SQL,
         "ab_pvalue": _ab_pvalue_sql(),
         "yuen_text_len": _yuen_sql(),
+        "spiegelhalter_cal": _spiegelhalter_sql(),
+        "standardized_rates": _STANDARDIZED_SQL,
     }

@@ -1624,3 +1624,81 @@ def yuen_trimmed_test(
         F.round(dof, 6).alias("dof"),
         F.round(two_sided_p(F.round(t, 6)), 6).alias("p_normal"),
     )
+
+
+def standardized_rates(
+    df: DataFrame,
+    arm_col,
+    outcome_col,
+    stratum_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Direct standardization — the FIX for the Simpson trap
+    :func:`simpsons_paradox_screen` detects: re-weight arm B's
+    per-stratum rates to arm A's stratum mix, so the comparison is
+    apples-to-apples on the stratifier. Output one row: raw per-arm
+    rates, the standardized B rate Σ_s w_s^A·rate_B(s), and both the
+    raw and adjusted differences (sign disagreement between them IS
+    the paradox, now with the corrected magnitude).
+
+    Strata where B has no units contribute B's POOLED rate (the
+    standard small-cell fallback, deterministic and documented).
+    Shape: ONE conditional agg to the (stratum × 4-count) bounded
+    table + a 1-row reduce — the bayes/two-proportion profile-row
+    discipline.
+    """
+    g = F.col("_g")
+    y = F.col("_y")
+    base = df.select(
+        (F.col(arm_col) if isinstance(arm_col, str) else arm_col).alias("_g"),
+        (F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col)
+        .cast("long")
+        .alias("_y"),
+        (F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col)
+        .cast("string")
+        .alias("_s"),
+    ).where(g.isNotNull() & y.isNotNull() & F.col("_s").isNotNull())
+    per = base.groupBy("_s").agg(
+        F.count(F.when(g == arm_a, 1)).cast("long").alias("n_a"),
+        F.sum(F.when(g == arm_a, y).otherwise(F.lit(0))).cast("long").alias("s_a"),
+        F.count(F.when(g == arm_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_b, y).otherwise(F.lit(0))).cast("long").alias("s_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("t_na"),
+        F.sum("s_a").cast("long").alias("t_sa"),
+        F.sum("n_b").cast("long").alias("t_nb"),
+        F.sum("s_b").cast("long").alias("t_sb"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pooled_b = F.when(
+        F.col("t_nb") > 0, F.col("t_sb") / F.col("t_nb").cast("double")
+    ).otherwise(F.lit(0.0))
+    rate_b_s = F.when(
+        F.col("n_b") > 0, F.col("s_b") / F.col("n_b").cast("double")
+    ).otherwise(pooled_b)
+    w_a = F.col("n_a").cast("double") / F.col("t_na").cast("double")
+    std = j.agg(
+        F.sum(w_a * rate_b_s).alias("rate_b_std"),
+        F.max("t_na").alias("n_a"),
+        F.max("t_sa").alias("s_a"),
+        F.max("t_nb").alias("n_b"),
+        F.max("t_sb").alias("s_b"),
+    )
+    rate_a = F.when(
+        F.col("n_a") > 0, F.col("s_a") / F.col("n_a").cast("double")
+    ).otherwise(F.lit(0.0))
+    rate_b = F.when(
+        F.col("n_b") > 0, F.col("s_b") / F.col("n_b").cast("double")
+    ).otherwise(F.lit(0.0))
+    return std.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(F.col("rate_b_std"), 6).alias("rate_b_std"),
+        F.round(rate_b - rate_a, 6).alias("diff_raw"),
+        F.round(F.col("rate_b_std") - rate_a, 6).alias("diff_std"),
+    )

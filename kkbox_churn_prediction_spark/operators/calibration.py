@@ -1210,3 +1210,41 @@ def pinball_loss(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def spiegelhalter_z(
+    preds: DataFrame, label_col: str = "y", prob_col: str = "p"
+) -> DataFrame:
+    """Spiegelhalter's calibration Z test (Spiegelhalter 1986) — the
+    SIGNIFICANCE companion to ECE: under perfect calibration,
+    Z = Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)²pᵢ(1−pᵢ)) is standard normal,
+    so a dashboard can say "miscalibrated at p<0.01" instead of
+    eyeballing an ECE magnitude. Positive Z = observed outcomes beat
+    the probabilities where p<0.5 and undershoot where p>0.5
+    (under-confident in the tails); the sign pattern ECE throws away.
+
+    Shape: ONE algebraic aggregate over (numerator, variance) — no
+    bins, no windows, map-side combinable. p-value via the portable
+    normal CDF (functions/stats.py).
+    """
+    from ..functions.stats import two_sided_p
+
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    agg = preds.where(y.isNotNull() & p.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((y - p) * (F.lit(1.0) - F.lit(2.0) * p)).alias("num"),
+        F.sum(
+            (F.lit(1.0) - F.lit(2.0) * p)
+            * (F.lit(1.0) - F.lit(2.0) * p)
+            * p
+            * (F.lit(1.0) - p)
+        ).alias("var"),
+    )
+    z = F.when(F.col("var") > 0, F.col("num") / F.sqrt(F.col("var")))
+    return agg.select(
+        "n",
+        F.round(F.col("num"), 6).alias("sum_resid"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(two_sided_p(F.round(z, 6)), 6).alias("p_two"),
+    )

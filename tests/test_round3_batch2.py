@@ -454,3 +454,45 @@ def test_yuen_robust_to_outliers_where_welch_is_not(spark):
     ).collect()[0]
     assert y2["t_stat"] < -10
     assert y2["p_normal"] < 1e-4
+
+
+def test_spiegelhalter_calibrated_vs_shifted(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import spiegelhalter_z
+
+    rng = np.random.default_rng(9)
+    ps = rng.uniform(0.05, 0.95, 4000)
+    y_cal = (rng.uniform(size=4000) < ps).astype(int)
+    cal = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in zip(ps, y_cal)], "p double, y int"
+    )
+    z_cal = spiegelhalter_z(cal, "y", "p").collect()[0]
+    assert abs(z_cal["z_stat"]) < 3  # calibrated -> Z ~ N(0,1)
+    # grossly overconfident probabilities: squash outcomes to coin flips
+    y_flip = (rng.uniform(size=4000) < 0.5).astype(int)
+    bad = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in zip(ps, y_flip)], "p double, y int"
+    )
+    z_bad = spiegelhalter_z(bad, "y", "p").collect()[0]
+    assert abs(z_bad["z_stat"]) > 5
+    assert z_bad["p_two"] < 1e-4
+
+
+def test_standardized_rates_fixes_simpson_reversal(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import standardized_rates
+
+    # the test_simpsons_paradox_screen reversal fixture: B wins inside
+    # every stratum yet loses pooled; standardization must flip the
+    # adjusted diff positive (B better), matching the stratum truth
+    rows = (
+        [("a", 1, "easy")] * 93 + [("a", 0, "easy")] * 7
+        + [("b", 1, "easy")] * 10
+        + [("a", 1, "hard")] * 1 + [("a", 0, "hard")] * 9
+        + [("b", 1, "hard")] * 30 + [("b", 0, "hard")] * 170
+    )
+    df = spark.createDataFrame(rows, "g string, y int, s string")
+    out = standardized_rates(df, "g", "y", "s").collect()[0]
+    assert out["diff_raw"] < 0  # pooled favors A (the trap)
+    assert out["diff_std"] > 0  # adjusted favors B (the truth)
+    # hand value: w_easy = 100/110, w_hard = 10/110;
+    # rate_b_std = (100*1.0 + 10*0.15)/110
+    assert out["rate_b_std"] == pytest.approx((100 * 1.0 + 10 * 0.15) / 110, abs=1e-6)
