@@ -5262,6 +5262,40 @@ def _q_standardized_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standardized_rates(conv, arm, out, F.col("role"))
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight orders⋈lineitem cardinality estimate from the two
+    per-key count tables: exact Σ c_l·c_r, the independence estimate,
+    and the max per-key fan-out product (the skew red flag) — the
+    planner-style check before committing to an expensive join."""
+    from kkbox_churn_prediction_spark.operators.profile import join_size_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    return join_size_estimate(orders, li, "o_orderkey", "l_orderkey")
+
+
+def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the TPC-H FK chain
+    (lineitem→orders, orders→customer, customer→nation, plus the
+    events→customer cross-table probe): orphan counts and shares per
+    relationship — one LEFT ANTI join each."""
+    from kkbox_churn_prediction_spark.operators.profile import fk_orphan_audit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fk_orphan_audit(
+        {
+            "lineitem_orders": (li, "l_orderkey", orders, "o_orderkey"),
+            "orders_customer": (orders, "o_custkey", cust, "c_custkey"),
+            "customer_nation": (cust, "c_nationkey", nation, "n_nationkey"),
+            "events_customer": (ev, "user_id", cust, "c_custkey"),
+        }
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5687,6 +5721,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yuen_text_len": _q_yuen_text_len,
         "spiegelhalter_cal": _q_spiegelhalter,
         "standardized_rates": _q_standardized_rates,
+        "join_size_estimate": _q_join_size_estimate,
+        "fk_orphans": _q_fk_orphans,
     }
 
 
@@ -15958,6 +15994,71 @@ FROM std
 """
 
 
+# join-size estimate (lock-step with profile.join_size_estimate)
+_JOIN_SIZE_SQL = """
+WITH lc AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM orders GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM lineitem GROUP BY 1),
+j AS (
+    SELECT CAST(SUM(cl * cr) AS BIGINT) AS join_rows,
+           CAST(MAX(cl * cr) AS BIGINT) AS max_key_product,
+           CAST(COUNT(*) AS BIGINT) AS matched_keys
+    FROM lc JOIN rc USING (k)
+),
+ls AS (SELECT CAST(SUM(cl) AS BIGINT) AS rows_left, CAST(COUNT(*) AS BIGINT) AS keys_left FROM lc),
+rs AS (SELECT CAST(SUM(cr) AS BIGINT) AS rows_right, CAST(COUNT(*) AS BIGINT) AS keys_right FROM rc)
+SELECT rows_left, keys_left, rows_right, keys_right,
+       matched_keys, join_rows, max_key_product,
+       ROUND(CAST(rows_left AS DOUBLE) * CAST(rows_right AS DOUBLE)
+             / greatest(CAST(greatest(keys_left, keys_right) AS DOUBLE), 1.0), 6)
+           AS independence_estimate,
+       ROUND(CAST(join_rows AS DOUBLE)
+             / greatest(CAST(rows_left AS DOUBLE) * CAST(rows_right AS DOUBLE)
+                        / greatest(CAST(greatest(keys_left, keys_right) AS DOUBLE), 1.0),
+                        1e-300), 6) AS estimate_ratio
+FROM ls, rs, j
+"""
+
+
+# FK orphan audit (lock-step with profile.fk_orphan_audit: LEFT ANTI
+# == NOT IN with null-safe distinct parent keys)
+_FK_ORPHANS_SQL = """
+WITH rel AS (
+    SELECT 'lineitem_orders' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT DISTINCT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL)) AS orphan_rows
+    UNION ALL
+    SELECT 'orders_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT DISTINCT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
+    UNION ALL
+    SELECT 'customer_nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_nationkey IS NOT NULL
+              AND c_nationkey NOT IN (SELECT DISTINCT n_nationkey FROM nation
+                                      WHERE n_nationkey IS NOT NULL))
+    UNION ALL
+    SELECT 'events_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE user_id IS NOT NULL
+              AND user_id NOT IN (SELECT DISTINCT c_custkey FROM customer
+                                  WHERE c_custkey IS NOT NULL))
+)
+SELECT relationship, child_rows, orphan_rows,
+       ROUND(CAST(orphan_rows AS DOUBLE)
+             / greatest(CAST(child_rows AS DOUBLE), 1.0), 6) AS orphan_share
+FROM rel
+ORDER BY relationship
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16288,4 +16389,6 @@ def oracle_sql() -> dict[str, str]:
         "yuen_text_len": _yuen_sql(),
         "spiegelhalter_cal": _spiegelhalter_sql(),
         "standardized_rates": _STANDARDIZED_SQL,
+        "join_size_estimate": _JOIN_SIZE_SQL,
+        "fk_orphans": _FK_ORPHANS_SQL,
     }

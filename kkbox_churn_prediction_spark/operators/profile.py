@@ -412,3 +412,104 @@ def freshness_audit(
             lag_hours > F.lit(float(stale_hours)), F.lit(1)
         ).otherwise(F.lit(0)).cast("int").alias("is_stale"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate — the planner-style
+    check a pipeline runs BEFORE committing to an expensive join:
+    |A ⋈ B| = Σ_k c_A(k)·c_B(k) computed exactly from the two
+    per-key count tables (bounded by the key domains, never the row
+    counts), plus the max per-key fan-out product — the skew red
+    flag (one hot key × hot key pair can dominate the output).
+
+    Output one row: per-side rows/keys, exact join_rows, the
+    independence-assumption estimate rows_l·rows_r/max(keys), and
+    max_key_product. At 100 TB the count tables are what you'd
+    sketch with CMS; here they are exact and the estimate is an
+    identity — the gate's value is the FAN-OUT diagnostics.
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    joined = lc.join(rc, "k")
+    stats = joined.agg(
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("join_rows"),
+        F.max(F.col("cl") * F.col("cr")).cast("long").alias("max_key_product"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+    )
+    ls = lc.agg(
+        F.sum("cl").cast("long").alias("rows_left"),
+        F.count(F.lit(1)).cast("long").alias("keys_left"),
+    )
+    rs = rc.agg(
+        F.sum("cr").cast("long").alias("rows_right"),
+        F.count(F.lit(1)).cast("long").alias("keys_right"),
+    )
+    out = ls.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(stats))
+    naive = (
+        F.col("rows_left").cast("double")
+        * F.col("rows_right").cast("double")
+        / F.greatest(
+            F.greatest(F.col("keys_left"), F.col("keys_right")).cast("double"),
+            F.lit(1.0),
+        )
+    )
+    return out.select(
+        "rows_left", "keys_left", "rows_right", "keys_right",
+        "matched_keys", "join_rows", "max_key_product",
+        F.round(naive, 6).alias("independence_estimate"),
+        F.round(
+            F.col("join_rows").cast("double") / F.greatest(naive, F.lit(1e-300)),
+            6,
+        ).alias("estimate_ratio"),
+    )
+
+
+def fk_orphan_audit(
+    tables: dict[str, tuple[DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each named FK relationship
+    (child_df, fk_col) → (parent_df, pk_col), count child rows whose
+    key has NO parent (orphans) — the load-order / partial-ingest
+    data-quality gate every warehouse runs after a backfill.
+
+    One LEFT ANTI join per relationship (semi-join family, J7
+    discipline); output one row per relationship with child rows,
+    orphan rows, and the orphan share.
+    """
+    frames = []
+    for name, (child, fk, parent, pk) in tables.items():
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
+        orphans = (
+            child.select(F.col(fk).alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .join(
+                parent.select(F.col(pk).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
+        )
+        row = total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("relationship"),
+            "child_rows",
+            "orphan_rows",
+            F.round(
+                F.col("orphan_rows").cast("double")
+                / F.greatest(F.col("child_rows").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("orphan_share"),
+        )
+        frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relationship")

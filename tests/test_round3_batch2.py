@@ -496,3 +496,30 @@ def test_standardized_rates_fixes_simpson_reversal(spark):
     # hand value: w_easy = 100/110, w_hard = 10/110;
     # rate_b_std = (100*1.0 + 10*0.15)/110
     assert out["rate_b_std"] == pytest.approx((100 * 1.0 + 10 * 0.15) / 110, abs=1e-6)
+
+
+def test_join_size_estimate_is_exact_identity(spark):
+    from kkbox_churn_prediction_spark.operators.profile import join_size_estimate
+
+    l = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "k int")
+    r = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], "k int")
+    out = join_size_estimate(l, r, "k", "k").collect()[0]
+    # true join: key1 3*1 + key2 1*2 = 5 rows
+    assert out["join_rows"] == 5
+    assert out["max_key_product"] == 3
+    assert out["matched_keys"] == 2
+    real = l.join(r, "k").count()
+    assert real == out["join_rows"]
+
+
+def test_fk_orphan_audit_counts(spark):
+    from kkbox_churn_prediction_spark.operators.profile import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = fk_orphan_audit({"c_p": (child, "fk", parent, "pk")}).collect()[0]
+    assert out["child_rows"] == 5
+    assert out["orphan_rows"] == 2  # the two 9s; NULL fk not counted
+    assert out["orphan_share"] == pytest.approx(0.4)
