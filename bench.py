@@ -155,14 +155,22 @@ def bulk_backfill_rate(spark) -> tuple[int, float, str]:
     try:
         out = subprocess.run(
             [_sys.executable, "-c", _CLUSTER_CHILD.format(repo=repo), BULK_DIR],
-            capture_output=True, text=True, timeout=420, check=True,
+            capture_output=True, text=True, timeout=540, check=True,
         )
         r = _json.loads(out.stdout.strip().splitlines()[-1])
         cluster = (r["turns"], round(r["turns"] / r["sec"], 1), "local-cluster[8,4]")
         if in_process is None or cluster[1] >= in_process[1]:
             return cluster
         return in_process
-    except Exception:
+    except Exception as exc:  # diagnose silent fallbacks (stderr only)
+        detail = ""
+        if isinstance(exc, subprocess.CalledProcessError):
+            detail = (exc.stderr or "")[-500:]
+        print(
+            f"[bench] local-cluster child failed ({type(exc).__name__}): "
+            f"{detail}",
+            file=_sys.stderr,
+        )
         if in_process is not None:
             return in_process
         raise
