@@ -5296,6 +5296,25 @@ def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (τ = the 14-day horizon) over the
+    KM curve — the single-number retention effect size completing the
+    KM/Nelson–Aalen/log-rank family; one lead() window over the
+    bounded curve + a 1-row reduce."""
+    from kkbox_churn_prediction_spark.operators.survival import (
+        rmst,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return rmst(
+        survival_labels(
+            _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+        ),
+        tau=14,
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5723,6 +5742,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized_rates": _q_standardized_rates,
         "join_size_estimate": _q_join_size_estimate,
         "fk_orphans": _q_fk_orphans,
+        "rmst_14d": _q_rmst,
     }
 
 
@@ -16059,6 +16079,27 @@ ORDER BY relationship
 """
 
 
+def _rmst_sql(tau: int) -> str:
+    """RMST oracle (lock-step with survival.rmst: step integral over
+    the shared KM-curve SQL, last level carried to tau)."""
+    t = float(tau)
+    return f"""
+WITH km AS ({_KM_CURVE_SQL}),
+seg AS (
+    SELECT t, n_risk, survival,
+           LEAD(t) OVER (ORDER BY t) AS t_next
+    FROM km
+)
+SELECT CAST({tau} AS INTEGER) AS tau,
+       CAST(MAX(n_risk) AS BIGINT) AS n_subjects,
+       ROUND(least(CAST(MIN(t) AS DOUBLE), {t})
+             + COALESCE(SUM(survival
+                 * (least(COALESCE(CAST(t_next AS DOUBLE), {t}), {t})
+                    - least(CAST(t AS DOUBLE), {t}))), 0.0), 6) AS rmst
+FROM seg
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16391,4 +16432,5 @@ def oracle_sql() -> dict[str, str]:
         "standardized_rates": _STANDARDIZED_SQL,
         "join_size_estimate": _JOIN_SIZE_SQL,
         "fk_orphans": _FK_ORPHANS_SQL,
+        "rmst_14d": _rmst_sql(14),
     }

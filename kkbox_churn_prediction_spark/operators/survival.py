@@ -270,3 +270,40 @@ def label_rate_by_horizon(
             F.col("n_positive").cast("double") / F.col("_n").cast("double"), 6
         ).alias("positive_rate"),
     )
+
+
+def rmst(labels: DataFrame, tau: int) -> DataFrame:
+    """Restricted mean survival time: E[min(T, τ)] = ∫₀^τ S(t)dt over
+    the Kaplan–Meier step function — the clinically-standard single
+    number for "average retained days within the horizon", robust
+    where median survival is undefined (curves that never cross 0.5)
+    and the natural effect-size companion to the log-rank test.
+
+    Step integral over the BOUNDED km_curve table: the initial
+    [0, t₁) segment at S=1 plus Σ S(tᵢ)·(min(tᵢ₊₁,τ)−min(tᵢ,τ)),
+    with the last level carried to τ. One lead() window over the
+    ≤horizon-row curve + a 1-row reduce; same cost at any corpus
+    size.
+    """
+    km = km_curve(labels)
+    w = Window.orderBy("t")
+    seg = km.select(
+        "t",
+        "n_risk",
+        "survival",
+        F.lead("t").over(w).alias("t_next"),
+    )
+    tau_l = F.lit(float(tau))
+    contrib = F.col("survival") * (
+        F.least(F.coalesce(F.col("t_next").cast("double"), tau_l), tau_l)
+        - F.least(F.col("t").cast("double"), tau_l)
+    )
+    return seg.agg(
+        F.lit(int(tau)).cast("int").alias("tau"),
+        F.max("n_risk").cast("long").alias("n_subjects"),
+        F.round(
+            F.least(F.min("t").cast("double"), tau_l)
+            + F.coalesce(F.sum(contrib), F.lit(0.0)),
+            6,
+        ).alias("rmst"),
+    )

@@ -523,3 +523,25 @@ def test_fk_orphan_audit_counts(spark):
     assert out["child_rows"] == 5
     assert out["orphan_rows"] == 2  # the two 9s; NULL fk not counted
     assert out["orphan_share"] == pytest.approx(0.4)
+
+
+def test_rmst_hand_golden_and_bounds(spark):
+    from kkbox_churn_prediction_spark.operators.survival import rmst
+
+    # 4 subjects: events at day 2 (1 of 4) and day 5 (1 of 3),
+    # censored at day 7 (2). S = 1 on [0,2), 0.75 on [2,5), 0.5 on [5,7+)
+    labels = spark.createDataFrame(
+        [(2, 1), (5, 1), (7, 0), (7, 0)], "duration_days int, observed int"
+    )
+    out = rmst(labels, tau=10).collect()[0]
+    # integral to 10: 2*1 + 3*0.75 + 5*0.5 = 6.75 (last level to tau)
+    assert out["rmst"] == pytest.approx(2 * 1 + 3 * 0.75 + 5 * 0.5, abs=1e-6)
+    assert out["n_subjects"] == 4
+    # tau inside the curve: integral to 4 = 2*1 + 2*0.75 = 3.5
+    out4 = rmst(labels, tau=4).collect()[0]
+    assert out4["rmst"] == pytest.approx(3.5, abs=1e-6)
+    # no events at all -> RMST = tau
+    alive = spark.createDataFrame(
+        [(9, 0)] * 5, "duration_days int, observed int"
+    )
+    assert rmst(alive, tau=6).collect()[0]["rmst"] == pytest.approx(6.0)
