@@ -5315,6 +5315,20 @@ def _q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA on text length across the
+    four roles — the parametric k-sample member completing
+    Kruskal–Wallis + Brown–Forsythe; one moment agg per group, all
+    algebra on the k-row table."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import welch_anova
+
+    return welch_anova(
+        _conv(spark, sf_dir), F.length("text").cast("double"), F.col("role")
+    )
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5743,6 +5757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _q_join_size_estimate,
         "fk_orphans": _q_fk_orphans,
         "rmst_14d": _q_rmst,
+        "welch_anova_roles": _q_welch_anova,
     }
 
 
@@ -16100,6 +16115,55 @@ FROM seg
 """
 
 
+# Welch ANOVA (lock-step with abtest.welch_anova: identical moment
+# and weight algebra over the k-row group table)
+_WELCH_ANOVA_SQL = f"""
+WITH {_CONV_CTE},
+vals AS (
+    SELECT role AS grp, CAST(length(text) AS DOUBLE) AS v
+    FROM conversations
+    WHERE text IS NOT NULL AND role IS NOT NULL
+),
+mom AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+    FROM vals GROUP BY grp
+),
+per AS (
+    SELECT grp, n,
+           s1 / n AS m,
+           (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END) AS var,
+           (CASE WHEN (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END) > 0
+                 THEN n / (CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END)
+            END) AS w
+    FROM mom
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           SUM(w) AS sw, SUM(w * m) AS swm
+    FROM per
+),
+red AS (
+    SELECT SUM(p.w * (p.m - t.swm / t.sw) * (p.m - t.swm / t.sw)) AS num,
+           SUM((1.0 - p.w / t.sw) * (1.0 - p.w / t.sw) / (p.n - 1.0)) AS lam,
+           MAX(t.k_groups) AS k_groups
+    FROM per p CROSS JOIN tot t
+)
+SELECT p.grp, p.n,
+       ROUND(p.m, 6) AS mean,
+       ROUND(p.var, 6) AS variance,
+       r.k_groups,
+       CAST(r.k_groups - 1 AS BIGINT) AS df1,
+       ROUND(CASE WHEN r.lam > 0
+                  THEN (r.k_groups * r.k_groups - 1.0) / (3.0 * r.lam) END, 6) AS df2,
+       ROUND(CASE WHEN r.lam >= 0 AND r.k_groups > 1
+                  THEN (r.num / (r.k_groups - 1.0))
+                       / (1.0 + 2.0 * (r.k_groups - 2.0)
+                          / (r.k_groups * r.k_groups - 1.0) * r.lam) END, 6) AS f_stat
+FROM per p CROSS JOIN red r
+ORDER BY p.grp
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16433,4 +16497,5 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": _JOIN_SIZE_SQL,
         "fk_orphans": _FK_ORPHANS_SQL,
         "rmst_14d": _rmst_sql(14),
+        "welch_anova_roles": _WELCH_ANOVA_SQL,
     }

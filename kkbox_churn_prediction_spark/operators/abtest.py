@@ -1702,3 +1702,85 @@ def standardized_rates(
         F.round(rate_b - rate_a, 6).alias("diff_raw"),
         F.round(F.col("rate_b_std") - rate_a, 6).alias("diff_std"),
     )
+
+
+def welch_anova(
+    df: DataFrame,
+    value_col,
+    group_col,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) — the
+    k-sample location test that does NOT assume equal variances,
+    completing the trio: Kruskal–Wallis (rank-based),
+    :func:`brown_forsythe` (is the spread equal?), and this (are the
+    means equal, given it often isn't?).
+
+    F* = [Σ wᵢ(x̄ᵢ − x̄_w)² / (k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    wᵢ = nᵢ/s²ᵢ, x̄_w = Σwᵢx̄ᵢ/Σwᵢ,
+    Λ = Σ (1−wᵢ/Σw)²/(nᵢ−1), df₂ = (k²−1)/(3Λ).
+
+    Shape: ONE algebraic moment agg per group (n, Σx, Σx²) → all the
+    algebra on the k-row table (two tiny reduces). Per-group rows
+    (n, mean, var) ride with the shared F*/df₁/df₂ (the
+    kruskal_wallis output shape).
+    """
+    v = F.col("_v")
+    g = F.col("_g")
+    base = df.select(
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("_v"),
+        (F.col(group_col) if isinstance(group_col, str) else group_col).alias("_g"),
+    ).where(v.isNotNull() & g.isNotNull())
+    mom = base.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0)),
+    )
+    w = F.when(var > 0, n / var)
+    per = mom.select(
+        "grp", "n", mean.alias("_m"), var.alias("_var"), w.alias("_w")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_w").alias("_sw"),
+        F.sum(F.col("_w") * F.col("_m")).alias("_swm"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    xw = F.col("_swm") / F.col("_sw")
+    num_terms = j.agg(
+        F.sum(F.col("_w") * (F.col("_m") - xw) * (F.col("_m") - xw)).alias("_num"),
+        F.sum(
+            (F.lit(1.0) - F.col("_w") / F.col("_sw"))
+            * (F.lit(1.0) - F.col("_w") / F.col("_sw"))
+            / (F.col("n").cast("double") - F.lit(1.0))
+        ).alias("_lam"),
+        F.max("k_groups").alias("k_groups"),
+    )
+    k = F.col("k_groups").cast("double")
+    f_star = (F.col("_num") / (k - F.lit(1.0))) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (k - F.lit(2.0)) / (k * k - F.lit(1.0)) * F.col("_lam")
+    )
+    df2 = (k * k - F.lit(1.0)) / (F.lit(3.0) * F.col("_lam"))
+    stats = num_terms.select(
+        F.col("k_groups").cast("long").alias("k_groups"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("df1"),
+        F.round(F.when(F.col("_lam") > 0, df2), 6).alias("df2"),
+        F.round(F.when((F.col("_lam") >= 0) & (F.col("k_groups") > 1), f_star), 6).alias(
+            "f_stat"
+        ),
+    )
+    rows = per.select(
+        "grp",
+        "n",
+        F.round(F.col("_m"), 6).alias("mean"),
+        F.round(F.col("_var"), 6).alias("variance"),
+    )
+    return rows.crossJoin(F.broadcast(stats)).orderBy("grp")

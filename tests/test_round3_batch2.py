@@ -545,3 +545,36 @@ def test_rmst_hand_golden_and_bounds(spark):
         [(9, 0)] * 5, "duration_days int, observed int"
     )
     assert rmst(alive, tau=6).collect()[0]["rmst"] == pytest.approx(6.0)
+
+
+def test_welch_anova_detects_shift_equal_means_near_zero(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import welch_anova
+
+    rng = np.random.default_rng(13)
+    # three groups, same mean, WILDLY different variances -> F ~ small
+    rows = (
+        [("a", float(v)) for v in rng.normal(100, 1, 300)]
+        + [("b", float(v)) for v in rng.normal(100, 10, 300)]
+        + [("c", float(v)) for v in rng.normal(100, 50, 300)]
+    )
+    out = welch_anova(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g"
+    ).collect()
+    assert out[0]["f_stat"] < 4
+    assert out[0]["df1"] == 2
+    # shift one group's mean -> F explodes
+    rows2 = [
+        (g, v + (30.0 if g == "b" else 0.0)) for g, v in rows
+    ]
+    out2 = welch_anova(
+        spark.createDataFrame(rows2, "g string, v double"), "v", "g"
+    ).collect()
+    assert out2[0]["f_stat"] > 100
+    # k=2 equals Welch's t squared (the standard identity)
+    from kkbox_churn_prediction_spark.operators.abtest import welch_t_stats
+
+    two = [(g, v) for g, v in rows if g in ("a", "b")]
+    df2 = spark.createDataFrame(two, "g string, v double")
+    fa = welch_anova(df2, "v", "g").collect()[0]["f_stat"]
+    t = welch_t_stats(df2, F.col("v"), F.col("g")).collect()[0]["t_stat"]
+    assert fa == pytest.approx(t * t, rel=1e-3)
