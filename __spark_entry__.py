@@ -5329,6 +5329,90 @@ def _q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cvm_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Cramér–von Mises drift of text length between the
+    even/odd week folds — the integrated-squared-gap FIFTH lens of the
+    drift family (same binning as psi/jsd/wasserstein/ks_text_len;
+    exact decimal numerator, one division)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        cvm_from_bins,
+        fixed_width_bins,
+    )
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    binned = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 5.0, 10).alias("bin"),
+    )
+    return cvm_from_bins(binned, "fold", "bin", "even")
+
+
+def _q_ap_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC, sklearn step semantics) per fold on
+    the deterministic prediction fixture — the class-imbalance
+    companion to auc_by_fold, same distinct-score machine, 1e-9-grid
+    exact-decimal term sum."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        average_precision_by_fold,
+    )
+
+    return average_precision_by_fold(_preds(spark, sf_dir), "fold", "y", "p")
+
+
+def _q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: did per-conversation error-tool incidence
+    change between the first and second half of each conversation
+    (split at the midpoint turn index)? One conditional agg to the
+    4-count concordance row."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import mcnemar_paired
+
+    conv = _conv(spark, sf_dir)
+    mx = conv.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+    err = F.when(F.col("tool") == "error", 1).otherwise(0)
+    units = (
+        conv.join(mx, "conv_id")
+        .groupBy("conv_id")
+        .agg(
+            F.max(F.when(F.col("turn_idx") * 2 <= F.col("_mx"), err).otherwise(0))
+            .alias("pre"),
+            F.max(F.when(F.col("turn_idx") * 2 > F.col("_mx"), err).otherwise(0))
+            .alias("post"),
+        )
+    )
+    return mcnemar_paired(units, "pre", "post")
+
+
+def _q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (one-sided greater) on hash-parity cohorts
+    × early-error incidence (error tool within the first five turns —
+    the small-cell regime where the two-proportion z is invalid);
+    driver lgamma sum over the bounded 4-count profile."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import fisher_exact_greater
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.max(
+            F.when((F.col("tool") == "error") & (F.col("turn_idx") < 5), 1).otherwise(0)
+        ).alias("succ")
+    )
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("fx"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return fisher_exact_greater(units.select(arm.alias("arm"), "succ"), "arm", "succ")
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5758,6 +5842,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": _q_fk_orphans,
         "rmst_14d": _q_rmst,
         "welch_anova_roles": _q_welch_anova,
+        "cvm_text_len": _q_cvm_text_len,
+        "ap_by_fold": _q_ap_by_fold,
+        "mcnemar_error_shift": _q_mcnemar,
+        "fisher_exact_early_error": _q_fisher_exact,
     }
 
 
@@ -16164,6 +16252,189 @@ ORDER BY p.grp
 """
 
 
+
+# Cramér–von Mises drift (lock-step with psi.cvm_from_bins: exact
+# hugeint squared-cross-product numerator over the shared KS binning)
+_CVM_SQL = f"""
+WITH {_CONV_CTE},
+binned AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 5.0), 0), 9) AS INTEGER) AS bin
+    FROM conversations
+),
+counts AS (SELECT fold, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY 1, 2),
+bins AS (SELECT DISTINCT bin FROM counts),
+cur_grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN bins b
+),
+cur_full AS (
+    SELECT g.fold, g.bin, COALESCE(c.n, 0) AS n
+    FROM cur_grid g
+    LEFT JOIN counts c ON g.fold = c.fold AND g.bin = c.bin
+),
+ref_full AS (
+    SELECT b.bin, COALESCE(c.n, 0) AS n
+    FROM bins b
+    LEFT JOIN (SELECT bin, n FROM counts WHERE fold = 'even') c ON b.bin = c.bin
+),
+cur AS (
+    SELECT fold, bin, CAST(n AS BIGINT) AS n_b,
+           CAST(SUM(n) OVER (PARTITION BY fold ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+           CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS _tot
+    FROM cur_full
+),
+ref AS (
+    SELECT bin, CAST(n AS BIGINT) AS rn_b,
+           CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _rcum,
+           CAST(SUM(n) OVER () AS BIGINT) AS _rtot
+    FROM ref_full
+)
+SELECT c.fold,
+       ROUND(CAST(SUM(
+                 (CAST(c._cum AS HUGEINT) * CAST(r._rtot AS HUGEINT)
+                  - CAST(r._rcum AS HUGEINT) * CAST(c._tot AS HUGEINT))
+                 * (CAST(c._cum AS HUGEINT) * CAST(r._rtot AS HUGEINT)
+                    - CAST(r._rcum AS HUGEINT) * CAST(c._tot AS HUGEINT))
+                 * CAST(c.n_b + r.rn_b AS HUGEINT)) AS DOUBLE)
+             / (CAST(MAX(c._tot) AS DOUBLE) * CAST(MAX(r._rtot) AS DOUBLE)
+                * CAST(MAX(c._tot) AS DOUBLE) * CAST(MAX(r._rtot) AS DOUBLE)
+                * (CAST(MAX(c._tot) AS DOUBLE) + CAST(MAX(r._rtot) AS DOUBLE))), 6)
+           AS cvm,
+       CAST(MAX(c._tot) AS BIGINT) AS n_cur,
+       CAST(MAX(r._rtot) AS BIGINT) AS n_ref
+FROM cur c JOIN ref r ON c.bin = r.bin
+GROUP BY c.fold
+"""
+
+
+# Average precision (lock-step with calibration.average_precision_by_fold:
+# distinct-score desc cumulative machine, floor-1e9-grid exact term sum)
+_AP_SQL = f"""
+WITH {_PRED_CTE},
+per_score AS (
+    SELECT fold, p AS score,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(1 - y) AS BIGINT) AS neg
+    FROM preds GROUP BY fold, p
+),
+cum AS (
+    SELECT fold, pos,
+           CAST(SUM(pos) OVER (PARTITION BY fold ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+           CAST(SUM(neg) OVER (PARTITION BY fold ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+    FROM per_score
+)
+SELECT fold,
+       CAST(MAX(tp) AS BIGINT) AS n_pos,
+       CAST(MAX(fp) AS BIGINT) AS n_neg,
+       ROUND(CAST(MAX(tp) AS DOUBLE)
+             / (CAST(MAX(tp) AS DOUBLE) + CAST(MAX(fp) AS DOUBLE)), 6) AS prevalence,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE)
+                                 * 1000000000.0
+                                 / CAST(tp + fp AS DOUBLE)) AS HUGEINT)) AS DOUBLE)
+             / (CAST(MAX(tp) AS DOUBLE) * 1000000000.0), 6) AS ap
+FROM cum
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+# McNemar paired (lock-step with abtest.mcnemar_paired over the
+# first-half/second-half error split; shared normal polynomial p)
+def _mcnemar_sql() -> str:
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p_sql
+
+    return f"""
+WITH {_CONV_CTE},
+mx AS (SELECT conv_id, MAX(turn_idx) AS _mx FROM conversations GROUP BY conv_id),
+units AS (
+    SELECT c.conv_id,
+           MAX(CASE WHEN c.turn_idx * 2 <= m._mx
+                         AND c.tool = 'error' THEN 1 ELSE 0 END) AS pre,
+           MAX(CASE WHEN c.turn_idx * 2 > m._mx
+                         AND c.tool = 'error' THEN 1 ELSE 0 END) AS post
+    FROM conversations c JOIN mx m ON c.conv_id = m.conv_id
+    GROUP BY c.conv_id
+),
+counts AS (
+    SELECT CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b00,
+           CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+           CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b10,
+           CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b11
+    FROM units
+),
+stat AS (
+    SELECT b00, b01, b10, b11,
+           CASE WHEN b01 + b10 > 0
+                THEN GREATEST(ABS(CAST(b01 - b10 AS DOUBLE)) - 1.0, 0.0)
+                     * GREATEST(ABS(CAST(b01 - b10 AS DOUBLE)) - 1.0, 0.0)
+                     / CAST(b01 + b10 AS DOUBLE)
+                ELSE 0.0 END AS chi2_raw
+    FROM counts
+)
+SELECT b00, b01, b10, b11,
+       ROUND(chi2_raw, 6) AS chi2,
+       ROUND(CASE WHEN b01 + b10 > 0
+                  THEN {two_sided_p_sql('sqrt(chi2_raw)')}
+                  ELSE 1.0 END, 6) AS p_value
+FROM stat
+"""
+
+
+# Fisher exact greater (lock-step with abtest.fisher_exact_greater:
+# identical lchoose/lgamma sum over the deterministic index range)
+_FISHER_SQL = f"""
+WITH {_CONV_CTE},
+perconv AS (
+    SELECT conv_id,
+           MAX(CASE WHEN tool = 'error' AND turn_idx < 5 THEN 1 ELSE 0 END) AS succ
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('fx', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           succ
+    FROM perconv
+),
+counts AS (
+    SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 'a' THEN succ ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN succ ELSE 0 END) AS BIGINT) AS s_b
+    FROM units
+),
+params AS (
+    SELECT n_a, n_b, s_a, s_b,
+           n_a + n_b AS n, s_a + s_b AS c1
+    FROM counts
+),
+prob AS (
+    SELECT SUM(exp(
+        (lgamma(p.n_a + 1) - lgamma(g.i + 1) - lgamma(p.n_a - g.i + 1))
+        + (lgamma(p.n_b + 1) - lgamma(p.c1 - g.i + 1)
+               - lgamma(p.n_b - (p.c1 - g.i) + 1))
+        - (lgamma(p.n + 1) - lgamma(p.c1 + 1) - lgamma(p.n - p.c1 + 1))
+    )) AS pr
+    FROM params p, generate_series(0, 1000000) g(i)
+    WHERE g.i >= p.s_a AND g.i <= LEAST(p.n_a, p.c1) AND p.c1 - g.i <= p.n_b
+)
+SELECT p.n_a, p.s_a, p.n_b, p.s_b,
+       CASE WHEN p.s_b * (p.n_a - p.s_a) > 0
+            THEN CAST((2 * CAST(p.s_a * (p.n_b - p.s_b) AS HUGEINT) * 1000000
+                       + p.s_b * (p.n_a - p.s_a))
+                      // (2 * (p.s_b * (p.n_a - p.s_a))) AS DOUBLE) / 1e6
+            END AS odds_ratio,
+       ROUND(LEAST(COALESCE(prob.pr, 0.0), 1.0), 6) AS p_greater
+FROM params p, prob
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16498,4 +16769,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_orphans": _FK_ORPHANS_SQL,
         "rmst_14d": _rmst_sql(14),
         "welch_anova_roles": _WELCH_ANOVA_SQL,
+        "cvm_text_len": _CVM_SQL,
+        "ap_by_fold": _AP_SQL,
+        "mcnemar_error_shift": _mcnemar_sql(),
+        "fisher_exact_early_error": _FISHER_SQL,
     }

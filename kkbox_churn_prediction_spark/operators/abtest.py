@@ -1784,3 +1784,143 @@ def welch_anova(
         F.round(F.col("_var"), 6).alias("variance"),
     )
     return rows.crossJoin(F.broadcast(stats)).orderBy("grp")
+
+
+def mcnemar_paired(
+    units: DataFrame,
+    pre_col: str,
+    post_col: str,
+    *,
+    continuity: bool = True,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes — did a within-unit
+    binary property CHANGE between two conditions (pre/post a rollout,
+    first-half vs second-half of a conversation)? The paired
+    complement to :func:`two_proportion_z`, which assumes independent
+    arms and is anticonservative on paired data. Only the DISCORDANT
+    pairs carry information: with ``b01`` = (pre=0, post=1) and
+    ``b10`` = (pre=1, post=0),
+
+        chi2 = (|b01 - b10| - c)^2 / (b01 + b10),   c = 1 if continuity
+
+    on 1 df; the two-sided p comes from the engine's shared normal
+    polynomial via z = sqrt(chi2) (chi2_1 upper tail = two-sided
+    normal tail). Reference analog: the error-analysis slice
+    comparisons (``src/error_analysis.py``) made pair-aware.
+
+    Distributed shape: ONE conditional hash aggregate over the unit
+    table to the 4-count concordance profile (b00, b01, b10, b11) —
+    map-side combined, no window, no sort — then fixed-shape scalar
+    algebra on the single row. Exact integer counts; the only doubles
+    are the final chi2/p expressions, identical in both engines.
+
+    Degenerate guard: zero discordant pairs → chi2 = 0.0, p = 1.0
+    (defined output, not NULL — the empty-arm-guard discipline).
+    """
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p
+
+    a = F.col(pre_col).cast("int")
+    b = F.col(post_col).cast("int")
+    one = units.agg(
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0)).cast("long").alias("b00"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).cast("long").alias("b01"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).cast("long").alias("b10"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0)).cast("long").alias("b11"),
+    )
+    disc = (F.col("b01") + F.col("b10")).cast("double")
+    gap = F.abs(F.col("b01") - F.col("b10")).cast("double")
+    adj = F.greatest(gap - F.lit(1.0 if continuity else 0.0), F.lit(0.0))
+    chi2 = F.when(disc > 0, adj * adj / disc).otherwise(F.lit(0.0))
+    return one.select(
+        "b00",
+        "b01",
+        "b10",
+        "b11",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.when(disc > 0, two_sided_p(F.sqrt(chi2))).otherwise(F.lit(1.0)),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def fisher_exact_greater(
+    units: DataFrame,
+    arm_col,
+    success_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Fisher's exact test (one-sided, ``greater``: is arm A's success
+    rate higher than chance given the margins?) on the 2x2 table of
+    (arm x success) — the SMALL-COUNT companion to
+    :func:`two_proportion_z`, whose normal approximation breaks below
+    ~5 expected successes per cell (rare safety events, early
+    experiment peeks). P = sum of hypergeometric probabilities for
+    tables at least as extreme as observed in the ``greater``
+    direction.
+
+    One-sided by DESIGN: the ``greater`` tail is an index range
+    (k = s_a .. min(r1, c1)), so which terms enter the sum is pure
+    integer arithmetic — fully deterministic cross-engine. (The
+    two-sided variant includes terms by a float probability-threshold
+    comparison whose inclusion set can flip on the last bit between
+    lgamma implementations; doubling or the one-sided read is the
+    robust production form.)
+
+    Shape: the :func:`bayes_ab_binary` discipline — ONE conditional
+    hash aggregate to the 4-count profile row, then the finite lgamma
+    sum runs on the driver over that bounded row (term count
+    <= min(r1, c1), data-sized but never touching row data; the 10^12
+    path aggregates first, and at large counts the z-test is the
+    screen with this as the confirmatory rerun on tiny counts).
+    """
+    import math
+
+    g = F.col("_arm")
+    s = F.col("_succ")
+    one = (
+        units.select(
+            F.col(arm_col).alias("_arm") if isinstance(arm_col, str) else arm_col.alias("_arm"),
+            F.col(success_col).alias("_succ")
+            if isinstance(success_col, str)
+            else success_col.alias("_succ"),
+        )
+        .agg(
+            F.count(F.when(g == arm_a, 1)).cast("long").alias("n_a"),
+            F.count(F.when(g == arm_b, 1)).cast("long").alias("n_b"),
+            F.sum(F.when(g == arm_a, s).otherwise(F.lit(0))).cast("long").alias("s_a"),
+            F.sum(F.when(g == arm_b, s).otherwise(F.lit(0))).cast("long").alias("s_b"),
+        )
+        .collect()[0]
+    )
+    n_a, n_b, s_a, s_b = one["n_a"], one["n_b"], one["s_a"], one["s_b"]
+    n = n_a + n_b
+    c1 = s_a + s_b  # total successes
+    k_hi = min(n_a, c1)
+
+    def _lchoose(nn: int, kk: int) -> float:
+        return (
+            math.lgamma(nn + 1) - math.lgamma(kk + 1) - math.lgamma(nn - kk + 1)
+        )
+
+    denom = _lchoose(n, c1) if n >= c1 else 0.0
+    p = 0.0
+    for k in range(s_a, k_hi + 1):
+        if k > n_a or c1 - k > n_b or c1 - k < 0:
+            continue
+        p += math.exp(_lchoose(n_a, k) + _lchoose(n_b, c1 - k) - denom)
+    p = min(p, 1.0)
+    # sample odds ratio on the 1e-6 grid (integer cross products; 0-cell -> NULL)
+    num = s_a * (n_b - s_b)
+    den = s_b * (n_a - s_a)
+    odds = (
+        ((2 * num * 1_000_000 + den) // (2 * den)) / 1e6 if den > 0 else None
+    )
+    spark = units.sparkSession
+    return spark.createDataFrame(
+        [(n_a, s_a, n_b, s_b, odds, round(p, 6))],
+        "n_a bigint, s_a bigint, n_b bigint, s_b bigint, "
+        "odds_ratio double, p_greater double",
+    )

@@ -1248,3 +1248,87 @@ def spiegelhalter_z(
         F.round(z, 6).alias("z_stat"),
         F.round(two_sided_p(F.round(z, 6)), 6).alias("p_two"),
     )
+
+
+def average_precision_by_fold(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    *,
+    bin_scores: int | None = None,
+) -> DataFrame:
+    """(fold, n_pos, n_neg, prevalence, ap): average precision
+    (area under the precision–recall curve, sklearn
+    ``average_precision_score`` step semantics) per fold — the
+    class-imbalance companion to :func:`auc_ks_by_fold`: ROC-AUC is
+    blind to base rate (0.99 on a 1:10^4 problem can be useless),
+    while AP weighs precision exactly where the positive class lives.
+    Reference analog: the churn models are evaluated on heavily
+    imbalanced labels (``src/models.py``); AP is the metric a ranking
+    consumer of those scores reads.
+
+    AP = Σ_s (pos_s / P) · precision_s over DISTINCT scores s in
+    descending order, with tp_s/fp_s the cumulative counts at-or-above
+    s (ties grouped at one threshold — exactly sklearn's step
+    interpolation).
+
+    Distributed shape: the :func:`auc_ks_by_fold` machine —
+    groupBy(fold, score) FIRST (10^12 rows collapse to per-distinct-
+    score partial counts, map-side combined), cumulative window over
+    DISTINCT scores per fold, one final agg. ``bin_scores=K`` is the
+    continuous-score cardinality switch (same contract as the AUC
+    sibling).
+
+    Determinism: precision terms are non-dyadic rationals, so a naive
+    double Σ would be partition-order-dependent. Each term is instead
+    evaluated as ONE fixed-shape double expression
+    ``floor(pos·tp·10^9 / (tp+fp))`` — identical IEEE sequence in
+    both engines — then summed EXACTLY as decimal(38,0) (order-free)
+    and divided once by ``P·10^9``. The 1e-9 floor grid biases AP by
+    < #scores·1e-9/P, far under the 6dp output rounding.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    s: Column = F.col(prob_col).cast("double")
+    if bin_scores is not None:
+        s = (F.floor(s * F.lit(int(bin_scores))) + F.lit(0.5)) / F.lit(
+            float(bin_scores)
+        )
+    per_score = (
+        df.select(F.col(fold_col), s.alias("score"), y.alias("y"))
+        .groupBy(fold_col, "score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    w = Window.partitionBy(fold_col).orderBy(F.desc("score"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        F.col(fold_col),
+        "pos",
+        F.sum("pos").over(w_cum).cast("long").alias("tp"),
+        F.sum("neg").over(w_cum).cast("long").alias("fp"),
+    )
+    term = F.floor(
+        F.col("pos").cast("double")
+        * F.col("tp").cast("double")
+        * F.lit(1.0e9)
+        / (F.col("tp") + F.col("fp")).cast("double")
+    ).cast("decimal(38,0)")
+    out = cum.groupBy(fold_col).agg(
+        F.max("tp").alias("_p"),
+        F.max("fp").alias("_n"),
+        F.sum(term).alias("_num"),
+    )
+    p = F.col("_p").cast("double")
+    n = F.col("_n").cast("double")
+    return out.select(
+        F.col(fold_col),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+        F.round(p / (p + n), 6).alias("prevalence"),
+        F.round(F.col("_num").cast("double") / (p * F.lit(1.0e9)), 6).alias("ap"),
+    ).orderBy(fold_col)

@@ -470,3 +470,108 @@ def qq_shift(
         F.round(F.col("q_ref"), 6).alias("q_ref"),
         F.round(F.col("_q") - F.col("q_ref"), 6).alias("shift"),
     )
+
+
+def cvm_from_bins(
+    binned: DataFrame,
+    fold_col: str,
+    bin_col: str,
+    ref_fold: str,
+) -> DataFrame:
+    """Binned two-sample Cramér–von Mises criterion vs the reference
+    fold → ``(fold, cvm, n_cur, n_ref)`` for every non-reference fold.
+
+    The FIFTH drift lens: KS reports only the single WORST CDF gap —
+    a spike in one bin and a broad small shift can score identically.
+    CvM integrates the SQUARED CDF gap over the pooled empirical
+    measure,
+
+        cvm = sum_b w_b * (F_cur(b) - F_ref(b))^2,
+        w_b = (n_cur,b + n_ref,b) / (N_cur + N_ref),
+
+    so distributed (many-bin) drift accumulates instead of being
+    hidden behind the max — the sensitivity profile complementary to
+    KS's sup-norm. Like KS, step CDFs make evaluation over the union
+    of observed bins exact.
+
+    Determinism: the weighted sum is computed EXACTLY in integers —
+    per bin, ``(C_cur·N_ref − C_ref·N_cur)^2 · (n_cur,b + n_ref,b)``
+    as decimal(38,0) products of cumulative long counts, summed
+    order-free — then ONE double division by ``(N_cur·N_ref)^2 ·
+    (N_cur+N_ref)``. No float summation anywhere. Envelope: the
+    decimal numerator holds while ``N_cur·N_ref·sqrt(N) < 10^19`` per
+    term-set (true through ~10^7 rows/fold — the gate scales); past
+    that, divide the cross-product gap once in double per bin before
+    squaring (identical expression both engines) — the documented
+    big-N variant.
+
+    Shape: identical to the KS/PSI siblings — ONE (fold, bin) count
+    agg with map-side partials; cumsums and the weighted reduce run
+    post-agg on domain-bounded rows (folds × bins).
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        binned.groupBy(fold_col, bin_col).agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    bins = counts.select(bin_col).distinct()
+    cur_folds = counts.select(fold_col).where(F.col(fold_col) != ref_fold).distinct()
+    grid = cur_folds.crossJoin(F.broadcast(bins))
+
+    w_cdf = (
+        Window.partitionBy(fold_col)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(fold_col)
+
+    def cum(side: DataFrame) -> DataFrame:
+        return side.select(
+            fold_col,
+            bin_col,
+            F.col("n").cast("long").alias("_n_b"),
+            F.sum("n").over(w_cdf).cast("long").alias("_cum"),
+            F.sum("n").over(w_tot).cast("long").alias("_tot"),
+        )
+
+    cur_full = grid.join(
+        counts.where(F.col(fold_col) != ref_fold), [fold_col, bin_col], "left"
+    ).select(fold_col, bin_col, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    ref_full = bins.join(
+        counts.where(F.col(fold_col) == ref_fold).select(bin_col, "n"),
+        [bin_col],
+        "left",
+    ).select(
+        F.lit(ref_fold).alias(fold_col),
+        bin_col,
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    cur = cum(cur_full)
+    ref = cum(ref_full).select(
+        bin_col,
+        F.col("_n_b").alias("_rn_b"),
+        F.col("_cum").alias("_rcum"),
+        F.col("_tot").alias("_rtot"),
+    )
+    gap = (
+        F.col("_cum").cast(dec) * F.col("_rtot").cast(dec)
+        - F.col("_rcum").cast(dec) * F.col("_tot").cast(dec)
+    )
+    term = gap * gap * (F.col("_n_b") + F.col("_rn_b")).cast(dec)
+    per = (
+        cur.join(F.broadcast(ref), [bin_col])
+        .groupBy(fold_col)
+        .agg(
+            F.sum(term).alias("_num"),
+            F.max("_tot").alias("_n"),
+            F.max("_rtot").alias("_rn"),
+        )
+    )
+    nn = F.col("_n").cast("double")
+    rn = F.col("_rn").cast("double")
+    cvm = F.col("_num").cast("double") / (nn * rn * nn * rn * (nn + rn))
+    return per.select(
+        F.col(fold_col).alias("fold"),
+        F.round(cvm, 6).alias("cvm"),
+        F.col("_n").cast("long").alias("n_cur"),
+        F.col("_rn").cast("long").alias("n_ref"),
+    )

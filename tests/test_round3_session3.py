@@ -1,0 +1,191 @@
+"""Round-3 session-3 batch 1: CvM drift, average precision, McNemar,
+Fisher exact (greater)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kkbox_churn_prediction_spark.operators.abtest import (
+    fisher_exact_greater,
+    mcnemar_paired,
+)
+from kkbox_churn_prediction_spark.operators.calibration import (
+    average_precision_by_fold,
+)
+from kkbox_churn_prediction_spark.operators.psi import cvm_from_bins
+
+
+# ------------------------------------------------------------------ CvM
+def _binned(spark, cur_counts, ref_counts):
+    rows = []
+    for b, n in enumerate(cur_counts):
+        rows += [("odd", b)] * n
+    for b, n in enumerate(ref_counts):
+        rows += [("even", b)] * n
+    return spark.createDataFrame(rows, "fold string, bin int")
+
+
+def _cvm_ref(cur_counts, ref_counts):
+    """Scalar reference: sum_b w_b (F_cur - F_ref)^2 over pooled mass."""
+    n, m = sum(cur_counts), sum(ref_counts)
+    fc = fr = 0
+    acc = 0.0
+    for cb, rb in zip(cur_counts, ref_counts):
+        fc += cb
+        fr += rb
+        acc += (cb + rb) / (n + m) * (fc / n - fr / m) ** 2
+    return acc
+
+
+def test_cvm_matches_scalar_reference(spark):
+    cur, ref = [5, 10, 3, 7], [8, 4, 9, 2]
+    got = cvm_from_bins(_binned(spark, cur, ref), "fold", "bin", "even").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["fold"] == "odd"
+    assert r["n_cur"] == sum(cur) and r["n_ref"] == sum(ref)
+    assert r["cvm"] == pytest.approx(_cvm_ref(cur, ref), abs=2e-6)
+
+
+def test_cvm_identical_distributions_zero(spark):
+    cur = ref = [6, 2, 9, 3]
+    got = cvm_from_bins(_binned(spark, cur, ref), "fold", "bin", "even").collect()
+    assert got[0]["cvm"] == 0.0
+
+
+def test_cvm_accumulates_broad_shift_where_ks_saturates(spark):
+    # a uniform one-bin-right shift: every bin contributes to CvM,
+    # while KS reports only the largest single gap
+    cur, ref = [0, 10, 10, 10, 10], [10, 10, 10, 10, 0]
+    got = cvm_from_bins(_binned(spark, cur, ref), "fold", "bin", "even").collect()
+    assert got[0]["cvm"] == pytest.approx(_cvm_ref(cur, ref), abs=2e-6)
+    assert got[0]["cvm"] > 0.01
+
+
+# ----------------------------------------------------- average precision
+def test_average_precision_matches_sklearn_semantics(spark):
+    # hand-computable: scores desc with ties grouped at one threshold
+    rows = [
+        ("a", 1, 0.9),
+        ("a", 0, 0.8),
+        ("a", 1, 0.8),
+        ("a", 0, 0.7),
+        ("a", 1, 0.6),
+        ("a", 0, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "fold string, y int, p double")
+    got = average_precision_by_fold(df, "fold", "y", "p").collect()[0]
+    # thresholds: 0.9 -> tp1 fp0 prec1; 0.8 -> tp2 fp1 prec 2/3;
+    # 0.6 -> tp3 fp2 prec 3/5; AP = (1/3)(1 + 2/3 + 3/5)
+    expect = (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0
+    assert got["n_pos"] == 3 and got["n_neg"] == 3
+    assert got["ap"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_average_precision_perfect_and_random(spark):
+    perfect = [("a", 1, 0.9), ("a", 1, 0.8), ("a", 0, 0.2), ("a", 0, 0.1)]
+    df = spark.createDataFrame(perfect, "fold string, y int, p double")
+    assert average_precision_by_fold(df, "fold", "y", "p").collect()[0][
+        "ap"
+    ] == pytest.approx(1.0, abs=2e-6)
+    # all scores tied -> AP = prevalence
+    tied = [("a", y, 0.5) for y in (1, 0, 1, 0, 0)]
+    df2 = spark.createDataFrame(tied, "fold string, y int, p double")
+    r = average_precision_by_fold(df2, "fold", "y", "p").collect()[0]
+    assert r["ap"] == pytest.approx(r["prevalence"], abs=2e-6)
+
+
+def test_average_precision_bin_scores_bounds_cardinality(spark):
+    rows = [("a", i % 2, (i + 0.5) / 64.0) for i in range(64)]
+    df = spark.createDataFrame(rows, "fold string, y int, p double")
+    exact = average_precision_by_fold(df, "fold", "y", "p").collect()[0]["ap"]
+    binned = average_precision_by_fold(df, "fold", "y", "p", bin_scores=8).collect()[
+        0
+    ]["ap"]
+    assert abs(exact - binned) < 0.2  # coarse grid, same ballpark
+
+
+# ------------------------------------------------------------- McNemar
+def _units(spark, b00, b01, b10, b11):
+    rows = (
+        [(0, 0)] * b00 + [(0, 1)] * b01 + [(1, 0)] * b10 + [(1, 1)] * b11
+    )
+    return spark.createDataFrame(rows, "pre int, post int")
+
+
+def test_mcnemar_hand_golden(spark):
+    r = mcnemar_paired(_units(spark, 20, 15, 5, 10), "pre", "post").collect()[0]
+    assert (r["b00"], r["b01"], r["b10"], r["b11"]) == (20, 15, 5, 10)
+    # (|15-5|-1)^2 / 20 = 81/20 = 4.05
+    assert r["chi2"] == pytest.approx(4.05, abs=1e-6)
+    assert r["p_value"] == pytest.approx(
+        2 * (1 - 0.5 * (1 + math.erf(math.sqrt(4.05) / math.sqrt(2)))), abs=1e-4
+    )
+
+
+def test_mcnemar_symmetric_discordance_is_null_effect(spark):
+    r = mcnemar_paired(_units(spark, 5, 8, 8, 5), "pre", "post").collect()[0]
+    assert r["chi2"] == pytest.approx((0.0) ** 2, abs=1e-9)
+    assert r["p_value"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_mcnemar_no_discordant_pairs_defined_output(spark):
+    r = mcnemar_paired(_units(spark, 7, 0, 0, 3), "pre", "post").collect()[0]
+    assert r["chi2"] == 0.0 and r["p_value"] == 1.0
+
+
+def test_mcnemar_concordant_cells_do_not_move_stat(spark):
+    a = mcnemar_paired(_units(spark, 2, 9, 3, 1), "pre", "post").collect()[0]
+    b = mcnemar_paired(_units(spark, 500, 9, 3, 400), "pre", "post").collect()[0]
+    assert a["chi2"] == b["chi2"] and a["p_value"] == b["p_value"]
+
+
+# --------------------------------------------------------- Fisher exact
+def _arm_units(spark, n_a, s_a, n_b, s_b):
+    rows = (
+        [("a", 1)] * s_a
+        + [("a", 0)] * (n_a - s_a)
+        + [("b", 1)] * s_b
+        + [("b", 0)] * (n_b - s_b)
+    )
+    return spark.createDataFrame(rows, "arm string, succ int")
+
+
+def _fisher_greater_ref(n_a, s_a, n_b, s_b):
+    from math import comb
+
+    c1 = s_a + s_b
+    n = n_a + n_b
+    denom = comb(n, c1)
+    return sum(
+        comb(n_a, k) * comb(n_b, c1 - k) / denom
+        for k in range(s_a, min(n_a, c1) + 1)
+        if 0 <= c1 - k <= n_b
+    )
+
+
+def test_fisher_exact_matches_comb_reference(spark):
+    r = fisher_exact_greater(_arm_units(spark, 12, 9, 15, 4), "arm", "succ").collect()[
+        0
+    ]
+    assert r["p_greater"] == pytest.approx(
+        _fisher_greater_ref(12, 9, 15, 4), abs=2e-6
+    )
+    # odds ratio = (9*11)/(4*3)
+    assert r["odds_ratio"] == pytest.approx(99.0 / 12.0, abs=1e-6)
+
+
+def test_fisher_exact_small_cells(spark):
+    # the regime the z-test gets wrong: 1 success vs 5 in tiny arms
+    r = fisher_exact_greater(_arm_units(spark, 8, 1, 8, 5), "arm", "succ").collect()[0]
+    assert r["p_greater"] == pytest.approx(_fisher_greater_ref(8, 1, 8, 5), abs=2e-6)
+    assert r["p_greater"] > 0.9  # a is WORSE, greater-tail p near 1
+
+
+def test_fisher_exact_zero_cell_odds_null(spark):
+    r = fisher_exact_greater(_arm_units(spark, 6, 2, 6, 0), "arm", "succ").collect()[0]
+    assert r["odds_ratio"] is None
+    assert r["p_greater"] == pytest.approx(_fisher_greater_ref(6, 2, 6, 0), abs=2e-6)
