@@ -5413,6 +5413,48 @@ def _q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_turn_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript integrity pre-flight on the engine's own input
+    contract: dense 0-based turn_idx per conversation, agreeing with
+    event-time order — per-defect conversation counts + magnitudes in
+    one summary row (one conv-partitioned window + one chained agg)."""
+    from kkbox_churn_prediction_spark.operators.profile import turn_contiguity_audit
+
+    return turn_contiguity_audit(_conv(spark, sf_dir))
+
+
+def _q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint missingness-pattern profile over (role, text, tool): which
+    column combinations go null TOGETHER (loader-defect signatures the
+    per-column null rates can't show); one bounded-signature hash agg."""
+    from kkbox_churn_prediction_spark.operators.profile import null_pattern_profile
+
+    return null_pattern_profile(_conv(spark, sf_dir), ["role", "text", "tool"])
+
+
+def _q_icc_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) of text length within conversations — the
+    variance-decomposition justification for conversation-level fold
+    assignment (cluster_safe_split): two chained hash aggs, exact
+    integer moments, 1e-6-grid deterministic cross-group terms."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import icc_oneway
+
+    return icc_oneway(_conv(spark, sf_dir), "conv_id", F.length("text"))
+
+
+def _q_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top consecutive tool TRIPLES with conditional probability and
+    lift vs the order-1 Markov chain — the memory check on
+    transition_backtest's first-order assumption; two leads on ONE
+    shared conv window, |tools|^3-bounded tables."""
+    from kkbox_churn_prediction_spark.operators.lags import tool_trigrams
+
+    return tool_trigrams(_conv(spark, sf_dir), k=20)
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5846,6 +5888,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ap_by_fold": _q_ap_by_fold,
         "mcnemar_error_shift": _q_mcnemar,
         "fisher_exact_early_error": _q_fisher_exact,
+        "turn_contiguity": _q_turn_contiguity,
+        "null_patterns": _q_null_patterns,
+        "icc_text_len": _q_icc_text_len,
+        "tool_trigrams": _q_tool_trigrams,
     }
 
 
@@ -16435,6 +16481,168 @@ FROM params p, prob
 """
 
 
+
+# Turn contiguity audit (lock-step with profile.turn_contiguity_audit)
+_TURN_CONTIGUITY_SQL = f"""
+WITH {_CONV_CTE},
+lagged AS (
+    SELECT conv_id, turn_idx,
+           LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_idx
+    FROM conversations
+),
+per_conv AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS _n,
+           CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS _nd,
+           CAST(MIN(turn_idx) AS BIGINT) AS _mn,
+           CAST(MAX(turn_idx) AS BIGINT) AS _mx,
+           CAST(SUM(CASE WHEN prev_idx IS NOT NULL AND turn_idx < prev_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS _oov
+    FROM lagged
+    GROUP BY conv_id
+),
+flags AS (
+    SELECT CASE WHEN _n > _nd THEN 1 ELSE 0 END AS dup,
+           CASE WHEN (_mx - _mn + 1) > _nd THEN 1 ELSE 0 END AS gap,
+           CASE WHEN _mn <> 0 THEN 1 ELSE 0 END AS nz,
+           CASE WHEN _oov > 0 THEN 1 ELSE 0 END AS oov,
+           _n, _nd, _mn, _mx
+    FROM per_conv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_idx,
+       CAST(SUM(gap) AS BIGINT) AS n_gapped,
+       CAST(SUM(nz) AS BIGINT) AS n_nonzero_start,
+       CAST(SUM(oov) AS BIGINT) AS n_order_violation,
+       CAST(SUM(CASE WHEN dup + gap + nz + oov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(SUM(_n - _nd) AS BIGINT) AS excess_dup_rows,
+       CAST(SUM(_mx - _mn + 1 - _nd) AS BIGINT) AS missing_indices
+FROM flags
+"""
+
+
+# Null-pattern profile (lock-step with profile.null_pattern_profile
+# over (role, text, tool))
+_NULL_PATTERNS_SQL = f"""
+WITH {_CONV_CTE},
+sig AS (
+    SELECT concat('role:', CASE WHEN role IS NULL THEN '1' ELSE '0' END,
+                  ',text:', CASE WHEN text IS NULL THEN '1' ELSE '0' END,
+                  ',tool:', CASE WHEN tool IS NULL THEN '1' ELSE '0' END) AS pattern
+    FROM conversations
+),
+counts AS (
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM sig GROUP BY pattern
+),
+tot AS (SELECT SUM(n_rows) AS _tot FROM counts)
+SELECT c.pattern, c.n_rows,
+       ROUND(CAST(c.n_rows AS DOUBLE) / CAST(t._tot AS DOUBLE), 6) AS share
+FROM counts c CROSS JOIN tot t
+ORDER BY c.n_rows DESC, c.pattern
+LIMIT 50
+"""
+
+
+# ICC(1) (lock-step with association.icc_oneway: exact integer
+# moments; Σ s1²/n on the 1e-6 floor grid as hugeint)
+_ICC_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(length(text) AS BIGINT) * CAST(length(text) AS BIGINT))
+                AS BIGINT) AS s2
+    FROM conversations
+    WHERE text IS NOT NULL
+    GROUP BY conv_id
+),
+red AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(SUM(s1) AS HUGEINT) AS t1,
+           CAST(SUM(s2) AS HUGEINT) AS t2,
+           CAST(SUM(CAST(FLOOR(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * 1000000.0
+                                / CAST(n AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS tsq,
+           CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS HUGEINT) AS tn2
+    FROM per
+)
+SELECT k AS k_groups, n_tot AS n_total,
+       ROUND((CAST(n_tot AS DOUBLE) - CAST(tn2 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             / (CAST(k AS DOUBLE) - 1.0), 6) AS n0,
+       ROUND(CASE WHEN k > 1 THEN
+             (CAST(tsq AS DOUBLE) / 1e6
+              - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             / (CAST(k AS DOUBLE) - 1.0) END, 6) AS msb,
+       ROUND(CASE WHEN n_tot > k THEN
+             (CAST(t2 AS DOUBLE) - CAST(tsq AS DOUBLE) / 1e6)
+             / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)) END, 6) AS msw,
+       ROUND(CASE WHEN k > 1 AND n_tot > k AND
+             ((CAST(tsq AS DOUBLE) / 1e6
+               - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0)
+              + ((CAST(n_tot AS DOUBLE) - CAST(tn2 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+                * ((CAST(t2 AS DOUBLE) - CAST(tsq AS DOUBLE) / 1e6)
+                   / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))) > 0
+             THEN
+             ((CAST(tsq AS DOUBLE) / 1e6
+               - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0)
+              - (CAST(t2 AS DOUBLE) - CAST(tsq AS DOUBLE) / 1e6)
+                / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))
+             / ((CAST(tsq AS DOUBLE) / 1e6
+                 - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1.0)
+                + ((CAST(n_tot AS DOUBLE) - CAST(tn2 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+                  * ((CAST(t2 AS DOUBLE) - CAST(tsq AS DOUBLE) / 1e6)
+                     / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))) END, 6) AS icc
+FROM red
+"""
+
+
+# Tool trigrams (lock-step with lags.tool_trigrams)
+_TOOL_TRIGRAMS_SQL = f"""
+WITH {_CONV_CTE},
+calls AS (
+    SELECT conv_id, ts, turn_idx, tool FROM conversations WHERE tool IS NOT NULL
+),
+led AS (
+    SELECT tool AS t1,
+           LEAD(tool, 1) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS t2,
+           LEAD(tool, 2) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS t3
+    FROM calls
+),
+tri AS (
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM led WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+),
+ctx AS (SELECT t1, t2, SUM(n) AS _cn FROM tri GROUP BY t1, t2),
+pairs AS (
+    SELECT t1 AS t2, t2 AS t3, CAST(COUNT(*) AS BIGINT) AS _bn
+    FROM led WHERE t2 IS NOT NULL
+    GROUP BY 1, 2
+),
+from_b AS (SELECT t2, SUM(_bn) AS _btot FROM pairs GROUP BY t2),
+bigram_cond AS (
+    SELECT p.t2, p.t3, CAST(p._bn AS DOUBLE) / CAST(f._btot AS DOUBLE) AS _p1
+    FROM pairs p JOIN from_b f ON p.t2 = f.t2
+)
+SELECT tri.t1, tri.t2, tri.t3, tri.n,
+       ROUND(CAST(tri.n AS DOUBLE) * 1.0 / CAST(c._cn AS DOUBLE), 6) AS p_cond,
+       ROUND((CAST(tri.n AS DOUBLE) * 1.0 / CAST(c._cn AS DOUBLE)) / b._p1, 6) AS lift
+FROM tri
+JOIN ctx c ON tri.t1 = c.t1 AND tri.t2 = c.t2
+JOIN bigram_cond b ON tri.t2 = b.t2 AND tri.t3 = b.t3
+ORDER BY tri.n DESC, tri.t1, tri.t2, tri.t3
+LIMIT 20
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16773,4 +16981,8 @@ def oracle_sql() -> dict[str, str]:
         "ap_by_fold": _AP_SQL,
         "mcnemar_error_shift": _mcnemar_sql(),
         "fisher_exact_early_error": _FISHER_SQL,
+        "turn_contiguity": _TURN_CONTIGUITY_SQL,
+        "null_patterns": _NULL_PATTERNS_SQL,
+        "icc_text_len": _ICC_SQL,
+        "tool_trigrams": _TOOL_TRIGRAMS_SQL,
     }

@@ -498,3 +498,82 @@ def simpsons_paradox_screen(
         "n_opposing_strata",
         paradox.cast("int").alias("paradox_flag"),
     ).orderBy("stratum")
+
+
+def icc_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """ICC(1): one-way random-effects intraclass correlation — what
+    fraction of a turn-level metric's variance lives BETWEEN
+    conversations vs within them. The design statistic behind
+    :func:`~kkbox_churn_prediction_spark.operators.sampling.cluster_safe_split`:
+    a high ICC means turns within a conversation are near-duplicates
+    of each other, so row-level random splits leak (the design-effect
+    1 + (n̄−1)·ICC inflates effective duplication) and fold
+    assignment MUST be by conversation. From the one-way ANOVA
+    decomposition: ``ICC = (MSB − MSW) / (MSB + (n0 − 1)·MSW)`` with
+    ``n0 = (N − Σn_i²/N) / (k − 1)`` the unbalanced-design group
+    size.
+
+    Output: ONE row — ``k_groups, n_total, n0, msb, msw, icc`` (icc
+    clamped to the defined NULL when MSW and MSB both vanish).
+
+    Distributed shape: two chained hash aggs, no window, no sort —
+    per-group (n, Σv, Σv²) first (map-side combined; the group table
+    is #groups-sized but never collected), then a second agg over it.
+    Determinism: Σv/Σv² accumulate EXACTLY (long sums of integer
+    metrics); the cross-group reductions quantize each per-group
+    rational term onto the 1e-6 floor grid as ONE fixed-shape double
+    expression (identical IEEE sequence in both engines) and sum
+    decimals order-free — the average_precision discipline — so the
+    10^9-group sum never depends on partition order.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    per = (
+        df.select(F.col(group_col).alias("_g"), v.cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").cast("long").alias("s1"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("s2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    # per-group rational terms on the 1e-6 floor grid (fixed-shape
+    # double expr -> floor -> exact decimal sum; order-free)
+    grid = F.lit(1.0e6)
+    sq_over_n = F.floor(
+        F.col("s1").cast("double") * F.col("s1").cast("double") * grid
+        / F.col("n").cast("double")
+    ).cast(dec)
+    nsq = (F.col("n").cast(dec) * F.col("n").cast(dec))
+    red = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s1").cast(dec).alias("t1"),
+        F.sum("s2").cast(dec).alias("t2"),
+        F.sum(sq_over_n).alias("tsq"),  # Σ s1_i²/n_i on the 1e-6 grid
+        F.sum(nsq).alias("tn2"),  # Σ n_i²
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n_tot").cast("double")
+    t1 = F.col("t1").cast("double")
+    t2 = F.col("t2").cast("double")
+    tsq = F.col("tsq").cast("double") / 1.0e6
+    tn2 = F.col("tn2").cast("double")
+    ssb = tsq - t1 * t1 / n
+    ssw = t2 - tsq
+    msb = ssb / (k - F.lit(1.0))
+    msw = ssw / (n - k)
+    n0 = (n - tn2 / n) / (k - F.lit(1.0))
+    icc = F.when(
+        (k > 1) & (n > k) & ((msb + (n0 - F.lit(1.0)) * msw) > 0),
+        (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw),
+    )
+    return red.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_total"),
+        F.round(n0, 6).alias("n0"),
+        F.round(F.when(k > 1, msb), 6).alias("msb"),
+        F.round(F.when(n > k, msw), 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+    )

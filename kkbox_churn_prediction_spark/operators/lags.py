@@ -625,3 +625,68 @@ def markov_stationary(
     return spark.createDataFrame(
         data, "state string, n_out bigint, mass_q bigint, pi double"
     ).orderBy("state")
+
+
+def tool_trigrams(turns: DataFrame, k: int = 20) -> DataFrame:
+    """Workflow mining one order deeper than :func:`tool_bigrams`:
+    the top-``k`` consecutive TOOL TRIPLES across conversations —
+    the minimal sequential pattern that distinguishes a genuine
+    pipeline (search→fetch→summarize) from two independent popular
+    pairs, and the empirical check on the first-order Markov
+    assumption :func:`transition_backtest` scores (a trigram whose
+    count beats its bigram-chain prediction is memory the order-1
+    model misses: the lift column reports exactly that ratio).
+
+    Output: ``(t1, t2, t3, n, p_cond, lift)`` — conditional
+    P(t3 | t1,t2) over counted triples, and lift vs the order-1
+    chain prediction P(t3 | t2) taken from the bigram table.
+
+    Shape: filter to tool turns at the scan, TWO leads over the ONE
+    shared conv window (single Window node), |tools|³-bounded count
+    table, broadcast bigram join, TakeOrdered top-k. The corpus is
+    touched once.
+    """
+    calls = turns.where(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    triples = (
+        calls.withColumn("_t2", F.lead("tool", 1).over(w))
+        .withColumn("_t3", F.lead("tool", 2).over(w))
+        .where(F.col("_t2").isNotNull() & F.col("_t3").isNotNull())
+        .select(
+            F.col("tool").alias("t1"),
+            F.col("_t2").alias("t2"),
+            F.col("_t3").alias("t3"),
+        )
+    )
+    tri = triples.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # order-1 chain reference P(t3|t2) from the SAME turn stream's
+    # bigram counts (|tools|²-bounded, broadcastable)
+    pairs = (
+        calls.withColumn("_next", F.lead("tool").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(F.col("tool").alias("t2"), F.col("_next").alias("t3"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+    )
+    from_b = pairs.groupBy("t2").agg(F.sum("_bn").alias("_btot"))
+    bigram_cond = pairs.join(from_b, "t2").select(
+        "t2", "t3", (F.col("_bn") * 1.0 / F.col("_btot")).alias("_p1")
+    )
+    ctx = tri.groupBy("t1", "t2").agg(F.sum("n").alias("_cn"))
+    return (
+        tri.join(ctx, ["t1", "t2"])
+        .join(F.broadcast(bigram_cond), ["t2", "t3"])
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("_cn"), 6).alias("p_cond"),
+            F.round((F.col("n") * 1.0 / F.col("_cn")) / F.col("_p1"), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(int(k))
+    )

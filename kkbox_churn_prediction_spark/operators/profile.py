@@ -513,3 +513,112 @@ def fk_orphan_audit(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("relationship")
+
+
+def turn_contiguity_audit(turns: DataFrame) -> DataFrame:
+    """Transcript integrity audit over the engine's OWN input
+    contract: ``turn_idx`` must be a dense 0..n-1 sequence per
+    conversation whose order agrees with event time. Upstream loaders
+    violate this in four distinct ways — duplicated indices (double
+    ingest), gaps (dropped turns), non-zero start (truncated head),
+    and ts/idx order disagreement (clock skew or out-of-order
+    ingest) — and every window operator in this engine (sessionize,
+    lag/lead, as-of) silently degrades under them, so this is the
+    pre-flight the backfill job should gate on (the transcript twin
+    of :func:`fk_orphan_audit`).
+
+    Output: ONE summary row — ``n_convs``, per-defect conversation
+    counts (``n_dup_idx``, ``n_gapped``, ``n_nonzero_start``,
+    ``n_order_violation``), ``n_clean``, plus total excess duplicate
+    rows and total missing indices (magnitude, not just incidence).
+
+    Shape: the lag for the order check is computed BEFORE the
+    groupBy, so all four defect signals fold into a SINGLE per-conv
+    hash agg riding the window's conv_id partitioning — one corpus
+    shuffle total — followed by a 1-row reduce.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    lagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.lag("turn_idx").over(w).alias("_prev_idx"),
+    )
+    per_conv = lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count_distinct(F.col("turn_idx")).cast("long").alias("_nd"),
+        F.min("turn_idx").cast("long").alias("_mn"),
+        F.max("turn_idx").cast("long").alias("_mx"),
+        F.sum(
+            F.when(F.col("_prev_idx").isNotNull() & (F.col("turn_idx") < F.col("_prev_idx")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_oov"),
+    )
+    dup = (F.col("_n") > F.col("_nd")).cast("int")
+    gap = ((F.col("_mx") - F.col("_mn") + 1) > F.col("_nd")).cast("int")
+    nz = (F.col("_mn") != 0).cast("int")
+    oov = (F.col("_oov") > 0).cast("int")
+    return per_conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum(dup).cast("long").alias("n_dup_idx"),
+        F.sum(gap).cast("long").alias("n_gapped"),
+        F.sum(nz).cast("long").alias("n_nonzero_start"),
+        F.sum(oov).cast("long").alias("n_order_violation"),
+        F.sum(
+            F.when((dup + gap + nz + oov) == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.col("_n") - F.col("_nd")).cast("long").alias("excess_dup_rows"),
+        F.sum(F.col("_mx") - F.col("_mn") + 1 - F.col("_nd"))
+        .cast("long")
+        .alias("missing_indices"),
+    )
+
+
+def null_pattern_profile(
+    df: DataFrame, cols: list[str], *, k: int = 50
+) -> DataFrame:
+    """Missing-data PATTERN profile: which COMBINATIONS of the given
+    columns go null together, with counts and shares — the joint view
+    :func:`profile_table`'s per-column null rates can't give
+    (100 "text null" + 100 "tool null" is two different datasets
+    depending on whether they're the same 100 rows). The standard
+    missingness-mechanism triage (MCAR vs systematic loader bugs:
+    a dominant joint pattern is a pipeline defect signature, not
+    random noise).
+
+    Output: one row per observed pattern — ``pattern`` is the
+    column:0/1 signature string (1 = null), ``n_rows``, ``share`` —
+    top-``k`` by count with a deterministic pattern tiebreak.
+
+    Shape: ONE hash agg over the pattern signature (map-side
+    combined; ≤ 2^len(cols) distinct groups regardless of row count)
+    + a broadcast 1-row total. The signature is a pure string expr —
+    no UDF, no explode.
+    """
+    sig = F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(c + ":"), F.col(c).isNull().cast("int").cast("string"))
+            for c in cols
+        ],
+    )
+    counts = (
+        df.select(sig.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "pattern")
+        .limit(int(k))
+    )

@@ -189,3 +189,138 @@ def test_fisher_exact_zero_cell_odds_null(spark):
     r = fisher_exact_greater(_arm_units(spark, 6, 2, 6, 0), "arm", "succ").collect()[0]
     assert r["odds_ratio"] is None
     assert r["p_greater"] == pytest.approx(_fisher_greater_ref(6, 2, 6, 0), abs=2e-6)
+
+
+# ----------------------------------------------- turn contiguity audit
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp"
+    )
+
+
+def test_contiguity_clean_and_defects(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.profile import (
+        turn_contiguity_audit,
+    )
+
+    t0 = datetime(2024, 5, 1)
+
+    def seq(conv, idxs):
+        return [(conv, i, t0 + timedelta(minutes=j)) for j, i in enumerate(idxs)]
+
+    rows = (
+        seq("clean", [0, 1, 2])
+        + seq("dup", [0, 1, 1, 2])        # duplicated index
+        + seq("gap", [0, 1, 3])           # missing idx 2
+        + seq("late", [2, 3, 4])          # truncated head
+        + seq("ooo", [0, 2, 1])           # ts order disagrees with idx
+    )
+    r = turn_contiguity_audit(_turns(spark, rows)).collect()[0]
+    assert r["n_convs"] == 5
+    assert r["n_dup_idx"] == 1
+    assert r["n_gapped"] == 1
+    assert r["n_nonzero_start"] == 1
+    assert r["n_order_violation"] == 1
+    assert r["n_clean"] == 1
+    assert r["excess_dup_rows"] == 1
+    assert r["missing_indices"] == 1  # only conv "gap" (span 4, 3 distinct)
+
+
+def test_contiguity_all_clean(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.profile import (
+        turn_contiguity_audit,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (c, i, t0 + timedelta(minutes=i)) for c in ("a", "b") for i in range(4)
+    ]
+    r = turn_contiguity_audit(_turns(spark, rows)).collect()[0]
+    assert r["n_clean"] == r["n_convs"] == 2
+    assert (
+        r["excess_dup_rows"] == r["missing_indices"] == r["n_order_violation"] == 0
+    )
+
+
+# ------------------------------------------------- null pattern profile
+def test_null_patterns_joint_signature(spark):
+    from kkbox_churn_prediction_spark.operators.profile import (
+        null_pattern_profile,
+    )
+
+    rows = [("u", "x"), ("u", None), ("u", None), (None, None)]
+    df = spark.createDataFrame(rows, "role string, tool string")
+    got = {
+        r["pattern"]: (r["n_rows"], r["share"])
+        for r in null_pattern_profile(df, ["role", "tool"]).collect()
+    }
+    assert got["role:0,tool:1"] == (2, 0.5)
+    assert got["role:0,tool:0"] == (1, 0.25)
+    assert got["role:1,tool:1"] == (1, 0.25)
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------ ICC(1)
+def _icc_ref(groups):
+    import numpy as np
+
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    mean = np.mean([v for g in groups for v in g])
+    ssb = sum(len(g) * (np.mean(g) - mean) ** 2 for g in groups)
+    ssw = sum((v - np.mean(g)) ** 2 for g in groups for v in g)
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    n0 = (n - sum(len(g) ** 2 for g in groups) / n) / (k - 1)
+    return (msb - msw) / (msb + (n0 - 1) * msw)
+
+
+def test_icc_matches_anova_reference(spark):
+    from kkbox_churn_prediction_spark.operators.association import icc_oneway
+
+    groups = [[10, 12, 11], [30, 29, 31, 32], [50, 52]]
+    rows = [(f"g{i}", v) for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "conv_id string, v int")
+    r = icc_oneway(df, "conv_id", "v").collect()[0]
+    assert r["k_groups"] == 3 and r["n_total"] == 9
+    assert r["icc"] == pytest.approx(_icc_ref(groups), abs=1e-4)
+    assert r["icc"] > 0.9  # strongly clustered by design
+
+
+def test_icc_no_between_variance_is_near_zero(spark):
+    from kkbox_churn_prediction_spark.operators.association import icc_oneway
+
+    groups = [[1, 5, 9], [5, 1, 9], [9, 5, 1]]
+    rows = [(f"g{i}", v) for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "conv_id string, v int")
+    r = icc_oneway(df, "conv_id", "v").collect()[0]
+    assert r["msb"] == pytest.approx(0.0, abs=1e-6)
+    assert r["icc"] < 0.0  # identical means -> small negative ICC
+
+
+# ------------------------------------------------------- tool trigrams
+def test_tool_trigrams_pipeline_lift(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.lags import tool_trigrams
+
+    t0 = datetime(2024, 6, 1)
+    rows = []
+    # 6 conversations running the pipeline a->b->c; 3 running d->b->e
+    for c in range(6):
+        for i, tool in enumerate(["a", "b", "c"]):
+            rows.append((f"p{c}", i, "tool", None, tool, t0 + timedelta(minutes=i)))
+    for c in range(3):
+        for i, tool in enumerate(["d", "b", "e"]):
+            rows.append((f"q{c}", i, "tool", None, tool, t0 + timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r["t1"], r["t2"], r["t3"]): r for r in tool_trigrams(df, k=10).collect()}
+    abc = got[("a", "b", "c")]
+    assert abc["n"] == 6 and abc["p_cond"] == 1.0
+    # order-1 chain: P(c|b) = 6/9, so the pipeline's lift is 9/6
+    assert abc["lift"] == pytest.approx(9.0 / 6.0, abs=1e-6)
