@@ -5455,6 +5455,45 @@ def _q_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the customer↔supplier trade
+    graph (same distinct-edge build as supplier_pagerank): top-50
+    unconnected pairs by inverse-log common-neighbor weight — the
+    edge-nomination complement to the descriptive graph family;
+    hub-capped wedge join, exact integer term sums."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.components import adamic_adar
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return adamic_adar(edges, "src", "dst", k=50, max_degree=50)
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-table training (8 greedy rounds) over the
+    document corpus vocabulary — the tokenizer-trainer artifact
+    completing bpe_pair_counts' single round; vocab-weighted pair
+    stats, delimiter-encoded left-to-right merges identical across
+    engines, driver replay under the vocab threshold."""
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), n_merges=8)
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5892,6 +5931,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_patterns": _q_null_patterns,
         "icc_text_len": _q_icc_text_len,
         "tool_trigrams": _q_tool_trigrams,
+        "adamic_adar_trades": _q_adamic_adar,
+        "bpe_train_merges": _q_bpe_train,
     }
 
 
@@ -16643,6 +16684,104 @@ LIMIT 20
 """
 
 
+
+# Adamic–Adar (lock-step with components.adamic_adar over the
+# supplier_pagerank edge build; hub cap mirrored)
+_ADAMIC_ADAR_SQL = """
+WITH e AS (
+    SELECT DISTINCT concat('c', o_custkey) AS a, concat('s', l_suppkey) AS b
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+und AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT b AS a, a AS b FROM e
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY a),
+centers AS (
+    SELECT a AS w,
+           CAST(FLOOR(1000000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS term
+    FROM deg WHERE deg >= 2 AND deg <= 50
+),
+adj AS (
+    SELECT u.a AS w, c.term, u.b AS n
+    FROM und u JOIN centers c ON u.a = c.w
+),
+wedges AS (
+    SELECT l.w, l.term, l.n AS u, r.n AS v
+    FROM adj l JOIN adj r ON l.w = r.w
+    WHERE l.n < r.n
+),
+scored AS (
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(term) AS BIGINT) AS s
+    FROM wedges GROUP BY u, v
+),
+cand AS (
+    SELECT sc.* FROM scored sc
+    WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = sc.u AND und.b = sc.v)
+)
+SELECT u, v, n_common,
+       ROUND(CAST(s AS DOUBLE) / 1000000000.0, 6) AS score
+FROM cand
+ORDER BY s DESC, u, v
+LIMIT 50
+"""
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE merge-training oracle (lock-step with
+    textstats.bpe_train_merges: same vocab filter, delimiter
+    encoding, argmax tiebreak, and replace() merge semantics)."""
+    x = "regexp_replace(word, '(.)', '\\1||', 'g')"
+    parts = [
+        f"""words AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+    WHERE len(word) >= 2 AND len(word) <= 32
+      AND regexp_matches(word, '^[a-z0-9]+$')
+    GROUP BY 1
+),
+reps0 AS MATERIALIZED (
+    SELECT '|' || substr({x}, 1, length({x}) - 1) AS rep, wf FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        j = i - 1
+        pat = (
+            f"COALESCE('|' || (SELECT a FROM best{i}) || '||' "
+            f"|| (SELECT b FROM best{i}) || '|', chr(1))"
+        )
+        sub = (
+            f"COALESCE('|' || (SELECT a FROM best{i}) "
+            f"|| (SELECT b FROM best{i}) || '|', chr(1))"
+        )
+        parts.append(
+            f"""syms{i} AS MATERIALIZED (
+    SELECT string_split(substr(rep, 2, length(rep) - 2), '||') AS l, wf
+    FROM reps{j}
+),
+pairs{i} AS (
+    SELECT l[CAST(jj AS INTEGER)] AS a, l[CAST(jj AS INTEGER) + 1] AS b, wf
+    FROM (SELECT l, wf, unnest(range(1, len(l))) AS jj FROM syms{i}) t
+),
+best{i} AS MATERIALIZED (
+    SELECT a, b, CAST(SUM(wf) AS BIGINT) AS c
+    FROM pairs{i} GROUP BY a, b
+    ORDER BY c DESC, a, b LIMIT 1
+),
+reps{i} AS MATERIALIZED (
+    SELECT replace(rep, {pat}, {sub}) AS rep, wf FROM reps{j}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, c AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY merge_rank"
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -16985,4 +17124,6 @@ def oracle_sql() -> dict[str, str]:
         "null_patterns": _NULL_PATTERNS_SQL,
         "icc_text_len": _ICC_SQL,
         "tool_trigrams": _TOOL_TRIGRAMS_SQL,
+        "adamic_adar_trades": _ADAMIC_ADAR_SQL,
+        "bpe_train_merges": _bpe_train_sql(8),
     }

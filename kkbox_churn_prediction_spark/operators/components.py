@@ -952,3 +952,80 @@ def _k_core_driver(spark, tbl, k: int) -> DataFrame:
     if not rows:
         out = out.where(F.col("node").isNotNull())
     return out.orderBy("node")
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 50,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for
+    node pairs NOT currently connected, score their affinity by the
+    common-neighbor sum ``AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)``
+    — rare shared neighbors count more than promiscuous hubs. The
+    predictive complement to the descriptive graph family
+    (:func:`pagerank` ranks nodes, :func:`triangle_stats` measures
+    closure, this NOMINATES the edges closure will create next) —
+    e.g. which customer–supplier trades the co-purchase graph
+    implies but hasn't seen, or which near-dup cluster pairs LSH
+    likely missed. Top-``k`` by score with deterministic (u, v)
+    tiebreak; emits ``(u, v, n_common, score)``.
+
+    Scale shape: the wedge build is the classic adjacency self-join
+    on the CENTER node — cost Σ_w deg(w)², bounded by the
+    ``max_degree`` hub cap (a 10^6-degree hub contributes 10^12
+    wedges of near-zero 1/ln weight each; capping at 1000 drops
+    only terms ≤ 1/ln(1000) ≈ 0.14 while removing the quadratic
+    blowup — the shingle-frequency-cap discipline from the n-gram
+    dedup family, mirrored in the oracle). Existing edges are
+    removed with one LEFT ANTI join; everything is hash joins + one
+    TakeOrdered.
+
+    Determinism: per-center terms ``floor(10^9 / ln(deg_w))`` are
+    integers (one fixed-shape double expression per DISTINCT degree
+    value), summed exactly as longs — order-free; n_common is an
+    exact count.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.persist()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    centers = deg.where((F.col("deg") >= 2) & (F.col("deg") <= max_degree)).select(
+        F.col("a").alias("w"),
+        F.floor(F.lit(1.0e9) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("term"),
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("n")).join(
+        centers, "w"
+    )
+    left = adj.select("w", "term", F.col("n").alias("u"))
+    right = adj.select("w", F.col("n").alias("v"))
+    wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("term").cast("long").alias("_s"),
+    )
+    cand = scored.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    out = (
+        cand.orderBy(F.desc("_s"), "u", "v")
+        .limit(int(k))
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("_s").cast("double") / 1.0e9, 6).alias("score"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

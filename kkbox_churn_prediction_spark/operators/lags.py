@@ -648,25 +648,33 @@ def tool_trigrams(turns: DataFrame, k: int = 20) -> DataFrame:
     """
     calls = turns.where(F.col("tool").isNotNull())
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    triples = (
-        calls.withColumn("_t2", F.lead("tool", 1).over(w))
-        .withColumn("_t3", F.lead("tool", 2).over(w))
-        .where(F.col("_t2").isNotNull() & F.col("_t3").isNotNull())
-        .select(
+    # BOTH leads ride ONE Window node; the slim (t1,t2,t3) projection
+    # feeds the trigram AND the order-1 bigram branches, so persist it
+    # (shared-intermediate discipline) — one corpus window pass total
+    from pyspark import StorageLevel
+
+    led = (
+        calls.select(
+            "conv_id",
+            "ts",
+            "turn_idx",
             F.col("tool").alias("t1"),
-            F.col("_t2").alias("t2"),
-            F.col("_t3").alias("t3"),
+            F.lead("tool", 1).over(w).alias("t2"),
+            F.lead("tool", 2).over(w).alias("t3"),
         )
+        .select("t1", "t2", "t3")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tri = triples.groupBy("t1", "t2", "t3").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    tri = (
+        led.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    # order-1 chain reference P(t3|t2) from the SAME turn stream's
+    # order-1 chain reference P(t3|t2) from the SAME lead stream's
     # bigram counts (|tools|²-bounded, broadcastable)
     pairs = (
-        calls.withColumn("_next", F.lead("tool").over(w))
-        .where(F.col("_next").isNotNull())
-        .groupBy(F.col("tool").alias("t2"), F.col("_next").alias("t3"))
+        led.where(F.col("t2").isNotNull())
+        .groupBy(F.col("t1").alias("t2"), F.col("t2").alias("t3"))
         .agg(F.count(F.lit(1)).cast("long").alias("_bn"))
     )
     from_b = pairs.groupBy("t2").agg(F.sum("_bn").alias("_btot"))

@@ -2053,3 +2053,134 @@ def gopher_quality_flags(
         )
         .orderBy("source")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    min_word_len: int = 2,
+    max_word_len: int = 32,
+    driver_max_vocab: int = 2_000_000,
+) -> DataFrame:
+    """FULL BPE merge-table training (the iterative step
+    :func:`bpe_pair_counts` is one round of): run ``n_merges``
+    greedy merges over the corpus vocabulary and emit the learned
+    merge table → ``(merge_rank, left_sym, right_sym, merged,
+    pair_count)`` — the artifact a tokenizer trainer persists
+    (Sennrich et al. 2016, the algorithm behind GPT/Llama vocabs).
+
+    Algorithm: words → symbol sequences (initially characters); each
+    round counts adjacent symbol pairs WEIGHTED BY WORD FREQUENCY,
+    merges the argmax pair (count DESC, then lexicographic — the
+    deterministic tiebreak) into one symbol everywhere, repeats.
+    Merging is greedy left-to-right non-overlapping within a word —
+    implemented via literal string ``replace`` on a
+    delimiter-encoded symbol string (``|a||b||c|``; pattern
+    ``|a||b|`` → ``|ab|``), whose scan-ahead-after-replacement
+    semantics are IDENTICAL in Python, Spark ``replace`` and DuckDB
+    ``replace`` — so all three engines merge ``aaa`` the same way.
+    Training is restricted to clean ``[a-z0-9]+`` words of length
+    [min_word_len, max_word_len] (punctuation tokens carry no
+    subword signal, and the charset guarantee keeps the delimiter
+    encoding collision-free).
+
+    Scale shape: pair statistics run on the DISTINCT-WORD table
+    weighted by frequency, never the corpus — ONE corpus
+    explode+shuffle builds (word, wf); every merge round then costs
+    O(vocab) (Heaps-bounded, ≤ a few million rows at 100 TB). Below
+    ``driver_max_vocab`` the rounds replay on the driver over the
+    collected vocab (the k_core/_cc_driver discipline: a 100-round
+    Python loop over ≤2M rows beats 100 tiny distributed jobs by
+    orders of magnitude, and is hash-identical by construction);
+    past it, the distributed loop iterates with per-round
+    ``localCheckpoint`` lineage truncation and a 1-row argmax
+    collect per round (the kmeans-centroid pattern).
+    """
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+
+    words = (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .where(
+            (F.length("word") >= min_word_len)
+            & (F.length("word") <= max_word_len)
+            & F.col("word").rlike("^[a-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    spark = df.sparkSession
+    n_vocab = words.count()
+    schema = (
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long"
+    )
+    if n_vocab <= driver_max_vocab:
+        rows = words.collect()
+        reps = [
+            ("|" + "||".join(w["word"]) + "|", int(w["wf"])) for w in rows
+        ]
+        out = []
+        for rank in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for rep, wf in reps:
+                syms = rep[1:-1].split("||")
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    counts[key] = counts.get(key, 0) + wf
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, a, b, a + b, c))
+            pat, sub = f"|{a}||{b}|", f"|{a}{b}|"
+            reps = [(rep.replace(pat, sub), wf) for rep, wf in reps]
+        return spark.createDataFrame(out, schema)
+
+    # distributed rounds: vocab-sized pair agg + 1-row argmax collect
+    reps_df = words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.split(F.col("word"), ""), "||"),
+            F.lit("|"),
+        ).alias("rep"),
+        "wf",
+    ).persist()
+    out = []
+    for rank in range(1, n_merges + 1):
+        syms = reps_df.select(
+            F.split(F.expr("substr(rep, 2, length(rep) - 2)"), r"\|\|").alias("l"),
+            "wf",
+        )
+        pairs = syms.select(
+            F.explode(F.sequence(F.lit(1), F.size("l") - 1)).alias("i"),
+            "l",
+            "wf",
+        ).select(
+            F.col("l")[F.col("i") - 1].alias("a"),
+            F.col("l")[F.col("i")].alias("b"),
+            "wf",
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wf").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        out.append((rank, a, b, a + b, int(c)))
+        nxt = reps_df.select(
+            F.replace(
+                F.col("rep"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("rep"),
+            "wf",
+        ).localCheckpoint(eager=True)
+        reps_df.unpersist()
+        reps_df = nxt
+    reps_df.unpersist()
+    return spark.createDataFrame(out, schema)

@@ -324,3 +324,127 @@ def test_tool_trigrams_pipeline_lift(spark):
     assert abc["n"] == 6 and abc["p_cond"] == 1.0
     # order-1 chain: P(c|b) = 6/9, so the pipeline's lift is 9/6
     assert abc["lift"] == pytest.approx(9.0 / 6.0, abs=1e-6)
+
+
+# ------------------------------------------------------- Adamic–Adar
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    from kkbox_churn_prediction_spark.operators.components import adamic_adar
+
+    # w1 connects {a,b}; w2 connects {a,b,c}; no a-b edge exists
+    edges = [("a", "w1"), ("b", "w1"), ("a", "w2"), ("b", "w2"), ("c", "w2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["u"], r["v"]): r for r in adamic_adar(df, k=10).collect()}
+    ab = got[("a", "b")]
+    # common neighbors: w1 (deg 2), w2 (deg 3)
+    expect = 1 / math.log(2) + 1 / math.log(3)
+    assert ab["n_common"] == 2
+    assert ab["score"] == pytest.approx(expect, abs=1e-6)
+    # (a,c) share only w2
+    assert got[("a", "c")]["score"] == pytest.approx(1 / math.log(3), abs=1e-6)
+
+
+def test_adamic_adar_excludes_existing_edges_and_hubs(spark):
+    from kkbox_churn_prediction_spark.operators.components import adamic_adar
+
+    # a-b are directly connected AND share w; hub h has degree 4 > cap
+    edges = (
+        [("a", "b"), ("a", "w"), ("b", "w")]
+        + [("h", x) for x in ("p", "q", "r", "s")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["u"], r["v"]) for r in adamic_adar(df, k=50, max_degree=3).collect()}
+    assert ("a", "b") not in got  # existing edge suppressed
+    # hub-centered wedges (p,q)... are dropped by the degree cap
+    assert not any(u in "pqrs" and v in "pqrs" for u, v in got)
+
+
+# --------------------------------------------------- BPE merge training
+def _bpe_ref(word_freqs, n_merges):
+    """Independent reference: dict-of-tuples BPE trainer."""
+    reps = [(tuple(w), f) for w, f in word_freqs.items()]
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in reps:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, a + b, c))
+        new_reps = []
+        for syms, f in reps:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_reps.append((tuple(merged), f))
+        reps = new_reps
+    return out
+
+
+def _docs_df(spark, word_freqs):
+    rows = [(" ".join([w] * f),) for w, f in word_freqs.items()]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_bpe_train_matches_reference(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_train_merges
+
+    wf = {"aaab": 3, "aab": 2, "abab": 4, "banana": 5}
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(_docs_df(spark, wf), n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _bpe_ref(wf, 5)
+
+
+def test_bpe_greedy_left_to_right_on_runs(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_train_merges
+
+    # "aaaa": after merging (a,a) greedily left-to-right -> (aa)(aa),
+    # so round 2 must see pair (aa,aa), never (a,aa)
+    wf = {"aaaa": 10, "ab": 1}
+    got = bpe_train_merges(_docs_df(spark, wf), n_merges=2).orderBy(
+        "merge_rank"
+    ).collect()
+    assert (got[0]["left_sym"], got[0]["right_sym"]) == ("a", "a")
+    assert (got[1]["left_sym"], got[1]["right_sym"]) == ("aa", "aa")
+    assert got == [
+        r
+        for r in spark.createDataFrame(
+            _bpe_ref(wf, 2),
+            "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
+        ).collect()
+    ]
+
+
+def test_bpe_distributed_path_equals_driver_replay(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_train_merges
+
+    wf = {"hello": 3, "help": 2, "hull": 4, "yellow": 2}
+    docs = _docs_df(spark, wf)
+    drv = bpe_train_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    dist = (
+        bpe_train_merges(docs, n_merges=4, driver_max_vocab=0)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert drv == dist
+    assert drv == [
+        r
+        for r in spark.createDataFrame(
+            _bpe_ref(wf, 4),
+            "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
+        ).collect()
+    ]
