@@ -5494,6 +5494,82 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mass-bin (adaptive) ECE on the deterministic prediction
+    fixture — the noise-robust companion to the fixed-width
+    calibration_ece (every bin carries equal statistical weight);
+    rank-based integer bin assignment on the distinct-score
+    histogram, no percentile interpolation."""
+    from kkbox_churn_prediction_spark.operators.calibration import ece_adaptive
+
+    return ece_adaptive(_preds(spark, sf_dir), "y", "p", n_bins=10)
+
+
+def _q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: treated-vs-control incremental response per
+    cumulative score decile (hash-parity arm over the prediction
+    fixture) — the targeting-policy read completing gains_table;
+    distinct-score histogram + two bounded cumulative windows, exact
+    long counts throughout."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.calibration import qini_curve
+
+    preds = _preds(spark, sf_dir)
+    arm = F.when(
+        F.pmod(
+            stable_hash48(F.concat(F.lit("up"), F.col("event_id"))), F.lit(2)
+        )
+        == 0,
+        F.lit("t"),
+    ).otherwise(F.lit("c"))
+    return qini_curve(
+        preds.select(arm.alias("arm"), "y", "p"), "arm", "y", "p", n_bins=10
+    )
+
+
+def _q_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 of the sign-LSH ANN against exact brute force — the
+    time-to-first-hit retrieval metric beside recall@k and nDCG;
+    result-sized intersection join only."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        mrr_at_k,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return mrr_at_k(
+        lsh_bucketed_topk(embs, queries, k=5, bits=4),
+        brute_force_topk(embs, queries, k=5),
+        k=5,
+    )
+
+
+def _q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence over competing events
+    (re-engagement vs error-tool failure, 14-day horizon): the
+    accounting one-KM-per-event double-counts; CIF_a + CIF_b +
+    overall survival = 1 at every t."""
+    from kkbox_churn_prediction_spark.operators.survival import (
+        competing_risks_labels,
+        cumulative_incidence,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    labels = competing_risks_labels(
+        _conv(spark, sf_dir),
+        cutoffs_from_events(spark, sf_dir),
+        horizon_days=14,
+    )
+    return cumulative_incidence(labels)
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -5933,6 +6009,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_trigrams": _q_tool_trigrams,
         "adamic_adar_trades": _q_adamic_adar,
         "bpe_train_merges": _q_bpe_train,
+        "ece_adaptive": _q_ece_adaptive,
+        "qini_uplift": _q_qini,
+        "mrr_lsh": _q_mrr_lsh,
+        "cumulative_incidence": _q_cumulative_incidence,
     }
 
 
@@ -16782,6 +16862,240 @@ reps{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY merge_rank"
 
 
+
+# Adaptive ECE (lock-step with calibration.ece_adaptive: rank-based
+# integer bin assignment over the distinct-score histogram)
+_ECE_ADAPTIVE_SQL = f"""
+WITH {_PRED_CTE},
+hist AS (
+    SELECT p AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS sy
+    FROM preds GROUP BY p
+),
+ranked AS (
+    SELECT score, cnt, sy,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _cb,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS _n
+    FROM hist
+),
+binned AS (
+    SELECT CAST(FLOOR(_cb * 10 / _n) AS INTEGER) AS bin,
+           score, cnt, sy, _n
+    FROM ranked
+),
+per_bin AS (
+    SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n,
+           SUM(score * cnt) AS sp,
+           CAST(SUM(sy) AS BIGINT) AS ty,
+           MAX(_n) AS _nn
+    FROM binned GROUP BY bin
+)
+SELECT 10 AS n_bins,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(MAX(_nn) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST(n AS DOUBLE) / CAST(_nn AS DOUBLE)
+                 * ABS(CAST(ty AS DOUBLE) / CAST(n AS DOUBLE)
+                       - sp / CAST(n AS DOUBLE))), 6) AS ece_adaptive
+FROM per_bin
+"""
+
+
+# Qini uplift (lock-step with calibration.qini_curve over the
+# hash-parity treatment arm)
+_QINI_SQL = f"""
+WITH {_PRED_CTE},
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('up', event_id)")}) % 2 = 0
+                THEN 1 ELSE 0 END AS t,
+           y, p AS score
+    FROM preds
+),
+hist AS (
+    SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(t) AS BIGINT) AS nt,
+           CAST(SUM(t * y) AS BIGINT) AS rt,
+           CAST(SUM((1 - t) * y) AS BIGINT) AS rc
+    FROM units GROUP BY score
+),
+ranked AS (
+    SELECT score, cnt, nt, rt, rc,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _cb,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS _n
+    FROM hist
+),
+binned AS (
+    SELECT CAST(FLOOR(_cb * 10 / _n) AS INTEGER) AS decile, cnt, nt, rt, rc
+    FROM ranked
+),
+per AS (
+    SELECT decile, CAST(SUM(cnt) AS BIGINT) AS _c, CAST(SUM(nt) AS BIGINT) AS _t,
+           CAST(SUM(rt) AS BIGINT) AS _rt, CAST(SUM(rc) AS BIGINT) AS _rc
+    FROM binned GROUP BY decile
+),
+cum AS (
+    SELECT decile,
+           CAST(SUM(_c) OVER w AS BIGINT) AS cum_n,
+           CAST(SUM(_t) OVER w AS BIGINT) AS cum_n_t,
+           CAST(SUM(_c) OVER w - SUM(_t) OVER w AS BIGINT) AS cum_n_c,
+           CAST(SUM(_rt) OVER w AS BIGINT) AS cum_resp_t,
+           CAST(SUM(_rc) OVER w AS BIGINT) AS cum_resp_c
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, cum_n, cum_n_t, cum_n_c, cum_resp_t, cum_resp_c,
+       ROUND(CASE WHEN cum_n_t > 0
+                  THEN CAST(cum_resp_t AS DOUBLE) / CAST(cum_n_t AS DOUBLE)
+                  ELSE 0.0 END
+             - CASE WHEN cum_n_c > 0
+                    THEN CAST(cum_resp_c AS DOUBLE) / CAST(cum_n_c AS DOUBLE)
+                    ELSE 0.0 END, 6) AS uplift_rate_gap,
+       ROUND(CAST(cum_resp_t AS DOUBLE)
+             - CASE WHEN cum_n_c > 0
+                    THEN CAST(cum_resp_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
+                         / CAST(cum_n_c AS DOUBLE)
+                    ELSE 0.0 END, 6) AS qini
+FROM cum
+ORDER BY decile
+"""
+
+
+# Aalen–Johansen competing-risks CIF (lock-step with
+# survival.competing_risks_labels + cumulative_incidence; the
+# EXP(SUM(LN)) product with zero-escape is the KM-oracle device)
+_CIF_SQL = f"""
+WITH {_CONV_CTE},
+fa AS (
+    SELECT c.conv_id, k.cutoff_ts, MIN(epoch_us(c.ts)) AS a_us
+    FROM conversations c
+    JOIN cutoffs k ON c.ts > k.cutoff_ts AND c.ts <= k.cutoff_ts + INTERVAL 14 DAY
+    WHERE c.role = 'user'
+    GROUP BY c.conv_id, k.cutoff_ts
+),
+fb AS (
+    SELECT c.conv_id, k.cutoff_ts, MIN(epoch_us(c.ts)) AS b_us
+    FROM conversations c
+    JOIN cutoffs k ON c.ts > k.cutoff_ts AND c.ts <= k.cutoff_ts + INTERVAL 14 DAY
+    WHERE c.tool = 'error'
+    GROUP BY c.conv_id, k.cutoff_ts
+),
+grid AS (
+    SELECT e.conv_id, k.cutoff_ts
+    FROM (SELECT DISTINCT conv_id FROM conversations) e CROSS JOIN cutoffs k
+),
+labels AS (
+    SELECT g.conv_id, g.cutoff_ts,
+           CAST(COALESCE(ceil((CASE
+                    WHEN fa.a_us IS NOT NULL
+                         AND (fb.b_us IS NULL OR fa.a_us <= fb.b_us) THEN fa.a_us
+                    ELSE fb.b_us END - epoch_us(g.cutoff_ts)) / 86400000000.0), 14)
+                AS INTEGER) AS duration_days,
+           CAST(CASE WHEN fa.a_us IS NOT NULL
+                          AND (fb.b_us IS NULL OR fa.a_us <= fb.b_us) THEN 1
+                     WHEN fb.b_us IS NOT NULL THEN 2
+                     ELSE 0 END AS INTEGER) AS cause
+    FROM grid g
+    LEFT JOIN fa ON g.conv_id = fa.conv_id AND g.cutoff_ts = fa.cutoff_ts
+    LEFT JOIN fb ON g.conv_id = fb.conv_id AND g.cutoff_ts = fb.cutoff_ts
+),
+per_t AS (
+    SELECT duration_days AS t, COUNT(*) AS n_leaving,
+           SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d_a,
+           SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d_b
+    FROM labels GROUP BY duration_days
+),
+at_risk AS (
+    SELECT t, d_a, d_b,
+           SUM(n_leaving) OVER ()
+             - COALESCE(SUM(n_leaving) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM per_t
+),
+stepped AS (
+    SELECT t, n_risk, d_a, d_b,
+           CASE WHEN MIN(1.0 - (d_a + d_b) / n_risk) OVER
+                     (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     <= 0.0
+                THEN 0.0
+                ELSE EXP(SUM(LN(CASE WHEN 1.0 - (d_a + d_b) / n_risk > 0.0
+                                     THEN 1.0 - (d_a + d_b) / n_risk
+                                     ELSE 1.0 END)) OVER
+                         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+           END AS _s
+    FROM at_risk
+),
+terms AS (
+    SELECT t, n_risk, d_a, d_b, _s,
+           COALESCE(LAG(_s) OVER (ORDER BY t), 1.0)
+               * CAST(d_a AS DOUBLE) / n_risk AS _ta,
+           COALESCE(LAG(_s) OVER (ORDER BY t), 1.0)
+               * CAST(d_b AS DOUBLE) / n_risk AS _tb
+    FROM stepped
+)
+SELECT CAST(t AS INTEGER) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_a AS BIGINT) AS d_a,
+       CAST(d_b AS BIGINT) AS d_b,
+       ROUND(_s, 6) AS surv_overall,
+       ROUND(SUM(_ta) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW), 6) AS cif_a,
+       ROUND(SUM(_tb) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW), 6) AS cif_b
+FROM terms
+ORDER BY t
+"""
+
+
+
+# MRR@5 (lock-step with similarity.mrr_at_k over the same
+# LSH-vs-brute pair as ann_recall / ndcg_lsh)
+_MRR_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+ex_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM q, v WHERE neighbor_id <> query_id
+),
+ex_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ex_scored
+),
+exact AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+qb AS (SELECT vec_id AS query_id, embedding AS qe,
+              {_BUCKET.format(e='embedding')} AS bucket
+       FROM embeddings WHERE vec_id < 10),
+vb AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              {_BUCKET.format(e='embedding')} AS bucket
+      FROM embeddings),
+ap_scored AS (
+    SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+    FROM qb JOIN vb USING (bucket) WHERE neighbor_id <> query_id
+),
+ap_ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM ap_scored
+),
+approx AS (SELECT query_id, neighbor_id, rank FROM ap_ranked WHERE rank <= 5),
+first AS (
+    SELECT a.query_id, CAST(MIN(a.rank) AS INTEGER) AS first_hit_rank
+    FROM approx a JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM exact)
+SELECT qs.query_id, f.first_hit_rank,
+       COALESCE(ROUND(1.0 / f.first_hit_rank, 6), 0.0) AS rr
+FROM qs LEFT JOIN first f ON qs.query_id = f.query_id
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -17126,4 +17440,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_trigrams": _TOOL_TRIGRAMS_SQL,
         "adamic_adar_trades": _ADAMIC_ADAR_SQL,
         "bpe_train_merges": _bpe_train_sql(8),
+        "ece_adaptive": _ECE_ADAPTIVE_SQL,
+        "qini_uplift": _QINI_SQL,
+        "mrr_lsh": _MRR_SQL,
+        "cumulative_incidence": _CIF_SQL,
     }

@@ -1332,3 +1332,187 @@ def average_precision_by_fold(
         F.round(p / (p + n), 6).alias("prevalence"),
         F.round(F.col("_num").cast("double") / (p * F.lit(1.0e9)), 6).alias("ap"),
     ).orderBy(fold_col)
+
+
+def ece_adaptive(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    *,
+    bin_scores: int | None = None,
+) -> DataFrame:
+    """Adaptive (equal-MASS) Expected Calibration Error — the
+    fixed-width :func:`ece` spreads most of a confident model's rows
+    across two or three crowded bins and leaves the rest nearly
+    empty, so its gap estimate is noise-dominated exactly where data
+    is thin; equal-mass binning gives every bin the same statistical
+    weight (Nixon et al. 2019's ACE argument). Output: ONE row —
+    ``(n_bins, n_bins_used, n_rows, ece_adaptive)``.
+
+    Bins are assigned by RANK, not by interpolated quantile EDGES:
+    per distinct score, ``bin = floor(cum_before · n_bins / N)`` from
+    the cumulative count window — pure integer arithmetic (no
+    percentile interpolation to disagree on), with ties sharing a
+    bin by construction. This is the value-histogram machine of
+    :func:`auc_ks_by_fold`: 10^12 rows collapse to per-distinct-score
+    counts first, the window orders DISTINCT scores only, and
+    ``bin_scores=K`` is the same continuous-cardinality switch.
+
+    Determinism: counts and Σy are exact longs; Σp per distinct
+    score is count·score (one product), so per-bin conf/acc are
+    single divisions of exact quantities; the final ≤n_bins-row
+    reduce rounds at 6dp.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    s: Column = F.col(prob_col).cast("double")
+    if bin_scores is not None:
+        s = (F.floor(s * F.lit(int(bin_scores))) + F.lit(0.5)) / F.lit(
+            float(bin_scores)
+        )
+    hist = (
+        df.select(s.alias("score"), y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    ranked = hist.select(
+        "score",
+        "cnt",
+        "sy",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("_cb"),
+        F.sum("cnt").over(w_tot).cast("long").alias("_n"),
+    )
+    binned = ranked.select(
+        F.floor(F.col("_cb") * F.lit(int(n_bins)) / F.col("_n"))
+        .cast("int")
+        .alias("bin"),
+        "score",
+        "cnt",
+        "sy",
+        "_n",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("score") * F.col("cnt")).alias("sp"),
+        F.sum("sy").cast("long").alias("ty"),
+        F.max("_n").alias("_nn"),
+    )
+    gap = F.abs(
+        F.col("ty").cast("double") / F.col("n") - F.col("sp") / F.col("n")
+    )
+    return per_bin.agg(
+        F.lit(int(n_bins)).alias("n_bins"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.max("_nn").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col("n").cast("double") / F.col("_nn") * gap), 6
+        ).alias("ece_adaptive"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    arm_col: str,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+    *,
+    treatment: str = "t",
+) -> DataFrame:
+    """Qini/uplift curve: rank units by a TARGETING score
+    (descending), and per cumulative decile compare treated vs
+    control response — ``qini(k) = cumResp_T(k) − cumResp_C(k) ·
+    cumN_T(k)/cumN_C(k)`` (incremental conversions vs the
+    randomized-control expectation at equal depth). The
+    treatment-effect sibling of :func:`gains_table`: gains ranks a
+    PREDICTION against outcomes, Qini ranks a TARGETING policy
+    against its control — the read every uplift-model consumer
+    needs before acting on scores. Output per decile: cumulative
+    sizes/responses in both arms, ``uplift_rate_gap`` and ``qini``.
+
+    Shape: the rank-bin assignment is the :func:`ece_adaptive`
+    integer machine (distinct-score histogram + cumulative-count
+    window, DESC scores — never per-row ranks); everything after is
+    one ≤n_bins-row cumulative window over exact long counts with
+    fixed-shape final divisions.
+    """
+    from pyspark.sql import Window
+
+    t = (F.col(arm_col) == treatment).cast("int")
+    y = F.col(label_col).cast("int")
+    hist = (
+        df.select(
+            F.col(score_col).cast("double").alias("score"),
+            t.alias("t"),
+            y.alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("t").cast("long").alias("nt"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("rt"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("rc"),
+        )
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    ranked = hist.select(
+        "score",
+        "cnt",
+        "nt",
+        "rt",
+        "rc",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("_cb"),
+        F.sum("cnt").over(w_tot).cast("long").alias("_n"),
+    )
+    binned = ranked.select(
+        F.floor(F.col("_cb") * F.lit(int(n_bins)) / F.col("_n"))
+        .cast("int")
+        .alias("decile"),
+        "cnt",
+        "nt",
+        "rt",
+        "rc",
+    )
+    per = binned.groupBy("decile").agg(
+        F.sum("cnt").cast("long").alias("_c"),
+        F.sum("nt").cast("long").alias("_t"),
+        F.sum("rt").cast("long").alias("_rt"),
+        F.sum("rc").cast("long").alias("_rc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("_c").over(wc).cast("long").alias("cum_n"),
+        F.sum("_t").over(wc).cast("long").alias("cum_n_t"),
+        (F.sum("_c").over(wc) - F.sum("_t").over(wc)).cast("long").alias("cum_n_c"),
+        F.sum("_rt").over(wc).cast("long").alias("cum_resp_t"),
+        F.sum("_rc").over(wc).cast("long").alias("cum_resp_c"),
+    )
+    rt = F.col("cum_resp_t").cast("double")
+    rc = F.col("cum_resp_c").cast("double")
+    nt = F.col("cum_n_t").cast("double")
+    nc = F.col("cum_n_c").cast("double")
+    return cum.select(
+        "decile",
+        "cum_n",
+        "cum_n_t",
+        "cum_n_c",
+        "cum_resp_t",
+        "cum_resp_c",
+        F.round(
+            F.when(nt > 0, rt / nt).otherwise(F.lit(0.0))
+            - F.when(nc > 0, rc / nc).otherwise(F.lit(0.0)),
+            6,
+        ).alias("uplift_rate_gap"),
+        F.round(
+            rt - F.when(nc > 0, rc * nt / nc).otherwise(F.lit(0.0)), 6
+        ).alias("qini"),
+    ).orderBy("decile")

@@ -1378,3 +1378,38 @@ def _mmr_rerank_driver(
     return raw.select(
         "rank", "cand_id", "rel", F.round("_raw", 6).alias("mmr_score")
     )
+
+
+def mrr_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Mean-reciprocal-rank eval: per query, the reciprocal rank of
+    the FIRST approx result that is relevant (relevant = the exact
+    top-``k``) — the metric for interfaces where the user takes ONE
+    result (retrieval-augmented prompting takes the top hit;
+    recall@k grades the whole candidate set, nDCG the full ordering,
+    MRR the time-to-first-hit). Output: ``(query_id,
+    first_hit_rank, rr)`` with rank NULL / rr 0.0 for queries whose
+    approx list misses entirely (honest-miss accounting, same
+    convention as :func:`recall_at_k`).
+
+    Shape: both sides prune to top-k first (≤ Q·k rows), then one
+    result-sized intersection join + per-query MIN — the corpus
+    never re-enters. rr = 1/rank is an exact-integer reciprocal
+    rounded at 6dp (no float accumulation anywhere).
+    """
+    a = approx.where(F.col("rank") <= int(k)).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    e = exact.where(F.col("rank") <= int(k)).select("query_id", "neighbor_id")
+    first = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("int").alias("first_hit_rank"))
+    )
+    qs = e.select("query_id").distinct()
+    return qs.join(first, "query_id", "left").select(
+        "query_id",
+        "first_hit_rank",
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_hit_rank"), 6), F.lit(0.0)
+        ).alias("rr"),
+    )

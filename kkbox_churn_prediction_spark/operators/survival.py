@@ -307,3 +307,142 @@ def rmst(labels: DataFrame, tau: int) -> DataFrame:
             6,
         ).alias("rmst"),
     )
+
+
+def competing_risks_labels(
+    turns: DataFrame,
+    cutoffs: DataFrame,
+    horizon_days: int = 14,
+    qualifying_a: Column | str = "role = 'user'",
+    qualifying_b: Column | str = "tool = 'error'",
+) -> DataFrame:
+    """Per (conv_id, cutoff_ts): time to the FIRST of two COMPETING
+    events inside the horizon — ``cause`` 1 if the ``qualifying_a``
+    event wins, 2 if ``qualifying_b`` wins (ties to cause 1 —
+    deterministic, documented), 0 if neither occurs
+    (right-censored at ``horizon_days``). The input
+    :func:`cumulative_incidence` needs: when a conversation can
+    either RE-ENGAGE or FAIL first, treating the other outcome as
+    plain censoring (one KM per event) overstates both risks —
+    competing-risks bookkeeping is the fix.
+
+    Shape: :func:`survival_labels` doubled — each qualifying stream
+    reduces to a per-(conv, cutoff) MIN under the broadcast cutoff
+    join, one left join each onto the entity grid; no windows.
+    """
+    qa = F.expr(qualifying_a) if isinstance(qualifying_a, str) else qualifying_a
+    qb = F.expr(qualifying_b) if isinstance(qualifying_b, str) else qualifying_b
+    upper = F.col("cutoff_ts") + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    in_horizon = (F.col("ts") > F.col("cutoff_ts")) & (F.col("ts") <= upper)
+
+    def first_event(q: Column, name: str) -> DataFrame:
+        return (
+            turns.where(q)
+            .join(F.broadcast(cutoffs), in_horizon, "inner")
+            .groupBy("conv_id", "cutoff_ts")
+            .agg(F.min(F.unix_micros(F.col("ts"))).alias(name))
+        )
+    fa = first_event(qa, "_a_us")
+    fb = first_event(qb, "_b_us")
+    grid = turns.select("conv_id").distinct().crossJoin(F.broadcast(cutoffs))
+    j = grid.join(fa, ["conv_id", "cutoff_ts"], "left").join(
+        fb, ["conv_id", "cutoff_ts"], "left"
+    )
+    win_us = F.when(
+        F.col("_a_us").isNotNull()
+        & (F.col("_b_us").isNull() | (F.col("_a_us") <= F.col("_b_us"))),
+        F.col("_a_us"),
+    ).otherwise(F.col("_b_us"))
+    cause = (
+        F.when(
+            F.col("_a_us").isNotNull()
+            & (F.col("_b_us").isNull() | (F.col("_a_us") <= F.col("_b_us"))),
+            F.lit(1),
+        )
+        .when(F.col("_b_us").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    delta_days = F.ceil(
+        (win_us - F.unix_micros(F.col("cutoff_ts"))) / F.lit(_US_PER_DAY)
+    )
+    return j.select(
+        "conv_id",
+        "cutoff_ts",
+        F.coalesce(delta_days, F.lit(horizon_days)).cast("int").alias(
+            "duration_days"
+        ),
+        cause.cast("int").alias("cause"),
+    )
+
+
+def cumulative_incidence(labels: DataFrame) -> DataFrame:
+    """Aalen–Johansen cumulative incidence functions over competing
+    risks ``(duration_days, cause ∈ {0,1,2})``:
+
+        CIF_k(t) = Σ_{s ≤ t} S(s−) · d_k(s) / n(s)
+
+    with ``S`` the OVERALL (all-cause) Kaplan–Meier survival and
+    ``S(s−)`` its left limit. The sum of both CIFs plus overall
+    survival is 1 at every t (pytest-asserted) — the accounting
+    one-KM-per-event double-counts. Output per distinct event time:
+    ``(t, n_risk, d_a, d_b, surv_overall, cif_a, cif_b)``.
+
+    Shape: the :func:`km_curve` machine — one groupBy(duration) to
+    the bounded event-time table, then ordered-window algebra over
+    ≤horizon rows: S via EXP(SUM(LN)) with the zero-factor escape,
+    S(s−) as its lag (default 1), CIFs as running sums.
+    """
+    per_t = labels.groupBy(F.col("duration_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum((F.col("cause") == 1).cast("int")).alias("d_a"),
+        F.sum((F.col("cause") == 2).cast("int")).alias("d_b"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.select(
+        "t",
+        "d_a",
+        "d_b",
+        (
+            F.sum("n_leaving").over(w_all)
+            - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    d_all = (F.col("d_a") + F.col("d_b")).cast("double")
+    factor = F.lit(1.0) - d_all / F.col("n_risk")
+    surv = F.when(
+        F.min(factor).over(w_cum) <= 0.0, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.sum(F.log(F.when(factor > 0.0, factor).otherwise(F.lit(1.0)))).over(
+                w_cum
+            )
+        )
+    )
+    stepped = at_risk.select(
+        "t",
+        "n_risk",
+        "d_a",
+        "d_b",
+        surv.alias("_s"),
+    )
+    s_prev = F.coalesce(F.lag("_s").over(Window.orderBy("t")), F.lit(1.0))
+    terms = stepped.select(
+        "t",
+        "n_risk",
+        "d_a",
+        "d_b",
+        "_s",
+        (s_prev * F.col("d_a").cast("double") / F.col("n_risk")).alias("_ta"),
+        (s_prev * F.col("d_b").cast("double") / F.col("n_risk")).alias("_tb"),
+    )
+    return terms.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_a").cast("long").alias("d_a"),
+        F.col("d_b").cast("long").alias("d_b"),
+        F.round(F.col("_s"), 6).alias("surv_overall"),
+        F.round(F.sum("_ta").over(w_cum), 6).alias("cif_a"),
+        F.round(F.sum("_tb").over(w_cum), 6).alias("cif_b"),
+    ).orderBy("t")

@@ -448,3 +448,139 @@ def test_bpe_distributed_path_equals_driver_replay(spark):
             "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
         ).collect()
     ]
+
+
+# ------------------------------------------------------- adaptive ECE
+def test_ece_adaptive_equal_mass_bins(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import ece_adaptive
+
+    # 20 rows, 4 bins -> 5 rows per bin regardless of score spread
+    rows = [(1 if i % 3 == 0 else 0, (i + 0.5) / 20.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = ece_adaptive(df, "y", "p", n_bins=4).collect()[0]
+    assert r["n_bins_used"] == 4 and r["n_rows"] == 20
+    # scalar reference over rank-assigned bins
+    srt = sorted(rows, key=lambda t: t[1])
+    bins = [srt[i * 5 : (i + 1) * 5] for i in range(4)]
+    expect = sum(
+        len(b) / 20.0
+        * abs(sum(y for y, _ in b) / len(b) - sum(p for _, p in b) / len(b))
+        for b in bins
+    )
+    assert r["ece_adaptive"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_ece_adaptive_perfectly_calibrated_degenerate(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import ece_adaptive
+
+    # constant p = observed rate -> every bin gap is 0
+    rows = [(1, 0.5), (0, 0.5)] * 10
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = ece_adaptive(df, "y", "p", n_bins=5).collect()[0]
+    assert r["ece_adaptive"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_bins_used"] == 1  # one distinct score -> one bin
+
+
+# ------------------------------------------------------------- Qini
+def test_qini_hand_curve(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import qini_curve
+
+    # top half scores: treated convert 100%, control 0% -> strong uplift
+    rows = []
+    for i in range(10):
+        hi = i < 5
+        rows.append(("t", 1 if hi else 0, 0.9 if hi else 0.1))
+        rows.append(("c", 0, 0.9 if hi else 0.1))
+    df = spark.createDataFrame(rows, "arm string, y int, p double")
+    got = qini_curve(df, "arm", "y", "p", n_bins=2).orderBy("decile").collect()
+    top = got[0]
+    assert top["cum_n_t"] == 5 and top["cum_n_c"] == 5
+    assert top["cum_resp_t"] == 5 and top["cum_resp_c"] == 0
+    assert top["qini"] == pytest.approx(5.0, abs=1e-6)
+    assert top["uplift_rate_gap"] == pytest.approx(1.0, abs=1e-6)
+    # full-depth qini: treated responders 5, control 5*(10/10)=0
+    assert got[-1]["qini"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_qini_null_treatment_is_zero(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import qini_curve
+
+    # identical response in both arms at every score -> qini = 0 everywhere
+    rows = []
+    for i in range(20):
+        y = 1 if i % 2 == 0 else 0
+        rows.append(("t", y, (i % 5) / 5.0))
+        rows.append(("c", y, (i % 5) / 5.0))
+    df = spark.createDataFrame(rows, "arm string, y int, p double")
+    for r in qini_curve(df, "arm", "y", "p", n_bins=5).collect():
+        assert r["qini"] == pytest.approx(0.0, abs=1e-6)
+
+
+# -------------------------------------------------------------- MRR
+def test_mrr_hand_ranks(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import mrr_at_k
+
+    approx = spark.createDataFrame(
+        [(1, "x", 1), (1, "r", 2), (2, "y", 1), (2, "z", 2), (3, "w", 1)],
+        "query_id int, neighbor_id string, rank int",
+    )
+    exact = spark.createDataFrame(
+        [(1, "r", 1), (2, "z", 1), (3, "q", 1)],
+        "query_id int, neighbor_id string, rank int",
+    )
+    got = {r["query_id"]: r for r in mrr_at_k(approx, exact, k=5).collect()}
+    assert got[1]["first_hit_rank"] == 2 and got[1]["rr"] == 0.5
+    assert got[2]["first_hit_rank"] == 2 and got[2]["rr"] == 0.5
+    assert got[3]["first_hit_rank"] is None and got[3]["rr"] == 0.0
+
+
+# ----------------------------------------------- cumulative incidence
+def test_cif_sums_to_one_minus_survival(spark):
+    from kkbox_churn_prediction_spark.operators.survival import (
+        cumulative_incidence,
+    )
+
+    rows = (
+        [(1, 1)] * 3 + [(1, 2)] * 2 + [(3, 1)] * 2 + [(3, 0)] * 1
+        + [(5, 2)] * 2 + [(7, 0)] * 5
+    )
+    df = spark.createDataFrame(rows, "duration_days int, cause int")
+    for r in cumulative_incidence(df).collect():
+        assert r["cif_a"] + r["cif_b"] + r["surv_overall"] == pytest.approx(
+            1.0, abs=5e-6
+        )
+
+
+def test_cif_matches_lifelines_style_hand_calc(spark):
+    from kkbox_churn_prediction_spark.operators.survival import (
+        cumulative_incidence,
+    )
+
+    # t=1: n=10, dA=2, dB=1 -> S=0.7, cifA=.2, cifB=.1
+    # t=2: n=7, dA=1        -> S=.7*(6/7)=.6, cifA=.2+.7*(1/7)=.3
+    rows = [(1, 1)] * 2 + [(1, 2)] + [(2, 1)] + [(2, 0)] * 6
+    df = spark.createDataFrame(rows, "duration_days int, cause int")
+    got = {r["t"]: r for r in cumulative_incidence(df).collect()}
+    assert got[1]["cif_a"] == pytest.approx(0.2, abs=1e-6)
+    assert got[1]["cif_b"] == pytest.approx(0.1, abs=1e-6)
+    assert got[2]["cif_a"] == pytest.approx(0.3, abs=1e-6)
+    assert got[2]["surv_overall"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_competing_labels_tie_goes_to_cause_a(spark):
+    from datetime import datetime
+
+    from kkbox_churn_prediction_spark.operators.survival import (
+        competing_risks_labels,
+    )
+
+    cut = datetime(2024, 1, 1)
+    ev = datetime(2024, 1, 3)
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "t", "error", ev)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cutoffs = spark.createDataFrame([(cut,)], "cutoff_ts timestamp")
+    r = competing_risks_labels(turns, cutoffs, horizon_days=14).collect()[0]
+    # the same turn qualifies for BOTH causes at the same ts -> cause 1
+    assert r["cause"] == 1 and r["duration_days"] == 2
