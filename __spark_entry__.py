@@ -5570,6 +5570,74 @@ def _q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit chi-square on equal-mass score
+    deciles (the significance companion to ece_adaptive, same
+    rank-bin machine); Wilson–Hilferty p through the portable CDF."""
+    from kkbox_churn_prediction_spark.operators.calibration import hosmer_lemeshow
+
+    return hosmer_lemeshow(_preds(spark, sf_dir), "y", "p", n_bins=10)
+
+
+def _q_univariate_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free feature screen: per candidate conversation feature,
+    the exact tie-aware AUC/KS of the raw value against the
+    early-error label — stack() melt + ONE auc_ks_by_fold call keyed by
+    feature name (distinct-value histogram machine)."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        univariate_auc_screen,
+    )
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user_turns"),
+        (
+            F.sum(F.length("text")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_text_len"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).cast("double")
+            / F.lit(3.6e9)
+        ).alias("span_hours"),
+        F.max(
+            F.when(
+                (F.col("tool") == "error") & (F.col("turn_idx") < 10), 1
+            ).otherwise(0)
+        ).alias("_y"),
+    )
+    return univariate_auc_screen(
+        units, "_y", ["avg_text_len", "n_turns", "n_user_turns", "span_hours"]
+    )
+
+
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per embedding label: cohesion
+    vs separation + misassignment counts — the cluster-quality read
+    beside diversity/drift; one Summarizer centroid pass + one
+    exploded dim join, per-point scores on the integer micro-grid."""
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    return silhouette_by_label(_embs(spark, sf_dir), "label", "embedding")
+
+
+def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (rescaled-range) of the daily series — the
+    long-memory diagnostic beside daily_acf/pacf; exact prefix-sum
+    cumulative deviations, micro-grid segment means, fixed-shape
+    log-log slope."""
+    from kkbox_churn_prediction_spark.operators.windows import hurst_daily
+
+    return hurst_daily(_conv(spark, sf_dir))
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6013,6 +6081,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qini_uplift": _q_qini,
         "mrr_lsh": _q_mrr_lsh,
         "cumulative_incidence": _q_cumulative_incidence,
+        "hosmer_lemeshow": _q_hosmer_lemeshow,
+        "univariate_auc": _q_univariate_auc,
+        "silhouette_labels": _q_silhouette,
+        "hurst_daily": _q_hurst,
     }
 
 
@@ -17096,6 +17168,220 @@ FROM qs LEFT JOIN first f ON qs.query_id = f.query_id
 """
 
 
+
+# Hosmer–Lemeshow (lock-step with calibration.hosmer_lemeshow:
+# ece_adaptive rank-bin machine + Wilson–Hilferty p through the
+# portable CDF polynomial)
+def _hl_sql() -> str:
+    from kkbox_churn_prediction_spark.functions.stats import normal_cdf_sql
+
+    wh_z = (
+        "((pow(_hl / _df, 1.0/3.0) - (1.0 - 2.0 / (9.0 * _df)))"
+        " / sqrt(2.0 / (9.0 * _df)))"
+    )
+    return f"""
+WITH {_PRED_CTE},
+hist AS (
+    SELECT p AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS sy
+    FROM preds GROUP BY p
+),
+ranked AS (
+    SELECT score, cnt, sy,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _cb,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS _n
+    FROM hist
+),
+per_bin AS (
+    SELECT CAST(FLOOR(_cb * 10 / _n) AS INTEGER) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           SUM(score * cnt) AS e,
+           CAST(SUM(sy) AS BIGINT) AS o
+    FROM ranked GROUP BY 1
+),
+red AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS g,
+           SUM(CASE WHEN e > 0 AND e < n
+                    THEN (o - e) * (o - e) / (e * (1.0 - e / n))
+                    ELSE 0.0 END) AS _hl,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - 2 AS DOUBLE) AS _df
+    FROM per_bin
+)
+SELECT g AS n_bins_used, n_rows,
+       ROUND(_hl, 6) AS hl_stat,
+       CAST(g - 2 AS BIGINT) AS df,
+       ROUND(CASE WHEN _df > 0 THEN 1.0 - {normal_cdf_sql(wh_z)} END, 6) AS p_wh
+FROM red
+"""
+
+
+# Univariate AUC screen (lock-step with calibration.univariate_auc_screen
+# over the per-conversation feature table; auc machine per feature)
+_UNIAUC_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user_turns,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_text_len,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 3600000000.0
+               AS span_hours,
+           MAX(CASE WHEN tool = 'error' AND turn_idx < 10 THEN 1 ELSE 0 END) AS y
+    FROM conversations GROUP BY conv_id
+),
+stacked AS (
+    SELECT 'avg_text_len' AS feature, avg_text_len AS v, y FROM per
+    UNION ALL
+    SELECT 'n_turns', CAST(n_turns AS DOUBLE), y FROM per
+    UNION ALL
+    SELECT 'n_user_turns', CAST(n_user_turns AS DOUBLE), y FROM per
+    UNION ALL
+    SELECT 'span_hours', span_hours, y FROM per
+),
+per_score AS (
+    SELECT feature, v AS score,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(1 - y) AS BIGINT) AS neg
+    FROM stacked WHERE v IS NOT NULL GROUP BY feature, v
+),
+cum AS (
+    SELECT feature, pos, neg,
+           SUM(neg) OVER (PARTITION BY feature ORDER BY score) - neg AS cumneg_below,
+           SUM(pos) OVER (PARTITION BY feature ORDER BY score) AS cumpos,
+           SUM(neg) OVER (PARTITION BY feature ORDER BY score) AS cumneg,
+           SUM(pos) OVER (PARTITION BY feature) AS tp,
+           SUM(neg) OVER (PARTITION BY feature) AS tn
+    FROM per_score
+)
+SELECT feature,
+       CAST(MAX(tp) AS BIGINT) AS n_pos,
+       CAST(MAX(tn) AS BIGINT) AS n_neg,
+       ROUND(SUM(pos * (CAST(cumneg_below AS DOUBLE) + neg / 2.0))
+             / (CAST(MAX(tp) AS DOUBLE) * CAST(MAX(tn) AS DOUBLE)), 6) AS auc,
+       ROUND(MAX(ABS(CAST(cumpos AS DOUBLE) / tp - CAST(cumneg AS DOUBLE) / tn)), 6) AS ks
+FROM cum GROUP BY feature
+ORDER BY feature
+"""
+
+
+# Simplified silhouette (lock-step with similarity.silhouette_by_label:
+# 6dp-rounded centroids, exploded-dim distance sums, micro-grid means)
+_SILHOUETTE_SQL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+expl AS (
+    SELECT vec_id, label, dim, CAST(embedding[dim] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN dims
+),
+cents AS (
+    SELECT label AS cand, dim, ROUND(AVG(v), 6) AS c
+    FROM expl GROUP BY label, dim
+),
+dists AS (
+    SELECT e.vec_id, e.label AS own, c.cand,
+           SUM((e.v - c.c) * (e.v - c.c)) AS d2
+    FROM expl e JOIN cents c USING (dim)
+    GROUP BY e.vec_id, e.label, c.cand
+),
+per_point AS (
+    SELECT vec_id, own,
+           MAX(CASE WHEN cand = own THEN d2 END) AS a2,
+           MIN(CASE WHEN cand <> own THEN d2 END) AS b2
+    FROM dists GROUP BY vec_id, own
+),
+micro AS (
+    SELECT own,
+           CAST(ROUND(sqrt(a2) * 1000000.0) AS BIGINT) AS am,
+           CAST(ROUND(sqrt(b2) * 1000000.0) AS BIGINT) AS bm,
+           CAST(ROUND(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                           THEN (sqrt(b2) - sqrt(a2))
+                                / greatest(sqrt(a2), sqrt(b2))
+                           ELSE 0.0 END * 1000000.0) AS BIGINT) AS sm
+    FROM per_point
+)
+SELECT own AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(am) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mean_a,
+       ROUND(CAST(SUM(bm) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mean_b,
+       ROUND(CAST(SUM(sm) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+           AS mean_silhouette,
+       CAST(SUM(CASE WHEN sm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM micro GROUP BY own
+ORDER BY own
+"""
+
+
+# Hurst R/S (lock-step with windows.hurst_daily: exact prefix-sum
+# cumulative deviations, micro-grid per-m means, fixed-shape slope)
+_HURST_SQL = f"""
+WITH {_CONV_CTE},
+daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM conversations GROUP BY 1
+),
+idx AS (SELECT d, x, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS r FROM daily),
+rep AS (
+    SELECT m.m, CAST(FLOOR(r / m.m) AS BIGINT) AS seg, r % m.m AS j, x
+    FROM idx CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS m) m
+),
+stats AS (
+    SELECT m, seg, j, x,
+           COUNT(*) OVER (PARTITION BY m, seg) AS _cnt,
+           CAST(SUM(x) OVER (PARTITION BY m, seg) AS BIGINT) AS _sx,
+           CAST(SUM(x * x) OVER (PARTITION BY m, seg) AS BIGINT) AS _sxx,
+           CAST(SUM(x) OVER (PARTITION BY m, seg ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS _cs
+    FROM rep
+),
+per_seg AS (
+    SELECT m, seg,
+           MAX(CAST(_cs AS DOUBLE) - CAST(j + 1 AS DOUBLE)
+               * (CAST(_sx AS DOUBLE) / m))
+             - MIN(CAST(_cs AS DOUBLE) - CAST(j + 1 AS DOUBLE)
+                   * (CAST(_sx AS DOUBLE) / m)) AS _range,
+           MAX(_sxx) AS _sxx, MAX(_sx) AS _sx
+    FROM stats WHERE _cnt = m
+    GROUP BY m, seg
+),
+per_m AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(ROUND(_range / sqrt(
+                 (CAST(_sxx AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) / CAST(m AS DOUBLE))
+                 / CAST(m AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS _rsm
+    FROM per_seg
+    WHERE (CAST(_sxx AS DOUBLE)
+           - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) / CAST(m AS DOUBLE))
+          / CAST(m AS DOUBLE) > 0
+    GROUP BY m
+),
+pts AS (
+    SELECT m, n_segments,
+           CAST(_rsm AS DOUBLE) / (n_segments * 1000000.0) AS _mean_rs,
+           ln(CAST(m AS DOUBLE)) AS _lx,
+           ln(CAST(_rsm AS DOUBLE) / (n_segments * 1000000.0)) AS _ly
+    FROM per_m
+),
+reg AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS _k, SUM(_lx) AS _sx, SUM(_ly) AS _sy,
+           SUM(_lx * _ly) AS _sxy, SUM(_lx * _lx) AS _sxx
+    FROM pts
+)
+SELECT p.m, p.n_segments,
+       ROUND(p._mean_rs, 6) AS mean_rs,
+       ROUND(CASE WHEN r._k * r._sxx - r._sx * r._sx > 0
+                  THEN (r._k * r._sxy - r._sx * r._sy)
+                       / (r._k * r._sxx - r._sx * r._sx) END, 6) AS hurst
+FROM pts p CROSS JOIN reg r
+ORDER BY p.m
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -17444,4 +17730,8 @@ def oracle_sql() -> dict[str, str]:
         "qini_uplift": _QINI_SQL,
         "mrr_lsh": _MRR_SQL,
         "cumulative_incidence": _CIF_SQL,
+        "hosmer_lemeshow": _hl_sql(),
+        "univariate_auc": _UNIAUC_SQL,
+        "silhouette_labels": _SILHOUETTE_SQL,
+        "hurst_daily": _HURST_SQL,
     }

@@ -265,19 +265,27 @@ def auc_ks_by_fold(
             F.max("P").alias("n_pos"),
             F.max("N").alias("n_neg"),
             F.round(
-                F.sum(
-                    F.col("pos")
-                    * (F.col("cumneg_below").cast("double") + F.col("neg") / 2.0)
-                )
-                / (F.max("P").cast("double") * F.max("N").cast("double")),
+                F.when(
+                    (F.max("P") > 0) & (F.max("N") > 0),
+                    F.sum(
+                        F.col("pos")
+                        * (F.col("cumneg_below").cast("double") + F.col("neg") / 2.0)
+                    )
+                    / (F.max("P").cast("double") * F.max("N").cast("double")),
+                ),
                 6,
             ).alias("auc"),
             F.round(
-                F.max(
-                    F.abs(
-                        F.col("cumpos").cast("double") / F.col("P")
-                        - F.col("cumneg").cast("double") / F.col("N")
-                    )
+                F.when(
+                    (F.max("P") > 0) & (F.max("N") > 0),
+                    F.max(
+                        F.abs(
+                            F.col("cumpos").cast("double")
+                            / F.greatest(F.col("P"), F.lit(1)).cast("double")
+                            - F.col("cumneg").cast("double")
+                            / F.greatest(F.col("N"), F.lit(1)).cast("double")
+                        )
+                    ),
                 ),
                 6,
             ).alias("ks"),
@@ -1516,3 +1524,133 @@ def qini_curve(
             rt - F.when(nc > 0, rc * nt / nc).otherwise(F.lit(0.0)), 6
         ).alias("qini"),
     ).orderBy("decile")
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    *,
+    bin_scores: int | None = None,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit chi-square over equal-mass
+    score deciles — the SIGNIFICANCE companion to :func:`ece_adaptive`
+    on the same rank-assigned bins (ECE says how big the
+    calibration gap is; HL says whether it exceeds chance):
+
+        HL = Σ_g (O_g − E_g)² / (E_g · (1 − E_g/n_g)),  df = G − 2
+
+    with O_g = Σy, E_g = Σp per bin. The p-value uses the
+    Wilson–Hilferty cube-root normal approximation of the chi-square
+    tail through the engine's portable CDF polynomial (|err| < 1e-3
+    in p for df ≥ 8 — documented approximation, exact df reported
+    alongside so a consumer can recompute exactly).
+
+    Shape: identical to :func:`ece_adaptive` — distinct-score
+    histogram, integer rank-bin assignment, one ≤n_bins reduce.
+    Σp per distinct score is count·score (exact for the dyadic
+    fixture); O_g is an exact long.
+    """
+    from pyspark.sql import Window
+
+    from kkbox_churn_prediction_spark.functions.stats import normal_cdf
+
+    y = F.col(label_col).cast("int")
+    s: Column = F.col(prob_col).cast("double")
+    if bin_scores is not None:
+        s = (F.floor(s * F.lit(int(bin_scores))) + F.lit(0.5)) / F.lit(
+            float(bin_scores)
+        )
+    hist = (
+        df.select(s.alias("score"), y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    ranked = hist.select(
+        "score",
+        "cnt",
+        "sy",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("_cb"),
+        F.sum("cnt").over(w_tot).cast("long").alias("_n"),
+    )
+    per_bin = (
+        ranked.select(
+            F.floor(F.col("_cb") * F.lit(int(n_bins)) / F.col("_n"))
+            .cast("int")
+            .alias("bin"),
+            "score",
+            "cnt",
+            "sy",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("score") * F.col("cnt")).alias("e"),
+            F.sum("sy").cast("long").alias("o"),
+        )
+    )
+    term = F.when(
+        (F.col("e") > 0) & (F.col("e") < F.col("n")),
+        (F.col("o") - F.col("e"))
+        * (F.col("o") - F.col("e"))
+        / (F.col("e") * (F.lit(1.0) - F.col("e") / F.col("n"))),
+    ).otherwise(F.lit(0.0))
+    red = per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum(term).alias("_hl"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    dfree = (F.col("g") - F.lit(2)).cast("double")
+    # Wilson–Hilferty: chi2 tail ≈ 1 − Φ(((x/k)^(1/3) − 1 + 2/(9k)) / sqrt(2/(9k)))
+    wh_z = (
+        F.pow(F.col("_hl") / dfree, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    return red.select(
+        F.col("g").alias("n_bins_used"),
+        "n_rows",
+        F.round(F.col("_hl"), 6).alias("hl_stat"),
+        (F.col("g") - F.lit(2)).cast("long").alias("df"),
+        F.round(
+            F.when(dfree > 0, F.lit(1.0) - normal_cdf(wh_z)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("p_wh"),
+    )
+
+
+def univariate_auc_screen(
+    units: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Filter-method feature screen: per feature, the exact tie-aware
+    ROC-AUC (and KS) of the RAW feature value against the binary
+    label — the model-free ranking power of each candidate before
+    any training (|AUC − 0.5| is the screen; the signed direction
+    tells which way it discriminates). Complements
+    ``feature_label_corr`` (linear) with a rank-based, monotone-
+    transform-invariant measure — the reference screens features by
+    correlation only (``src/error_analysis.py``); AUC is the screen
+    its imbalanced labels actually need.
+
+    Shape: ``stack()`` melts the unit table to (feature, value,
+    label) long format — rows × |features|, one pass, no join — then
+    the whole family rides ONE :func:`auc_ks_by_fold` call with the
+    feature name as the fold key (distinct-value histogram machine:
+    the sort is bounded by per-feature value cardinality, never row
+    count).
+    """
+    n = len(feature_cols)
+    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in feature_cols)
+    stacked = units.selectExpr(
+        f"CAST({label_col} AS INT) AS _y", f"stack({n}, {pairs}) AS (feature, _v)"
+    ).where(F.col("_v").isNotNull())
+    return auc_ks_by_fold(stacked, "feature", "_y", "_v").orderBy("feature")

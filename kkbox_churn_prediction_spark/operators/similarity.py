@@ -1413,3 +1413,88 @@ def mrr_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             F.round(F.lit(1.0) / F.col("first_hit_rank"), 6), F.lit(0.0)
         ).alias("rr"),
     )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    point, ``a`` = distance to its OWN cluster centroid, ``b`` =
+    distance to the NEAREST other centroid, ``s = (b − a)/max(a, b)``
+    — the cluster-quality read (separation vs cohesion in one number,
+    s < 0 = likely misassigned) that :func:`embedding_diversity`
+    (within-spread only) and :func:`embedding_drift` (centroid
+    position only) can't give. Centroid-based "simplified silhouette"
+    by design: the classic all-pairs silhouette is O(n²) and
+    cluster-quality literature shows the centroid form tracks it —
+    this is the ONLY scalable variant at corpus size.
+
+    Output per cluster: ``(label, n_points, mean_a, mean_b,
+    mean_silhouette, n_negative)``.
+
+    Shape: centroids via :func:`cluster_centroids` (ONE Summarizer
+    pass, 6dp-rounded — the deterministic cross-engine contract);
+    distances via ONE posexplode to (point, dim) joined to the
+    broadcast (cluster × dim) centroid table — Σ(v−c)² per
+    (point, candidate-cluster) in a single hash agg (rows × dims ×
+    clusters intermediate, shuffled once; the row-local fold
+    alternative burns interpreted-HOF CPU per centroid — measured
+    slower in this engine, see BENCH.md HOF notes). Per-point s is
+    rounded to integer MICRO-units before the per-cluster mean, so
+    the final averages are exact integer sums (order-free).
+    """
+    cents = cluster_centroids(df, cluster_col, vec_col).select(
+        F.col(cluster_col).alias("_cand"),
+        "dim",
+        F.col("centroid").alias("_c"),
+    )
+    # id BEFORE the explode (a generator in the same projection would
+    # re-evaluate the id per dim row); never surfaces in the output
+    pts = df.select(
+        F.monotonically_increasing_id().alias("_pid"),
+        F.col(cluster_col).alias("_own"),
+        F.col(vec_col).cast("array<double>").alias("_x"),
+    ).select("_pid", "_own", F.posexplode("_x").alias("dim", "_v"))
+    dists = (
+        pts.join(F.broadcast(cents), "dim")
+        .groupBy("_pid", "_own", "_cand")
+        .agg(
+            F.sum((F.col("_v") - F.col("_c")) * (F.col("_v") - F.col("_c"))).alias(
+                "_d2"
+            )
+        )
+    )
+    per_point = dists.groupBy("_pid", "_own").agg(
+        F.max(F.when(F.col("_cand") == F.col("_own"), F.col("_d2"))).alias("_a2"),
+        F.min(F.when(F.col("_cand") != F.col("_own"), F.col("_d2"))).alias("_b2"),
+    )
+    a = F.sqrt(F.col("_a2"))
+    b = F.sqrt(F.col("_b2"))
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    micro = per_point.select(
+        "_own",
+        F.round(a * F.lit(1.0e6), 0).cast("long").alias("_am"),
+        F.round(b * F.lit(1.0e6), 0).cast("long").alias("_bm"),
+        F.round(s * F.lit(1.0e6), 0).cast("long").alias("_sm"),
+    )
+    return (
+        micro.groupBy(F.col("_own").alias(cluster_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.sum("_am") / (F.count(F.lit(1)) * F.lit(1.0e6)), 6).alias(
+                "mean_a"
+            ),
+            F.round(F.sum("_bm") / (F.count(F.lit(1)) * F.lit(1.0e6)), 6).alias(
+                "mean_b"
+            ),
+            F.round(F.sum("_sm") / (F.count(F.lit(1)) * F.lit(1.0e6)), 6).alias(
+                "mean_silhouette"
+            ),
+            F.sum((F.col("_sm") < 0).cast("int")).cast("long").alias("n_negative"),
+        )
+        .orderBy(cluster_col)
+    )

@@ -2124,3 +2124,126 @@ def holt_winters_daily(
         "d", "n_turns", "level", "trend", "seasonal", "forecast", "forecast_err"
     )
     return out.orderBy("d")
+
+
+def hurst_daily(
+    turns: DataFrame,
+    segment_sizes: tuple[int, ...] = (4, 8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent of the daily activity series via rescaled-range
+    (R/S) analysis — the LONG-memory diagnostic the short-lag family
+    (:func:`daily_acf`, :func:`pacf_daily`) can't see: H ≈ 0.5 means
+    increments forget (random walk), H > 0.5 persistent trends
+    (today's surge predicts next week's level — CUSUM/EWMA alarms
+    will re-fire in clusters), H < 0.5 mean-reversion. Estimated the
+    classic way: split the series into disjoint segments of size m,
+    compute each segment's rescaled range R/S (range of the
+    demeaned cumulative sum over the population std), average per m,
+    fit ``ln E[R/S] = ln c + H·ln m`` by least squares over the
+    segment sizes. Output: one row per m — ``(m, n_segments,
+    mean_rs)`` — with the shared ``hurst`` slope broadcast on every
+    row (the :func:`~.abtest.welch_anova` output shape).
+
+    Observation-day series (gaps absent, not zero — the
+    :func:`daily_acf` contract). Only COMPLETE segments count.
+
+    Shape: the stream collapses to the bounded daily table once;
+    a 4-way literal explode replicates it per segment size; all
+    windows partition by (m, segment) over bounded frames. The
+    cumulative deviation is computed EXACTLY as ``S_j − j·mean``
+    (integer prefix sums minus a fixed-shape rational product) — no
+    running float recursion; R via order-free MAX/MIN; per-m means
+    on the integer micro-grid (order-free sums). The ≤|sizes|-row
+    regression is fixed-shape algebra.
+    """
+    daily = turns.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_r = Window.orderBy("d")
+    idx = daily.select(
+        "d", "x", (F.row_number().over(w_r) - F.lit(1)).alias("r")
+    )
+    rep = idx.select(
+        "d",
+        "x",
+        "r",
+        F.explode(F.array(*[F.lit(int(m)) for m in segment_sizes])).alias("m"),
+    ).select(
+        "m",
+        F.floor(F.col("r") / F.col("m")).cast("long").alias("seg"),
+        (F.col("r") % F.col("m")).alias("j"),
+        "d",
+        "x",
+    )
+    w_seg = Window.partitionBy("m", "seg")
+    w_cum = Window.partitionBy("m", "seg").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stats = rep.select(
+        "m",
+        "seg",
+        "j",
+        "x",
+        F.count(F.lit(1)).over(w_seg).alias("_cnt"),
+        F.sum("x").over(w_seg).cast("long").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).over(w_seg).cast("long").alias("_sxx"),
+        F.sum("x").over(w_cum).cast("long").alias("_cs"),
+    ).where(F.col("_cnt") == F.col("m"))
+    mean = F.col("_sx").cast("double") / F.col("m")
+    # exact cumulative deviation: S_j − (j+1)·mean (prefix longs, one product)
+    cdev = F.col("_cs").cast("double") - (F.col("j") + F.lit(1)).cast(
+        "double"
+    ) * mean
+    per_seg = stats.groupBy("m", "seg").agg(
+        (F.max(cdev) - F.min(cdev)).alias("_range"),
+        F.max(F.col("_sxx")).alias("_sxx"),
+        F.max(F.col("_sx")).alias("_sx"),
+    )
+    mm = F.col("m").cast("double")
+    var = (
+        F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double") / mm
+    ) / mm
+    rs = F.col("_range") / F.sqrt(var)
+    rs_micro = F.round(rs * F.lit(1.0e6), 0).cast("long")
+    per_m = (
+        per_seg.where(var > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(rs_micro).cast("long").alias("_rsm"),
+        )
+    )
+    pts = per_m.select(
+        "m",
+        "n_segments",
+        (F.col("_rsm").cast("double") / (F.col("n_segments") * F.lit(1.0e6))).alias(
+            "_mean_rs"
+        ),
+        F.log(F.col("m").cast("double")).alias("_lx"),
+        F.log(
+            F.col("_rsm").cast("double") / (F.col("n_segments") * F.lit(1.0e6))
+        ).alias("_ly"),
+    )
+    reg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+    )
+    slope = F.when(
+        F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0,
+        (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+    )
+    return (
+        pts.crossJoin(F.broadcast(reg))
+        .select(
+            "m",
+            "n_segments",
+            F.round(F.col("_mean_rs"), 6).alias("mean_rs"),
+            F.round(slope, 6).alias("hurst"),
+        )
+        .orderBy("m")
+    )

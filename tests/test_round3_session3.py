@@ -584,3 +584,154 @@ def test_competing_labels_tie_goes_to_cause_a(spark):
     r = competing_risks_labels(turns, cutoffs, horizon_days=14).collect()[0]
     # the same turn qualifies for BOTH causes at the same ts -> cause 1
     assert r["cause"] == 1 and r["duration_days"] == 2
+
+
+# ----------------------------------------------------- Hosmer–Lemeshow
+def test_hosmer_lemeshow_calibrated_small_stat(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import hosmer_lemeshow
+
+    # y == E[p] per score group exactly -> O = E in every bin -> HL = 0
+    rows = []
+    for s, rate, n in [(0.2, 0.2, 10), (0.5, 0.5, 10), (0.8, 0.8, 10)]:
+        k = int(rate * n)
+        rows += [(1, s)] * k + [(0, s)] * (n - k)
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = hosmer_lemeshow(df, "y", "p", n_bins=3).collect()[0]
+    assert r["hl_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["df"] == 1
+
+
+def test_hosmer_lemeshow_miscalibrated_large_stat(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import hosmer_lemeshow
+
+    # model says 0.9 but reality is 0.1 and vice versa
+    rows = [(0, 0.9)] * 45 + [(1, 0.9)] * 5 + [(1, 0.1)] * 45 + [(0, 0.1)] * 5
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = hosmer_lemeshow(df, "y", "p", n_bins=2).collect()[0]
+    assert r["hl_stat"] > 50
+    assert r["p_wh"] is None or r["p_wh"] < 0.01  # df=0 -> NULL guard ok
+
+
+# ------------------------------------------------ univariate AUC screen
+def test_univariate_auc_screen_directions(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        univariate_auc_screen,
+    )
+
+    # good: separates perfectly; noise: constant (AUC = 0.5)
+    rows = [(1, float(10 + i), 7.0) for i in range(5)] + [
+        (0, float(i), 7.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "y int, good double, noise double")
+    got = {
+        r["feature"]: r
+        for r in univariate_auc_screen(df, "y", ["good", "noise"]).collect()
+    }
+    assert got["good"]["auc"] == 1.0
+    assert got["noise"]["auc"] == 0.5
+    assert got["good"]["n_pos"] == 5 and got["good"]["n_neg"] == 5
+
+
+def test_auc_degenerate_single_class_is_null_not_error(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import auc_ks_by_fold
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.3), ("a", 1, 0.7)], "fold string, y int, p double"
+    )
+    r = auc_ks_by_fold(df, "fold", "y", "p").collect()[0]
+    assert r["auc"] is None and r["ks"] is None  # defined NULL, no ANSI error
+
+
+# ---------------------------------------------------------- silhouette
+def test_silhouette_well_separated_clusters(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    # two tight, far-apart 4-d clusters
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.1 * i, 0.0, 0.0, 0.0], 0))
+    for i in range(6):
+        rows.append((10 + i, [-10.0 - 0.1 * i, 0.0, 0.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in silhouette_by_label(df).collect()}
+    assert got[0]["mean_silhouette"] > 0.9 and got[1]["mean_silhouette"] > 0.9
+    assert got[0]["n_negative"] == 0
+
+
+def test_silhouette_flags_misassigned_point(spark):
+    from kkbox_churn_prediction_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    rows = [(0, [10.0, 0.0], 0), (1, [11.0, 0.0], 0), (2, [9.5, 0.0], 0),
+            (3, [-10.0, 0.0], 1), (4, [-11.0, 0.0], 1),
+            (5, [10.5, 0.0], 1)]  # point 5 sits in cluster 0's blob
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in silhouette_by_label(df).collect()}
+    assert got[1]["n_negative"] >= 1
+    assert got[0]["mean_silhouette"] > got[1]["mean_silhouette"]
+
+
+# --------------------------------------------------------------- Hurst
+def _hurst_ref(xs, sizes=(4, 8, 16, 32)):
+    import math
+
+    pts = []
+    for m in sizes:
+        rss = []
+        for s in range(len(xs) // m):
+            seg = xs[s * m : (s + 1) * m]
+            mu = sum(seg) / m
+            cums, c = [], 0.0
+            for j, x in enumerate(seg):
+                c = sum(seg[: j + 1]) - (j + 1) * mu
+                cums.append(c)
+            var = (sum(x * x for x in seg) - sum(seg) ** 2 / m) / m
+            if var > 0:
+                rs = (max(cums) - min(cums)) / math.sqrt(var)
+                rss.append(round(rs * 1e6) / 1e6)
+        if rss:
+            pts.append((math.log(m), math.log(sum(rss) / len(rss))))
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    return (k * sxy - sx * sy) / (k * sxx - sx * sx)
+
+
+def test_hurst_matches_scalar_reference(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import hurst_daily
+
+    t0 = datetime(2024, 1, 1)
+    xs = [(i * 7919) % 23 + 1 for i in range(70)]  # deterministic pseudo-series
+    rows = [
+        (f"c{d}_{j}", t0 + timedelta(days=d, minutes=j))
+        for d, c in enumerate(xs)
+        for j in range(c)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = hurst_daily(df).collect()
+    assert got[0]["hurst"] == pytest.approx(_hurst_ref(xs), abs=1e-4)
+    assert all(r["hurst"] == got[0]["hurst"] for r in got)
+
+
+def test_hurst_persistent_trend_is_high(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.windows import hurst_daily
+
+    t0 = datetime(2024, 1, 1)
+    xs = list(range(1, 65))  # strongly trending -> H near 1
+    rows = [
+        (f"c{d}_{j}", t0 + timedelta(days=d, minutes=j))
+        for d, c in enumerate(xs)
+        for j in range(c)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = hurst_daily(df).collect()
+    assert got[0]["hurst"] > 0.85
