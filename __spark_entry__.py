@@ -5638,6 +5638,75 @@ def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply round trip of the BPE artifact: encode the corpus
+    vocabulary with the 8 learned merges and report the compression
+    they buy (tokens/word vs the character baseline) — the
+    acceptance test of a tokenizer-vocab candidate; k merges = k JVM
+    replace ops over the distinct-word table."""
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bpe_apply_stats,
+        bpe_train_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    return bpe_apply_stats(docs, merges)
+
+
+def _q_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial moments fit + zero-inflation screen of
+    per-(conversation, active day) ERROR-tool counts by ISO weekday —
+    the model step after dispersion_daily flags VMR > 1; zeros are
+    real (active days without errors), so the structural-zero check
+    has mass to weigh."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.association import nb_fit_daily
+
+    conv = _conv(spark, sf_dir)
+    counts = conv.groupBy("conv_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(F.col("tool") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("c")
+    )
+    return nb_fit_daily(
+        counts.select(
+            (F.expr("weekday(d)") + F.lit(1)).cast("int").alias("dow"), "c"
+        ),
+        "dow",
+        "c",
+    )
+
+
+def _q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/file sizing advisor over the widest table (lineitem):
+    exact row count + exact mean serialized-width estimate → the
+    spark.sql.shuffle.partitions / maxPartitionBytes dials computed
+    instead of guessed (volume sibling of skew_diagnosis); one
+    map-side agg, all-integer recommendation math."""
+    from kkbox_churn_prediction_spark.operators.layout import partition_advisor
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return partition_advisor(li, target_partition_mb=128, cores=32)
+
+
+def _q_tool_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution of purchase conversions
+    to the tools preceding them (10 tool-turn window): which tool
+    STARTS converting journeys vs which CLOSES them; one bounded
+    window-frame list collect + array exprs, |tools|-bounded aggs."""
+    from kkbox_churn_prediction_spark.operators.funnel import tool_attribution
+
+    return tool_attribution(
+        _conv(spark, sf_dir), conversion_tool="purchase", window_turns=10
+    )
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6085,6 +6154,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "univariate_auc": _q_univariate_auc,
         "silhouette_labels": _q_silhouette,
         "hurst_daily": _q_hurst,
+        "bpe_apply_stats": _q_bpe_apply,
+        "nb_fit_dow": _q_nb_fit,
+        "partition_advisor": _q_partition_advisor,
+        "tool_attribution": _q_tool_attribution,
     }
 
 
@@ -17382,6 +17455,160 @@ ORDER BY p.m
 """
 
 
+
+def _bpe_apply_sql(n_merges: int = 8) -> str:
+    """BPE apply oracle: the SAME unrolled merge chain as
+    _bpe_train_sql, finished with the delimiter-arithmetic token
+    stats over reps{n} (lock-step with textstats.bpe_apply_stats)."""
+    train = _bpe_train_sql(n_merges)
+    # reuse the chain: strip the trainer's final SELECT/UNION block
+    body = train[: train.rindex("SELECT 1 AS merge_rank")]
+    return (
+        body
+        + f"""SELECT CAST(SUM(wf) AS BIGINT) AS n_words,
+       CAST(SUM(wf * length(replace(rep, '|', ''))) AS BIGINT) AS n_chars,
+       CAST(SUM(wf * ((length(rep) - length(replace(rep, '|', ''))) // 2))
+            AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(wf * length(replace(rep, '|', ''))) AS DOUBLE)
+             / CAST(SUM(wf) AS DOUBLE), 6) AS chars_per_word,
+       ROUND(CAST(SUM(wf * ((length(rep) - length(replace(rep, '|', ''))) // 2))
+                  AS DOUBLE) / CAST(SUM(wf) AS DOUBLE), 6) AS tokens_per_word,
+       ROUND(1.0 - CAST(SUM(wf * ((length(rep) - length(replace(rep, '|', '')))
+                                  // 2)) AS DOUBLE)
+                   / CAST(SUM(wf * length(replace(rep, '|', ''))) AS DOUBLE), 6)
+           AS compression_vs_chars
+FROM reps{n_merges}
+"""
+    )
+
+
+# NB moments fit (lock-step with association.nb_fit_daily over
+# per-(conv, active day) error counts by ISO weekday)
+_NB_FIT_SQL = f"""
+WITH {_CONV_CTE},
+counts AS (
+    SELECT conv_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(SUM(CASE WHEN tool = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM conversations GROUP BY conv_id, date_trunc('day', ts)
+),
+vals AS (SELECT CAST(isodow(d) AS INTEGER) AS dow, c FROM counts),
+per AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+    FROM vals GROUP BY dow
+)
+SELECT dow, n,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance,
+       ROUND(CASE WHEN (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       > (CAST(s1 AS DOUBLE) / n)
+                  THEN (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                       / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                          - CAST(s1 AS DOUBLE) / n) END, 6) AS nb_r,
+       ROUND(CASE WHEN (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       > (CAST(s1 AS DOUBLE) / n)
+                  THEN (CAST(s1 AS DOUBLE) / n)
+                       / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             END, 6) AS nb_p,
+       ROUND(CAST(z AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_frac_obs,
+       ROUND(CASE WHEN (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       > (CAST(s1 AS DOUBLE) / n)
+                  THEN pow((CAST(s1 AS DOUBLE) / n)
+                           / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+                           (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                           / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                              - CAST(s1 AS DOUBLE) / n)) END, 6) AS zero_frac_nb,
+       ROUND(CASE WHEN (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       > (CAST(s1 AS DOUBLE) / n)
+                  THEN CAST(z AS DOUBLE) / CAST(n AS DOUBLE)
+                       - pow((CAST(s1 AS DOUBLE) / n)
+                             / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+                             (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                             / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                                - CAST(s1 AS DOUBLE) / n)) END, 6) AS zero_inflation
+FROM per
+ORDER BY dow
+"""
+
+
+# Partition advisor (lock-step with layout.partition_advisor over
+# lineitem: same per-type width map, all-integer recommendation math)
+_PARTITION_ADVISOR_SQL = """
+WITH probe AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8
+               + (COALESCE(length(l_returnflag), 0) + 20)
+               + (COALESCE(length(l_linestatus), 0) + 20)
+               + 8 AS BIGINT)) AS BIGINT) AS sw
+    FROM lineitem
+),
+calc AS (
+    SELECT n, sw // greatest(n, 1) AS avg_w,
+           n * (sw // greatest(n, 1)) AS total,
+           CAST(128 AS BIGINT) * 1024 * 1024 AS target
+    FROM probe
+),
+parts AS (
+    SELECT n, avg_w, total, target,
+           greatest(CAST(1 AS BIGINT), (total + target - 1) // target) AS raw_parts
+    FROM calc
+)
+SELECT n AS n_rows, avg_w AS avg_row_bytes, total AS est_total_bytes,
+       greatest(CAST(32 AS BIGINT), ((raw_parts + 31) // 32) * 32)
+           AS recommended_shuffle_partitions,
+       target AS recommended_max_partition_bytes,
+       (greatest(CAST(32 AS BIGINT), ((raw_parts + 31) // 32) * 32) + 31) // 32
+           AS waves
+FROM parts
+"""
+
+
+# Tool attribution (lock-step with funnel.tool_attribution)
+_TOOL_ATTRIBUTION_SQL = f"""
+WITH {_CONV_CTE},
+calls AS (
+    SELECT conv_id, ts, turn_idx, tool FROM conversations WHERE tool IS NOT NULL
+),
+prior AS (
+    SELECT tool,
+           list(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS _prior
+    FROM calls
+),
+attributed AS (
+    SELECT lf[1] AS first_touch_tool, lf[len(lf)] AS last_touch_tool
+    FROM (
+        SELECT list_filter(_prior, t -> t <> 'purchase') AS lf
+        FROM prior WHERE tool = 'purchase'
+    ) t
+    WHERE len(lf) > 0
+),
+ft AS (
+    SELECT first_touch_tool AS tool, CAST(COUNT(*) AS BIGINT) AS first_touch
+    FROM attributed GROUP BY 1
+),
+lt AS (
+    SELECT last_touch_tool AS tool, CAST(COUNT(*) AS BIGINT) AS last_touch
+    FROM attributed GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS _tot FROM attributed)
+SELECT COALESCE(f.tool, l.tool) AS tool,
+       COALESCE(f.first_touch, 0) AS first_touch,
+       COALESCE(l.last_touch, 0) AS last_touch,
+       ROUND(CAST(COALESCE(f.first_touch, 0) AS DOUBLE) * 1.0 / t._tot, 6)
+           AS share_first,
+       ROUND(CAST(COALESCE(l.last_touch, 0) AS DOUBLE) * 1.0 / t._tot, 6)
+           AS share_last
+FROM ft f FULL OUTER JOIN lt l ON f.tool = l.tool
+CROSS JOIN tot t
+ORDER BY 1
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -17734,4 +17961,8 @@ def oracle_sql() -> dict[str, str]:
         "univariate_auc": _UNIAUC_SQL,
         "silhouette_labels": _SILHOUETTE_SQL,
         "hurst_daily": _HURST_SQL,
+        "bpe_apply_stats": _bpe_apply_sql(8),
+        "nb_fit_dow": _NB_FIT_SQL,
+        "partition_advisor": _PARTITION_ADVISOR_SQL,
+        "tool_attribution": _TOOL_ATTRIBUTION_SQL,
     }

@@ -577,3 +577,61 @@ def icc_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
         F.round(F.when(n > k, msw), 6).alias("msw"),
         F.round(icc, 6).alias("icc"),
     )
+
+
+def nb_fit_daily(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+) -> DataFrame:
+    """Negative-binomial fit (method of moments) + zero-inflation
+    screen per group — the MODEL step after :func:`dispersion_test`
+    flags VMR > 1: with mean m and variance v, the NB(r, p) moments
+    give ``r = m²/(v − m)``, ``p = m/v``; the zero-inflation column
+    compares the OBSERVED zero fraction with the NB-predicted
+    ``p^r`` — observed ≫ predicted means even the overdispersed
+    model misses a structural zero mass (dual-process behavior:
+    distinct "inactive" vs "active-but-variable" populations, which
+    changes how an anomaly threshold should be set). Equidispersed
+    or underdispersed groups (v ≤ m) emit NULL fits with the
+    defined-degenerate columns (the empty-arm discipline).
+
+    Output per group: ``(group, n, mean, variance, nb_r, nb_p,
+    zero_frac_obs, zero_frac_nb, zero_inflation)``.
+
+    Shape: ONE conditional moment agg per group (exact long Σ, Σx²,
+    zero counts), fixed-shape scalar algebra on the bounded group
+    table. No window, no sort.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    per = (
+        df.select(F.col(group_col).alias("_g"), v.cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").cast("long").alias("_s1"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+            F.sum((F.col("_v") == 0).cast("int")).cast("long").alias("_z"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    m = F.col("_s1").cast("double") / nn
+    var = F.col("_s2").cast("double") / nn - m * m  # population moments
+    r = F.when(var > m, m * m / (var - m))
+    p = F.when(var > m, m / var)
+    zero_nb = F.when(var > m, F.pow(m / var, m * m / (var - m)))
+    zf = F.col("_z").cast("double") / nn
+    return per.select(
+        F.col("_g").alias(group_col if isinstance(group_col, str) else "group"),
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+        F.round(zf, 6).alias("zero_frac_obs"),
+        F.round(zero_nb, 6).alias("zero_frac_nb"),
+        F.round(F.when(zero_nb.isNotNull(), zf - zero_nb), 6).alias(
+            "zero_inflation"
+        ),
+    ).orderBy(group_col if isinstance(group_col, str) else "group")

@@ -68,3 +68,72 @@ def funnel_rollup(per_entity: DataFrame, n_steps: int = 3) -> DataFrame:
             ).alias(f"conv_step{i}")
         )
     return base.select("n_entities", *[F.col(f"n_step{i}") for i in range(1, n_steps + 1)], *convs)
+
+
+def tool_attribution(
+    turns: DataFrame,
+    *,
+    conversion_tool: str = "purchase",
+    window_turns: int = 10,
+) -> DataFrame:
+    """First-touch / last-touch attribution of conversions to the
+    tools that preceded them: for every ``conversion_tool`` turn,
+    credit (a) the FIRST and (b) the LAST other tool invoked within
+    the preceding ``window_turns`` tool-turns of the same
+    conversation — the marketing-attribution read applied to agent
+    workflows (which tool starts journeys that end in conversion vs
+    which closes them; the two disagree exactly when funnels are
+    long). Output per tool: ``(tool, first_touch, last_touch,
+    share_first, share_last)`` over attributed conversions.
+
+    Shape: one conv-partitioned window pass collects the bounded
+    lag-struct array (``window_turns`` lags of (tool) via
+    ``collect_list`` over a bounded ROWS frame — never the whole
+    conversation), then pure array exprs pick first/last non-null
+    non-conversion lag; one |tools|-bounded agg. The corpus is
+    windowed once.
+    """
+    calls = turns.where(F.col("tool").isNotNull())
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(-int(window_turns), -1)
+    )
+    with_prior = calls.select(
+        "tool",
+        F.collect_list("tool").over(w).alias("_prior"),
+    ).where(F.col("tool") == conversion_tool)
+    others = F.filter(F.col("_prior"), lambda t: t != F.lit(conversion_tool))
+    # try_element_at: ANSI-safe NULL (not an error) on conversions
+    # with an empty prior window; those rows drop in the filter
+    attributed = with_prior.select(
+        F.try_element_at(others, F.lit(1)).alias("first_touch_tool"),
+        F.try_element_at(others, F.lit(-1)).alias("last_touch_tool"),
+    ).where(F.col("first_touch_tool").isNotNull())
+    first = attributed.groupBy(F.col("first_touch_tool").alias("tool")).agg(
+        F.count(F.lit(1)).cast("long").alias("first_touch")
+    )
+    last = attributed.groupBy(F.col("last_touch_tool").alias("tool")).agg(
+        F.count(F.lit(1)).cast("long").alias("last_touch")
+    )
+    tot = attributed.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return (
+        first.join(last, "tool", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tool",
+            F.coalesce(F.col("first_touch"), F.lit(0)).cast("long").alias(
+                "first_touch"
+            ),
+            F.coalesce(F.col("last_touch"), F.lit(0)).cast("long").alias(
+                "last_touch"
+            ),
+            F.round(
+                F.coalesce(F.col("first_touch"), F.lit(0)) * 1.0 / F.col("_tot"), 6
+            ).alias("share_first"),
+            F.round(
+                F.coalesce(F.col("last_touch"), F.lit(0)) * 1.0 / F.col("_tot"), 6
+            ).alias("share_last"),
+        )
+        .orderBy("tool")
+    )

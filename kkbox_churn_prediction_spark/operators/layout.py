@@ -112,3 +112,76 @@ def compaction_plan(
     return planned.join(F.broadcast(per_bucket), "bucket").select(
         *key_cols, "bytes", "bucket", "bucket_bytes", "bucket_files"
     )
+
+
+def partition_advisor(
+    df: DataFrame,
+    *,
+    target_partition_mb: int = 128,
+    cores: int = 32,
+) -> DataFrame:
+    """Shuffle/file-layout sizing advisor: from the table's row count
+    and measured average serialized row width, recommend
+    ``spark.sql.shuffle.partitions`` (total bytes / target partition
+    size, rounded UP to a multiple of the core count so no final
+    wave runs ragged) and ``spark.sql.files.maxPartitionBytes`` —
+    the two dials every scale section of this repo's docs tells the
+    operator to set, computed instead of guessed. The measurement
+    companion to :func:`~kkbox_churn_prediction_spark.operators.skew.skew_diagnosis`
+    (that sizes KEY skew; this sizes VOLUME).
+
+    Width is the exact mean of a per-column serialized-size estimate
+    over the FULL table — one map-side-combined agg (integer sums,
+    order-free, reproducible cross-engine), no sampling to disagree
+    on. Output: ONE row — row count, est. bytes, recommended
+    partition counts and bytes-per-file, and the wave count at the
+    given core budget.
+
+    Shape: one exact COUNT+SUM agg; nothing corpus-sized shuffles.
+    """
+    width_cols = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        t = f_.dataType.simpleString()
+        if t in ("bigint", "double", "timestamp", "timestamp_ntz", "long"):
+            width_cols.append(F.lit(8))
+        elif t in ("int", "integer", "float", "date"):
+            width_cols.append(F.lit(4))
+        elif t.startswith("array"):
+            width_cols.append(
+                F.coalesce(F.size(c), F.lit(0)) * F.lit(4) + F.lit(16)
+            )
+        else:
+            width_cols.append(
+                F.coalesce(F.length(c.cast("string")), F.lit(0)) + F.lit(20)
+            )
+    row_w = width_cols[0]
+    for wcol in width_cols[1:]:
+        row_w = row_w + wcol
+    probe = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_sn"),
+        F.sum(row_w.cast("long")).cast("long").alias("_sw"),
+    ).collect()[0]
+    n = probe["_sn"] or 0
+    avg_w = (probe["_sw"] // max(n, 1)) if n else 0
+    total = n * avg_w
+    target = int(target_partition_mb) * 1024 * 1024
+    raw_parts = max(1, -(-total // max(target, 1)))  # ceil
+    parts = max(cores, -(-raw_parts // cores) * cores)  # round up to core multiple
+    waves = -(-parts // cores)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(avg_w),
+                int(total),
+                int(parts),
+                int(target),
+                int(waves),
+            )
+        ],
+        "n_rows bigint, avg_row_bytes bigint, est_total_bytes bigint, "
+        "recommended_shuffle_partitions bigint, "
+        "recommended_max_partition_bytes bigint, waves bigint",
+    )

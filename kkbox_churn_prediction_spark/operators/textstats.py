@@ -2184,3 +2184,73 @@ def bpe_train_merges(
         reps_df = nxt
     reps_df.unpersist()
     return spark.createDataFrame(out, schema)
+
+
+def bpe_apply_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    *,
+    min_word_len: int = 2,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Apply a learned BPE merge table (the
+    :func:`bpe_train_merges` artifact) to the corpus and report the
+    compression it buys — the acceptance test of a tokenizer-vocab
+    candidate BEFORE committing to it: ``tokens_per_word`` after k
+    merges vs the character baseline, corpus-weighted. Output: ONE
+    row — ``(n_words, n_chars, n_tokens, chars_per_word,
+    tokens_per_word, compression_vs_chars)``.
+
+    Encoding applies the merges IN TRAINING ORDER as a chain of
+    literal ``replace`` column expressions over the delimiter-encoded
+    word (the exact construction training used, so train→apply
+    round-trips bit-identically) — k merges = k JVM string ops per
+    distinct word, zero Python, zero extra shuffles. Token counts
+    come from the delimiter arithmetic ``(len(rep) −
+    len(replace(rep, '|', ''))) / 2 − 1`` (each token adds one
+    ``|...|`` pair) — no split/explode needed. Stats are
+    frequency-weighted over the DISTINCT-WORD table (the training
+    scale shape: O(vocab) work after one corpus pass).
+    """
+    from kkbox_churn_prediction_spark.functions.text import normalize_text, tokens
+
+    words = (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .where(
+            (F.length("word") >= min_word_len)
+            & (F.length("word") <= max_word_len)
+            & F.col("word").rlike("^[a-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    rep: Column = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("word"), ""), "||"), F.lit("|")
+    )
+    for a, b in merges:
+        rep = F.replace(rep, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_tokens = (
+        (F.length(rep) - F.length(F.replace(rep, F.lit("|"), F.lit("")))) / 2
+    ).cast("long")
+    per = words.select(
+        "wf",
+        F.length("word").cast("long").alias("_chars"),
+        n_tokens.alias("_toks"),
+    )
+    out = per.agg(
+        F.sum("wf").cast("long").alias("n_words"),
+        F.sum(F.col("wf") * F.col("_chars")).cast("long").alias("n_chars"),
+        F.sum(F.col("wf") * F.col("_toks")).cast("long").alias("n_tokens"),
+    )
+    nw = F.col("n_words").cast("double")
+    return out.select(
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_chars") / nw, 6).alias("chars_per_word"),
+        F.round(F.col("n_tokens") / nw, 6).alias("tokens_per_word"),
+        F.round(
+            F.lit(1.0) - F.col("n_tokens") / F.col("n_chars").cast("double"), 6
+        ).alias("compression_vs_chars"),
+    )

@@ -735,3 +735,135 @@ def test_hurst_persistent_trend_is_high(spark):
     df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
     got = hurst_daily(df).collect()
     assert got[0]["hurst"] > 0.85
+
+
+# ------------------------------------------------------ BPE apply stats
+def test_bpe_apply_roundtrip_compression(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        bpe_apply_stats,
+        bpe_train_merges,
+    )
+
+    wf = {"banana": 4, "bandana": 2, "ananas": 3}
+    docs = _docs_df(spark, wf)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    r = bpe_apply_stats(docs, merges).collect()[0]
+    assert r["n_words"] == 9
+    assert r["n_chars"] == 4 * 6 + 2 * 7 + 3 * 6
+    # applying the reference merges by hand must give the same token count
+    reps = {w: tuple(w) for w in wf}
+    for a, b in merges:
+        for w, syms in reps.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reps[w] = tuple(out)
+    expect_tokens = sum(f * len(reps[w]) for w, f in wf.items())
+    assert r["n_tokens"] == expect_tokens
+    assert 0 < r["compression_vs_chars"] < 1
+
+
+def test_bpe_apply_no_merges_is_char_baseline(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import bpe_apply_stats
+
+    r = bpe_apply_stats(_docs_df(spark, {"abc": 2}), []).collect()[0]
+    assert r["n_tokens"] == r["n_chars"] == 6
+    assert r["compression_vs_chars"] == 0.0
+
+
+# ------------------------------------------------------------- NB fit
+def test_nb_fit_moments_and_zero_inflation(spark):
+    from kkbox_churn_prediction_spark.operators.association import nb_fit_daily
+
+    # overdispersed with many zeros: 12 zeros, then bursts
+    vals = [0] * 12 + [5] * 4 + [10] * 4
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, c int")
+    r = nb_fit_daily(df, "grp", "c").collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    var = sum(v * v for v in vals) / n - m * m
+    assert r["mean"] == pytest.approx(m, abs=1e-6)
+    assert r["variance"] == pytest.approx(var, abs=1e-6)
+    assert r["nb_r"] == pytest.approx(m * m / (var - m), abs=1e-4)
+    assert r["zero_frac_obs"] == pytest.approx(12 / 20, abs=1e-6)
+    assert r["zero_inflation"] > 0.2  # structural zeros exceed NB prediction
+
+
+def test_nb_fit_equidispersed_defined_nulls(spark):
+    from kkbox_churn_prediction_spark.operators.association import nb_fit_daily
+
+    df = spark.createDataFrame([("g", 3)] * 10, "grp string, c int")  # var=0
+    r = nb_fit_daily(df, "grp", "c").collect()[0]
+    assert r["nb_r"] is None and r["nb_p"] is None and r["zero_inflation"] is None
+
+
+# ---------------------------------------------------- partition advisor
+def test_partition_advisor_math(spark):
+    from kkbox_churn_prediction_spark.operators.layout import partition_advisor
+
+    df = spark.range(1000).selectExpr("id AS a", "CAST(id AS STRING) AS s")
+    r = partition_advisor(df, target_partition_mb=128, cores=32).collect()[0]
+    assert r["n_rows"] == 1000
+    # widths: bigint 8 + (len(s)+20); avg len of '0'..'999' = (1*10+2*90+3*900)/1000
+    avg_len = (10 + 180 + 2700) / 1000
+    assert r["avg_row_bytes"] == int(8 + avg_len + 20)
+    assert r["recommended_shuffle_partitions"] == 32  # tiny table -> core floor
+    assert r["waves"] == 1
+
+
+# ----------------------------------------------------- tool attribution
+def test_tool_attribution_first_vs_last(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.funnel import tool_attribution
+
+    t0 = datetime(2024, 7, 1)
+    rows = []
+    # journeys: search -> fetch -> buy (5x); ads -> buy (3x)
+    for c in range(5):
+        for i, tool in enumerate(["search", "fetch", "buy"]):
+            rows.append((f"a{c}", i, "tool", None, tool, t0 + timedelta(minutes=i)))
+    for c in range(3):
+        for i, tool in enumerate(["ads", "buy"]):
+            rows.append((f"b{c}", i, "tool", None, tool, t0 + timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r["tool"]: r for r in tool_attribution(df, conversion_tool="buy").collect()}
+    assert got["search"]["first_touch"] == 5 and got["search"]["last_touch"] == 0
+    assert got["fetch"]["first_touch"] == 0 and got["fetch"]["last_touch"] == 5
+    assert got["ads"]["first_touch"] == 3 and got["ads"]["last_touch"] == 3
+    assert got["search"]["share_first"] == pytest.approx(5 / 8, abs=1e-6)
+
+
+def test_tool_attribution_window_bound(spark):
+    from datetime import datetime, timedelta
+
+    from kkbox_churn_prediction_spark.operators.funnel import tool_attribution
+
+    t0 = datetime(2024, 7, 1)
+    # 'old' falls outside the 2-turn window before the conversion
+    tools = ["old", "x", "y", "buy"]
+    rows = [
+        ("c", i, "tool", None, tool, t0 + timedelta(minutes=i))
+        for i, tool in enumerate(tools)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        r["tool"]: r
+        for r in tool_attribution(df, conversion_tool="buy", window_turns=2).collect()
+    }
+    assert "old" not in got
+    assert got["x"]["first_touch"] == 1 and got["y"]["last_touch"] == 1
