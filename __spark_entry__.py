@@ -5707,6 +5707,71 @@ def _q_tool_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (subclassification) ATE on the SAME confounded
+    assignment ipw_ate corrects by modeling: conditioning exactly on
+    the discrete confounder, with honest reporting of the
+    single-arm-stratum mass dropped — the two estimators should
+    agree, and disagreement localizes model misspecification."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import stratified_ate
+
+    conv = _conv(spark, sf_dir)
+    per = conv.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user"),
+    )
+    x = F.least(F.col("n_user"), F.lit(20))
+    t = (
+        F.pmod(stable_hash48(F.concat(F.lit("ipw"), F.col("conv_id"))), F.lit(100))
+        < F.lit(20) + F.lit(3) * x
+    ).cast("long")
+    units = per.select(t.alias("t"), F.col("n_turns").alias("y"), x.alias("x"))
+    return stratified_ate(units, "t", "y", "x")
+
+
+def _q_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM curve with Greenwood standard errors and the log-log 95%
+    band — the uncertainty km_curve omits; same bounded event-time
+    machine, defined-NULL bands at S in {0, 1}."""
+    from kkbox_churn_prediction_spark.operators.survival import (
+        km_greenwood,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    return km_greenwood(
+        survival_labels(
+            _conv(spark, sf_dir), cutoffs_from_events(spark, sf_dir), horizon_days=14
+        )
+    )
+
+
+def _q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level encoding-health screen per source: U+FFFD
+    decode failures, C0 control spillover, UTF-8-as-Latin-1 mojibake
+    signature, non-ASCII share — the corpus defects word-level
+    quality scores can't see; pure JVM exprs + one hash agg."""
+    from kkbox_churn_prediction_spark.operators.textstats import encoding_quality
+
+    return encoding_quality(_docs(spark, sf_dir), "text", "source")
+
+
+def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table behind gini_activity: per
+    equal-population activity decile, the share of total turns and
+    the cumulative Lorenz coordinates; rank-bin integer machine on
+    the activity value histogram."""
+    from kkbox_churn_prediction_spark.operators.rhythm import lorenz_deciles
+
+    return lorenz_deciles(_conv(spark, sf_dir), "conv_id")
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6158,6 +6223,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_fit_dow": _q_nb_fit,
         "partition_advisor": _q_partition_advisor,
         "tool_attribution": _q_tool_attribution,
+        "stratified_ate_conf": _q_stratified_ate,
+        "km_greenwood": _q_km_greenwood,
+        "encoding_quality": _q_encoding_quality,
+        "lorenz_deciles": _q_lorenz,
     }
 
 
@@ -17609,6 +17678,173 @@ ORDER BY 1
 """
 
 
+
+# Stratified ATE (lock-step with abtest.stratified_ate over the SAME
+# confounded assignment as the IPW oracle)
+_STRAT_ATE_SQL = f"""
+WITH {_CONV_CTE},
+per_conv AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT LEAST(n_user, 20) AS x, n_turns AS y,
+           CASE WHEN ({_H48.format(x="concat('ipw', conv_id)")}) % 100
+                     < 20 + 3 * LEAST(n_user, 20)
+                THEN 1 ELSE 0 END AS t
+    FROM per_conv
+),
+per AS (
+    SELECT x AS _x, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS nt,
+           CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+           CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+    FROM units GROUP BY x
+),
+red AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_units,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(CASE WHEN nt > 0 AND n - nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strata_used,
+           CAST(SUM(CASE WHEN nt > 0 AND n - nt > 0 THEN n ELSE 0 END) AS BIGINT)
+               AS n_used,
+           SUM(CASE WHEN nt > 0 AND n - nt > 0
+                    THEN CAST(FLOOR(CAST(n AS DOUBLE)
+                         * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                            - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+                         * 1000000000.0) AS HUGEINT) END) AS num,
+           CAST(SUM(nt) AS BIGINT) AS nt_all,
+           CAST(SUM(syt) AS BIGINT) AS syt_all,
+           CAST(SUM(syc) AS BIGINT) AS syc_all
+    FROM per
+)
+SELECT n_units, n_strata, n_strata_used,
+       ROUND(1.0 - CAST(n_used AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+           AS excluded_share,
+       ROUND(CAST(syt_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+             - CAST(syc_all AS DOUBLE) / CAST(n_units - nt_all AS DOUBLE), 6)
+           AS naive_diff,
+       ROUND(CAST(num AS DOUBLE) / (CAST(n_used AS DOUBLE) * 1000000000.0), 6)
+           AS ate_stratified
+FROM red
+"""
+
+
+# KM + Greenwood band (lock-step with survival.km_greenwood)
+_KM_GREENWOOD_SQL = f"""
+WITH {_SURVIVAL_CORE},
+per_t AS (
+    SELECT duration_days AS t, COUNT(*) AS n_leaving, SUM(observed) AS n_event
+    FROM labels GROUP BY duration_days
+),
+at_risk AS (
+    SELECT t, n_event,
+           SUM(n_leaving) OVER ()
+             - COALESCE(SUM(n_leaving) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM per_t
+),
+stepped AS (
+    SELECT t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_event AS BIGINT) AS n_event,
+           CASE WHEN MIN(1.0 - n_event / n_risk) OVER
+                     (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     <= 0.0
+                THEN 0.0
+                ELSE EXP(SUM(LN(CASE WHEN 1.0 - n_event / n_risk > 0.0
+                                     THEN 1.0 - n_event / n_risk ELSE 1.0 END)) OVER
+                         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+           END AS _s,
+           SUM(CASE WHEN n_risk - n_event > 0
+                    THEN CAST(n_event AS DOUBLE)
+                         / (CAST(n_risk AS DOUBLE) * (n_risk - n_event))
+                    ELSE 0.0 END) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _g
+    FROM at_risk
+)
+SELECT CAST(t AS INTEGER) AS t, n_risk, n_event,
+       ROUND(_s, 6) AS survival,
+       ROUND(CASE WHEN _s > 0.0 THEN _s * sqrt(_g) END, 6) AS se_greenwood,
+       ROUND(CASE WHEN _s > 0.0 AND _s < 1.0
+                  THEN pow(_s, exp(1.959964 * (sqrt(_g) / ABS(ln(_s))))) END, 6)
+           AS ci_lo,
+       ROUND(CASE WHEN _s > 0.0 AND _s < 1.0
+                  THEN pow(_s, exp(-1.959964 * (sqrt(_g) / ABS(ln(_s))))) END, 6)
+           AS ci_hi
+FROM stepped
+ORDER BY t
+"""
+
+
+# Encoding quality (lock-step with textstats.encoding_quality; char
+# classes via chr() so the oracle source stays ASCII)
+_ENCODING_SQL = r"""
+WITH per AS (
+    SELECT source,
+           CAST(length(text) AS BIGINT) AS _nc,
+           CAST(length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS _ctl,
+           CAST(length(text) - length(regexp_replace(text,
+                '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS _na,
+           CASE WHEN strpos(text, chr(65533)) > 0 THEN 1 ELSE 0 END AS _repl,
+           CASE WHEN regexp_matches(text,
+                chr(195) || '[' || chr(128) || '-' || chr(255) || ']')
+                THEN 1 ELSE 0 END AS _moji
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(_repl) AS BIGINT) AS repl_char_docs,
+       CAST(SUM(_moji) AS BIGINT) AS mojibake_docs,
+       ROUND(CAST(SUM(_ctl) AS DOUBLE)
+             / CAST(greatest(SUM(_nc), 1) AS DOUBLE), 6) AS control_char_rate,
+       ROUND(CAST(SUM(_na) AS DOUBLE)
+             / CAST(greatest(SUM(_nc), 1) AS DOUBLE), 6) AS non_ascii_rate
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+# Lorenz deciles (lock-step with rhythm.lorenz_deciles)
+_LORENZ_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS _c
+    FROM conversations GROUP BY conv_id
+),
+hist AS (SELECT _c, CAST(COUNT(*) AS BIGINT) AS _ne FROM per GROUP BY _c),
+ranked AS (
+    SELECT _c, _ne,
+           CAST(COALESCE(SUM(_ne) OVER (ORDER BY _c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _cb,
+           CAST(SUM(_ne) OVER () AS BIGINT) AS _n
+    FROM hist
+),
+per_bin AS (
+    SELECT CAST(FLOOR(_cb * 10 / _n) AS INTEGER) AS decile,
+           CAST(SUM(_ne) AS BIGINT) AS n_entities,
+           CAST(SUM(_c * _ne) AS BIGINT) AS n_events
+    FROM ranked GROUP BY 1
+)
+SELECT decile, n_entities, n_events,
+       ROUND(CAST(n_events AS DOUBLE)
+             / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS share_events,
+       ROUND(CAST(SUM(n_entities) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_entities) OVER () AS DOUBLE), 6) AS cum_share_entities,
+       ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS cum_share_events
+FROM per_bin
+ORDER BY decile
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -17965,4 +18201,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_fit_dow": _NB_FIT_SQL,
         "partition_advisor": _PARTITION_ADVISOR_SQL,
         "tool_attribution": _TOOL_ATTRIBUTION_SQL,
+        "stratified_ate_conf": _STRAT_ATE_SQL,
+        "km_greenwood": _KM_GREENWOOD_SQL,
+        "encoding_quality": _ENCODING_SQL,
+        "lorenz_deciles": _LORENZ_SQL,
     }

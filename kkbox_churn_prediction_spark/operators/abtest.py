@@ -1924,3 +1924,79 @@ def fisher_exact_greater(
         "n_a bigint, s_a bigint, n_b bigint, s_b bigint, "
         "odds_ratio double, p_greater double",
     )
+
+
+def stratified_ate(
+    units: DataFrame,
+    t_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Stratified (subclassification) average treatment effect on a
+    DISCRETE confounder: within each stratum of ``x`` the treatment
+    is as-good-as-random, so the population-weighted within-stratum
+    arm differences identify the ATE the naive pooled difference
+    gets wrong — the classic Cochran estimator, the
+    stratify-don't-model sibling of :func:`ipw_ate` (IPW extrapolates
+    a propensity model; this conditions exactly and HONESTLY reports
+    the mass it must drop — strata with only one arm, where no
+    within-stratum contrast exists).
+
+    Output: ONE row — ``(n_units, n_strata, n_strata_used,
+    excluded_share, naive_diff, ate_stratified)``.
+
+    Shape: ONE conditional hash agg per stratum (exact long counts
+    and Σy per arm; strata table bounded by |x| support), then
+    fixed-shape algebra on the bounded table with the per-stratum
+    rational terms on the 1e-9 floor grid summed as decimals
+    (order-free — the average_precision discipline).
+    """
+    t = F.col(t_col).cast("int")
+    y = F.col(y_col).cast("long")
+    per = units.groupBy(F.col(x_col).alias("_x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("nt"),
+        F.sum(F.when(t == 1, y).otherwise(F.lit(0))).cast("long").alias("syt"),
+        F.sum(F.when(t == 0, y).otherwise(F.lit(0))).cast("long").alias("syc"),
+    )
+    nc = F.col("n") - F.col("nt")
+    usable = (F.col("nt") > 0) & (nc > 0)
+    # per-stratum term: n_s * (mean_t - mean_c) on the 1e-9 grid
+    diff = (
+        F.col("syt").cast("double") / F.col("nt").cast("double")
+        - F.col("syc").cast("double") / nc.cast("double")
+    )
+    term = F.floor(F.col("n").cast("double") * diff * F.lit(1.0e9)).cast(
+        "decimal(38,0)"
+    )
+    red = per.agg(
+        F.sum("n").cast("long").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(usable.cast("int")).cast("long").alias("n_strata_used"),
+        F.sum(F.when(usable, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_n_used"),
+        F.sum(F.when(usable, term)).alias("_num"),
+        F.sum("nt").cast("long").alias("_nt_all"),
+        F.sum("syt").cast("long").alias("_syt_all"),
+        F.sum("syc").cast("long").alias("_syc_all"),
+    )
+    naive = F.col("_syt_all").cast("double") / F.col("_nt_all").cast(
+        "double"
+    ) - F.col("_syc_all").cast("double") / (
+        F.col("n_units") - F.col("_nt_all")
+    ).cast("double")
+    return red.select(
+        "n_units",
+        "n_strata",
+        "n_strata_used",
+        F.round(
+            F.lit(1.0) - F.col("_n_used").cast("double") / F.col("n_units"), 6
+        ).alias("excluded_share"),
+        F.round(naive, 6).alias("naive_diff"),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("_n_used").cast("double") * F.lit(1.0e9)),
+            6,
+        ).alias("ate_stratified"),
+    )

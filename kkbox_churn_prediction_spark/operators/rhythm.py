@@ -407,3 +407,71 @@ def hhi_concentration(df: DataFrame, group_col: str) -> DataFrame:
         F.round(hhi, 6).alias("hhi"),
         F.round(F.lit(1.0) / hhi, 6).alias("effective_groups"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    group_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lorenz concentration table behind the Gini number: rank
+    entities by activity ASCENDING, split into equal-POPULATION
+    deciles, and report each decile's share of total activity plus
+    the cumulative Lorenz coordinates — the interpretable "bottom
+    half of conversations carries 8% of turns, the top decile 40%"
+    readout a single Gini coefficient compresses away (two very
+    different concentration SHAPES can share one Gini). Output per
+    decile: ``(decile, n_entities, n_events, share_events,
+    cum_share_entities, cum_share_events)``.
+
+    Shape: the rank-bin integer machine — per-entity counts collapse
+    to a (count -> n_entities) value histogram (ONE extra hash agg,
+    bounded by distinct activity levels), the cumulative window
+    orders DISTINCT counts only, bins assigned by
+    ``floor(cum_before*K/N)``; everything downstream is exact long
+    arithmetic on <=K rows.
+    """
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    hist = per.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_ne"))
+    w = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    ranked = hist.select(
+        "_c",
+        "_ne",
+        F.coalesce(F.sum("_ne").over(w), F.lit(0)).cast("long").alias("_cb"),
+        F.sum("_ne").over(w_tot).cast("long").alias("_n"),
+    )
+    binned = ranked.select(
+        F.floor(F.col("_cb") * F.lit(int(n_bins)) / F.col("_n"))
+        .cast("int")
+        .alias("decile"),
+        "_c",
+        "_ne",
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.sum("_ne").cast("long").alias("n_entities"),
+        F.sum(F.col("_c") * F.col("_ne")).cast("long").alias("n_events"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return per_bin.select(
+        "decile",
+        "n_entities",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w_all).cast("double"),
+            6,
+        ).alias("share_events"),
+        F.round(
+            F.sum("n_entities").over(w_cum).cast("double")
+            / F.sum("n_entities").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share_entities"),
+        F.round(
+            F.sum("n_events").over(w_cum).cast("double")
+            / F.sum("n_events").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share_events"),
+    ).orderBy("decile")

@@ -446,3 +446,72 @@ def cumulative_incidence(labels: DataFrame) -> DataFrame:
         F.round(F.sum("_ta").over(w_cum), 6).alias("cif_a"),
         F.round(F.sum("_tb").over(w_cum), 6).alias("cif_b"),
     ).orderBy("t")
+
+
+def km_greenwood(labels: DataFrame, *, z: float = 1.959964) -> DataFrame:
+    """Kaplan–Meier curve with Greenwood standard errors and the
+    log-log 95% confidence band — the uncertainty :func:`km_curve`
+    omits and every survival readout should carry:
+
+        Var[S(t)] = S(t)² · Σ_{s≤t} d_s / (n_s (n_s − d_s))
+
+    with the band computed on the log(−log S) scale (the transform
+    that keeps the interval inside [0, 1] and is the lifelines /
+    survival-package default): ``S^exp(±z·σ)`` where ``σ =
+    sqrt(ΣG) / |log S|``. Boundary semantics: S = 1 (no events yet)
+    or S = 0 emit NULL bands (the transform is undefined there —
+    defined-degenerate, not poisoned).
+
+    Shape: the :func:`km_curve` machine unchanged — one groupBy to
+    the bounded event-time table, ordered-window products and the
+    Greenwood running sum over ≤horizon rows.
+    """
+    per_t = labels.groupBy(F.col("duration_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("observed").alias("n_event"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.select(
+        "t",
+        "n_event",
+        (
+            F.sum("n_leaving").over(w_all)
+            - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    d = F.col("n_event").cast("double")
+    n = F.col("n_risk").cast("double")
+    factor = F.lit(1.0) - d / n
+    surv = F.when(F.min(factor).over(w_cum) <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(F.log(F.when(factor > 0.0, factor).otherwise(F.lit(1.0)))).over(
+                w_cum
+            )
+        )
+    )
+    gterm = F.when(n - d > 0, d / (n * (n - d))).otherwise(F.lit(0.0))
+    gsum = F.sum(gterm).over(w_cum)
+    stepped = at_risk.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        surv.alias("_s"),
+        gsum.alias("_g"),
+    )
+    s = F.col("_s")
+    se = s * F.sqrt(F.col("_g"))
+    sigma = F.sqrt(F.col("_g")) / F.abs(F.log(s))
+    in_open = (s > 0.0) & (s < 1.0)
+    lo = F.pow(s, F.exp(F.lit(float(z)) * sigma))
+    hi = F.pow(s, F.exp(F.lit(-float(z)) * sigma))
+    return stepped.select(
+        "t",
+        "n_risk",
+        "n_event",
+        F.round(s, 6).alias("survival"),
+        F.round(F.when(s > 0.0, se), 6).alias("se_greenwood"),
+        F.round(F.when(in_open, lo), 6).alias("ci_lo"),
+        F.round(F.when(in_open, hi), 6).alias("ci_hi"),
+    ).orderBy("t")

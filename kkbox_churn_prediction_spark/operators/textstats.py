@@ -2254,3 +2254,71 @@ def bpe_apply_stats(
             F.lit(1.0) - F.col("n_tokens") / F.col("n_chars").cast("double"), 6
         ).alias("compression_vs_chars"),
     )
+
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Encoding-health screen per source: the corpus-poisoning
+    defects that slip past language-ID and quality scores because
+    they are CHARACTER-level, not word-level — U+FFFD replacement
+    characters (upstream decode already failed), C0 control
+    characters (binary spillover), the double-decode mojibake
+    signature (UTF-8 read as Latin-1: U+00C3 followed by a
+    Latin-1-supplement byte), and the non-ASCII share (legitimate
+    for most languages, but a sudden jump inside an ASCII source is
+    a pipeline defect). Output per source: ``(source, n_docs,
+    repl_char_docs, mojibake_docs, control_char_rate,
+    non_ascii_rate)``.
+
+    Shape: pure JVM regexp/length expressions per row + ONE hash
+    agg; rates are exact integer char-count ratios.
+    """
+    src = (
+        F.col(source_col)
+        if source_col is not None
+        else F.lit("all").alias("source")
+    )
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_control = (
+        F.length(t)
+        - F.length(
+            F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+        )
+    ).cast("long")
+    n_non_ascii = (
+        F.length(t) - F.length(F.regexp_replace(t, "[^\\x00-\\x7f]", ""))
+    ).cast("long")
+    has_repl = t.contains("\ufffd").cast("int")
+    has_mojibake = t.rlike("\u00c3[\u0080-\u00bf\u00c0-\u00ff]").cast("int")
+    per = df.where(t.isNotNull()).select(
+        src.alias("source"),
+        n_chars.alias("_nc"),
+        n_control.alias("_ctl"),
+        n_non_ascii.alias("_na"),
+        has_repl.alias("_repl"),
+        has_mojibake.alias("_moji"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_repl").cast("long").alias("repl_char_docs"),
+            F.sum("_moji").cast("long").alias("mojibake_docs"),
+            F.round(
+                F.sum("_ctl").cast("double")
+                / F.greatest(F.sum("_nc"), F.lit(1)).cast("double"),
+                6,
+            ).alias("control_char_rate"),
+            F.round(
+                F.sum("_na").cast("double")
+                / F.greatest(F.sum("_nc"), F.lit(1)).cast("double"),
+                6,
+            ).alias("non_ascii_rate"),
+        )
+        .orderBy("source")
+    )

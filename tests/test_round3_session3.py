@@ -867,3 +867,112 @@ def test_tool_attribution_window_bound(spark):
     }
     assert "old" not in got
     assert got["x"]["first_touch"] == 1 and got["y"]["last_touch"] == 1
+
+
+# -------------------------------------------------------- stratified ATE
+def test_stratified_ate_recovers_true_effect_under_confounding(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import stratified_ate
+
+    # true effect = +10 in every stratum; treatment heavily favors the
+    # high-outcome stratum, so the naive diff is inflated
+    rows = []
+    for s, (base, n_t, n_c) in enumerate([(10, 18, 2), (50, 2, 18)]):
+        rows += [(s, 1, base + 10)] * n_t + [(s, 0, base)] * n_c
+    df = spark.createDataFrame(rows, "x int, t int, y int")
+    r = stratified_ate(df, "t", "y", "x").collect()[0]
+    assert r["ate_stratified"] == pytest.approx(10.0, abs=1e-4)
+    assert r["naive_diff"] < 0  # confounding even flips the sign here
+    assert r["excluded_share"] == 0.0 and r["n_strata_used"] == 2
+
+
+def test_stratified_ate_reports_single_arm_mass(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import stratified_ate
+
+    rows = [(0, 1, 5)] * 4 + [(0, 0, 3)] * 4 + [(1, 1, 9)] * 2  # stratum 1: t only
+    df = spark.createDataFrame(rows, "x int, t int, y int")
+    r = stratified_ate(df, "t", "y", "x").collect()[0]
+    assert r["n_strata"] == 2 and r["n_strata_used"] == 1
+    assert r["excluded_share"] == pytest.approx(0.2, abs=1e-6)
+    assert r["ate_stratified"] == pytest.approx(2.0, abs=1e-6)
+
+
+# ----------------------------------------------------------- Greenwood
+def test_km_greenwood_hand_values(spark):
+    from kkbox_churn_prediction_spark.operators.survival import km_greenwood
+
+    import math
+
+    # t=1: n=10, d=2 -> S=.8, G=2/(10*8)=.025
+    # t=2: n=8, d=1  -> S=.7, G=.025+1/(8*7)
+    rows = [(1, 1)] * 2 + [(2, 1)] + [(3, 0)] * 7
+    df = spark.createDataFrame(rows, "duration_days int, observed int")
+    got = {r["t"]: r for r in km_greenwood(df).collect()}
+    assert got[1]["survival"] == pytest.approx(0.8, abs=1e-6)
+    assert got[1]["se_greenwood"] == pytest.approx(0.8 * math.sqrt(0.025), abs=1e-5)
+    g2 = 0.025 + 1 / 56
+    assert got[2]["se_greenwood"] == pytest.approx(0.7 * math.sqrt(g2), abs=1e-5)
+    # log-log band stays inside (0, 1) and brackets S
+    assert 0 < got[2]["ci_lo"] < 0.7 < got[2]["ci_hi"] < 1
+    # censored-only tail: S stays 1?? no events at t=3 -> survival flat
+    assert got[3]["survival"] == pytest.approx(0.7, abs=1e-6)
+
+
+def test_km_greenwood_no_events_defined_nulls(spark):
+    from kkbox_churn_prediction_spark.operators.survival import km_greenwood
+
+    df = spark.createDataFrame([(5, 0)] * 6, "duration_days int, observed int")
+    r = km_greenwood(df).collect()[0]
+    assert r["survival"] == 1.0 and r["ci_lo"] is None and r["ci_hi"] is None
+
+
+# ----------------------------------------------------- encoding quality
+def test_encoding_quality_detects_defects(spark):
+    from kkbox_churn_prediction_spark.operators.textstats import encoding_quality
+
+    rows = [
+        ("clean", "hello world"),
+        ("clean", "all ascii here"),
+        ("dirty", "bad � decode"),
+        ("dirty", "moji Ã© double"),   # 'Ã©' = UTF-8 'é' read as Latin-1
+        ("dirty", "ctrl\x01\x02chars"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in encoding_quality(df, "text", "source").collect()}
+    assert got["clean"]["repl_char_docs"] == 0
+    assert got["clean"]["control_char_rate"] == 0.0
+    assert got["clean"]["non_ascii_rate"] == 0.0
+    assert got["dirty"]["repl_char_docs"] == 1
+    assert got["dirty"]["mojibake_docs"] == 1
+    assert got["dirty"]["control_char_rate"] > 0
+    assert got["dirty"]["non_ascii_rate"] > 0
+
+
+# -------------------------------------------------------- Lorenz table
+def test_lorenz_uniform_is_diagonal(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import lorenz_deciles
+
+    rows = [(f"c{c}", i) for c in range(40) for i in range(5)]  # all equal
+    df = spark.createDataFrame(rows, "conv_id string, i int")
+    got = lorenz_deciles(df, "conv_id", n_bins=4).collect()
+    # equal activity -> one bin holds everyone (ties share a bin)
+    assert len(got) == 1
+    assert got[0]["cum_share_entities"] == 1.0 == got[0]["cum_share_events"]
+
+
+def test_lorenz_concentrated_tail(spark):
+    from kkbox_churn_prediction_spark.operators.rhythm import lorenz_deciles
+
+    rows = []
+    for c in range(30):
+        n = 100 if c < 3 else 1  # 3 whales carry ~77% of events
+        rows += [(f"c{c}", i) for i in range(n)]
+    df = spark.createDataFrame(rows, "conv_id string, i int")
+    got = sorted(
+        lorenz_deciles(df, "conv_id", n_bins=10).collect(), key=lambda r: r["decile"]
+    )
+    # Lorenz curve is convex: cumulative event share lags entity share
+    for r in got[:-1]:
+        assert r["cum_share_events"] <= r["cum_share_entities"] + 1e-9
+    assert got[-1]["cum_share_events"] == pytest.approx(1.0, abs=1e-6)
+    whale_share = got[-1]["share_events"]
+    assert whale_share > 0.7
