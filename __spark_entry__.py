@@ -5772,6 +5772,90 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio / odds ratio with CIs + Cohen's h for the
+    hash-parity cohorts × early-error outcome — the effect-size
+    reporting layer over the same 4-count profile the z/Fisher/Bayes
+    tests read; defined-NULL intervals at zero cells."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import risk_ratio_ci
+
+    conv = _conv(spark, sf_dir)
+    units = conv.groupBy("conv_id").agg(
+        F.max(
+            F.when((F.col("tool") == "error") & (F.col("turn_idx") < 5), 1).otherwise(0)
+        ).alias("succ")
+    )
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("fx"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return risk_ratio_ci(units.select(arm.alias("arm"), "succ"), "arm", "succ")
+
+
+def _q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across user-turn-count
+    strata (hash-parity arms × early-error outcome) — the
+    binary-outcome sibling of stratified_ate_conf; per-stratum
+    hypergeometric E/V terms on the 1e-9 grid, portable-CDF p."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import mantel_haenszel
+
+    conv = _conv(spark, sf_dir)
+    per = conv.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user"),
+        F.max(
+            F.when((F.col("tool") == "error") & (F.col("turn_idx") < 5), 1).otherwise(0)
+        ).alias("succ"),
+    )
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("mh"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    units = per.select(
+        F.least(F.col("n_user"), F.lit(5)).alias("stratum"),
+        arm.alias("arm"),
+        "succ",
+    )
+    return mantel_haenszel(units, "stratum", "arm", "succ")
+
+
+def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) source-mixture sampling weights
+    over the document corpus — the mT5/XLM-R up-sampling scheme with
+    the epoch-multiplier over-epoching flag and effective source
+    count; one bounded source agg."""
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+
+    return mixture_temperature_weights(_docs(spark, sf_dir), "source", alpha=0.3)
+
+
+def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (3-round IPF) of turn weights to UNIFORM role ×
+    ISO-weekday margins — two-margin corpus rebalancing that
+    preserves the joint structure; bounded cell-table algebra with
+    reported post-fit margins."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.sampling import rake_weights
+
+    conv = _conv(spark, sf_dir)
+    units = conv.select(
+        "role",
+        (F.expr("weekday(date_trunc('day', ts))") + F.lit(1)).cast("int").alias("dow"),
+    )
+    return rake_weights(units, "role", "dow", n_iter=3)
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6227,6 +6311,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_greenwood": _q_km_greenwood,
         "encoding_quality": _q_encoding_quality,
         "lorenz_deciles": _q_lorenz,
+        "risk_ratio_tools": _q_risk_ratio,
+        "mantel_haenszel_strata": _q_mantel_haenszel,
+        "mixture_temperature": _q_mixture_temperature,
+        "rake_role_dow": _q_rake,
     }
 
 
@@ -17845,6 +17933,217 @@ ORDER BY decile
 """
 
 
+
+# Risk ratio / OR effect sizes (lock-step with abtest.risk_ratio_ci)
+_RISK_RATIO_SQL = f"""
+WITH {_CONV_CTE},
+perconv AS (
+    SELECT conv_id,
+           MAX(CASE WHEN tool = 'error' AND turn_idx < 5 THEN 1 ELSE 0 END) AS succ
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('fx', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           succ
+    FROM perconv
+),
+counts AS (
+    SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 'a' THEN succ ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN arm = 'b' THEN succ ELSE 0 END) AS BIGINT) AS s_b
+    FROM units
+)
+SELECT n_a, s_a, n_b, s_b,
+       ROUND(CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / n_a END, 6) AS rate_a,
+       ROUND(CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / n_b END, 6) AS rate_b,
+       ROUND(CASE WHEN s_b > 0 AND n_a > 0 AND n_b > 0
+                  THEN (CAST(s_a AS DOUBLE) / n_a) / (CAST(s_b AS DOUBLE) / n_b)
+             END, 6) AS risk_ratio,
+       ROUND(CASE WHEN s_a > 0 AND s_b > 0
+                  THEN ((CAST(s_a AS DOUBLE) / n_a) / (CAST(s_b AS DOUBLE) / n_b))
+                       * exp(-1.959964 * sqrt(1.0 / s_a - 1.0 / n_a
+                                              + 1.0 / s_b - 1.0 / n_b))
+             END, 6) AS rr_ci_lo,
+       ROUND(CASE WHEN s_a > 0 AND s_b > 0
+                  THEN ((CAST(s_a AS DOUBLE) / n_a) / (CAST(s_b AS DOUBLE) / n_b))
+                       * exp(1.959964 * sqrt(1.0 / s_a - 1.0 / n_a
+                                             + 1.0 / s_b - 1.0 / n_b))
+             END, 6) AS rr_ci_hi,
+       ROUND(CASE WHEN s_b > 0 AND n_a - s_a > 0
+                  THEN (CAST(s_a AS DOUBLE) * (n_b - s_b))
+                       / (CAST(s_b AS DOUBLE) * (n_a - s_a)) END, 6) AS odds_ratio,
+       ROUND(CASE WHEN s_a > 0 AND s_b > 0 AND n_a - s_a > 0 AND n_b - s_b > 0
+                  THEN ((CAST(s_a AS DOUBLE) * (n_b - s_b))
+                        / (CAST(s_b AS DOUBLE) * (n_a - s_a)))
+                       * exp(-1.959964 * sqrt(1.0 / s_a + 1.0 / (n_a - s_a)
+                                              + 1.0 / s_b + 1.0 / (n_b - s_b)))
+             END, 6) AS or_ci_lo,
+       ROUND(CASE WHEN s_a > 0 AND s_b > 0 AND n_a - s_a > 0 AND n_b - s_b > 0
+                  THEN ((CAST(s_a AS DOUBLE) * (n_b - s_b))
+                        / (CAST(s_b AS DOUBLE) * (n_a - s_a)))
+                       * exp(1.959964 * sqrt(1.0 / s_a + 1.0 / (n_a - s_a)
+                                             + 1.0 / s_b + 1.0 / (n_b - s_b)))
+             END, 6) AS or_ci_hi,
+       ROUND(2.0 * asin(sqrt(CAST(s_a AS DOUBLE) / n_a))
+             - 2.0 * asin(sqrt(CAST(s_b AS DOUBLE) / n_b)), 6) AS cohens_h
+FROM counts
+"""
+
+
+# Mantel–Haenszel (lock-step with abtest.mantel_haenszel)
+def _mh_sql() -> str:
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p_sql
+
+    return f"""
+WITH {_CONV_CTE},
+perconv AS (
+    SELECT conv_id,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+           MAX(CASE WHEN tool = 'error' AND turn_idx < 5 THEN 1 ELSE 0 END) AS succ
+    FROM conversations GROUP BY conv_id
+),
+units AS (
+    SELECT LEAST(n_user, 5) AS stratum,
+           CASE WHEN ({_H48.format(x="concat('mh', conv_id)")}) % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           succ
+    FROM perconv
+),
+per AS (
+    SELECT stratum,
+           CAST(SUM(CASE WHEN arm = 'a' AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN arm = 'a' AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN arm = 'b' AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN arm = 'b' AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM units GROUP BY stratum
+),
+red AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(SUM(a + b + c + d) AS BIGINT) AS n_units,
+           SUM(CAST(FLOOR(CASE WHEN a + b + c + d > 0
+                    THEN CAST(a AS DOUBLE) * d / (a + b + c + d) ELSE 0.0 END
+                    * 1000000000.0) AS HUGEINT)) AS num,
+           SUM(CAST(FLOOR(CASE WHEN a + b + c + d > 0
+                    THEN CAST(b AS DOUBLE) * c / (a + b + c + d) ELSE 0.0 END
+                    * 1000000000.0) AS HUGEINT)) AS den,
+           SUM(CAST(FLOOR(CASE WHEN a + b + c + d > 0
+                    THEN CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)
+                    ELSE 0.0 END * 1000000000.0) AS HUGEINT)) AS e,
+           SUM(CAST(FLOOR(CASE WHEN a + b + c + d > 1
+                    THEN CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                         / (CAST(a + b + c + d AS DOUBLE)
+                            * (a + b + c + d) * (a + b + c + d - 1))
+                    ELSE 0.0 END * 1000000000.0) AS HUGEINT)) AS v
+    FROM per
+),
+stat AS (
+    SELECT n_strata, n_units,
+           CAST(num AS DOUBLE) / 1e9 AS num_d,
+           CAST(den AS DOUBLE) / 1e9 AS den_d,
+           CAST(e AS DOUBLE) / 1e9 AS e_d,
+           CAST(v AS DOUBLE) / 1e9 AS v_d,
+           sum_a
+    FROM red
+),
+chi AS (
+    SELECT *,
+           CASE WHEN v_d > 0
+                THEN greatest(ABS(CAST(sum_a AS DOUBLE) - e_d) - 0.5, 0.0)
+                     * greatest(ABS(CAST(sum_a AS DOUBLE) - e_d) - 0.5, 0.0) / v_d
+                ELSE 0.0 END AS chi2_raw
+    FROM stat
+)
+SELECT n_strata, n_units,
+       ROUND(CASE WHEN den_d > 0 THEN num_d / den_d END, 6) AS or_mh,
+       ROUND(chi2_raw, 6) AS chi2_mh,
+       ROUND(CASE WHEN v_d > 0 THEN {two_sided_p_sql('sqrt(chi2_raw)')}
+                  ELSE 1.0 END, 6) AS p_value
+FROM chi
+"""
+
+
+# Temperature mixture weights (lock-step with
+# sampling.mixture_temperature_weights, alpha = 0.3)
+_MIXTURE_TEMP_SQL = """
+WITH per AS (
+    SELECT source, CAST(COUNT(*) AS DOUBLE) AS _n
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(_n) AS _N FROM per),
+shared AS (
+    SELECT p.source, CAST(p._n AS BIGINT) AS n_rows,
+           p._n / t._N AS _p,
+           pow(p._n / t._N, 0.3) AS _pa
+    FROM per p CROSS JOIN tot t
+),
+z AS (SELECT SUM(_pa) AS _Z FROM shared),
+outq AS (
+    SELECT s.source, s.n_rows, s._p, s._pa / z._Z AS _q
+    FROM shared s CROSS JOIN z
+),
+ent AS (SELECT exp(-SUM(_q * ln(_q))) AS _eff FROM outq)
+SELECT o.source, o.n_rows,
+       ROUND(o._p, 6) AS natural_share,
+       ROUND(o._q, 6) AS sampling_share,
+       ROUND(o._q / o._p, 6) AS epoch_multiplier,
+       ROUND(e._eff, 6) AS effective_sources
+FROM outq o CROSS JOIN ent e
+ORDER BY o.source
+"""
+
+
+def _rake_sql(n_iter: int = 3) -> str:
+    """Unrolled 3-round IPF oracle (lock-step with
+    sampling.rake_weights over uniform role × isodow margins)."""
+    parts = [
+        f"""cells AS MATERIALIZED (
+    SELECT role AS r, CAST(isodow(date_trunc('day', ts)) AS INTEGER) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM conversations GROUP BY role, isodow(date_trunc('day', ts))
+),
+tr AS (SELECT 1.0 / COUNT(DISTINCT r) AS t FROM cells),
+tc AS (SELECT 1.0 / COUNT(DISTINCT c) AS t FROM cells),
+w0 AS MATERIALIZED (SELECT r, c, n, 1.0 AS w FROM cells)"""
+    ]
+    for i in range(1, n_iter + 1):
+        j = i - 1
+        parts.append(
+            f"""ra{i} AS MATERIALIZED (
+    SELECT w0x.r, w0x.c, w0x.n,
+           w0x.w * (SELECT t FROM tr)
+               * (SELECT SUM(w * n) FROM w{j}) / rs._rs AS w
+    FROM w{j} w0x
+    JOIN (SELECT r, SUM(w * n) AS _rs FROM w{j} GROUP BY r) rs ON w0x.r = rs.r
+),
+w{i} AS MATERIALIZED (
+    SELECT rax.r, rax.c, rax.n,
+           rax.w * (SELECT t FROM tc)
+               * (SELECT SUM(w * n) FROM ra{i}) / cs._cs AS w
+    FROM ra{i} rax
+    JOIN (SELECT c, SUM(w * n) AS _cs FROM ra{i} GROUP BY c) cs ON rax.c = cs.c
+)"""
+        )
+    n = n_iter
+    return (
+        "WITH " + _CONV_CTE.strip().lstrip("\n") + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT w.r AS row_value, w.c AS col_value, w.n AS n_units,
+       ROUND(w.w, 6) AS weight,
+       ROUND(w.w * w.n / (SELECT SUM(w * n) FROM w{n}), 6) AS weighted_share,
+       ROUND(rs._rs / (SELECT SUM(w * n) FROM w{n}), 6) AS row_share_after,
+       ROUND(cs._cs / (SELECT SUM(w * n) FROM w{n}), 6) AS col_share_after
+FROM w{n} w
+JOIN (SELECT r, SUM(w * n) AS _rs FROM w{n} GROUP BY r) rs ON w.r = rs.r
+JOIN (SELECT c, SUM(w * n) AS _cs FROM w{n} GROUP BY c) cs ON w.c = cs.c
+ORDER BY row_value, col_value
+"""
+    )
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -18205,4 +18504,8 @@ def oracle_sql() -> dict[str, str]:
         "km_greenwood": _KM_GREENWOOD_SQL,
         "encoding_quality": _ENCODING_SQL,
         "lorenz_deciles": _LORENZ_SQL,
+        "risk_ratio_tools": _RISK_RATIO_SQL,
+        "mantel_haenszel_strata": _mh_sql(),
+        "mixture_temperature": _MIXTURE_TEMP_SQL,
+        "rake_role_dow": _rake_sql(3),
     }

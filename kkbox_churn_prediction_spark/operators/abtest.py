@@ -2000,3 +2000,173 @@ def stratified_ate(
             6,
         ).alias("ate_stratified"),
     )
+
+
+def risk_ratio_ci(
+    units: DataFrame,
+    arm_col,
+    success_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Binary-outcome EFFECT SIZES with confidence intervals — the
+    reporting layer the test family (z, Fisher, Bayes) stops short
+    of: relative risk with the log-scale (Katz) CI, odds ratio with
+    the Woolf CI, and Cohen's h (the arcsine-stabilized difference
+    whose power analysis :func:`power_mde` assumes). A p-value says
+    "real"; these say "how big, with what precision" — the pair a
+    decision needs. Zero cells emit defined NULL intervals (the
+    empty-arm discipline), never ±inf.
+
+    Shape: ONE conditional hash agg to the 4-count profile row,
+    fixed-shape scalar algebra after.
+    """
+    g = F.col("_arm")
+    s = F.col("_succ")
+    one = units.select(
+        F.col(arm_col).alias("_arm") if isinstance(arm_col, str) else arm_col.alias("_arm"),
+        F.col(success_col).alias("_succ")
+        if isinstance(success_col, str)
+        else success_col.alias("_succ"),
+    ).agg(
+        F.count(F.when(g == arm_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(g == arm_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(g == arm_a, s).otherwise(F.lit(0))).cast("long").alias("s_a"),
+        F.sum(F.when(g == arm_b, s).otherwise(F.lit(0))).cast("long").alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    fa, fb = na - sa, nb - sb
+    p1 = F.when(F.col("n_a") > 0, sa / na)
+    p2 = F.when(F.col("n_b") > 0, sb / nb)
+    rr = F.when((sb > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0), (sa / na) / (sb / nb))
+    se_lnrr = F.when(
+        (sa > 0) & (sb > 0),
+        F.sqrt(F.lit(1.0) / sa - F.lit(1.0) / na + F.lit(1.0) / sb - F.lit(1.0) / nb),
+    )
+    orr = F.when((sb > 0) & (fa > 0), (sa * fb) / (sb * fa))
+    se_lnor = F.when(
+        (sa > 0) & (sb > 0) & (fa > 0) & (fb > 0),
+        F.sqrt(F.lit(1.0) / sa + F.lit(1.0) / fa + F.lit(1.0) / sb + F.lit(1.0) / fb),
+    )
+    h = F.lit(2.0) * F.asin(F.sqrt(p1)) - F.lit(2.0) * F.asin(F.sqrt(p2))
+    zz = F.lit(float(z))
+    return one.select(
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(F.when(se_lnrr.isNotNull(), rr * F.exp(-zz * se_lnrr)), 6).alias(
+            "rr_ci_lo"
+        ),
+        F.round(F.when(se_lnrr.isNotNull(), rr * F.exp(zz * se_lnrr)), 6).alias(
+            "rr_ci_hi"
+        ),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.when(se_lnor.isNotNull(), orr * F.exp(-zz * se_lnor)), 6).alias(
+            "or_ci_lo"
+        ),
+        F.round(F.when(se_lnor.isNotNull(), orr * F.exp(zz * se_lnor)), 6).alias(
+            "or_ci_hi"
+        ),
+        F.round(h, 6).alias("cohens_h"),
+    )
+
+
+def mantel_haenszel(
+    units: DataFrame,
+    stratum_col: str,
+    arm_col,
+    success_col,
+    *,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio + continuity-corrected
+    chi-square across strata — the BINARY-outcome sibling of
+    :func:`stratified_ate` (that pools mean differences; this pools
+    2×2 odds ratios, the epidemiology/experimentation standard for
+    "is the effect real after conditioning, and how big"):
+
+        OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i)
+        chi2  = (|Σa_i − ΣE_i| − 0.5)² / ΣV_i
+
+    with the hypergeometric E/V per stratum. Output: ONE row —
+    counts, OR_MH, chi2, p (portable CDF). Single-arm strata
+    contribute nothing to either sum (standard MH behavior —
+    their a·d/n and b·c/n terms are 0 when a margin is empty).
+
+    Shape: one per-stratum conditional agg (bounded table), per-
+    stratum rational terms on the 1e-9 floor grid summed as decimals
+    (order-free), fixed-shape final algebra.
+    """
+    from kkbox_churn_prediction_spark.functions.stats import two_sided_p
+
+    g = F.col("_arm")
+    s = F.col("_succ")
+    per = (
+        units.select(
+            F.col(stratum_col).alias("_st"),
+            F.col(arm_col).alias("_arm") if isinstance(arm_col, str) else arm_col.alias("_arm"),
+            F.col(success_col).alias("_succ")
+            if isinstance(success_col, str)
+            else success_col.alias("_succ"),
+        )
+        .groupBy("_st")
+        .agg(
+            F.sum(F.when((g == arm_a) & (s == 1), 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when((g == arm_a) & (s == 0), 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when((g == arm_b) & (s == 1), 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when((g == arm_b) & (s == 0), 1).otherwise(0)).cast("long").alias("d"),
+        )
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    grid = F.lit(1.0e9)
+    dec = "decimal(38,0)"
+
+    def t9(expr):
+        return F.floor(expr * grid).cast(dec)
+
+    r1, r0 = a + b, c + d
+    c1, c0 = a + c, b + d
+    e = F.when(n > 0, r1 * c1 / n).otherwise(F.lit(0.0))
+    v = F.when(n > 1, r1 * r0 * c1 * c0 / (n * n * (n - F.lit(1.0)))).otherwise(
+        F.lit(0.0)
+    )
+    red = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        (F.sum("a") + F.sum("b") + F.sum("c") + F.sum("d"))
+        .cast("long")
+        .alias("n_units"),
+        F.sum(t9(F.when(n > 0, a * d / n).otherwise(F.lit(0.0)))).alias("_num"),
+        F.sum(t9(F.when(n > 0, b * c / n).otherwise(F.lit(0.0)))).alias("_den"),
+        F.sum(t9(e)).alias("_e"),
+        F.sum(t9(v)).alias("_v"),
+    )
+    num = F.col("_num").cast("double") / 1.0e9
+    den = F.col("_den").cast("double") / 1.0e9
+    ee = F.col("_e").cast("double") / 1.0e9
+    vv = F.col("_v").cast("double") / 1.0e9
+    gap = F.greatest(
+        F.abs(F.col("sum_a").cast("double") - ee) - F.lit(0.5), F.lit(0.0)
+    )
+    chi2 = F.when(vv > 0, gap * gap / vv).otherwise(F.lit(0.0))
+    return red.select(
+        "n_strata",
+        "n_units",
+        F.round(F.when(den > 0, num / den), 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2_mh"),
+        F.round(
+            F.when(vv > 0, two_sided_p(F.sqrt(chi2))).otherwise(F.lit(1.0)), 6
+        ).alias("p_value"),
+    )

@@ -615,3 +615,154 @@ def weight_diagnostics(
             F.sqrt(F.when(cv2 > 0, cv2).otherwise(F.lit(0.0))), 6
         ).alias("cv_w"),
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    *,
+    alpha: float = 0.3,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled data-mixture sampling weights — the
+    multilingual/multi-source scheme (mT5/XLM-R style): raw source
+    share ``p_s`` is exponentiated to ``p_s^alpha`` and renormalized,
+    so low-resource sources are up-sampled smoothly (alpha=1 keeps
+    natural proportions, alpha→0 approaches uniform). Emits per
+    source the natural share, the temperature-scaled sampling share,
+    the up/down-sampling multiplier ``q_s/p_s`` (the EPOCH count a
+    sampler will effectively make over that source — the
+    over-epoching/duplication red flag when it exceeds a few), and
+    the mixture's effective source count ``exp(H(q))``. The policy
+    complement to :func:`balance_weights` (inverse-frequency = the
+    alpha→0 pole) and the knob `match_token_distribution` tunes
+    toward a TARGET; this one needs no target, just a temperature.
+
+    ``count_col`` weights sources by a size column (e.g. token
+    counts) instead of row counts. Shape: ONE hash agg to the
+    bounded source table; the normalizers ride GLOBAL WINDOWS over
+    that bounded table (the engine's bounded-global-window
+    discipline — no self-join, no ambiguity, nothing corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    size = (
+        F.count(F.lit(1)).cast("double")
+        if count_col is None
+        else F.sum(count_col).cast("double")
+    )
+    per = df.groupBy(F.col(source_col).alias("source")).agg(size.alias("_n"))
+    w_all = Window.partitionBy()
+    p = F.col("_n") / F.sum("_n").over(w_all)
+    shared = per.select(
+        "source",
+        F.col("_n").cast("long").alias("n_rows"),
+        p.alias("_p"),
+        F.pow(p, F.lit(float(alpha))).alias("_pa"),
+    )
+    q = F.col("_pa") / F.sum("_pa").over(w_all)
+    out = shared.select("source", "n_rows", "_p", q.alias("_q"))
+    eff = F.exp(-F.sum(F.col("_q") * F.log("_q")).over(w_all))
+    return (
+        out.select(
+            "source",
+            "n_rows",
+            F.round(F.col("_p"), 6).alias("natural_share"),
+            F.round(F.col("_q"), 6).alias("sampling_share"),
+            F.round(F.col("_q") / F.col("_p"), 6).alias("epoch_multiplier"),
+            F.round(eff, 6).alias("effective_sources"),
+        )
+        .orderBy("source")
+    )
+
+
+def rake_weights(
+    units: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Survey raking (iterative proportional fitting) of unit weights
+    so BOTH marginal distributions match UNIFORM targets — the
+    two-margin generalization of :func:`balance_weights` (which
+    balances one): e.g. reweight a transcript corpus so every role
+    AND every weekday contributes equally, without collapsing the
+    (role × weekday) joint structure the way independent per-margin
+    weights would. Classic IPF: alternately scale each row-margin to
+    target, then each column-margin, ``n_iter`` rounds (converges
+    geometrically; 3 rounds lands within ~1e-3 for non-degenerate
+    tables — the residual row-margin error is REPORTED per cell's
+    row so the consumer sees convergence, not assumes it).
+
+    Output per observed cell: ``(row, col, n_units, weight,
+    weighted_share, row_share_after, col_share_after)``.
+
+    Shape: ONE hash agg to the bounded (rows × cols) cell table;
+    the IPF rounds are fixed-count unrolled algebra on that bounded
+    table (two scalings per round, each a groupBy+join on ≤|cells|
+    rows — at |roles|×7 scale this is driver-trivial but stays in
+    the plan for composability).
+    """
+    cells = units.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = cells.persist()
+    w = cells.select("r", "c", "n", F.lit(1.0).alias("w"))
+    n_rows_ = cells.select("r").distinct().count()
+    n_cols_ = cells.select("c").distinct().count()
+    tr = 1.0 / n_rows_
+    tc = 1.0 / n_cols_
+    from pyspark.sql import Window
+
+    # each scaling references w three ways (cells, margin sums, total);
+    # without lineage truncation the plan grows 3^2 per round — the
+    # components-module localCheckpoint discipline caps it, and the
+    # margin/total sums ride windows over the BOUNDED cell table (no
+    # self-join, no broadcast churn)
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("r")
+    w_col = Window.partitionBy("c")
+    for _ in range(int(n_iter)):
+        w = w.select(
+            "r",
+            "c",
+            "n",
+            (
+                F.col("w")
+                * F.lit(tr)
+                * F.sum(F.col("w") * F.col("n")).over(w_all)
+                / F.sum(F.col("w") * F.col("n")).over(w_row)
+            ).alias("w"),
+        )
+        w = w.select(
+            "r",
+            "c",
+            "n",
+            (
+                F.col("w")
+                * F.lit(tc)
+                * F.sum(F.col("w") * F.col("n")).over(w_all)
+                / F.sum(F.col("w") * F.col("n")).over(w_col)
+            ).alias("w"),
+        ).localCheckpoint(eager=True)
+    wn = F.col("w") * F.col("n")
+    out = (
+        w.select(
+            F.col("r").alias("row_value"),
+            F.col("c").alias("col_value"),
+            F.col("n").alias("n_units"),
+            F.round(F.col("w"), 6).alias("weight"),
+            F.round(wn / F.sum(wn).over(w_all), 6).alias("weighted_share"),
+            F.round(
+                F.sum(wn).over(w_row) / F.sum(wn).over(w_all), 6
+            ).alias("row_share_after"),
+            F.round(
+                F.sum(wn).over(w_col) / F.sum(wn).over(w_all), 6
+            ).alias("col_share_after"),
+        )
+        .orderBy("row_value", "col_value")
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out

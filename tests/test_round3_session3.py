@@ -976,3 +976,103 @@ def test_lorenz_concentrated_tail(spark):
     assert got[-1]["cum_share_events"] == pytest.approx(1.0, abs=1e-6)
     whale_share = got[-1]["share_events"]
     assert whale_share > 0.7
+
+
+# -------------------------------------------------------- risk ratio CI
+def test_risk_ratio_hand_values(spark):
+    import math
+
+    from kkbox_churn_prediction_spark.operators.abtest import risk_ratio_ci
+
+    r = risk_ratio_ci(_arm_units(spark, 100, 30, 100, 15), "arm", "succ").collect()[0]
+    assert r["risk_ratio"] == pytest.approx(2.0, abs=1e-6)
+    se = math.sqrt(1 / 30 - 1 / 100 + 1 / 15 - 1 / 100)
+    assert r["rr_ci_lo"] == pytest.approx(2.0 * math.exp(-1.959964 * se), abs=1e-4)
+    assert r["rr_ci_hi"] == pytest.approx(2.0 * math.exp(1.959964 * se), abs=1e-4)
+    assert r["odds_ratio"] == pytest.approx((30 * 85) / (15 * 70), abs=1e-6)
+    h = 2 * math.asin(math.sqrt(0.3)) - 2 * math.asin(math.sqrt(0.15))
+    assert r["cohens_h"] == pytest.approx(h, abs=1e-6)
+
+
+def test_risk_ratio_zero_cell_nulls(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import risk_ratio_ci
+
+    r = risk_ratio_ci(_arm_units(spark, 10, 3, 10, 0), "arm", "succ").collect()[0]
+    assert r["risk_ratio"] is None and r["rr_ci_lo"] is None
+
+
+# ------------------------------------------------------ Mantel–Haenszel
+def test_mantel_haenszel_pools_planted_or(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import mantel_haenszel
+
+    # two strata, both with true OR = 4
+    rows = []
+    for s, scale in [(0, 1), (1, 2)]:
+        rows += [(s, "a", 1)] * (8 * scale) + [(s, "a", 0)] * (12 * scale)
+        rows += [(s, "b", 1)] * (2 * scale) + [(s, "b", 0)] * (12 * scale)
+    df = spark.createDataFrame(rows, "stratum int, arm string, succ int")
+    r = mantel_haenszel(df, "stratum", "arm", "succ").collect()[0]
+    assert r["or_mh"] == pytest.approx(4.0, abs=0.01)
+    assert r["chi2_mh"] > 3.84  # significant at 5%
+    assert r["p_value"] < 0.05
+
+
+def test_mantel_haenszel_null_effect(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import mantel_haenszel
+
+    rows = []
+    for s in range(3):
+        rows += [(s, "a", 1)] * 5 + [(s, "a", 0)] * 5
+        rows += [(s, "b", 1)] * 5 + [(s, "b", 0)] * 5
+    df = spark.createDataFrame(rows, "stratum int, arm string, succ int")
+    r = mantel_haenszel(df, "stratum", "arm", "succ").collect()[0]
+    assert r["or_mh"] == pytest.approx(1.0, abs=1e-6)
+    assert r["chi2_mh"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ------------------------------------------------- temperature mixture
+def test_mixture_temperature_limits(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+
+    rows = [("big",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    nat = {
+        r["source"]: r
+        for r in mixture_temperature_weights(df, "source", alpha=1.0).collect()
+    }
+    assert nat["big"]["sampling_share"] == pytest.approx(0.9, abs=1e-6)
+    assert nat["big"]["epoch_multiplier"] == pytest.approx(1.0, abs=1e-6)
+    cool = {
+        r["source"]: r
+        for r in mixture_temperature_weights(df, "source", alpha=0.3).collect()
+    }
+    # low-resource source up-sampled, multiplier > 1
+    assert cool["small"]["sampling_share"] > 0.1
+    assert cool["small"]["epoch_multiplier"] > 1.0
+    assert cool["big"]["epoch_multiplier"] < 1.0
+    # shares normalize
+    assert sum(r["sampling_share"] for r in cool.values()) == pytest.approx(
+        1.0, abs=1e-5
+    )
+
+
+# --------------------------------------------------------------- raking
+def test_rake_converges_to_uniform_margins(spark):
+    from kkbox_churn_prediction_spark.operators.sampling import rake_weights
+
+    # skewed joint: role r0 dominates, weekday c0 dominates
+    rows = (
+        [("r0", 1)] * 50 + [("r0", 2)] * 10 + [("r1", 1)] * 8 + [("r1", 2)] * 4
+    )
+    df = spark.createDataFrame(rows, "role string, dow int")
+    got = rake_weights(df, "role", "dow", n_iter=8).collect()
+    for r in got:
+        assert r["row_share_after"] == pytest.approx(0.5, abs=1e-3)
+        assert r["col_share_after"] == pytest.approx(0.5, abs=1e-3)
+    # weighted shares sum to 1
+    assert sum(r["weighted_share"] for r in got) == pytest.approx(1.0, abs=1e-5)
+    # the under-represented cell gets the largest weight
+    w = {(r["row_value"], r["col_value"]): r["weight"] for r in got}
+    assert w[("r1", 2)] == max(w.values())
