@@ -5856,6 +5856,67 @@ def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_ad_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Anderson–Darling drift of text length (even/odd week
+    folds) — the SIXTH, tail-sensitive drift lens: the H(1−H)
+    denominator amplifies extreme-quantile movement that KS/CvM
+    under-weight; 1e-9-grid order-free term sums."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        anderson_darling_from_bins,
+        fixed_width_bins,
+    )
+
+    conv = _conv(spark, sf_dir)
+    week_no = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    binned = conv.select(
+        F.when(week_no % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("fold"),
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 5.0, 10).alias("bin"),
+    )
+    return anderson_darling_from_bins(binned, "fold", "bin", "even")
+
+
+def _q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBSE label-shift estimation: the target fold's class prior
+    recovered WITHOUT target labels from source confusion rates +
+    target prediction rates (C·q = μ̂, closed-form 2×2) — the
+    label-mix drift triage beside the feature-drift lenses; one
+    8-count agg."""
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        label_shift_estimate,
+    )
+
+    return label_shift_estimate(_preds(spark, sf_dir), "fold", "y", "p")
+
+
+def _q_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of an activity risk score against the
+    14-day re-engagement labels — the survival family's rank metric
+    (censored AUC); pair sums via the bounded (duration × score)
+    grid with suffix/prefix cumulative windows, never materialized
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.survival import (
+        survival_c_index,
+        survival_labels,
+    )
+    from kkbox_churn_prediction_spark.sources.events import cutoffs_from_events
+
+    conv = _conv(spark, sf_dir)
+    labels = survival_labels(
+        conv, cutoffs_from_events(spark, sf_dir), horizon_days=14
+    )
+    score = conv.groupBy("conv_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(1000)).cast("long").alias("score")
+    )
+    return survival_c_index(labels.join(score, "conv_id"), "score")
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6315,6 +6376,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel_strata": _q_mantel_haenszel,
         "mixture_temperature": _q_mixture_temperature,
         "rake_role_dow": _q_rake,
+        "ad_text_len": _q_ad_text_len,
+        "label_shift_bbse": _q_label_shift,
+        "survival_c_index": _q_c_index,
     }
 
 
@@ -18144,6 +18208,170 @@ ORDER BY row_value, col_value
     )
 
 
+
+# Anderson–Darling drift (lock-step with psi.anderson_darling_from_bins
+# over the shared KS/CvM binning; per-term 1e-9 floor grid)
+_AD_SQL = f"""
+WITH {_CONV_CTE},
+binned AS (
+    SELECT CASE WHEN CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                            / {7 * 86400 * 1_000_000}) AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS fold,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 5.0), 0), 9) AS INTEGER) AS bin
+    FROM binned_src
+),
+counts AS (SELECT fold, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY 1, 2),
+bins AS (SELECT DISTINCT bin FROM counts),
+cur_grid AS (
+    SELECT f.fold, b.bin
+    FROM (SELECT DISTINCT fold FROM counts WHERE fold <> 'even') f
+    CROSS JOIN bins b
+),
+cur_full AS (
+    SELECT g.fold, g.bin, COALESCE(c.n, 0) AS n
+    FROM cur_grid g
+    LEFT JOIN counts c ON g.fold = c.fold AND g.bin = c.bin
+),
+ref_full AS (
+    SELECT b.bin, COALESCE(c.n, 0) AS n
+    FROM bins b
+    LEFT JOIN (SELECT bin, n FROM counts WHERE fold = 'even') c ON b.bin = c.bin
+),
+cur AS (
+    SELECT fold, bin, CAST(n AS BIGINT) AS n_b,
+           CAST(SUM(n) OVER (PARTITION BY fold ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+           CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS _tot
+    FROM cur_full
+),
+ref AS (
+    SELECT bin, CAST(n AS BIGINT) AS rn_b,
+           CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _rcum,
+           CAST(SUM(n) OVER () AS BIGINT) AS _rtot
+    FROM ref_full
+)
+SELECT c.fold,
+       ROUND(CAST(SUM(CASE WHEN c._cum + r._rcum < c._tot + r._rtot THEN
+                 CAST(FLOOR(
+                   (CAST(c._cum AS DOUBLE) * CAST(r._rtot AS DOUBLE)
+                    - CAST(r._rcum AS DOUBLE) * CAST(c._tot AS DOUBLE))
+                   * (CAST(c._cum AS DOUBLE) * CAST(r._rtot AS DOUBLE)
+                      - CAST(r._rcum AS DOUBLE) * CAST(c._tot AS DOUBLE))
+                   * CAST(c.n_b + r.rn_b AS DOUBLE) * 1000000000.0
+                   / (CAST(c._tot AS DOUBLE) * CAST(r._rtot AS DOUBLE))
+                   / CAST(c._cum + r._rcum AS DOUBLE)
+                   / (CAST(c._tot + r._rtot AS DOUBLE)
+                      - CAST(c._cum + r._rcum AS DOUBLE))) AS HUGEINT)
+             END) AS DOUBLE) / 1000000000.0, 6) AS ad,
+       CAST(MAX(c._tot) AS BIGINT) AS n_cur,
+       CAST(MAX(r._rtot) AS BIGINT) AS n_ref
+FROM cur c JOIN ref r ON c.bin = r.bin
+GROUP BY c.fold
+"""
+_AD_SQL = _AD_SQL.replace("FROM binned_src", "FROM conversations")
+
+
+# BBSE label shift (lock-step with calibration.label_shift_estimate)
+_BBSE_SQL = f"""
+WITH {_PRED_CTE},
+flags AS (
+    SELECT fold, y, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS yh FROM preds
+),
+one AS (
+    SELECT CAST(SUM(CASE WHEN fold = 'a' AND y = 1 AND yh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN fold = 'a' AND y = 1 AND yh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN fold = 'a' AND y = 0 AND yh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN fold = 'a' AND y = 0 AND yh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN fold = 'b' AND yh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           CAST(SUM(CASE WHEN fold = 'b' AND yh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+    FROM flags
+),
+calc AS (
+    SELECT *,
+           CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS tpr,
+           CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / (fp + tn) END AS fpr,
+           CAST(t1 AS DOUBLE) / (t1 + t0) AS mu
+    FROM one
+),
+q AS (
+    SELECT *,
+           CASE WHEN ABS(tpr - fpr) > 1e-9 THEN (mu - fpr) / (tpr - fpr) END AS q_raw
+    FROM calc
+)
+SELECT CAST(tp + fn + fp + tn AS BIGINT) AS n_source,
+       CAST(t1 + t0 AS BIGINT) AS n_target,
+       ROUND(CAST(tp + fn AS DOUBLE) / (tp + fn + fp + tn), 6) AS source_prior,
+       ROUND(tpr, 6) AS tpr,
+       ROUND(fpr, 6) AS fpr,
+       ROUND(mu, 6) AS target_pred_rate,
+       ROUND(q_raw, 6) AS target_prior_raw,
+       ROUND(LEAST(GREATEST(q_raw, 0.0), 1.0), 6) AS target_prior_est,
+       ROUND(tpr - fpr, 6) AS confusion_det,
+       ROUND(CASE WHEN tp + fn > 0
+                  THEN LEAST(GREATEST(q_raw, 0.0), 1.0)
+                       / (CAST(tp + fn AS DOUBLE) / (tp + fn + fp + tn)) END, 6)
+           AS pos_weight
+FROM q
+"""
+
+
+# Harrell C-index (lock-step with survival.survival_c_index over the
+# activity risk score; bounded duration×score grid, window algebra)
+_C_INDEX_SQL = f"""
+WITH {_SURVIVAL_CORE},
+score AS (
+    SELECT conv_id, CAST(LEAST(COUNT(*), 1000) AS BIGINT) AS s
+    FROM conversations GROUP BY conv_id
+),
+base AS (
+    SELECT l.duration_days AS t, l.observed AS e, sc.s
+    FROM labels l JOIN score sc ON l.conv_id = sc.conv_id
+),
+cells AS (
+    SELECT t, s, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(e) AS BIGINT) AS ev
+    FROM base GROUP BY t, s
+),
+sgrid AS (
+    SELECT tt.t, ss.s
+    FROM (SELECT DISTINCT t FROM cells) tt
+    CROSS JOIN (SELECT DISTINCT s FROM cells) ss
+),
+fullg AS (
+    SELECT g.t, g.s, COALESCE(c.m, 0) AS m, COALESCE(c.ev, 0) AS ev
+    FROM sgrid g LEFT JOIN cells c ON g.t = c.t AND g.s = c.s
+),
+aft AS (
+    SELECT t, s, ev,
+           CAST(COALESCE(SUM(m) OVER (PARTITION BY s ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _aft
+    FROM fullg
+),
+terms AS (
+    SELECT ev,
+           ev * CAST(COALESCE(SUM(_aft) OVER (PARTITION BY t ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _conc,
+           ev * _aft AS _tie,
+           ev * CAST(SUM(_aft) OVER (PARTITION BY t) AS BIGINT) AS _comp
+    FROM aft
+),
+red AS (
+    SELECT CAST(SUM(_conc) AS BIGINT) AS n_concordant,
+           CAST(SUM(_tie) AS BIGINT) AS n_tied_score,
+           CAST(SUM(_comp) AS BIGINT) AS n_comparable_pairs
+    FROM terms
+),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM base)
+SELECT nu.n_units, red.n_comparable_pairs, red.n_concordant, red.n_tied_score,
+       ROUND(CASE WHEN red.n_comparable_pairs > 0
+                  THEN (CAST(red.n_concordant AS DOUBLE)
+                        + 0.5 * CAST(red.n_tied_score AS DOUBLE))
+                       / CAST(red.n_comparable_pairs AS DOUBLE) END, 6) AS c_index
+FROM red CROSS JOIN nu
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -18508,4 +18736,7 @@ def oracle_sql() -> dict[str, str]:
         "mantel_haenszel_strata": _mh_sql(),
         "mixture_temperature": _MIXTURE_TEMP_SQL,
         "rake_role_dow": _rake_sql(3),
+        "ad_text_len": _AD_SQL,
+        "label_shift_bbse": _BBSE_SQL,
+        "survival_c_index": _C_INDEX_SQL,
     }

@@ -1654,3 +1654,68 @@ def univariate_auc_screen(
         f"CAST({label_col} AS INT) AS _y", f"stack({n}, {pairs}) AS (feature, _v)"
     ).where(F.col("_v").isNotNull())
     return auc_ks_by_fold(stacked, "feature", "_y", "_v").orderBy("feature")
+
+
+def label_shift_estimate(
+    df: DataFrame,
+    fold_col: str,
+    label_col: str,
+    prob_col: str,
+    *,
+    source_fold: str = "a",
+    target_fold: str = "b",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Black-box label-shift estimation (BBSE, Lipton et al. 2018,
+    binary): estimate the TARGET fold's class prior WITHOUT target
+    labels, from (a) the classifier's source-fold confusion rates
+    ``C[i,j] = P(ŷ=i | y=j)`` and (b) its target-fold prediction
+    rate ``μ̂`` — solving ``C·q = μ̂`` in closed form. The
+    drift-triage companion to the FEATURE-drift family: PSI/KS say
+    "inputs moved"; this says "the LABEL MIX moved, by this much" —
+    which decides between reweighting (label shift) and retraining
+    (concept drift). Output: ONE row — source prior, target
+    predicted-positive rate, estimated target prior (clamped to
+    [0,1], raw value alongside), the confusion determinant (the
+    identifiability diagnostic: det → 0 = classifier too weak to
+    invert), and the implied importance weight q/p for the positive
+    class.
+
+    Shape: one conditional hash agg to an 8-count profile row,
+    closed-form 2×2 algebra after. Exact integer counts; fixed-shape
+    doubles.
+    """
+    y = F.col(label_col).cast("int")
+    yhat = (F.col(prob_col).cast("double") >= F.lit(float(threshold))).cast("int")
+    fold = F.col(fold_col)
+    one = df.select(fold.alias("_f"), y.alias("_y"), yhat.alias("_p")).agg(
+        F.sum(F.when((F.col("_f") == source_fold) & (F.col("_y") == 1) & (F.col("_p") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("_f") == source_fold) & (F.col("_y") == 1) & (F.col("_p") == 0), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("_f") == source_fold) & (F.col("_y") == 0) & (F.col("_p") == 1), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("_f") == source_fold) & (F.col("_y") == 0) & (F.col("_p") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((F.col("_f") == target_fold) & (F.col("_p") == 1), 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when((F.col("_f") == target_fold) & (F.col("_p") == 0), 1).otherwise(0)).cast("long").alias("t0"),
+    )
+    n1 = (F.col("tp") + F.col("fn")).cast("double")  # source positives
+    n0 = (F.col("fp") + F.col("tn")).cast("double")
+    tpr = F.when(n1 > 0, F.col("tp") / n1)
+    fpr = F.when(n0 > 0, F.col("fp") / n0)
+    mu = F.col("t1").cast("double") / (F.col("t1") + F.col("t0")).cast("double")
+    det = tpr - fpr
+    q_raw = F.when(F.abs(det) > 1e-9, (mu - fpr) / det)
+    q = F.least(F.greatest(q_raw, F.lit(0.0)), F.lit(1.0))
+    p_src = n1 / (n1 + n0)
+    return one.select(
+        (F.col("tp") + F.col("fn") + F.col("fp") + F.col("tn"))
+        .cast("long")
+        .alias("n_source"),
+        (F.col("t1") + F.col("t0")).cast("long").alias("n_target"),
+        F.round(p_src, 6).alias("source_prior"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(mu, 6).alias("target_pred_rate"),
+        F.round(q_raw, 6).alias("target_prior_raw"),
+        F.round(q, 6).alias("target_prior_est"),
+        F.round(det, 6).alias("confusion_det"),
+        F.round(F.when(p_src > 0, q / p_src), 6).alias("pos_weight"),
+    )

@@ -575,3 +575,104 @@ def cvm_from_bins(
         F.col("_n").cast("long").alias("n_cur"),
         F.col("_rn").cast("long").alias("n_ref"),
     )
+
+
+def anderson_darling_from_bins(
+    binned: DataFrame,
+    fold_col: str,
+    bin_col: str,
+    ref_fold: str,
+) -> DataFrame:
+    """Binned two-sample Anderson–Darling statistic vs the reference
+    fold → ``(fold, ad, n_cur, n_ref)`` — the SIXTH drift lens, and
+    the TAIL-sensitive one: where CvM weights squared CDF gaps by
+    pooled mass alone, AD divides by ``H(1−H)`` (pooled CDF), which
+    blows up near 0 and 1 — so a drift confined to the distribution's
+    extremes (exactly where quality filters and outlier guards act)
+    scores loudly here while KS/CvM barely move:
+
+        A² = Σ_j h_j · (C1_j·n2 − C2_j·n1)²
+                   / (n1 · n2 · CH_j · (N − CH_j)),
+
+    summed over pooled jump points with CH_j < N (the H=1 endpoint is
+    excluded by convention). Exact integer numerators; each term is
+    ONE fixed-shape double chain floored onto the 1e-9 grid and
+    summed as decimal (order-free) — the CvM/AP discipline.
+
+    Shape: identical to the KS/CvM siblings — one (fold, bin) count
+    agg, bounded-table windows, ≤bins-row reduce.
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        binned.groupBy(fold_col, bin_col).agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    bins = counts.select(bin_col).distinct()
+    cur_folds = counts.select(fold_col).where(F.col(fold_col) != ref_fold).distinct()
+    grid = cur_folds.crossJoin(F.broadcast(bins))
+
+    w_cdf = (
+        Window.partitionBy(fold_col)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(fold_col)
+
+    def cum(side: DataFrame) -> DataFrame:
+        return side.select(
+            fold_col,
+            bin_col,
+            F.col("n").cast("long").alias("_n_b"),
+            F.sum("n").over(w_cdf).cast("long").alias("_cum"),
+            F.sum("n").over(w_tot).cast("long").alias("_tot"),
+        )
+
+    cur_full = grid.join(
+        counts.where(F.col(fold_col) != ref_fold), [fold_col, bin_col], "left"
+    ).select(fold_col, bin_col, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    ref_full = bins.join(
+        counts.where(F.col(fold_col) == ref_fold).select(bin_col, "n"),
+        [bin_col],
+        "left",
+    ).select(
+        F.lit(ref_fold).alias(fold_col),
+        bin_col,
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    cur = cum(cur_full)
+    ref = cum(ref_full).select(
+        bin_col,
+        F.col("_n_b").alias("_rn_b"),
+        F.col("_cum").alias("_rcum"),
+        F.col("_tot").alias("_rtot"),
+    )
+    j = cur.join(F.broadcast(ref), [bin_col])
+    gap = (
+        F.col("_cum").cast("double") * F.col("_rtot").cast("double")
+        - F.col("_rcum").cast("double") * F.col("_tot").cast("double")
+    )
+    h = (F.col("_n_b") + F.col("_rn_b")).cast("double")
+    ch = (F.col("_cum") + F.col("_rcum")).cast("double")
+    nn = (F.col("_tot") + F.col("_rtot")).cast("double")
+    term = F.when(
+        ch < nn,
+        F.floor(
+            gap
+            * gap
+            * h
+            * F.lit(1.0e9)
+            / (F.col("_tot").cast("double") * F.col("_rtot").cast("double"))
+            / ch
+            / (nn - ch),
+        ).cast(dec),
+    )
+    per = j.groupBy(fold_col).agg(
+        F.sum(term).alias("_num"),
+        F.max("_tot").alias("_n"),
+        F.max("_rtot").alias("_rn"),
+    )
+    return per.select(
+        F.col(fold_col).alias("fold"),
+        F.round(F.col("_num").cast("double") / F.lit(1.0e9), 6).alias("ad"),
+        F.col("_n").cast("long").alias("n_cur"),
+        F.col("_rn").cast("long").alias("n_ref"),
+    )

@@ -515,3 +515,97 @@ def km_greenwood(labels: DataFrame, *, z: float = 1.959964) -> DataFrame:
         F.round(F.when(in_open, lo), 6).alias("ci_lo"),
         F.round(F.when(in_open, hi), 6).alias("ci_hi"),
     ).orderBy("t")
+
+
+def survival_c_index(
+    labels: DataFrame,
+    score_col: str = "score",
+    *,
+    max_score_bins: int | None = None,
+) -> DataFrame:
+    """Harrell's concordance index of a RISK score against survival
+    labels ``(duration_days, observed, score)`` — the rank metric of
+    the survival family (AUC's censored-data generalization): among
+    comparable pairs (i saw the event strictly before j's time),
+    the fraction where the earlier-event unit carried the HIGHER
+    risk score (ties count half). C = 0.5 is uninformative, 1.0 a
+    perfect risk ranking. Output: ONE row — ``(n_units,
+    n_comparable_pairs, n_concordant, n_tied_score, c_index)``.
+
+    Distributed shape: the pair sum is NEVER materialized. Units
+    collapse to the bounded (duration × score) grid; suffix-in-time
+    and prefix-in-score cumulative windows over that grid give, for
+    every event cell, the count of later-surviving units with lower
+    / equal / any score — three exact-long multiplications per cell,
+    one reduce. Cost is O(|durations| × |scores|), independent of
+    row count; ``max_score_bins`` quantizes continuous scores onto
+    an equal-width integer grid first (C error ≤ 1/bins, the AUC
+    ``bin_scores`` contract).
+    """
+    s: Column = F.col(score_col)
+    if max_score_bins is not None:
+        s = F.floor(s.cast("double") * F.lit(int(max_score_bins))).cast("long")
+    base = labels.select(
+        F.col("duration_days").cast("int").alias("t"),
+        F.col("observed").cast("int").alias("e"),
+        s.cast("long").alias("s"),
+    )
+    cells = base.groupBy("t", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("e").cast("long").alias("ev"),
+    )
+    ts = cells.select("t").distinct()
+    ss = cells.select("s").distinct()
+    grid = ts.crossJoin(ss)
+    full = grid.join(cells, ["t", "s"], "left").select(
+        "t",
+        "s",
+        F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+        F.coalesce(F.col("ev"), F.lit(0)).alias("ev"),
+    )
+    # n_after(t, s) = units with duration > t at this score
+    w_suffix = (
+        Window.partitionBy("s")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    aft = full.select(
+        "t",
+        "s",
+        "ev",
+        F.coalesce(F.sum("m").over(w_suffix), F.lit(0)).cast("long").alias("_aft"),
+    )
+    # prefix over score within each t: later-survivors with LOWER score
+    w_lower = (
+        Window.partitionBy("t").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all_s = Window.partitionBy("t")
+    terms = aft.select(
+        "ev",
+        (F.col("ev") * F.coalesce(F.sum("_aft").over(w_lower), F.lit(0))).alias(
+            "_conc"
+        ),
+        (F.col("ev") * F.col("_aft")).alias("_tie"),
+        (F.col("ev") * F.sum("_aft").over(w_all_s)).alias("_comp"),
+    )
+    red = terms.agg(
+        F.sum("_conc").cast("long").alias("n_concordant"),
+        F.sum("_tie").cast("long").alias("n_tied_score"),
+        F.sum("_comp").cast("long").alias("n_comparable_pairs"),
+    )
+    n_units = base.count()
+    c = F.when(
+        F.col("n_comparable_pairs") > 0,
+        (
+            F.col("n_concordant").cast("double")
+            + F.lit(0.5) * F.col("n_tied_score").cast("double")
+        )
+        / F.col("n_comparable_pairs").cast("double"),
+    )
+    return red.select(
+        F.lit(int(n_units)).cast("long").alias("n_units"),
+        "n_comparable_pairs",
+        "n_concordant",
+        "n_tied_score",
+        F.round(c, 6).alias("c_index"),
+    )

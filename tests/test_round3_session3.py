@@ -1076,3 +1076,148 @@ def test_rake_converges_to_uniform_margins(spark):
     # the under-represented cell gets the largest weight
     w = {(r["row_value"], r["col_value"]): r["weight"] for r in got}
     assert w[("r1", 2)] == max(w.values())
+
+
+# ------------------------------------------------------ Anderson–Darling
+def _ad_ref(cur, ref):
+    n1, n2 = sum(cur), sum(ref)
+    N = n1 + n2
+    c1 = c2 = 0
+    acc = 0.0
+    for cb, rb in zip(cur, ref):
+        c1 += cb
+        c2 += rb
+        ch = c1 + c2
+        if ch < N:
+            gap = c1 * n2 - c2 * n1
+            import math
+
+            acc += (
+                math.floor(
+                    gap * gap * (cb + rb) * 1e9 / (n1 * n2) / ch / (N - ch)
+                )
+                / 1e9
+            )
+    return acc
+
+
+def test_ad_matches_scalar_reference_and_flags_tail_shift(spark):
+    from kkbox_churn_prediction_spark.operators.psi import (
+        anderson_darling_from_bins,
+        cvm_from_bins,
+    )
+
+    # drift confined to the far tail bin
+    cur, ref = [50, 50, 50, 0, 12], [50, 50, 50, 12, 0]
+    got = anderson_darling_from_bins(
+        _binned(spark, cur, ref), "fold", "bin", "even"
+    ).collect()[0]
+    assert got["ad"] == pytest.approx(_ad_ref(cur, ref), abs=2e-6)
+    # mid-distribution shift of the same mass
+    cur2, ref2 = [50, 38, 62, 6, 6], [50, 50, 50, 6, 6]
+    ad_tail = got["ad"]
+    ad_mid = anderson_darling_from_bins(
+        _binned(spark, cur2, ref2), "fold", "bin", "even"
+    ).collect()[0]["ad"]
+    # AD amplifies the tail move relative to the mid move more than CvM does
+    cvm_tail = cvm_from_bins(_binned(spark, cur, ref), "fold", "bin", "even").collect()[0]["cvm"]
+    cvm_mid = cvm_from_bins(_binned(spark, cur2, ref2), "fold", "bin", "even").collect()[0]["cvm"]
+    assert ad_tail / ad_mid > cvm_tail / cvm_mid
+
+
+def test_ad_identical_is_zero(spark):
+    from kkbox_churn_prediction_spark.operators.psi import (
+        anderson_darling_from_bins,
+    )
+
+    got = anderson_darling_from_bins(
+        _binned(spark, [5, 9, 2], [5, 9, 2]), "fold", "bin", "even"
+    ).collect()[0]
+    assert got["ad"] == 0.0
+
+
+# ----------------------------------------------------------------- BBSE
+def test_bbse_recovers_planted_target_prior(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        label_shift_estimate,
+    )
+
+    rows = []
+    # source: prior 0.5, classifier with TPR .8 / FPR .2
+    for i in range(100):
+        y = 1 if i < 50 else 0
+        correct = (i % 10) < 8 if y == 1 else (i % 10) < 8
+        p = (0.9 if correct else 0.1) if y == 1 else (0.1 if correct else 0.9)
+        rows.append(("a", y, p))
+    # target: prior 0.2, same classifier -> pred rate = .2*.8 + .8*.2 = 0.32
+    for i in range(200):
+        y = 1 if i < 40 else 0
+        correct = (i % 10) < 8
+        p = (0.9 if correct else 0.1) if y == 1 else (0.1 if correct else 0.9)
+        rows.append(("b", y, p))
+    df = spark.createDataFrame(rows, "fold string, y int, p double")
+    r = label_shift_estimate(df, "fold", "y", "p").collect()[0]
+    assert r["tpr"] == pytest.approx(0.8, abs=1e-6)
+    assert r["fpr"] == pytest.approx(0.2, abs=1e-6)
+    assert r["target_prior_est"] == pytest.approx(0.2, abs=1e-6)
+    assert r["pos_weight"] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_bbse_degenerate_classifier_null(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import (
+        label_shift_estimate,
+    )
+
+    rows = [("a", i % 2, 0.7) for i in range(20)] + [
+        ("b", i % 2, 0.7) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "fold string, y int, p double")
+    r = label_shift_estimate(df, "fold", "y", "p").collect()[0]
+    assert r["confusion_det"] == pytest.approx(0.0, abs=1e-9)
+    assert r["target_prior_raw"] is None  # unidentifiable, defined NULL
+
+
+# -------------------------------------------------------------- C-index
+def _c_ref(units):
+    conc = tied = comp = 0
+    for i, (ti, ei, si) in enumerate(units):
+        if not ei:
+            continue
+        for tj, ej, sj in units:
+            if tj > ti:
+                comp += 1
+                if si > sj:
+                    conc += 1
+                elif si == sj:
+                    tied += 1
+    return conc, tied, comp
+
+
+def test_c_index_matches_quadratic_reference(spark):
+    from kkbox_churn_prediction_spark.operators.survival import survival_c_index
+
+    units = [
+        (1, 1, 9), (2, 1, 7), (2, 0, 8), (4, 1, 5), (5, 0, 6),
+        (6, 1, 2), (7, 0, 9), (8, 0, 1), (3, 1, 5), (5, 1, 5),
+    ]
+    df = spark.createDataFrame(units, "duration_days int, observed int, score int")
+    r = survival_c_index(df).collect()[0]
+    conc, tied, comp = _c_ref(units)
+    assert (r["n_concordant"], r["n_tied_score"], r["n_comparable_pairs"]) == (
+        conc,
+        tied,
+        comp,
+    )
+    assert r["c_index"] == pytest.approx((conc + 0.5 * tied) / comp, abs=1e-6)
+
+
+def test_c_index_perfect_and_reversed(spark):
+    from kkbox_churn_prediction_spark.operators.survival import survival_c_index
+
+    # higher score = earlier event, all observed -> C = 1
+    units = [(t, 1, 100 - t) for t in range(1, 11)]
+    df = spark.createDataFrame(units, "duration_days int, observed int, score int")
+    assert survival_c_index(df).collect()[0]["c_index"] == 1.0
+    rev = [(t, 1, t) for t in range(1, 11)]
+    df2 = spark.createDataFrame(rev, "duration_days int, observed int, score int")
+    assert survival_c_index(df2).collect()[0]["c_index"] == 0.0
