@@ -5917,6 +5917,84 @@ def _q_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli FDR over the SAME per-event-type drift
+    z-tests as bh_fdr_event_mix — valid under arbitrary dependence
+    (the per-slice tests share the denominator totals, violating
+    BH's PRDS assumption); step-up scaled by c(m)=Σ1/i."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.abtest import (
+        benjamini_hochberg,
+        normal_p_two_sided,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+    )
+    bounds = ev.agg(
+        F.min("us").cast("long").alias("mn"), F.max("us").cast("long").alias("mx")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("us")
+            <= F.floor((F.col("mn") + F.col("mx")) / F.lit(2)).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    agg = tagged.groupBy("event_type").agg(
+        F.sum("early").cast("long").alias("x1"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("x2"),
+    )
+    tot = agg.agg(
+        F.sum("x1").cast("long").alias("n1"), F.sum("x2").cast("long").alias("n2")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    r1 = F.col("x1").cast("double") / n1
+    r2 = F.col("x2").cast("double") / n2
+    phat = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    se = F.sqrt(phat * (F.lit(1.0) - phat) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    z = F.when(se > 0, (r1 - r2) / se).otherwise(F.lit(0.0))
+    p_table = agg.crossJoin(F.broadcast(tot)).select(
+        "event_type", normal_p_two_sided(z).alias("p_raw")
+    )
+    return benjamini_hochberg(
+        p_table, "event_type", "p_raw", alpha=0.05, method="by"
+    )
+
+
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table at nine candidate thresholds over the
+    prediction fixture: exact confusion counts + precision / recall /
+    F1 / accuracy per row — the deployment artifact between AUC/AP
+    and a shipped cutoff; one |thresholds|-wide conditional agg, no
+    per-threshold scan."""
+    from kkbox_churn_prediction_spark.operators.calibration import threshold_sweep
+
+    return threshold_sweep(_preds(spark, sf_dir), "y", "p")
+
+
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands × rows) sizing sheet at target Jaccard 0.8
+    within a 256-hash budget: S-curve collision probabilities at
+    below/target/above plus the threshold location — computed, not
+    guessed, before any banding ships (partition_advisor pattern)."""
+    from kkbox_churn_prediction_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, target_jaccard=0.8, n_hashes_max=256)
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6379,6 +6457,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ad_text_len": _q_ad_text_len,
         "label_shift_bbse": _q_label_shift,
         "survival_c_index": _q_c_index,
+        "by_fdr_event_mix": _q_by_fdr,
+        "threshold_sweep": _q_threshold_sweep,
+        "lsh_parameter_plan": _q_lsh_plan,
     }
 
 
@@ -18372,6 +18453,86 @@ FROM red CROSS JOIN nu
 """
 
 
+
+def _by_fdr_sql() -> str:
+    """BY oracle: the BH oracle with the c(m) = Σ1/i dependence
+    factor spliced into the step-up (ascending finite sum — the same
+    order Python's driver loop uses)."""
+    out = _BH_FDR_SQL.replace(
+        "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pv),",
+        "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pv),\n"
+        "cm AS (SELECT SUM(1.0 / g.i) AS c\n"
+        "       FROM generate_series(1, 1000000) g(i), m\n"
+        "       WHERE g.i <= CAST(m.m AS BIGINT)),",
+    )
+    out = out.replace(
+        "MIN(p_raw * m / CAST(rank AS DOUBLE))",
+        "MIN(p_raw * m * c / CAST(rank AS DOUBLE))",
+    )
+    out = out.replace("FROM ranked, m", "FROM ranked, m, cm")
+    return out
+
+
+# Threshold sweep (lock-step with calibration.threshold_sweep)
+def _threshold_sweep_sql() -> str:
+    ths = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+       CAST(SUM(CASE WHEN p >= {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN p >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+       CAST(SUM(y) AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM preds"""
+        for t in ths
+    )
+    return f"""
+WITH {_PRED_CTE},
+sweep AS (
+{branches}
+)
+SELECT ROUND(threshold, 6) AS threshold,
+       tp,
+       CAST(pp - tp AS BIGINT) AS fp,
+       CAST(pos - tp AS BIGINT) AS fn,
+       CAST(n - pos - (pp - tp) AS BIGINT) AS tn,
+       ROUND(CASE WHEN pp > 0 THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END, 6)
+           AS precision,
+       ROUND(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END, 6)
+           AS recall,
+       ROUND(CASE WHEN (CASE WHEN pp > 0 THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END)
+                       + (CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END)
+                       > 0
+                  THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+                       * (CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE))
+                       / ((CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+                          + (CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS f1,
+       ROUND((CAST(tp AS DOUBLE) + (n - pos - (pp - tp))) / CAST(n AS DOUBLE), 6)
+           AS accuracy
+FROM sweep
+ORDER BY threshold
+"""
+
+
+# LSH parameter plan (lock-step with dedup.lsh_parameter_plan)
+_LSH_PLAN_SQL = """
+WITH bands AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS b),
+rws AS (SELECT unnest([1, 2, 4, 8]) AS r),
+grid AS (
+    SELECT b, r FROM bands CROSS JOIN rws WHERE b * r <= 256
+)
+SELECT CAST(b AS INTEGER) AS bands,
+       CAST(r AS INTEGER) AS rows_per_band,
+       CAST(b * r AS INTEGER) AS n_hashes,
+       ROUND(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+       ROUND(1.0 - pow(1.0 - pow(0.4, r), b), 6) AS p_at_below,
+       ROUND(1.0 - pow(1.0 - pow(0.8, r), b), 6) AS p_at_target,
+       ROUND(1.0 - pow(1.0 - pow(0.9, r), b), 6) AS p_at_above
+FROM grid
+ORDER BY bands, rows_per_band
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -18739,4 +18900,7 @@ def oracle_sql() -> dict[str, str]:
         "ad_text_len": _AD_SQL,
         "label_shift_bbse": _BBSE_SQL,
         "survival_c_index": _C_INDEX_SQL,
+        "by_fdr_event_mix": _by_fdr_sql(),
+        "threshold_sweep": _threshold_sweep_sql(),
+        "lsh_parameter_plan": _LSH_PLAN_SQL,
     }

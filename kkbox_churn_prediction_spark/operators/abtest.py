@@ -902,6 +902,8 @@ def benjamini_hochberg(
     key: str,
     p_col: str,
     alpha: float = 0.05,
+    *,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini–Hochberg FDR adjustment over a BOUNDED table of
     per-hypothesis p-values (one row per slice/tool/metric — the
@@ -909,20 +911,37 @@ def benjamini_hochberg(
     readouts lack). ``p_adj(i) = min_{j≥i} p(j)·m/j`` (step-up),
     capped at 1; reject where ``p_adj ≤ alpha``.
 
+    ``method="by"`` applies the Benjamini–Yekutieli correction —
+    the same step-up scaled by ``c(m) = Σ_{i≤m} 1/i`` — valid under
+    ARBITRARY dependence between the hypotheses (per-slice tests on
+    overlapping cohorts are positively-and-negatively correlated in
+    unknowable ways; BH's PRDS assumption is exactly what such
+    slices violate). More conservative by ~ln(m); the honest default
+    when the hypothesis slices share rows.
+
     Distributed shape: the input is an aggregate result (tens to
     thousands of hypotheses), so the rank + suffix-min global windows
     run over a bounded table — the engine's global-window discipline.
-    Ranks tie-break on the key for cross-engine determinism.
+    Ranks tie-break on the key for cross-engine determinism; c(m) is
+    an exact finite sum computed once on the driver.
     """
     from pyspark.sql.window import Window
 
     m = df.count()  # bounded aggregate table — count is cheap and exact
+    if method not in ("bh", "by"):
+        raise ValueError(f"method must be 'bh' or 'by', got {method!r}")
+    cm = sum(1.0 / i for i in range(1, m + 1)) if method == "by" else 1.0
     w_rank = Window.orderBy(p_col, key)
     ranked = df.withColumn("rank", F.row_number().over(w_rank))
     w_suffix = Window.orderBy("rank").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
-    raw = F.col(p_col) * F.lit(float(m)) / F.col("rank").cast("double")
+    raw = (
+        F.col(p_col)
+        * F.lit(float(m))
+        * F.lit(float(cm))
+        / F.col("rank").cast("double")
+    )
     adj = F.least(F.lit(1.0), F.min(raw).over(w_suffix))
     return ranked.select(
         key,

@@ -1719,3 +1719,60 @@ def label_shift_estimate(
         F.round(det, 6).alias("confusion_det"),
         F.round(F.when(p_src > 0, q / p_src), 6).alias("pos_weight"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Operating-point table: confusion counts + precision / recall /
+    F1 / accuracy at each candidate decision threshold — the
+    deployment artifact between the threshold-free metrics (AUC, AP)
+    and a shipped cutoff: the on-call engineer picks the row whose
+    precision-recall trade matches the product constraint. Exact
+    long counts per row; every rate is one fixed-shape division.
+    Degenerate cells emit defined NULLs.
+
+    Shape: ONE pass with a |thresholds|-wide conditional aggregate
+    (no per-threshold scan, no explode — each threshold is two
+    ``sum(when(...))`` columns over the same stream), then the tiny
+    wide row unpivots to the output table via ``stack``.
+    """
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    aggs = [F.sum(y).cast("long").alias("_P"), F.count(F.lit(1)).cast("long").alias("_N")]
+    for i, t in enumerate(thresholds):
+        pred = (p >= F.lit(float(t))).cast("int")
+        aggs.append(F.sum(pred * y).cast("long").alias(f"_tp{i}"))
+        aggs.append(F.sum(pred).cast("long").alias(f"_pp{i}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), _tp{i}, _pp{i}" for i, t in enumerate(thresholds)
+    )
+    long = one.selectExpr(
+        "_P",
+        "_N",
+        f"stack({len(thresholds)}, {stack_args}) AS (threshold, tp, pp)",
+    )
+    tp = F.col("tp").cast("double")
+    fp = (F.col("pp") - F.col("tp")).cast("double")
+    fn = (F.col("_P") - F.col("tp")).cast("double")
+    tn = (F.col("_N") - F.col("_P") - fp).cast("double")
+    prec = F.when(F.col("pp") > 0, tp / F.col("pp").cast("double"))
+    rec = F.when(F.col("_P") > 0, tp / F.col("_P").cast("double"))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return long.select(
+        F.round("threshold", 6).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round((tp + tn) / F.col("_N").cast("double"), 6).alias("accuracy"),
+    ).orderBy("threshold")

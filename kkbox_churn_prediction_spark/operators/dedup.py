@@ -704,3 +704,57 @@ def edit_distance_pairs(
             "similarity",
         )
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    *,
+    target_jaccard: float = 0.8,
+    n_hashes_max: int = 256,
+    band_options: tuple[int, ...] = (2, 4, 8, 16, 32, 64),
+    rows_options: tuple[int, ...] = (1, 2, 4, 8),
+) -> "DataFrame":
+    """MinHash-LSH parameter planner: for every (bands b, rows r)
+    layout in the budget, the S-curve collision probabilities
+    ``P(s) = 1 − (1 − s^r)^b`` at the target similarity, at clearly-
+    below (0.5·target) and clearly-above (midpoint to 1), plus the
+    threshold location ``(1/b)^(1/r)`` — the sizing sheet an
+    operator reads BEFORE shipping :func:`minhash_signatures` /
+    LSH banding at 100 TB, where a bad (b, r) either floods the
+    bucket join with false candidates (recall high, precision
+    floor) or silently drops true pairs. Pure closed-form driver
+    math over the bounded option grid (the
+    :func:`~kkbox_churn_prediction_spark.operators.layout.partition_advisor`
+    pattern: computed, not guessed).
+
+    Output per layout: ``(bands, rows_per_band, n_hashes, threshold,
+    p_at_below, p_at_target, p_at_above)``, n_hashes ≤ budget only.
+    """
+    out = []
+    t = float(target_jaccard)
+    below = 0.5 * t
+    above = t + (1.0 - t) / 2.0
+
+    def pcollide(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    for b in band_options:
+        for r in rows_options:
+            if b * r > n_hashes_max:
+                continue
+            out.append(
+                (
+                    b,
+                    r,
+                    b * r,
+                    round((1.0 / b) ** (1.0 / r), 6),
+                    round(pcollide(below, b, r), 6),
+                    round(pcollide(t, b, r), 6),
+                    round(pcollide(above, b, r), 6),
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "bands int, rows_per_band int, n_hashes int, threshold double, "
+        "p_at_below double, p_at_target double, p_at_above double",
+    )

