@@ -545,11 +545,15 @@ def survival_c_index(
     s: Column = F.col(score_col)
     if max_score_bins is not None:
         s = F.floor(s.cast("double") * F.lit(int(max_score_bins))).cast("long")
+    from pyspark import StorageLevel
+
+    # the unit-count action and the pair reduce both read the slim
+    # base — persist it so the label build runs once
     base = labels.select(
         F.col("duration_days").cast("int").alias("t"),
         F.col("observed").cast("int").alias("e"),
         s.cast("long").alias("s"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cells = base.groupBy("t", "s").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("e").cast("long").alias("ev"),
