@@ -5995,6 +5995,114 @@ def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #10: stream-stream LEFT OUTER
+    event-time range join — unanswered user turns emit NULL rows only
+    after the watermark proves no answer can arrive. Replay contract:
+    outer null-emission is watermark-DRIVEN, so the harness stages
+    the corpus as batch 1 and two far-future flush sentinels as
+    batches 2-4 (``maxFilesPerTrigger=1``) to march the watermark
+    past the data's tail; sentinel rows are filtered from the result
+    and the batch LEFT JOIN oracle sees only real rows. Output: the
+    per-conversation answered/unanswered tallies."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.joins import stream_left_pairs
+
+    src, _ = _stage_stream_src(sf_dir)
+    import hashlib
+
+    stage = f"/tmp/eng_stream_lj_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    batch = spark.read.parquet(src)
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        os.link(src, os.path.join(stage, "00_events.parquet"))
+        # derive the flush sentinels FROM the batch row shape (schema
+        # surgery is brittle across timestamp flavors). Each flush
+        # batch carries BOTH a user-role and an assistant-role row:
+        # the join watermark is the MIN across the two
+        # withWatermark operators, and the assistant side only sees
+        # role='assistant' rows — a user-only flush leaves the
+        # a-side watermark at the last real assistant event and the
+        # final unmatched rows stranded in state (observed: exactly
+        # the tail-window rows never emitted). Distinct negative
+        # user_ids keep the sentinels from matching each other.
+        mx_row = batch.orderBy(F.desc("ts")).limit(1)
+        uid_t = dict(batch.dtypes)["user_id"]
+        for i, days in ((1, 30), (2, 60), (3, 90)):
+            base_cols = [
+                (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ]
+            flush = mx_row.select(
+                F.lit(-10_000_000 - i).cast("long").alias("event_id"),
+                F.lit(-1).cast(uid_t).alias("user_id"),
+                F.lit("page").alias("event_type"),
+                *base_cols,
+            ).unionByName(
+                mx_row.select(
+                    F.lit(-20_000_000 - i).cast("long").alias("event_id"),
+                    F.lit(-2).cast(uid_t).alias("user_id"),
+                    F.lit("purchase").alias("event_type"),
+                    *base_cols,
+                )
+            ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+            fdir = f"{stage}/_flush{i}"
+            flush.coalesce(1).write.mode("overwrite").parquet(fdir)
+            part = [f for f in os.listdir(fdir) if f.endswith(".parquet")][0]
+            dst = os.path.join(stage, f"0{i}_flush.parquet")
+            shutil.copyfile(os.path.join(fdir, part), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+            shutil.rmtree(fdir, ignore_errors=True)
+        open(os.path.join(stage, "_STAGED"), "w").write("ok")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    turns = stream.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_type") == "signup", F.lit("system"))
+        .when(F.col("event_type") == "purchase", F.lit("assistant"))
+        .when(F.col("event_type") == "error", F.lit("tool"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        "ts",
+    )
+    name = "eng_streaming_left_join"
+    q = (
+        stream_left_pairs(turns, horizon="2 hours", watermark="4 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).where(~F.col("conv_id").startswith("c-"))
+    return (
+        rows.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("answered").cast("long").alias("n_answered_pairs"),
+            F.sum(F.lit(1) - F.col("answered")).cast("long").alias("n_unanswered"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6460,6 +6568,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_fdr_event_mix": _q_by_fdr,
         "threshold_sweep": _q_threshold_sweep,
         "lsh_parameter_plan": _q_lsh_plan,
+        "streaming_left_join": _q_streaming_left_join,
     }
 
 
@@ -18533,6 +18642,41 @@ ORDER BY bands, rows_per_band
 """
 
 
+
+# Streaming left-outer range join (lock-step with
+# streaming/joins.stream_left_pairs over the bounded replay: every
+# user turn LEFT JOIN answering assistant turns within 2h; flush
+# sentinels are engine-side only and never reach the result)
+_STREAM_LEFT_JOIN_SQL = """
+WITH t AS (
+    SELECT concat('c', user_id) AS conv_id,
+           event_id AS turn_idx,
+           CASE event_type WHEN 'signup' THEN 'system'
+                           WHEN 'purchase' THEN 'assistant'
+                           WHEN 'error' THEN 'tool'
+                           ELSE 'user' END AS role,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+u AS (SELECT conv_id, ts AS u_ts, turn_idx AS u_idx FROM t WHERE role = 'user'),
+a AS (SELECT conv_id, ts AS a_ts, turn_idx AS a_idx FROM t WHERE role = 'assistant'),
+pairs AS (
+    SELECT u.conv_id, u.u_idx, a.a_idx,
+           CASE WHEN a.a_idx IS NOT NULL THEN 1 ELSE 0 END AS answered
+    FROM u LEFT JOIN a
+      ON u.conv_id = a.conv_id
+     AND a.a_ts > u.u_ts AND a.a_ts <= u.u_ts + INTERVAL 2 HOUR
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(answered) AS BIGINT) AS n_answered_pairs,
+       CAST(SUM(1 - answered) AS BIGINT) AS n_unanswered
+FROM pairs
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -18903,4 +19047,5 @@ def oracle_sql() -> dict[str, str]:
         "by_fdr_event_mix": _by_fdr_sql(),
         "threshold_sweep": _threshold_sweep_sql(),
         "lsh_parameter_plan": _LSH_PLAN_SQL,
+        "streaming_left_join": _STREAM_LEFT_JOIN_SQL,
     }

@@ -71,3 +71,60 @@ def stream_turn_pairs(
             "reply_delay_us"
         ),
     )
+
+
+def stream_left_pairs(
+    turns: DataFrame,
+    *,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER event-time range join: every user
+    turn paired with the assistant turns that answered it within
+    ``horizon`` — and, crucially, user turns that got NO answer
+    emitted with NULLs once the watermark PROVES no answer can still
+    arrive. This is the semantics inner joins can't express (an
+    unanswered question is invisible to them) and the reason outer
+    stream joins need watermarks at all: the null row may only be
+    emitted when ``u_ts + horizon`` falls behind the join watermark,
+    so emission is DELAYED by construction — a bounded replay must
+    push the watermark past the data's tail (flush batches) before
+    the unmatched rows appear (the gate harness does exactly that;
+    see the replay contract note there).
+
+    Output: ``(conv_id, u_idx, a_idx, answered)`` with ``a_idx``
+    NULL and ``answered = 0`` for timed-out questions.
+
+    State story at scale: identical to :func:`stream_turn_pairs` —
+    the range predicate plus both watermarks bound each side's
+    buffered state; the left side additionally holds rows until the
+    null-emission decision, still bounded by watermark + horizon.
+    """
+    is_stream = turns.isStreaming
+    u = turns.where(F.col("role") == "user").select(
+        F.col("conv_id"),
+        F.col("ts").alias("u_ts"),
+        F.col("turn_idx").alias("u_idx"),
+    )
+    a = turns.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("turn_idx").alias("a_idx"),
+    )
+    if is_stream:
+        u = u.withWatermark("u_ts", watermark)
+        a = a.withWatermark("a_ts", watermark)
+    joined = u.join(
+        a,
+        F.expr(
+            f"conv_id = a_conv_id AND a_ts > u_ts AND "
+            f"a_ts <= u_ts + INTERVAL {horizon}"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "conv_id",
+        "u_idx",
+        "a_idx",
+        F.when(F.col("a_idx").isNotNull(), 1).otherwise(0).alias("answered"),
+    )

@@ -1291,3 +1291,74 @@ def test_lsh_plan_s_curve_properties(spark):
     assert any(
         r["p_at_target"] > 0.9 and r["p_at_below"] < 0.4 for r in got
     )
+
+
+# ---------------------------------------------- streaming left-outer join
+def test_stream_left_pairs_emits_unanswered_after_watermark(spark, tmp_path):
+    """Unanswered questions emit NULL rows only once BOTH sides'
+    watermarks pass; the min-watermark trap (a user-only flush leaves
+    the assistant watermark behind) is exactly what this covers."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.joins import stream_left_pairs
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", t0),                      # answered
+        ("c1", 1, "assistant", t0 + timedelta(minutes=30)),
+        ("c2", 0, "user", t0 + timedelta(minutes=5)),  # never answered
+    ]
+    schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    stage = str(tmp_path / "stream")
+    os.makedirs(stage, exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "b0")
+    )
+    flushes = []
+    for i, days in ((1, 10), (2, 20), (3, 30)):
+        fr = [
+            (f"f{i}u", 0, "user", t0 + timedelta(days=days)),
+            (f"f{i}a", 0, "assistant", t0 + timedelta(days=days)),
+        ]
+        spark.createDataFrame(fr, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"b{i}"))
+        flushes.append(i)
+    # stage in mtime order
+    for i in range(0, 4):
+        src_dir = tmp_path / f"b{i}"
+        part = [f for f in os.listdir(src_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{i:02d}.parquet")
+        import shutil
+
+        shutil.copyfile(src_dir / part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream_left_pairs(stream, horizon="2 hours", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_slj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["u_idx"]): r
+        for r in spark.table("t_slj")
+        .where(~F.col("conv_id").startswith("f"))
+        .collect()
+    }
+    assert got[("c1", 0)]["answered"] == 1 and got[("c1", 0)]["a_idx"] == 1
+    assert got[("c2", 0)]["answered"] == 0 and got[("c2", 0)]["a_idx"] is None
+    assert len(got) == 2
