@@ -6001,7 +6001,7 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the watermark proves no answer can arrive. Replay contract:
     outer null-emission is watermark-DRIVEN, so the harness stages
     the corpus as batch 1 and two far-future flush sentinels as
-    batches 2-4 (``maxFilesPerTrigger=1``) to march the watermark
+    batches 2-3 (``maxFilesPerTrigger=1``) to march the watermark
     past the data's tail; sentinel rows are filtered from the result
     and the batch LEFT JOIN oracle sees only real rows. Output: the
     per-conversation answered/unanswered tallies."""
@@ -6034,7 +6034,7 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # user_ids keep the sentinels from matching each other.
         mx_row = batch.orderBy(F.desc("ts")).limit(1)
         uid_t = dict(batch.dtypes)["user_id"]
-        for i, days in ((1, 30), (2, 60), (3, 90)):
+        for i, days in ((1, 30), (2, 60)):
             base_cols = [
                 (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
                 F.lit(0.0).alias("value"),
