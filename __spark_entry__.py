@@ -6103,6 +6103,64 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads/lags around the corpus midpoint week for the
+    hash-parity cohorts (weekly activity outcome, anchored at r=−1):
+    the multi-period DiD picture whose pre-period coefficients ARE
+    the parallel-trends check; one bounded-period conditional agg."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import stable_hash48
+    from kkbox_churn_prediction_spark.operators.abtest import event_study
+
+    conv = _conv(spark, sf_dir)
+    wk = F.floor(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))) / F.lit(7 * 86400 * 1_000_000)
+    )
+    per = conv.groupBy("conv_id", wk.alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = per.agg(
+        F.min("w").cast("long").alias("mn"), F.max("w").cast("long").alias("mx")
+    )
+    arm = F.when(
+        F.pmod(stable_hash48(F.concat(F.lit("es"), F.col("conv_id"))), F.lit(2)) == 0,
+        F.lit("t"),
+    ).otherwise(F.lit("c"))
+    units = per.crossJoin(F.broadcast(bounds)).select(
+        arm.alias("arm"),
+        (F.col("w") - F.floor((F.col("mn") + F.col("mx")) / F.lit(2)))
+        .cast("int")
+        .alias("r"),
+        "n",
+    )
+    return event_study(units, "arm", "r", "n", anchor_period=-1, max_abs_period=4)
+
+
+def _q_ks_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KS matrix of document length across ALL source pairs
+    — the full-mesh drift view the each-vs-reference lens hides
+    (two contaminated sources can agree with the pool while
+    disagreeing with each other); k²·bins bounded pair join, exact
+    decimal numerators."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.psi import (
+        fixed_width_bins,
+        ks_pair_matrix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    binned = docs.select(
+        "source",
+        fixed_width_bins(F.expr("CAST(length(text) AS BIGINT)"), 100.0, 20).alias(
+            "bin"
+        ),
+    )
+    return ks_pair_matrix(binned, "source", "bin")
+
+
+
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
 # order, so the sample covered only the round-1 prefix; this ordering
@@ -6569,6 +6627,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": _q_threshold_sweep,
         "lsh_parameter_plan": _q_lsh_plan,
         "streaming_left_join": _q_streaming_left_join,
+        "event_study_weekly": _q_event_study,
+        "ks_source_matrix": _q_ks_source_matrix,
     }
 
 
@@ -18677,6 +18737,101 @@ ORDER BY conv_id
 """
 
 
+
+# Event study (lock-step with abtest.event_study over the hash-parity
+# cohorts × corpus-midpoint intervention)
+_EVENT_STUDY_SQL = f"""
+WITH {_CONV_CTE},
+per AS (
+    SELECT conv_id,
+           CAST(floor(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                      / {7 * 86400 * 1_000_000}) AS BIGINT) AS w,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM conversations GROUP BY 1, 2
+),
+b AS (SELECT CAST(MIN(w) AS BIGINT) AS mn, CAST(MAX(w) AS BIGINT) AS mx FROM per),
+units AS (
+    SELECT CASE WHEN ({_H48.format(x="concat('es', conv_id)")}) % 2 = 0
+                THEN 1 ELSE 0 END AS t,
+           CAST(w - CAST(floor((mn + mx) / 2) AS BIGINT) AS INTEGER) AS r,
+           n
+    FROM per, b
+),
+agg AS (
+    SELECT r AS rel_period,
+           CAST(SUM(t) AS BIGINT) AS n_t,
+           CAST(SUM(1 - t) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT) AS sy_t,
+           CAST(SUM(CASE WHEN t = 0 THEN n ELSE 0 END) AS BIGINT) AS sy_c
+    FROM units WHERE r BETWEEN -4 AND 4
+    GROUP BY r
+),
+withgap AS (
+    SELECT rel_period, n_t, n_c,
+           CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+           CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                     - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS gap
+    FROM agg
+),
+anchor AS (SELECT gap AS anchor_gap FROM withgap WHERE rel_period = -1)
+SELECT w.rel_period,
+       w.n_t AS n_treated, w.n_c AS n_control,
+       ROUND(w.mt, 6) AS mean_treated,
+       ROUND(w.mc, 6) AS mean_control,
+       ROUND(w.gap, 6) AS gap,
+       ROUND(w.gap - a.anchor_gap, 6) AS coef
+FROM withgap w CROSS JOIN anchor a
+ORDER BY w.rel_period
+"""
+
+
+# Pairwise KS matrix (lock-step with psi.ks_pair_matrix over document
+# lengths, width-100 20-bin grid)
+_KS_MATRIX_SQL = """
+WITH binned AS (
+    SELECT source,
+           CAST(LEAST(GREATEST(floor(CAST(length(text) AS BIGINT) / 100.0), 0), 19)
+                AS INTEGER) AS bin
+    FROM documents
+),
+counts AS (
+    SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2
+),
+groups AS (SELECT DISTINCT source FROM counts),
+bins AS (SELECT DISTINCT bin FROM counts),
+fullg AS (
+    SELECT g.source, b.bin, COALESCE(c.n, 0) AS n
+    FROM groups g CROSS JOIN bins b
+    LEFT JOIN counts c ON g.source = c.source AND b.bin = c.bin
+),
+cdf AS (
+    SELECT source, bin,
+           CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+           CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS _tot
+    FROM fullg
+),
+pairs AS (
+    SELECT l.source AS group_a, r.source AS group_b, l.bin,
+           ABS(CAST(l._cum AS HUGEINT) * CAST(r._tot AS HUGEINT)
+               - CAST(r._cum AS HUGEINT) * CAST(l._tot AS HUGEINT)) AS gap,
+           l._tot AS na, r._tot AS nb
+    FROM cdf l JOIN cdf r ON l.bin = r.bin AND l.source < r.source
+)
+SELECT group_a, group_b,
+       ROUND(CAST(MAX(gap) AS DOUBLE)
+             / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) AS ks,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM pairs
+GROUP BY group_a, group_b
+ORDER BY group_a, group_b
+"""
+
+
 def _ab_pvalue_sql() -> str:
     """proportion_tool_use oracle wrapped with the lock-step A&S
     normal-CDF polynomial (functions/stats.normal_cdf_sql)."""
@@ -19048,4 +19203,6 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": _threshold_sweep_sql(),
         "lsh_parameter_plan": _LSH_PLAN_SQL,
         "streaming_left_join": _STREAM_LEFT_JOIN_SQL,
+        "event_study_weekly": _EVENT_STUDY_SQL,
+        "ks_source_matrix": _KS_MATRIX_SQL,
     }

@@ -2189,3 +2189,72 @@ def mantel_haenszel(
             F.when(vv > 0, two_sided_p(F.sqrt(chi2))).otherwise(F.lit(1.0)), 6
         ).alias("p_value"),
     )
+
+
+def event_study(
+    units: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    treatment: str = "t",
+    anchor_period: int = -1,
+    max_abs_period: int = 4,
+) -> DataFrame:
+    """Event-study (leads-and-lags) table around an intervention:
+    per RELATIVE period r, the treated-minus-control outcome gap,
+    re-anchored to the last pre-period — ``coef(r) = gap(r) −
+    gap(anchor)`` — so the pre-period coefficients read as the
+    PARALLEL-TRENDS check (flat ≈ 0 before r = 0) and the
+    post-period ones as the dynamic effect path. The multi-period
+    generalization of :func:`did_paired` (DiD compresses the path to
+    one number and HIDES pre-trend violations; this is the picture
+    referees ask for). Input: one row per (unit, period) with the
+    arm, relative period index, and outcome.
+
+    Output per r in [−max_abs_period, max_abs_period]:
+    ``(rel_period, n_treated, n_control, mean_treated, mean_control,
+    gap, coef)``.
+
+    Shape: ONE conditional hash agg per (period) — exact long counts
+    and Σy per arm — then fixed-shape algebra on the bounded period
+    table with the anchor row broadcast back (1-row join). No
+    windows over raw data.
+    """
+    t = (F.col(arm_col) == treatment).cast("int")
+    y = F.col(value_col).cast("long")
+    r = F.col(period_col).cast("int")
+    per = (
+        units.where(
+            (r >= -int(max_abs_period)) & (r <= int(max_abs_period))
+        )
+        .groupBy(r.alias("rel_period"))
+        .agg(
+            F.sum(t).cast("long").alias("n_t"),
+            F.sum(1 - t).cast("long").alias("n_c"),
+            F.sum(F.when(t == 1, y).otherwise(F.lit(0))).cast("long").alias("sy_t"),
+            F.sum(F.when(t == 0, y).otherwise(F.lit(0))).cast("long").alias("sy_c"),
+        )
+    )
+    mt = F.col("sy_t").cast("double") / F.col("n_t").cast("double")
+    mc = F.col("sy_c").cast("double") / F.col("n_c").cast("double")
+    gap = F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), mt - mc)
+    with_gap = per.select(
+        "rel_period", "n_t", "n_c", mt.alias("_mt"), mc.alias("_mc"), gap.alias("_gap")
+    )
+    anchor = with_gap.where(F.col("rel_period") == int(anchor_period)).select(
+        F.col("_gap").alias("_anchor_gap")
+    )
+    return (
+        with_gap.crossJoin(F.broadcast(anchor))
+        .select(
+            "rel_period",
+            F.col("n_t").alias("n_treated"),
+            F.col("n_c").alias("n_control"),
+            F.round(F.col("_mt"), 6).alias("mean_treated"),
+            F.round(F.col("_mc"), 6).alias("mean_control"),
+            F.round(F.col("_gap"), 6).alias("gap"),
+            F.round(F.col("_gap") - F.col("_anchor_gap"), 6).alias("coef"),
+        )
+        .orderBy("rel_period")
+    )

@@ -676,3 +676,79 @@ def anderson_darling_from_bins(
         F.col("_n").cast("long").alias("n_cur"),
         F.col("_rn").cast("long").alias("n_ref"),
     )
+
+
+def ks_pair_matrix(
+    binned: DataFrame,
+    group_col: str,
+    bin_col: str,
+) -> DataFrame:
+    """Pairwise Kolmogorov–Smirnov matrix across ALL groups (every
+    unordered pair), not just each-vs-reference — the full-mesh view
+    :func:`ks_from_bins` can't give: with k sources the reference
+    view hides which NON-reference pair diverged (a contaminated
+    source pair can agree with the reference on average while
+    disagreeing with each other). Output per pair (a < b):
+    ``(group_a, group_b, ks, n_a, n_b)``.
+
+    Shape: ONE (group, bin) count agg; cumulative CDFs over the
+    bounded per-group bins; the pair join runs on the (groups ×
+    bins)-sized CDF table — k²·bins rows, domain-bounded regardless
+    of row count. Exact decimal cross-product numerators (the
+    ks_from_bins discipline), one division per pair.
+    """
+    dec = "decimal(18,0)"
+    counts = binned.groupBy(group_col, bin_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    groups = counts.select(group_col).distinct()
+    bins = counts.select(bin_col).distinct()
+    grid = groups.crossJoin(F.broadcast(bins))
+    full = grid.join(counts, [group_col, bin_col], "left").select(
+        group_col, bin_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w_cdf = (
+        Window.partitionBy(group_col)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cdf = full.select(
+        group_col,
+        bin_col,
+        F.sum("n").over(w_cdf).cast("long").alias("_cum"),
+        F.sum("n").over(w_tot).cast("long").alias("_tot"),
+    )
+    left = cdf.select(
+        F.col(group_col).alias("group_a"),
+        bin_col,
+        F.col("_cum").alias("_ca"),
+        F.col("_tot").alias("_na"),
+    )
+    right = cdf.select(
+        F.col(group_col).alias("group_b"),
+        bin_col,
+        F.col("_cum").alias("_cb"),
+        F.col("_tot").alias("_nb"),
+    )
+    pairs = left.join(right, [bin_col]).where(F.col("group_a") < F.col("group_b"))
+    gap = F.abs(
+        F.col("_ca").cast(dec) * F.col("_nb").cast(dec)
+        - F.col("_cb").cast(dec) * F.col("_na").cast(dec)
+    )
+    per = pairs.groupBy("group_a", "group_b").agg(
+        F.max(gap).alias("_num"),
+        F.max("_na").alias("_n_a"),
+        F.max("_nb").alias("_n_b"),
+    )
+    return per.select(
+        "group_a",
+        "group_b",
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("_n_a").cast("double") * F.col("_n_b").cast("double")),
+            6,
+        ).alias("ks"),
+        F.col("_n_a").cast("long").alias("n_a"),
+        F.col("_n_b").cast("long").alias("n_b"),
+    ).orderBy("group_a", "group_b")

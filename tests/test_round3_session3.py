@@ -1362,3 +1362,59 @@ def test_stream_left_pairs_emits_unanswered_after_watermark(spark, tmp_path):
     assert got[("c1", 0)]["answered"] == 1 and got[("c1", 0)]["a_idx"] == 1
     assert got[("c2", 0)]["answered"] == 0 and got[("c2", 0)]["a_idx"] is None
     assert len(got) == 2
+
+
+# ----------------------------------------------------------- event study
+def test_event_study_recovers_dynamic_effect_and_flat_pretrend(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import event_study
+
+    rows = []
+    for r in range(-3, 4):
+        # common trend 10+r for both arms; treated add +5 from r>=0 on
+        base = 10 + r
+        for u in range(20):
+            rows.append(("t", r, base + (5 if r >= 0 else 0)))
+            rows.append(("c", r, base))
+    df = spark.createDataFrame(rows, "arm string, r int, y int")
+    got = {row["rel_period"]: row for row in event_study(
+        df, "arm", "r", "y", max_abs_period=3
+    ).collect()}
+    for r in range(-3, 0):
+        assert got[r]["coef"] == pytest.approx(0.0, abs=1e-6)  # parallel pre-trend
+    for r in range(0, 4):
+        assert got[r]["coef"] == pytest.approx(5.0, abs=1e-6)  # dynamic effect
+
+
+def test_event_study_detects_pretrend_violation(spark):
+    from kkbox_churn_prediction_spark.operators.abtest import event_study
+
+    rows = []
+    for r in range(-3, 2):
+        for u in range(10):
+            rows.append(("t", r, 10 + 2 * r))  # treated trends UP pre-period
+            rows.append(("c", r, 10))
+    df = spark.createDataFrame(rows, "arm string, r int, y int")
+    got = {row["rel_period"]: row for row in event_study(
+        df, "arm", "r", "y", max_abs_period=3
+    ).collect()}
+    assert got[-3]["coef"] == pytest.approx(-4.0, abs=1e-6)  # violation visible
+    assert got[-1]["coef"] == 0.0  # anchor by construction
+
+
+# -------------------------------------------------------- KS pair matrix
+def test_ks_pair_matrix_identical_and_shifted(spark):
+    from kkbox_churn_prediction_spark.operators.psi import ks_pair_matrix
+
+    rows = (
+        [("s1", b) for b in [0, 1, 2, 3] * 10]
+        + [("s2", b) for b in [0, 1, 2, 3] * 10]
+        + [("s3", b) for b in [4, 5, 6, 7] * 10]  # disjoint support
+    )
+    df = spark.createDataFrame(rows, "source string, bin int")
+    got = {(r["group_a"], r["group_b"]): r["ks"] for r in ks_pair_matrix(
+        df, "source", "bin"
+    ).collect()}
+    assert got[("s1", "s2")] == 0.0
+    assert got[("s1", "s3")] == 1.0  # fully separated CDFs
+    assert got[("s2", "s3")] == 1.0
+    assert len(got) == 3  # unordered pairs only
