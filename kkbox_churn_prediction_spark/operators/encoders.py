@@ -148,14 +148,26 @@ _RANK_DRIVER_MAX_VALUES = 2_000_000
 
 
 def value_rank_components(
-    df: DataFrame, value_col: str, *, n_buckets: int = 256, mode: str = "auto"
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 256,
+    mode: str = "auto",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The distributed prefix-sum rank machinery shared by
     :func:`rank_normalize`, ``rhythm.gini_concentration``,
-    ``association.spearman_corr`` and ``textstats.zipf_stats``:
-    collapse to the distinct-value table with counts, bucket it by
-    approx-quantile edges, and compute each value's 0-based count of
-    strictly-smaller rows → ``(value_col, _cnt, _before)``.
+    ``association.spearman_corr``, ``textstats.zipf_stats`` and
+    ``robust._weighted_median``: collapse to the distinct-value table
+    with counts, bucket it by approx-quantile edges, and compute each
+    value's 0-based count of strictly-smaller rows →
+    ``(value_col, _cnt, _before)``.
+
+    ``weight_col`` accepts PRE-COUNTED input — ``df`` is already a
+    ``(value, count)`` histogram and ``_cnt`` sums that column instead
+    of counting rows, so a caller that has paid for the corpus
+    hash-agg once (the Huber/quantile-trend value histograms) never
+    re-expands it.
 
     Per-bucket cumulative sums run in parallel across buckets; the
     cross-bucket carry is a window over the ≤ ``n_buckets``-row
@@ -179,7 +191,12 @@ def value_rank_components(
 
     if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
         raise ValueError(f"unknown mode {mode!r}")
-    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    agg = (
+        F.sum(F.col(weight_col)).cast("long")
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
+    vals = df.groupBy(value_col).agg(agg.alias("_cnt"))
     if mode != "distributed":
         probe = (
             vals.limit(_RANK_DRIVER_MAX_VALUES + 1) if mode == "auto" else vals

@@ -64,7 +64,9 @@ def quantile_edges(
         else f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
     )
     row = df.select(F.expr(fn).alias("e")).first()
-    return [float(x) for x in row["e"]]
+    # empty/all-null input: the percentile array is NULL — no interior
+    # edges, everything lands in bucket 0 (bucketize's overflow bin)
+    return [float(x) for x in row["e"]] if row["e"] is not None else []
 
 
 def bucketize_by_edges(value: Column, edges: list[float]) -> Column:

@@ -37,7 +37,7 @@ family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _Q = 1_000_000_000  # 1e-9 re-quantization grid between IRLS steps
@@ -47,16 +47,31 @@ def _weighted_median(hist: DataFrame, v_col: str = "v", c_col: str = "c"):
     """Interpolated median of the expanded multiset described by a
     ``(value, count)`` histogram, as a 1-row DataFrame ``(med)``.
 
-    Exact-integer machinery: cumulative counts by value order (the
-    histogram is bounded, so the unpartitioned window is safe — the
-    distinct-event-times precedent), then ``vlo``/``vhi`` = values at
-    ranks ``floor/ceil(0.5·(n−1))`` and linear interpolation — the
-    percentile(0.5) convention on both engines.
+    Exact-integer machinery: cumulative counts by value order via the
+    BUCKETED prefix-sum rank engine (``encoders.value_rank_components``
+    — bucket-local cumsums in parallel, the cross-bucket carry a
+    window over the ≤256-row offsets table), then ``vlo``/``vhi`` =
+    values at ranks ``floor/ceil(0.5·(n−1))`` and linear interpolation
+    — the percentile(0.5) convention on both engines.
+
+    This is the DISTRIBUTED path — it is only entered when the value
+    domain exceeded ``max_driver_bins``, so it must never funnel the
+    histogram through an unpartitioned cumulative window (the round-3
+    review's one latent scale-killer, since fixed: the prefix sums are
+    exact integers, so routing through the rank engine is
+    hash-identical to the old single-partition window; plan-guarded in
+    ``test_plan_guards.py``).
     """
-    w = Window.orderBy(v_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
+    from kkbox_churn_prediction_spark.operators.encoders import (
+        value_rank_components,
+    )
+
+    comps = value_rank_components(
+        hist, v_col, weight_col=c_col, mode="distributed"
+    )
+    cum = comps.select(
         F.col(v_col).alias("v"),
-        F.sum(c_col).over(w).alias("cum"),
+        (F.col("_before") + F.col("_cnt")).alias("cum"),
     )
     n = hist.agg(F.sum(c_col).cast("long").alias("n"))
     ranked = cum.crossJoin(F.broadcast(n)).select(

@@ -316,6 +316,29 @@ def test_huber_driver_and_distributed_identical(spark):
     assert list(map(tuple, a)) == list(map(tuple, s))
 
 
+def test_huber_wide_domain_distributed_matches_driver(spark):
+    """VERDICT r3 #1 closure: a value domain EXCEEDING the 65536-bin
+    driver budget — the exact regime that forces the distributed
+    fallback — must produce the identical report through the bucketed
+    prefix-sum rank engine (no unpartitioned histogram window, see the
+    plan guard) as the driver replay does."""
+    from pyspark.sql import functions as F
+
+    # 70_000 distinct values, non-uniform counts (2 or 3 per value)
+    df = (
+        spark.range(140_000)
+        .select((F.col("id") % 70_000).alias("v"))
+        .union(spark.range(30_000).select(F.col("id").alias("v")))
+    )
+    d = huber_location(df, "v", n_iter=5, mode="driver").collect()
+    s = huber_location(df, "v", n_iter=5, mode="distributed").collect()
+    assert list(map(tuple, d)) == list(map(tuple, s))
+    # auto probes limit(65537), sees the domain does not fit, and
+    # auto-selects the distributed path — same rows again
+    a = huber_location(df, "v", n_iter=5, mode="auto").collect()
+    assert list(map(tuple, a)) == list(map(tuple, s))
+
+
 def test_huber_empty_input_both_modes(spark):
     df = spark.createDataFrame([], "v double")
     d = huber_location(df, "v", mode="driver").collect()[0]

@@ -483,6 +483,36 @@ def test_bloom_probe_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_huber_distributed_median_window_is_bucket_partitioned(spark):
+    """VERDICT r3 #1: ``_weighted_median``'s distributed path (the
+    >65536-bin fallback) must route the histogram cumsum through the
+    bucketed prefix-sum rank engine — a cumulative window ordered by
+    the raw value WITHOUT a partition spec is the one latent
+    scale-killer round 3 found, and this pins its absence."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.robust import _weighted_median
+
+    hist = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") % 7 + 1).alias("c")
+    )
+    plan = _weighted_median(hist)._jdf.queryExecution().executedPlan().toString()
+    # the old killer: unpartitioned cumsum ordered by the value column
+    assert not re.search(r"windowspecdefinition\(v#\d+L ASC", plan)
+    # the fix: bucket-local cumsum (partition spec leads with _bkt)
+    assert re.search(r"windowspecdefinition\(_bkt#\d+, v#\d+L ASC", plan)
+    # every single-partition exchange sits directly above a bounded
+    # aggregate (per-bucket totals / one-row sums) — never the raw
+    # histogram stream (the peak_concurrency guard discipline)
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i : i + 4])
+            assert "HashAggregate" in below, below
+
+
 def test_levene_no_window_joins_on_group_key(spark):
     """levene_roles: percentile agg + join-back + moment agg — no
     Window machinery."""
