@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kkbox_churn_prediction_spark.operators.replay import driver_replay_max_rows
+
 
 # same threshold discipline as the PageRank/HITS fixed points below:
 # under this many collected edge rows the min-label fixpoint runs as
@@ -78,11 +80,12 @@ def connected_components(
         raise ValueError(f"unknown mode {mode!r}")
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if mode != "distributed":
-        probe = (
-            raw.limit(_CC_DRIVER_MAX_EDGES + 1) if mode == "auto" else raw
+        max_rows = driver_replay_max_rows(
+            edges.sparkSession, _CC_DRIVER_MAX_EDGES
         )
+        probe = raw.limit(max_rows + 1) if mode == "auto" else raw
         tbl = probe.toArrow()
-        if mode == "driver" or tbl.num_rows <= _CC_DRIVER_MAX_EDGES:
+        if mode == "driver" or tbl.num_rows <= max_rows:
             return _cc_driver(edges.sparkSession, tbl, raw.schema)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -266,13 +269,12 @@ def pagerank(
         raise ValueError(f"unknown mode {mode!r}")
     raw = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if mode != "distributed":
-        probe = (
-            raw.limit(_PAGERANK_DRIVER_MAX_EDGES + 1)
-            if mode == "auto"
-            else raw
+        max_rows = driver_replay_max_rows(
+            edges.sparkSession, _PAGERANK_DRIVER_MAX_EDGES
         )
+        probe = raw.limit(max_rows + 1) if mode == "auto" else raw
         tbl = probe.toArrow()
-        if mode == "driver" or tbl.num_rows <= _PAGERANK_DRIVER_MAX_EDGES:
+        if mode == "driver" or tbl.num_rows <= max_rows:
             return _pagerank_driver(
                 edges.sparkSession,
                 tbl,
@@ -869,9 +871,10 @@ def k_core(
     spark = edges.sparkSession
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if mode != "distributed":
-        probe = raw.limit(_KCORE_DRIVER_MAX_EDGES + 1) if mode == "auto" else raw
+        max_rows = driver_replay_max_rows(spark, _KCORE_DRIVER_MAX_EDGES)
+        probe = raw.limit(max_rows + 1) if mode == "auto" else raw
         tbl = probe.toArrow()
-        if mode == "driver" or tbl.num_rows <= _KCORE_DRIVER_MAX_EDGES:
+        if mode == "driver" or tbl.num_rows <= max_rows:
             return _k_core_driver(spark, tbl, k)
     sym = (
         raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kkbox_churn_prediction_spark.operators.replay import driver_replay_max_rows
+
 from kkbox_churn_prediction_spark.functions.text import stable_hash48
 
 
@@ -198,11 +200,12 @@ def value_rank_components(
     )
     vals = df.groupBy(value_col).agg(agg.alias("_cnt"))
     if mode != "distributed":
-        probe = (
-            vals.limit(_RANK_DRIVER_MAX_VALUES + 1) if mode == "auto" else vals
+        max_rows = driver_replay_max_rows(
+            df.sparkSession, _RANK_DRIVER_MAX_VALUES
         )
+        probe = vals.limit(max_rows + 1) if mode == "auto" else vals
         tbl = probe.toArrow()
-        if mode == "driver" or tbl.num_rows <= _RANK_DRIVER_MAX_VALUES:
+        if mode == "driver" or tbl.num_rows <= max_rows:
             return _rank_components_driver(
                 df.sparkSession, tbl, vals.schema, value_col
             )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kkbox_churn_prediction_spark.operators.replay import driver_replay_max_rows
+
 _VQ = 1_000_000_000  # vector fixed-point scale (1e-9 units)
 _CQ = 1_000_000      # matrix fixed-point scale (1e-6 units)
 
@@ -71,13 +73,22 @@ def power_iteration_top_eigen(
       ``connected_components`` discipline). The only choice when the
       "matrix" is a 10^9-row sparse affinity/similarity graph.
     - ``mode="auto"`` (default): one count of the entry table picks —
-      driver at ≤ ``max_driver_entries`` entries, else distributed.
+      driver at ≤ ``max_driver_entries`` entries (further capped by
+      the session-wide ``spark.kkbox_churn.driverReplayMaxRows`` conf
+      when set, so a fleet can disable every replay at once), else
+      distributed.
     """
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
+        cap = min(
+            int(max_driver_entries),
+            driver_replay_max_rows(
+                cov_upper.sparkSession, int(max_driver_entries)
+            ),
+        )
         n_entries = cov_upper.count()
-        mode = "driver" if n_entries <= int(max_driver_entries) else "distributed"
+        mode = "driver" if n_entries <= cap else "distributed"
     if mode == "driver":
         return _power_iteration_driver(cov_upper, int(n_iter))
     sym = cov_upper.where(F.col("dim_i") != F.col("dim_j")).select(
@@ -388,11 +399,10 @@ def _hits_dispatch(mat: DataFrame, n_iter: int, mode: str):
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
-        mode = (
-            "driver"
-            if mat.count() <= _HITS_DRIVER_MAX_EDGES
-            else "distributed"
+        max_rows = driver_replay_max_rows(
+            mat.sparkSession, _HITS_DRIVER_MAX_EDGES
         )
+        mode = "driver" if mat.count() <= max_rows else "distributed"
     if mode == "driver":
         return _hits_fixed_point_driver(mat, int(n_iter))
     return _hits_fixed_point(mat, int(n_iter))

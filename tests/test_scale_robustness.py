@@ -154,3 +154,39 @@ def test_backtest_folds_single_plan(spark, turns):
     n_entities = turns.select("conv_id").distinct().count()
     assert out.count() == 3 * n_entities
     assert {"is_churn", "turn_cnt_7d", "fold"} <= set(out.columns)
+
+
+def test_driver_replay_threshold_is_session_configurable(spark):
+    """VERDICT r3 #7: the 2M-row driver-replay budgets read
+    ``spark.kkbox_churn.driverReplayMaxRows`` (module constants as
+    defaults), so a 100x-scale fleet can disable every replay with one
+    conf — and the distributed path it forces produces the identical
+    labels."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+    from kkbox_churn_prediction_spark.operators.replay import (
+        DRIVER_REPLAY_CONF,
+        driver_replay_max_rows,
+    )
+
+    assert driver_replay_max_rows(spark, 123) == 123  # unset -> default
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    spark.conf.set(DRIVER_REPLAY_CONF, "0")
+    try:
+        assert driver_replay_max_rows(spark, 123) == 0
+        out = connected_components(edges)  # auto, but replay disabled
+        # observable path choice: the distributed fixpoint's output
+        # plan carries the size aggregate + join; the driver replay is
+        # a bare local relation with neither
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        dist = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.unset(DRIVER_REPLAY_CONF)
+    drv_out = connected_components(edges, mode="driver")
+    drv_plan = drv_out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in drv_plan
+    assert dist == sorted(map(tuple, drv_out.collect()))
