@@ -90,13 +90,26 @@ spark = (SparkSession.builder.master("local-cluster[8,4,6144]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+    .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "180s")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+# pre-warm OUTSIDE the timed region: wait for all 8 executor JVMs to
+# register (a loaded host can take tens of seconds), then run the job
+# twice — the first warm absorbs executor spin-up + classloading +
+# parquet footer reads, the second is a clean plan-warm (VERDICT r3
+# task #3: the timed region must see a fully-started cluster)
+deadline = time.time() + 180
+while time.time() < deadline:
+    if spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() >= 9:
+        break
+    time.sleep(1)
 t = spark.read.parquet(sys.argv[1])
 n = t.count()
 job_df = backfill_features(t, weekly_cutoffs(t))
 def job():
     job_df.write.format("noop").mode("overwrite").save()
+job()
 job()
 best = None
 for _ in range(3):
@@ -106,15 +119,19 @@ print(json.dumps({{"turns": n, "sec": best}}))
 """
 
 
-def bulk_backfill_rate(spark) -> tuple[int, float, str]:
-    """Backfill throughput on the cached 8M-turn generated table.
+def bulk_backfill_rate(spark) -> tuple[int, float, str, float | None]:
+    """Backfill throughput on the cached 8M-turn generated table →
+    ``(turns, rate, mode, in_process_rate)``.
 
     Preferred measurement: a subprocess running the job under
     ``local-cluster[8,4,6144]`` — 8 REAL executor JVMs × 4 cores, the
     multi-executor shape the engine targets, with per-executor GC
     (2-3× faster and far stabler than 32 threads sharing one heap —
-    see BENCH.md). Falls back to in-process local[N] if cluster mode
-    is unavailable.
+    see BENCH.md). The child pre-warms (waits for all executors, two
+    warm runs) and gets one retry; whenever it succeeds ITS number is
+    the headline and the in-process local[N] rate rides along as the
+    fourth element. Only if both attempts fail does the mode fall
+    back to ``"in-process"``.
     """
     import json as _json
     import subprocess
@@ -152,28 +169,44 @@ def bulk_backfill_rate(spark) -> tuple[int, float, str]:
         spark.stop()
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    try:
-        out = subprocess.run(
-            [_sys.executable, "-c", _CLUSTER_CHILD.format(repo=repo), BULK_DIR],
-            capture_output=True, text=True, timeout=540, check=True,
-        )
-        r = _json.loads(out.stdout.strip().splitlines()[-1])
-        cluster = (r["turns"], round(r["turns"] / r["sec"], 1), "local-cluster[8,4]")
-        if in_process is None or cluster[1] >= in_process[1]:
-            return cluster
-        return in_process
-    except Exception as exc:  # diagnose silent fallbacks (stderr only)
-        detail = ""
-        if isinstance(exc, subprocess.CalledProcessError):
-            detail = (exc.stderr or "")[-500:]
-        print(
-            f"[bench] local-cluster child failed ({type(exc).__name__}): "
-            f"{detail}",
-            file=_sys.stderr,
-        )
-        if in_process is not None:
-            return in_process
-        raise
+    time.sleep(3)  # let the parent JVM's ports/threads actually die
+    # two attempts: executor registration under a loaded host is the
+    # observed flake (r3's official artifact fell back to in-process);
+    # startup waits are now explicit in the child, and a clean retry
+    # beats silently reporting the wrong execution shape
+    last_exc: Exception | None = None
+    for _attempt in range(2):
+        try:
+            out = subprocess.run(
+                [_sys.executable, "-c", _CLUSTER_CHILD.format(repo=repo),
+                 BULK_DIR],
+                capture_output=True, text=True, timeout=720, check=True,
+            )
+            r = _json.loads(out.stdout.strip().splitlines()[-1])
+            # the multi-JVM number IS the headline whenever the child
+            # succeeds — it is the execution shape the engine targets;
+            # the in-process rate rides along as a secondary field
+            # (r3's "max of the two" rule let a load-depressed cluster
+            # run lose to in-process and misreport the mode)
+            return (
+                r["turns"],
+                round(r["turns"] / r["sec"], 1),
+                "local-cluster[8,4]",
+                in_process[1] if in_process else None,
+            )
+        except Exception as exc:  # diagnose fallbacks (stderr only)
+            last_exc = exc
+            detail = ""
+            if isinstance(exc, subprocess.CalledProcessError):
+                detail = (exc.stderr or "")[-500:]
+            print(
+                f"[bench] local-cluster child failed "
+                f"(attempt {_attempt + 1}, {type(exc).__name__}): {detail}",
+                file=_sys.stderr,
+            )
+    if in_process is not None:
+        return (*in_process, None)
+    raise last_exc
 
 
 def prev_round_number() -> int:
@@ -242,7 +275,7 @@ def main() -> None:
             spark, lambda fn=fn: fn(spark, sf_dir)
         )
 
-    bulk_turns, bulk_rate, bulk_mode = bulk_backfill_rate(spark)
+    bulk_turns, bulk_rate, bulk_mode, bulk_in_proc = bulk_backfill_rate(spark)
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -269,6 +302,7 @@ def main() -> None:
         "bulk_turns": bulk_turns,
         "bulk_backfill_turns_per_sec": bulk_rate,
         "bulk_mode": bulk_mode,
+        "bulk_in_process_turns_per_sec": bulk_in_proc,
         "cpus": int(cpus),
         "detail_file": f"BENCH_DETAIL_r{this_round:02d}.json",
     }
