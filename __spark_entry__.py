@@ -5995,27 +5995,29 @@ def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Structured Streaming gate #10: stream-stream LEFT OUTER
-    event-time range join — unanswered user turns emit NULL rows only
-    after the watermark proves no answer can arrive. Replay contract:
-    outer null-emission is watermark-DRIVEN, so the harness stages
-    the corpus as batch 1 and two far-future flush sentinels as
-    batches 2-3 (``maxFilesPerTrigger=1``) to march the watermark
-    past the data's tail; sentinel rows are filtered from the result
-    and the batch LEFT JOIN oracle sees only real rows. Output: the
-    per-conversation answered/unanswered tallies."""
+
+def _staged_outer_join_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared replay harness for the OUTER stream-stream join gates
+    (left #10, full #11): stages the corpus as batch 1 plus two
+    far-future flush batches (``maxFilesPerTrigger=1``) so the join
+    watermark marches past the data's tail and the delayed
+    null-emission paths actually fire. Each flush batch carries BOTH
+    a user-role and an assistant-role sentinel — the join watermark
+    is the MIN across the two withWatermark operators, and a
+    single-role flush leaves the other side's watermark behind,
+    stranding exactly the tail-window unmatched rows in state
+    (observed round 3, unit-tested). Sentinel rows carry negative
+    user_ids ('c-1'/'c-2' conversations) so gates filter them with
+    ``~conv_id.startswith('c-')``; distinct ids keep the sentinels
+    from matching each other."""
+    import hashlib
     import os
     import shutil
     import time as _time
 
     from pyspark.sql import functions as F
 
-    from kkbox_churn_prediction_spark.streaming.joins import stream_left_pairs
-
     src, _ = _stage_stream_src(sf_dir)
-    import hashlib
-
     stage = f"/tmp/eng_stream_lj_{hashlib.md5(src.encode()).hexdigest()[:10]}"
     batch = spark.read.parquet(src)
     if not os.path.exists(os.path.join(stage, "_STAGED")):
@@ -6023,15 +6025,7 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage, exist_ok=True)
         os.link(src, os.path.join(stage, "00_events.parquet"))
         # derive the flush sentinels FROM the batch row shape (schema
-        # surgery is brittle across timestamp flavors). Each flush
-        # batch carries BOTH a user-role and an assistant-role row:
-        # the join watermark is the MIN across the two
-        # withWatermark operators, and the assistant side only sees
-        # role='assistant' rows — a user-only flush leaves the
-        # a-side watermark at the last real assistant event and the
-        # final unmatched rows stranded in state (observed: exactly
-        # the tail-window rows never emitted). Distinct negative
-        # user_ids keep the sentinels from matching each other.
+        # surgery is brittle across timestamp flavors)
         mx_row = batch.orderBy(F.desc("ts")).limit(1)
         uid_t = dict(batch.dtypes)["user_id"]
         for i, days in ((1, 30), (2, 60)):
@@ -6068,7 +6062,7 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     )
-    turns = stream.select(
+    return stream.select(
         F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
         F.col("event_id").alias("turn_idx"),
         F.when(F.col("event_type") == "signup", F.lit("system"))
@@ -6078,6 +6072,23 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("role"),
         "ts",
     )
+
+
+def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #10: stream-stream LEFT OUTER
+    event-time range join — unanswered user turns emit NULL rows only
+    after the watermark proves no answer can arrive. Replay contract:
+    outer null-emission is watermark-DRIVEN, so the harness stages
+    the corpus as batch 1 and two far-future flush sentinels as
+    batches 2-3 (``maxFilesPerTrigger=1``) to march the watermark
+    past the data's tail; sentinel rows are filtered from the result
+    and the batch LEFT JOIN oracle sees only real rows. Output: the
+    per-conversation answered/unanswered tallies."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.joins import stream_left_pairs
+
+    turns = _staged_outer_join_turns(spark, sf_dir)
     name = "eng_streaming_left_join"
     q = (
         stream_left_pairs(turns, horizon="2 hours", watermark="4 hours")
@@ -6101,6 +6112,50 @@ def _q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("conv_id")
     )
 
+
+
+def _q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #11: stream-stream FULL OUTER
+    event-time range join — unanswered user turns AND orphan
+    assistant turns (no prompting user turn in the preceding window)
+    both emit NULL rows only after the watermark proves no partner
+    can arrive. Same dual-role-sentinel two-flush replay contract as
+    streaming_left_join (shared harness); batch FULL JOIN oracle.
+    Output: per-conversation answered/unanswered/orphan tallies."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.streaming.joins import stream_full_pairs
+
+    turns = _staged_outer_join_turns(spark, sf_dir)
+    name = "eng_streaming_full_join"
+    q = (
+        stream_full_pairs(turns, horizon="2 hours", watermark="4 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).where(~F.col("conv_id").startswith("c-"))
+    return (
+        rows.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("answered").cast("long").alias("n_answered_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("answered") == 0) & (F.col("orphan") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unanswered"),
+            F.sum("orphan").cast("long").alias("n_orphan_answers"),
+        )
+        .orderBy("conv_id")
+    )
 
 
 def _q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6237,6 +6292,52 @@ _DRIVER_CORE: tuple[str, ...] = (
     "tfidf_top_terms",
     "streaming_closed_sessions",
 )
+
+
+
+def _q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trained text-quality classifier (VERDICT r3 task #5):
+    L2-damped diagonal-Newton logistic regression over hashed
+    token-count features, distilling the Gopher rule screen into a
+    smooth fasttext-style quality score. Weights live on the exact
+    1e-9 integer grid; gradients/Hessians are order-free
+    decimal(38,0) sums; the oracle unrolls the identical 24 steps as
+    materialized CTEs. Reference anchor: the sigmoid
+    calibrate-then-threshold shape of src/calibration.py:101-128."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_rule_flags,
+    )
+
+    feats = hashed_doc_features(
+        _docs(spark, sf_dir), gopher_rule_flags("text")["all"]
+    )
+    return quality_classifier_fit(feats)
+
+
+def _q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the in-engine-trained quality
+    classifier: (doc_id, y, quality_prob, pred_pass) — pred_pass is
+    the exact integer-grid score sign (zq >= 0), so the decision is
+    cross-engine exact even where the 6dp probability rounds. The
+    (n_features+1)-row weight table broadcasts onto the compact
+    doc-bucket stream; the corpus never shuffles to get scored."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_rule_flags,
+    )
+
+    feats = hashed_doc_features(
+        _docs(spark, sf_dir), gopher_rule_flags("text")["all"]
+    )
+    return quality_classifier_score(feats, quality_classifier_fit(feats))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6629,6 +6730,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_left_join": _q_streaming_left_join,
         "event_study_weekly": _q_event_study,
         "ks_source_matrix": _q_ks_source_matrix,
+        "quality_classifier_fit": _q_quality_classifier_fit,
+        "quality_classifier_apply": _q_quality_classifier_apply,
+        "streaming_full_join": _q_streaming_full_join,
     }
 
 
@@ -18707,6 +18811,42 @@ ORDER BY bands, rows_per_band
 # streaming/joins.stream_left_pairs over the bounded replay: every
 # user turn LEFT JOIN answering assistant turns within 2h; flush
 # sentinels are engine-side only and never reach the result)
+
+_STREAM_FULL_JOIN_SQL = """
+WITH t AS (
+    SELECT concat('c', user_id) AS conv_id,
+           event_id AS turn_idx,
+           CASE event_type WHEN 'signup' THEN 'system'
+                           WHEN 'purchase' THEN 'assistant'
+                           WHEN 'error' THEN 'tool'
+                           ELSE 'user' END AS role,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+u AS (SELECT conv_id, ts AS u_ts, turn_idx AS u_idx FROM t WHERE role = 'user'),
+a AS (SELECT conv_id, ts AS a_ts, turn_idx AS a_idx FROM t WHERE role = 'assistant'),
+pairs AS (
+    SELECT COALESCE(u.conv_id, a.conv_id) AS conv_id,
+           u.u_idx, a.a_idx,
+           CASE WHEN u.u_idx IS NOT NULL AND a.a_idx IS NOT NULL
+                THEN 1 ELSE 0 END AS answered,
+           CASE WHEN u.u_idx IS NULL THEN 1 ELSE 0 END AS orphan
+    FROM u FULL JOIN a
+      ON u.conv_id = a.conv_id
+     AND a.a_ts > u.u_ts AND a.a_ts <= u.u_ts + INTERVAL 2 HOUR
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(answered) AS BIGINT) AS n_answered_pairs,
+       CAST(SUM(CASE WHEN answered = 0 AND orphan = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unanswered,
+       CAST(SUM(orphan) AS BIGINT) AS n_orphan_answers
+FROM pairs
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 _STREAM_LEFT_JOIN_SQL = """
 WITH t AS (
     SELECT concat('c', user_id) AS conv_id,
@@ -18841,6 +18981,130 @@ def _ab_pvalue_sql() -> str:
         f"SELECT *, ROUND({two_sided_p_sql('z_stat')}, 6) AS p_two "
         f"FROM ({_PROPORTION_TOOL_USE_SQL})"
     )
+
+
+
+# Quality classifier (lock-step with operators/quality_model.py:
+# hashed md5-prefix token-count buckets clipped at 10, label = the
+# Gopher all-rules pass, then 24 unrolled damped diagonal-Newton
+# steps on the exact 1e-9 integer weight grid -- every gradient /
+# Hessian sum is exact-integer (HUGEINT), the sigmoid is the one
+# transcendental with the identical expression shape, immediately
+# HALF_UP re-quantized, so both engines walk the same grid points)
+_QM_D = 16
+_QM_ITERS = 24
+
+
+def _quality_feats_cte() -> str:
+    h = _H48.format(x="w")
+    return rf"""
+qm_lab AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len({_TOKS}) BETWEEN 20 AND 100000
+                AND length(regexp_replace({_NORM}, '\s', '', 'g')) * 1.0
+                    / greatest(len({_TOKS}), 1) >= 3.0
+                AND length(regexp_replace({_NORM}, '\s', '', 'g')) * 1.0
+                    / greatest(len({_TOKS}), 1) <= 10.0
+                AND length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) * 1.0
+                    / greatest(length(text), 1) <= 0.2
+                AND len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) * 1.0
+                    / greatest(len({_TOKS}), 1) >= 0.8
+                AND 1.0 - len(list_distinct({_TOKS})) * 1.0
+                    / greatest(len({_TOKS}), 1) <= 0.6
+           THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+qm_tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+qm_cnt AS (
+    SELECT doc_id, ({h}) % {_QM_D} AS j, LEAST(COUNT(*), 10) AS x
+    FROM qm_tok GROUP BY 1, 2
+),
+qm_feats AS MATERIALIZED (
+    SELECT c.doc_id, l.y, c.j, CAST(c.x AS BIGINT) AS x
+    FROM qm_cnt c JOIN qm_lab l USING (doc_id)
+    UNION ALL
+    SELECT doc_id, y, {_QM_D} AS j, CAST(1 AS BIGINT) AS x FROM qm_lab
+),
+qm_w0 AS (SELECT j, CAST(0 AS BIGINT) AS wq FROM generate_series(0, {_QM_D}) t(j))"""
+
+
+def _quality_iter_ctes(n_iter: int = _QM_ITERS) -> str:
+    sig = (
+        "1.0 / (1.0 + exp(-least(greatest("
+        "CAST(zq AS DOUBLE) / 1000000000.0, -30.0), 30.0)))"
+    )
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+qm_z{i} AS MATERIALIZED (
+    SELECT f.doc_id, f.y, CAST(SUM(f.x * w.wq) AS BIGINT) AS zq
+    FROM qm_feats f JOIN qm_w{i - 1} w USING (j) GROUP BY 1, 2
+),
+qm_p{i} AS MATERIALIZED (
+    SELECT doc_id,
+           y * 1000000000 - CAST(ROUND(({sig}) * 1000000000.0) AS BIGINT) AS rq,
+           GREATEST(CAST(ROUND(({sig}) * (1.0 - ({sig})) * 1000000000.0)
+                         AS BIGINT), 10000000) AS hq
+    FROM qm_z{i}
+),
+qm_g{i} AS MATERIALIZED (
+    SELECT f.j,
+           SUM(CAST(f.x AS HUGEINT) * p.rq) AS g,
+           SUM(CAST(f.x AS HUGEINT) * f.x * p.hq) AS h
+    FROM qm_feats f JOIN qm_p{i} p USING (doc_id) GROUP BY 1
+),
+qm_w{i} AS MATERIALIZED (
+    SELECT w.j,
+           w.wq + CAST(ROUND(0.1 * (CAST(COALESCE(g.g, 0) AS DOUBLE)
+                     / (CAST(COALESCE(g.h, 0) AS DOUBLE) + 1000000000.0))
+                     * 1000000000.0) AS BIGINT) AS wq
+    FROM qm_w{i - 1} w LEFT JOIN qm_g{i} g USING (j)
+)""")
+    return ",".join(steps)
+
+
+def _quality_fit_sql() -> str:
+    return f"""
+WITH {_quality_feats_cte()},{_quality_iter_ctes()}
+SELECT CAST(w.j AS INTEGER) AS feature,
+       ROUND(CAST(w.wq AS DOUBLE) / 1000000000.0, 6) AS weight,
+       CASE WHEN w.j = {_QM_D} THEN t.n_docs
+            ELSE COALESCE(s.n_docs_with, CAST(0 AS BIGINT)) END AS n_docs_with,
+       t.n_docs, t.n_pos
+FROM qm_w{_QM_ITERS} w
+LEFT JOIN (
+    SELECT j, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+    FROM qm_feats WHERE j < {_QM_D} GROUP BY 1
+) s USING (j),
+(SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(y) AS BIGINT) AS n_pos FROM qm_lab) t
+ORDER BY feature
+"""
+
+
+def _quality_apply_sql() -> str:
+    sig = (
+        "1.0 / (1.0 + exp(-least(greatest("
+        "CAST(zq AS DOUBLE) / 1000000000.0, -30.0), 30.0)))"
+    )
+    return f"""
+WITH {_quality_feats_cte()},{_quality_iter_ctes()},
+qm_pub AS (
+    SELECT j, CAST(ROUND(ROUND(CAST(wq AS DOUBLE) / 1000000000.0, 6)
+                         * 1000000000.0) AS BIGINT) AS wq
+    FROM qm_w{_QM_ITERS}
+),
+qm_sc AS (
+    SELECT f.doc_id, f.y, CAST(SUM(f.x * p.wq) AS BIGINT) AS zq
+    FROM qm_feats f JOIN qm_pub p USING (j) GROUP BY 1, 2
+)
+SELECT doc_id, y,
+       ROUND({sig}, 6) AS quality_prob,
+       CAST(zq >= 0 AS INTEGER) AS pred_pass
+FROM qm_sc ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -19205,4 +19469,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_left_join": _STREAM_LEFT_JOIN_SQL,
         "event_study_weekly": _EVENT_STUDY_SQL,
         "ks_source_matrix": _KS_MATRIX_SQL,
+        "quality_classifier_fit": _quality_fit_sql(),
+        "quality_classifier_apply": _quality_apply_sql(),
+        "streaming_full_join": _STREAM_FULL_JOIN_SQL,
     }

@@ -1972,6 +1972,60 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
 
 
+def gopher_rule_flags(
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_alpha_word_ratio: float = 0.8,
+    max_dup_word_ratio: float = 0.6,
+) -> dict:
+    """The five per-document Gopher rule predicates as boolean Columns
+    (keys ``words/wlen/punct/alpha/dup`` plus ``all``) — shared by the
+    per-source rollup below and the quality-classifier label
+    (``operators/quality_model.py``), so both gates screen with
+    byte-identical expressions. Every ratio is a quotient of exact
+    integers, so the threshold comparisons are cross-engine exact."""
+    from ..functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    n_words = F.size(toks)
+    nw_d = n_words.cast("double")
+    mean_wlen = (
+        F.length(F.regexp_replace(normalize_text(F.col(text_col)), r"\s", ""))
+        / F.greatest(nw_d, F.lit(1.0))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+        / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / F.greatest(nw_d, F.lit(1.0))
+    )
+    dup_ratio = F.lit(1.0) - F.size(
+        F.array_distinct(toks)
+    ).cast("double") / F.greatest(nw_d, F.lit(1.0))
+    r_words = n_words.between(min_words, max_words)
+    r_wlen = (mean_wlen >= F.lit(min_mean_word_len)) & (
+        mean_wlen <= F.lit(max_mean_word_len)
+    )
+    r_punct = punct_ratio <= F.lit(max_punct_ratio)
+    r_alpha = alpha_ratio >= F.lit(min_alpha_word_ratio)
+    r_dup = dup_ratio <= F.lit(max_dup_word_ratio)
+    return {
+        "words": r_words,
+        "wlen": r_wlen,
+        "punct": r_punct,
+        "alpha": r_alpha,
+        "dup": r_dup,
+        "all": r_words & r_wlen & r_punct & r_alpha & r_dup,
+    }
+
+
 def gopher_quality_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -2001,41 +2055,24 @@ def gopher_quality_flags(
     same single-scan discipline as ``text_quality``. 100 TB story:
     map-side partials; output is |sources| rows.
     """
-    from ..functions.text import normalize_text, tokens
-
-    toks = tokens(normalize_text(F.col(text_col)))
-    n_words = F.size(toks)
-    nw_d = n_words.cast("double")
-    mean_wlen = (
-        F.length(F.regexp_replace(normalize_text(F.col(text_col)), r"\s", ""))
-        / F.greatest(nw_d, F.lit(1.0))
+    r = gopher_rule_flags(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_punct_ratio=max_punct_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        max_dup_word_ratio=max_dup_word_ratio,
     )
-    punct_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
-        / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
-    )
-    alpha_ratio = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
-        / F.greatest(nw_d, F.lit(1.0))
-    )
-    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(
-        nw_d, F.lit(1.0)
-    )
-    r_words = n_words.between(min_words, max_words)
-    r_wlen = (mean_wlen >= F.lit(min_mean_word_len)) & (
-        mean_wlen <= F.lit(max_mean_word_len)
-    )
-    r_punct = punct_ratio <= F.lit(max_punct_ratio)
-    r_alpha = alpha_ratio >= F.lit(min_alpha_word_ratio)
-    r_dup = dup_ratio <= F.lit(max_dup_word_ratio)
     flags = docs.select(
         F.col(source_col).alias("source"),
-        r_words.cast("int").alias("f_words"),
-        r_wlen.cast("int").alias("f_wlen"),
-        r_punct.cast("int").alias("f_punct"),
-        r_alpha.cast("int").alias("f_alpha"),
-        r_dup.cast("int").alias("f_dup"),
-        (r_words & r_wlen & r_punct & r_alpha & r_dup).cast("int").alias("f_all"),
+        r["words"].cast("int").alias("f_words"),
+        r["wlen"].cast("int").alias("f_wlen"),
+        r["punct"].cast("int").alias("f_punct"),
+        r["alpha"].cast("int").alias("f_alpha"),
+        r["dup"].cast("int").alias("f_dup"),
+        r["all"].cast("int").alias("f_all"),
     )
     return (
         flags.groupBy("source")

@@ -128,3 +128,71 @@ def stream_left_pairs(
         "a_idx",
         F.when(F.col("a_idx").isNotNull(), 1).otherwise(0).alias("answered"),
     )
+
+
+def stream_full_pairs(
+    turns: DataFrame,
+    *,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER event-time range join — BOTH
+    unmatched sides surface with NULLs once the watermark proves no
+    partner can still arrive: user turns nobody answered within
+    ``horizon`` (the :func:`stream_left_pairs` semantics) AND orphan
+    assistant turns no user turn prompted in the preceding window
+    (system-initiated messages, replies whose question was lost
+    upstream — the data-quality signal a left join is blind to).
+
+    Output: ``(conv_id, u_idx, a_idx, answered, orphan)`` —
+    ``answered = 1`` iff both sides matched; ``orphan = 1`` on
+    a-side-only rows (``u_idx`` NULL). ``conv_id`` is coalesced
+    across the two sides so unmatched rows of either side keep their
+    conversation.
+
+    Emission contract: like the left join, BOTH null-emission paths
+    are watermark-driven (an a-side row may only surface once the
+    u-side watermark passes ``a_ts``, and vice versa), so a bounded
+    replay must march the watermark past the tail with flush batches
+    carrying BOTH roles — the join watermark is the MIN across the
+    two ``withWatermark`` operators (the gate's dual-role-sentinel
+    contract, shared with ``streaming_left_join``).
+
+    State story at scale: the range predicate plus both watermarks
+    bound each side's buffered state to watermark + horizon of
+    event-time, exactly as in the inner/left variants — full outer
+    adds no state, only the two delayed null-emission decisions.
+    """
+    is_stream = turns.isStreaming
+    u = turns.where(F.col("role") == "user").select(
+        F.col("conv_id"),
+        F.col("ts").alias("u_ts"),
+        F.col("turn_idx").alias("u_idx"),
+    )
+    a = turns.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("turn_idx").alias("a_idx"),
+    )
+    if is_stream:
+        u = u.withWatermark("u_ts", watermark)
+        a = a.withWatermark("a_ts", watermark)
+    joined = u.join(
+        a,
+        F.expr(
+            f"conv_id = a_conv_id AND a_ts > u_ts AND "
+            f"a_ts <= u_ts + INTERVAL {horizon}"
+        ),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("conv_id"), F.col("a_conv_id")).alias("conv_id"),
+        "u_idx",
+        "a_idx",
+        F.when(
+            F.col("u_idx").isNotNull() & F.col("a_idx").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("answered"),
+        F.when(F.col("u_idx").isNull(), 1).otherwise(0).alias("orphan"),
+    )
