@@ -204,3 +204,36 @@ def test_fit_separates_the_rule_distillation_labels(spark):
         F.avg(F.col("y").cast("double")).alias("base"),
     ).collect()[0]
     assert agg["acc"] > max(agg["base"], 1.0 - agg["base"]) + 0.05
+
+
+def test_fit_driver_replay_equals_distributed(spark):
+    """The threshold-gated replay (one Arrow collect + int64
+    scatter-sums) must reproduce the distributed checkpointed loop
+    bit-for-bit, and the session replay budget conf must force the
+    distributed path when set to 0."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+    )
+    from kkbox_churn_prediction_spark.operators.replay import (
+        DRIVER_REPLAY_CONF,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_rule_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = hashed_doc_features(docs, gopher_rule_flags("text")["all"])
+    d = quality_classifier_fit(feats, n_iter=8, mode="driver").collect()
+    s = quality_classifier_fit(feats, n_iter=8, mode="distributed").collect()
+    assert list(map(tuple, sorted(d))) == list(map(tuple, sorted(s)))
+    spark.conf.set(DRIVER_REPLAY_CONF, "0")
+    try:
+        a = quality_classifier_fit(feats, n_iter=8)  # auto -> distributed
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan  # replay emits a bare local relation
+        assert list(map(tuple, sorted(a.collect()))) == list(
+            map(tuple, sorted(s))
+        )
+    finally:
+        spark.conf.unset(DRIVER_REPLAY_CONF)
