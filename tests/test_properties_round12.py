@@ -175,3 +175,112 @@ def test_ks_matrix_disjoint_supports_hit_one(spark):
         _binned(spark, {"lo": [4, 6, 0, 0], "hi": [0, 0, 3, 7]}), "src", "bin"
     ).collect()
     assert out[0]["ks"] == 1.0
+
+
+# -------------------------------------------- quality classifier
+def _qm_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+_QM_TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three",
+    "spark sql window join agg scan filter shuffle broadcast",
+    "a b c d e f g h i j k l",
+    "repeat repeat repeat repeat repeat repeat",
+    "data quality filter classifier training corpus tokens here",
+    "x y z",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit",
+]
+
+
+def _qm_label():
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    return F.size(tokens(normalize_text(F.col("text")))) >= 5
+
+
+def test_quality_fit_label_flip_negates_weights(spark):
+    """Logistic symmetry: complementing the label negates every
+    weight (up to the quantization grid — sigmoid(-z) and 1-sigmoid(z)
+    differ by float round-off, which the 1e-9 grid absorbs)."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+    )
+
+    docs = _qm_docs(spark, _QM_TEXTS)
+    lab = _qm_label()
+    pos = {
+        r["feature"]: r["weight"]
+        for r in quality_classifier_fit(
+            hashed_doc_features(docs, lab), n_iter=8
+        ).collect()
+    }
+    neg = {
+        r["feature"]: r["weight"]
+        for r in quality_classifier_fit(
+            hashed_doc_features(docs, ~lab), n_iter=8
+        ).collect()
+    }
+    for j in pos:
+        assert pos[j] == pytest.approx(-neg[j], abs=1e-5), j
+
+
+def test_quality_score_monotone_in_positive_bucket_mass(spark):
+    """Adding more mass to a positively-weighted bucket (more copies
+    of a word that hashes there) strictly raises the score, up to the
+    count clip."""
+    from pyspark.sql import functions as F
+
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = _qm_docs(spark, _QM_TEXTS)
+    feats = hashed_doc_features(docs, _qm_label())
+    fit = quality_classifier_fit(feats, n_iter=8)
+    scored = quality_classifier_score(feats, fit)
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert all(0.0 <= p <= 1.0 for p in probs.values())
+    # the bias weight is positive here (majority-positive labels), so
+    # a longer wordier doc generally scores higher than a 3-word one
+    assert probs[2] > probs[6]  # 9 distinct words vs "x y z"
+
+
+def test_quality_fit_duplication_near_invariance(spark):
+    """Duplicating the whole corpus k x leaves weights almost
+    unchanged: G, H and every z scale by k while only the fixed ridge
+    term breaks exact invariance (ridge/(H+ridge) shrinks) — weights
+    must move toward the un-duplicated fit as k grows, never jump."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+    )
+
+    base_docs = _qm_docs(spark, _QM_TEXTS)
+    dup_docs = _qm_docs(spark, _QM_TEXTS * 3)
+    lab = _qm_label()
+    w1 = {
+        r["feature"]: r["weight"]
+        for r in quality_classifier_fit(
+            hashed_doc_features(base_docs, lab), n_iter=8
+        ).collect()
+    }
+    w3 = {
+        r["feature"]: r["weight"]
+        for r in quality_classifier_fit(
+            hashed_doc_features(dup_docs, lab), n_iter=8
+        ).collect()
+    }
+    for j in w1:
+        assert w3[j] == pytest.approx(w1[j], abs=0.05), j
