@@ -257,34 +257,34 @@ def test_quality_score_monotone_in_positive_bucket_mass(spark):
     assert probs[2] > probs[6]  # 9 distinct words vs "x y z"
 
 
-def test_quality_fit_duplication_near_invariance(spark):
-    """Duplicating the whole corpus k x leaves weights almost
-    unchanged up to ridge shrinkage: G, H and every z scale by k while
-    the fixed ridge term does not, so each step's effective learning
-    rate grows slightly (H/(H+ridge) → 1) — on this 8-doc toy corpus
-    the per-bucket H is comparable to ridge·1e9, so the drift is real
-    but bounded and NEVER flips a sign or jumps scale."""
+def test_quality_fit_duplication_with_scaled_ridge_is_exact(spark):
+    """Duplicating the whole corpus k× while scaling the ridge by k
+    reproduces the weight trajectory BIT-FOR-BIT: every per-doc zq/pq/
+    hq is unchanged, the gradient and Hessian sums scale exactly by k
+    (exact integers), and IEEE division of (kG)/(k(H+λ)) is correctly
+    rounded to the same double as G/(H+λ) — so each step lands on the
+    identical 1e-9 grid point. (With a FIXED ridge the weights drift
+    toward the unregularized fit instead — that shrinkage is the
+    regularizer working, not an invariance.)"""
     from kkbox_churn_prediction_spark.operators.quality_model import (
         hashed_doc_features,
         quality_classifier_fit,
     )
 
-    base_docs = _qm_docs(spark, _QM_TEXTS)
-    dup_docs = _qm_docs(spark, _QM_TEXTS * 3)
     lab = _qm_label()
-    w1 = {
-        r["feature"]: r["weight"]
-        for r in quality_classifier_fit(
-            hashed_doc_features(base_docs, lab), n_iter=8
-        ).collect()
-    }
-    w3 = {
-        r["feature"]: r["weight"]
-        for r in quality_classifier_fit(
-            hashed_doc_features(dup_docs, lab), n_iter=8
-        ).collect()
-    }
-    for j in w1:
-        assert w3[j] == pytest.approx(w1[j], abs=0.25), j
-        if abs(w1[j]) > 0.02:  # sign-stable wherever the weight is real
-            assert (w1[j] > 0) == (w3[j] > 0), j
+    w1 = quality_classifier_fit(
+        hashed_doc_features(_qm_docs(spark, _QM_TEXTS), lab),
+        n_iter=8,
+        ridge=1.0,
+    ).collect()
+    w3 = quality_classifier_fit(
+        hashed_doc_features(_qm_docs(spark, _QM_TEXTS * 3), lab),
+        n_iter=8,
+        ridge=3.0,
+    ).collect()
+    assert [(r["feature"], r["weight"]) for r in w1] == [
+        (r["feature"], r["weight"]) for r in w3
+    ]
+    # the duplicated run reports 3x the docs
+    assert w3[0]["n_docs"] == 3 * w1[0]["n_docs"]
+    assert w3[0]["n_pos"] == 3 * w1[0]["n_pos"]
