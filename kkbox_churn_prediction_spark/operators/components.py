@@ -57,12 +57,21 @@ def connected_components(
     round — O(diameter) rounds, cheapest per round, right for dup
     clusters (dense blobs). ``algorithm="doubling"``: adds a
     pointer-jump (label(v) ← label(label(v)), one self-join of the
-    label table) per round — O(log n) rounds, the scale path for
-    long-chain graphs where diameter rounds would dominate.
+    label table) per round — fast when node NUMBERING correlates with
+    structure (paths/cycles in id order close in O(log n)), but the
+    round-4 stress run measured it DEGRADING on adversarial
+    permutation graphs (a → 31a+7 mod n: 41-80 rounds at n = 1000 —
+    a single jump per round only helps once the label chain itself is
+    deep, which adversarial numberings delay). ``algorithm="star"``:
+    the two-phase large-star/small-star edge rewiring of Kiveris et
+    al. 2014 — provably O(log² n) rounds on EVERY graph (each
+    large-star halves the height of any tall structure regardless of
+    numbering); the adversarial-graph scale path, converging in ≤ 8
+    rounds on the same permutation graph.
 
     Raises after ``max_iter`` rounds without a fixpoint (a hash-min
     run on a high-diameter graph should fail loudly and be rerun
-    with doubling, not silently truncate clusters).
+    with star, not silently truncate clusters).
 
     Execution modes (outputs hash-identical — min ids and counts are
     exact integers, pytest-asserted): ``mode="driver"`` Arrow-collects
@@ -74,7 +83,7 @@ def connected_components(
     and picks driver under ``_CC_DRIVER_MAX_EDGES`` collected rows —
     past it, the distributed rounds are the web-scale path, unchanged.
     """
-    if algorithm not in ("hashmin", "doubling"):  # pragma: no cover
+    if algorithm not in ("hashmin", "doubling", "star"):  # pragma: no cover
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if mode not in ("auto", "driver", "distributed"):  # pragma: no cover
         raise ValueError(f"unknown mode {mode!r}")
@@ -87,6 +96,8 @@ def connected_components(
         tbl = probe.toArrow()
         if mode == "driver" or tbl.num_rows <= max_rows:
             return _cc_driver(edges.sparkSession, tbl, raw.schema)
+    if algorithm == "star":
+        return _star_components(raw, max_iter)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -153,6 +164,117 @@ def connected_components(
             F.col("label").alias("component"),
             "component_size",
         )
+    )
+
+
+def _star_components(raw: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed two-phase large-star/small-star connected
+    components (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the adversarial-graph path of
+    :func:`connected_components`.
+
+    Each round REWIRES the edge set (instead of propagating labels
+    over fixed edges):
+
+    - **large-star**: per node u with m = min(Γ(u) ∪ {u}), every
+      neighbor v > u re-attaches to m → {(v, m)}. Tall structures
+      halve in height regardless of how node ids are arranged — the
+      property the single-pointer-jump "doubling" variant lacks.
+    - **small-star**: per node u over its ≤-neighbors
+      S = {v ∈ Γ(u): v ≤ u}, all of S ∪ {u} attach to min(S ∪ {u}).
+
+    The fixpoint is a star forest (every edge = (member, component
+    min)); convergence is detected when a full round leaves the
+    canonical edge set unchanged (checked EXACTLY with two anti-joins
+    — no hash signatures, the loud-correctness discipline), and
+    ``max_iter`` still bounds the loop. Labels/sizes then read
+    directly off the stars. Per round: two groupBy-min aggs + two
+    joins + the fixpoint check, all on the current edge set, with
+    ``localCheckpoint`` keeping lineage flat — the same per-round
+    cost class as hash-min, in O(log² n) rounds on every graph.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = canon(
+        raw.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # large-star: v > u re-attaches to min(closed neighborhood)
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        ls = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = canon(ls).localCheckpoint(eager=True)
+        # small-star on the rewired set: every <=-neighbor (and u)
+        # attaches to the minimum of that group
+        adj1 = e1.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        small = adj1.where(F.col("v") <= F.col("u"))
+        smins = small.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            small.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e2 = canon(ss).localCheckpoint(eager=True)
+        unchanged = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        )
+        e = e2
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} rounds"
+        )
+    # star forest: each edge is (member, root); roots label themselves
+    member = e.select(
+        F.col("b").alias("node"), F.col("a").alias("label")
+    ).union(e.select(F.col("a").alias("node"), F.col("b").alias("label")))
+    labels = (
+        nodes.join(
+            member.groupBy("node").agg(F.min("label").alias("_l")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("_l"), F.col("node"))
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node"), F.col("label").alias("component"), "component_size"
     )
 
 

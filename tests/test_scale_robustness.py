@@ -190,3 +190,64 @@ def test_driver_replay_threshold_is_session_configurable(spark):
     drv_plan = drv_out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in drv_plan
     assert dist == sorted(map(tuple, drv_out.collect()))
+
+
+def test_star_components_equal_driver_on_adversarial_graphs(spark):
+    """Round-4 stress finding: the single-pointer-jump 'doubling'
+    variant degrades on permutation graphs whose node numbering is
+    uncorrelated with structure (41-80 rounds at n=1000). The
+    two-phase large-star/small-star algorithm (Kiveris et al. 2014)
+    must (a) match the driver replay exactly and (b) close the same
+    adversarial graph within 10 rounds."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+
+    cases = {
+        "path": spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+        ),
+        "cycle": spark.createDataFrame(
+            [(i, (i + 1) % 100) for i in range(100)], "doc_a long, doc_b long"
+        ),
+        "modular_permutation": spark.range(5000).select(
+            F.pmod(F.col("id"), F.lit(1000)).alias("doc_a"),
+            F.pmod(F.col("id") * 31 + 7, F.lit(1000)).alias("doc_b"),
+        ),
+        "blobs_selfloop": spark.createDataFrame(
+            [(g * 5 + i, g * 5 + (i + 1) % 5) for g in range(20) for i in range(5)]
+            + [(999, 999)],
+            "doc_a long, doc_b long",
+        ),
+    }
+    for name, edges in cases.items():
+        drv = sorted(
+            map(tuple, connected_components(edges, mode="driver").collect())
+        )
+        star = sorted(
+            map(
+                tuple,
+                connected_components(
+                    edges, algorithm="star", mode="distributed", max_iter=10
+                ).collect(),
+            )
+        )
+        assert drv == star, name
+
+
+def test_hashmin_refuses_adversarial_graph_loudly(spark):
+    """The designed loud-failure contract: hash-min on the
+    high-effective-diameter permutation graph raises instead of
+    silently truncating clusters — the rerun-with-star signal."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.range(5000).select(
+        F.pmod(F.col("id"), F.lit(1000)).alias("doc_a"),
+        F.pmod(F.col("id") * 31 + 7, F.lit(1000)).alias("doc_b"),
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, algorithm="hashmin", mode="distributed", max_iter=12
+        )

@@ -103,6 +103,30 @@ def main() -> None:
         "path": "distributed (edges > 2M replay budget)",
     }))
 
+    # ---- star components: 3M-edge ADVERSARIAL permutation graph
+    # (long cycles, numbering uncorrelated with structure) — the
+    # round-4 stress finding's fix path; hash-min refuses this graph
+    # loudly and doubling degrades (41-80 rounds at n=1000)
+    n_nodes2 = 600_000
+    adv = spark.range(n_edges).select(
+        F.pmod(F.col("id"), F.lit(n_nodes2)).alias("doc_a"),
+        F.pmod(F.col("id") * 31 + 7, F.lit(n_nodes2)).alias("doc_b"),
+    ).persist()
+    adv.count()
+    st, sec = timed(
+        lambda: connected_components(
+            adv, algorithm="star", mode="distributed", max_iter=15
+        )
+        .agg(F.count(F.lit(1)), F.countDistinct("component"))
+        .collect()
+    )
+    print(json.dumps({
+        "case": "star_components_adversarial", "edges": n_edges,
+        "nodes": int(st[0][0]), "components": int(st[0][1]), "sec": sec,
+        "edges_per_sec": round(n_edges / sec, 1),
+        "path": "large-star/small-star distributed (permutation graph)",
+    }))
+
     # ---- pagerank: same 3M-edge graph, 10 distributed power rounds
     pr, sec = timed(
         lambda: pagerank(edges, src="doc_a", dst="doc_b", iters=10)
