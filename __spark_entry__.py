@@ -1422,6 +1422,30 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial-graph components path (r4): the SAME
+    LSH-pair-graph clustering as dedup_components, resolved with the
+    Kiveris large-star/small-star edge rewiring instead of hash-min —
+    provably O(log² n) rounds on EVERY graph (the round-4 stress run
+    measured the pointer-jump variant degrading on permutation
+    graphs). Identical output by definition of connected components,
+    so the gate shares dedup_components' oracle SQL — a cross-
+    ALGORITHM parity check, not just cross-engine."""
+    from kkbox_churn_prediction_spark.operators.components import (
+        connected_components,
+    )
+    from kkbox_churn_prediction_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, bands=4, rows_per_band=2
+    )
+    return connected_components(
+        pairs, "doc_a", "doc_b", algorithm="star", mode="distributed"
+    )
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline: LSH pairs → transitive clusters →
     KEEP-BEST collapse (longest text wins, larger id breaks ties) —
@@ -6733,6 +6757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_fit": _q_quality_classifier_fit,
         "quality_classifier_apply": _q_quality_classifier_apply,
         "streaming_full_join": _q_streaming_full_join,
+        "dedup_components_star": _q_dedup_components_star,
     }
 
 
@@ -19472,4 +19497,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_fit": _quality_fit_sql(),
         "quality_classifier_apply": _quality_apply_sql(),
         "streaming_full_join": _STREAM_FULL_JOIN_SQL,
+        "dedup_components_star": _DEDUP_COMPONENTS_SQL,
     }
