@@ -241,9 +241,13 @@ def _star_components(raw: DataFrame, max_iter: int) -> DataFrame:
             .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
         e2 = canon(ss).localCheckpoint(eager=True)
+        # both sides are DISTINCT canonical sets, so equality is
+        # |e| == |e2| plus ONE empty anti-join — and the cheap count
+        # comparison short-circuits the anti-join in every shrinking
+        # round (non-final rounds almost always change the count)
         unchanged = (
-            e2.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e2).limit(1).count() == 0
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
         )
         e = e2
         if unchanged:
