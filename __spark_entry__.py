@@ -7208,7 +7208,11 @@ FROM joined GROUP BY cutoff_ts
 # --- documents/embeddings oracles ------------------------------------------
 # normalized text + whitespace tokens (lock-step with functions/text.py)
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKS = f"string_split({_NORM}, ' ')"
+# empty-text guard: Spark's tokens('') is [] while DuckDB's
+# string_split('', ' ') is [''] — the CASE keeps the two engines
+# lock-step on blank/whitespace-only documents (fuzz-parity finding;
+# identical on every non-blank doc)
+_TOKS = f"(CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END)"
 _H48 = "CAST(concat('0x', substr(md5({x}),1,12)) AS BIGINT)"
 _SHINGLES = (
     "list_distinct(list_transform("
@@ -7227,7 +7231,7 @@ sh AS (
 
 _DEDUP_EXACT_SQL = f"""
 WITH keyed AS (
-    SELECT doc_id, array_to_string(({_TOKS})[1:5], ' ') AS k FROM documents
+    SELECT doc_id, COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') AS k FROM documents
 ),
 groups AS (
     SELECT k, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
@@ -7418,7 +7422,12 @@ _PROFILES = {
 }
 # regex split (duckdb string_split is literal; string_split_regex matches
 # Spark's F.split regex semantics)
-_NTOK_RAW = "len(string_split_regex(trim(text), '\\s+'))"
+# blank-text guard (fuzz-parity finding): DuckDB splits '' into
+# [''] (count 1) where Spark's tokens('') is [] (count 0)
+_NTOK_RAW = (
+    "(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+)
 
 
 def _lang_id_oracle() -> str:
@@ -7558,7 +7567,7 @@ FROM cum WHERE cum_tokens - n_tokens < 600
 # exact_dedup's canonical ids: same 'split:' coin, thr=round(0.2·2^20))
 _CLUSTER_SPLIT_SQL = f"""
 WITH keyed AS (
-    SELECT doc_id, array_to_string(({_TOKS})[1:5], ' ') AS k FROM documents
+    SELECT doc_id, COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') AS k FROM documents
 ),
 groups AS (
     SELECT k, MIN(doc_id) AS canonical_id FROM keyed GROUP BY k
@@ -10987,7 +10996,7 @@ WITH slim AS (
     SELECT CAST(({_H48.format(x="concat('batch:', CAST(doc_id AS VARCHAR))")}) % 50
                 AS BIGINT) AS batch,
            doc_id,
-           {_H48.format(x=f"array_to_string(({_TOKS})[1:5], ' ')")} AS k
+           {_H48.format(x=f"COALESCE(array_to_string(({_TOKS})[1:5], ' '), '')")} AS k
     FROM documents
 )
 SELECT a.batch, a.doc_id AS a_id, b.doc_id AS b_id

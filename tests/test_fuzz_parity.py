@@ -1,0 +1,191 @@
+"""Differential fuzz parity: the driver's Spark-vs-DuckDB compare run
+on ADVERSARIAL generated tables instead of the fixed testdata.
+
+The sf0.001/sf0.01 parity sweeps certify the gates on one data
+distribution; this harness generates seeded edge-case tables —
+timestamp ties, null keys, a mega-conversation, blank/whitespace-only
+/punctuation-only documents, duplicate docs, boundary-value lineitems
+— and re-runs the same order-insensitive compare for a cross-family
+gate sample. Deterministic (``random.Random(seed)``, no wall-clock),
+so failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+GATES = [
+    "asof_features", "sessionize", "lag_lead", "turn_labels",
+    "entity_labels", "daily_engagement", "mode_tool", "last_role",
+    "psi_text_len", "leakage_audit", "token_stats", "text_quality",
+    "lang_id", "dedup_exact", "gopher_quality", "zipf_stats",
+    "role_transitions", "union_dedup_activity", "k_anonymity",
+    "q1_pricing_summary", "q6_forecast_revenue", "dedup_ngram_jaccard",
+    "quality_classifier_fit", "stratified_sample", "session_percentiles",
+    "topk_busiest",
+]
+
+WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan",
+         "agg", "window", "shuffle", "token", "quality", "the", "a"]
+
+
+def _gen_tables(out: Path, seed: int) -> None:
+    r = random.Random(seed)
+    base = datetime(2024, 1, 1)
+
+    # events: ties, null keys, a mega user, null-heavy props-free rows
+    n = 420
+    rows = []
+    for i in range(n):
+        user = 9 if r.random() < 0.4 else r.randint(1, 8)  # mega-conv
+        # coarse time grid -> many exact ts ties within and across users
+        ts = base + timedelta(
+            days=r.randint(0, 27), hours=r.choice([9, 12, 18]),
+            minutes=r.choice([0, 15, 30]),
+        )
+        rows.append((
+            i,
+            None if r.random() < 0.03 else ts,
+            None if r.random() < 0.03 else user,
+            r.choice(["view", "click", "purchase", "signup", "error"]),
+            r.choice([0.0, 1.5, 1.5, -2.0, 99.9]),
+            r.choice(['{"k": 0}', '{"k": 87}', "", "x y", "  "]),
+        ))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"event_id": "int64", "user_id": "Int64"}).assign(
+        ts=lambda d: d["ts"].astype("datetime64[us]")
+    ).to_parquet(out / "events.parquet", index=False)
+
+    # documents: blank / whitespace / punctuation-only / dup / 1-word
+    docs = []
+    for i in range(64):
+        kind = r.random()
+        if kind < 0.08:
+            text = r.choice(["", "   ", "\t \n", "!!! ??? ..."])
+        elif kind < 0.16:
+            text = "alpha"  # single word, duplicated across docs
+        else:
+            text = " ".join(r.choice(WORDS) for _ in range(r.randint(2, 60)))
+        docs.append((
+            i, text, r.choice(["en", "zh", "fr", "es", "de"]),
+            f"src{r.randint(0, 4)}", len(text),
+        ))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        out / "documents.parquet", index=False
+    )
+
+    # embeddings: zero vectors + exact duplicates
+    import numpy as np
+
+    embs = []
+    for i in range(40):
+        if i % 7 == 0:
+            v = [0.0] * 64
+        elif i % 5 == 0:
+            v = [float((j * 3 + 1) % 5) for j in range(64)]  # duplicates
+        else:
+            v = [round(r.uniform(-1, 1), 3) for _ in range(64)]
+        embs.append((i, np.array(v, dtype="float32"), i % 10))
+    pd.DataFrame(embs, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(out / "embeddings.parquet", index=False)
+
+    # TPC-H-ish minimal consistent tables; lineitem hits the q6
+    # predicate boundaries exactly (discount 0.05/0.07, quantity 24)
+    pd.DataFrame(
+        [(k, f"R{k}") for k in range(3)], columns=["r_regionkey", "r_name"]
+    ).astype({"r_regionkey": "int32"}).to_parquet(out / "region.parquet", index=False)
+    pd.DataFrame(
+        [(k, f"N{k}", k % 3) for k in range(6)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"}).to_parquet(
+        out / "nation.parquet", index=False
+    )
+    pd.DataFrame(
+        [(k, f"C{k}", k % 6, round(r.uniform(-100, 1000), 2), "BUILDING")
+         for k in range(12)],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).astype({"c_nationkey": "int32"}).to_parquet(out / "customer.parquet", index=False)
+    pd.DataFrame(
+        [(k, f"S{k}", k % 6, round(r.uniform(0, 500), 2)) for k in range(8)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).astype({"s_nationkey": "int32"}).to_parquet(out / "supplier.parquet", index=False)
+    pd.DataFrame(
+        [(k, f"P{k}", f"B{k % 3}", f"T{k % 4}", k % 10,
+          round(100 + k * 1.5, 2)) for k in range(10)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    ).astype({"p_size": "int32"}).to_parquet(out / "part.parquet", index=False)
+    orders = [
+        (k, k % 12, r.choice(["O", "F"]), round(r.uniform(10, 9000), 2),
+         base + timedelta(days=r.randint(0, 400)), "1-URGENT")
+        for k in range(30)
+    ]
+    pd.DataFrame(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).assign(o_orderdate=lambda d: d["o_orderdate"].astype("datetime64[us]")
+    ).to_parquet(out / "orders.parquet", index=False)
+    items = []
+    for k in range(90):
+        items.append((
+            k % 30, k % 10, k % 8, k % 4,
+            float(r.choice([1, 23, 24, 25, 50])),
+            round(r.uniform(100, 2000), 2),
+            r.choice([0.04, 0.05, 0.06, 0.07, 0.08]),
+            r.choice([0.0, 0.05]),
+            r.choice(["A", "N", "R"]), r.choice(["O", "F"]),
+            base + timedelta(days=r.randint(0, 400)),
+        ))
+    pd.DataFrame(
+        items,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).astype({"l_linenumber": "int32"}).assign(
+        l_shipdate=lambda d: d["l_shipdate"].astype("datetime64[us]")
+    ).to_parquet(out / "lineitem.parquet", index=False)
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_fuzz_parity_gate_sample(spark, tmp_path, seed):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from parity import TABLES, normalize
+
+    out = tmp_path / f"fuzz{seed}"
+    out.mkdir()
+    _gen_tables(out, seed)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name in GATES:
+        sdf = qs[name](spark, str(out)).toPandas()
+        odf = con.execute(oracles[name]).fetchdf()
+        if len(sdf) != len(odf):
+            failures.append(f"{name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(f"{name}: columns differ")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if not a.equals(b):
+            neq = [c for c in a.columns if not a[c].equals(b[c])]
+            failures.append(f"{name}: values differ in {neq}")
+    assert not failures, failures
