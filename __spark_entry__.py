@@ -7420,13 +7420,16 @@ _PROFILES = {
     "es": "['el','la','de','que','y','es','un']",
     "fr": "['le','la','de','et','est','un','une']",
 }
-# regex split (duckdb string_split is literal; string_split_regex matches
-# Spark's F.split regex semantics)
-# blank-text guard (fuzz-parity finding): DuckDB splits '' into
-# [''] (count 1) where Spark's tokens('') is [] (count 0)
+# token count of RAW text, lock-step with functions.text.tokens():
+# collapse-then-trim canonicalization (the round-4 fuzz finding —
+# space-only trim leaves tab/newline edges, producing phantom ''
+# tokens and count 2 for whitespace-only text on BOTH engines until
+# the engine's tokens() was fixed), then a blank guard (DuckDB splits
+# '' into [''] where tokens('') is [])
+_CANON_WS = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _NTOK_RAW = (
-    "(CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+    f"(CASE WHEN {_CANON_WS} = '' THEN 0 "
+    f"ELSE len(string_split({_CANON_WS}, ' ')) END)"
 )
 
 
@@ -8233,8 +8236,8 @@ per_doc AS (
 ),
 txt AS (
     SELECT doc_id,
-           CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
-                ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+'))
+           CAST(CASE WHEN trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')), ' '))
                 END AS BIGINT) AS text_tokens
     FROM documents
 )
@@ -9759,8 +9762,8 @@ LEFT JOIN lastv  l ON g.conv_id = l.conv_id AND g.d = l.d
 # bigrams with duplicates kept, entropy via log2 n − Σc·log2 c / n)
 _REPETITION_STATS_SQL = r"""
 WITH words AS (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-    FROM documents WHERE trim(text) <> ''
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
 ),
 wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
 wstats AS (
@@ -9769,8 +9772,8 @@ wstats AS (
     FROM wc GROUP BY doc_id
 ),
 tok AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-    FROM documents WHERE trim(text) <> ''
+    SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
 ),
 bigrams AS (
     SELECT doc_id,
@@ -9801,12 +9804,12 @@ LEFT JOIN bstats b ON d.doc_id = b.doc_id
 # integer min_count threshold, PMI annotation in log2)
 _BIGRAM_PMI_SQL = r"""
 WITH words AS (
-    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-    FROM documents WHERE trim(text) <> ''
+    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
 ),
 tok AS (
-    SELECT string_split_regex(trim(text), '\s+') AS ws
-    FROM documents WHERE trim(text) <> ''
+    SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
 ),
 bigrams AS (
     SELECT unnest(list_transform(range(1, len(ws)),
@@ -11736,8 +11739,8 @@ FROM per
 # exact long counts, one long/long double division per ratio)
 _DISTINCT_NGRAMS_SQL = r"""
 WITH tok AS (
-    SELECT source, string_split_regex(trim(text), '\s+') AS ws
-    FROM documents WHERE trim(text) <> ''
+    SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
 ),
 uni AS (
     SELECT source, unnest(ws) AS g FROM tok
@@ -11775,13 +11778,13 @@ _READABILITY_SQL = r"""
 WITH per_doc AS (
     SELECT source,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS _w,
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS _w,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
            END AS _s,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE list_sum(list_transform(
-                    string_split_regex(trim(text), '\s+'),
+                    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
                     w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
            END AS _y
     FROM documents
@@ -14289,7 +14292,10 @@ FROM longf
 _FAIRNESS_SQL = """
 WITH tagged AS (
     SELECT lang AS grp,
-           CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 55
+           CASE WHEN (CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                      THEN 0
+                      ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                      END) >= 55
                 THEN 1 ELSE 0 END AS y,
            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS yhat
     FROM documents

@@ -36,16 +36,26 @@ def minhash_value(h: Column, i: Column) -> Column:
 
 
 def normalize_text(col: Column) -> Column:
-    """lowercase + collapse whitespace (canonical form for dedup)."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """lowercase + collapse whitespace + strip edges (the canonical
+    form for dedup). Collapse-THEN-trim: Spark's ``trim`` strips only
+    ASCII spaces, so trimming first leaves tab/newline edges in the
+    canonical form — the round-4 fuzz harness caught ``'foo'`` and
+    ``'\\tfoo'`` hashing to different dedup keys, and whitespace-only
+    text normalizing to ``' '`` instead of ``''``. Collapsing every
+    whitespace run to one space first makes the single space-trim
+    complete."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def tokens(col: Column) -> Column:
     """whitespace tokenization → array<string> (empty array for
-    empty/blank text, not [''])."""
-    t = F.trim(col)
+    empty/blank text, not [''] — including tab/newline-only text and
+    edge whitespace, via the same collapse-then-trim canonicalization
+    as :func:`normalize_text`; raw ``split('\\s+')`` emits a phantom
+    leading '' token for ``'\\tfoo'``)."""
+    t = F.trim(F.regexp_replace(col, r"\s+", " "))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, " ")
     )
 
 

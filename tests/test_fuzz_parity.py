@@ -32,6 +32,16 @@ GATES = [
     "q1_pricing_summary", "q6_forecast_revenue", "dedup_ngram_jaccard",
     "quality_classifier_fit", "stratified_sample", "session_percentiles",
     "topk_busiest",
+    # second ring (r4): drift, calibration, graph, survival, abtest,
+    # history, rollups — the families most exposed to ties/degeneracy
+    "ks_text_len", "jsd_text_len", "history_lags", "trend_features",
+    "hll_weekly_rollup", "pivot_role_counts", "unpivot_role_counts",
+    "km_curve", "did_turns", "srm_arms", "calibration_ece",
+    "auc_by_fold", "supplier_pagerank", "fingerprint_docs",
+    "minhash_signatures", "dedup_canonical", "contrastive_pairs",
+    "match_token_distribution", "refusal_rate_weekly", "ewma_daily",
+    "repetition_stats", "bigram_pmi", "distinct_ngrams", "duplicate_spans",
+    "fairness_by_lang", "multimodal_token_budget",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan",
