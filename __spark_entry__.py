@@ -7213,7 +7213,10 @@ _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 # lock-step on blank/whitespace-only documents (fuzz-parity finding;
 # identical on every non-blank doc)
 _TOKS = f"(CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END)"
-_H48 = "CAST(concat('0x', substr(md5({x}),1,12)) AS BIGINT)"
+# TRY_CAST: md5(NULL) is NULL and DuckDB's concat treats NULL as ''
+# -> '0x' which a plain CAST refuses; TRY_CAST yields NULL, matching
+# Spark's stable_hash48(NULL) = NULL (fuzz finding on NULL text)
+_H48 = "TRY_CAST(concat('0x', substr(md5({x}),1,12)) AS BIGINT)"
 _SHINGLES = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len({toks}) - {nm1}, 0)), "
@@ -7231,7 +7234,8 @@ sh AS (
 
 _DEDUP_EXACT_SQL = f"""
 WITH keyed AS (
-    SELECT doc_id, COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') AS k FROM documents
+    SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') END AS k FROM documents
 ),
 groups AS (
     SELECT k, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
@@ -7570,7 +7574,8 @@ FROM cum WHERE cum_tokens - n_tokens < 600
 # exact_dedup's canonical ids: same 'split:' coin, thr=round(0.2·2^20))
 _CLUSTER_SPLIT_SQL = f"""
 WITH keyed AS (
-    SELECT doc_id, COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') AS k FROM documents
+    SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') END AS k FROM documents
 ),
 groups AS (
     SELECT k, MIN(doc_id) AS canonical_id FROM keyed GROUP BY k
@@ -10999,7 +11004,7 @@ WITH slim AS (
     SELECT CAST(({_H48.format(x="concat('batch:', CAST(doc_id AS VARCHAR))")}) % 50
                 AS BIGINT) AS batch,
            doc_id,
-           {_H48.format(x=f"COALESCE(array_to_string(({_TOKS})[1:5], ' '), '')")} AS k
+           {_H48.format(x=f"CASE WHEN text IS NULL THEN NULL ELSE COALESCE(array_to_string(({_TOKS})[1:5], ' '), '') END")} AS k
     FROM documents
 )
 SELECT a.batch, a.doc_id AS a_id, b.doc_id AS b_id

@@ -74,7 +74,11 @@ def hashed_doc_features(
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        label.cast("int").alias("y"),
+        # NULL label (rule predicates on NULL text evaluate to NULL)
+        # = "cannot pass the screen" -> 0, so y is never NULL and
+        # every doc contributes its residual (matches the oracle's
+        # CASE ... ELSE 0; fuzz finding on NULL-text documents)
+        F.coalesce(label.cast("int"), F.lit(0)).alias("y"),
         tokens(normalize_text(F.col(text_col))).alias("_toks"),
     )
     counts = (

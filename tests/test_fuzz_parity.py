@@ -77,18 +77,23 @@ def _gen_tables(out: Path, seed: int) -> None:
     ).to_parquet(out / "events.parquet", index=False)
 
     # documents: blank / whitespace / punctuation-only / dup / 1-word
+    # / NULL text / NULL lang — the defensive-projection stress set
     docs = []
     for i in range(64):
         kind = r.random()
         if kind < 0.08:
-            text = r.choice(["", "   ", "\t \n", "!!! ??? ..."])
-        elif kind < 0.16:
+            text = r.choice(["", "   ", "\t \n", "!!! ??? ...", "\tfoo bar\n"])
+        elif kind < 0.12:
+            text = None
+        elif kind < 0.2:
             text = "alpha"  # single word, duplicated across docs
         else:
             text = " ".join(r.choice(WORDS) for _ in range(r.randint(2, 60)))
+        lang = None if r.random() < 0.05 else r.choice(
+            ["en", "zh", "fr", "es", "de"])
         docs.append((
-            i, text, r.choice(["en", "zh", "fr", "es", "de"]),
-            f"src{r.randint(0, 4)}", len(text),
+            i, text, lang,
+            f"src{r.randint(0, 4)}", len(text) if text is not None else 0,
         ))
     pd.DataFrame(
         docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
