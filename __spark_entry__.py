@@ -4228,7 +4228,7 @@ def _q_fairness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("text").isNotNull()
         & F.col("n_chars").isNotNull()
     )
-    label = (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 55).cast("int")
+    label = (F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")) >= 55).cast("int")
     decision = (F.col("n_chars") >= 300).cast("int")
     return group_fairness(docs, F.col("lang"), label, decision)
 
@@ -7207,7 +7207,7 @@ FROM joined GROUP BY cutoff_ts
 
 # --- documents/embeddings oracles ------------------------------------------
 # normalized text + whitespace tokens (lock-step with functions/text.py)
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM = "lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 # empty-text guard: Spark's tokens('') is [] while DuckDB's
 # string_split('', ' ') is [''] — the CASE keeps the two engines
 # lock-step on blank/whitespace-only documents (fuzz-parity finding;
@@ -7430,7 +7430,7 @@ _PROFILES = {
 # tokens and count 2 for whitespace-only text on BOTH engines until
 # the engine's tokens() was fixed), then a blank guard (DuckDB splits
 # '' into [''] where tokens('') is [])
-_CANON_WS = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_CANON_WS = "trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 _NTOK_RAW = (
     f"(CASE WHEN {_CANON_WS} = '' THEN 0 "
     f"ELSE len(string_split({_CANON_WS}, ' ')) END)"
@@ -7487,7 +7487,7 @@ def _fertility_oracle() -> str:
 WITH scored AS (
     SELECT strlen(text) AS _bytes,
            length(text) AS _chars,
-           len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS _bpe,
+           len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS _bpe,
            {_NTOK_RAW} AS _words,
        {scores}
     FROM documents
@@ -7624,7 +7624,7 @@ WHERE ({_H48.format(x="concat('match:', CAST(doc_id AS VARCHAR))")}) % 1048576
 _TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST({_NTOK_RAW} AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+       CAST(len(regexp_extract_all({_NORM}, '[a-z]{{1,4}}|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT)
            AS n_bpe_ish_tokens
 FROM documents
 """
@@ -8241,8 +8241,8 @@ per_doc AS (
 ),
 txt AS (
     SELECT doc_id,
-           CAST(CASE WHEN trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) = '' THEN 0
-                ELSE len(string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')), ' '))
+           CAST(CASE WHEN trim(regexp_replace(COALESCE(text, ''), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(COALESCE(text, ''), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
                 END AS BIGINT) AS text_tokens
     FROM documents
 )
@@ -9767,8 +9767,8 @@ LEFT JOIN lastv  l ON g.conv_id = l.conv_id AND g.d = l.d
 # bigrams with duplicates kept, entropy via log2 n − Σc·log2 c / n)
 _REPETITION_STATS_SQL = r"""
 WITH words AS (
-    SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
-    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) <> ''
 ),
 wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
 wstats AS (
@@ -9777,8 +9777,8 @@ wstats AS (
     FROM wc GROUP BY doc_id
 ),
 tok AS (
-    SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
-    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    SELECT doc_id, string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) <> ''
 ),
 bigrams AS (
     SELECT doc_id,
@@ -9809,12 +9809,12 @@ LEFT JOIN bstats b ON d.doc_id = b.doc_id
 # integer min_count threshold, PMI annotation in log2)
 _BIGRAM_PMI_SQL = r"""
 WITH words AS (
-    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
-    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    SELECT unnest(string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) <> ''
 ),
 tok AS (
-    SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
-    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    SELECT string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) <> ''
 ),
 bigrams AS (
     SELECT unnest(list_transform(range(1, len(ws)),
@@ -11744,8 +11744,8 @@ FROM per
 # exact long counts, one long/long double division per ratio)
 _DISTINCT_NGRAMS_SQL = r"""
 WITH tok AS (
-    SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
-    FROM documents WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+    SELECT source, string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
+    FROM documents WHERE trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) <> ''
 ),
 uni AS (
     SELECT source, unnest(ws) AS g FROM tok
@@ -11783,13 +11783,13 @@ _READABILITY_SQL = r"""
 WITH per_doc AS (
     SELECT source,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS _w,
+                ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END AS _w,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
            END AS _s,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE list_sum(list_transform(
-                    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                    string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
                     w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
            END AS _y
     FROM documents
@@ -14297,9 +14297,9 @@ FROM longf
 _FAIRNESS_SQL = """
 WITH tagged AS (
     SELECT lang AS grp,
-           CASE WHEN (CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+           CASE WHEN (CASE WHEN trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) = ''
                       THEN 0
-                      ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                      ELSE len(string_split(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
                       END) >= 55
                 THEN 1 ELSE 0 END AS y,
            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS yhat
@@ -19046,9 +19046,9 @@ def _quality_feats_cte() -> str:
 qm_lab AS MATERIALIZED (
     SELECT doc_id,
            CASE WHEN len({_TOKS}) BETWEEN 20 AND 100000
-                AND length(regexp_replace({_NORM}, '\s', '', 'g')) * 1.0
+                AND length(regexp_replace({_NORM}, '[ \t\n\x0B\f\r]', '', 'g')) * 1.0
                     / greatest(len({_TOKS}), 1) >= 3.0
-                AND length(regexp_replace({_NORM}, '\s', '', 'g')) * 1.0
+                AND length(regexp_replace({_NORM}, '[ \t\n\x0B\f\r]', '', 'g')) * 1.0
                     / greatest(len({_TOKS}), 1) <= 10.0
                 AND length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) * 1.0
                     / greatest(length(text), 1) <= 0.2

@@ -43,8 +43,15 @@ def normalize_text(col: Column) -> Column:
     ``'\\tfoo'`` hashing to different dedup keys, and whitespace-only
     text normalizing to ``' '`` instead of ``''``. Collapsing every
     whitespace run to one space first makes the single space-trim
-    complete."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    complete.
+
+    The whitespace set is the EXPLICIT class ``[ \\t\\n\\x0B\\f\\r]``,
+    not ``\\s``: Java regex ``\\s`` includes U+000B (vertical tab)
+    while DuckDB/RE2 ``\\s`` does not, so the shorthand silently
+    diverges cross-engine on documents containing ``\\x0B`` (dedup
+    keys, token counts, classifier features). Both engines get the
+    identical class (ADVICE r4)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def tokens(col: Column) -> Column:
@@ -53,7 +60,7 @@ def tokens(col: Column) -> Column:
     edge whitespace, via the same collapse-then-trim canonicalization
     as :func:`normalize_text`; raw ``split('\\s+')`` emits a phantom
     leading '' token for ``'\\tfoo'``)."""
-    t = F.trim(F.regexp_replace(col, r"\s+", " "))
+    t = F.trim(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", " "))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, " ")
     )

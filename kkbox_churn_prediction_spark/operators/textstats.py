@@ -41,7 +41,7 @@ def bpe_ish_token_count(col: Column) -> Column:
     every 4 chars + digit runs + punctuation singletons. A regex
     count, not a real BPE, but monotone with subword vocab size."""
     pieces = F.regexp_extract_all(
-        normalize_text(col), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0
+        normalize_text(col), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"), 0
     )
     return F.size(pieces).cast("bigint")
 
@@ -1995,7 +1995,7 @@ def gopher_rule_flags(
     n_words = F.size(toks)
     nw_d = n_words.cast("double")
     mean_wlen = (
-        F.length(F.regexp_replace(normalize_text(F.col(text_col)), r"\s", ""))
+        F.length(F.regexp_replace(normalize_text(F.col(text_col)), r"[ \t\n\x0B\f\r]", ""))
         / F.greatest(nw_d, F.lit(1.0))
     )
     punct_ratio = (

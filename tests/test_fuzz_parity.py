@@ -82,7 +82,13 @@ def _gen_tables(out: Path, seed: int) -> None:
     for i in range(64):
         kind = r.random()
         if kind < 0.08:
-            text = r.choice(["", "   ", "\t \n", "!!! ??? ...", "\tfoo bar\n"])
+            text = r.choice([
+                "", "   ", "\t \n", "!!! ??? ...", "\tfoo bar\n",
+                # U+000B vertical tab: Java \s includes it, RE2 \s
+                # does not — the engine uses an explicit class so
+                # both engines must treat these identically
+                "\x0b", "alpha\x0bbeta", "\x0bgamma delta\x0b",
+            ])
         elif kind < 0.12:
             text = None
         elif kind < 0.2:
