@@ -6242,12 +6242,17 @@ def _q_ks_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS harness hashes the FIRST 50 entries of
 # ``queries()`` (positional sample). Round 2 shipped them in build
-# order, so the sample covered only the round-1 prefix; this ordering
-# makes the hard external signal span the operator surface: the
-# flagship 8, then one-or-two gates per family (as-of, calibration,
-# graph/components, curation, sampling, text-LM, rank/numerics,
-# experiments, survival, time-series, privacy, drift, ANN, folds,
-# streaming), newest numerics first (VERDICT r2 task #2).
+# order, so the sample covered only the round-1 prefix; since r2 the
+# prefix spans the operator surface (flagship 8 + one-or-two gates
+# per family). ROTATED each round (VERDICT r4 task #2) so the hard
+# external signal lands on never-before-sampled surface: r5 swaps in
+# the four r4-new gates (quality classifier fit/apply, streaming
+# FULL-outer join, Kiveris star components) plus ten gates the driver
+# has never hash-checked, drawn from the families with the nastiest
+# degeneracies (survival ties/censoring, zero-cell strata, robust
+# location, k-core, BPE, SCD2/interval joins). The fourteen rotated
+# OUT remain in the registry tail — still swept by tools/parity.py
+# and most sit in the fuzz-parity net.
 _DRIVER_CORE: tuple[str, ...] = (
     # flagship point-in-time transcript engine
     "asof_features",
@@ -6260,44 +6265,49 @@ _DRIVER_CORE: tuple[str, ...] = (
     "leakage_audit",
     # generic as-of (merge_asof analogs)
     "asof_next_event",
+    # r4-new surface, never driver-sampled (VERDICT r4 "missing" #3)
+    "quality_classifier_fit",
+    "quality_classifier_apply",
+    "streaming_full_join",
+    "dedup_components_star",
+    # never-sampled: survival with ties/censoring degeneracies
+    "km_greenwood",
+    "survival_c_index",
+    # never-sampled: causal / A-B zero-cell + rank-tie paths
+    "mann_whitney",
+    "mantel_haenszel_strata",
+    "stratified_ate_conf",
+    # never-sampled: robust location / graph / text-LM iteration
+    "huber_location",
+    "kcore_suppliers",
+    "bpe_train_merges",
+    # never-sampled: interval algebra
+    "scd2_role_intervals",
+    "interval_session_join",
     # calibration / evaluation numerics
-    "bootstrap_ci",
     "calibration_ece",
-    "isotonic_calibration",
-    "platt_calibration",
     "auc_by_fold",
     "brier_decomposition",
-    "gains_table",
     # graph / components
     "dedup_components",
     "supplier_pagerank",
     # corpus curation
     "curate_corpus",
-    "decontaminate",
-    "pack_documents",
-    "chunk_documents",
     # deterministic sampling
-    "token_budget_select",
-    "match_token_distribution",
-    "cluster_safe_split",
     "stratified_sample",
     # text-LM statistics
     "bm25_search",
     "dsir_scores",
     "zipf_stats",
-    "woe_tokens",
     # rank machinery / distribution numerics
     "spearman_turns_textlen",
     "gini_activity",
     # experiments
     "did_turns",
-    "cuped_turns",
     "srm_arms",
     # survival / time-series
     "km_curve",
-    "ewma_daily",
     "daily_anomalies_adj",
-    "refusal_rate_weekly",
     # privacy
     "k_anonymity",
     "redact_pii",

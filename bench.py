@@ -252,6 +252,35 @@ def load_prev_bench() -> tuple[str, dict] | None:
     return None
 
 
+def _count_other_jvms() -> int:
+    """Live java processes NOT belonging to this bench run (its own
+    driver + local-cluster children are expected). A nonzero count
+    means another Spark/pytest session shared the host — per-query
+    timings then carry multi-second noise."""
+    me = os.getpid()
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    comm = f.read().strip()
+                if comm != "java":
+                    continue
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid = int(f.read().split()[3])
+                # skip JVMs parented (transitively one level) to us
+                if ppid == me:
+                    continue
+                n += 1
+            except OSError:
+                continue
+    except OSError:
+        return -1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -304,6 +333,12 @@ def main() -> None:
         "bulk_mode": bulk_mode,
         "bulk_in_process_turns_per_sec": bulk_in_proc,
         "cpus": int(cpus),
+        # self-describing host conditions (VERDICT r4: the r4 driver
+        # artifact ran under load and its +1.9% read as a regression;
+        # record 1-min load avg + live java processes so a loaded run
+        # is identifiable from the artifact alone)
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+        "other_jvms": _count_other_jvms(),
         "detail_file": f"BENCH_DETAIL_r{this_round:02d}.json",
     }
     detail = dict(out)
@@ -317,14 +352,20 @@ def main() -> None:
         # now); only meaningful when sf matches — flagged otherwise
         shared = [q for q in timings if q in prev_q]
         deltas = {q: round(timings[q] - prev_q[q], 3) for q in shared}
+        comparable_total = round(sum(timings[q] for q in shared), 3)
+        prev_comparable = round(sum(prev_q[q] for q in shared), 3)
         summary = {
             "baseline": prev_name,
             "comparable_sf": prev_json.get("sf") == sf,
             # like-for-like: totals over the shared query set only —
-            # raw total_delta also counts queries added this round
-            "comparable_total": round(sum(timings[q] for q in shared), 3),
-            "prev_comparable_total": round(sum(prev_q[q] for q in shared), 3),
-            "total_delta": round(total - prev_json.get("value", 0.0), 3),
+            # queries added this round are excluded from the delta
+            "comparable_total": comparable_total,
+            "prev_comparable_total": prev_comparable,
+            # the ONE regression number: comparable-subset difference
+            # (VERDICT r4: the old total−prev_value stat mixed in new
+            # queries and read as a phantom +27s regression)
+            "total_delta": round(comparable_total - prev_comparable, 3),
+            "grand_total_delta": round(total - prev_json.get("value", 0.0), 3),
             "top_regressions": dict(
                 sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
             ),
