@@ -631,19 +631,20 @@ def _q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _stage_stream_src(sf_dir: str) -> tuple[str, str]:
+def _stage_stream_src(sf_dir: str, table: str = "events") -> tuple[str, str]:
     """The file stream source requires a DIRECTORY; the driver
     testdata ships single parquet files, so stage a link/copy of
-    events.parquet under a content-addressed /tmp dir once and return
-    ``(src_file, stage_dir)`` — shared by every streaming gate."""
+    ``{table}.parquet`` under a content-addressed /tmp dir once and
+    return ``(src_file, stage_dir)`` — shared by every streaming
+    gate."""
     import hashlib
     import os
     import shutil
 
-    src = f"{sf_dir}/events.parquet"
+    src = f"{sf_dir}/{table}.parquet"
     stage = f"/tmp/eng_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
     os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
+    dst = os.path.join(stage, f"{table}.parquet")
     if not os.path.exists(dst):
         try:
             os.link(src, dst)
@@ -6374,6 +6375,52 @@ def _q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(feats, quality_classifier_fit(feats))
 
 
+def _q_streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming gate #12: the production corpus-ingest
+    shape — TRAIN the quality classifier in batch, SCORE the arriving
+    document stream. The fitted 17-row weight table (materialized once
+    via localCheckpoint so micro-batch re-plans don't re-fit) is
+    collapsed to a single feature→weight map row and stream-static
+    broadcast-joined onto a file-source stream of the documents table;
+    each doc emits (quality_prob, pred_pass, keep/drop route) computed
+    row-locally in JVM array expressions — stateless append mode, no
+    watermark, no stream-side shuffle. Oracle: the batch apply SQL
+    (identical 24-step unrolled fit) + the route CASE; per-doc results
+    are byte-identical to ``quality_classifier_apply`` by the shared
+    exact-integer-grid contract."""
+    from kkbox_churn_prediction_spark.operators.quality_model import (
+        hashed_doc_features,
+        quality_classifier_fit,
+    )
+    from kkbox_churn_prediction_spark.operators.textstats import (
+        gopher_rule_flags,
+    )
+    from kkbox_churn_prediction_spark.streaming.score import (
+        stream_quality_scores,
+    )
+
+    src, stage = _stage_stream_src(sf_dir, table="documents")
+    label = gopher_rule_flags("text")["all"]
+    weights = quality_classifier_fit(
+        hashed_doc_features(_docs(spark, sf_dir), label)
+    ).localCheckpoint(eager=True)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    name = "eng_streaming_quality_scores"
+    q = (
+        stream_quality_scores(stream, weights, label)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     core = {k: q.pop(k) for k in _DRIVER_CORE}
@@ -6766,6 +6813,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_source_matrix": _q_ks_source_matrix,
         "quality_classifier_fit": _q_quality_classifier_fit,
         "quality_classifier_apply": _q_quality_classifier_apply,
+        "streaming_quality_scores": _q_streaming_quality_scores,
         "streaming_full_join": _q_streaming_full_join,
         "dedup_components_star": _q_dedup_components_star,
     }
@@ -19162,6 +19210,34 @@ FROM qm_sc ORDER BY doc_id
 """
 
 
+def _quality_stream_score_sql() -> str:
+    """streaming_quality_scores oracle: the batch apply SQL (the
+    stream-static scorer is exactly-equal to batch apply by the
+    integer-grid contract) + the keep/drop route CASE on the same
+    exact zq sign."""
+    sig = (
+        "1.0 / (1.0 + exp(-least(greatest("
+        "CAST(zq AS DOUBLE) / 1000000000.0, -30.0), 30.0)))"
+    )
+    return f"""
+WITH {_quality_feats_cte()},{_quality_iter_ctes()},
+qm_pub AS (
+    SELECT j, CAST(ROUND(ROUND(CAST(wq AS DOUBLE) / 1000000000.0, 6)
+                         * 1000000000.0) AS BIGINT) AS wq
+    FROM qm_w{_QM_ITERS}
+),
+qm_sc AS (
+    SELECT f.doc_id, f.y, CAST(SUM(f.x * p.wq) AS BIGINT) AS zq
+    FROM qm_feats f JOIN qm_pub p USING (j) GROUP BY 1, 2
+)
+SELECT doc_id, y,
+       ROUND({sig}, 6) AS quality_prob,
+       CAST(zq >= 0 AS INTEGER) AS pred_pass,
+       CASE WHEN zq >= 0 THEN 'keep' ELSE 'drop' END AS route
+FROM qm_sc ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_features": _asof_oracle(),
@@ -19526,6 +19602,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_source_matrix": _KS_MATRIX_SQL,
         "quality_classifier_fit": _quality_fit_sql(),
         "quality_classifier_apply": _quality_apply_sql(),
+        "streaming_quality_scores": _quality_stream_score_sql(),
         "streaming_full_join": _STREAM_FULL_JOIN_SQL,
         "dedup_components_star": _DEDUP_COMPONENTS_SQL,
     }

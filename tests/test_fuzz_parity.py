@@ -30,7 +30,8 @@ GATES = [
     "lang_id", "dedup_exact", "gopher_quality", "zipf_stats",
     "role_transitions", "union_dedup_activity", "k_anonymity",
     "q1_pricing_summary", "q6_forecast_revenue", "dedup_ngram_jaccard",
-    "quality_classifier_fit", "stratified_sample", "session_percentiles",
+    "quality_classifier_fit", "streaming_quality_scores",
+    "stratified_sample", "session_percentiles",
     "topk_busiest",
     # second ring (r4): drift, calibration, graph, survival, abtest,
     # history, rollups — the families most exposed to ties/degeneracy
