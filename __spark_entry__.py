@@ -15213,8 +15213,12 @@ def _huber_oracle(n_iter: int = 15, k_mult: float = 1.345) -> str:
     interpolated-percentile convention), k and mu quantized to 1e-9
     between steps, fixed iteration count."""
     ctes = ["""hist AS MATERIALIZED (
+    -- text IS NOT NULL: the engine histograms non-NULL values only;
+    -- without the filter the NULL group inflates SUM(c) (n, mean
+    -- denominator) while SUM(v*c) silently skips it — inconsistent
+    -- with median()'s NULL handling too (r5 fuzz-net catch)
     SELECT CAST(length(text) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
 ),
 med AS (SELECT median(CAST(length(text) AS BIGINT)) AS med FROM documents),
 madt AS (

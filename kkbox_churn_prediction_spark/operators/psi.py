@@ -408,8 +408,13 @@ def ks_from_bins(
             F.max("_rtot").alias("_rn"),
         )
     )
-    ks = F.col("_num").cast("double") / (
-        F.col("_n").cast("double") * F.col("_rn").cast("double")
+    # try_divide: an empty reference fold (every row landed in the
+    # other fold -- r5 degenerate-fuzz single-week calendars) makes
+    # N_cur*N_ref = 0; KS is then undefined -> NULL, the oracle's
+    # NULL-on-zero-divide answer (ANSI division ERRORed here)
+    ks = F.try_divide(
+        F.col("_num").cast("double"),
+        F.col("_n").cast("double") * F.col("_rn").cast("double"),
     )
     return per.select(
         F.col(fold_col).alias("fold"),

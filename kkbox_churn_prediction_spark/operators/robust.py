@@ -335,15 +335,20 @@ def esd_topk_outliers(
             F.sum("v").cast("long").alias("s1"),
             F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
         )
-        mean = F.col("s1").cast("double") / F.col("n").cast("double")
-        var = (
+        # try_divide: n <= 1 (no sample variance) and var = 0
+        # (constant series) both make the z-score undefined -> NULL,
+        # matching the oracle's NULL-on-zero-divide; the round then
+        # picks nothing (r5 degenerate-fuzz catch: single-day /
+        # constant daily series ERRORed under ANSI division)
+        mean = F.try_divide(F.col("s1").cast("double"), F.col("n").cast("double"))
+        var = F.try_divide(
             (
                 F.col("n").cast("double") * F.col("s2").cast("double")
                 - F.col("s1").cast("double") * F.col("s1").cast("double")
-            )
-            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            ),
+            F.col("n").cast("double") * (F.col("n") - 1).cast("double"),
         )
-        z = F.abs(F.col("v").cast("double") - mean) / F.sqrt(var)
+        z = F.try_divide(F.abs(F.col("v").cast("double") - mean), F.sqrt(var))
         scored = remaining.crossJoin(F.broadcast(stats)).select(
             "k", "v", z.alias("z")
         )
@@ -370,6 +375,11 @@ def esd_topk_outliers(
                 F.col("p.value").cast("long").alias("value"),
                 F.round("p.z", 6).alias("zscore"),
             )
+            # a round with no defined z picks NOTHING (the oracle's
+            # WHERE z = mz LIMIT 1 yields zero rows); the global agg
+            # above still emits one all-NULL row on empty input —
+            # drop it so both engines agree
+            .where(F.col("key").isNotNull())
             .localCheckpoint()
         )
         picks.append(pick)

@@ -39,7 +39,10 @@ def norm_expr(a: str) -> Column:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: a zero vector has no direction -> cosine NULL, the
+    # same answer DuckDB's NULL-on-zero-divide oracles give (ANSI
+    # division would ERROR; caught by the r5 fuzz net's zero vectors)
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def unit_vector_expr(vec_col: str) -> Column:
@@ -56,7 +59,8 @@ def unit_vector_expr(vec_col: str) -> Column:
         F.transform(
             F.array(norm_expr(vec_col)),
             lambda nrm: F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / nrm
+                F.col(vec_col),
+                lambda x: F.try_divide(x.cast("double"), nrm)
             ),
         ),
         1,
@@ -96,7 +100,10 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot_expr("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6
+                F.try_divide(
+                    dot_expr("_qv", "_nv"), F.col("_qn") * F.col("_nn")
+                ),
+                6,
             ).alias("cosine"),
         )
     )
@@ -154,7 +161,10 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot_expr("_qv", "_nv") / (F.col("_qn") * F.col("_nn")), 6
+                F.try_divide(
+                    dot_expr("_qv", "_nv"), F.col("_qn") * F.col("_nn")
+                ),
+                6,
             ).alias("cosine"),
         )
     )

@@ -1259,9 +1259,16 @@ def quantile_trend_daily(
             F.sum(F.col("w") * F.col("x")).alias("swy"),
             F.sum(F.col("w") * F.col("t") * F.col("x")).alias("swty"),
         )
+        # try_divide: a single-distinct-day series makes the normal
+        # equations singular (den = 0) -> (a, b) NULL, the oracle's
+        # NULL-on-zero-divide answer; subsequent steps keep NULL
+        # stable because GREATEST ignores the NULL residual in both
+        # engines (r5 degenerate-fuzz catch: ANSI division ERRORed)
         den = F.col("sw") * F.col("swtt") - F.col("swt") * F.col("swt")
-        b = (F.col("sw") * F.col("swty") - F.col("swt") * F.col("swy")) / den
-        a = (F.col("swy") - b * F.col("swt")) / F.col("sw")
+        b = F.try_divide(
+            F.col("sw") * F.col("swty") - F.col("swt") * F.col("swy"), den
+        )
+        a = F.try_divide(F.col("swy") - b * F.col("swt"), F.col("sw"))
         return s.select(
             F.round(a * F.lit(float(q))).cast("long").alias("aq"),
             F.round(b * F.lit(float(q))).cast("long").alias("bq"),
@@ -1339,6 +1346,10 @@ def _quantile_trend_driver(
             swy += w * x
             swty += w * t * x
         den = sw * swtt - swt * swt
+        if den == 0.0:
+            # singular normal equations (single distinct day): the
+            # distributed/oracle try_divide answer is NULL — mirror it
+            return (None, None)
         b = (sw * swty - swt * swy) / den
         a = (swy - b * swt) / sw
         return (
@@ -1348,16 +1359,31 @@ def _quantile_trend_driver(
 
     aq, bq = solve([1.0] * len(pts))
     for _ in range(int(n_iter)):
-        ws = []
-        for t, x in pts:
-            r = float(x) - aq / float(q) - bq / float(q) * float(t)
-            ws.append(
-                tau_f / max(r, eps_f)
-                if r > 0
-                else (1.0 - tau_f) / max(-r, eps_f)
-            )
+        if aq is None:
+            # NULL residual: CASE WHEN NULL > 0 falls to ELSE and
+            # GREATEST ignores the NULL in both engines, so every
+            # weight is (1-τ)/ε — keep the replay lock-step
+            ws = [(1.0 - tau_f) / eps_f] * len(pts)
+        else:
+            ws = []
+            for t, x in pts:
+                r = float(x) - aq / float(q) - bq / float(q) * float(t)
+                ws.append(
+                    tau_f / max(r, eps_f)
+                    if r > 0
+                    else (1.0 - tau_f) / max(-r, eps_f)
+                )
         aq, bq = solve(ws)
 
+    if aq is None:
+        row = (
+            len(pts),
+            _round_half_up(tau_f * 1e6) / 1e6,
+            None,
+            None,
+            None,
+        )
+        return spark.createDataFrame([row], schema)
     loss = 0.0
     for t, x in pts:
         r = float(x) - aq / float(q) - bq / float(q) * float(t)

@@ -43,33 +43,92 @@ GATES = [
     "match_token_distribution", "refusal_rate_weekly", "ewma_daily",
     "repetition_stats", "bigram_pmi", "distinct_ngrams", "duplicate_spans",
     "fairness_by_lang", "multimodal_token_budget",
+    # third ring (r5, VERDICT r4 task #1): the families whose tie /
+    # zero-cell / censoring / constant-column degeneracies the net had
+    # never exercised.
+    # causal / A-B: rank ties, zero cells, tiny strata, one-arm weeks
+    "mann_whitney", "stratified_ate_conf", "mantel_haenszel_strata",
+    "fisher_exact_early_error", "cuped_turns", "ipw_ate", "rdd_turns",
+    "bayes_ab", "ab_pvalue", "qte_text_len", "risk_ratio_tools",
+    "covariate_balance", "mcnemar_error_shift", "bh_fdr_event_mix",
+    "permutation_test_convs", "welch_anova_roles", "kruskal_roles",
+    "levene_roles", "yuen_text_len", "mde_text_len", "event_study_weekly",
+    # survival: all-censored strata, tied event times, empty risk sets
+    "km_greenwood", "cumulative_incidence", "survival_c_index",
+    "nelson_aalen", "rmst_14d", "logrank_cohorts", "survival_labels",
+    # robust: constant columns, zero MAD, saturated clamps
+    "huber_location", "quantile_trend", "mad_outliers", "mad_text_len",
+    "winsorize_value", "winsorize_audit", "theil_sen_trend",
+    "esd_daily_outliers",
+    # graph: disconnected / self-loop / duplicate-edge structures
+    "kcore_suppliers", "lsh_modularity", "adamic_adar_trades",
+    "hits_suppliers", "cooccurrence_triangles", "dedup_components",
+    "dedup_components_star", "markov_stationary",
+    # interval algebra / SCD2 / sessions over tied timestamps
+    "scd2_role_intervals", "interval_session_join",
+    "resample_daily_activity", "peak_concurrency", "cdc_latest_state",
+    # time series on sparse / gappy fuzz calendars
+    "granger_roles", "stl_daily", "holt_linear", "daily_autocorr",
+    "dow_seasonality", "mann_kendall_daily",
+    # weights / diagnostics / privacy
+    "weight_ess", "skew_diagnosis", "table_checksum", "snapshot_diff",
+    "t_closeness", "l_diversity", "benford_prices", "qq_shift_text_len",
+    "null_patterns", "json_props_stats", "deletion_cascade",
+    "profile_orders",
+    # text / tokenization tails not yet fuzzed
+    "source_tf_cosine", "prefix_sharing", "sft_pair_quality",
+    "negative_samples", "epoch_budget", "cdc_chunks", "winnow_overlap",
+    "vocab_oov", "ngram_novelty", "tokenizer_fertility",
+    "knn_label_agreement", "pmi_top_factor", "bpe_train_merges",
+    "bpe_apply_stats", "quality_classifier_apply",
+    # calibration tails
+    "hosmer_lemeshow", "temperature_scaling", "conformal_interval",
+    "qini_uplift", "label_shift_bbse", "spiegelhalter_cal",
+    # streaming outer joins under fuzz corpora
+    "streaming_left_join", "streaming_full_join",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan",
          "agg", "window", "shuffle", "token", "quality", "the", "a"]
 
 
-def _gen_tables(out: Path, seed: int) -> None:
+def _gen_tables(out: Path, seed: int, degenerate: bool = False) -> None:
     r = random.Random(seed)
     base = datetime(2024, 1, 1)
 
-    # events: ties, null keys, a mega user, null-heavy props-free rows
+    # events: ties, null keys, a mega user, null-heavy props-free rows.
+    # degenerate mode: the zero-cell / all-censored / constant-column
+    # shapes the causal, survival and robust families must survive —
+    # TWO distinct timestamps total (every rank tied, zero day-gaps),
+    # ONE event type (every other contingency cell empty), a CONSTANT
+    # value column (zero variance/MAD), 90% one user (single-arm
+    # strata, every other conversation a 1-event all-censored case).
     n = 420
     rows = []
     for i in range(n):
-        user = 9 if r.random() < 0.4 else r.randint(1, 8)  # mega-conv
-        # coarse time grid -> many exact ts ties within and across users
-        ts = base + timedelta(
-            days=r.randint(0, 27), hours=r.choice([9, 12, 18]),
-            minutes=r.choice([0, 15, 30]),
-        )
+        if degenerate:
+            user = 9 if r.random() < 0.9 else r.randint(1, 8)
+            ts = base + timedelta(hours=r.choice([9, 9, 9, 18]))
+            etype, value = "view", 1.5
+            props = r.choice(['{"k": 0}', ""])
+        else:
+            user = 9 if r.random() < 0.4 else r.randint(1, 8)  # mega-conv
+            # coarse time grid -> many exact ts ties within and across
+            # users
+            ts = base + timedelta(
+                days=r.randint(0, 27), hours=r.choice([9, 12, 18]),
+                minutes=r.choice([0, 15, 30]),
+            )
+            etype = r.choice(["view", "click", "purchase", "signup", "error"])
+            value = r.choice([0.0, 1.5, 1.5, -2.0, 99.9])
+            props = r.choice(['{"k": 0}', '{"k": 87}', "", "x y", "  "])
         rows.append((
             i,
             None if r.random() < 0.03 else ts,
             None if r.random() < 0.03 else user,
-            r.choice(["view", "click", "purchase", "signup", "error"]),
-            r.choice([0.0, 1.5, 1.5, -2.0, 99.9]),
-            r.choice(['{"k": 0}', '{"k": 87}', "", "x y", "  "]),
+            etype,
+            value,
+            props,
         ))
     pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -82,7 +141,13 @@ def _gen_tables(out: Path, seed: int) -> None:
     docs = []
     for i in range(64):
         kind = r.random()
-        if kind < 0.08:
+        if degenerate:
+            # half funneled into the blank/NULL/single-word branches
+            # below, the other half exact duplicates from 4 texts
+            kind = kind * 0.5 if kind < 0.5 else 1.0
+        if degenerate and kind == 1.0:
+            text = r.choice(["alpha beta alpha beta", "", "zz yy zz yy", "solo"])
+        elif kind < 0.08:
             text = r.choice([
                 "", "   ", "\t \n", "!!! ??? ...", "\tfoo bar\n",
                 # U+000B vertical tab: Java \s includes it, RE2 \s
@@ -113,7 +178,9 @@ def _gen_tables(out: Path, seed: int) -> None:
 
     embs = []
     for i in range(40):
-        if i % 7 == 0:
+        if degenerate and i % 3 != 0:
+            v = [0.0] * 64  # two thirds zero vectors (no direction)
+        elif i % 7 == 0:
             v = [0.0] * 64
         elif i % 5 == 0:
             v = [float((j * 3 + 1) % 5) for j in range(64)]  # duplicates
@@ -165,12 +232,12 @@ def _gen_tables(out: Path, seed: int) -> None:
     for k in range(90):
         items.append((
             k % 30, k % 10, k % 8, k % 4,
-            float(r.choice([1, 23, 24, 25, 50])),
-            round(r.uniform(100, 2000), 2),
-            r.choice([0.04, 0.05, 0.06, 0.07, 0.08]),
+            24.0 if degenerate else float(r.choice([1, 23, 24, 25, 50])),
+            500.0 if degenerate else round(r.uniform(100, 2000), 2),
+            0.05 if degenerate else r.choice([0.04, 0.05, 0.06, 0.07, 0.08]),
             r.choice([0.0, 0.05]),
             r.choice(["A", "N", "R"]), r.choice(["O", "F"]),
-            base + timedelta(days=r.randint(0, 400)),
+            base + timedelta(days=0 if degenerate else r.randint(0, 400)),
         ))
     pd.DataFrame(
         items,
@@ -182,8 +249,10 @@ def _gen_tables(out: Path, seed: int) -> None:
     ).to_parquet(out / "lineitem.parquet", index=False)
 
 
-@pytest.mark.parametrize("seed", [7, 1234])
-def test_fuzz_parity_gate_sample(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,degenerate", [(7, False), (1234, False), (99, True)]
+)
+def test_fuzz_parity_gate_sample(spark, tmp_path, seed, degenerate):
     import duckdb
 
     import __spark_entry__ as entry
@@ -191,7 +260,7 @@ def test_fuzz_parity_gate_sample(spark, tmp_path, seed):
 
     out = tmp_path / f"fuzz{seed}"
     out.mkdir()
-    _gen_tables(out, seed)
+    _gen_tables(out, seed, degenerate)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
