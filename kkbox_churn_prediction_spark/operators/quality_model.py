@@ -196,13 +196,17 @@ def quality_classifier_fit(
     # agg. Measured 16.5s → ~7s at sf0.1, and at 10^12 docs it removes
     # 2 corpus-sized exchanges per iteration.
     feats = feats.repartition("doc_id").persist()
+    # totals/support are bucket-sized — materialize them eagerly so
+    # the cached doc×bucket table can be unpersisted after the loop
+    # (repeated fits in one session otherwise accumulate cached
+    # tables for the session lifetime; ADVICE r4)
     totals = feats.where(F.col("j") == D).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),
-    )
+    ).localCheckpoint(eager=True)
     support = feats.where(F.col("j") < D).groupBy("j").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_with")
-    )
+    ).localCheckpoint(eager=True)
     w = spark.range(D + 1).select(
         F.col("id").alias("j"), F.lit(0).cast("long").alias("wq")
     )
@@ -256,6 +260,9 @@ def quality_classifier_fit(
             )
             .localCheckpoint(eager=True)
         )
+    # every downstream input (w per-step checkpoints, support,
+    # totals) is materialized — release the cached feature table
+    feats.unpersist()
     return (
         w.join(F.broadcast(support), "j", "left")
         .crossJoin(F.broadcast(totals))

@@ -133,12 +133,22 @@ def huber_location(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if mode != "distributed":
+        from kkbox_churn_prediction_spark.operators.replay import (
+            driver_replay_max_rows,
+        )
+
+        # the session replay budget overrides the module default, so
+        # spark.kkbox_churn.driverReplayMaxRows=0 forces the
+        # distributed path fleet-wide here too (PARITY_REPLAY sweep)
+        max_bins = driver_replay_max_rows(
+            df.sparkSession, int(max_driver_bins)
+        )
         rows = (
-            hist_plan.limit(int(max_driver_bins) + 1).collect()
+            hist_plan.limit(max_bins + 1).collect()
             if mode == "auto"
             else hist_plan.collect()
         )
-        if mode == "driver" or len(rows) <= int(max_driver_bins):
+        if mode == "driver" or len(rows) <= max_bins:
             return _huber_location_driver(
                 df.sparkSession,
                 [(int(r["v"]), int(r["c"])) for r in rows],

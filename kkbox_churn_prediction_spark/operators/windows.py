@@ -1229,12 +1229,22 @@ def quantile_trend_daily(
         # ONE scan: collect the un-rebased (day, x) table (limit(max+1)
         # makes the collect the size probe too) and rebase driver-side
         # — the exact integer subtraction the mind crossJoin performs
+        from kkbox_churn_prediction_spark.operators.replay import (
+            driver_replay_max_rows,
+        )
+
+        # session replay budget overrides the module default (the
+        # fleet-wide driverReplayMaxRows contract; PARITY_REPLAY=0
+        # forces the distributed normal-equation rounds here too)
+        max_days = driver_replay_max_rows(
+            turns.sparkSession, int(max_driver_days)
+        )
         rows = (
-            dn_plan.limit(int(max_driver_days) + 1).collect()
+            dn_plan.limit(max_days + 1).collect()
             if mode == "auto"
             else dn_plan.collect()
         )
-        if mode == "driver" or len(rows) <= int(max_driver_days):
+        if mode == "driver" or len(rows) <= max_days:
             base = min((int(r["dn"]) for r in rows), default=0)
             return _quantile_trend_driver(
                 turns.sparkSession,

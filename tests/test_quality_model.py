@@ -231,7 +231,16 @@ def test_fit_driver_replay_equals_distributed(spark):
     try:
         a = quality_classifier_fit(feats, n_iter=8)  # auto -> distributed
         plan = a._jdf.queryExecution().executedPlan().toString()
-        assert "HashAggregate" in plan  # replay emits a bare local relation
+        # the distributed report joins the checkpointed weight table
+        # to broadcast support/totals (support+totals are eagerly
+        # checkpointed since the r5 unpersist fix, so HashAggregate
+        # no longer appears in THIS plan); the driver replay is one
+        # local relation with no joins at all
+        assert "BroadcastExchange" in plan
+        dplan = quality_classifier_fit(
+            feats, n_iter=8, mode="driver"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in dplan
         assert list(map(tuple, sorted(a.collect()))) == list(
             map(tuple, sorted(s))
         )

@@ -6,6 +6,16 @@ names), and an order-insensitive value hash (columns sorted by name,
 rows sorted, doubles rounded).
 
 Usage: python tools/parity.py [sf_dir] [query ...]
+
+Env modes:
+- ``PARITY_VANILLA=1`` — bare driver-identical SparkSession.
+- ``PARITY_REPLAY=0|max`` — pin the session driver-replay budget
+  (``spark.kkbox_churn.driverReplayMaxRows``) to 0 (every auto-mode
+  operator forced onto its DISTRIBUTED fixed point) or huge (every
+  one onto its driver replay), and default the gate selection to
+  ``AUTO_GATES``; a green sweep each way makes replay==distributed a
+  sweep-level oracle-checked invariant, not just per-operator unit
+  tests (VERDICT r4 task #7).
 """
 
 from __future__ import annotations
@@ -20,6 +30,21 @@ sys.path.insert(0, "/root/repo")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# every gate whose plan routes through an auto-mode (replay-vs-
+# distributed) operator: components / pagerank / k-core / HITS /
+# DBSCAN / markov / power iteration / rank engine / huber / quantile
+# trend / quality classifier
+AUTO_GATES = [
+    "dedup_components", "dedup_components_star", "dedup_canonical",
+    "dedup_weights", "dedup_effective_size", "lsh_modularity",
+    "lsh_dbscan", "supplier_pagerank", "hits_suppliers",
+    "kcore_suppliers", "markov_stationary", "pca_power_eigen",
+    "pmi_top_factor", "quality_classifier_fit",
+    "quality_classifier_apply", "streaming_quality_scores",
+    "huber_location", "quantile_trend", "ks_source_matrix",
+    "deletion_cascade", "adamic_adar_trades",
 ]
 
 
@@ -58,6 +83,14 @@ def main() -> int:
         from kkbox_churn_prediction_spark.session import get_spark
 
         spark = get_spark(master="local[8]")
+    replay = os.environ.get("PARITY_REPLAY")
+    if replay is not None:
+        budget = "2000000000" if replay == "max" else str(int(replay))
+        spark.conf.set("spark.kkbox_churn.driverReplayMaxRows", budget)
+        if not only:
+            only = set(AUTO_GATES)
+        print(f"PARITY_REPLAY: driverReplayMaxRows={budget}, "
+              f"{len(only)} gates")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
