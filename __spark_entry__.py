@@ -937,9 +937,17 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     qvec = embs.where(F.col("vec_id") == 0)
-    cands = brute_force_topk(embs, qvec, k=10).select(
-        F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("rel")
-    ).persist()
+    cands = (
+        brute_force_topk(embs, qvec, k=10)
+        .select(
+            F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("rel")
+        )
+        # a zero-norm query has NULL cosine to everything (no
+        # direction) -> no candidates, not a NULL-rel greedy loop
+        # (r5 fuzz: float(None) crash); oracle mirrors the filter
+        .where(F.col("rel").isNotNull())
+        .persist()
+    )
     cv = embs.join(
         cands.select(F.col("cand_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
@@ -2626,10 +2634,18 @@ def _q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
+    # event_id tiebreak: with EXACT ts duplicates and no tiebreaker,
+    # the oracle's two window clauses may order the tied peers
+    # differently and split one burst in two (r5 fuzz catch); a
+    # total order makes both engines' gaps-and-islands identical
     return collapse_bursts(
-        events, ["user_id", "event_type"], "ts", gap_us=300_000_000
+        events,
+        ["user_id", "event_type"],
+        "ts",
+        gap_us=300_000_000,
+        tiebreak_col="event_id",
     )
 
 
@@ -3736,7 +3752,12 @@ def _q_woe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kkbox_churn_prediction_spark.operators.textstats import token_count
 
     docs = _docs(spark, sf_dir).select(
-        token_count(F.col("text")).alias("n_tokens"),
+        # NULL text = empty doc = 0 tokens (the token_stats
+        # convention) — explicit NULL policy BEFORE binning, since
+        # bucketize_by_edges now bins NULL as NULL (r5 fuzz catch:
+        # the engine filed NULL counts in the last bin, the oracle
+        # in bin 0)
+        F.coalesce(token_count(F.col("text")), F.lit(0)).alias("n_tokens"),
         (F.col("source") == "src0").cast("int").alias("label"),
     )
     # exact_edges=True requested EXPLICITLY to hash-match the oracle;
@@ -4659,8 +4680,11 @@ def _q_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("_len"),
             F.sum((F.col("tool").isNotNull()).cast("int")).alias("_tool"),
             # label: error-heavy conversation (error share > 25%) —
-            # exact integer comparison; "any error" is near-constant
-            F.sum((F.col("tool") == "error").cast("int")).alias("_err"),
+            # exact integer comparison; "any error" is near-constant.
+            # eqNullSafe: NULL tool counts 0 like the oracle's
+            # CASE ... ELSE 0 (plain == made _err NULL on all-NULL-
+            # tool conversations; r5 degenerate-fuzz catch)
+            F.sum(F.col("tool").eqNullSafe("error").cast("int")).alias("_err"),
         )
         .withColumn(
             "y", (F.col("_err") * 4 > F.col("_n")).cast("int")
@@ -5195,7 +5219,10 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from kkbox_churn_prediction_spark.operators.windows import holt_winters_daily
 
-    return holt_winters_daily(_conv(spark, sf_dir))
+    # on_short="empty": under 2 seasonal periods of history the gate
+    # yields an empty frame (the oracle's day-count guard) instead of
+    # the operator's default loud ValueError (r5 degenerate fuzz)
+    return holt_winters_daily(_conv(spark, sf_dir), on_short="empty")
 
 
 def _q_theil_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8101,10 +8128,16 @@ WHERE a.doc_id < b.doc_id
 """
 
 # unit vector per row (lock-step with similarity.unit_vector_expr:
-# normalize once, pairwise cosine = bare dot of unit vectors)
+# normalize once, pairwise cosine = bare dot of unit vectors). Zero
+# vectors -> NULL list, NOT a list of x/0 NULL elements: DuckDB's
+# list_dot_product ERRORS on NULL elements but propagates a NULL
+# list, and the engine's try_divide unit vectors make every cosine
+# against them NULL -> threshold-dropped on both sides (r5 fuzz)
 _UNIT = (
-    "list_transform(CAST({e} AS DOUBLE[]), "
-    "x -> x / sqrt(list_dot_product(CAST({e} AS DOUBLE[]), CAST({e} AS DOUBLE[]))))"
+    "CASE WHEN list_dot_product(CAST({e} AS DOUBLE[]), CAST({e} AS DOUBLE[])) > 0 "
+    "THEN list_transform(CAST({e} AS DOUBLE[]), "
+    "x -> x / sqrt(list_dot_product(CAST({e} AS DOUBLE[]), CAST({e} AS DOUBLE[])))) "
+    "ELSE NULL END"
 )
 
 _NEARDUP_EMB_SQL = f"""
@@ -8336,20 +8369,26 @@ FROM base
 
 _STREAMING_SESSIONS_SQL = """
 WITH base AS (
-    SELECT concat('c', user_id) AS conv_id, ts
+    SELECT concat('c', user_id) AS conv_id, ts, event_id
     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 flagged AS (
-    SELECT conv_id, ts,
+    -- event_id tiebreak in BOTH windows: session bounds are
+    -- tie-order-INVARIANT only if the gap-flag and running-sum
+    -- windows see tied peers in the SAME order; without a total
+    -- order DuckDB may order them differently per window and a
+    -- session splits across an exact-ts duplicate (r5 fuzz catch,
+    -- the debounce_events bug class)
+    SELECT conv_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS ns
     FROM base
-    WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
 ),
 sess AS (
     SELECT conv_id, ts,
-           SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts
+           SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS sid
     FROM flagged
 ),
@@ -11133,7 +11172,7 @@ FROM binned b LEFT JOIN se e ON b.i = e.i
 # the REQUESTED n_bins=10 literal in the denominators)
 _WOE_TOKENS_SQL = f"""
 WITH scored AS (
-    SELECT CAST({_NTOK_RAW} AS BIGINT) AS v,
+    SELECT CAST(COALESCE({_NTOK_RAW}, 0) AS BIGINT) AS v,
            CAST(source = 'src0' AS INTEGER) AS y
     FROM documents
 ),
@@ -11546,20 +11585,24 @@ SELECT conv_id, day, n_turns, rank FROM ranked WHERE rank <= 2
 # by >5min gap; equal-ts ordering is burst-invariant, so no tiebreak)
 _DEBOUNCE_SQL = """
 WITH base AS (
-    SELECT user_id, event_type, ts FROM events
+    SELECT user_id, event_type, ts, event_id FROM events
     WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 flagged AS (
-    SELECT user_id, event_type, ts,
+    -- event_id tiebreak in BOTH windows: without it, exact-ts peers
+    -- may be ordered differently by the two window evaluations and
+    -- one burst splits in two (r5 fuzz catch)
+    SELECT user_id, event_type, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
                 THEN 1 ELSE 0 END AS nb
     FROM base
-    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ),
 islands AS (
     SELECT user_id, event_type, ts,
-           SUM(nb) OVER (PARTITION BY user_id, event_type ORDER BY ts
+           SUM(nb) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS burst
     FROM flagged
 )
@@ -11677,13 +11720,29 @@ per_conv AS (
            AVG(CAST(length(text) AS DOUBLE)) AS avglen,
            CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS DOUBLE) AS nuser
     FROM conversations GROUP BY conv_id
+),
+moments AS (
+    -- raw co-moments, the engine's exact expression shape (corr()
+    -- was replaced on both sides: Spark 4 ANSI corr ERRORS on
+    -- zero-variance columns; the r formula with NULL-on-zero-divide
+    -- is the shared semantic)
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(nturns) AS s_a, SUM(nturns * nturns) AS ss_a,
+           SUM(ntool) AS s_b, SUM(ntool * ntool) AS ss_b,
+           SUM(avglen) AS s_c, SUM(avglen * avglen) AS ss_c,
+           SUM(nuser) AS s_d, SUM(nuser * nuser) AS ss_d,
+           SUM(nturns * ntool) AS sp_ab, SUM(nturns * avglen) AS sp_ac,
+           SUM(nturns * nuser) AS sp_ad, SUM(ntool * avglen) AS sp_bc,
+           SUM(ntool * nuser) AS sp_bd, SUM(avglen * nuser) AS sp_cd
+    FROM per_conv
 )
-SELECT 'nturns' AS feature_a, 'ntool' AS feature_b, ROUND(corr(nturns, ntool), 6) AS pearson_r FROM per_conv
-UNION ALL SELECT 'nturns', 'avglen', ROUND(corr(nturns, avglen), 6) FROM per_conv
-UNION ALL SELECT 'nturns', 'nuser', ROUND(corr(nturns, nuser), 6) FROM per_conv
-UNION ALL SELECT 'ntool', 'avglen', ROUND(corr(ntool, avglen), 6) FROM per_conv
-UNION ALL SELECT 'ntool', 'nuser', ROUND(corr(ntool, nuser), 6) FROM per_conv
-UNION ALL SELECT 'avglen', 'nuser', ROUND(corr(avglen, nuser), 6) FROM per_conv
+SELECT 'nturns' AS feature_a, 'ntool' AS feature_b,
+       ROUND((n * sp_ab - s_a * s_b) / NULLIF(sqrt(n * ss_a - s_a * s_a) * sqrt(n * ss_b - s_b * s_b), 0), 6) AS pearson_r FROM moments
+UNION ALL SELECT 'nturns', 'avglen', ROUND((n * sp_ac - s_a * s_c) / NULLIF(sqrt(n * ss_a - s_a * s_a) * sqrt(n * ss_c - s_c * s_c), 0), 6) FROM moments
+UNION ALL SELECT 'nturns', 'nuser', ROUND((n * sp_ad - s_a * s_d) / NULLIF(sqrt(n * ss_a - s_a * s_a) * sqrt(n * ss_d - s_d * s_d), 0), 6) FROM moments
+UNION ALL SELECT 'ntool', 'avglen', ROUND((n * sp_bc - s_b * s_c) / NULLIF(sqrt(n * ss_b - s_b * s_b) * sqrt(n * ss_c - s_c * s_c), 0), 6) FROM moments
+UNION ALL SELECT 'ntool', 'nuser', ROUND((n * sp_bd - s_b * s_d) / NULLIF(sqrt(n * ss_b - s_b * s_b) * sqrt(n * ss_d - s_d * s_d), 0), 6) FROM moments
+UNION ALL SELECT 'avglen', 'nuser', ROUND((n * sp_cd - s_c * s_d) / NULLIF(sqrt(n * ss_c - s_c * s_c) * sqrt(n * ss_d - s_d * s_d), 0), 6) FROM moments
 """
 
 _ENGAGEMENT_REGRESSION_SQL = f"""
@@ -11839,18 +11898,28 @@ FROM u LEFT JOIN b ON u.source = b.source LEFT JOIN t ON u.source = t.source
 # long sums, FRE as the same left-associated double expression)
 _READABILITY_SQL = r"""
 WITH per_doc AS (
+    -- blank check on the CANONICAL collapse-then-trim form with NULL
+    -- coalesced to '': the raw trim(text) = '' check missed
+    -- tab/newline/vertical-tab-only docs (counted as 1 phantom word)
+    -- and NULL docs scored greatest(NULL, 1) = 1 sentence — the r4
+    -- blank-text oracle bug class, caught here by the r5
+    -- full-registry fuzz sweep
     SELECT source,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END AS _w,
-           CASE WHEN trim(text) = '' THEN 0
+           CASE WHEN canon = '' THEN 0
+                ELSE len(string_split(canon, ' ')) END AS _w,
+           CASE WHEN canon = '' THEN 0
                 ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
            END AS _s,
-           CASE WHEN trim(text) = '' THEN 0
+           CASE WHEN canon = '' THEN 0
                 ELSE list_sum(list_transform(
-                    string_split(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
+                    string_split(canon, ' '),
                     w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
            END AS _y
-    FROM documents
+    FROM (
+        SELECT source, text,
+               COALESCE(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), '') AS canon
+        FROM documents
+    )
 ),
 per AS (
     SELECT source,
@@ -15084,18 +15153,28 @@ reach AS (
     FROM edges e JOIN kdist k ON k.node = e.b
 ),
 lrd AS (
+    -- order-free integer-grid sums (lock-step with the engine's r5
+    -- rewrite): reach already sits on the 1e-6 grid, lrd re-quantized
+    -- before the neighbor sum so lof is one exact-integer division
     SELECT a,
-           CAST(COUNT(*) AS DOUBLE) / GREATEST(SUM(reach), 0.000000001) AS lrd,
+           CAST(COUNT(*) AS DOUBLE)
+           / GREATEST(CAST(SUM(CAST(ROUND(reach * 1000000.0) AS BIGINT)) AS DOUBLE)
+                      / 1000000.0, 0.000000001) AS lrd,
            CAST(COUNT(*) AS BIGINT) AS n_k
     FROM reach GROUP BY a
 ),
+lrdq AS (
+    SELECT a, lrd, n_k, CAST(ROUND(lrd * 1000000.0) AS BIGINT) AS lrd_q
+    FROM lrd
+),
 agg AS (
-    SELECT r.a, SUM(l2.lrd) AS slb
-    FROM reach r JOIN lrd l2 ON l2.a = r.b GROUP BY r.a
+    SELECT r.a, CAST(SUM(l2.lrd_q) AS BIGINT) AS slbq
+    FROM reach r JOIN lrdq l2 ON l2.a = r.b GROUP BY r.a
 )
 SELECT g.a AS vec_id, l.n_k, ROUND(l.lrd, 6) AS lrd,
-       ROUND(g.slb / CAST(l.n_k AS DOUBLE) / l.lrd, 6) AS lof
-FROM agg g JOIN lrd l ON l.a = g.a
+       ROUND(LEAST(CAST(g.slbq AS DOUBLE) / CAST(l.n_k * l.lrd_q AS DOUBLE),
+                   1000000.0), 6) AS lof
+FROM agg g JOIN lrdq l ON l.a = g.a
 """
 
 # frame-sampling rollup (lock-step with multimodal.frame_sample_plan
@@ -15553,7 +15632,10 @@ allsc AS (
     FROM v, q WHERE neighbor_id <> query_id
 ),
 cands AS MATERIALIZED (
+    -- rel IS NOT NULL: zero-norm query -> NULL cosines -> no
+    -- candidates (mirrors the engine gate's filter)
     SELECT neighbor_id AS cand_id, rel FROM allsc
+    WHERE rel IS NOT NULL
     ORDER BY rel DESC, neighbor_id ASC LIMIT {k}
 ),
 ca AS (SELECT e.vec_id AS a, e.embedding AS qe
@@ -16909,6 +16991,7 @@ FROM idx x
 CROSS JOIN init
 LEFT JOIN hw c ON c.i = x.i AND x.i >= {m}
 LEFT JOIN hw p ON p.i = x.i - 1 AND x.i >= {m}
+WHERE (SELECT COUNT(*) FROM idx) >= {2 * m}
 ORDER BY x.d
 """
 

@@ -195,8 +195,29 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     if bad:
         raise ValueError(f"feature names may not contain '__': {bad}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    wide = df.agg(
-        *[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}") for a, b in pairs]
+    # explicit raw co-moment algebra instead of F.corr: Spark 4's
+    # ANSI corr ERRORS on a zero-variance column where DuckDB's
+    # returns NULL (r5 degenerate-fuzz catch — a constant feature is
+    # exactly what a redundancy screen must survive). try_divide
+    # makes r NULL there, and the oracle mirrors this IDENTICAL
+    # expression shape, the engine's usual cross-engine discipline.
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sp_{a}__{b}"))
+    wide = df.agg(*aggs)
+    n = F.col("__n")
+
+    def _r(a: str, b: str):
+        cov = n * F.col(f"__sp_{a}__{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return F.try_divide(cov, F.sqrt(va) * F.sqrt(vb))
+
+    wide = wide.select(
+        *[_r(a, b).alias(f"{a}__{b}") for a, b in pairs]
     )
     long = wide.unpivot([], [f"{a}__{b}" for a, b in pairs], "pair", "pearson_r")
     return long.select(

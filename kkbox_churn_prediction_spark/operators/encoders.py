@@ -210,8 +210,17 @@ def value_rank_components(
                 df.sparkSession, tbl, vals.schema, value_col
             )
     edges = quantile_edges(vals, value_col, n_bins=n_buckets, exact=False)
+    # NULL values get an explicit bucket PAST every real one (they
+    # sort after all values, matching the driver replay's NaN-last
+    # pandas sort); bucketize_by_edges itself bins NULL as NULL
+    # since r5, and a NULL bucket key would silently drop out of the
+    # offsets equi-join
     bucketed = vals.withColumn(
-        "_bkt", bucketize_by_edges(F.col(value_col).cast("double"), edges)
+        "_bkt",
+        F.coalesce(
+            bucketize_by_edges(F.col(value_col).cast("double"), edges),
+            F.lit(len(edges) + 1),
+        ),
     )
     per_bucket = bucketed.groupBy("_bkt").agg(F.sum("_cnt").alias("_bc"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -436,7 +445,13 @@ def full_quantile_edges(
         else f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
     )
     row = df.select(F.expr(fn).alias("e")).first()
-    return [round(float(x), 6) for x in row["e"]]
+    # empty/all-null frame: the percentile array is NULL -> no edges
+    # (callers decide the degenerate policy; r5 fuzz crash fix)
+    return (
+        [round(float(x), 6) for x in row["e"]]
+        if row is not None and row["e"] is not None
+        else []
+    )
 
 
 def quantile_match(
@@ -468,6 +483,11 @@ def quantile_match(
     out_col = out_col or f"{value_col}_qm"
     se = full_quantile_edges(df, value_col, n_bins)
     re_ = full_quantile_edges(ref, ref_value_col, n_bins)
+    if not se or not re_:
+        # an empty source or reference fold has no quantile function:
+        # every mapped value is NULL (the oracle's NULL edge-array
+        # flow; previously crashed iterating the missing edges)
+        return df.withColumn(out_col, F.lit(None).cast("double"))
     v = F.col(value_col).cast("double")
     expr = F.lit(float(re_[-1]))  # above the last source edge → ref max
     for i in reversed(range(n_bins)):

@@ -202,6 +202,24 @@ def _bradley_terry_driver(
         ]
     )
     row = prof.collect()[0]
+    if row[f"w_{0}_{1}"] is None:
+        # EMPTY pair table: the aggregate emits NULL counts. The MM
+        # fixed point with zero evidence keeps every strength at its
+        # 1.0 init (the oracle's zero-denominator CASE guard does the
+        # same), and wins/matches surface as NULL — mirror exactly
+        # (r5 degenerate-fuzz crash fix: int(None))
+        long = spark.createDataFrame(
+            [(items[i], None, None, 1.0) for i in idx],
+            "item string, wins long, matches long, _score double",
+        )
+        w_rank = Window.orderBy(F.col("_score").desc(), F.col("item"))
+        return long.select(
+            "item",
+            "wins",
+            "matches",
+            F.round("_score", 6).alias("bt_score"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
     w = {(i, j): int(row[f"w_{i}_{j}"]) for i in idx for j in idx if i != j}
     wins = {i: sum(w[(i, j)] for j in idx if j != i) for i in idx}
     n = {

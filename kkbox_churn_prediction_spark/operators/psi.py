@@ -71,11 +71,16 @@ def quantile_edges(
 
 def bucketize_by_edges(value: Column, edges: list[float]) -> Column:
     """width_bucket-style when-chain over interior edges (bin i =
-    value <= edges[i], last bin = above all edges)."""
+    value <= edges[i], last bin = above all edges). NULL value ->
+    NULL bin: the bare when-chain's ``otherwise`` silently filed
+    NULLs into the LAST bin (r5 full-registry fuzz catch — the woe
+    oracle's ``COUNT WHERE e < v`` filed the same NULLs into bin 0);
+    callers decide NULL policy explicitly (coalesce before binning
+    or drop the NULL-bin rows)."""
     expr = F.lit(len(edges))
     for i in reversed(range(len(edges))):
         expr = F.when(value <= F.lit(edges[i]), F.lit(i)).otherwise(expr)
-    return expr.cast("int")
+    return F.when(value.isNotNull(), expr).cast("int")
 
 
 def psi_from_bins(binned: DataFrame, fold_col: str, bin_col: str, ref_fold: str) -> DataFrame:
@@ -575,7 +580,12 @@ def cvm_from_bins(
     )
     nn = F.col("_n").cast("double")
     rn = F.col("_rn").cast("double")
-    cvm = F.col("_num").cast("double") / (nn * rn * nn * rn * (nn + rn))
+    # try_divide: an empty fold makes the statistic undefined -> NULL
+    # (the oracle's NULL-on-zero-divide; ANSI ERRORed on the r5
+    # degenerate single-fold calendars)
+    cvm = F.try_divide(
+        F.col("_num").cast("double"), nn * rn * nn * rn * (nn + rn)
+    )
     return per.select(
         F.col(fold_col).alias("fold"),
         F.round(cvm, 6).alias("cvm"),
@@ -660,16 +670,23 @@ def anderson_darling_from_bins(
     h = (F.col("_n_b") + F.col("_rn_b")).cast("double")
     ch = (F.col("_cum") + F.col("_rcum")).cast("double")
     nn = (F.col("_tot") + F.col("_rtot")).cast("double")
+    # try_divide chain: an empty fold (or degenerate cum boundary)
+    # nulls the per-bin term instead of ANSI-erroring; SUM then skips
+    # the NULL terms exactly as the DuckDB oracle does
     term = F.when(
         ch < nn,
         F.floor(
-            gap
-            * gap
-            * h
-            * F.lit(1.0e9)
-            / (F.col("_tot").cast("double") * F.col("_rtot").cast("double"))
-            / ch
-            / (nn - ch),
+            F.try_divide(
+                F.try_divide(
+                    F.try_divide(
+                        gap * gap * h * F.lit(1.0e9),
+                        F.col("_tot").cast("double")
+                        * F.col("_rtot").cast("double"),
+                    ),
+                    ch,
+                ),
+                nn - ch,
+            )
         ).cast(dec),
     )
     per = j.groupBy(fold_col).agg(

@@ -1125,25 +1125,56 @@ def lof_scores(
     reach = edges.join(
         F.broadcast(kdist.select(F.col("node").alias("b"), "kdist")), "b"
     ).select("a", "b", F.greatest(F.col("dist"), F.col("kdist")).alias("reach"))
+    # order-free sums on integer grids (r5 fuzz catch: duplicate
+    # vectors drive Σreach to the ε floor, lrd to ~5e9, and a 1-ulp
+    # float-sum ordering difference then amplifies into the rounded
+    # lof). reach is ALREADY on the 1e-6 grid (max/greatest of
+    # 6dp-rounded dists), so round(reach·1e6) loses nothing; lrd is
+    # re-quantized to the same grid before the neighbor sum so lof is
+    # one double division of exact integers on both engines.
     lrd = reach.groupBy("a").agg(
         (
             F.count(F.lit(1)).cast("double")
-            / F.greatest(F.sum("reach"), F.lit(1e-9))
+            / F.greatest(
+                F.sum(F.round(F.col("reach") * F.lit(1e6)).cast("long"))
+                .cast("double")
+                / F.lit(1e6),
+                F.lit(1e-9),
+            )
         ).alias("lrd"),
         F.count(F.lit(1)).cast("long").alias("n_k"),
     )
+    lrd = lrd.withColumn(
+        "_lrd_q", F.round(F.col("lrd") * F.lit(1e6)).cast("long")
+    )
     lof = (
         reach.select("a", "b")
-        .join(F.broadcast(lrd.select(F.col("a").alias("b"), F.col("lrd").alias("lrd_b"))), "b")
+        .join(
+            F.broadcast(
+                lrd.select(F.col("a").alias("b"), F.col("_lrd_q").alias("_lrd_b_q"))
+            ),
+            "b",
+        )
         .groupBy("a")
-        .agg(F.sum("lrd_b").alias("_sum_lrd_b"))
+        .agg(F.sum("_lrd_b_q").alias("_slbq"))
         .join(lrd, "a")
         .select(
             F.col("a").alias(id_col),
             "n_k",
             F.round("lrd", 6).alias("lrd"),
+            # LOF saturates at 1e6: ε-floored duplicate clusters give
+            # astronomically large, meaningless ratios where the
+            # double grid (spacing ~5e-7 at 2.5e9) is COARSER than
+            # the 6dp rounding grid, making round-to-6dp engine-
+            # dependent; below 1e6 the rounding is well-defined and
+            # cross-engine exact
             F.round(
-                F.col("_sum_lrd_b") / F.col("n_k").cast("double") / F.col("lrd"), 6
+                F.least(
+                    F.col("_slbq").cast("double")
+                    / (F.col("n_k") * F.col("_lrd_q")).cast("double"),
+                    F.lit(1e6),
+                ),
+                6,
             ).alias("lof"),
         )
     )

@@ -2035,6 +2035,7 @@ def holt_winters_daily(
     beta: float = 0.125,
     gamma: float = 0.25,
     period: int = 7,
+    on_short: str = "raise",
 ) -> DataFrame:
     """Holt–Winters ADDITIVE-seasonal smoothing of the daily turn
     count (period = 7, the weekly rhythm): the three-state recursion
@@ -2076,6 +2077,25 @@ def holt_winters_daily(
     )
     n_days = daily.count()
     if n_days < 2 * m:
+        if on_short == "empty":
+            # insufficient history for the seasonal init: an EMPTY
+            # frame with the output schema (the oracle guards with
+            # the same day-count predicate); the default stays a
+            # loud ValueError for pipeline callers
+            from pyspark.sql import types as T
+
+            return turns.sparkSession.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("d", T.TimestampType()),
+                    T.StructField("n_turns", T.LongType()),
+                    T.StructField("level", T.DoubleType()),
+                    T.StructField("trend", T.DoubleType()),
+                    T.StructField("seasonal", T.DoubleType()),
+                    T.StructField("forecast", T.DoubleType()),
+                    T.StructField("forecast_err", T.DoubleType()),
+                ]),
+            )
         raise ValueError(
             f"holt_winters_daily needs >= {2 * m} days, got {n_days}"
         )

@@ -86,6 +86,13 @@ GATES = [
     "qini_uplift", "label_shift_bbse", "spiegelhalter_cal",
     # streaming outer joins under fuzz corpora
     "streaming_left_join", "streaming_full_join",
+    # fourth ring: the nine gates the r5 FULL-registry sweep caught
+    # bugs in (window tie-order, NULL policy, zero-norm vectors,
+    # blank-text canonicalization, LOF grid) — pinned here so the
+    # per-commit net re-exercises every one
+    "streaming_closed_sessions", "debounce_events", "woe_tokens",
+    "readability", "blocklist_filter", "lof_outliers", "mmr_rerank",
+    "neardup_embedding", "lsh_dbscan",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan",

@@ -58,7 +58,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             s = s.round(6)
         elif s.dtype == object:
-            s = s.astype(str)
+            # unify NULL representations first: Spark's toPandas
+            # yields None, DuckDB's fetchdf yields NaN for the same
+            # SQL NULL in object columns — astype(str) would split
+            # them into 'None' vs 'nan' (r5 full-registry fuzz catch
+            # on a NULL boolean column)
+            s = s.where(~s.isna(), "<NULL>").astype(str)
         out[c] = s
     nd = pd.DataFrame(out)
     return nd.sort_values(list(nd.columns)).reset_index(drop=True)
