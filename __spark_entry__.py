@@ -9470,9 +9470,14 @@ _EMB_DIVERSITY_SQL = f"""
 WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
 base AS (SELECT label, embedding FROM embeddings),
 per AS (
+    -- order-free integer-grid sums, lock-step with the engine's r5
+    -- rewrite (raw AVG/SUM doubles were partition-order-dependent
+    -- and hit a 6dp rounding boundary at fuzz seed 1234)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           ROUND(AVG(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[]))), 6) AS msq
+           ROUND(CAST(SUM(CAST(ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[]))
+                                     * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS msq
     FROM base GROUP BY label
 ),
 expl AS (
@@ -9480,7 +9485,10 @@ expl AS (
     FROM base CROSS JOIN dims
 ),
 cent AS (SELECT label, dim, ROUND(AVG(v), 6) AS c FROM expl GROUP BY label, dim),
-musq AS (SELECT label, ROUND(SUM(c * c), 6) AS ms FROM cent GROUP BY label)
+musq AS (SELECT label,
+                ROUND(CAST(SUM(CAST(ROUND(c * c * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                      / 1000000000.0, 6) AS ms
+         FROM cent GROUP BY label)
 SELECT p.label, p.n_vectors,
        ROUND(p.msq - m.ms, 6) AS trace_variance,
        ROUND(SQRT(GREATEST(ROUND(p.msq - m.ms, 6), 0.0)), 6) AS rms_radius

@@ -984,6 +984,12 @@ def embedding_diversity(
     before the square root (rounding can push a near-zero trace
     negative).
     """
+    # order-free sums on integer grids (r5 fuzz catch at seed 1234:
+    # the raw AVG/SUM doubles are partition-order-dependent and one
+    # group landed ON the 6dp rounding boundary). Per-row ||x||² is
+    # the same double on both engines (identical index-order fold),
+    # so its 1e-6 quantization is identical; same for the 6dp-grid
+    # centroid components' squares on the 1e-9 grid.
     sq = F.aggregate(
         F.col(vec_col).cast("array<double>"),
         F.lit(0.0),
@@ -991,11 +997,28 @@ def embedding_diversity(
     )
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.round(F.avg(sq), 6).alias("_msq"),
+        F.sum(F.round(sq * F.lit(1e6)).cast("long")).alias("_msq_q"),
+    )
+    per = per.withColumn(
+        "_msq",
+        F.round(
+            F.col("_msq_q").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(1e6),
+            6,
+        ),
     )
     cents = cluster_centroids(df, group_col, vec_col)
     musq = cents.groupBy(group_col).agg(
-        F.round(F.sum(F.col("centroid") * F.col("centroid")), 6).alias("_musq")
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("centroid") * F.col("centroid") * F.lit(1e9)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("_musq")
     )
     out = per.join(musq, group_col)
     trace = F.round(F.col("_msq") - F.col("_musq"), 6)
