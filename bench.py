@@ -284,6 +284,11 @@ def _count_other_jvms() -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # sample load BEFORE the bench loads the host itself (the first
+    # r5 artifact sampled at the end and read 28.5 — its own bulk
+    # child, not foreign load)
+    load_start = round(os.getloadavg()[0], 2)
+    jvms_start = _count_other_jvms()
 
     import __spark_entry__ as entry_mod
     from kkbox_churn_prediction_spark.session import get_spark
@@ -337,8 +342,9 @@ def main() -> None:
         # artifact ran under load and its +1.9% read as a regression;
         # record 1-min load avg + live java processes so a loaded run
         # is identifiable from the artifact alone)
-        "load_avg_1m": round(os.getloadavg()[0], 2),
-        "other_jvms": _count_other_jvms(),
+        "load_avg_1m": load_start,
+        "other_jvms": jvms_start,
+        "load_avg_end_1m": round(os.getloadavg()[0], 2),
         "detail_file": f"BENCH_DETAIL_r{this_round:02d}.json",
     }
     detail = dict(out)
