@@ -1797,9 +1797,16 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal assignment + Summarizer mean per iteration. Iterative
     fixpoint — not SQL-expressible, so no DuckDB oracle (rows-only
     gate); exact numpy lock-step equality lives in tests/test_kmeans.py."""
+    from pyspark.sql import functions as F
+
     from kkbox_churn_prediction_spark.operators.similarity import kmeans_fit
 
     emb = _embs(spark, sf_dir)
+    if emb.limit(1).count() == 0:
+        # EMPTY corpus: no residue classes to seed from — zero rows
+        # (the operator's loud too-few-classes ValueError stays for
+        # genuinely underpopulated NON-empty inputs; r5 empty-sweep)
+        return emb.select("vec_id", F.lit(0).cast("int").alias("cell"))
     assigned, _ = kmeans_fit(emb, k=8, iters=3)
     return assigned.select("vec_id", "cell")
 

@@ -197,15 +197,13 @@ def two_proportion_z(
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    # empty-arm guard (mirrors the se2 guard): a missing arm yields a
-    # defined 0.0 rate, not a NULL that diverges from the oracle
-    p_a = F.when(F.col("n_a") > 0, F.col("s_a").cast("double") / na).otherwise(
-        F.lit(0.0)
-    )
-    p_b = F.when(F.col("n_b") > 0, F.col("s_b").cast("double") / nb).otherwise(
-        F.lit(0.0)
-    )
-    pool = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
+    # try_divide mirrors the oracle's RAW s/n division: a missing or
+    # empty arm has an UNDEFINED rate (NULL), exactly DuckDB's 0/0
+    # (the old otherwise-0.0 guard diverged on empty input; r5
+    # empty-sweep). The z guard below still collapses NULL to 0.0.
+    p_a = F.try_divide(F.col("s_a").cast("double"), na)
+    p_b = F.try_divide(F.col("s_b").cast("double"), nb)
+    pool = F.try_divide((F.col("s_a") + F.col("s_b")).cast("double"), na + nb)
     se2 = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     z = F.when(se2 > 0, (p_a - p_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
     return one.select(
@@ -277,7 +275,9 @@ def srm_check(
         "arm",
         "observed",
         F.round(e, 6).alias("expected"),
-        F.round(F.col("observed").cast("double") / total, 6).alias("share"),
+        # try_divide: zero total units (empty slice) -> share NULL,
+        # the oracle's 0/0 answer (ANSI ERRORed; r5 empty-sweep)
+        F.round(F.try_divide(F.col("observed").cast("double"), total), 6).alias("share"),
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(threshold))).alias("srm"),
     )
@@ -327,21 +327,21 @@ def power_mde(
 
     var_a = var("sy_a", "syy_a", "n_a")
     var_b = var("sy_b", "syy_b", "n_b")
-    # empty-arm guard (mirrors the variance guard): defined 0.0 means
-    # and a 0.0 MDE instead of NULL/NaN when an arm has no units
-    mean_a = F.when(
-        F.col("n_a") > 0, F.col("sy_a").cast("double") / F.col("n_a").cast("double")
-    ).otherwise(F.lit(0.0))
-    mean_b = F.when(
-        F.col("n_b") > 0, F.col("sy_b").cast("double") / F.col("n_b").cast("double")
-    ).otherwise(F.lit(0.0))
-    se = F.sqrt(
-        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
+    # try_divide mirrors the oracle's RAW divisions: an empty or
+    # missing arm has UNDEFINED mean/se/MDE (NULL, DuckDB's 0/0) —
+    # the old otherwise-0.0 guards diverged on empty input (r5
+    # empty-sweep); mde_rel's own guard still collapses to 0.0.
+    mean_a = F.try_divide(
+        F.col("sy_a").cast("double"), F.col("n_a").cast("double")
     )
-    mde = F.when(
-        (F.col("n_a") > 0) & (F.col("n_b") > 0),
-        F.lit(float(z_alpha) + float(z_power)) * se,
-    ).otherwise(F.lit(0.0))
+    mean_b = F.try_divide(
+        F.col("sy_b").cast("double"), F.col("n_b").cast("double")
+    )
+    se = F.sqrt(
+        F.try_divide(var_a, F.col("n_a").cast("double"))
+        + F.try_divide(var_b, F.col("n_b").cast("double"))
+    )
+    mde = F.lit(float(z_alpha) + float(z_power)) * se
     return one.select(
         "n_a",
         "n_b",
@@ -760,6 +760,16 @@ def ipw_ate(
             }
         )
 
+    if profile.limit(1).count() == 0:
+        # EMPTY panel: no propensity profile exists — mirror the
+        # oracle's one degenerate row (NULL counts/fit, 0.0 means
+        # from its guarded ratios; r5 empty-sweep)
+        return units.sparkSession.createDataFrame(
+            [(None, None, None, None, 0.0, 0.0, 0.0, 0.0)],
+            "n_treat bigint, n_ctrl bigint, a double, b double, "
+            "mu_treat double, mu_ctrl double, ate_ipw double, "
+            "ate_naive double",
+        )
     fitted = profile.groupBy("_g").applyInPandas(_fit, schema=schema)
     return fitted.select(
         "n_treat",
@@ -1044,7 +1054,10 @@ def permutation_test(
         F.round(
             (F.lit(1.0) + F.col("n_ge").cast("double")) / F.lit(k + 1.0), 6
         ).alias("p_value"),
-    )
+        # the empty-input global agg fabricates one all-NULL row the
+        # oracle's (row-producing) CTEs never emit — drop it
+        # (r5 empty-sweep)
+    ).where(F.col("n_units").isNotNull())
 
 
 def msprt_always_valid(
@@ -1347,7 +1360,17 @@ def bayes_ab_binary(
         )
         .collect()[0]
     )
-    n_a, n_b, s_a, s_b = one["n_a"], one["n_b"], one["s_a"], one["s_b"]
+    n_a, n_b = one["n_a"], one["n_b"]
+    if one["s_a"] is None and one["s_b"] is None and n_a == 0 and n_b == 0:
+        # EMPTY experiment: the oracle's SUM aggregates surface NULL
+        # and every posterior readout is NULL — mirror the exact row
+        # (r5 empty-sweep; previously crashed on None + int)
+        return units.sparkSession.createDataFrame(
+            [(0, None, 0, None, None, None, None)],
+            "n_a bigint, s_a bigint, n_b bigint, s_b bigint, "
+            "post_mean_a double, post_mean_b double, prob_b_beats_a double",
+        )
+    s_a, s_b = one["s_a"] or 0, one["s_b"] or 0
     aA = s_a + alpha0
     bA = n_a - s_a + beta0
     aB = s_b + alpha0
@@ -1595,20 +1618,27 @@ def yuen_trimmed_test(
         F.sum(w).alias("sw"),
         F.sum(w * w).alias("sww"),
     )
-    a = mom.where(F.col("_g") == arm_a).drop("_g")
-    b = mom.where(F.col("_g") == arm_b).drop("_g")
-    one = a.select(
-        F.col("n").alias("n_a"), F.col("h").alias("h_a"),
-        F.col("st").alias("st_a"), F.col("sw").alias("sw_a"),
-        F.col("sww").alias("sww_a"),
-    ).crossJoin(
-        F.broadcast(
-            b.select(
-                F.col("n").alias("n_b"), F.col("h").alias("h_b"),
-                F.col("st").alias("st_b"), F.col("sw").alias("sw_b"),
-                F.col("sww").alias("sww_b"),
-            )
-        )
+    # assemble the two arm rows driver-side (mom is <= 2 rows): a
+    # missing/empty arm contributes NULL moments instead of silently
+    # collapsing the cross join to ZERO rows (r5 empty-sweep — the
+    # oracle's scalar subqueries emit one all-NULL row); collected
+    # doubles round-trip exactly, so non-degenerate results are
+    # unchanged
+    _rows = {r["_g"]: r for r in mom.collect()}
+
+    def _side(arm, field):
+        r = _rows.get(arm)
+        return None if r is None else r[field]
+
+    one = units.sparkSession.createDataFrame(
+        [(
+            _side(arm_a, "n"), _side(arm_a, "h"), _side(arm_a, "st"),
+            _side(arm_a, "sw"), _side(arm_a, "sww"),
+            _side(arm_b, "n"), _side(arm_b, "h"), _side(arm_b, "st"),
+            _side(arm_b, "sw"), _side(arm_b, "sww"),
+        )],
+        "n_a bigint, h_a bigint, st_a double, sw_a double, sww_a double, "
+        "n_b bigint, h_b bigint, st_b double, sw_b double, sww_b double",
     )
 
     def _d(nc, hc, swc, swwc):
@@ -1914,7 +1944,16 @@ def fisher_exact_greater(
         )
         .collect()[0]
     )
-    n_a, n_b, s_a, s_b = one["n_a"], one["n_b"], one["s_a"], one["s_b"]
+    n_a, n_b = one["n_a"], one["n_b"]
+    if one["s_a"] is None and one["s_b"] is None and n_a == 0 and n_b == 0:
+        # EMPTY experiment: mirror the oracle's exact degenerate row
+        # (NULL sums/odds, p_greater 0.0 from its empty term sum)
+        return units.sparkSession.createDataFrame(
+            [(0, None, 0, None, None, 0.0)],
+            "n_a bigint, s_a bigint, n_b bigint, s_b bigint, "
+            "odds_ratio double, p_greater double",
+        )
+    s_a, s_b = one["s_a"] or 0, one["s_b"] or 0
     n = n_a + n_b
     c1 = s_a + s_b  # total successes
     k_hi = min(n_a, c1)

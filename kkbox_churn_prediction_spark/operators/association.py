@@ -99,8 +99,15 @@ def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.max(n)
             * (F.sum(F.col("n_xy") * F.col("n_xy") / (F.col("n_x") * F.col("n_y"))) - 1)
         ).alias("chi2"),
-        F.round(F.sum(F.col("n_xy") / F.col("n_x"))).cast("bigint").alias("_kx"),
-        F.round(F.sum(F.col("n_xy") / F.col("n_y"))).cast("bigint").alias("_ky"),
+        # coalesce 0: on an EMPTY table the support-count sums are
+        # NULL while the oracle's COUNT(DISTINCT) is 0 — dof then
+        # agrees at (0-1)*(0-1) = 1 (r5 empty-sweep)
+        F.coalesce(F.round(F.sum(F.col("n_xy") / F.col("n_x"))), F.lit(0.0))
+        .cast("bigint")
+        .alias("_kx"),
+        F.coalesce(F.round(F.sum(F.col("n_xy") / F.col("n_y"))), F.lit(0.0))
+        .cast("bigint")
+        .alias("_ky"),
         F.max("n").alias("n"),
     )
     k_min = F.least(F.col("_kx"), F.col("_ky")).cast("double")

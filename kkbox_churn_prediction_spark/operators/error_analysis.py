@@ -138,10 +138,12 @@ def confusion_costs(
     pred = (p >= F.lit(float(threshold))).cast("int")
 
     def cnt(cond: Column) -> Column:
-        # coalesce: SUM over an empty table is NULL, not 0
-        return F.coalesce(
-            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
-        ).cast("long")
+        # plain SUM: over an EMPTY table it is NULL — exactly the
+        # oracle's answer (an earlier coalesce-to-0 here diverged on
+        # empty input: undefined confusion counts, not zero ones;
+        # r5 empty-sweep). The cost_vs ratios' own guards still
+        # collapse NULL baselines to 0.0.
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
 
     one = preds.agg(
         cnt((pred == 1) & (y == 1)).alias("tp"),

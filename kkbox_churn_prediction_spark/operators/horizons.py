@@ -240,7 +240,12 @@ def validate_features(
     return melted.withColumn(
         "null_policy_ok",
         F.when(~F.col("present"), F.lit(False)).otherwise(
-            ~F.col("requires_no_nulls") | (F.col("n_null") == 0)
+            # coalesce False: on an EMPTY matrix n_null is NULL and
+            # the oracle's CASE falls to ELSE 0 (r5 empty-sweep)
+            F.coalesce(
+                ~F.col("requires_no_nulls") | (F.col("n_null") == 0),
+                F.lit(False),
+            )
         ),
     )
 

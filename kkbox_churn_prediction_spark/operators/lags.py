@@ -540,7 +540,13 @@ def out_of_order_depth(
         "n_events",
         "n_late",
         F.round(
-            F.col("n_late").cast("double") / F.col("n_events").cast("double"), 6
+            # try_divide: empty stream -> late_rate NULL like the
+            # oracle's 0/0 (r5 empty-sweep)
+            F.try_divide(
+                F.col("n_late").cast("double"),
+                F.col("n_events").cast("double"),
+            ),
+            6,
         ).alias("late_rate"),
         "max_late_us",
     ]

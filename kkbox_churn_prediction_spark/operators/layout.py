@@ -163,10 +163,13 @@ def partition_advisor(
         F.sum(row_w.cast("long")).cast("long").alias("_sw"),
     ).collect()[0]
     n = probe["_sn"] or 0
-    avg_w = (probe["_sw"] // max(n, 1)) if n else 0
-    total = n * avg_w
+    # empty table: width/volume are UNDEFINED (NULL, the oracle's
+    # NULL sums), while the recommendations still bottom out at the
+    # core-count floor (r5 empty-sweep)
+    avg_w = (probe["_sw"] // n) if n else None
+    total = n * avg_w if n else None
     target = int(target_partition_mb) * 1024 * 1024
-    raw_parts = max(1, -(-total // max(target, 1)))  # ceil
+    raw_parts = max(1, -(-(total or 0) // max(target, 1)))  # ceil
     parts = max(cores, -(-raw_parts // cores) * cores)  # round up to core multiple
     waves = -(-parts // cores)
     spark = df.sparkSession
@@ -174,8 +177,8 @@ def partition_advisor(
         [
             (
                 int(n),
-                int(avg_w),
-                int(total),
+                None if avg_w is None else int(avg_w),
+                None if total is None else int(total),
                 int(parts),
                 int(target),
                 int(waves),

@@ -258,8 +258,12 @@ def deletion_cascade_audit(
             "rows_total",
             "rows_affected",
             F.round(
-                F.col("rows_affected").cast("double")
-                / F.col("rows_total").cast("double"),
+                # try_divide: an empty table -> share NULL (the
+                # oracle's 0/0; ANSI ERRORed; r5 empty-sweep)
+                F.try_divide(
+                    F.col("rows_affected").cast("double"),
+                    F.col("rows_total").cast("double"),
+                ),
                 6,
             ).alias("share"),
         )

@@ -312,7 +312,7 @@ def rollup_counts(
     task, so the exchange stays tiny at any input size.
     """
     m = F.col(measure_col)
-    return (
+    out = (
         df.rollup(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -320,6 +320,7 @@ def rollup_counts(
             F.grouping_id().cast("bigint").alias("gid"),
         )
     )
+    return _with_empty_grand_total(df, out, keys)
 
 
 def cube_counts(df: DataFrame, keys: list[str], measure_col: str) -> DataFrame:
@@ -331,11 +332,27 @@ def cube_counts(df: DataFrame, keys: list[str], measure_col: str) -> DataFrame:
     collapses low-cardinality keys to ~|domain| rows per task, so
     the exchange stays tiny regardless of input size."""
     m = F.col(measure_col)
-    return df.cube(*keys).agg(
+    out = df.cube(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(m).alias("measure_sum"),
         F.grouping_id().cast("bigint").alias("gid"),
     )
+    return _with_empty_grand_total(df, out, keys)
+
+
+def _with_empty_grand_total(df: DataFrame, out: DataFrame, keys: list[str]) -> DataFrame:
+    """SQL-standard grouping-sets semantics on EMPTY input: the ()
+    grouping set is a global aggregate and yields ONE grand-total
+    row (count 0, NULL sums, gid 2^k - 1) even over zero rows —
+    DuckDB/Postgres honor this, Spark's rollup/cube return zero rows
+    (r5 empty-sweep catch). Append the row explicitly when the input
+    is empty; non-empty inputs return Spark's plan untouched."""
+    if df.limit(1).count() > 0:
+        return out
+    grand = tuple(
+        [None] * len(keys) + [0, None, (1 << len(keys)) - 1]
+    )
+    return df.sparkSession.createDataFrame([grand], out.schema)
 
 
 def set_op_entities(left: DataFrame, right: DataFrame, key: str) -> DataFrame:

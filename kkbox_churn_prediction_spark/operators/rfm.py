@@ -71,9 +71,17 @@ def rfm_scores(rfm: DataFrame, n_buckets: int = 5) -> DataFrame:
         F.expr(f"percentile(frequency, array({arr}))").alias("ef"),
         F.expr(f"percentile(monetary, array({arr}))").alias("em"),
     ).first()
-    er = [round(float(x), 6) for x in row["er"]]
-    ef = [round(float(x), 6) for x in row["ef"]]
-    em = [round(float(x), 6) for x in row["em"]]
+    # empty per-user table: percentile arrays are NULL -> no edges,
+    # every score collapses to its floor and the projection below
+    # yields zero rows anyway (r5 empty-sweep crash fix)
+    def _edges(arr):
+        return (
+            [round(float(x), 6) for x in arr] if arr is not None else []
+        )
+
+    er = _edges(row["er"] if row is not None else None)
+    ef = _edges(row["ef"] if row is not None else None)
+    em = _edges(row["em"] if row is not None else None)
     r_score = (F.lit(n_buckets) - bucketize_by_edges(F.col("recency_days"), er)).cast("int")
     f_score = (bucketize_by_edges(F.col("frequency").cast("double"), ef) + F.lit(1)).cast("int")
     m_score = (bucketize_by_edges(F.col("monetary"), em) + F.lit(1)).cast("int")

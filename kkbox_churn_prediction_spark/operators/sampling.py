@@ -389,6 +389,10 @@ def distribution_match_sample(
         for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = float(sum(counts.values()))
+    if total == 0:
+        # empty corpus: nothing to match — zero rows out (the
+        # oracle's empty-join answer; r5 empty-sweep crash fix)
+        return binned.where(F.lit(False))
     z = sum(target)
     t = [x / z for x in target]
     c = min(
@@ -711,6 +715,18 @@ def rake_weights(
     w = cells.select("r", "c", "n", F.lit(1.0).alias("w"))
     n_rows_ = cells.select("r").distinct().count()
     n_cols_ = cells.select("c").distinct().count()
+    if n_rows_ == 0 or n_cols_ == 0:
+        # empty panel: no margins to rake — zero rows out, in the
+        # OUTPUT schema (r5 empty-sweep: 1/0 crashed here)
+        return w.where(F.lit(False)).select(
+            F.col("r").alias("row_value"),
+            F.col("c").alias("col_value"),
+            F.col("n").alias("n_units"),
+            F.round(F.col("w"), 6).alias("weight"),
+            F.lit(None).cast("double").alias("weighted_share"),
+            F.lit(None).cast("double").alias("row_share_after"),
+            F.lit(None).cast("double").alias("col_share_after"),
+        )
     tr = 1.0 / n_rows_
     tc = 1.0 / n_cols_
     from pyspark.sql import Window

@@ -307,6 +307,16 @@ def _hits_fixed_point_driver(mat: DataFrame, n_iter: int):
 
     spark = mat.sparkSession
     pdf = mat.toPandas()  # Arrow-accelerated bulk collect
+    if len(pdf) == 0:
+        # empty graph: no nodes, no scores — empty frames with the
+        # output schemas (r5 empty-sweep: 1/sqrt(0) crashed here)
+        hub = spark.createDataFrame(
+            [], mat.select("src").schema.add("hq", "long")
+        )
+        auth = spark.createDataFrame(
+            [], mat.select("dst").schema.add("aq", "long")
+        )
+        return hub, auth
     src_cat = pd.Categorical(pdf["src"])
     dst_cat = pd.Categorical(pdf["dst"])
     srcs = [x.item() if hasattr(x, "item") else x for x in src_cat.categories]

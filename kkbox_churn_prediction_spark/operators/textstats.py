@@ -741,7 +741,9 @@ def zipf_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # vocabulary has variance ≥ (Δln rank)² ≫ 1e-9.
     eps = F.lit(1e-9)
     return agg.select(
-        F.col("v").cast("bigint").alias("vocab_size"),
+        # coalesce 0: an EMPTY corpus has vocab size 0 (the oracle's
+        # COUNT answer), not NULL from first-over-empty (r5 empty-sweep)
+        F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("vocab_size"),
         F.col("t").cast("bigint").alias("total_tokens"),
         F.round(F.when(var_x > eps, cov_xy / var_x), 6).alias("zipf_slope"),
         F.round(

@@ -39,13 +39,20 @@ def winsorize(
         else f"approx_percentile({value_col}, array({lo}, {hi}), {int(accuracy)})"
     )
     row = df.where(F.col(value_col).isNotNull()).select(F.expr(fn).alias("e")).first()
-    e_lo, e_hi = (round(float(x), 6) for x in row["e"])
+    if row is None or row["e"] is None:
+        # empty/all-NULL input: no percentile edges exist -> NULL
+        # clip bounds propagate NULL outputs (zero rows in practice;
+        # r5 empty-sweep crash fix)
+        lo_l = hi_l = F.lit(None).cast("double")
+    else:
+        e_lo, e_hi = (round(float(x), 6) for x in row["e"])
+        lo_l, hi_l = F.lit(e_lo), F.lit(e_hi)
     v = F.col(value_col)
     return df.select(
         "*",
-        F.greatest(F.least(v, F.lit(e_hi)), F.lit(e_lo)).alias(f"{value_col}_w"),
-        (v < F.lit(e_lo)).alias("clipped_low"),
-        (v > F.lit(e_hi)).alias("clipped_high"),
+        F.greatest(F.least(v, hi_l), lo_l).alias(f"{value_col}_w"),
+        (v < lo_l).alias("clipped_low"),
+        (v > hi_l).alias("clipped_high"),
     )
 
 

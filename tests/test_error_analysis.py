@@ -84,11 +84,16 @@ def test_confusion_costs_golden(spark, preds):
 
 
 def test_confusion_costs_empty_input_defined(spark):
+    """Empty input: confusion counts are UNDEFINED (NULL — the
+    oracle's SUM-over-empty answer; the old coalesce-to-0 convention
+    diverged cross-engine, r5 empty-sweep), while the guarded
+    baseline ratios still collapse to a defined 0.0."""
     from kkbox_churn_prediction_spark.operators.error_analysis import (
         confusion_costs,
     )
 
     df = spark.createDataFrame([], "event_id string, p double, y int")
     r = confusion_costs(df, "y", "p").first()
-    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (0, 0, 0, 0)
+    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (None, None, None, None)
+    assert r["total_cost"] is None and r["savings_vs_baseline"] is None
     assert r["cost_vs_all_positive"] == 0.0 and r["cost_vs_all_negative"] == 0.0

@@ -36,6 +36,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--degenerate", action="store_true")
+    ap.add_argument(
+        "--empty",
+        action="store_true",
+        help="zero-row versions of every table (same schemas) — the "
+        "empty-partition/empty-fold robustness sweep; engine and "
+        "oracle must agree on every degenerate empty answer",
+    )
     ap.add_argument("gates", nargs="*")
     args = ap.parse_args()
 
@@ -49,6 +56,12 @@ def main() -> int:
 
     out = Path(tempfile.mkdtemp(prefix="fuzz_sweep_"))
     _gen_tables(out, args.seed, args.degenerate)
+    if args.empty:
+        import pyarrow.parquet as pq
+
+        for f in out.glob("*.parquet"):
+            t = pq.read_table(f)
+            pq.write_table(t.slice(0, 0), f)
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
